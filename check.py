@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: runs graft.Verify via sbt,
+then executes each oracle_sql.json entry in DuckDB over the same parquet
+tables and compares (row count, column names, values) against the Spark
+parquet dump. Usage: python3 check.py [sfdir] [--no-run]"""
+import json, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+    else "/root/testdata/sf0.01"
+OUT = "/tmp/verify_out"
+
+if "--no-run" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-3000:]); sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line: print(line)
+
+import duckdb, pandas as pd
+con = duckdb.connect()
+tables = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+for t in tables:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+ok = fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    pq = f"{OUT}/{name}"
+    if not os.path.isdir(pq):
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}"); fail += 1; continue
+    got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: cols exp={list(exp.columns)} got={list(got.columns)}")
+        fail += 1; continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); fail += 1; continue
+    exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(exp_s, got_s, check_dtype=False,
+                                      check_exact=False, rtol=1e-9, atol=1e-9)
+        print(f"ok   {name} ({len(exp)} rows)"); ok += 1
+    except AssertionError as e:
+        print(f"FAIL {name}: values differ\n  {str(e)[:500]}"); fail += 1
+
+# rows-only check for queries without an oracle
+for name in sorted(os.listdir(OUT)):
+    d = f"{OUT}/{name}"
+    if os.path.isdir(d) and name not in oracle:
+        n = len(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+        status = "ok  " if n > 0 else "FAIL"
+        if n > 0: ok += 1
+        else: fail += 1
+        print(f"{status} {name} (rows-only: {n} rows)")
+
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational surface of the engine: scan, filter, project, computed
+  * columns (Affiliate), grouped aggregation, joins, windows — the SURVEY §2.1,
+  * §2.2, §2.4, §2.5, §2.6 operators, expressed as declarative DataFrame plans
+  * so Catalyst handles pushdown/pruning/join-strategy.
+  *
+  * Reference semantics mirrored (citations into /root/reference):
+  *   - Filter: Codegen/V1.hs:235-240 — WHERE as a row predicate.
+  *   - Project/Affiliate: Planner.hs:153-222 — computed SELECT items.
+  *   - Reduce: Codegen/V1.hs:382-456 — grouped aggregation, plain + windowed.
+  *   - Interval join: Stream.hs:273-312 — range-scan [ts-before, ts+after].
+  */
+object CoreQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // §2.1 StreamScan + §2.5 Reduce: TPC-H Q1-style pricing summary.
+    // Filter on l_shipdate pushes into the parquet scan (PushedFilters);
+    // partial aggregation happens map-side before the 2-key shuffle.
+    "q_agg_pricing" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2001-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // §2.2 Filter + Project + Affiliate (computed column pre-projection).
+    "q_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"value" > 100.0)
+        .select($"event_id", $"user_id",
+          round($"value" * lit(2) - lit(1), 4).as("v2"))
+        .orderBy($"event_id")
+    }),
+
+    // §2.5 unwindowed Reduce with the full agg set (COUNT/SUM/MIN/MAX/AVG).
+    "q_agg_unwindowed" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_suppkey")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          round(min($"l_quantity"), 2).as("min_qty"),
+          round(max($"l_quantity"), 2).as("max_qty"),
+          round(avg($"l_discount"), 6).as("avg_disc"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // §2.4 equi-join chain; `nation`/`region` are tiny dims → broadcast, so
+    // only the orders⋈customer shuffle survives at 100 TB.
+    "q_join_revenue_by_nation" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("num_orders"))
+        .orderBy($"n_name")
+    }),
+
+    // §2.6 TUMBLE window (TimeWindows.hs:34-40): 1-day tumbling agg on the
+    // event-time column, via Spark's window() — start/end struct matches the
+    // reference's serialized TimeWindow {start,end} (Codegen/V1.hs:422-425).
+    "q_window_tumble" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 day"))
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("window_start"), $"cnt", $"sum_value")
+        .orderBy($"window_start")
+    }),
+
+    // §2.6 HOP window (TimeWindows.hs:42-48): size 1h, advance 30m — every
+    // record lands in size/advance = 2 windows.
+    "q_window_hop" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("window_start"), $"cnt")
+        .orderBy($"window_start")
+    }),
+
+    // §2.6 SESSION window (SessionWindowedStream.hs:93-138): 30-minute gap,
+    // merged per key — Spark's session_window implements the same
+    // overlap-merge (min start, max end, merged accumulators).
+    "q_window_session" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"cnt", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // §2.4 interval join (Stream.hs:297 range scan): pairs of events by the
+    // same user within ±2 minutes. Equi-key on user_id lets Spark hash-
+    // partition; the time bounds become a post-join range predicate — the
+    // same plan a stream-stream join with watermarks produces.
+    "q_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val a = e.select($"user_id".as("a_user"), $"ts".as("a_ts"),
+        $"event_id".as("a_id"))
+      val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"),
+        $"event_id".as("b_id"))
+      a.join(b, $"a_user" === $"b_user" && $"a_id" =!= $"b_id"
+          && $"b_ts" >= $"a_ts" - expr("INTERVAL 2 MINUTES")
+          && $"b_ts" <= $"a_ts" + expr("INTERVAL 2 MINUTES"))
+        .groupBy($"a_user")
+        .agg(count(lit(1)).as("pairs"))
+        .select($"a_user".as("user_id"), $"pairs")
+        .orderBy($"user_id")
+    }),
+
+    // §2.4 LEFT interval join honoring the declared join type (the reference
+    // V1 engine drops it — Codegen/V1.hs:301; we match V2/diffflow semantics,
+    // DiffFlow/Types.hs:323-328).
+    "q_interval_join_left" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val a = e.filter($"event_type" === "click")
+        .select($"user_id".as("a_user"), $"ts".as("a_ts"), $"event_id".as("a_id"))
+      val b = e.filter($"event_type" === "purchase")
+        .select($"user_id".as("b_user"), $"ts".as("b_ts"), $"event_id".as("b_id"))
+      a.join(b, $"a_user" === $"b_user"
+          && $"b_ts" >= $"a_ts" && $"b_ts" <= $"a_ts" + expr("INTERVAL 10 MINUTES"),
+          "left")
+        .groupBy($"a_id")
+        .agg(count($"b_id").as("purchases_within_10m"))
+        .orderBy($"a_id")
+    }),
+
+    // §2.7 Distinct (plan node Planner.hs:48; unsupported in ref V1, we
+    // support it) + Union (Planner.hs:54).
+    "q_distinct_union" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter($"event_type" === "click").select($"user_id")
+      val views = e.filter($"event_type" === "view").select($"user_id")
+      clicks.union(views).distinct().orderBy($"user_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_discount),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q_filter_project" ->
+      """SELECT event_id, user_id, round(value*2-1,4) AS v2 FROM events
+         WHERE event_type = 'purchase' AND value > 100.0 ORDER BY event_id""",
+    "q_agg_unwindowed" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+         round(sum(l_extendedprice),2) AS sum_price,
+         round(min(l_quantity),2) AS min_qty,
+         round(max(l_quantity),2) AS max_qty,
+         round(avg(l_discount),6) AS avg_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_join_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue,
+         count(*) AS num_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_window_tumble" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT date_trunc('day', ts) AS window_start, count(*) AS cnt,
+         round(sum(value),2) AS sum_value
+         FROM ev GROUP BY 1 ORDER BY 1""",
+    "q_window_hop" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT ws AS window_start, count(*) AS cnt FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', ts)
+                  - k * (INTERVAL '30 minutes') AS ws
+           FROM ev CROSS JOIN (VALUES (0),(1)) t(k))
+         GROUP BY 1 ORDER BY 1""",
+    "q_window_session" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start, count(*) AS cnt,
+           round(sum(value),2) AS sum_value
+         FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_interval_join" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.user_id AS user_id, count(*) AS pairs
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND a.event_id <> b.event_id
+           AND b.ts >= a.ts - INTERVAL '2 minutes'
+           AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1 ORDER BY 1""",
+    "q_interval_join_left" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.event_id AS a_id, count(b.event_id) AS purchases_within_10m
+         FROM (SELECT * FROM ev WHERE event_type='click') a
+         LEFT JOIN (SELECT * FROM ev WHERE event_type='purchase') b
+           ON a.user_id = b.user_id AND b.ts >= a.ts
+           AND b.ts <= a.ts + INTERVAL '10 minutes'
+         GROUP BY 1 ORDER BY 1""",
+    "q_distinct_union" ->
+      """SELECT DISTINCT user_id FROM (
+           SELECT user_id FROM events WHERE event_type='click'
+           UNION ALL
+           SELECT user_id FROM events WHERE event_type='view')
+         ORDER BY user_id"""
+  )
+}
