@@ -14,7 +14,10 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries,
     ScalarQueries,
-    AggQueries
+    AggQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline primitives: deterministic hashing,
+  * shingling, MinHash, SimHash, rolling-hash fingerprints, and embedding
+  * vector math — the beyond-reference operator set (SURVEY §7.2 step 8).
+  *
+  * Design rules for 100 TB:
+  *   - Everything is a Catalyst expression over built-ins (md5, conv,
+  *     higher-order array functions) — whole-stage codegen, no UDFs, no
+  *     driver-side loops; each doc/vector is processed where it lives.
+  *   - All hashes are md5-derived so results are deterministic and
+  *     reproducible across engines, runs, and partitionings (the DuckDB
+  *     oracle computes bit-identical values).
+  *   - Fold-based sums (`aggregate`) are sequential left folds, so floating
+  *     point results are partition-independent for a given row.
+  */
+object PipelineFunctions {
+
+  /** Modulus for MinHash/rolling-hash arithmetic: the classic 1e9+7 prime.
+    * Small enough that a*x+b stays far below Long overflow (ANSI mode). */
+  val P: Long = 1000000007L
+
+  /** (a, b) parameters of the 8 MinHash permutations h_i(x) = (a*x+b) mod P. */
+  val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (999999937L, 12345L), (887L, 54321L), (104729L, 7L), (15485863L, 999L),
+    (32452843L, 31L), (49979687L, 77L), (67867967L, 101L), (86028121L, 5L))
+
+  // ---- deterministic hashing ----------------------------------------------
+
+  /** 60-bit hash of a string via md5 prefix (cross-engine deterministic). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit hash of a string via md5 prefix — the unit of MinHash/SimHash. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Polynomial rolling-hash fingerprint of a word array:
+    * fold h = (h*131 + hash32(word)) mod P. Order-sensitive, so it
+    * fingerprints the document content, not just its word set. */
+  def polyFingerprint(words: Column): Column =
+    aggregate(transform(words, w => hash32(w)), lit(0L),
+      (h, x) => pmod(h * lit(131L) + x, lit(P)))
+
+  // ---- shingling + MinHash -------------------------------------------------
+
+  /** Whitespace tokens (single-space convention, matching the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles joined by spaces; empty array when the doc is
+    * shorter than n words. */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 32-bit hashes of each shingle. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => hash32(s))
+
+  /** MinHash signature element i: min over shingle hashes of (a*x+b) mod P.
+    * NULL (encoded as P, an impossible hash) for empty shingle sets. */
+  def minhash(hs: Column, i: Int): Column = {
+    val (a, b) = MinhashPerms(i)
+    coalesce(array_min(transform(hs, x => pmod(lit(a) * x + lit(b), lit(P)))), lit(P))
+  }
+
+  /** Exact n-gram Jaccard similarity of two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 16-bit SimHash over the word multiset: bit b of the result is set when
+    * the signed sum of bit b across all word hashes is >= 0. Near-duplicate
+    * docs land within small Hamming distance. SQL-lambda form because bit
+    * shifts by a lambda variable need expression-level shifts.
+    * @param wordsExpr SQL expression string yielding an array<string> */
+  def simhash16(wordsExpr: String): Column = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc +
+       |  CASE WHEN aggregate(
+       |    transform($wordsExpr, w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)),
+       |    0L, (s, x) -> s + ((x >> b) & 1) * 2 - 1) >= 0
+       |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- embedding vector math ----------------------------------------------
+
+  /** Cast a float array column to double for stable arithmetic. */
+  def vecD(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Dot product as a sequential left fold (deterministic summation order —
+    * matches an equivalent fold in the oracle engine bit-for-bit). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** 16-bit random-hyperplane LSH signature of an embedding (SimHash for
+    * vectors): plane p has md5-derived weights w(p,d) in [-1, 1]; bit p is
+    * the sign of the projection. Cosine-similar vectors collide in high bits.
+    * @param vecExpr SQL expression string yielding array<float/double>
+    * @param dim     embedding dimensionality */
+  def lshSignature(vecExpr: String, dim: Int, planes: Int = 16): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
+       |  CASE WHEN aggregate(sequence(0, ${dim - 1}), 0D, (s, d) -> s +
+       |    (CAST(conv(substring(md5(concat('h', CAST(p AS STRING), '_', CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0
+       |      * CAST(element_at($vecExpr, d + 1) AS DOUBLE)) >= 0
+       |  THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
+
+  // ---- text statistics -----------------------------------------------------
+
+  /** English-ish function words used by the quality/lang heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(words: Column): Column =
+    size(filter(words, w => w.isin(Stopwords: _*))).cast("double") /
+      size(words).cast("double")
+
+  /** BPE-ish subtoken count: alpha runs, digit runs, and single symbols. */
+  def subtokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Heuristic quality score in [0,1]: length saturation + lexical diversity
+    * + non-stopword density, the standard cheap pretraining-corpus filter. */
+  def qualityScore(words: Column): Column = {
+    val n = size(words).cast("double")
+    val diversity = size(array_distinct(words)).cast("double") / n
+    least(n / lit(200.0), lit(1.0)) * lit(0.5) +
+      diversity * lit(0.3) + (lit(1.0) - stopwordRatio(words)) * lit(0.2)
+  }
+}

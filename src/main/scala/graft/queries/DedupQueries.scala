@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PipelineFunctions._
+
+/** Deduplication operators for a pretraining-data pipeline over `documents`:
+  * exact (content-hash groupBy), MinHash+LSH banding, SimHash Hamming
+  * neighborhoods, and exact n-gram Jaccard as the ground truth.
+  *
+  * Scale design (the point of each shape at 100 TB):
+  *   - exact: one shuffle on a 128-bit content hash; the texts themselves
+  *     never move, only (hash, id) pairs.
+  *   - MinHash+LSH: signatures are computed map-side (one pass per doc);
+  *     candidate generation shuffles only (band-key, id, signature) — the
+  *     classic way to avoid the O(n²) pairwise join. Verification re-joins
+  *     text for candidates only (a tiny fraction of the corpus).
+  *   - SimHash: one 16-bit integer per doc; near-dup = small Hamming
+  *     distance, found by joining on signature buckets.
+  */
+object DedupQueries extends QueryPack {
+
+  /** doc_id + distinct 3-word shingles (the unit of Jaccard similarity). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup: corpus with planted duplicates (every 3rd doc re-appears)
+    // → group by md5(text), keep the smallest id as canonical.
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.unionAll(d.filter($"doc_id" % 3 === 0))
+      corpus
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select($"canonical_id", $"n_copies")
+        .orderBy($"canonical_id")
+    }),
+
+    // MinHash signatures (8 permutations over 3-shingles) — the map-side
+    // primitive of LSH dedup, verified value-exactly against the oracle.
+    "q_minhash_signatures" -> ((s, dir) => {
+      import s.implicits._
+      val hs = shingleHashes($"sh")
+      shingled(s, dir)
+        .select($"doc_id" +: MinhashPerms.indices.map(i =>
+          minhash(hs, i).as(s"m$i")): _*)
+        .orderBy($"doc_id")
+    }),
+
+    // Full MinHash+LSH near-dup pipeline: 4 bands × 2 rows → candidate pairs
+    // → exact Jaccard ≥ 0.5 on candidates only. At 100 TB the explode/groupBy
+    // shuffles signature tuples, never full texts; the Jaccard verify join
+    // touches only the candidate ids.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val hs = shingleHashes($"sh")
+      val sig = shingled(s, dir)
+        .select($"doc_id", $"sh",
+          array((0 until 4).map(b =>
+            concat_ws("_", lit(b), minhash(hs, 2 * b), minhash(hs, 2 * b + 1))): _*)
+            .as("bands"))
+      val banded = sig.select($"doc_id", $"sh", explode($"bands").as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.sh".as("sh1"), $"b.sh".as("sh2"))
+        .dropDuplicates("d1", "d2")
+      cand
+        .select($"d1", $"d2", round(jaccard($"sh1", $"sh2"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // Exact n-gram Jaccard ground truth (brute-force pairwise — correctness
+    // anchor for the LSH path; at scale you only ever run the LSH variant).
+    "q_dedup_jaccard_exact" -> ((s, dir) => {
+      import s.implicits._
+      val d = shingled(s, dir)
+      d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          round(jaccard($"a.sh", $"b.sh"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // SimHash signatures + Hamming-distance near-dup pairs (distance ≤ 3 of
+    // 16 bits). One integer per doc; the pair join is on the tiny signature
+    // relation.
+    "q_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", simhash16("split(text, ' ')").as("sh16"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Tables.load(s, dir, "documents")
+        .select($"doc_id", simhash16("split(text, ' ')").as("sh16"))
+      sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id"
+          && hamming($"a.sh16", $"b.sh16") <= 3)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          hamming($"a.sh16", $"b.sh16").cast("long").as("dist"))
+        .orderBy($"d1", $"d2")
+    })
+  )
+
+  /** DuckDB-side shingle CTE shared by the dedup oracles. */
+  private val shCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(0, len(w) - 2),
+                i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
+           ELSE [] END) AS sh
+       FROM d),
+       h AS (SELECT doc_id, sh,
+         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+       FROM sh)"""
+
+  private def mh(i: Int, hs: String = "hs"): String = {
+    val (a, b) = MinhashPerms(i)
+    s"coalesce(list_min(list_transform($hs, x -> ($a * x + $b) % 1000000007)), 1000000007)"
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+           SELECT * FROM documents
+           UNION ALL SELECT * FROM documents WHERE doc_id % 3 = 0)
+         SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM corpus GROUP BY md5(text) ORDER BY canonical_id""",
+    "q_minhash_signatures" ->
+      s"""$shCte
+         SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
+         FROM h ORDER BY doc_id""",
+    "q_dedup_minhash_lsh" ->
+      s"""$shCte,
+         sig AS (SELECT doc_id, sh,
+           [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
+         FROM h),
+         banded AS (SELECT doc_id, sh, unnest(bands) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+         SELECT d1, d2, jac FROM (
+           SELECT d1, d2,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS jac
+           FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
+         WHERE jac >= 0.5 ORDER BY d1, d2""",
+    "q_dedup_jaccard_exact" ->
+      s"""$shCte
+         SELECT d1, d2, jac FROM (
+           SELECT a.doc_id d1, b.doc_id d2,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS jac
+           FROM h a JOIN h b ON a.doc_id < b.doc_id)
+         WHERE jac >= 0.5 ORDER BY d1, d2""",
+    "q_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         h AS (SELECT doc_id,
+           list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+         FROM d)
+         SELECT doc_id, list_sum(list_transform(range(0, 16), b ->
+           CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) >= 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh16
+         FROM h ORDER BY doc_id""",
+    "q_dedup_simhash_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         h AS (SELECT doc_id,
+           list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+         FROM d),
+         sig AS (SELECT doc_id, list_sum(list_transform(range(0, 16), b ->
+           CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) >= 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh16
+         FROM h)
+         SELECT a.doc_id d1, b.doc_id d2, bit_count(xor(a.sh16, b.sh16))::BIGINT AS dist
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND bit_count(xor(a.sh16, b.sh16)) <= 3
+         ORDER BY d1, d2"""
+  )
+}

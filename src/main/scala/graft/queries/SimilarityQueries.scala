@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PipelineFunctions._
+
+/** Approximate-nearest-neighbor search and embedding near-dup detection over
+  * the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design:
+  *   - Brute force is the correctness baseline: broadcast the (small) query
+  *     set against the corpus — one map-side pass, top-k per query via a
+  *     bounded window. Right answer, O(corpus × queries) work.
+  *   - The scale path buckets vectors by random-hyperplane LSH signature so
+  *     candidate generation is an equi-join on the signature prefix —
+  *     shuffle is O(corpus), not O(corpus²). Recall is tunable by
+  *     planes/prefix bits; signatures are md5-derived and deterministic.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings").select($"vec_id", vecD($"embedding").as("v"))
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 for 10 query vectors. Rounded similarity in
+    // the rank ordering keeps ranking deterministic cross-engine.
+    "q_ann_bruteforce" -> ((s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val q = all.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      val scored = all.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          round(cosine($"qv", $"v"), 6).as("sim"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // Embedding-cosine near-duplicate pairs (sim ≥ 0.4). Brute force here as
+    // ground truth; q_ann_lsh_bucketed is the O(n) candidate path.
+    "q_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      all.as("a").join(all.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
+          round(cosine($"a.v", $"b.v"), 6).as("sim"))
+        .filter($"sim" >= 0.4)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // Random-hyperplane LSH signatures — the bucketing primitive, verified
+    // value-exactly cross-engine (same md5-derived plane weights).
+    "q_lsh_signatures" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id", lshSignature("embedding", 64).as("sig"))
+        .orderBy($"vec_id")
+    }),
+
+    // LSH-bucketed ANN (the scale path): candidates share the top-8-bit
+    // signature bucket; exact cosine re-rank within the bucket. Driver
+    // records a rows-only check (approximate recall by construction).
+    "q_ann_lsh_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", vecD($"embedding").as("v"),
+          shiftright(lshSignature("embedding", 64), 8).as("bucket"))
+      val pairs = sig.as("a").join(sig.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("qid"), $"b.vec_id".as("vec_id"),
+          round(cosine($"a.v", $"b.v"), 6).as("sim"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"qid", $"rnk")
+    })
+  )
+
+  /** Dot product as the same sequential left fold Spark's `aggregate` does,
+    * so doubles match bit-for-bit before rounding. */
+  private val dotCte =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+                  FROM embeddings)"""
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+        list_transform(range(1, 65), i -> $a[i] * $b[i])), (s, x) -> s + x)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      s"""$dotCte,
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT qid, vec_id, ${cosSql("qv", "v")} AS sim
+           FROM e CROSS JOIN q WHERE vec_id <> qid),
+         ranked AS (SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+           FROM scored)
+         SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    "q_embed_neardup" ->
+      s"""$dotCte
+         SELECT d1, d2, sim FROM (
+           SELECT a.vec_id d1, b.vec_id d2, ${cosSql("a.v", "b.v")} AS sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         WHERE sim >= 0.4 ORDER BY d1, d2""",
+    "q_lsh_signatures" ->
+      """SELECT vec_id, list_sum(list_transform(range(0, 16), p ->
+           CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
+               ((('0x' || substr(md5(concat('h', p::VARCHAR, '_', d::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)
+                 * embedding[d + 1]::DOUBLE)), (s, x) -> s + x) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS sig
+         FROM embeddings ORDER BY vec_id"""
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PipelineFunctions._
+
+/** Text-analysis operators for a pretraining-data pipeline over `documents`:
+  * token statistics, quality scoring, language-profile scoring, and document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) — at
+  * 100 TB each document is scored where it lives, no shuffle at all until an
+  * aggregation asks for one.
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Token counting (whitespace + BPE-ish subtokens), lexical diversity,
+    // stopword density, and the composite quality score.
+    "q_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          size(w).as("n_tokens"),
+          subtokenCount($"text").as("n_subtokens"),
+          size(array_distinct(w)).as("n_distinct"),
+          round(aggregate(transform(w, t => length(t).cast("long")), lit(0L),
+            (a, x) => a + x).cast("double") / size(w), 6).as("avg_token_len"),
+          round(stopwordRatio(w), 6).as("stop_ratio"),
+          round(qualityScore(w), 6).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-profile scoring: rate of hits against per-profile marker
+    // lists, argmax with a deterministic tie-break. Real deployments swap in
+    // per-language stopword/charset profiles; the scoring plumbing is what
+    // scales (one pass, no shuffle).
+    "q_text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      def rate(markers: Seq[String]) =
+        size(filter(w, t => t.isin(markers: _*))).cast("double") / size(w)
+      val sEn = rate(Seq("the", "a", "of"))
+      val sDb = rate(Seq("data", "table", "query"))
+      val sOp = rate(Seq("row", "value", "scan"))
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          round(sEn, 6).as("score_en"),
+          round(sDb, 6).as("score_db"),
+          round(sOp, 6).as("score_op"),
+          when(sEn >= sDb && sEn >= sOp, "en")
+            .when(sDb >= sOp, "db").otherwise("op").as("pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprinting: content md5, order-sensitive polynomial
+    // rolling hash over words, and a 60-bit integer fingerprint.
+    "q_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          md5($"text").as("fp_md5"),
+          polyFingerprint(tokens($"text")).as("fp_poly"),
+          hash60($"text").as("fp_int60"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+         SELECT doc_id,
+           len(w) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+           len(list_distinct(w)) AS n_distinct,
+           round(list_sum(list_transform(w, t -> len(t)))::DOUBLE / len(w), 6) AS avg_token_len,
+           round(len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w), 6) AS stop_ratio,
+           round(least(len(w) / 200.0, 1.0) * 0.5
+             + (len(list_distinct(w))::DOUBLE / len(w)) * 0.3
+             + (1.0 - len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w)) * 0.2,
+             6) AS quality
+         FROM d ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(w, t -> t IN ('the','a','of')))::DOUBLE / len(w) AS s_en,
+           len(list_filter(w, t -> t IN ('data','table','query')))::DOUBLE / len(w) AS s_db,
+           len(list_filter(w, t -> t IN ('row','value','scan')))::DOUBLE / len(w) AS s_op
+         FROM d)
+         SELECT doc_id, round(s_en,6) AS score_en, round(s_db,6) AS score_db,
+           round(s_op,6) AS score_op,
+           CASE WHEN s_en >= s_db AND s_en >= s_op THEN 'en'
+                WHEN s_db >= s_op THEN 'db' ELSE 'op' END AS pred
+         FROM sc ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+         SELECT doc_id,
+           md5(text) AS fp_md5,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             (h, x) -> (h * 131 + x) % 1000000007) AS fp_poly,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_int60
+         FROM d ORDER BY doc_id"""
+  )
+}
