@@ -1,0 +1,138 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The engine facade: streams, continuous queries, and materialized views —
+  * the reference's server surface (SURVEY §3) re-expressed on Structured
+  * Streaming.
+  *
+  * Reference semantics mirrored (citations into /root/reference):
+  *   - A stream is a named append-only log of JSON records
+  *     (hstream-sql/src/HStream/SQL/AST.hs:761-772). Here: a declared
+  *     StructType + an event-time `_ts` column; records enter via
+  *     [[insert]] (SQL `INSERT`, AST.hs:777-804) or any readStream source.
+  *   - `_ts` is producer-assigned at append when the payload has no
+  *     timestamp (Processor.hs:530 uses wall clock at sink).
+  *   - SELECT … EMIT CHANGES = update-mode sink: every input row re-emits
+  *     the updated aggregate (GroupedStream.hs:102) — micro-batching
+  *     coalesces per batch, an accepted divergence (SURVEY §7.3).
+  *   - CREATE VIEW … AS SELECT <agg> materializes aggregation state served
+  *     by pull queries (hstream/src/HStream/Server/Core/View.hs:94-254). We
+  *     materialize the *final* view output (complete mode into a driver
+  *     table), which sidesteps the reference's HAVING/Project splice
+  *     (View.hs:189-222) by construction.
+  *   - TERMINATE / PAUSE / RESUME / DROP / SHOW (AST.hs:806-906) map onto
+  *     StreamingQuery lifecycle + catalog ops.
+  *
+  * Scale: MemoryStream is the test transport; production streams plug in any
+  * readStream source (Kafka/files) with the same declared schema — every
+  * transform downstream of [[df]] is source-agnostic. View state lives in
+  * Spark's state store (RocksDB on a cluster); only the *served snapshot* of
+  * a pull query is driver-side, and [[pull]] applies the predicate before
+  * collecting.
+  */
+class Engine(val spark: SparkSession) {
+  import spark.implicits._
+
+  private case class StreamEntry(schema: StructType, source: MemoryStream[String])
+  private val streams = TrieMap.empty[String, StreamEntry]
+  private val queries = TrieMap.empty[String, StreamingQuery]
+  private val paused  = TrieMap.empty[String, () => StreamingQuery]
+
+  /** Default window grace: the reference's fixed 24 h (TimeWindows.hs:39). */
+  val defaultGrace: String = "24 hours"
+
+  // ---- DDL (SURVEY §2.1) ---------------------------------------------------
+
+  /** CREATE STREAM name (schema): registers an append-only JSON stream. */
+  def createStream(name: String, schema: StructType): Unit = {
+    require(!streams.contains(name), s"stream $name exists")
+    streams(name) = StreamEntry(schema, MemoryStream[String](spark))
+  }
+
+  def dropStream(name: String): Unit = streams.remove(name)
+  def showStreams: Seq[String] = streams.keys.toSeq.sorted
+
+  /** INSERT INTO name: append JSON payloads (AST.hs:777-804 json form). */
+  def insert(name: String, jsonRecords: String*): Unit =
+    streams(name).source.addData(jsonRecords)
+
+  /** The stream as an unbounded DataFrame: parsed payload columns + `_ts`.
+    * If the schema declares no `_ts`, it is producer-assigned at append. */
+  def df(name: String): DataFrame = {
+    val e = streams(name)
+    val parsed = e.source.toDF()
+      .select(from_json($"value", e.schema).as("r"))
+      .select($"r.*")
+    if (e.schema.fieldNames.contains("_ts")) parsed
+    else parsed.withColumn("_ts", current_timestamp())
+  }
+
+  // ---- continuous queries (SURVEY §3.1, §3.3) ------------------------------
+
+  /** SELECT … EMIT CHANGES: update-mode push query into an in-memory sink
+    * table named `name` (read results via `spark.table(name)`). */
+  def emitChanges(name: String, plan: DataFrame): StreamingQuery =
+    startQuery(name, plan, "update")
+
+  /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query
+    * writing into the sink stream's backing table. */
+  def createStreamAs(name: String, plan: DataFrame): StreamingQuery =
+    startQuery(name, plan, "append")
+
+  private def startQuery(name: String, plan: DataFrame, mode: String): StreamingQuery = {
+    def start() = plan.writeStream
+      .outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q = start()
+    queries(name) = q
+    paused(name) = start _
+    q
+  }
+
+  /** TERMINATE QUERY (AST.hs:856-868). */
+  def terminate(name: String): Unit = {
+    queries.remove(name).foreach(_.stop()); paused.remove(name)
+  }
+
+  /** PAUSE: stop consumption, keep the restart closure (AST.hs:880-906).
+    * MemoryStream retains data, so RESUME replays from the start — same
+    * at-least-once contract as the reference's changelog restore. */
+  def pause(name: String): Unit = queries.get(name).foreach(_.stop())
+  def resume(name: String): StreamingQuery = {
+    val q = paused(name)(); queries(name) = q; q
+  }
+
+  def showQueries: Seq[String] = queries.keys.toSeq.sorted
+
+  /** EXPLAIN: the physical plan of a (streaming) DataFrame. */
+  def explain(plan: DataFrame): String = plan.queryExecution.explainString(
+    org.apache.spark.sql.execution.FormattedMode)
+
+  /** Block until every started query has processed all available input. */
+  def processAll(): Unit = queries.values.foreach(_.processAllAvailable())
+
+  // ---- materialized views (SURVEY §3.2) ------------------------------------
+
+  /** CREATE VIEW name AS <aggregation plan>: completes-mode materialization
+    * into an in-memory table; serves pull queries. */
+  def createView(name: String, plan: DataFrame): StreamingQuery = {
+    val q = plan.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queries(name) = q
+    q
+  }
+
+  /** Pull query over a view: batch SELECT with the immediate WHERE applied
+    * before anything is collected (View.hs:166-254; predicate pushes into
+    * the in-memory scan, bounding what the driver serves). */
+  def pull(view: String, where: String = "true"): DataFrame =
+    spark.table(view).where(where)
+}

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** End-to-end streaming semantics, mirroring the reference's server tests
+  * (hstream/test/HStream/RunSQLSpec.hs:50-128): insert → continuous query →
+  * assert final values (the reference asserts last value / subsequence, not
+  * the exact emission stream — RunSQLSpec.hs:85-92).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def newEngine = new Engine(spark)
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType),
+    StructField("_ts", TimestampType)))
+
+  private def rec(k: String, v: Long, ts: String) =
+    s"""{"k":"$k","v":$v,"_ts":"$ts"}"""
+
+  test("filter+project push query (EMIT CHANGES, RunSQLSpec.hs:50-64)") {
+    val e = newEngine
+    e.createStream("s1", schema)
+    val plan = e.df("s1").filter(col("v") > 1)
+      .select(col("k"), (col("v") * 2).as("x"))
+    e.emitChanges("out1", plan)
+    e.insert("s1", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("b", 2, "2024-01-01 00:00:01"), rec("c", 3, "2024-01-01 00:00:02"))
+    e.processAll()
+    val got = spark.table("out1").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 4L), ("c", 6L)))
+    e.terminate("out1")
+  }
+
+  test("unwindowed groupBy agg re-emits updated values (GroupedStream.hs:102)") {
+    val e = newEngine
+    e.createStream("s2", schema)
+    val plan = e.df("s2").groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"))
+    e.emitChanges("out2", plan)
+    e.insert("s2", rec("a", 1, "2024-01-01 00:00:00"), rec("a", 2, "2024-01-01 00:00:01"))
+    e.processAll()
+    e.insert("s2", rec("a", 4, "2024-01-01 00:00:02"), rec("b", 7, "2024-01-01 00:00:03"))
+    e.processAll()
+    // update mode: last emission per key carries the final aggregate
+    val last = spark.table("out2").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(last("a") == (3L, 7L) && last("b") == (1L, 7L))
+    e.terminate("out2")
+  }
+
+  test("tumbling window agg with watermark (TimeWindows.hs:34-40)") {
+    val e = newEngine
+    e.createStream("s3", schema)
+    val plan = StreamOps.tumble(e.df("s3"), "_ts", "1 minute")
+      .agg(sum(col("v")).as("s"))
+      .select(col("window.start").as("ws"), col("s"))
+    e.emitChanges("out3", plan)
+    e.insert("s3", rec("a", 1, "2024-01-01 00:00:10"),
+      rec("a", 2, "2024-01-01 00:00:50"), rec("a", 10, "2024-01-01 00:01:10"))
+    e.processAll()
+    val byWindow = spark.table("out3").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).groupBy(_._1)
+      .map { case (w, vs) => w -> vs.last._2 }
+    assert(byWindow("2024-01-01 00:00:00.0") == 3L)
+    assert(byWindow("2024-01-01 00:01:00.0") == 10L)
+    e.terminate("out3")
+  }
+
+  test("session window merges overlapping sessions (SessionWindowedStream.hs:93-138)") {
+    val e = newEngine
+    e.createStream("s4", schema)
+    // session windows emit on close (append mode): 1 s grace so the flush
+    // record advances the watermark past both sessions
+    val plan = StreamOps.session(e.df("s4"), "_ts", "30 seconds", Seq(col("k")),
+        grace = "1 second")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("k"), col("session_window.start").as("ss"), col("cnt"))
+    e.createStreamAs("out4", plan)
+    // two bursts 10s apart merge; a third 100s later is a new session
+    e.insert("s4", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("a", 1, "2024-01-01 00:00:10"), rec("a", 1, "2024-01-01 00:02:00"))
+    e.processAll()
+    e.insert("s4", rec("flush", 0, "2024-01-01 01:00:00"))
+    e.processAll()
+    val sessions = spark.table("out4").collect().filter(_.getString(0) == "a")
+      .map(r => r.getTimestamp(1).toString -> r.getLong(2)).toMap
+    assert(sessions("2024-01-01 00:00:00.0") == 2L)
+    assert(sessions("2024-01-01 00:02:00.0") == 1L)
+    e.terminate("out4")
+  }
+
+  test("stream-stream interval join WITHIN (Stream.hs:273-312)") {
+    val e = newEngine
+    e.createStream("l", schema)
+    e.createStream("r", StructType(Seq(
+      StructField("k2", StringType), StructField("w", LongType),
+      StructField("_ts2", TimestampType))))
+    // drop the producer-assigned _ts on the right side (its event time is
+    // the declared _ts2) to keep column references unambiguous
+    val plan = StreamOps.intervalJoin(
+      e.df("l"), e.df("r").drop("_ts"), "_ts", "_ts2", "1 minute", "1 minute",
+      col("k") === col("k2"))
+      .select(col("k"), col("v"), col("w"))
+    e.createStreamAs("outj", plan) // stream-stream joins emit in append mode
+    e.insert("l", rec("a", 1, "2024-01-01 00:00:00"), rec("b", 2, "2024-01-01 00:00:00"))
+    e.insert("r",
+      """{"k2":"a","w":10,"_ts2":"2024-01-01 00:00:30"}""",  // within 1m → match
+      """{"k2":"b","w":20,"_ts2":"2024-01-01 00:05:00"}""")  // 5m away → no match
+    e.processAll()
+    val got = spark.table("outj").collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got == Set(("a", 10L)))
+    e.terminate("outj")
+  }
+
+  test("materialized view + pull query (Core/View.hs:166-254)") {
+    val e = newEngine
+    e.createStream("s5", schema)
+    val plan = e.df("s5").groupBy(col("k")).agg(sum(col("v")).as("total"))
+    e.createView("v5", plan)
+    e.insert("s5", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("a", 2, "2024-01-01 00:00:01"), rec("b", 5, "2024-01-01 00:00:02"))
+    e.processAll()
+    // pull with immediate WHERE (predicate applied before serving)
+    assert(e.pull("v5", "total > 2").collect().map(_.getString(0)).toSet == Set("a", "b"))
+    assert(e.pull("v5", "k = 'a'").head().getLong(1) == 3L)
+    // view keeps updating
+    e.insert("s5", rec("b", 10, "2024-01-01 00:00:03"))
+    e.processAll()
+    assert(e.pull("v5", "k = 'b'").head().getLong(1) == 15L)
+    e.terminate("v5")
+  }
+
+  test("streaming dedup within watermark") {
+    val e = newEngine
+    e.createStream("s6", schema)
+    val plan = StreamOps.dedupWithinWatermark(e.df("s6"), "_ts", Seq("k"))
+    e.emitChanges("out6", plan)
+    e.insert("s6", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("a", 2, "2024-01-01 00:00:01"), rec("b", 3, "2024-01-01 00:00:02"))
+    e.processAll()
+    val got = spark.table("out6").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("b", 3L)))
+    e.terminate("out6")
+  }
+
+  test("query lifecycle: terminate, pause/resume, show (AST.hs:806-906)") {
+    val e = newEngine
+    e.createStream("s7", schema)
+    e.emitChanges("out7", e.df("s7").select(col("k")))
+    assert(e.showQueries == Seq("out7"))
+    assert(e.showStreams == Seq("s7"))
+    e.pause("out7")
+    e.insert("s7", rec("a", 1, "2024-01-01 00:00:00"))
+    e.resume("out7")
+    e.processAll()
+    assert(spark.table("out7").count() == 1)
+    e.terminate("out7")
+    assert(e.showQueries.isEmpty)
+    e.dropStream("s7")
+    assert(e.showStreams.isEmpty)
+  }
+}
