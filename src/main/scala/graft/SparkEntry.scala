@@ -17,7 +17,8 @@ object SparkEntry {
     AggQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    SqlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

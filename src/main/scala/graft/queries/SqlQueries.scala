@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Tables
+import graft.sql.SqlEngine
+
+/** Driver-checkable queries written in the HStream SQL *dialect* and run
+  * through our parser → planner → Catalyst pipeline (graft.sql), batch mode
+  * over the parquet tables. This puts the whole frontend inside the DuckDB
+  * correctness gate: every construct here is dialect text, not DataFrame
+  * calls. (The driver sorts rows before hashing, so the dialect's lack of
+  * ORDER BY — SQL-v1.cf has no such production — doesn't matter.)
+  */
+object SqlQueries extends QueryPack {
+
+  private def run(s: org.apache.spark.sql.SparkSession, dir: String, text: String) = {
+    Tables.registerAll(s, dir)
+    new SqlEngine(s).batch(text)
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // Filter + Project + computed column (Affiliate) in dialect text.
+    "q_sql_filter_project" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id, value * 2 - 1 AS v2 FROM events
+         WHERE event_type = 'purchase' AND value > 100.0;""")),
+
+    // Reduce with the dialect aggregate set + HAVING; AVG works here
+    // (unsupported at runtime in the reference — AggOp.hs:66).
+    "q_sql_agg_having" -> ((s, dir) => run(s, dir,
+      """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq,
+                MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+                AVG(l_quantity) AS av
+         FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 10;""")),
+
+    // Scalar layer through the dialect: math, string ops, BETWEEN, IFNULL /
+    // NULLIF, CAST, TAKE/DROP.
+    "q_sql_scalar" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id, TO_UPPER(lang) AS u, STRLEN(text) AS n,
+                TAKE(8, text) AS t8, DROPEND(200, text) AS d200,
+                IFNULL(NULLIF(source, 'src0'), 'zero') AS nn,
+                CAST(n_chars AS FLOAT) AS nc,
+                n_chars BETWEEN 100 AND 2000 AS inrange
+         FROM documents;""")),
+
+    // JSON access ops on the props JSON column (JsonOp.hs:33-84).
+    "q_sql_json" -> ((s, dir) => run(s, dir,
+      "SELECT event_id, props -> 'k' AS v FROM events;")),
+
+    // Interval join in dialect text: WITHIN becomes the ±2min range
+    // predicate; equi-key on user_id hash-partitions at scale.
+    "q_sql_interval_join" -> ((s, dir) => run(s, dir,
+      """SELECT a.user_id AS user_id, COUNT(*) AS pairs
+         FROM events AS a JOIN events AS b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+           WITHIN (INTERVAL 2 MINUTE)
+         GROUP BY a.user_id;""")),
+
+    // FROM TUMBLE(...) windowed aggregation; window bounds are appended to
+    // the output row (Codegen/V1.hs:422-425).
+    "q_sql_window_tumble" -> ((s, dir) => run(s, dir,
+      """SELECT COUNT(*) AS cnt, SUM(value) AS sv
+         FROM TUMBLE(events, INTERVAL 1 DAY);"""))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_sql_filter_project" ->
+      """SELECT event_id, user_id, value*2-1 AS v2 FROM events
+         WHERE event_type = 'purchase' AND value > 100.0""",
+    "q_sql_agg_having" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sq,
+         min(l_quantity) AS mn, max(l_quantity) AS mx, avg(l_quantity) AS av
+         FROM lineitem GROUP BY 1 HAVING count(*) > 10""",
+    "q_sql_scalar" ->
+      """SELECT doc_id, upper(lang) AS u, length(text) AS n,
+         left(text, 8) AS t8,
+         left(text, greatest(length(text) - 200, 0)) AS d200,
+         coalesce(nullif(source, 'src0'), 'zero') AS nn,
+         CAST(n_chars AS DOUBLE) AS nc,
+         n_chars BETWEEN 100 AND 2000 AS inrange
+         FROM documents""",
+    "q_sql_json" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS v FROM events",
+    "q_sql_interval_join" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.user_id AS user_id, count(*) AS pairs
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND a.event_id <> b.event_id
+           AND b.ts >= a.ts - INTERVAL '2 minutes'
+           AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1""",
+    "q_sql_window_tumble" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT count(*) AS cnt, sum(value) AS sv,
+           date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL '1 day' AS window_end
+         FROM ev GROUP BY date_trunc('day', ts)"""
+  )
+}

@@ -1,0 +1,100 @@
+package graft.sql
+
+/** AST of the HStream SQL dialect (reference grammar:
+  * /root/reference/hstream-sql/etc/SQL-v1.cf, 354 lines). One case class per
+  * grammar production group; the shape follows the refined AST
+  * (hstream-sql/src/HStream/SQL/AST.hs) rather than the raw parse tree.
+  */
+object Ast {
+
+  // ---- expressions (SQL-v1.cf:176-353) -------------------------------------
+
+  sealed trait Expr
+  case class IntLit(v: Long) extends Expr
+  case class NumLit(v: Double) extends Expr
+  case class StrLit(v: String) extends Expr
+  case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  case class DateLit(iso: String) extends Expr
+  case class TimeLit(iso: String) extends Expr
+  case class TimestampLit(iso: String) extends Expr
+  /** INTERVAL n UNIT (SQL-v1.cf:246-248). */
+  case class IntervalLit(n: Long, unit: String) extends Expr
+  /** Array literal {e1, e2, …} (SQL-v1.cf:253). */
+  case class ArrLit(items: Seq[Expr]) extends Expr
+  /** Column ref, optionally stream-qualified (SQL-v1.cf:259-261). */
+  case class ColRef(stream: Option[String], name: String) extends Expr
+  /** Binary op: OR AND = <> < > <= >= + - * -> ->> #> #>> */
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  case class Not(e: Expr) extends Expr
+  /** Named scalar function call (SQL-v1.cf:285-350). */
+  case class Fn(name: String, args: Seq[Expr]) extends Expr
+  /** Aggregate (set function, SQL-v1.cf:264-273). star = COUNT(*). */
+  case class Agg(name: String, args: Seq[Expr], star: Boolean = false) extends Expr
+  case class Cast(e: Expr, dt: SqlType) extends Expr
+  case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
+  /** 0-based index / half-open slice (SQL-v1.cf:204-211). */
+  case class ArrIndex(e: Expr, i: Long) extends Expr
+  case class ArrSlice(e: Expr, from: Option[Long], to: Option[Long]) extends Expr
+
+  // ---- types (SQL-v1.cf:160-173) -------------------------------------------
+
+  sealed trait SqlType
+  case object TInt extends SqlType
+  case object TFloat extends SqlType
+  case object TBool extends SqlType
+  case object TBytea extends SqlType
+  case object TString extends SqlType
+  case object TDate extends SqlType
+  case object TTime extends SqlType
+  case object TTimestamp extends SqlType
+  case object TInterval extends SqlType
+  case object TJson extends SqlType
+  case class TArray(elem: SqlType) extends SqlType
+
+  // ---- FROM clause (SQL-v1.cf:118-137) -------------------------------------
+
+  sealed trait TableRef
+  case class TRStream(name: String) extends TableRef
+  case class TRAlias(inner: TableRef, alias: String) extends TableRef
+  sealed trait WindowSpec
+  case class Tumble(size: IntervalLit) extends WindowSpec
+  case class Hop(size: IntervalLit, advance: IntervalLit) extends WindowSpec
+  case class Session(gap: IntervalLit) extends WindowSpec
+  case class TRWindowed(inner: TableRef, win: WindowSpec) extends TableRef
+  sealed trait JoinCond
+  case class On(expr: Expr) extends JoinCond
+  case class Using(cols: Seq[String]) extends JoinCond
+  case object Natural extends JoinCond
+  case object CrossC extends JoinCond
+  /** join type ∈ inner/left/right/full/cross; within = WITHIN interval. */
+  case class TRJoin(l: TableRef, r: TableRef, joinType: String,
+                    cond: JoinCond, within: IntervalLit) extends TableRef
+
+  // ---- statements (SQL-v1.cf:30-116) ---------------------------------------
+
+  sealed trait SelectItem
+  case class ItemExpr(e: Expr, alias: Option[String]) extends SelectItem
+  case class ItemWildcard(stream: Option[String]) extends SelectItem
+
+  case class Select(items: Seq[SelectItem], from: TableRef, where: Option[Expr],
+                    groupBy: Seq[ColRef], having: Option[Expr],
+                    emitChanges: Boolean = false)
+
+  sealed trait Stmt
+  case class SelectStmt(sel: Select) extends Stmt
+  case class CreateStream(name: String, schema: Seq[(String, SqlType)],
+                          options: Map[String, Expr]) extends Stmt
+  case class CreateStreamAs(name: String, sel: Select,
+                            options: Map[String, Expr]) extends Stmt
+  case class CreateView(name: String, sel: Select) extends Stmt
+  case class InsertValues(stream: String, cols: Seq[String], vals: Seq[Expr]) extends Stmt
+  case class InsertJson(stream: String, json: String) extends Stmt
+  case class InsertSel(stream: String, sel: Select) extends Stmt
+  case class Show(what: String) extends Stmt
+  case class DropStmt(what: String, name: String, ifExists: Boolean) extends Stmt
+  case class Terminate(name: String) extends Stmt
+  case class PauseStmt(name: String) extends Stmt
+  case class ResumeStmt(name: String) extends Stmt
+  case class Explain(inner: Stmt) extends Stmt
+}

@@ -1,0 +1,474 @@
+package graft.sql
+
+import Ast._
+
+/** Recursive-descent parser for the HStream SQL dialect.
+  *
+  * Grammar: /root/reference/hstream-sql/etc/SQL-v1.cf. Expression precedence
+  * mirrors the grammar's ValueExpr .. ValueExpr10 ladder (SQL-v1.cf:176-255):
+  * OR < AND < NOT < comparisons < BETWEEN < JSON-access < add/sub < mul <
+  * array-access < cast < atoms. Notable dialect facts preserved: no division
+  * operator (SQL-v1.cf:201-203), every join requires WITHIN (SQL-v1.cf:121),
+  * 0-based array indexing (Codegen/Common.hs:72-86), `{…}` array literals.
+  * Keywords are matched case-insensitively (friendlier than the reference's
+  * uppercase-only lexer); identifiers keep their case, `"…"` quoting allowed.
+  */
+object Parser {
+
+  def parse(sql: String): Stmt = new Parser(Lexer.tokenize(sql)).statement()
+
+  def parseExpr(s: String): Expr = new Parser(Lexer.tokenize(s)).fullExpr()
+
+  // ---- lexer ---------------------------------------------------------------
+
+  sealed trait Tok { def text: String }
+  case class TIdent(text: String) extends Tok          // bare or "quoted" ident
+  case class TNum(text: String) extends Tok
+  case class TStr(text: String) extends Tok            // 'single quoted'
+  case class TSym(text: String) extends Tok            // punctuation/operators
+  case object TEnd extends Tok { val text = "<end>" }
+
+  object Lexer {
+    private val symbols = List("->>", "#>>", "<=", ">=", "<>", "->", "#>",
+      "::", "(", ")", "{", "}", "[", "]", ",", ";", ".", "*", "+", "-", "=",
+      "<", ">", ":")
+
+    def tokenize(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
+          while (i < s.length && s(i) != '\n') i += 1
+        } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
+          i = s.indexOf("*/", i) match { case -1 => s.length; case j => j + 2 }
+        } else if (c == '\'') {
+          val j = s.indexOf('\'', i + 1)
+          require(j >= 0, s"unterminated string at $i")
+          out += TStr(s.substring(i + 1, j)); i = j + 1
+        } else if (c == '"') {
+          val j = s.indexOf('"', i + 1)
+          require(j >= 0, s"unterminated quoted ident at $i")
+          out += TIdent(s.substring(i + 1, j)); i = j + 1
+        } else if (c.isDigit) {
+          val start = i
+          while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+          // trailing '.' belongs to qualified refs, not numbers
+          if (s.substring(start, i).endsWith(".")) i -= 1
+          out += TNum(s.substring(start, i))
+        } else if (c.isLetter || c == '_') {
+          val start = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          out += TIdent(s.substring(start, i))
+        } else symbols.find(sym => s.startsWith(sym, i)) match {
+          case Some(sym) => out += TSym(sym); i += sym.length
+          case None => throw new IllegalArgumentException(s"bad char '$c' at $i")
+        }
+      }
+      out += TEnd
+      out.result()
+    }
+  }
+
+  private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK", "TOPKDISTINCT")
+  private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
+    "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
+    "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",
+    "IS_FLOAT", "IS_NUM", "IS_BOOL", "IS_STR", "IS_ARRAY", "IS_DATE",
+    "IS_TIME", "TO_STR", "TO_LOWER", "TO_UPPER", "TRIM", "LEFT_TRIM",
+    "RIGHT_TRIM", "REVERSE", "STRLEN", "ARRAY_DISTINCT", "ARRAY_LENGTH",
+    "ARRAY_MAX", "ARRAY_MIN", "ARRAY_SORT")
+  private val binaryFns = Set("IFNULL", "NULLIF", "DATETOSTRING",
+    "STRINGTODATE", "SPLIT", "CHUNKSOF", "TAKE", "TAKEEND", "DROP", "DROPEND",
+    "ARRAY_CONTAIN", "ARRAY_EXCEPT", "ARRAY_INTERSECT", "ARRAY_REMOVE",
+    "ARRAY_UNION", "ARRAY_JOIN")
+  private val intervalUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
+
+  class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def kwPeek: String = peek match {
+      case TIdent(t) => t.toUpperCase; case t => t.text
+    }
+    private def isKw(kw: String): Boolean = kwPeek == kw
+    private def accept(kw: String): Boolean =
+      if (isKw(kw)) { pos += 1; true } else false
+    private def expect(kw: String): Unit =
+      require(accept(kw), s"expected $kw, got '${peek.text}' at token $pos")
+    private def ident(): String = next() match {
+      case TIdent(t) => t
+      case t => throw new IllegalArgumentException(s"expected identifier, got '${t.text}'")
+    }
+
+    def fullExpr(): Expr = { val e = expr(); require(peek == TEnd, s"trailing input at '${peek.text}'"); e }
+
+    // ---- statements --------------------------------------------------------
+
+    def statement(): Stmt = {
+      val s = kwPeek match {
+        case "SELECT" => SelectStmt(select())
+        case "CREATE" => create()
+        case "INSERT" => insert()
+        case "SHOW" => next(); val w = kwPeek; next(); Show(w)
+        case "DROP" =>
+          next(); val what = kwPeek; next(); val n = ident()
+          val ifEx = accept("IF") && { expect("EXISTS"); true }
+          DropStmt(what, n, ifEx)
+        case "TERMINATE" => next(); expect("QUERY"); Terminate(ident())
+        case "PAUSE" => next(); expect("QUERY"); PauseStmt(ident())
+        case "RESUME" => next(); expect("QUERY"); ResumeStmt(ident())
+        case "EXPLAIN" => next(); Explain(statementNoSemi())
+        case k => throw new IllegalArgumentException(s"unexpected statement start: $k")
+      }
+      accept(";")
+      require(peek == TEnd, s"trailing input at '${peek.text}'")
+      s
+    }
+
+    private def statementNoSemi(): Stmt = kwPeek match {
+      case "SELECT" => SelectStmt(select())
+      case "CREATE" => create()
+      case k => throw new IllegalArgumentException(s"EXPLAIN does not support: $k")
+    }
+
+    private def create(): Stmt = {
+      expect("CREATE")
+      kwPeek match {
+        case "VIEW" => next(); val n = ident(); expect("AS"); CreateView(n, select())
+        case "STREAM" =>
+          next(); val n = ident()
+          if (accept("AS")) {
+            val sel = select()
+            CreateStreamAs(n, sel, if (isKw("WITH")) options() else Map.empty)
+          } else if (isKw("(")) {
+            expect("(")
+            val cols = Seq.newBuilder[(String, SqlType)]
+            do cols += ((ident(), dataType())) while (accept(","))
+            expect(")")
+            CreateStream(n, cols.result(), Map.empty)
+          } else CreateStream(n, Nil, if (isKw("WITH")) options() else Map.empty)
+        case k => throw new IllegalArgumentException(s"CREATE $k not supported (connectors are external tasks)")
+      }
+    }
+
+    private def options(): Map[String, Expr] = {
+      expect("WITH"); expect("(")
+      val m = Map.newBuilder[String, Expr]
+      do {
+        val k = ident().toUpperCase; expect("=")
+        m += k -> (if (isKw("INTERVAL")) intervalLit() else expr())
+      } while (accept(","))
+      expect(")")
+      m.result()
+    }
+
+    private def insert(): Stmt = {
+      expect("INSERT"); expect("INTO")
+      val n = ident()
+      if (accept("(")) {
+        val cols = Seq.newBuilder[String]
+        do cols += ident() while (accept(","))
+        expect(")"); expect("VALUES"); expect("(")
+        val vals = Seq.newBuilder[Expr]
+        do vals += expr() while (accept(","))
+        expect(")")
+        InsertValues(n, cols.result(), vals.result())
+      } else if (accept("VALUES")) {
+        next() match {
+          case TStr(s) => InsertJson(n, s)
+          case t => throw new IllegalArgumentException(s"INSERT VALUES expects a raw/json string, got '${t.text}'")
+        }
+      } else InsertSel(n, select())
+    }
+
+    def select(): Select = {
+      expect("SELECT")
+      val items = Seq.newBuilder[SelectItem]
+      do items += selectItem() while (accept(","))
+      expect("FROM")
+      val from = tableRef()
+      val where = if (accept("WHERE")) Some(expr()) else None
+      val groupBy =
+        if (accept("GROUP")) { expect("BY")
+          val cols = Seq.newBuilder[ColRef]
+          do cols += colName() while (accept(","))
+          cols.result()
+        } else Nil
+      val having = if (accept("HAVING")) Some(expr()) else None
+      val emit = accept("EMIT") && { expect("CHANGES"); true }
+      Select(items.result(), from, where, groupBy, having, emit)
+    }
+
+    private def selectItem(): SelectItem =
+      if (accept("*")) ItemWildcard(None)
+      else {
+        // `s.*` qualified wildcard vs expression
+        val save = pos
+        peek match {
+          case TIdent(q) if toks(pos + 1) == TSym(".") && toks(pos + 2) == TSym("*") =>
+            pos += 3; return ItemWildcard(Some(q))
+          case _ => pos = save
+        }
+        val e = expr()
+        ItemExpr(e, if (accept("AS")) Some(ident()) else None)
+      }
+
+    private def colName(): ColRef = {
+      val a = ident()
+      if (accept(".")) ColRef(Some(a), ident()) else ColRef(None, a)
+    }
+
+    // ---- FROM / joins (SQL-v1.cf:118-146) ----------------------------------
+
+    private def tableRef(): TableRef = {
+      var left = tableRefUnit()
+      while (isJoinStart) {
+        var joinType = "inner"; var natural = false; var cross = false
+        if (accept("NATURAL")) natural = true
+        kwPeek match {
+          case "CROSS" => next(); cross = true
+          case "INNER" => next()
+          case "LEFT" => next(); accept("OUTER"); joinType = "left"
+          case "RIGHT" => next(); accept("OUTER"); joinType = "right"
+          case "FULL" => next(); accept("OUTER"); joinType = "full"
+          case _ =>
+        }
+        expect("JOIN")
+        val right = tableRefUnit()
+        val cond: JoinCond =
+          if (cross) CrossC
+          else if (natural) Natural
+          else if (accept("ON")) On(expr())
+          else if (accept("USING")) {
+            expect("(")
+            val cols = Seq.newBuilder[String]
+            do cols += ident() while (accept(","))
+            expect(")")
+            Using(cols.result())
+          } else Natural
+        expect("WITHIN"); expect("(")
+        val within = intervalLit()
+        expect(")")
+        left = TRJoin(left, right, joinType, cond, within)
+      }
+      left
+    }
+
+    private def isJoinStart: Boolean =
+      Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL").contains(kwPeek)
+
+    private def tableRefUnit(): TableRef = {
+      val base = kwPeek match {
+        case "TUMBLE" =>
+          next(); expect("(")
+          val in = tableRefUnit(); expect(",")
+          val i = intervalLit(); expect(")")
+          TRWindowed(in, Tumble(i))
+        case "HOP" =>
+          next(); expect("(")
+          val in = tableRefUnit(); expect(",")
+          val s = intervalLit(); expect(",")
+          val a = intervalLit(); expect(")")
+          TRWindowed(in, Hop(s, a))
+        case "SESSION" =>
+          next(); expect("(")
+          val in = tableRefUnit(); expect(",")
+          val g = intervalLit(); expect(")")
+          TRWindowed(in, Session(g))
+        case _ => TRStream(ident())
+      }
+      if (accept("AS")) TRAlias(base, ident()) else base
+    }
+
+    private def intervalLit(): IntervalLit = {
+      expect("INTERVAL")
+      val n = next() match {
+        case TNum(t) => t.toLong
+        case t => throw new IllegalArgumentException(s"expected integer, got '${t.text}'")
+      }
+      val u = kwPeek
+      require(intervalUnits.contains(u), s"bad interval unit $u")
+      next()
+      IntervalLit(n, u)
+    }
+
+    // ---- expressions (precedence ladder) -----------------------------------
+
+    def expr(): Expr = orExpr()
+
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (accept("OR")) l = Bin("OR", l, andExpr())
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (accept("AND")) l = Bin("AND", l, notExpr())
+      l
+    }
+    private def notExpr(): Expr =
+      if (accept("NOT")) Not(notExpr()) else cmpExpr()
+
+    private def cmpExpr(): Expr = {
+      var l = betweenExpr()
+      var done = false
+      while (!done) kwPeek match {
+        case op @ ("=" | "<>" | "<" | ">" | "<=" | ">=") =>
+          next(); l = Bin(op, l, betweenExpr())
+        case _ => done = true
+      }
+      l
+    }
+
+    private def betweenExpr(): Expr = {
+      val e = addExpr()
+      val not = isKw("NOT") && toks(pos + 1).text.equalsIgnoreCase("BETWEEN") && { next(); true }
+      if (accept("BETWEEN")) {
+        val sym = accept("SYMMETRIC")
+        val lo = addExpr(); expect("AND"); val hi = addExpr()
+        Between(e, lo, hi, not, sym)
+      } else { require(!not, "dangling NOT"); e }
+    }
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var done = false
+      while (!done) kwPeek match {
+        case op @ ("+" | "-") => next(); l = Bin(op, l, mulExpr())
+        case _ => done = true
+      }
+      l
+    }
+    private def mulExpr(): Expr = {
+      var l = jsonExpr()
+      while (accept("*")) l = Bin("*", l, jsonExpr())
+      l
+    }
+
+    /** JSON access ops (SQL-v1.cf:287-290); grammar places them tighter than
+      * comparisons, looser than postfix. */
+    private def jsonExpr(): Expr = {
+      var l = postfixExpr()
+      var done = false
+      while (!done) kwPeek match {
+        case op @ ("->" | "->>" | "#>" | "#>>") =>
+          next(); l = Bin(op, l, postfixExpr())
+        case _ => done = true
+      }
+      l
+    }
+
+    /** Array access + `::` cast postfix. */
+    private def postfixExpr(): Expr = {
+      var e = atom()
+      var done = false
+      while (!done) {
+        if (accept("[")) {
+          if (accept(":")) {
+            val j = intTok(); expect("]")
+            e = ArrSlice(e, None, Some(j))
+          } else {
+            val i = intTok()
+            if (accept(":")) {
+              if (accept("]")) e = ArrSlice(e, Some(i), None)
+              else { val j = intTok(); expect("]"); e = ArrSlice(e, Some(i), Some(j)) }
+            } else { expect("]"); e = ArrIndex(e, i) }
+          }
+        } else if (accept("::")) e = Cast(e, dataType())
+        else done = true
+      }
+      e
+    }
+
+    private def intTok(): Long = next() match {
+      case TNum(t) => t.toLong
+      case t => throw new IllegalArgumentException(s"expected integer, got '${t.text}'")
+    }
+
+    private def atom(): Expr = peek match {
+      case TNum(t) =>
+        next(); if (t.contains('.')) NumLit(t.toDouble) else IntLit(t.toLong)
+      case TStr(s) => next(); StrLit(s)
+      case TSym("(") => next(); val e = expr(); expect(")"); e
+      case TSym("{") =>
+        next()
+        val items = Seq.newBuilder[Expr]
+        if (!isKw("}")) do items += expr() while (accept(","))
+        expect("}")
+        ArrLit(items.result())
+      case TSym("+") => next(); atom()
+      case TSym("-") =>
+        next()
+        atom() match {
+          case IntLit(v) => IntLit(-v)
+          case NumLit(v) => NumLit(-v)
+          case e => Bin("-", IntLit(0), e)
+        }
+      case TIdent(_) => identAtom()
+      case t => throw new IllegalArgumentException(s"unexpected token '${t.text}'")
+    }
+
+    private def identAtom(): Expr = {
+      val kw = kwPeek
+      kw match {
+        case "NULL" => next(); return NullLit
+        case "TRUE" => next(); return BoolLit(true)
+        case "FALSE" => next(); return BoolLit(false)
+        case "DATE" if toks(pos + 1).isInstanceOf[TStr] =>
+          next(); return DateLit(next().text)
+        case "TIME" if toks(pos + 1).isInstanceOf[TStr] =>
+          next(); return TimeLit(next().text)
+        case "TIMESTAMP" if toks(pos + 1).isInstanceOf[TStr] =>
+          next(); return TimestampLit(next().text)
+        case "INTERVAL" => return intervalLit()
+        case "CAST" =>
+          next(); expect("(")
+          val e = expr(); expect("AS"); val dt = dataType(); expect(")")
+          return Cast(e, dt)
+        case _ =>
+      }
+      if (aggNames.contains(kw) && toks(pos + 1) == TSym("(")) {
+        next(); next()
+        if (kw == "COUNT" && accept("*")) { expect(")"); return Agg("COUNT", Nil, star = true) }
+        val args = Seq.newBuilder[Expr]
+        do args += expr() while (accept(","))
+        expect(")")
+        return Agg(kw, args.result())
+      }
+      if ((unaryFns.contains(kw) || binaryFns.contains(kw)) && toks(pos + 1) == TSym("(")) {
+        next(); next()
+        val args = Seq.newBuilder[Expr]
+        do args += expr() while (accept(","))
+        expect(")")
+        return Fn(kw, args.result())
+      }
+      // plain or qualified column ref
+      val a = ident()
+      if (isKw(".") && toks(pos + 1).isInstanceOf[TIdent]) {
+        next(); ColRef(Some(a), ident())
+      } else ColRef(None, a)
+    }
+
+    private def dataType(): SqlType = {
+      val base = kwPeek match {
+        case "INTEGER" => TInt
+        case "FLOAT" => TFloat
+        case "BOOLEAN" => TBool
+        case "BYTEA" => TBytea
+        case "STRING" => TString
+        case "DATE" => TDate
+        case "TIME" => TTime
+        case "TIMESTAMP" => TTimestamp
+        case "INTERVAL" => TInterval
+        case "JSONB" => TJson
+        case k => throw new IllegalArgumentException(s"unknown type $k")
+      }
+      next()
+      var t: SqlType = base
+      while (isKw("[") && toks(pos + 1) == TSym("]")) { next(); next(); t = TArray(t) }
+      t
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import Ast._
+import graft.streaming.Engine
+
+/** The end-user surface: `sql(stmt)` parses the HStream dialect and executes
+  * it — DDL effects, batch DataFrames (pull queries), or StreamingQuerys
+  * (push/CSAS/views) — the reference's gRPC server dispatch
+  * (hstream/src/HStream/Server/Core/Query.hs:77-250, Core/View.hs:166-254)
+  * collapsed onto one SparkSession.
+  *
+  * Name resolution for FROM: engine streams first (continuous queries), then
+  * any table/view registered in the session catalog (batch/pull queries) —
+  * so the same dialect text runs streaming over live streams and batch over
+  * parquet-backed views.
+  */
+class SqlEngine(spark: SparkSession) {
+
+  val engine = new Engine(spark)
+
+  sealed trait Result
+  case class Rows(df: DataFrame) extends Result
+  case class Started(query: StreamingQuery) extends Result
+  case class Done(info: String) extends Result
+
+  private def lookup(name: String): DataFrame =
+    if (engine.showStreams.contains(name)) engine.df(name)
+    else spark.table(name)
+
+  def planOf(sel: Select): DataFrame = Translate.plan(sel, lookup)
+
+  /** Execute one statement. */
+  def sql(text: String): Result = Parser.parse(text) match {
+    case SelectStmt(sel) if sel.emitChanges =>
+      // push query → update-mode sink named q<n> (Codegen/V1.hs:465-474's
+      // random sink stream, minus the randomness)
+      val name = s"q${queryCounter.incrementAndGet()}"
+      Started(engine.emitChanges(name, planOf(sel)))
+    case SelectStmt(sel) =>
+      Rows(planOf(sel)) // batch / pull query
+    case CreateStream(name, schema, _) =>
+      engine.createStream(name, Translate.structType(schema))
+      Done(s"stream $name created")
+    case CreateStreamAs(name, sel, _) =>
+      Started(engine.createStreamAs(name, planOf(sel)))
+    case CreateView(name, sel) =>
+      Started(engine.createView(name, planOf(sel)))
+    case InsertValues(stream, cols, vals) =>
+      val fields = cols.zip(vals).map { case (c, v) => s""""$c":${jsonValue(v)}""" }
+      engine.insert(stream, fields.mkString("{", ",", "}"))
+      Done(s"inserted into $stream")
+    case InsertJson(stream, json) =>
+      engine.insert(stream, json)
+      Done(s"inserted into $stream")
+    case InsertSel(stream, sel) =>
+      Started(engine.createStreamAs(stream, planOf(sel)))
+    case Show("STREAMS") => Done(engine.showStreams.mkString(","))
+    case Show("QUERIES" | "VIEWS") => Done(engine.showQueries.mkString(","))
+    case Show(other) => throw new IllegalArgumentException(s"SHOW $other not supported")
+    case DropStmt("STREAM", n, ifEx) =>
+      if (!ifEx || engine.showStreams.contains(n)) engine.dropStream(n)
+      Done(s"dropped $n")
+    case DropStmt("VIEW" | "QUERY", n, ifEx) =>
+      if (!ifEx || engine.showQueries.contains(n)) engine.terminate(n)
+      Done(s"dropped $n")
+    case Terminate(n) => engine.terminate(n); Done(s"terminated $n")
+    case PauseStmt(n) => engine.pause(n); Done(s"paused $n")
+    case ResumeStmt(n) => engine.resume(n); Done(s"resumed $n")
+    case Explain(SelectStmt(sel)) => Done(engine.explain(planOf(sel)))
+    case Explain(other) => Done(other.toString)
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+
+  private val queryCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a batch/pull SELECT and return its DataFrame (throws on non-SELECT). */
+  def batch(text: String): DataFrame = sql(text) match {
+    case Rows(df) => df
+    case other => throw new IllegalArgumentException(s"not a batch query: $other")
+  }
+
+  private def jsonValue(e: Expr): String = e match {
+    case IntLit(v) => v.toString
+    case NumLit(v) => v.toString
+    case StrLit(v) => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case BoolLit(v) => v.toString
+    case NullLit => "null"
+    case TimestampLit(s) => "\"" + s + "\""
+    case DateLit(s) => "\"" + s + "\""
+    case ArrLit(items) => items.map(jsonValue).mkString("[", ",", "]")
+    case other => throw new IllegalArgumentException(s"INSERT value must be a literal: $other")
+  }
+}

@@ -1,0 +1,407 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType => SparkDT, _}
+
+import Ast._
+import graft.functions.HFunctions
+import graft.operators.TopK
+
+/** AST → DataFrame planner: the reference's `decouple` pipeline
+  * (hstream-sql/src/HStream/SQL/Planner.hs:339-387 — WHERE → Filter,
+  * computed SELECT items → Affiliate, GROUP BY + aggregates → Reduce,
+  * HAVING → Filter, SELECT list → Project) expressed by *declaring* the same
+  * logical plan through the DataFrame API and letting Catalyst do the
+  * physical planning (SURVEY §4.1: the reference has no optimizer to port).
+  *
+  * Semantics preserved:
+  *   - `=` / `<>` are null-safe (Codegen/BinOp.hs:116-138) → `<=>`.
+  *   - Aggregates are extracted from SELECT/HAVING and deduplicated
+  *     (Planner.hs:352-367, 390-432) — structural equality on the AST.
+  *   - Windowed aggregation appends window start/end to the output row
+  *     (Codegen/V1.hs:422-425) as `window_start`/`window_end`.
+  *   - Interval joins: WITHIN t → |ts_l − ts_r| ≤ t range condition
+  *     (Stream.hs:297); join *type* is honored, matching the V2 engine
+  *     (DiffFlow/Types.hs:323-328) where V1 drops it (Codegen/V1.hs:301).
+  *   - Windowed relations cannot be joined (Codegen/V1.hs:295-300).
+  */
+object Translate {
+
+  /** Resolve a stream/table name to its DataFrame. */
+  type Lookup = String => DataFrame
+
+  // ---- type mapping (SURVEY §1.2) ------------------------------------------
+
+  def sparkType(t: SqlType): SparkDT = t match {
+    case TInt => LongType
+    case TFloat => DoubleType
+    case TBool => BooleanType
+    case TBytea => BinaryType
+    case TString => StringType
+    case TDate => DateType
+    case TTime => StringType // no Spark TIME type (SURVEY §1.2)
+    case TTimestamp => TimestampType
+    case TInterval => CalendarIntervalType
+    case TJson => StringType // JSONB carried as JSON text
+    case TArray(e) => ArrayType(sparkType(e))
+  }
+
+  def structType(schema: Seq[(String, SqlType)]): StructType =
+    StructType(schema.map { case (n, t) => StructField(n, sparkType(t)) })
+
+  // ---- expression translation ----------------------------------------------
+
+  private def seconds(i: IntervalLit): Long = i.unit match {
+    case "SECOND" => i.n
+    case "MINUTE" => i.n * 60
+    case "HOUR" => i.n * 3600
+    case "DAY" => i.n * 86400
+    case "MONTH" => i.n * 2592000L  // calendar months only matter for DURATION options
+    case "YEAR" => i.n * 31536000L
+  }
+
+  private def intervalExpr(i: IntervalLit): Column =
+    expr(s"INTERVAL ${i.n} ${i.unit}")
+
+  def intervalString(i: IntervalLit): String = s"${i.n} ${i.unit.toLowerCase}"
+
+  /** Deterministic output name for an unaliased SELECT item (the reference
+    * names by pretty-printed expression text, Planner.hs:178-222). */
+  def exprName(e: Expr): String = e match {
+    case ColRef(_, n) => n
+    case Agg(n, args, true) => s"${n}(*)".toLowerCase
+    case Agg(n, args, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
+    case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
+    case Bin(op, l, r) => s"(${exprName(l)}$op${exprName(r)})"
+    case IntLit(v) => v.toString
+    case NumLit(v) => v.toString
+    case StrLit(v) => v
+    case _ => "expr"
+  }
+
+  def column(e: Expr, resolve: ColRef => Column): Column = {
+    def go(e: Expr): Column = e match {
+      case IntLit(v) => lit(v)
+      case NumLit(v) => lit(v)
+      case StrLit(v) => lit(v)
+      case BoolLit(v) => lit(v)
+      case NullLit => lit(null)
+      case DateLit(s) => to_date(lit(s))
+      case TimeLit(s) => lit(s)
+      case TimestampLit(s) => to_timestamp(lit(s))
+      case i: IntervalLit => intervalExpr(i)
+      case ArrLit(items) => array(items.map(go): _*)
+      case c: ColRef => resolve(c)
+      case Not(x) => !go(x)
+      case Bin(op, l, r) => binOp(op, l, r, go)
+      case Fn(name, args) =>
+        fnCallLit(name, args, go).getOrElse(fnCall(name, args.map(go)))
+      case Cast(x, dt) => castTo(go(x), dt)
+      case Between(x, lo, hi, not, sym) =>
+        val b = if (sym) HFunctions.hBetweenSymmetric(go(x), go(lo), go(hi))
+                else HFunctions.hBetween(go(x), go(lo), go(hi))
+        if (not) !b else b
+      case ArrIndex(a, i) => go(a).getItem(i.toInt) // 0-based (Common.hs:72-76)
+      case ArrSlice(a, from, to) =>
+        val f = from.getOrElse(0L)
+        to match {
+          case Some(t) => slice(go(a), f.toInt + 1, math.max((t - f).toInt, 0))
+          case None => slice(go(a), lit(f.toInt + 1), size(go(a)))
+        }
+      case a: Agg => throw new IllegalArgumentException(
+        s"aggregate ${a.name} in a non-aggregate context")
+    }
+    go(e)
+  }
+
+  private def binOp(op: String, l: Expr, r: Expr, go: Expr => Column): Column = op match {
+    case "OR" => go(l) || go(r)
+    case "AND" => go(l) && go(r)
+    case "=" => HFunctions.hEq(go(l), go(r))   // null-safe (BinOp.hs:116-118)
+    case "<>" => HFunctions.hNeq(go(l), go(r))
+    case "<" => go(l) < go(r)
+    case ">" => go(l) > go(r)
+    case "<=" => go(l) <= go(r)
+    case ">=" => go(l) >= go(r)
+    case "+" => go(l) + go(r)
+    case "-" => go(l) - go(r)
+    case "*" => go(l) * go(r)
+    // JSON access (JsonOp.hs:33-84); key is a string literal or int index
+    case "->" | "->>" => jsonAccess(go(l), r)
+    case "#>" | "#>>" => r match {
+      case ArrLit(parts) =>
+        val path = parts.map { case StrLit(s) => s; case IntLit(i) => s"[$i]"
+          case other => throw new IllegalArgumentException(s"bad json path: $other") }
+          .map(p => if (p.startsWith("[")) p else s".$p").mkString
+        get_json_object(go(l), "$" + path)
+      case other => throw new IllegalArgumentException(s"#> expects a path array, got $other")
+    }
+  }
+
+  private def jsonAccess(j: Column, key: Expr): Column = key match {
+    case StrLit(k) => get_json_object(j, s"$$.$k")
+    case IntLit(i) => get_json_object(j, s"$$[$i]")
+    case other => throw new IllegalArgumentException(s"-> expects string/int key, got $other")
+  }
+
+  private def fnCall(name: String, a: Seq[Column]): Column = name match {
+    case "SIN" => sin(a(0));     case "SINH" => sinh(a(0))
+    case "ASIN" => asin(a(0));   case "ASINH" => asinh(a(0))
+    case "COS" => cos(a(0));     case "COSH" => cosh(a(0))
+    case "ACOS" => acos(a(0));   case "ACOSH" => acosh(a(0))
+    case "TAN" => tan(a(0));     case "TANH" => tanh(a(0))
+    case "ATAN" => atan(a(0));   case "ATANH" => atanh(a(0))
+    case "ABS" => abs(a(0));     case "CEIL" => ceil(a(0))
+    case "FLOOR" => floor(a(0)); case "ROUND" => round(a(0))
+    case "SIGN" => signum(a(0)); case "SQRT" => sqrt(a(0))
+    case "LOG" => log(a(0));     case "LOG2" => log2(a(0))
+    case "LOG10" => log10(a(0)); case "EXP" => exp(a(0))
+    case "IS_INT" => a(0).try_cast("long").isNotNull
+    case "IS_FLOAT" | "IS_NUM" => a(0).try_cast("double").isNotNull
+    case "IS_BOOL" => a(0).try_cast("boolean").isNotNull
+    case "IS_STR" => a(0).cast("string").isNotNull
+    case "IS_ARRAY" => lit(true) // static on typed arrays (SURVEY §7.3)
+    case "IS_DATE" => a(0).try_cast("date").isNotNull
+    case "IS_TIME" => a(0).try_cast("timestamp").isNotNull
+    case "TO_STR" => HFunctions.toStr(a(0))
+    case "TO_LOWER" => lower(a(0)); case "TO_UPPER" => upper(a(0))
+    case "TRIM" => trim(a(0))
+    case "LEFT_TRIM" => ltrim(a(0)); case "RIGHT_TRIM" => rtrim(a(0))
+    case "REVERSE" => reverse(a(0)); case "STRLEN" => HFunctions.strLen(a(0))
+    case "IFNULL" => HFunctions.ifNull(a(0), a(1))
+    case "NULLIF" => HFunctions.nullIf(a(0), a(1))
+    case "DATETOSTRING" => date_format(a(0), "yyyy-MM-dd") // fmt arg via overload below
+    case "STRINGTODATE" => to_date(a(0))
+    case "SPLIT" => HFunctions.hSplit(a(0), a(1))
+    case "CHUNKSOF" => regexp_extract_all(a(1), concat(lit("(?s).{1,"), a(0), lit("}")), lit(0))
+    case "TAKE" => HFunctions.hTake(a(0), a(1))
+    case "TAKEEND" => HFunctions.hTakeEnd(a(0), a(1))
+    case "DROP" => HFunctions.hDrop(a(0), a(1))
+    case "DROPEND" => HFunctions.hDropEnd(a(0), a(1))
+    case "ARRAY_CONTAIN" => array_contains(a(0), a(1))
+    case "ARRAY_DISTINCT" => array_distinct(a(0))
+    case "ARRAY_EXCEPT" => array_except(a(0), a(1))
+    case "ARRAY_INTERSECT" => array_intersect(a(0), a(1))
+    case "ARRAY_LENGTH" => size(a(0))
+    case "ARRAY_REMOVE" => array_remove(a(0), a(1))
+    case "ARRAY_UNION" => array_union(a(0), a(1))
+    case "ARRAY_JOIN" => if (a.size == 1) array_join(a(0), "") else array_join(a(0), "?")
+    case "ARRAY_MAX" => array_max(a(0)); case "ARRAY_MIN" => array_min(a(0))
+    case "ARRAY_SORT" => array_sort(a(0))
+    case other => throw new IllegalArgumentException(s"unknown function $other")
+  }
+
+  /** Functions whose 2nd argument must stay a literal (format strings,
+    * join separators) get special-cased before generic translation. */
+  private def fnCallLit(name: String, args: Seq[Expr], go: Expr => Column): Option[Column] =
+    (name, args) match {
+      case ("DATETOSTRING", Seq(d, StrLit(fmt))) => Some(date_format(go(d), fmt))
+      case ("STRINGTODATE", Seq(s, StrLit(fmt))) => Some(to_date(go(s), fmt))
+      case ("ARRAY_JOIN", Seq(arr, StrLit(sep))) => Some(array_join(go(arr), sep))
+      case ("CHUNKSOF", Seq(IntLit(n), s)) => Some(HFunctions.chunksOf(n.toInt, go(s)))
+      case _ => None
+    }
+
+  private def castTo(c: Column, dt: SqlType): Column = dt match {
+    case TDate => to_date(c)
+    case TTimestamp => c.cast(TimestampType)
+    case other => c.cast(sparkType(other))
+  }
+
+  // ---- aggregate extraction (Planner.hs:352-367, 390-432) ------------------
+
+  /** Collect distinct aggregates from an expression tree. */
+  def collectAggs(e: Expr): Seq[Agg] = e match {
+    case a: Agg => Seq(a)
+    case Bin(_, l, r) => (collectAggs(l) ++ collectAggs(r)).distinct
+    case Not(x) => collectAggs(x)
+    case Fn(_, args) => args.flatMap(collectAggs).distinct
+    case Cast(x, _) => collectAggs(x)
+    case Between(x, lo, hi, _, _) => (collectAggs(x) ++ collectAggs(lo) ++ collectAggs(hi)).distinct
+    case ArrIndex(x, _) => collectAggs(x)
+    case ArrSlice(x, _, _) => collectAggs(x)
+    case ArrLit(items) => items.flatMap(collectAggs).distinct
+    case _ => Nil
+  }
+
+  /** Rewrite aggregates to their assigned output aliases. */
+  def rewriteAggs(e: Expr, names: Map[Agg, String]): Expr = e match {
+    case a: Agg => ColRef(None, names(a))
+    case Bin(op, l, r) => Bin(op, rewriteAggs(l, names), rewriteAggs(r, names))
+    case Not(x) => Not(rewriteAggs(x, names))
+    case Fn(n, args) => Fn(n, args.map(rewriteAggs(_, names)))
+    case Cast(x, dt) => Cast(rewriteAggs(x, names), dt)
+    case Between(x, lo, hi, n, s) =>
+      Between(rewriteAggs(x, names), rewriteAggs(lo, names), rewriteAggs(hi, names), n, s)
+    case ArrIndex(x, i) => ArrIndex(rewriteAggs(x, names), i)
+    case ArrSlice(x, f, t) => ArrSlice(rewriteAggs(x, names), f, t)
+    case ArrLit(items) => ArrLit(items.map(rewriteAggs(_, names)))
+    case other => other
+  }
+
+  /** Translate one aggregate call (AggOp.hs:38-162; SURVEY §2.5 divergences:
+    * COUNT(e) skips NULLs per standard SQL, AVG is supported, MIN/MAX start
+    * from NULL not FlowInt 0). */
+  def aggColumn(a: Agg, resolve: ColRef => Column): Column = a match {
+    case Agg("COUNT", _, true) => count(lit(1))
+    case Agg("COUNT", Seq(e), _) => count(column(e, resolve))
+    case Agg("SUM", Seq(e), _) => sum(column(e, resolve))
+    case Agg("MIN", Seq(e), _) => min(column(e, resolve))
+    case Agg("MAX", Seq(e), _) => max(column(e, resolve))
+    case Agg("AVG", Seq(e), _) => avg(column(e, resolve))
+    case Agg("TOPK", Seq(e, IntLit(k)), _) =>
+      TopK.topk(column(e, resolve).cast("double"), k.toInt)
+    case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _) =>
+      TopK.topkDistinct(column(e, resolve).cast("double"), k.toInt)
+    case other => throw new IllegalArgumentException(s"bad aggregate: $other")
+  }
+
+  // ---- FROM-clause planning ------------------------------------------------
+
+  private case class Source(df: DataFrame, window: Option[WindowSpec])
+
+  /** Event-time column of a relation: declared `_ts` first, else `ts`
+    * (SURVEY §2.10: recordTimestamp ↦ a dedicated event-time column). */
+  def tsCol(df: DataFrame): String =
+    if (df.columns.contains("_ts")) "_ts"
+    else if (df.columns.contains("ts")) "ts"
+    else throw new IllegalArgumentException(
+      s"no event-time column (_ts/ts) in [${df.columns.mkString(",")}]")
+
+  private def planFrom(ref: TableRef, lookup: Lookup): Source = ref match {
+    case TRStream(n) => Source(lookup(n).alias(n), None)
+    case TRAlias(inner, a) =>
+      val s = planFrom(inner, lookup); Source(s.df.alias(a), s.window)
+    case TRWindowed(inner, w) =>
+      val s = planFrom(inner, lookup)
+      require(s.window.isEmpty, "nested windows are not supported")
+      Source(s.df, Some(w))
+    case j: TRJoin => Source(planJoin(j, lookup), None)
+  }
+
+  private def planJoin(j: TRJoin, lookup: Lookup): DataFrame = {
+    val left = planFrom(j.l, lookup)
+    val right = planFrom(j.r, lookup)
+    require(left.window.isEmpty && right.window.isEmpty,
+      "joining time-windowed streams is not supported (Codegen/V1.hs:295-300)")
+    val (ldf, rdf) = (left.df, right.df)
+    val lts = col(s"${refAlias(j.l)}.${tsCol(ldf)}")
+    val rts = col(s"${refAlias(j.r)}.${tsCol(rdf)}")
+    val w = intervalExpr(j.within)
+    val range = rts >= lts - w && rts <= lts + w // Stream.hs:297
+    def resolve(c: ColRef): Column = c match {
+      case ColRef(Some(q), n) => col(s"$q.$n")
+      case ColRef(None, n) => col(n)
+    }
+    j.cond match {
+      case CrossC => ldf.join(rdf, range, "inner")
+      case On(e) => ldf.join(rdf, range && column(e, resolve), j.joinType)
+      case Using(cols0) =>
+        val eq = cols0.map(c =>
+          col(s"${refAlias(j.l)}.$c") === col(s"${refAlias(j.r)}.$c")).reduce(_ && _)
+        dropRightKeys(ldf.join(rdf, range && eq, j.joinType), j, cols0)
+      case Natural =>
+        val shared = ldf.columns.toSet.intersect(rdf.columns.toSet) -
+          tsCol(ldf) - tsCol(rdf)
+        require(shared.nonEmpty, "NATURAL JOIN with no shared columns")
+        val cols0 = shared.toSeq.sorted
+        val eq = cols0.map(c =>
+          col(s"${refAlias(j.l)}.$c") === col(s"${refAlias(j.r)}.$c")).reduce(_ && _)
+        dropRightKeys(ldf.join(rdf, range && eq, j.joinType), j, cols0)
+    }
+  }
+
+  /** After a USING/NATURAL join keep one copy of each key (left side; for
+    * RIGHT/FULL the surviving value is coalesced left-then-right). */
+  private def dropRightKeys(joined: DataFrame, j: TRJoin, keys: Seq[String]): DataFrame = {
+    val la = refAlias(j.l); val ra = refAlias(j.r)
+    val keyCols = keys.map { k =>
+      (if (j.joinType == "inner" || j.joinType == "left") col(s"$la.$k")
+       else coalesce(col(s"$la.$k"), col(s"$ra.$k"))).as(k)
+    }
+    val nonKey = joined.columns.toSeq.filterNot(keys.contains).distinct
+    joined.select(keyCols ++ nonKey.map(c => joined(c)): _*)
+  }
+
+  private def refAlias(r: TableRef): String = r match {
+    case TRStream(n) => n
+    case TRAlias(_, a) => a
+    case TRWindowed(i, _) => refAlias(i)
+    case j: TRJoin => refAlias(j.l)
+  }
+
+  // ---- SELECT planning (the decouple pipeline) -----------------------------
+
+  /** Plan a SELECT. `grace` is the watermark used for windowed aggregation
+    * over streaming sources (the reference's 24 h, TimeWindows.hs:39). */
+  def plan(sel: Select, lookup: Lookup, grace: String = "24 hours"): DataFrame = {
+    val src = planFrom(sel.from, lookup)
+    val base0 = src.df
+
+    def resolve(c: ColRef): Column = c match {
+      case ColRef(Some(q), n) => col(s"$q.$n")
+      case ColRef(None, n) => col(n)
+    }
+
+    // WHERE → Filter (Planner.hs:343-345)
+    val filtered = sel.where.map(w => base0.filter(column(w, resolve))).getOrElse(base0)
+
+    // aggregates from SELECT + HAVING (Planner.hs:390-432)
+    val itemAggs = sel.items.flatMap { case ItemExpr(e, _) => collectAggs(e); case _ => Nil }
+    val aggs = (itemAggs ++ sel.having.toSeq.flatMap(collectAggs)).distinct
+
+    if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty) {
+      // plain Filter/Project pipeline
+      val cols = sel.items.map {
+        case ItemWildcard(None) => col("*")
+        case ItemWildcard(Some(q)) => col(s"$q.*")
+        case ItemExpr(e, alias) => column(e, resolve).as(alias.getOrElse(exprName(e)))
+      }
+      filtered.select(cols: _*)
+    } else {
+      // Reduce (Codegen/V1.hs:382-456)
+      val aggNames = aggs.zipWithIndex.map { case (a, i) => a -> s"_agg$i" }.toMap
+      val aggCols = aggs.map(a => aggColumn(a, resolve).as(aggNames(a)))
+      val keyCols = sel.groupBy.map(c => resolve(c).as(c.name))
+
+      val (windowCol, windowName) = src.window match {
+        case Some(Tumble(i)) =>
+          (Some(window(col(tsCol(base0)), intervalString(i))), "window")
+        case Some(Hop(s, a)) =>
+          (Some(window(col(tsCol(base0)), intervalString(s), intervalString(a))), "window")
+        case Some(Session(g)) =>
+          (Some(session_window(col(tsCol(base0)), intervalString(g))), "session_window")
+        case None => (None, "")
+      }
+      val watermarked =
+        if (src.window.isDefined && filtered.isStreaming)
+          filtered.withWatermark(tsCol(base0), grace)
+        else filtered
+      val grouped = watermarked.groupBy(windowCol.toSeq ++ keyCols: _*)
+      val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
+
+      // HAVING over the aggregated relation (Planner.hs:380-382)
+      def postResolve(c: ColRef): Column = col(c.name)
+      val havinged = sel.having
+        .map(h => agged.filter(column(rewriteAggs(h, aggNames), postResolve)))
+        .getOrElse(agged)
+
+      // final Project; window bounds appended (Codegen/V1.hs:422-425)
+      val itemCols = sel.items.map {
+        case ItemWildcard(_) => col("*")
+        case ItemExpr(e, alias) =>
+          column(rewriteAggs(e, aggNames), postResolve).as(alias.getOrElse(exprName(e)))
+      }
+      val windowBounds = windowCol.toSeq.flatMap(_ => Seq(
+        col(s"$windowName.start").as("window_start"),
+        col(s"$windowName.end").as("window_end")))
+      havinged.select(itemCols ++ windowBounds: _*)
+    }
+  }
+
+  /** Full fn translation including literal-arg special cases. */
+  def fnColumn(name: String, args: Seq[Expr], resolve: ColRef => Column): Column =
+    fnCallLit(name, args, e => column(e, resolve))
+      .getOrElse(fnCall(name, args.map(e => column(e, resolve))))
+}

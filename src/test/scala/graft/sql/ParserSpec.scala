@@ -1,0 +1,121 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+/** Parser golden cases, modeled on the reference's syntax corpus
+  * (hstream-sql/etc/syntax-test-cases.yaml and ParseRefineSpec.hs). */
+class ParserSpec extends AnyFunSuite {
+
+  test("CREATE STREAM with schema and options") {
+    assert(Parser.parse("CREATE STREAM s1 (a INTEGER, b STRING, c FLOAT[]);") ==
+      CreateStream("s1", Seq("a" -> TInt, "b" -> TString, "c" -> TArray(TFloat)), Map.empty))
+    Parser.parse("CREATE STREAM s2 WITH (REPLICATE = 3, DURATION = INTERVAL 7 DAY);") match {
+      case CreateStream("s2", Nil, opts) => assert(opts.keySet == Set("REPLICATE", "DURATION"))
+      case other => fail(other.toString)
+    }
+  }
+
+  test("INSERT forms (AST.hs:777-804)") {
+    assert(Parser.parse("INSERT INTO s1 (a, b) VALUES (1, 'x');") ==
+      InsertValues("s1", Seq("a", "b"), Seq(IntLit(1), StrLit("x"))))
+    assert(Parser.parse("""INSERT INTO s1 VALUES '{"a": 1}';""") ==
+      InsertJson("s1", """{"a": 1}"""))
+  }
+
+  test("SELECT with WHERE/GROUP BY/HAVING/EMIT CHANGES") {
+    val s = Parser.parse(
+      "SELECT k, SUM(v) AS s FROM s1 WHERE v > 1 GROUP BY k HAVING SUM(v) < 10 EMIT CHANGES;")
+      .asInstanceOf[SelectStmt].sel
+    assert(s.emitChanges)
+    assert(s.groupBy == Seq(ColRef(None, "k")))
+    assert(s.items == Seq(
+      ItemExpr(ColRef(None, "k"), None),
+      ItemExpr(Agg("SUM", Seq(ColRef(None, "v"))), Some("s"))))
+    assert(s.having.contains(Bin("<", Agg("SUM", Seq(ColRef(None, "v"))), IntLit(10))))
+  }
+
+  test("windowed FROM: TUMBLE/HOP/SESSION (SQL-v1.cf:128-130)") {
+    val s = Parser.parse(
+      "SELECT k FROM TUMBLE(s1, INTERVAL 5 MINUTE) GROUP BY k;").asInstanceOf[SelectStmt].sel
+    assert(s.from == TRWindowed(TRStream("s1"), Tumble(IntervalLit(5, "MINUTE"))))
+    val h = Parser.parse(
+      "SELECT k FROM HOP(s1, INTERVAL 1 HOUR, INTERVAL 30 MINUTE) GROUP BY k;")
+      .asInstanceOf[SelectStmt].sel
+    assert(h.from == TRWindowed(TRStream("s1"),
+      Hop(IntervalLit(1, "HOUR"), IntervalLit(30, "MINUTE"))))
+  }
+
+  test("joins require WITHIN; all four condition forms (SQL-v1.cf:121-124)") {
+    def from(q: String) = Parser.parse(q).asInstanceOf[SelectStmt].sel.from
+    from("SELECT * FROM s1 LEFT JOIN s2 ON s1.a = s2.b WITHIN (INTERVAL 1 MINUTE);") match {
+      case TRJoin(TRStream("s1"), TRStream("s2"), "left", On(_), IntervalLit(1, "MINUTE")) =>
+      case other => fail(other.toString)
+    }
+    from("SELECT * FROM s1 JOIN s2 USING (k) WITHIN (INTERVAL 5 SECOND);") match {
+      case TRJoin(_, _, "inner", Using(Seq("k")), _) =>
+      case other => fail(other.toString)
+    }
+    from("SELECT * FROM s1 NATURAL JOIN s2 WITHIN (INTERVAL 5 SECOND);") match {
+      case TRJoin(_, _, "inner", Natural, _) => case other => fail(other.toString)
+    }
+    from("SELECT * FROM s1 CROSS JOIN s2 WITHIN (INTERVAL 5 SECOND);") match {
+      case TRJoin(_, _, "inner", CrossC, _) => case other => fail(other.toString)
+    }
+    assertThrows[IllegalArgumentException] {
+      Parser.parse("SELECT * FROM s1 JOIN s2 ON s1.a = s2.b;") // no WITHIN
+    }
+  }
+
+  test("expression precedence ladder (SQL-v1.cf:176-203)") {
+    // * binds tighter than +; + tighter than =; = tighter than AND
+    assert(Parser.parseExpr("a + b * 2 = c AND d") ==
+      Bin("AND",
+        Bin("=", Bin("+", ColRef(None, "a"), Bin("*", ColRef(None, "b"), IntLit(2))),
+          ColRef(None, "c")),
+        ColRef(None, "d")))
+    // no division operator in the dialect (SQL-v1.cf:201-203)
+    assertThrows[IllegalArgumentException] { Parser.parseExpr("a / b") }
+  }
+
+  test("BETWEEN family, cast, array literal/access, JSON ops") {
+    assert(Parser.parseExpr("v NOT BETWEEN SYMMETRIC 5 AND 1") ==
+      Between(ColRef(None, "v"), IntLit(5), IntLit(1), not = true, symmetric = true))
+    assert(Parser.parseExpr("a :: INTEGER") == Cast(ColRef(None, "a"), TInt))
+    assert(Parser.parseExpr("CAST(a AS STRING)") == Cast(ColRef(None, "a"), TString))
+    assert(Parser.parseExpr("{1, 2, 3}") == ArrLit(Seq(IntLit(1), IntLit(2), IntLit(3))))
+    assert(Parser.parseExpr("a[0]") == ArrIndex(ColRef(None, "a"), 0))
+    assert(Parser.parseExpr("a[1:3]") == ArrSlice(ColRef(None, "a"), Some(1), Some(3)))
+    assert(Parser.parseExpr("j -> 'k'") == Bin("->", ColRef(None, "j"), StrLit("k")))
+    assert(Parser.parseExpr("j #> {'a','b'}") ==
+      Bin("#>", ColRef(None, "j"), ArrLit(Seq(StrLit("a"), StrLit("b")))))
+  }
+
+  test("scalar function calls parse") {
+    assert(Parser.parseExpr("IFNULL(SIN(a), 0.5)") ==
+      Fn("IFNULL", Seq(Fn("SIN", Seq(ColRef(None, "a"))), NumLit(0.5))))
+    assert(Parser.parseExpr("TOPK(v, 3)") == Agg("TOPK", Seq(ColRef(None, "v"), IntLit(3))))
+    assert(Parser.parseExpr("COUNT(*)") == Agg("COUNT", Nil, star = true))
+  }
+
+  test("admin verbs (AST.hs:806-906)") {
+    assert(Parser.parse("SHOW STREAMS;") == Show("STREAMS"))
+    assert(Parser.parse("DROP STREAM s1 IF EXISTS;") == DropStmt("STREAM", "s1", true))
+    assert(Parser.parse("TERMINATE QUERY q1;") == Terminate("q1"))
+    assert(Parser.parse("PAUSE QUERY q1;") == PauseStmt("q1"))
+    assert(Parser.parse("RESUME QUERY q1;") == ResumeStmt("q1"))
+    Parser.parse("EXPLAIN SELECT a FROM s1;") match {
+      case Explain(SelectStmt(_)) => case other => fail(other.toString)
+    }
+  }
+
+  test("literals: date/time/timestamp/interval, negatives, quoted idents") {
+    assert(Parser.parseExpr("DATE '2024-01-01'") == DateLit("2024-01-01"))
+    assert(Parser.parseExpr("TIMESTAMP '2024-01-01 00:00:00'") ==
+      TimestampLit("2024-01-01 00:00:00"))
+    assert(Parser.parseExpr("INTERVAL 5 MINUTE") == IntervalLit(5, "MINUTE"))
+    assert(Parser.parseExpr("-3") == IntLit(-3))
+    assert(Parser.parseExpr("-3.5") == NumLit(-3.5))
+    assert(Parser.parseExpr("\"Weird Name\"") == ColRef(None, "Weird Name"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.sql
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+/** End-to-end dialect execution over live streams — the reference's server
+  * integration tests (hstream/test/HStream/RunSQLSpec.hs:50-128) re-run
+  * against our engine: create stream → insert → continuous query → assert
+  * final values.
+  */
+class SqlEngineSpec extends SparkSpec {
+
+  test("insert → filter/project push query (RunSQLSpec.hs:50-64)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM st1 (a INTEGER, b INTEGER, _ts TIMESTAMP);")
+    val started = e.sql("SELECT a, a * 2 AS x FROM st1 WHERE b > 1 EMIT CHANGES;")
+      .asInstanceOf[e.Started]
+    e.sql("""INSERT INTO st1 (a, b, _ts) VALUES (1, 1, '2024-01-01 00:00:00');""")
+    e.sql("""INSERT INTO st1 (a, b, _ts) VALUES (2, 2, '2024-01-01 00:00:01');""")
+    e.sql("""INSERT INTO st1 VALUES '{"a": 5, "b": 9, "_ts": "2024-01-01 00:00:02"}';""")
+    e.engine.processAll()
+    val name = started.query.name
+    val got = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 4L), (5L, 10L)))
+    e.sql(s"TERMINATE QUERY $name;")
+  }
+
+  test("grouped aggregation with HAVING over a stream (RunSQLSpec GROUP BY cases)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM st2 (k STRING, v INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      "SELECT k, SUM(v) AS s, COUNT(*) AS c FROM st2 GROUP BY k HAVING SUM(v) >= 3 EMIT CHANGES;")
+      .asInstanceOf[e.Started]
+    Seq(("a", 1), ("a", 2), ("b", 1), ("c", 7)).zipWithIndex.foreach { case ((k, v), i) =>
+      e.sql(s"INSERT INTO st2 (k, v, _ts) VALUES ('$k', $v, '2024-01-01 00:00:0$i');")
+    }
+    e.engine.processAll()
+    val last = spark.table(q.query.name).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(last("a") == (3L, 2L) && last("c") == (7L, 1L) && !last.contains("b"))
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
+
+  test("tumbling window via FROM TUMBLE (SQL-v1.cf:128)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM st3 (k STRING, v INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      "SELECT k, SUM(v) AS s FROM TUMBLE(st3, INTERVAL 1 MINUTE) GROUP BY k EMIT CHANGES;")
+      .asInstanceOf[e.Started]
+    e.sql("INSERT INTO st3 (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:10');")
+    e.sql("INSERT INTO st3 (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:00:50');")
+    e.sql("INSERT INTO st3 (k, v, _ts) VALUES ('a', 10, '2024-01-01 00:01:10');")
+    e.engine.processAll()
+    val rows = spark.table(q.query.name).collect()
+    // window bounds are appended (Codegen/V1.hs:422-425)
+    assert(rows.head.schema.fieldNames.toSeq == Seq("k", "s", "window_start", "window_end"))
+    val byWindow = rows.map(r => r.getTimestamp(2).toString -> r.getLong(1))
+      .groupBy(_._1).map { case (w, vs) => w -> vs.last._2 }
+    assert(byWindow("2024-01-01 00:00:00.0") == 3L)
+    assert(byWindow("2024-01-01 00:01:00.0") == 10L)
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
+
+  test("interval join via SQL WITHIN (Stream.hs:273-312)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM jl (k STRING, v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM jr (k2 STRING, w INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      """SELECT jl.k AS k, jl.v AS v, jr.w AS w FROM jl
+         JOIN jr ON jl.k = jr.k2 WITHIN (INTERVAL 1 MINUTE);""")
+      .asInstanceOf[e.Rows]
+    // batch check of the join plan over the streams' data would need the
+    // stream contents; instead start it as CSAS and feed records
+    val started = e.engine.createStreamAs("jout", q.df)
+    e.sql("INSERT INTO jl (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO jr (k2, w, _ts) VALUES ('a', 10, '2024-01-01 00:00:30');")
+    e.sql("INSERT INTO jr (k2, w, _ts) VALUES ('a', 99, '2024-01-01 00:30:00');")
+    e.engine.processAll()
+    val got = spark.table("jout").collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got == Set(("a", 10L)))
+    started.stop()
+  }
+
+  test("materialized view + pull query with WHERE (Core/View.hs:166-254)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM st5 (k STRING, v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE VIEW v5 AS SELECT k, SUM(v) AS total FROM st5 GROUP BY k;")
+    e.sql("INSERT INTO st5 (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO st5 (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:00:01');")
+    e.sql("INSERT INTO st5 (k, v, _ts) VALUES ('b', 5, '2024-01-01 00:00:02');")
+    e.engine.processAll()
+    val rows = e.sql("SELECT k, total FROM v5 WHERE total > 2;").asInstanceOf[e.Rows]
+    assert(rows.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 3L), ("b", 5L)))
+    e.sql("DROP VIEW v5;")
+  }
+
+  test("batch dialect SQL over registered tables (scalar functions)") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq((1L, "Hello World", 4.0), (2L, "bye", 16.0)))
+      .toDF("id", "s", "x").createOrReplaceTempView("t6")
+    val df = e.sql(
+      """SELECT id, TO_UPPER(s) AS u, STRLEN(s) AS n, SQRT(x) AS r,
+         TAKE(3, s) AS t, IFNULL(NULLIF(s, 'bye'), 'was-bye') AS nn
+         FROM t6 WHERE x BETWEEN 1 AND 20;""").asInstanceOf[e.Rows]
+    val got = df.df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getString(4), r.getString(5))).toSet
+    assert(got == Set(
+      (1L, "HELLO WORLD", 11, 2.0, "Hel", "Hello World"),
+      (2L, "BYE", 3, 4.0, "bye", "was-bye")))
+  }
+
+  test("null-safe equality: NULL = NULL is TRUE (BinOp.hs:116-118)") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq((1L, Some("x")), (2L, None: Option[String])))
+      .toDF("id", "s").createOrReplaceTempView("t7")
+    val df = e.sql("SELECT id FROM t7 WHERE s = NULL;").asInstanceOf[e.Rows]
+    assert(df.df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
