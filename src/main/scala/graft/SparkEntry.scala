@@ -18,7 +18,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    SqlQueries
+    SqlQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

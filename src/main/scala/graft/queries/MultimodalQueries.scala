@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+
+/** Multimodal-column pipeline queries: binary media + typed metadata,
+  * decode(stub) → resize(stub) → frame-sample → partition-wise feature
+  * extraction. Media bytes are deterministic (UTF-8 of `documents.text`), so
+  * byte lengths, prefixes, and digests oracle-check in DuckDB.
+  */
+object MultimodalQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Schema + stub-decode metadata + resize prefix digest: all Catalyst
+    // builtins over binary (octet_length/substring), codegen'd.
+    "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+      media.select(
+        $"id", $"kind",
+        octet_length($"media").cast("long").as("n_bytes"),
+        $"meta.width".as("width"), $"meta.height".as("height"),
+        md5(Multimodal.resizeStub($"media", 64)).as("prefix_md5"))
+        .orderBy($"id")
+    }),
+
+    // Frame sampling: n byte windows per video; count + first-frame digest.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+        .filter($"kind" === "video")
+      media.select(
+        $"id",
+        size(Multimodal.frameSample($"media", 4, 16)).cast("long").as("n_frames"),
+        md5(element_at(Multimodal.frameSample($"media", 4, 16), 1)).as("f0_md5"))
+        .orderBy($"id")
+    }),
+
+    // mapPartitions feature extraction (per-partition decoder init): digest
+    // equals DuckDB's md5 of the text, proving bytes survive the typed
+    // Dataset round-trip intact.
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+        .select($"id", $"kind", $"media").as[MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select($"id", $"kind", $"n_bytes", $"digest")
+        .orderBy($"id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           encode(text) AS media, text FROM documents)
+         SELECT id, kind, octet_length(media)::BIGINT AS n_bytes,
+           (octet_length(media) % 640 + 1)::BIGINT AS width,
+           (octet_length(media) % 480 + 1)::BIGINT AS height,
+           md5(left(text, 64)) AS prefix_md5
+         FROM m ORDER BY id""",
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS id, text, octet_length(encode(text)) AS len
+           FROM documents WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video')
+         SELECT id, 4::BIGINT AS n_frames,
+           md5(substring(text, 1, 16)) AS f0_md5
+         FROM m ORDER BY id""",
+    "q_multimodal_features" ->
+      """SELECT doc_id AS id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS digest
+         FROM documents ORDER BY doc_id"""
+  )
+}
