@@ -1,24 +1,71 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":…, "queries":{name:sec}}.
+  *
+  * Each query is forced through a noop sink (full computation of every
+  * output column — `.count()` would let Catalyst prune the project).
+  *
+  * The headline set covers every operator family at its *scale path*:
+  * brute-force ground-truth variants (q_dedup_jaccard_exact,
+  * q_dedup_simhash_pairs) are correctness anchors at sf0.01, intentionally
+  * O(n²), and excluded here — at 100 TB you only ever run the LSH paths.
+  */
 object Bench {
+  /** Operator-family coverage, one-or-two queries each, scale paths only. */
+  val headline: Seq[String] = Seq(
+    "q_agg_pricing",           // scan+filter+groupBy (TPC-H Q1 shape)
+    "q_agg_unwindowed",        // high-cardinality groupBy
+    "q_join_revenue_by_nation",// multi-join w/ broadcast dims
+    "q_filter_project",        // pushdown + pruning
+    "q_window_tumble", "q_window_hop", "q_window_session",
+    "q_interval_join",         // self interval join
+    "q_topk",                  // custom Aggregator
+    "q_scalar_math",           // codegen'd expression chain
+    "q_json_ops",              // JSON access
+    "q_text_stats",            // HOF text statistics
+    "q_text_fingerprint",      // rolling-hash fingerprint
+    "q_dedup_exact",           // hash groupBy dedup
+    "q_minhash_signatures",    // MinHash map-side primitive
+    "q_dedup_minhash_lsh",     // full LSH near-dup pipeline
+    "q_dedup_simhash",         // SimHash signatures
+    "q_lsh_signatures",        // hyperplane LSH signatures
+    "q_ann_bruteforce",        // cosine top-k baseline
+    "q_ann_lsh_bucketed",      // bucketed ANN scale path
+    "q_embed_neardup",         // pairwise cosine near-dup (2k vectors)
+    "q_multimodal_features",   // mapPartitions feature extraction
+    "q_sql_agg_having",        // dialect frontend end-to-end
+    "q_sql_interval_join"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    // warmup: touch the scan paths + JIT the write pipeline, untimed
+    try qs("q_filter_project")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,15 +77,22 @@ object PipelineFunctions {
 
   /** 16-bit SimHash over the word multiset: bit b of the result is set when
     * the signed sum of bit b across all word hashes is >= 0. Near-duplicate
-    * docs land within small Hamming distance. SQL-lambda form because bit
-    * shifts by a lambda variable need expression-level shifts.
+    * docs land within small Hamming distance.
+    *
+    * Single pass over the word hashes, accumulating all 16 signed bit
+    * counters in one array fold (a 16-scan per-bit formulation computes the
+    * same integers — order-independent — at 16× the cost). SQL-lambda form
+    * because bit shifts by a lambda variable need expression-level shifts.
     * @param wordsExpr SQL expression string yielding an array<string> */
   def simhash16(wordsExpr: String): Column = expr(
-    s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc +
-       |  CASE WHEN aggregate(
-       |    transform($wordsExpr, w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)),
-       |    0L, (s, x) -> s + ((x >> b) & 1) * 2 - 1) >= 0
-       |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
+    s"""aggregate(
+       |  transform(
+       |    aggregate(
+       |      transform($wordsExpr, w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)),
+       |      array_repeat(0L, 16),
+       |      (acc, x) -> transform(acc, (c, b) -> c + ((x >> b) & 1) * 2 - 1)),
+       |    (c, b) -> IF(c >= 0, shiftleft(1L, b), 0L)),
+       |  0L, (s, v) -> s + v)""".stripMargin)
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -95,9 +102,18 @@ object PipelineFunctions {
   /** Cast a float array column to double for stable arithmetic. */
   def vecD(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Dot product as a sequential left fold (deterministic summation order —
-    * matches an equivalent fold in the oracle engine bit-for-bit). */
+  /** Dot product: the codegen'd native expression (VectorExpressions.scala)
+    * when the session has GraftExtensions, else the HOF fold. Both are the
+    * same ascending left fold (bit-identical results, and matching the
+    * oracle engine's list_reduce). */
   def dot(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_dot")))
+      call_function("graft_dot", a, b)
+    else dotHof(a, b)
+
+  /** Interpreted fallback fold (used when the extension isn't registered). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** L2 norm. */
@@ -105,6 +121,32 @@ object PipelineFunctions {
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** The 16×64 random-hyperplane weight matrix, computed ONCE driver-side
+    * with the exact md5 formula [[lshSignature]] evaluates per row — the
+    * values are bit-identical, so results (and the DuckDB oracle) don't
+    * change, but the per-row cost drops from 1024 md5 calls to pure
+    * arithmetic. This is the 100 TB form; the expression-level variant
+    * documents the derivation. */
+  lazy val LshWeights: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(16, 64) { (p, d) =>
+      md.reset()
+      val hex = md.digest(s"h${p}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+    }
+  }
+
+  /** LSH signature from the precomputed weight matrix over a double array.
+    * Identical output to [[lshSignature]] (same values, same left-to-right
+    * summation order), ~100× cheaper per row. */
+  def lshSignatureFast(v: Column): Column =
+    (0 until 16).map { p =>
+      val proj = (0 until 64).map(d => lit(LshWeights(p)(d)) * v.getItem(d))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** 16-bit random-hyperplane LSH signature of an embedding (SimHash for
     * vectors): plane p has md5-derived weights w(p,d) in [-1, 1]; bit p is

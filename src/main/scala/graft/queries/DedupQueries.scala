@@ -21,11 +21,15 @@ import graft.functions.PipelineFunctions._
   */
 object DedupQueries extends QueryPack {
 
-  /** doc_id + distinct 3-word shingles (the unit of Jaccard similarity). */
+  /** doc_id + distinct 3-word shingles + their 32-bit hashes. The hash array
+    * is materialized ONCE here — the 8 MinHash permutations then reduce over
+    * precomputed integers instead of re-running md5 per permutation (8× less
+    * hashing; at 100 TB this is the map-side cost that dominates). */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
+      .withColumn("hs", shingleHashes($"sh"))
   }
 
   override def queries: Map[String, Q] = Map(
@@ -46,45 +50,50 @@ object DedupQueries extends QueryPack {
     // primitive of LSH dedup, verified value-exactly against the oracle.
     "q_minhash_signatures" -> ((s, dir) => {
       import s.implicits._
-      val hs = shingleHashes($"sh")
       shingled(s, dir)
         .select($"doc_id" +: MinhashPerms.indices.map(i =>
-          minhash(hs, i).as(s"m$i")): _*)
+          minhash($"hs", i).as(s"m$i")): _*)
         .orderBy($"doc_id")
     }),
 
-    // Full MinHash+LSH near-dup pipeline: 4 bands × 2 rows → candidate pairs
-    // → exact Jaccard ≥ 0.5 on candidates only. At 100 TB the explode/groupBy
-    // shuffles signature tuples, never full texts; the Jaccard verify join
-    // touches only the candidate ids.
+    // Full MinHash+LSH near-dup pipeline: 4 bands × 2 rows → candidate id
+    // pairs → exact Jaccard ≥ 0.5 on candidates only. Scale shape: the
+    // banded self-join and the candidate dedup shuffle BARE (band, id) /
+    // (d1, d2) tuples — shingle-hash arrays are re-joined only for the few
+    // surviving candidates, and Jaccard compares int arrays, not strings.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val hs = shingleHashes($"sh")
-      val sig = shingled(s, dir)
-        .select($"doc_id", $"sh",
-          array((0 until 4).map(b =>
-            concat_ws("_", lit(b), minhash(hs, 2 * b), minhash(hs, 2 * b + 1))): _*)
-            .as("bands"))
-      val banded = sig.select($"doc_id", $"sh", explode($"bands").as("band"))
+      // the signature relation feeds three plan branches (banding + both
+      // sides of the verify join); persist it so the md5 shingling runs
+      // once — the batch analogue of materializing a signature table
+      val sig = shingled(s, dir).select($"doc_id", $"hs",
+        array((0 until 4).map(b =>
+          concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+          .as("bands"))
+        .persist()
+      val banded = sig.select($"doc_id", explode($"bands").as("band"))
       val cand = banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-          $"a.sh".as("sh1"), $"b.sh".as("sh2"))
-        .dropDuplicates("d1", "d2")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      val hs = sig.select($"doc_id", $"hs")
       cand
-        .select($"d1", $"d2", round(jaccard($"sh1", $"sh2"), 6).as("jac"))
+        .join(hs.as("h1"), $"d1" === $"h1.doc_id")
+        .join(hs.as("h2"), $"d2" === $"h2.doc_id")
+        .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
         .filter($"jac" >= 0.5)
         .orderBy($"d1", $"d2")
     }),
 
     // Exact n-gram Jaccard ground truth (brute-force pairwise — correctness
     // anchor for the LSH path; at scale you only ever run the LSH variant).
+    // Jaccard over the 32-bit shingle hashes (identical sets both engines).
     "q_dedup_jaccard_exact" -> ((s, dir) => {
       import s.implicits._
-      val d = shingled(s, dir)
+      val d = shingled(s, dir).select($"doc_id", $"hs").persist()
       d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-          round(jaccard($"a.sh", $"b.sh"), 6).as("jac"))
+          round(jaccard($"a.hs", $"b.hs"), 6).as("jac"))
         .filter($"jac" >= 0.5)
         .orderBy($"d1", $"d2")
     }),
@@ -142,24 +151,24 @@ object DedupQueries extends QueryPack {
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" ->
       s"""$shCte,
-         sig AS (SELECT doc_id, sh,
+         sig AS (SELECT doc_id, hs,
            [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
          FROM h),
-         banded AS (SELECT doc_id, sh, unnest(bands) AS band FROM sig),
+         banded AS (SELECT doc_id, unnest(bands) AS band FROM sig),
          cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
          SELECT d1, d2, jac FROM (
            SELECT d1, d2,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(a.sh || b.sh)), 6) AS jac
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / len(list_distinct(a.hs || b.hs)), 6) AS jac
            FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
          WHERE jac >= 0.5 ORDER BY d1, d2""",
     "q_dedup_jaccard_exact" ->
       s"""$shCte
          SELECT d1, d2, jac FROM (
            SELECT a.doc_id d1, b.doc_id d2,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(a.sh || b.sh)), 6) AS jac
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / len(list_distinct(a.hs || b.hs)), 6) AS jac
            FROM h a JOIN h b ON a.doc_id < b.doc_id)
          WHERE jac >= 0.5 ORDER BY d1, d2""",
     "q_dedup_simhash" ->

@@ -10,19 +10,28 @@ import graft.functions.PipelineFunctions._
   * the `embeddings` table (64-dim float vectors).
   *
   * Scale design:
+  *   - Vectors are L2-normalized ONCE, map-side, before any pairwise stage —
+  *     every candidate pair then costs a single dot product (3× fewer flops
+  *     than cosine-per-pair, and the normalize is O(corpus), not O(pairs)).
   *   - Brute force is the correctness baseline: broadcast the (small) query
   *     set against the corpus — one map-side pass, top-k per query via a
   *     bounded window. Right answer, O(corpus × queries) work.
   *   - The scale path buckets vectors by random-hyperplane LSH signature so
   *     candidate generation is an equi-join on the signature prefix —
   *     shuffle is O(corpus), not O(corpus²). Recall is tunable by
-  *     planes/prefix bits; signatures are md5-derived and deterministic.
+  *     planes/prefix bits; signatures are md5-derived and deterministic,
+  *     computed from the driver-side literal weight matrix (LshWeights).
   */
 object SimilarityQueries extends QueryPack {
 
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  /** vec_id + L2-normalized double vector (normalization happens once here,
+    * never inside a pairwise stage). */
+  private def normVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "embeddings").select($"vec_id", vecD($"embedding").as("v"))
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", vecD($"embedding").as("v"))
+      .withColumn("nrm", l2norm($"v"))
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("v"))
   }
 
   override def queries: Map[String, Q] = Map(
@@ -30,12 +39,11 @@ object SimilarityQueries extends QueryPack {
     // the rank ordering keeps ranking deterministic cross-engine.
     "q_ann_bruteforce" -> ((s, dir) => {
       import s.implicits._
-      val all = vecs(s, dir)
+      val all = normVecs(s, dir)
       val q = all.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"v".as("qv"))
       val scored = all.join(broadcast(q), $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          round(cosine($"qv", $"v"), 6).as("sim"))
+        .select($"qid", $"vec_id", round(dot($"qv", $"v"), 6).as("sim"))
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
       scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 5)
@@ -47,35 +55,36 @@ object SimilarityQueries extends QueryPack {
     // ground truth; q_ann_lsh_bucketed is the O(n) candidate path.
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._
-      val all = vecs(s, dir)
+      val all = normVecs(s, dir)
       all.as("a").join(all.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
-          round(cosine($"a.v", $"b.v"), 6).as("sim"))
+          round(dot($"a.v", $"b.v"), 6).as("sim"))
         .filter($"sim" >= 0.4)
         .orderBy($"d1", $"d2")
     }),
 
     // Random-hyperplane LSH signatures — the bucketing primitive, verified
-    // value-exactly cross-engine (same md5-derived plane weights).
+    // value-exactly cross-engine (the oracle re-derives the same md5-based
+    // plane weights the LshWeights literal matrix was built from).
     "q_lsh_signatures" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "embeddings")
-        .select($"vec_id", lshSignature("embedding", 64).as("sig"))
+        .select($"vec_id", lshSignatureFast(vecD($"embedding")).as("sig"))
         .orderBy($"vec_id")
     }),
 
     // LSH-bucketed ANN (the scale path): candidates share the top-8-bit
-    // signature bucket; exact cosine re-rank within the bucket. Driver
-    // records a rows-only check (approximate recall by construction).
+    // signature bucket; exact dot re-rank within the bucket. Driver records
+    // a rows-only check (approximate recall by construction).
     "q_ann_lsh_bucketed" -> ((s, dir) => {
       import s.implicits._
-      val sig = Tables.load(s, dir, "embeddings")
-        .select($"vec_id", vecD($"embedding").as("v"),
-          shiftright(lshSignature("embedding", 64), 8).as("bucket"))
+      val sig = normVecs(s, dir)
+        .withColumn("bucket", shiftright(lshSignatureFast($"v"), 8))
+        .persist() // feeds both sides of the bucket self-join
       val pairs = sig.as("a").join(sig.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("qid"), $"b.vec_id".as("vec_id"),
-          round(cosine($"a.v", $"b.v"), 6).as("sim"))
+          round(dot($"a.v", $"b.v"), 6).as("sim"))
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
       pairs.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 5)
@@ -84,24 +93,25 @@ object SimilarityQueries extends QueryPack {
     })
   )
 
-  /** Dot product as the same sequential left fold Spark's `aggregate` does,
-    * so doubles match bit-for-bit before rounding. */
-  private val dotCte =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
-                  FROM embeddings)"""
+  /** Oracle CTE: the same normalize-once-then-dot pipeline with identical
+    * left-fold summation order, so doubles match bit-for-bit pre-rounding. */
+  private val normCte =
+    """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+                   FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(list_prepend(0.0,
+           list_transform(range(1, 65), i -> v[i] * v[i])), (s, t) -> s + t))) nv
+       FROM e0)"""
 
   private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0,
-        list_transform(range(1, 65), i -> $a[i] * $b[i])), (s, x) -> s + x)"""
-
-  private def cosSql(a: String, b: String): String =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    s"""round(list_reduce(list_prepend(0.0,
+        list_transform(range(1, 65), i -> $a[i] * $b[i])), (s, t) -> s + t), 6)"""
 
   override def oracleSql: Map[String, String] = Map(
     "q_ann_bruteforce" ->
-      s"""$dotCte,
-         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
-         scored AS (SELECT qid, vec_id, ${cosSql("qv", "v")} AS sim
+      s"""$normCte,
+         q AS (SELECT vec_id qid, nv qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT qid, vec_id, ${dotSql("qv", "nv")} AS sim
            FROM e CROSS JOIN q WHERE vec_id <> qid),
          ranked AS (SELECT qid, vec_id, sim,
            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
@@ -109,9 +119,9 @@ object SimilarityQueries extends QueryPack {
          SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
          ORDER BY qid, rnk""",
     "q_embed_neardup" ->
-      s"""$dotCte
+      s"""$normCte
          SELECT d1, d2, sim FROM (
-           SELECT a.vec_id d1, b.vec_id d2, ${cosSql("a.v", "b.v")} AS sim
+           SELECT a.vec_id d1, b.vec_id d2, ${dotSql("a.nv", "b.nv")} AS sim
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          WHERE sim >= 0.4 ORDER BY d1, d2""",
     "q_lsh_signatures" ->

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.PipelineFunctions._
+
+/** Native expressions must agree bit-for-bit with the interpreted forms. */
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("graft_dot (codegen) equals HOF fold bit-for-bit") {
+    import spark.implicits._
+    val df = spark.createDataFrame(Seq(
+      (1L, Array(0.1, 0.2, 0.3), Array(1.0, -2.0, 3.0)),
+      (2L, Array(1e-300, 1e300, -1.0), Array(1e300, 1e-300, 1.0)),
+      (3L, Array.empty[Double], Array.empty[Double])
+    )).toDF("id", "a", "b")
+    assert(spark.catalog.functionExists("graft_dot"), "extension not registered")
+    val rows = df.select($"id", call_function("graft_dot", $"a", $"b").as("n"),
+      dotHof($"a", $"b").as("h")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("LshWeights literal matrix matches the md5 expression formula") {
+    import spark.implicits._
+    // one row whose vector isolates dimension d for plane p
+    val v = Array.fill(64)(0.0f)
+    v(5) = 1.0f
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val exprSig = df.select(lshSignature("embedding", 64).as("s")).head().getLong(0)
+    val fastSig = df.select(lshSignatureFast(vecD($"embedding")).as("s")).head().getLong(0)
+    assert(exprSig == fastSig)
+  }
+
+  test("dot() picks the native function when registered") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(dot($"a", $"b")).head().getDouble(0) == 11.0)
+  }
+}
