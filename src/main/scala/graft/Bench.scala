@@ -29,7 +29,8 @@ object Bench {
     "q_text_fingerprint",      // rolling-hash fingerprint
     "q_dedup_exact",           // hash groupBy dedup
     "q_minhash_signatures",    // MinHash map-side primitive
-    "q_dedup_minhash_lsh",     // full LSH near-dup pipeline
+    "q_dedup_minhash_lsh",     // full LSH near-dup pipeline (md5, verifiable)
+    "q_dedup_minhash_lsh_fast",// same pipeline on xxhash64 (production path)
     "q_dedup_simhash",         // SimHash signatures
     "q_lsh_signatures",        // hyperplane LSH signatures
     "q_ann_bruteforce",        // cosine top-k baseline

@@ -98,6 +98,33 @@ object DedupQueries extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // The same MinHash+LSH pipeline on the xxhash64 fast path — what you
+    // actually run at 100 TB (rows-only check; md5 variant above is the
+    // oracle-verified twin of this exact plan shape).
+    "q_dedup_minhash_lsh_fast" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Tables.load(s, dir, "documents")
+        .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
+        .withColumn("hs", shingleHashesFast($"sh"))
+        .select($"doc_id", $"hs",
+          array((0 until 4).map(b =>
+            concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+            .as("bands"))
+        .persist()
+      val banded = sig.select($"doc_id", explode($"bands").as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      val hs = sig.select($"doc_id", $"hs")
+      cand
+        .join(hs.as("h1"), $"d1" === $"h1.doc_id")
+        .join(hs.as("h2"), $"d2" === $"h2.doc_id")
+        .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
     // SimHash signatures + Hamming-distance near-dup pairs (distance ≤ 3 of
     // 16 bits). One integer per doc; the pair join is on the tiny signature
     // relation.

@@ -58,7 +58,26 @@ object SqlQueries extends QueryPack {
     // the output row (Codegen/V1.hs:422-425).
     "q_sql_window_tumble" -> ((s, dir) => run(s, dir,
       """SELECT COUNT(*) AS cnt, SUM(value) AS sv
-         FROM TUMBLE(events, INTERVAL 1 DAY);"""))
+         FROM TUMBLE(events, INTERVAL 1 DAY);""")),
+
+    // Date/time functions: DATETOSTRING/STRINGTODATE (BinOp.hs op_dateToString
+    // /op_stringToDate), :: casts, date literals and comparison.
+    "q_sql_datetime" -> ((s, dir) => run(s, dir,
+      """SELECT event_id,
+                DATETOSTRING(ts :: DATE, 'yyyy-MM-dd') AS d,
+                STRINGTODATE(DATETOSTRING(ts :: DATE, 'yyyy-MM-dd'), 'yyyy-MM-dd') AS rt,
+                ts :: DATE >= DATE '2024-01-05' AS after5
+         FROM events;""")),
+
+    // Dynamic type predicates (UnaryOp.hs IS_INT/IS_NUM/...) over JSON text
+    // values — the variant-column form of the reference's per-row checks.
+    "q_sql_type_predicates" -> ((s, dir) => run(s, dir,
+      """SELECT event_id,
+                IS_NUM(props ->> 'k') AS isnum,
+                IS_INT(props ->> 'k') AS isint,
+                IS_STR(event_type) AS isstr,
+                TO_STR(user_id) AS us
+         FROM events;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -92,6 +111,20 @@ object SqlQueries extends QueryPack {
          SELECT count(*) AS cnt, sum(value) AS sv,
            date_trunc('day', ts) AS window_start,
            date_trunc('day', ts) + INTERVAL '1 day' AS window_end
-         FROM ev GROUP BY date_trunc('day', ts)"""
+         FROM ev GROUP BY date_trunc('day', ts)""",
+    "q_sql_datetime" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT event_id,
+           strftime(ts::DATE, '%Y-%m-%d') AS d,
+           strptime(strftime(ts::DATE, '%Y-%m-%d'), '%Y-%m-%d')::DATE AS rt,
+           ts::DATE >= DATE '2024-01-05' AS after5
+         FROM ev""",
+    "q_sql_type_predicates" ->
+      """SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL AS isnum,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS isint,
+           event_type IS NOT NULL AS isstr,
+           user_id::VARCHAR AS us
+         FROM events"""
   )
 }
