@@ -63,9 +63,14 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // streaming replay (the reference's own bench shape: push records
+    // through a live topology — hstream-diffflow/bench/throughout-*.hs):
+    // events replayed through a windowed agg and a filter+project push query
+    val streamResults = StreamBench.run(spark, sfDir)
+    val all = results ++ streamResults
+    val qjson = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }

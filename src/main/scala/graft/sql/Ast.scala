@@ -56,6 +56,9 @@ object Ast {
 
   sealed trait TableRef
   case class TRStream(name: String) extends TableRef
+  /** FROM-clause subquery — parsed-but-rejected in the reference
+    * (AST.hs:593 "Subquery is not supported yet"); we support it. */
+  case class TRSubquery(sel: Select) extends TableRef
   case class TRAlias(inner: TableRef, alias: String) extends TableRef
   sealed trait WindowSpec
   case class Tumble(size: IntervalLit) extends WindowSpec

@@ -261,6 +261,11 @@ object Parser {
 
     private def tableRefUnit(): TableRef = {
       val base = kwPeek match {
+        case "(" =>
+          // FROM-clause subquery (TableRefSubquery, SQL-v1.cf:135 — parsed
+          // but rejected by the reference's refiner AST.hs:593; we support it)
+          next(); val sub = select(); expect(")")
+          TRSubquery(sub)
         case "TUMBLE" =>
           next(); expect("(")
           val in = tableRefUnit(); expect(",")

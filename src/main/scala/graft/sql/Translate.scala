@@ -271,6 +271,7 @@ object Translate {
 
   private def planFrom(ref: TableRef, lookup: Lookup): Source = ref match {
     case TRStream(n) => Source(lookup(n).alias(n), None)
+    case TRSubquery(sel) => Source(plan(sel, lookup), None)
     case TRAlias(inner, a) =>
       val s = planFrom(inner, lookup); Source(s.df.alias(a), s.window)
     case TRWindowed(inner, w) =>
@@ -329,6 +330,8 @@ object Translate {
     case TRAlias(_, a) => a
     case TRWindowed(i, _) => refAlias(i)
     case j: TRJoin => refAlias(j.l)
+    case _: TRSubquery =>
+      throw new IllegalArgumentException("subquery in a join needs an AS alias")
   }
 
   // ---- SELECT planning (the decouple pipeline) -----------------------------

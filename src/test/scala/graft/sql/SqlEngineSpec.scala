@@ -111,6 +111,34 @@ class SqlEngineSpec extends SparkSpec {
       (2L, "BYE", 3, 4.0, "bye", "was-bye")))
   }
 
+  test("two-hop pipeline: stream → CSAS → view (RegressionSpec two-hop cases)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM hop0 (k STRING, v INTEGER, _ts TIMESTAMP);")
+    // hop 1: continuous filter into a derived stream (memory table "hop1")
+    e.sql("CREATE STREAM hop1 AS SELECT k, v, _ts FROM hop0 WHERE v > 1;")
+    e.sql("INSERT INTO hop0 (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO hop0 (k, v, _ts) VALUES ('a', 5, '2024-01-01 00:00:01');")
+    e.sql("INSERT INTO hop0 (k, v, _ts) VALUES ('b', 9, '2024-01-01 00:00:02');")
+    e.engine.processAll()
+    // hop 2: aggregate the derived stream's output (batch over the sink
+    // table — the view-over-derived-stream shape)
+    val rows = e.sql("SELECT k, SUM(v) AS s FROM hop1 GROUP BY k;").asInstanceOf[e.Rows]
+    assert(rows.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 5L), ("b", 9L)))
+    e.sql("TERMINATE QUERY hop1;")
+  }
+
+  test("FROM-clause subquery (accepted; reference rejects — AST.hs:593)") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq(("a", 1L), ("a", 5L), ("b", 2L)))
+      .toDF("k", "v").createOrReplaceTempView("t8")
+    val rows = e.sql(
+      "SELECT k, SUM(bigv) AS s FROM (SELECT k, v * 10 AS bigv FROM t8 WHERE v > 1) GROUP BY k;")
+      .asInstanceOf[e.Rows]
+    assert(rows.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 50L), ("b", 20L)))
+  }
+
   test("null-safe equality: NULL = NULL is TRUE (BinOp.hs:116-118)") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq((1L, Some("x")), (2L, None: Option[String])))
