@@ -35,6 +35,7 @@ object Bench {
     "q_lsh_signatures",        // hyperplane LSH signatures
     "q_ann_bruteforce",        // cosine top-k baseline
     "q_ann_lsh_bucketed",      // bucketed ANN scale path
+    "q_ann_ivf",               // IVF inverted-list ANN scale path
     "q_embed_neardup",         // pairwise cosine near-dup (2k vectors)
     "q_multimodal_features",   // mapPartitions feature extraction
     "q_sql_agg_having",        // dialect frontend end-to-end

@@ -149,6 +149,31 @@ object CoreQueries extends QueryPack {
         .orderBy($"a_id")
     }),
 
+    // Skew-resistant form of q_interval_join: the hot key's pairs are spread
+    // over SALT partitions by salting side A and replicating side B once per
+    // salt. Same oracle as q_interval_join — identical results, different
+    // physical distribution. At 100 TB this is the shape that survives a
+    // power-law user distribution (one user = one partition otherwise).
+    "q_interval_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      val SALT = 8
+      val e = Tables.load(s, dir, "events")
+      val a = e.select($"user_id".as("a_user"), $"ts".as("a_ts"),
+          $"event_id".as("a_id"))
+        .withColumn("a_salt", pmod($"a_id", lit(SALT)).cast("int"))
+      val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"),
+          $"event_id".as("b_id"))
+        .withColumn("b_salt", explode(sequence(lit(0), lit(SALT - 1)).cast("array<int>")))
+      a.join(b, $"a_user" === $"b_user" && $"a_salt" === $"b_salt"
+          && $"a_id" =!= $"b_id"
+          && $"b_ts" >= $"a_ts" - expr("INTERVAL 2 MINUTES")
+          && $"b_ts" <= $"a_ts" + expr("INTERVAL 2 MINUTES"))
+        .groupBy($"a_user")
+        .agg(count(lit(1)).as("pairs"))
+        .select($"a_user".as("user_id"), $"pairs")
+        .orderBy($"user_id")
+    }),
+
     // §2.7 Distinct (plan node Planner.hs:48; unsupported in ref V1, we
     // support it) + Union (Planner.hs:54).
     "q_distinct_union" -> ((s, dir) => {
@@ -235,6 +260,15 @@ object CoreQueries extends QueryPack {
            SELECT user_id FROM events WHERE event_type='click'
            UNION ALL
            SELECT user_id FROM events WHERE event_type='view')
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    // identical result contract as the unsalted join — that's the point
+    "q_interval_join_salted" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.user_id AS user_id, count(*) AS pairs
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND a.event_id <> b.event_id
+           AND b.ts >= a.ts - INTERVAL '2 minutes'
+           AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1 ORDER BY 1"""
   )
 }

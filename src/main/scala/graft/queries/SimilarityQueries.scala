@@ -73,6 +73,41 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // IVF ANN (the other scale path): a coarse quantizer (16 deterministic
+    // centroids = the first 16 vectors, normalized) partitions the corpus
+    // into inverted lists; queries probe their 2 nearest lists and exact-
+    // rank inside them. At 100 TB: corpus is bucketed/partitioned by
+    // centroid id once at ingest; a query touches probes/nlist of the data.
+    // Rows-only check (approximate recall by construction).
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir)
+      val centroids = broadcast(all.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv")))
+      // assignment: nearest centroid by dot product (rank 1)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      val assigned = all.join(centroids)
+        .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
+        .withColumn("r", row_number().over(wAssign))
+        .filter($"r" === 1).select($"vec_id", $"v", $"cid")
+        .persist()
+      // queries probe their 2 nearest inverted lists
+      val probes = all.filter($"vec_id" < 10).join(centroids)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"cid",
+          round(dot($"v", $"cv"), 6).as("cdot"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cdot".desc, $"cid")))
+        .filter($"r" <= 2).select($"qid", $"qv", $"cid")
+      val scored = probes.join(assigned, "cid")
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", round(dot($"qv", $"v"), 6).as("sim"))
+      val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(wTop))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // LSH-bucketed ANN (the scale path): candidates share the top-8-bit
     // signature bucket; exact dot re-rank within the bucket. Driver records
     // a rows-only check (approximate recall by construction).

@@ -134,6 +134,25 @@ class EngineSpec extends SparkSpec {
     e.terminate("v5")
   }
 
+  test("stream-table lookup join (joinTable, Stream.hs:314-356)") {
+    val e = newEngine
+    e.createStream("s8", schema)
+    // static dim table: the "table" side of the reference's stream⋈table —
+    // each stream row joins the current value for its key
+    val dim = spark.createDataFrame(Seq(("a", "alpha"), ("b", "beta")))
+      .toDF("k", "label")
+    val plan = e.df("s8").join(dim, Seq("k"), "left")
+      .select(col("k"), col("v"), col("label"))
+    e.createStreamAs("out8", plan)
+    e.insert("s8", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("c", 2, "2024-01-01 00:00:01"))
+    e.processAll()
+    val got = spark.table("out8").collect()
+      .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+    assert(got == Set(("a", Some("alpha")), ("c", None)))
+    e.terminate("out8")
+  }
+
   test("streaming dedup within watermark") {
     val e = newEngine
     e.createStream("s6", schema)
