@@ -35,10 +35,14 @@ class SqlEngine(spark: SparkSession) {
   /** Execute one statement. */
   def sql(text: String): Result = Parser.parse(text) match {
     case SelectStmt(sel) if sel.emitChanges =>
-      // push query → update-mode sink named q<n> (Codegen/V1.hs:465-474's
-      // random sink stream, minus the randomness)
+      // push query → sink named q<n> (Codegen/V1.hs:465-474's random sink
+      // stream, minus the randomness). Update mode = the reference's
+      // re-emit-per-row; session windows and stream-stream joins emit in
+      // append mode (Spark's completion-driven semantics for both).
       val name = s"q${queryCounter.incrementAndGet()}"
-      Started(engine.emitChanges(name, planOf(sel)))
+      val plan = planOf(sel)
+      if (needsAppendMode(sel.from)) Started(engine.createStreamAs(name, plan))
+      else Started(engine.emitChanges(name, plan))
     case SelectStmt(sel) =>
       Rows(planOf(sel)) // batch / pull query
     case CreateStream(name, schema, _) =>
@@ -75,6 +79,15 @@ class SqlEngine(spark: SparkSession) {
   }
 
   private val queryCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private def needsAppendMode(ref: TableRef): Boolean = ref match {
+    case TRWindowed(i, _: Session) => true
+    case TRWindowed(i, _) => needsAppendMode(i)
+    case TRAlias(i, _) => needsAppendMode(i)
+    case _: TRJoin => true
+    case TRSubquery(s) => needsAppendMode(s.from)
+    case _ => false
+  }
 
   /** Run a batch/pull SELECT and return its DataFrame (throws on non-SELECT). */
   def batch(text: String): DataFrame = sql(text) match {

@@ -111,6 +111,23 @@ class SqlEngineSpec extends SparkSpec {
       (2L, "BYE", 3, 4.0, "bye", "was-bye")))
   }
 
+  test("SESSION window via dialect EMIT CHANGES (append-mode, gap merge)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM ss (k STRING, v INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      "SELECT k, COUNT(*) AS c FROM SESSION(ss, INTERVAL 30 SECOND) GROUP BY k EMIT CHANGES;")
+      .asInstanceOf[e.Started]
+    e.sql("INSERT INTO ss (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO ss (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:10');")
+    e.engine.processAll()
+    // flush record a day later closes the session past the 24h default grace
+    e.sql("INSERT INTO ss (k, v, _ts) VALUES ('zz', 0, '2024-01-03 00:00:00');")
+    e.engine.processAll()
+    val rows = spark.table(q.query.name).collect().filter(_.getString(0) == "a")
+    assert(rows.map(r => r.getLong(1)).toSeq == Seq(2L))
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
+
   test("two-hop pipeline: stream → CSAS → view (RegressionSpec two-hop cases)") {
     val e = new SqlEngine(spark)
     e.sql("CREATE STREAM hop0 (k STRING, v INTEGER, _ts TIMESTAMP);")
