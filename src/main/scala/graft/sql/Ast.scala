@@ -93,6 +93,8 @@ object Ast {
   case class CreateView(name: String, sel: Select) extends Stmt
   case class InsertValues(stream: String, cols: Seq[String], vals: Seq[Expr]) extends Stmt
   case class InsertJson(stream: String, json: String) extends Stmt
+  /** INSERT … VALUES '…' :: BYTEA — opaque binary payload. */
+  case class InsertRaw(stream: String, raw: String) extends Stmt
   case class InsertSel(stream: String, sel: Select) extends Stmt
   case class Show(what: String) extends Stmt
   case class DropStmt(what: String, name: String, ifExists: Boolean) extends Stmt

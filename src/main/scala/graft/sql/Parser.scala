@@ -122,7 +122,7 @@ object Parser {
         case "EXPLAIN" => next(); Explain(statementNoSemi())
         case k => throw new IllegalArgumentException(s"unexpected statement start: $k")
       }
-      accept(";")
+      expect(";") // statements are ';'-terminated (SQL-v1.cf:30-40)
       require(peek == TEnd, s"trailing input at '${peek.text}'")
       s
     }
@@ -176,9 +176,15 @@ object Parser {
         expect(")")
         InsertValues(n, cols.result(), vals.result())
       } else if (accept("VALUES")) {
-        next() match {
-          case TStr(s) => InsertJson(n, s)
-          case t => throw new IllegalArgumentException(s"INSERT VALUES expects a raw/json string, got '${t.text}'")
+        // raw/json payload: a string literal, optionally cast to JSONB
+        // (json) or BYTEA (raw) — both `CAST(… AS t)` and `… :: t` forms
+        // (InsertRawOrJson, SQL-v1.cf:77)
+        expr() match {
+          case StrLit(s) => InsertJson(n, s)
+          case Cast(StrLit(s), TJson) => InsertJson(n, s)
+          case Cast(StrLit(s), TBytea) => InsertRaw(n, s)
+          case other => throw new IllegalArgumentException(
+            s"INSERT VALUES expects a raw/json string, got $other")
         }
       } else InsertSel(n, select())
     }

@@ -59,6 +59,11 @@ class SqlEngine(spark: SparkSession) {
     case InsertJson(stream, json) =>
       engine.insert(stream, json)
       Done(s"inserted into $stream")
+    case InsertRaw(stream, raw) =>
+      // raw payloads ride in a single-column JSON envelope (the reference
+      // tags the record RawFormat; our schema-ful streams need a column)
+      engine.insert(stream, s"""{"raw":${jsonValue(StrLit(raw))}}""")
+      Done(s"inserted into $stream")
     case InsertSel(stream, sel) =>
       Started(engine.createStreamAs(stream, planOf(sel)))
     case Show("STREAMS") => Done(engine.showStreams.mkString(","))

@@ -109,6 +109,54 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("reference syntax corpus (hstream-sql/etc/syntax-test-cases.yaml)") {
+    // statements the reference's generated corpus requires to PARSE
+    val mustParse = Seq(
+      "select * from s;",
+      "select*from s;",
+      "select c->>'season_id' from production_changes EMIT CHANGES;",
+      "select c ->> 'season_id' from production_changes EMIT CHANGES;",
+      "select c->'season_id' from production_changes EMIT CHANGES;",
+      "select a-b from s emit changes;",
+      "select a -b from s emit changes;",
+      "select SPLIT('a.b.c', x) from s emit changes;",
+      "select x between 0 and 42 from s emit changes;",
+      "select x not between 0 and 42 from s emit changes;",
+      "select x between symmetric 0 and 42 from s emit changes;",
+      "select not x between 0 and 42 from s emit changes;",
+      "select DATE '2021-08-07' from s;",
+      "select TIME '10:41:03' from s;",
+      "select TIME '01:02:03.456' from s;",
+      "select TIMESTAMP '2023-06-30T12:30:45+02:00' from s;",
+      "select INTERVAL 5 SECOND from s;",
+      "select {'aa', 'bb', 'cc'} from s;",
+      "select {} from s;",
+      "select { } from s;",
+      "select {{'aa', 'bb', 'cc'}, {'aa', 'bb'}} from s;",
+      "select ({'aa', 'bb', 'cc'})[0] from s;",
+      "select ({'aa', 'bb', 'cc'})[0 : 2] from s;",
+      """insert into s values cast ('{"x": 42}' as jsonb);""",
+      """insert into s values '{"x": 42}' :: jsonb;""",
+      "insert into s values cast ('binary_value' as bytea);",
+      "insert into s values 'binary_value' :: bytea;")
+    mustParse.foreach { stmt =>
+      try Parser.parse(stmt)
+      catch { case e: Throwable => fail(s"failed to parse: $stmt — ${e.getMessage}") }
+    }
+    // `a-b` must lex as subtraction, not an identifier with a dash
+    assert(Parser.parse("select a-b from s emit changes;").asInstanceOf[SelectStmt]
+      .sel.items.head == ItemExpr(Bin("-", ColRef(None, "a"), ColRef(None, "b")), None))
+    // raw/json insert payload forms
+    assert(Parser.parse("""insert into s values '{"x": 1}' :: jsonb;""") ==
+      InsertJson("s", """{"x": 1}"""))
+    assert(Parser.parse("insert into s values 'bv' :: bytea;") == InsertRaw("s", "bv"))
+    // statements the corpus requires to FAIL
+    Seq("select * from s", "anyhow", "select a- b from (select) x;")
+      .foreach { stmt =>
+        assertThrows[Exception](Parser.parse(stmt))
+      }
+  }
+
   test("literals: date/time/timestamp/interval, negatives, quoted idents") {
     assert(Parser.parseExpr("DATE '2024-01-01'") == DateLit("2024-01-01"))
     assert(Parser.parseExpr("TIMESTAMP '2024-01-01 00:00:00'") ==
