@@ -146,10 +146,19 @@ object PipelineFunctions {
     }
   }
 
-  /** LSH signature from the precomputed weight matrix over a double array.
-    * Identical output to [[lshSignature]] (same values, same left-to-right
-    * summation order), ~100× cheaper per row. */
+  /** LSH signature from the precomputed weight matrix over a double array:
+    * the native codegen'd expression when registered (a 1024-literal
+    * expression chain overflows codegen method limits and interprets),
+    * else the literal chain. Identical output either way (same values,
+    * same left-to-right summation order). */
   def lshSignatureFast(v: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_lsh16")))
+      call_function("graft_lsh16", v)
+    else lshSignatureChain(v)
+
+  /** Literal-chain form (extension-free fallback). */
+  def lshSignatureChain(v: Column): Column =
     (0 until 16).map { p =>
       val proj = (0 until 64).map(d => lit(LshWeights(p)(d)) * v.getItem(d))
         .reduce(_ + _)

@@ -62,6 +62,59 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 16-bit random-hyperplane LSH signature as one native loop. The literal
+  * expression-chain form (16 planes × 64 weight literals = 1024 nodes) blows
+  * past codegen method limits and falls back to interpreted eval at ~1 ms a
+  * row; this is the same arithmetic — identical ascending-d summation, so
+  * bit-identical signatures — in a single generated loop over the weight
+  * matrix held as a reference object. */
+case class LshSignature16(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_lsh16"
+
+  // flattened [p*64 + d] view of PipelineFunctions.LshWeights
+  @transient private lazy val w: Array[Double] =
+    PipelineFunctions.LshWeights.flatten
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = math.min(arr.numElements(), 64)
+    var sig = 0L
+    var p = 0
+    while (p < 16) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += w(p * 64 + d) * arr.getDouble(d); d += 1 }
+      if (s >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lshWeights", w, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int ${ev.value}_dim = java.lang.Math.min($v.numElements(), 64);
+         |long ${ev.value}_sig = 0L;
+         |for (int p = 0; p < 16; p++) {
+         |  double s = 0.0;
+         |  for (int d = 0; d < ${ev.value}_dim; d++) {
+         |    s += $wRef[p * 64 + d] * $v.getDouble(d);
+         |  }
+         |  if (s >= 0) ${ev.value}_sig |= 1L << p;
+         |}
+         |${ev.value} = ${ev.value}_sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native functions — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -70,5 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh16"),
+      new ExpressionInfo(classOf[LshSignature16].getName, "graft_lsh16"),
+      (args: Seq[Expression]) => LshSignature16(args.head)))
   }
 }

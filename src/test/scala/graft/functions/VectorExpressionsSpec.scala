@@ -34,6 +34,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(exprSig == fastSig)
   }
 
+  test("graft_lsh16 (codegen) equals md5-expression and literal-chain forms") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(5)(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = df.select($"vec_id",
+      lshSignature("embedding", 64).as("viaMd5Expr"),
+      lshSignatureChain(vecD($"embedding")).as("viaChain"),
+      call_function("graft_lsh16", vecD($"embedding")).as("viaNative")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(2) == r.getLong(3),
+        s"vec ${r.getLong(0)}: ${r.getLong(1)} / ${r.getLong(2)} / ${r.getLong(3)}")
+    }
+  }
+
   test("dot() picks the native function when registered") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
