@@ -41,9 +41,11 @@ object SqlQueries extends QueryPack {
                 n_chars BETWEEN 100 AND 2000 AS inrange
          FROM documents;""")),
 
-    // JSON access ops on the props JSON column (JsonOp.hs:33-84).
+    // JSON access ops on the props JSON column (JsonOp.hs:33-84): field
+    // access and #> path-array access.
     "q_sql_json" -> ((s, dir) => run(s, dir,
-      "SELECT event_id, props -> 'k' AS v FROM events;")),
+      """SELECT event_id, props -> 'k' AS v,
+                props #>> {'k'} AS vp FROM events;""")),
 
     // Interval join in dialect text: WITHIN becomes the ±2min range
     // predicate; equi-key on user_id hash-partitions at scale.
@@ -97,7 +99,8 @@ object SqlQueries extends QueryPack {
          n_chars BETWEEN 100 AND 2000 AS inrange
          FROM documents""",
     "q_sql_json" ->
-      "SELECT event_id, json_extract_string(props, '$.k') AS v FROM events",
+      """SELECT event_id, json_extract_string(props, '$.k') AS v,
+         json_extract_string(props, '$.k') AS vp FROM events""",
     "q_sql_interval_join" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.user_id AS user_id, count(*) AS pairs

@@ -79,6 +79,8 @@ class SqlEngine(spark: SparkSession) {
     case PauseStmt(n) => engine.pause(n); Done(s"paused $n")
     case ResumeStmt(n) => engine.resume(n); Done(s"resumed $n")
     case Explain(SelectStmt(sel)) => Done(engine.explain(planOf(sel)))
+    case Explain(CreateStreamAs(_, sel, _)) => Done(engine.explain(planOf(sel)))
+    case Explain(CreateView(_, sel)) => Done(engine.explain(planOf(sel)))
     case Explain(other) => Done(other.toString)
     case other => throw new IllegalArgumentException(s"unsupported: $other")
   }
