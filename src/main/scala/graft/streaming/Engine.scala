@@ -56,22 +56,40 @@ class Engine(val spark: SparkSession) {
     streams(name) = StreamEntry(schema, MemoryStream[String](spark))
   }
 
-  def dropStream(name: String): Unit = streams.remove(name)
-  def showStreams: Seq[String] = streams.keys.toSeq.sorted
+  def dropStream(name: String): Unit = {
+    streams.remove(name); fileStreams.remove(name)
+  }
+  def showStreams: Seq[String] = (streams.keys ++ fileStreams.keys).toSeq.sorted
 
   /** INSERT INTO name: append JSON payloads (AST.hs:777-804 json form). */
   def insert(name: String, jsonRecords: String*): Unit =
     streams(name).source.addData(jsonRecords)
 
+  /** Register a file-backed stream (the production transport: new files in
+    * `dir` are micro-batches; swap for Kafka by changing only this method's
+    * body — everything downstream of [[df]] is source-agnostic). */
+  def createFileStream(name: String, dir: String, schema: StructType,
+                       format: String = "json"): Unit = {
+    require(!streams.contains(name), s"stream $name exists")
+    fileStreams(name) = () => {
+      val parsed = spark.readStream.schema(schema).format(format).load(dir)
+      if (schema.fieldNames.contains("_ts")) parsed
+      else parsed.withColumn("_ts", current_timestamp())
+    }
+  }
+  private val fileStreams = TrieMap.empty[String, () => DataFrame]
+
   /** The stream as an unbounded DataFrame: parsed payload columns + `_ts`.
     * If the schema declares no `_ts`, it is producer-assigned at append. */
-  def df(name: String): DataFrame = {
-    val e = streams(name)
-    val parsed = e.source.toDF()
-      .select(from_json($"value", e.schema).as("r"))
-      .select($"r.*")
-    if (e.schema.fieldNames.contains("_ts")) parsed
-    else parsed.withColumn("_ts", current_timestamp())
+  def df(name: String): DataFrame = fileStreams.get(name) match {
+    case Some(mk) => mk()
+    case None =>
+      val e = streams(name)
+      val parsed = e.source.toDF()
+        .select(from_json($"value", e.schema).as("r"))
+        .select($"r.*")
+      if (e.schema.fieldNames.contains("_ts")) parsed
+      else parsed.withColumn("_ts", current_timestamp())
   }
 
   // ---- continuous queries (SURVEY §3.1, §3.3) ------------------------------

@@ -166,6 +166,60 @@ class EngineSpec extends SparkSpec {
     e.terminate("out6")
   }
 
+  test("streaming TOPK aggregate in update mode (AggOp.hs TOPK, streaming-native)") {
+    val e = newEngine
+    e.createStream("s9", schema)
+    val plan = e.df("s9").groupBy(col("k"))
+      .agg(graft.operators.TopK.topk(col("v").cast("double"), 2).as("top2"))
+      .select(col("k"), concat_ws(",", col("top2")).as("tops"))
+    e.emitChanges("out9", plan)
+    e.insert("s9", rec("a", 5, "2024-01-01 00:00:00"),
+      rec("a", 9, "2024-01-01 00:00:01"), rec("a", 7, "2024-01-01 00:00:02"))
+    e.processAll()
+    val last = spark.table("out9").collect().map(r => r.getString(1)).last
+    assert(last == "9.0,7.0")
+    e.terminate("out9")
+  }
+
+  test("late data beyond watermark is dropped (TimeWindowedStream.hs:99-113)") {
+    val e = newEngine
+    e.createStream("s10", schema)
+    val plan = StreamOps.tumble(e.df("s10"), "_ts", "1 minute", grace = "1 second")
+      .agg(sum(col("v")).as("s"))
+      .select(col("window.start").as("ws"), col("s"))
+    e.emitChanges("out10", plan)
+    e.insert("s10", rec("a", 1, "2024-01-01 00:00:10"))
+    e.processAll()
+    // advance stream-time far past the first window + grace
+    e.insert("s10", rec("a", 100, "2024-01-01 01:00:00"))
+    e.processAll()
+    // now a record for the long-expired first window: must be dropped
+    e.insert("s10", rec("a", 50, "2024-01-01 00:00:20"))
+    e.processAll()
+    val firstWindow = spark.table("out10").collect()
+      .filter(_.getTimestamp(0).toString == "2024-01-01 00:00:00.0")
+      .map(_.getLong(1))
+    assert(firstWindow.last == 1L, s"late record leaked in: ${firstWindow.toSeq}")
+    e.terminate("out10")
+  }
+
+  test("file-backed stream (production transport shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val e = newEngine
+    e.createFileStream("fs1", dir, schema)
+    val plan = e.df("fs1").filter(col("v") > 1).select(col("k"), col("v"))
+    e.emitChanges("outfs", plan)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+      """{"k":"a","v":1,"_ts":"2024-01-01 00:00:00"}
+        |{"k":"b","v":5,"_ts":"2024-01-01 00:00:01"}""".stripMargin)
+    e.processAll()
+    val got = spark.table("outfs").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 5L)))
+    assert(e.showStreams.contains("fs1"))
+    e.terminate("outfs")
+    e.dropStream("fs1")
+  }
+
   test("query lifecycle: terminate, pause/resume, show (AST.hs:806-906)") {
     val e = newEngine
     e.createStream("s7", schema)
