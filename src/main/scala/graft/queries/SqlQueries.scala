@@ -71,6 +71,24 @@ object SqlQueries extends QueryPack {
                 ts :: DATE >= DATE '2024-01-05' AS after5
          FROM events;""")),
 
+    // USING-join with WITHIN through the dialect + FROM subqueries; one
+    // surviving key column, range predicate from the interval.
+    "q_sql_join_using" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, COUNT(*) AS pairs
+         FROM (SELECT user_id, ts, event_id FROM events) AS a
+         JOIN (SELECT user_id, ts, event_id FROM events) AS b
+           USING (user_id) WITHIN (INTERVAL 2 MINUTE)
+         WHERE a.event_id <> b.event_id
+         GROUP BY user_id;""")),
+
+    // NATURAL join: all shared non-time columns (user_id, value) equal.
+    "q_sql_join_natural" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, COUNT(*) AS n
+         FROM (SELECT user_id, ts, value FROM events) AS a
+         NATURAL JOIN (SELECT user_id, ts, value FROM events) AS b
+           WITHIN (INTERVAL 2 MINUTE)
+         GROUP BY user_id;""")),
+
     // Dynamic type predicates (UnaryOp.hs IS_INT/IS_NUM/...) over JSON text
     // values — the variant-column form of the reference's per-row checks.
     "q_sql_type_predicates" -> ((s, dir) => run(s, dir,
@@ -122,6 +140,21 @@ object SqlQueries extends QueryPack {
            strptime(strftime(ts::DATE, '%Y-%m-%d'), '%Y-%m-%d')::DATE AS rt,
            ts::DATE >= DATE '2024-01-05' AS after5
          FROM ev""",
+    "q_sql_join_using" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.user_id AS user_id, count(*) AS pairs
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND a.event_id <> b.event_id
+           AND b.ts >= a.ts - INTERVAL '2 minutes'
+           AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1""",
+    "q_sql_join_natural" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.user_id AS user_id, count(*) AS n
+         FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.value = b.value
+           AND b.ts >= a.ts - INTERVAL '2 minutes'
+           AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1""",
     "q_sql_type_predicates" ->
       """SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL AS isnum,

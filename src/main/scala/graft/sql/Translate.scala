@@ -298,31 +298,34 @@ object Translate {
     j.cond match {
       case CrossC => ldf.join(rdf, range, "inner")
       case On(e) => ldf.join(rdf, range && column(e, resolve), j.joinType)
-      case Using(cols0) =>
-        val eq = cols0.map(c =>
-          col(s"${refAlias(j.l)}.$c") === col(s"${refAlias(j.r)}.$c")).reduce(_ && _)
-        dropRightKeys(ldf.join(rdf, range && eq, j.joinType), j, cols0)
+      case Using(cols0) => usingJoin(ldf, rdf, j, range, cols0)
       case Natural =>
         val shared = ldf.columns.toSet.intersect(rdf.columns.toSet) -
           tsCol(ldf) - tsCol(rdf)
         require(shared.nonEmpty, "NATURAL JOIN with no shared columns")
-        val cols0 = shared.toSeq.sorted
-        val eq = cols0.map(c =>
-          col(s"${refAlias(j.l)}.$c") === col(s"${refAlias(j.r)}.$c")).reduce(_ && _)
-        dropRightKeys(ldf.join(rdf, range && eq, j.joinType), j, cols0)
+        usingJoin(ldf, rdf, j, range, shared.toSeq.sorted)
     }
   }
 
-  /** After a USING/NATURAL join keep one copy of each key (left side; for
-    * RIGHT/FULL the surviving value is coalesced left-then-right). */
-  private def dropRightKeys(joined: DataFrame, j: TRJoin, keys: Seq[String]): DataFrame = {
+  /** USING/NATURAL join keeping ONE copy of each key column: the right
+    * side's keys are renamed pre-join (avoiding ambiguity even on
+    * self-joins), then dropped — for RIGHT/FULL the surviving key is
+    * coalesced left-then-right. Non-key same-named columns stay duplicated
+    * behind their stream qualifiers, mirroring the reference's
+    * "stream.field" output keys on collision (Rts/Old.hs:200-209). */
+  private def usingJoin(ldf: DataFrame, rdf: DataFrame, j: TRJoin,
+                        range: Column, keys: Seq[String]): DataFrame = {
     val la = refAlias(j.l); val ra = refAlias(j.r)
-    val keyCols = keys.map { k =>
-      (if (j.joinType == "inner" || j.joinType == "left") col(s"$la.$k")
-       else coalesce(col(s"$la.$k"), col(s"$ra.$k"))).as(k)
-    }
-    val nonKey = joined.columns.toSeq.filterNot(keys.contains).distinct
-    joined.select(keyCols ++ nonKey.map(c => joined(c)): _*)
+    val renamed = keys.foldLeft(rdf.as(s"__pre_$ra"))(
+      (d, k) => d.withColumnRenamed(k, s"__graft_r_$k")).alias(ra)
+    val eq = keys.map(k => col(s"$la.$k") === col(s"$ra.__graft_r_$k")).reduce(_ && _)
+    val joined = ldf.join(renamed, range && eq, j.joinType)
+    val merged =
+      if (j.joinType == "right" || j.joinType == "full")
+        keys.foldLeft(joined)((d, k) =>
+          d.withColumn(k, coalesce(col(s"$la.$k"), col(s"$ra.__graft_r_$k"))))
+      else joined
+    keys.foldLeft(merged)((d, k) => d.drop(s"__graft_r_$k"))
   }
 
   private def refAlias(r: TableRef): String = r match {
