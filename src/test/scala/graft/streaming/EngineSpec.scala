@@ -116,6 +116,33 @@ class EngineSpec extends SparkSpec {
     e.terminate("outj")
   }
 
+  test("LEFT outer interval join emits unmatched rows with nulls (V2 semantics, DiffFlow/Types.hs:323-328)") {
+    val e = newEngine
+    e.createStream("lo", schema)
+    e.createStream("ro", StructType(Seq(
+      StructField("k2", StringType), StructField("w", LongType),
+      StructField("_ts2", TimestampType))))
+    val plan = StreamOps.intervalJoin(
+      e.df("lo"), e.df("ro").drop("_ts"), "_ts", "_ts2", "1 minute", "1 minute",
+      col("k") === col("k2"), joinType = "left", grace = "1 second")
+      .select(col("k"), col("v"), col("w"))
+    e.createStreamAs("outlo", plan)
+    e.insert("lo", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("b", 2, "2024-01-01 00:00:00"))
+    e.insert("ro", """{"k2":"a","w":10,"_ts2":"2024-01-01 00:00:30"}""")
+    e.processAll()
+    // advance both watermarks far past the join window so the unmatched
+    // left row ("b") must emit with null right side
+    e.insert("lo", rec("flush", 0, "2024-01-01 02:00:00"))
+    e.insert("ro", """{"k2":"flush","w":0,"_ts2":"2024-01-01 02:00:00"}""")
+    e.processAll()
+    val got = spark.table("outlo").collect()
+      .filter(r => r.getString(0) == "a" || r.getString(0) == "b")
+      .map(r => (r.getString(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(("a", 10L), ("b", -1L)), s"got $got")
+    e.terminate("outlo")
+  }
+
   test("materialized view + pull query (Core/View.hs:166-254)") {
     val e = newEngine
     e.createStream("s5", schema)
