@@ -54,6 +54,41 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Text cleaning: normalization pipeline (lowercase, collapse whitespace,
+    // strip non-alphanumerics, drop stopwords) — the standard pre-tokenize
+    // transform, all codegen'd string/array expressions.
+    "q_text_clean" -> ((s, dir) => {
+      import s.implicits._
+      val normalized = regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")
+      val words = split(trim(normalized), " ")
+      val kept = filter(words, w => !w.isin(Stopwords: _*))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(words).as("n_before"),
+          size(kept).as("n_after"),
+          array_join(slice(kept, 1, 8), " ").as("head"))
+        .orderBy($"doc_id")
+    }),
+
+
+    // Corpus-level statistics: the aggregation a dataset card reports —
+    // docs/tokens per language bucket, mean quality, dedup-relevant counts.
+    "q_corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      Tables.load(s, dir, "documents")
+        .select($"lang", size(w).as("n_tokens"),
+          round(qualityScore(w), 6).as("q"), md5($"text").as("h"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          round(avg($"n_tokens"), 4).as("avg_tokens"),
+          round(avg($"q"), 6).as("avg_quality"),
+          countDistinct($"h").as("n_unique"))
+        .orderBy($"lang")
+    }),
+
     // Document fingerprinting: content md5, order-sensitive polynomial
     // rolling hash over words, and a 60-bit integer fingerprint.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -94,6 +129,30 @@ object TextQueries extends QueryPack {
            CASE WHEN s_en >= s_db AND s_en >= s_op THEN 'en'
                 WHEN s_db >= s_op THEN 'db' ELSE 'op' END AS pred
          FROM sc ORDER BY doc_id""",
+    "q_text_clean" ->
+      """WITH d AS (SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') w
+         FROM documents),
+         k AS (SELECT doc_id, w,
+           list_filter(w, t -> t NOT IN ('the','a','of','and','is')) kept
+         FROM d)
+         SELECT doc_id, len(w) AS n_before, len(kept) AS n_after,
+           array_to_string(kept[1:8], ' ') AS head
+         FROM k ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') w, md5(text) h FROM documents),
+         q AS (SELECT lang, len(w) n_tokens, h,
+           round(least(len(w) / 200.0, 1.0) * 0.5
+             + (len(list_distinct(w))::DOUBLE / len(w)) * 0.3
+             + (1.0 - len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w)) * 0.2,
+             6) q
+         FROM d)
+         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(q), 6) AS avg_quality,
+           count(DISTINCT h) AS n_unique
+         FROM q GROUP BY lang ORDER BY lang""",
     "q_text_fingerprint" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
          SELECT doc_id,
