@@ -45,8 +45,14 @@ class SqlEngine(spark: SparkSession) {
       else Started(engine.emitChanges(name, plan))
     case SelectStmt(sel) =>
       Rows(planOf(sel)) // batch / pull query
-    case CreateStream(name, schema, _) =>
-      engine.createStream(name, Translate.structType(schema))
+    case CreateStream(name, schema, options) =>
+      val opts = options.map {
+        case (k, IntervalLit(n, u)) => k -> s"$n $u"
+        case (k, IntLit(v)) => k -> v.toString
+        case (k, StrLit(v)) => k -> v
+        case (k, other) => k -> other.toString
+      }
+      engine.createStream(name, Translate.structType(schema), opts)
       Done(s"stream $name created")
     case CreateStreamAs(name, sel, _) =>
       Started(engine.createStreamAs(name, planOf(sel)))

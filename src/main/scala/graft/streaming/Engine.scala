@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.StructType
 class Engine(val spark: SparkSession) {
   import spark.implicits._
 
-  private case class StreamEntry(schema: StructType, source: MemoryStream[String])
+  private case class StreamEntry(schema: StructType, source: MemoryStream[String],
+                                 options: Map[String, String])
   private val streams = TrieMap.empty[String, StreamEntry]
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val paused  = TrieMap.empty[String, () => StreamingQuery]
@@ -50,11 +51,21 @@ class Engine(val spark: SparkSession) {
 
   // ---- DDL (SURVEY §2.1) ---------------------------------------------------
 
-  /** CREATE STREAM name (schema): registers an append-only JSON stream. */
-  def createStream(name: String, schema: StructType): Unit = {
+  /** CREATE STREAM name (schema) [WITH (…)]: registers an append-only JSON
+    * stream. Options (AST.hs:703-750): DURATION = backlog retention — served
+    * reads exclude records older than it (default: unbounded here; the
+    * reference defaults to 7 days). REPLICATE is storage-layer metadata
+    * (meaningless on Spark — durability comes from the source/checkpoint)
+    * and is recorded but inert. */
+  def createStream(name: String, schema: StructType,
+                   options: Map[String, String] = Map.empty): Unit = {
     require(!streams.contains(name), s"stream $name exists")
-    streams(name) = StreamEntry(schema, MemoryStream[String](spark))
+    streams(name) = StreamEntry(schema, MemoryStream[String](spark), options)
   }
+
+  /** Declared WITH-options of a stream (DESCRIBE-style metadata). */
+  def streamOptions(name: String): Map[String, String] =
+    streams.get(name).map(_.options).getOrElse(Map.empty)
 
   def dropStream(name: String): Unit = {
     streams.remove(name); fileStreams.remove(name)
@@ -88,8 +99,14 @@ class Engine(val spark: SparkSession) {
       val parsed = e.source.toDF()
         .select(from_json($"value", e.schema).as("r"))
         .select($"r.*")
-      if (e.schema.fieldNames.contains("_ts")) parsed
-      else parsed.withColumn("_ts", current_timestamp())
+      val withTs =
+        if (e.schema.fieldNames.contains("_ts")) parsed
+        else parsed.withColumn("_ts", current_timestamp())
+      // DURATION retention: serve only records within the backlog window
+      e.options.get("DURATION") match {
+        case Some(d) => withTs.filter(col("_ts") >= current_timestamp() - expr(s"INTERVAL $d"))
+        case None => withTs
+      }
   }
 
   // ---- continuous queries (SURVEY §3.1, §3.3) ------------------------------

@@ -247,6 +247,20 @@ class EngineSpec extends SparkSpec {
     e.dropStream("fs1")
   }
 
+  test("DURATION retention: served reads exclude expired backlog (AST.hs:708-712)") {
+    val e = newEngine
+    e.createStream("s11", schema, Map("DURATION" -> "7 DAY", "REPLICATE" -> "3"))
+    assert(e.streamOptions("s11") == Map("DURATION" -> "7 DAY", "REPLICATE" -> "3"))
+    val plan = e.df("s11").select(col("k"))
+    e.emitChanges("out11", plan)
+    e.insert("s11", rec("old", 1, "2000-01-01 00:00:00"), // far beyond 7 days
+      rec("fresh", 2, java.time.LocalDateTime.now().toString.replace('T', ' ')))
+    e.processAll()
+    val got = spark.table("out11").collect().map(_.getString(0)).toSet
+    assert(got == Set("fresh"), s"retention leak: $got")
+    e.terminate("out11")
+  }
+
   test("query lifecycle: terminate, pause/resume, show (AST.hs:806-906)") {
     val e = newEngine
     e.createStream("s7", schema)
