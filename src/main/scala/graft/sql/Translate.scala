@@ -296,14 +296,38 @@ object Translate {
       case ColRef(None, n) => col(n)
     }
     j.cond match {
-      case CrossC => ldf.join(rdf, range, "inner")
-      case On(e) => ldf.join(rdf, range && column(e, resolve), j.joinType)
+      case CrossC => qualifyCollisions(ldf.join(rdf, range, "inner"), j, ldf, rdf)
+      case On(e) =>
+        qualifyCollisions(ldf.join(rdf, range && column(e, resolve), j.joinType),
+          j, ldf, rdf)
       case Using(cols0) => usingJoin(ldf, rdf, j, range, cols0)
       case Natural =>
         val shared = ldf.columns.toSet.intersect(rdf.columns.toSet) -
           tsCol(ldf) - tsCol(rdf)
         require(shared.nonEmpty, "NATURAL JOIN with no shared columns")
         usingJoin(ldf, rdf, j, range, shared.toSeq.sorted)
+    }
+  }
+
+  /** After an ON/CROSS join, colliding field names become `stream.field` in
+    * the output — the reference's sink naming rule (flowObjectToJsonObject,
+    * Rts/Old.hs:200-209: qualify only when names collide). Qualified refs
+    * in later clauses resolve to these renamed columns (see resolve). */
+  private def qualifyCollisions(joined: DataFrame, j: TRJoin,
+                                ldf: DataFrame, rdf: DataFrame): DataFrame = {
+    val la = refAlias(j.l); val ra = refAlias(j.r)
+    val collisions = ldf.columns.toSet.intersect(rdf.columns.toSet)
+    if (collisions.isEmpty) joined
+    else {
+      val cols = joined.columns.zipWithIndex.map { case (c, i) =>
+        if (!collisions.contains(c)) joined(c)
+        else {
+          // left copy comes first in join output column order
+          val qualifier = if (i < ldf.columns.length) la else ra
+          col(s"$qualifier.$c").as(s"$qualifier.$c")
+        }
+      }
+      joined.select(cols.toIndexedSeq: _*)
     }
   }
 
@@ -346,6 +370,9 @@ object Translate {
     val base0 = src.df
 
     def resolve(c: ColRef): Column = c match {
+      // collision-renamed join outputs carry the literal name "q.n"
+      case ColRef(Some(q), n) if base0.columns.contains(s"$q.$n") =>
+        col(s"`$q.$n`")
       case ColRef(Some(q), n) => col(s"$q.$n")
       case ColRef(None, n) => col(n)
     }

@@ -156,6 +156,21 @@ class SqlEngineSpec extends SparkSpec {
       Set(("a", 50L), ("b", 20L)))
   }
 
+  test("join collisions surface as stream.field names (Rts/Old.hs:200-209)") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq((1L, "x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .toDF("id", "v", "ts").createOrReplaceTempView("cja")
+    spark.createDataFrame(Seq((1L, "y", java.sql.Timestamp.valueOf("2024-01-01 00:00:10"))))
+      .toDF("id", "v", "ts").createOrReplaceTempView("cjb")
+    val df = e.batch(
+      """SELECT * FROM cja AS a JOIN cjb AS b ON a.id = b.id
+         WITHIN (INTERVAL 1 MINUTE);""")
+    // colliding fields are qualified; both copies present
+    assert(df.columns.toSet == Set("a.id", "a.v", "a.ts", "b.id", "b.v", "b.ts"))
+    val r = df.head()
+    assert(r.getAs[String]("a.v") == "x" && r.getAs[String]("b.v") == "y")
+  }
+
   test("null-safe equality: NULL = NULL is TRUE (BinOp.hs:116-118)") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq((1L, Some("x")), (2L, None: Option[String])))
