@@ -34,8 +34,17 @@ object PipelineFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 32-bit hash of a string via md5 prefix — the unit of MinHash/SimHash. */
+  /** 32-bit hash of a string via md5 prefix — the unit of MinHash/SimHash.
+    * Native digest-bytes expression when registered (no hex round trip),
+    * else the equivalent conv/substr/md5 chain; identical values. */
   def hash32(c: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_hash32")))
+      call_function("graft_hash32", c)
+    else hash32Chain(c)
+
+  /** Extension-free fallback chain (also the oracle's formula). */
+  def hash32Chain(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Polynomial rolling-hash fingerprint of a word array:
@@ -92,15 +101,21 @@ object PipelineFunctions {
     * same integers — order-independent — at 16× the cost). SQL-lambda form
     * because bit shifts by a lambda variable need expression-level shifts.
     * @param wordsExpr SQL expression string yielding an array<string> */
-  def simhash16(wordsExpr: String): Column = expr(
-    s"""aggregate(
-       |  transform(
-       |    aggregate(
-       |      transform($wordsExpr, w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)),
-       |      array_repeat(0L, 16),
-       |      (acc, x) -> transform(acc, (c, b) -> c + ((x >> b) & 1) * 2 - 1)),
-       |    (c, b) -> IF(c >= 0, shiftleft(1L, b), 0L)),
-       |  0L, (s, v) -> s + v)""".stripMargin)
+  def simhash16(wordsExpr: String): Column = {
+    val h =
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_hash32"))) "graft_hash32(w)"
+      else "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+    expr(
+      s"""aggregate(
+         |  transform(
+         |    aggregate(
+         |      transform($wordsExpr, w -> $h),
+         |      array_repeat(0L, 16),
+         |      (acc, x) -> transform(acc, (c, b) -> c + ((x >> b) & 1) * 2 - 1)),
+         |    (c, b) -> IF(c >= 0, shiftleft(1L, b), 0L)),
+         |  0L, (s, v) -> s + v)""".stripMargin)
+  }
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

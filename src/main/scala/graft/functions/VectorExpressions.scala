@@ -115,6 +115,47 @@ case class LshSignature16(child: Expression)
     copy(child = newChild)
 }
 
+/** MD5-digest helpers shared by the native hash expression. */
+object HashUtil {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 bits of md5(bytes) as an unsigned long — bit-identical to
+    * `conv(substring(md5(s), 1, 8), 16, 10)` (first 8 hex chars = first 4
+    * digest bytes, big-endian). */
+  def md5Prefix32(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** `graft_hash32(s)`: the md5-prefix 32-bit hash without the hex-string
+  * round trip (md5 → 32-char hex string → substring → base-16 parse). The
+  * digest bytes are consumed directly; the thread-local MessageDigest
+  * avoids per-row allocation. Identical values to the conv/substr/md5
+  * chain, so every oracle comparison is unchanged. */
+case class Md5Prefix32(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hash32"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.md5Prefix32(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HashUtil.md5Prefix32($v.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native functions — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -127,5 +168,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_lsh16"),
       new ExpressionInfo(classOf[LshSignature16].getName, "graft_lsh16"),
       (args: Seq[Expression]) => LshSignature16(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "graft_hash32"),
+      (args: Seq[Expression]) => Md5Prefix32(args.head)))
   }
 }

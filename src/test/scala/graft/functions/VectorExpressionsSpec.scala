@@ -49,6 +49,16 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_hash32 equals the conv/substr/md5 chain exactly") {
+    import spark.implicits._
+    val df = Seq("", "a", "abc", "the quick brown fox", "héllo wörld", "a b c")
+      .toDF("s")
+    val rows = df.select(
+      call_function("graft_hash32", $"s").as("n"),
+      hash32Chain($"s").as("c")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("dot() picks the native function when registered") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
