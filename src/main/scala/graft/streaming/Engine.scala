@@ -170,4 +170,14 @@ class Engine(val spark: SparkSession) {
     * the in-memory scan, bounding what the driver serves). */
   def pull(view: String, where: String = "true"): DataFrame =
     spark.table(view).where(where)
+
+  /** Bounded pull: the reference dumps whole state stores to the client
+    * (ksDump/ssDump, Processor.hs:380-411) — unbounded driver memory on a
+    * big view. This serves at most `limit` rows as a local iterator, so
+    * driver memory is O(limit) regardless of view size (SURVEY §7.3). */
+  def pullBounded(view: String, where: String = "true",
+                  limit: Int = 10000): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    pull(view, where).limit(limit).toLocalIterator().asScala
+  }
 }

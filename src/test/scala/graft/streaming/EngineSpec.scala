@@ -154,6 +154,8 @@ class EngineSpec extends SparkSpec {
     // pull with immediate WHERE (predicate applied before serving)
     assert(e.pull("v5", "total > 2").collect().map(_.getString(0)).toSet == Set("a", "b"))
     assert(e.pull("v5", "k = 'a'").head().getLong(1) == 3L)
+    // bounded pull: driver memory O(limit) regardless of view size
+    assert(e.pullBounded("v5", limit = 1).size == 1)
     // view keeps updating
     e.insert("s5", rec("b", 10, "2024-01-01 00:00:03"))
     e.processAll()
