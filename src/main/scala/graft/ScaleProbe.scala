@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: runs the same plan shapes on 1× and 10× the sf0.1 data
+  * (10× = union of ten scans — same bytes-per-row compute, no caching) and
+  * prints the wall-time ratio. A plan that "would survive a 100× scale-up"
+  * shows ~linear time in rows here (ratio ≈ 10 with fixed parallelism);
+  * super-linear ratios flag accidental O(n²) stages or shuffle blowups.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def x10(df: DataFrame): DataFrame = (1 to 10).map(_ => df).reduce(_ unionAll _)
+    def time(plan: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      plan.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    def aggShape(df: DataFrame) = df
+      .filter($"l_shipdate" <= lit("2001-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sq"), avg($"l_discount").as("ad"),
+        count(lit(1)).as("c"))
+    def minhashShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      df.withColumn("hs", shingleHashes(shingles(tokens($"text"), 3)))
+        .select($"doc_id" +: (0 until 8).map(i => minhash($"hs", i).as(s"m$i")): _*)
+    }
+    def fingerprintShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      df.select($"doc_id", polyFingerprint(tokens($"text")).as("fp"))
+    }
+
+    // warmup
+    time(aggShape(lineitem))
+    val probes = Seq(
+      "agg_600k_vs_6m" -> (time(aggShape(lineitem)), time(aggShape(x10(lineitem)))),
+      "minhash_5k_vs_50k" -> (time(minhashShape(docs)), time(minhashShape(x10(docs)))),
+      "fingerprint_5k_vs_50k" -> (time(fingerprintShape(docs)), time(fingerprintShape(x10(docs)))))
+    val qjson = probes.map { case (name, (t1, t10)) =>
+      f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","probes":$qjson,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
