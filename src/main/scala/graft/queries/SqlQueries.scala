@@ -81,6 +81,22 @@ object SqlQueries extends QueryPack {
          WHERE a.event_id <> b.event_id
          GROUP BY user_id;""")),
 
+    // FULL OUTER interval join through the dialect — join-type fidelity the
+    // reference V1 silently drops (Codegen/V1.hs:301). Clicks and errors
+    // within 5 minutes per user, unmatched sides preserved as nulls.
+    "q_sql_join_full" -> ((s, dir) => run(s, dir,
+      """SELECT a.event_id AS click_id, b.event_id AS error_id
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') AS a
+         FULL JOIN (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'error') AS b
+           ON a.user_id = b.user_id WITHIN (INTERVAL 5 MINUTE);""")),
+
+    // HOP window through the dialect (size 1h, advance 30m).
+    "q_sql_window_hop" -> ((s, dir) => run(s, dir,
+      """SELECT COUNT(*) AS cnt
+         FROM HOP(events, INTERVAL 1 HOUR, INTERVAL 30 MINUTE);""")),
+
     // NATURAL join: all shared non-time columns (user_id, value) equal.
     "q_sql_join_natural" -> ((s, dir) => run(s, dir,
       """SELECT user_id, COUNT(*) AS n
@@ -147,6 +163,23 @@ object SqlQueries extends QueryPack {
            AND a.event_id <> b.event_id
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1""",
+    "q_sql_join_full" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.event_id AS click_id, b.event_id AS error_id
+         FROM (SELECT * FROM ev WHERE event_type = 'click') a
+         FULL JOIN (SELECT * FROM ev WHERE event_type = 'error') b
+           ON a.user_id = b.user_id
+           AND b.ts >= a.ts - INTERVAL '5 minutes'
+           AND b.ts <= a.ts + INTERVAL '5 minutes'""",
+    "q_sql_window_hop" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           count(*) AS cnt
+         FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', ts)
+                  - k * (INTERVAL '30 minutes') AS ws
+           FROM ev CROSS JOIN (VALUES (0),(1)) t(k))
          GROUP BY 1""",
     "q_sql_join_natural" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
