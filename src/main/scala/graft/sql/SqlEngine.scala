@@ -71,7 +71,7 @@ class SqlEngine(spark: SparkSession) {
       engine.insert(stream, s"""{"raw":${jsonValue(StrLit(raw))}}""")
       Done(s"inserted into $stream")
     case InsertSel(stream, sel) =>
-      Started(engine.createStreamAs(stream, planOf(sel)))
+      Started(engine.insertSelect(stream, planOf(sel)))
     case Show("STREAMS") => Done(engine.showStreams.mkString(","))
     case Show("QUERIES" | "VIEWS") => Done(engine.showQueries.mkString(","))
     case Show(other) => throw new IllegalArgumentException(s"SHOW $other not supported")

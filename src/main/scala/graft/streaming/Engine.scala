@@ -131,6 +131,23 @@ class Engine(val spark: SparkSession) {
     q
   }
 
+  /** INSERT INTO target SELECT … (InsertBySelectPlan, Codegen/V1.hs:151-160):
+    * a continuous query appending each result row INTO the target stream,
+    * so queries over the target observe them. Rows are re-encoded as JSON
+    * through the target's insert path (driver-side per micro-batch — the
+    * MemoryStream transport is driver-resident anyway; a file/Kafka-backed
+    * stream would make this a distributed sink write instead). */
+  def insertSelect(target: String, plan: DataFrame): StreamingQuery = {
+    val q = plan.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.toJSON.collect()
+        if (rows.nonEmpty) insert(target, rows.toIndexedSeq: _*)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queries(s"insert_$target") = q
+    q
+  }
+
   /** TERMINATE QUERY (AST.hs:856-868). */
   def terminate(name: String): Unit = {
     queries.remove(name).foreach(_.stop()); paused.remove(name)

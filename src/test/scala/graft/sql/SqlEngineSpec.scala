@@ -145,6 +145,25 @@ class SqlEngineSpec extends SparkSpec {
     e.sql("TERMINATE QUERY hop1;")
   }
 
+  test("INSERT INTO stream SELECT feeds the target stream (Codegen/V1.hs:151-160)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM isrc (k STRING, v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM idst (k STRING, v INTEGER, _ts TIMESTAMP);")
+    // downstream query over the TARGET stream
+    val q = e.sql("SELECT k, v FROM idst EMIT CHANGES;").asInstanceOf[e.Started]
+    // continuous INSERT-SELECT from source into target
+    e.sql("INSERT INTO idst SELECT k, v * 10 AS v, _ts FROM isrc WHERE v > 1;")
+    e.sql("INSERT INTO isrc (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO isrc (k, v, _ts) VALUES ('b', 2, '2024-01-01 00:00:01');")
+    e.engine.processAll()
+    e.engine.processAll() // second pass: rows inserted by batch 1 flow through
+    val got = spark.table(q.query.name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 20L)))
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+    e.sql("TERMINATE QUERY insert_idst;")
+  }
+
   test("FROM-clause subquery (accepted; reference rejects — AST.hs:593)") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq(("a", 1L), ("a", 5L), ("b", 2L)))
