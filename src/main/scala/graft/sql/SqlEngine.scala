@@ -1,5 +1,7 @@
 package graft.sql
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -57,6 +59,7 @@ class SqlEngine(spark: SparkSession) {
     case CreateStreamAs(name, sel, _) =>
       Started(engine.createStreamAs(name, planOf(sel)))
     case CreateView(name, sel) =>
+      views.add(name)
       Started(engine.createView(name, planOf(sel)))
     case InsertValues(stream, cols, vals) =>
       val fields = cols.zip(vals).map { case (c, v) => s""""$c":${jsonValue(v)}""" }
@@ -73,13 +76,16 @@ class SqlEngine(spark: SparkSession) {
     case InsertSel(stream, sel) =>
       Started(engine.insertSelect(stream, planOf(sel)))
     case Show("STREAMS") => Done(engine.showStreams.mkString(","))
-    case Show("QUERIES" | "VIEWS") => Done(engine.showQueries.mkString(","))
+    case Show("VIEWS") => Done(views.toSeq.sorted.mkString(","))
+    case Show("QUERIES") =>
+      Done(engine.showQueries.filterNot(views.contains).mkString(","))
     case Show(other) => throw new IllegalArgumentException(s"SHOW $other not supported")
     case DropStmt("STREAM", n, ifEx) =>
       if (!ifEx || engine.showStreams.contains(n)) engine.dropStream(n)
       Done(s"dropped $n")
     case DropStmt("VIEW" | "QUERY", n, ifEx) =>
       if (!ifEx || engine.showQueries.contains(n)) engine.terminate(n)
+      views.remove(n)
       Done(s"dropped $n")
     case Terminate(n) => engine.terminate(n); Done(s"terminated $n")
     case PauseStmt(n) => engine.pause(n); Done(s"paused $n")
@@ -92,6 +98,24 @@ class SqlEngine(spark: SparkSession) {
   }
 
   private val queryCounter = new java.util.concurrent.atomic.AtomicLong()
+  private val views = java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
+
+  /** Execute a multi-statement script (';'-separated, quotes respected);
+    * returns one Result per statement. */
+  def script(text: String): Seq[Result] = splitStatements(text).map(sql)
+
+  private def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    text.foreach { c =>
+      if (c == '\'') inStr = !inStr
+      cur += c
+      if (c == ';' && !inStr) { out += cur.toString; cur.clear() }
+    }
+    require(cur.toString.trim.isEmpty, s"unterminated statement: ${cur.toString.trim.take(60)}")
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def needsAppendMode(ref: TableRef): Boolean = ref match {
     case TRWindowed(i, _: Session) => true

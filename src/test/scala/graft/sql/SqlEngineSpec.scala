@@ -190,6 +190,27 @@ class SqlEngineSpec extends SparkSpec {
     assert(r.getAs[String]("a.v") == "x" && r.getAs[String]("b.v") == "y")
   }
 
+  test("multi-statement script + SHOW VIEWS/QUERIES separation") {
+    val e = new SqlEngine(spark)
+    val results = e.script(
+      """CREATE STREAM sc1 (k STRING, v INTEGER, _ts TIMESTAMP);
+        |CREATE VIEW scv AS SELECT k, SUM(v) AS s FROM sc1 GROUP BY k;
+        |INSERT INTO sc1 (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:00:00');
+        |INSERT INTO sc1 (k, v, _ts) VALUES ('a', 3, '2024-01-01 00:00:01');
+        |SHOW VIEWS;""".stripMargin)
+    assert(results.size == 5)
+    assert(results.last.asInstanceOf[e.Done].info == "scv")
+    e.sql("SHOW QUERIES;") match {
+      case e.Done(info) => assert(!info.contains("scv")) // views listed separately
+      case other => fail(other.toString)
+    }
+    e.engine.processAll()
+    assert(e.sql("SELECT s FROM scv WHERE k = 'a';").asInstanceOf[e.Rows]
+      .df.head().getLong(0) == 5L)
+    e.script("DROP VIEW scv;DROP STREAM sc1;")
+    assert(e.sql("SHOW VIEWS;").asInstanceOf[e.Done].info.isEmpty)
+  }
+
   test("null-safe equality: NULL = NULL is TRUE (BinOp.hs:116-118)") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq((1L, Some("x")), (2L, None: Option[String])))
