@@ -97,6 +97,14 @@ object Ast {
   case class InsertRaw(stream: String, raw: String) extends Stmt
   case class InsertSel(stream: String, sel: Select) extends Stmt
   case class Show(what: String) extends Stmt
+  /** CREATE SOURCE/SINK CONNECTOR — external CDC task metadata
+    * (SQL-v1.cf:54-60); execution is out of engine scope (the reference
+    * launches Docker containers — hstream-io/HStream/IO/Worker.hs:71-83). */
+  case class CreateConnector(kind: String, name: String, target: String,
+                             ifNotExist: Boolean,
+                             options: Map[String, Expr]) extends Stmt
+  case class PauseConnector(name: String) extends Stmt
+  case class ResumeConnector(name: String) extends Stmt
   case class DropStmt(what: String, name: String, ifExists: Boolean) extends Stmt
   case class Terminate(name: String) extends Stmt
   case class PauseStmt(name: String) extends Stmt

@@ -117,8 +117,14 @@ object Parser {
           val ifEx = accept("IF") && { expect("EXISTS"); true }
           DropStmt(what, n, ifEx)
         case "TERMINATE" => next(); expect("QUERY"); Terminate(ident())
-        case "PAUSE" => next(); expect("QUERY"); PauseStmt(ident())
-        case "RESUME" => next(); expect("QUERY"); ResumeStmt(ident())
+        case "PAUSE" =>
+          next()
+          if (accept("CONNECTOR")) PauseConnector(ident())
+          else { expect("QUERY"); PauseStmt(ident()) }
+        case "RESUME" =>
+          next()
+          if (accept("CONNECTOR")) ResumeConnector(ident())
+          else { expect("QUERY"); ResumeStmt(ident()) }
         case "EXPLAIN" => next(); Explain(statementNoSemi())
         case k => throw new IllegalArgumentException(s"unexpected statement start: $k")
       }
@@ -149,7 +155,15 @@ object Parser {
             expect(")")
             CreateStream(n, cols.result(), Map.empty)
           } else CreateStream(n, Nil, if (isKw("WITH")) options() else Map.empty)
-        case k => throw new IllegalArgumentException(s"CREATE $k not supported (connectors are external tasks)")
+        case kind @ ("SOURCE" | "SINK") =>
+          next(); expect("CONNECTOR")
+          val n = ident()
+          expect(if (kind == "SOURCE") "FROM" else "TO")
+          val target = ident()
+          val ifNot = accept("IF") && { expect("NOT"); expect("EXIST"); true }
+          val opts = if (isKw("WITH")) options() else Map.empty[String, Expr]
+          CreateConnector(kind, n, target, ifNot, opts)
+        case k => throw new IllegalArgumentException(s"CREATE $k not supported")
       }
     }
 

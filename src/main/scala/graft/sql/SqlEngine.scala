@@ -75,6 +75,24 @@ class SqlEngine(spark: SparkSession) {
       Done(s"inserted into $stream")
     case InsertSel(stream, sel) =>
       Started(engine.insertSelect(stream, planOf(sel)))
+    case CreateConnector(kind, name, target, ifNot, _) =>
+      // metadata catalog only: execution is an external task in the
+      // reference (Docker images, conf/hstream.yaml:129-143) and out of
+      // engine scope; the statement surface and lifecycle verbs are honored
+      if (!ifNot || !connectors.contains(name))
+        connectors(name) = s"$kind->$target:RUNNING"
+      Done(s"connector $name registered (external task; not executed)")
+    case PauseConnector(n) =>
+      connectors.updateWith(n)(_.map(_.replace(":RUNNING", ":PAUSED")))
+      Done(s"paused connector $n")
+    case ResumeConnector(n) =>
+      connectors.updateWith(n)(_.map(_.replace(":PAUSED", ":RUNNING")))
+      Done(s"resumed connector $n")
+    case DropStmt("CONNECTOR", n, ifEx) =>
+      if (!ifEx || connectors.contains(n)) connectors.remove(n)
+      Done(s"dropped connector $n")
+    case Show("CONNECTORS") =>
+      Done(connectors.toSeq.sorted.map { case (k, v) => s"$k($v)" }.mkString(","))
     case Show("STREAMS") => Done(engine.showStreams.mkString(","))
     case Show("VIEWS") => Done(views.toSeq.sorted.mkString(","))
     case Show("QUERIES") =>
@@ -99,6 +117,7 @@ class SqlEngine(spark: SparkSession) {
 
   private val queryCounter = new java.util.concurrent.atomic.AtomicLong()
   private val views = java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
+  private val connectors = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Execute a multi-statement script (';'-separated, quotes respected);
     * returns one Result per statement. */

@@ -138,7 +138,12 @@ class ParserSpec extends AnyFunSuite {
       """insert into s values cast ('{"x": 42}' as jsonb);""",
       """insert into s values '{"x": 42}' :: jsonb;""",
       "insert into s values cast ('binary_value' as bytea);",
-      "insert into s values 'binary_value' :: bytea;")
+      "insert into s values 'binary_value' :: bytea;",
+      """create source connector source01 from mysql with ("host" = 'mysql-s1', "port" = 3306);""",
+      """create sink connector sink01 to postgresql if not exist with ("stream" = 's1');""",
+      "pause connector source01;",
+      "resume connector source01;",
+      "drop connector source01;")
     mustParse.foreach { stmt =>
       try Parser.parse(stmt)
       catch { case e: Throwable => fail(s"failed to parse: $stmt — ${e.getMessage}") }
