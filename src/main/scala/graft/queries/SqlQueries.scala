@@ -68,7 +68,9 @@ object SqlQueries extends QueryPack {
       """SELECT event_id,
                 DATETOSTRING(ts :: DATE, 'yyyy-MM-dd') AS d,
                 STRINGTODATE(DATETOSTRING(ts :: DATE, 'yyyy-MM-dd'), 'yyyy-MM-dd') AS rt,
-                ts :: DATE >= DATE '2024-01-05' AS after5
+                ts :: DATE >= DATE '2024-01-05' AS after5,
+                ts :: TIME AS tod,
+                ts :: TIME > TIME '12:00:00' AS pm
          FROM events;""")),
 
     // USING-join with WITHIN through the dialect + FROM subqueries; one
@@ -154,7 +156,9 @@ object SqlQueries extends QueryPack {
          SELECT event_id,
            strftime(ts::DATE, '%Y-%m-%d') AS d,
            strptime(strftime(ts::DATE, '%Y-%m-%d'), '%Y-%m-%d')::DATE AS rt,
-           ts::DATE >= DATE '2024-01-05' AS after5
+           ts::DATE >= DATE '2024-01-05' AS after5,
+           strftime(ts, '%H:%M:%S') AS tod,
+           strftime(ts, '%H:%M:%S') > '12:00:00' AS pm
          FROM ev""",
     "q_sql_join_using" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)

@@ -206,6 +206,11 @@ object Translate {
   private def castTo(c: Column, dt: SqlType): Column = dt match {
     case TDate => to_date(c)
     case TTimestamp => c.cast(TimestampType)
+    case TTime =>
+      // TIME = time-of-day as zero-padded HH:mm:ss (no Spark TIME type;
+      // lexicographic order on the fixed-width form IS chronological order).
+      // Timestamp-castable inputs take their clock part; strings pass through.
+      coalesce(date_format(c.try_cast(TimestampType), "HH:mm:ss"), c.cast(StringType))
     case other => c.cast(sparkType(other))
   }
 
