@@ -32,7 +32,14 @@ object Tables {
   val eventsUsCte /* reference it as `ev` */: String =
     "WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) "
 
-  /** Register every table as a temp view named after itself (idempotent). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view named after itself (idempotent;
+    * skips when this dir's views are already in place — schema inference
+    * over 10 parquet footers isn't free when called per query). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val marker = s"graft_registered_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!spark.catalog.tableExists(marker)) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.emptyDataFrame.createOrReplaceTempView(marker)
+    }
+  }
 }

@@ -83,9 +83,12 @@ object HFunctions {
   /** x BETWEEN a AND b (null-propagating, TerOp.hs:38-44). */
   def hBetween(x: Column, a: Column, b: Column): Column = x >= a && x <= b
 
-  /** x BETWEEN SYMMETRIC a AND b (bounds order-insensitive, TerOp.hs:46-52). */
+  /** x BETWEEN SYMMETRIC a AND b (bounds order-insensitive, TerOp.hs:46-52).
+    * Explicit null-propagation: Spark's least/greatest SKIP nulls, which
+    * would turn a NULL bound into FALSE instead of the reference's NULL. */
   def hBetweenSymmetric(x: Column, a: Column, b: Column): Column =
-    x >= least(a, b) && x <= greatest(a, b)
+    when(x.isNull || a.isNull || b.isNull, lit(null).cast("boolean"))
+      .otherwise(x >= least(a, b) && x <= greatest(a, b))
 
   // ---- array ops (SQL-v1.cf:316-327, grammar) ------------------------------
   // ARRAY_CONTAIN → array_contains, ARRAY_DISTINCT → array_distinct,
@@ -94,8 +97,9 @@ object HFunctions {
   // ARRAY_SORT → array_sort. All direct built-ins; no wrappers needed.
 
   /** 0-based array index a[i] (Common.hs:72-76; OOB → NULL rather than the
-    * reference's row-dropping error — documented divergence). */
-  def arrayGet(a: Column, i: Int): Column = a.getItem(i)
+    * reference's row-dropping error — documented divergence). `get`, not
+    * `getItem`: ANSI mode makes getItem THROW on out-of-bounds. */
+  def arrayGet(a: Column, i: Int): Column = get(a, lit(i))
 
   /** Half-open 0-based slice a[i:j] (Common.hs:77-86). */
   def arraySlice(a: Column, i: Int, j: Int): Column = slice(a, i + 1, math.max(j - i, 0))

@@ -102,7 +102,8 @@ object Translate {
         val b = if (sym) HFunctions.hBetweenSymmetric(go(x), go(lo), go(hi))
                 else HFunctions.hBetween(go(x), go(lo), go(hi))
         if (not) !b else b
-      case ArrIndex(a, i) => go(a).getItem(i.toInt) // 0-based (Common.hs:72-76)
+      case ArrIndex(a, i) => // 0-based (Common.hs:72-76); OOB → NULL (ANSI getItem throws)
+        HFunctions.arrayGet(go(a), i.toInt)
       case ArrSlice(a, from, to) =>
         val f = from.getOrElse(0L)
         to match {

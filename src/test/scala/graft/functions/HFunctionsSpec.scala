@@ -32,6 +32,26 @@ class HFunctionsSpec extends SparkSpec {
     assert(eval(lit(null).cast("int") + lit(1)) == null)
   }
 
+  // --- array edge cases (Common.hs:72-86) ------------------------------------
+  test("array index OOB yields NULL (documented divergence from row-drop)") {
+    assert(eval(arrayGet(array(lit(1), lit(2)), 5)) == null)
+  }
+  test("slice edges: empty, overlong, inverted") {
+    assert(eval(arraySlice(array(lit(1), lit(2), lit(3)), 1, 1)) ==
+      Seq.empty[Int])
+    assert(eval(arraySlice(array(lit(1), lit(2), lit(3)), 0, 99)) ==
+      Seq(1, 2, 3))
+    assert(eval(arraySlice(array(lit(1), lit(2), lit(3)), 2, 1)) ==
+      Seq.empty[Int])
+  }
+  test("CHUNKSOF remainder chunk is short (BinOp.hs op_chunksOf)") {
+    assert(eval(chunksOf(3, lit("abcdefgh"))) == Seq("abc", "def", "gh"))
+  }
+  test("BETWEEN null-propagates (TerOp.hs:38-44)") {
+    assert(eval(hBetween(lit(null).cast("int"), lit(1), lit(3))) == null)
+    assert(eval(hBetweenSymmetric(lit(5), lit(null).cast("int"), lit(3))) == null)
+  }
+
   // --- MathSpec.hs golden cases ----------------------------------------------
   test("FLOOR/CEIL over int/float mixes (MathSpec.hs)") {
     assert(eval(floor(lit(1.5))) == 1L)
