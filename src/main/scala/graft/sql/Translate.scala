@@ -204,15 +204,21 @@ object Translate {
       case _ => None
     }
 
+  /** Dialect CAST: try_cast semantics throughout. The reference evaluates
+    * casts per row and a failure drops that row (Codegen errors propagate
+    * as Left — V1.hs:235-240 drops silently); under Spark 4's ANSI mode a
+    * plain cast would instead ABORT the whole query on one malformed value.
+    * NULL-on-failure is the closest scalable behavior (and one bad row out
+    * of 100 TB must never kill the job). */
   private def castTo(c: Column, dt: SqlType): Column = dt match {
-    case TDate => to_date(c)
-    case TTimestamp => c.cast(TimestampType)
+    case TDate => c.try_cast(DateType)
+    case TTimestamp => c.try_cast(TimestampType)
     case TTime =>
       // TIME = time-of-day as zero-padded HH:mm:ss (no Spark TIME type;
       // lexicographic order on the fixed-width form IS chronological order).
       // Timestamp-castable inputs take their clock part; strings pass through.
       coalesce(date_format(c.try_cast(TimestampType), "HH:mm:ss"), c.cast(StringType))
-    case other => c.cast(sparkType(other))
+    case other => c.try_cast(sparkType(other))
   }
 
   // ---- aggregate extraction (Planner.hs:352-367, 390-432) ------------------

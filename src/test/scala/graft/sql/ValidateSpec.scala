@@ -63,4 +63,12 @@ class ValidateSpec extends SparkSpec {
   test("statements must be ';'-terminated (BNFC grammar)") {
     rejects("SELECT x FROM s")
   }
+
+  test("malformed CAST yields NULL per row, never aborts the query") {
+    import spark.implicits._
+    Seq("42", "abc", "7").toDF("s").createOrReplaceTempView("vt3")
+    val rows = e.batch("SELECT s :: INTEGER AS n FROM vt3;")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rows.toSet == Set(Some(42L), None, Some(7L)))
+  }
 }
