@@ -49,10 +49,10 @@ object WireFormat {
     case ArrayType(et, _) => nullable(c, concat(
       lit("["), array_join(transform(c, x => encodeValue(x, et)), ","), lit("]")))
     case st: StructType => nullable(c, concat(
-      lit("{") +: st.fields.zipWithIndex.flatMap { case (f, i) =>
+      (lit("{") +: st.fields.zipWithIndex.flatMap { case (f, i) =>
         val kv = concat(lit(s""""${f.name}":"""), encodeValue(c.getField(f.name), f.dataType))
         if (i == 0) Seq(kv) else Seq(lit(","), kv)
-      } :+ lit("}"): _*))
+      } :+ lit("}")).toIndexedSeq: _*))
     case other => throw new IllegalArgumentException(s"no wire encoding for $other")
   }
 
@@ -63,7 +63,7 @@ object WireFormat {
       val kv = concat(lit(s""""${f.name}":"""), encodeValue(col(f.name), f.dataType))
       if (i == 0) Seq(kv) else Seq(lit(","), kv)
     }
-    df.select(concat(lit("{") +: parts :+ lit("}"): _*).as("value"))
+    df.select(concat((lit("{") +: parts :+ lit("}")).toIndexedSeq: _*).as("value"))
   }
 
   /** The from_json-compatible schema of a wire-encoded payload. */
@@ -94,7 +94,7 @@ object WireFormat {
     case TimestampType => to_timestamp(c.getField("$timestamp"))
     case BooleanType | StringType => c
     case ArrayType(et, _) => transform(c, x => decodeValue(x, et))
-    case StructType(fields) => struct(fields.map(f =>
+    case StructType(fields) => struct(fields.toIndexedSeq.map(f =>
       decodeValue(c.getField(f.name), f.dataType).as(f.name)): _*)
     case other => throw new IllegalArgumentException(s"no wire decoding for $other")
   }
@@ -104,7 +104,7 @@ object WireFormat {
   def decode(df: DataFrame, schema: StructType): DataFrame = {
     val wire = wireSchema(schema).asInstanceOf[StructType]
     val parsed = df.select(from_json(col("value"), wire).as("r"))
-    parsed.select(schema.fields.map(f =>
+    parsed.select(schema.fields.toIndexedSeq.map(f =>
       decodeValue(col(s"r.${f.name}"), f.dataType).as(f.name)): _*)
   }
 }
