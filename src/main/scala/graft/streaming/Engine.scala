@@ -121,6 +121,12 @@ class Engine(val spark: SparkSession) {
   def createStreamAs(name: String, plan: DataFrame): StreamingQuery =
     startQuery(name, plan, "append")
 
+  /** CSAS with the reference's wire encoding on the way out: rows are
+    * serialized to extended JSON (graft.sources.WireFormat) so the sink
+    * table holds exactly what the reference would append to a sink topic. */
+  def createStreamAsWire(name: String, plan: DataFrame): StreamingQuery =
+    startQuery(name, graft.sources.WireFormat.encode(plan), "append")
+
   private def startQuery(name: String, plan: DataFrame, mode: String): StreamingQuery = {
     def start() = plan.writeStream
       .outputMode(mode).format("memory").queryName(name)

@@ -32,6 +32,38 @@ class HFunctionsSpec extends SparkSpec {
     assert(eval(lit(null).cast("int") + lit(1)) == null)
   }
 
+  // --- ArraySpec.hs golden cases (set ops match the reference exactly) -------
+  test("ARRAY_EXCEPT dedups and keeps NULL (ArraySpec ARRAY_EXCEPT__0/1)") {
+    assert(eval(array_except(array(lit(1), lit(2), lit(3), lit(1), lit(2)),
+      array(lit(2), lit(3)))) == Seq(1))
+    assert(eval(array_except(
+      array(lit("apple"), lit("apple"), lit(null), lit("cherry")),
+      array(lit("cherry")))) == Seq("apple", null))
+  }
+  test("ARRAY_INTERSECT dedups preserving left order (ARRAY_INTERSECT__0/1)") {
+    assert(eval(array_intersect(array(lit(1), lit(2), lit(3), lit(1), lit(2)),
+      array(lit(2), lit(1)))) == Seq(1, 2))
+    assert(eval(array_intersect(
+      array(lit("apple"), lit("apple"), lit(null), lit("cherry")),
+      array(lit("apple")))) == Seq("apple"))
+  }
+  test("ARRAY_MIN ignores NULL like the reference (ARRAY_MIN__0)") {
+    assert(eval(array_min(array(lit(-1), lit(2), lit(null), lit(0)))) == -1)
+  }
+  test("ARRAY_MAX NULL handling diverges (documented): ref treats NULL as max") {
+    // reference: max([-1,2,null,0]) = NULL (ArraySpec ARRAY_MAX__0 — its
+    // dynamic ordering puts Null on top); Spark sanely ignores nulls.
+    // Intentional divergence, SURVEY §7.3 spirit.
+    assert(eval(array_max(array(lit(-1), lit(2), lit(null), lit(0)))) == 2)
+  }
+  test("ARRAY_DISTINCT keeps first occurrences (ARRAY_DISTINCT__0/1)") {
+    assert(eval(array_distinct(array(lit(1), lit(1), lit(2), lit(3), lit(1), lit(2))))
+      == Seq(1, 2, 3))
+    assert(eval(array_distinct(
+      array(lit("apple"), lit("apple"), lit(null), lit("cherry"))))
+      == Seq("apple", null, "cherry"))
+  }
+
   // --- array edge cases (Common.hs:72-86) ------------------------------------
   test("array index OOB yields NULL (documented divergence from row-drop)") {
     assert(eval(arrayGet(array(lit(1), lit(2)), 5)) == null)

@@ -249,6 +249,17 @@ class EngineSpec extends SparkSpec {
     e.dropStream("fs1")
   }
 
+  test("CSAS with wire encoding emits extended JSON (Rts/Old.hs:134-157)") {
+    val e = newEngine
+    e.createStream("s12", schema)
+    e.createStreamAsWire("out12", e.df("s12").select(col("k"), col("v")))
+    e.insert("s12", rec("a", 7, "2024-01-01 00:00:00"))
+    e.processAll()
+    val json = spark.table("out12").head().getString(0)
+    assert(json == """{"k":"a","v":{"$numberLong":"7"}}""", json)
+    e.terminate("out12")
+  }
+
   test("DURATION retention: served reads exclude expired backlog (AST.hs:708-712)") {
     val e = newEngine
     e.createStream("s11", schema, Map("DURATION" -> "7 DAY", "REPLICATE" -> "3"))
