@@ -42,7 +42,8 @@ object ScaleProbe {
         count(lit(1)).as("c"))
     def minhashShape(df: DataFrame) = {
       import graft.functions.PipelineFunctions._
-      df.withColumn("hs", shingleHashes(shingles(tokens($"text"), 3)))
+      df.withColumn("wh", wordHashes(tokens($"text")))
+        .withColumn("hs", combineShingles3($"wh"))
         .select($"doc_id" +: (0 until 8).map(i => minhash($"hs", i).as(s"m$i")): _*)
     }
     def fingerprintShape(df: DataFrame) = {

@@ -70,6 +70,25 @@ object PipelineFunctions {
   /** 32-bit hashes of each shingle. */
   def shingleHashes(sh: Column): Column = transform(sh, s => hash32(s))
 
+  /** Per-word 32-bit hashes — materialize this as a column (withColumn)
+    * before calling [[combineShingles3]]: HOF expressions inline at every
+    * reference site, so an unmaterialized wh would be recomputed per get. */
+  def wordHashes(words: Column): Column = transform(words, w => hash32(w))
+
+  /** Distinct 3-shingle hashes computed WITHOUT building shingle strings:
+    * combine consecutive word-hashes with a rolling polynomial —
+    * s_i = ((wh_i·131 + wh_{i+1}) mod P · 131 + wh_{i+2}) mod P. Profiling
+    * shows shingle-string construction (not hashing) dominates the string
+    * path; this does ~word-count hashes instead of ~3× that many string
+    * builds + hashes. Cross-engine reproducible from the word-hash formula.
+    * @param wh a MATERIALIZED word-hash array column */
+  def combineShingles3(wh: Column): Column =
+    when(size(wh) >= 3,
+      array_distinct(transform(sequence(lit(0), size(wh) - 3), i =>
+        pmod(pmod(get(wh, i) * lit(131L) + get(wh, i + 1), lit(P)) * lit(131L)
+          + get(wh, i + 2), lit(P)))))
+      .otherwise(array().cast("array<long>"))
+
   /** Production hash path: xxhash64 folded to 32 bits — fully codegen'd, no
     * md5 string round-trip, ~10× cheaper per shingle. Same distribution
     * properties, but NOT cross-engine verifiable (the oracle engine has no

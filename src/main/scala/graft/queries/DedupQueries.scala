@@ -21,15 +21,17 @@ import graft.functions.PipelineFunctions._
   */
 object DedupQueries extends QueryPack {
 
-  /** doc_id + distinct 3-word shingles + their 32-bit hashes. The hash array
-    * is materialized ONCE here — the 8 MinHash permutations then reduce over
-    * precomputed integers instead of re-running md5 per permutation (8× less
-    * hashing; at 100 TB this is the map-side cost that dominates). */
+  /** doc_id + distinct 3-shingle hashes, built from per-word hashes combined
+    * arithmetically (combineShingles3) — no shingle strings are ever
+    * constructed, and the hash array is materialized ONCE so the 8 MinHash
+    * permutations reduce over precomputed integers. At 100 TB this map-side
+    * stage is the dominant cost of LSH dedup. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
-      .withColumn("hs", shingleHashes($"sh"))
+      .withColumn("wh", wordHashes(tokens($"text")))
+      .withColumn("hs", combineShingles3($"wh"))
+      .select($"doc_id", $"hs")
   }
 
   override def queries: Map[String, Q] = Map(
@@ -104,8 +106,8 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash_lsh_fast" -> ((s, dir) => {
       import s.implicits._
       val sig = Tables.load(s, dir, "documents")
-        .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
-        .withColumn("hs", shingleHashesFast($"sh"))
+        .withColumn("wh", transform(tokens($"text"), w => pmod(xxhash64(w), lit(1L << 32))))
+        .withColumn("hs", combineShingles3($"wh"))
         .select($"doc_id", $"hs",
           array((0 until 4).map(b =>
             concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
@@ -147,18 +149,19 @@ object DedupQueries extends QueryPack {
     })
   )
 
-  /** DuckDB-side shingle CTE shared by the dedup oracles. */
+  /** DuckDB-side shingle CTE shared by the dedup oracles: the same per-word
+    * hash + rolling combine as combineShingles3. */
   private val shCte =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-       sh AS (SELECT doc_id,
-         list_distinct(CASE WHEN len(w) >= 3
-           THEN list_transform(range(0, len(w) - 2),
-                i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
-           ELSE [] END) AS sh
+       wh AS (SELECT doc_id,
+         list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS wh
        FROM d),
-       h AS (SELECT doc_id, sh,
-         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
-       FROM sh)"""
+       h AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(wh) >= 3
+           THEN list_transform(range(0, len(wh) - 2),
+                i -> ((wh[i+1] * 131 + wh[i+2]) % 1000000007 * 131 + wh[i+3]) % 1000000007)
+           ELSE [] END) AS hs
+       FROM wh)"""
 
   private def mh(i: Int, hs: String = "hs"): String = {
     val (a, b) = MinhashPerms(i)
