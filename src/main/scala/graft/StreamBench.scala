@@ -43,6 +43,18 @@ object StreamBench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // interval-join replay (the reference's throughout-join.hs shape):
+    // odd/even event-id halves of the same stream joined WITHIN ±2 min
+    def joinPlan = {
+      val l = stream.filter($"event_id" % 2 === 0)
+        .select($"user_id".as("lu"), $"ts".as("lts"), $"event_id".as("lid"))
+      val r = stream.filter($"event_id" % 2 === 1)
+        .select($"user_id".as("ru"), $"ts".as("rts"), $"event_id".as("rid"))
+      StreamOps.intervalJoin(l, r, "lts", "rts", "2 minutes", "2 minutes",
+        col("lu") === col("ru"))
+        .select($"lid", $"rid")
+    }
+
     try Seq(
       drain("s_stream_filter",
         stream.filter($"event_type" === "purchase" && $"value" > 100.0)
@@ -55,7 +67,8 @@ object StreamBench {
       drain("s_stream_window",
         StreamOps.tumble(stream, "ts", "1 day")
           .agg(count(lit(1)).as("cnt"), sum($"value").as("sv")),
-        "update"))
+        "update"),
+      drain("s_stream_join", joinPlan, "append"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] streaming: ${e.getMessage}"); Seq.empty
     }

@@ -249,6 +249,19 @@ class EngineSpec extends SparkSpec {
     e.dropStream("fs1")
   }
 
+  test("union of two streams (Union plan node, Planner.hs:54 — V1 throws, we support)") {
+    val e = newEngine
+    e.createStream("u1", schema)
+    e.createStream("u2", schema)
+    e.createStreamAs("outu", e.df("u1").unionAll(e.df("u2")).select(col("k"), col("v")))
+    e.insert("u1", rec("a", 1, "2024-01-01 00:00:00"))
+    e.insert("u2", rec("b", 2, "2024-01-01 00:00:01"))
+    e.processAll()
+    val got = spark.table("outu").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("b", 2L)))
+    e.terminate("outu")
+  }
+
   test("CSAS with wire encoding emits extended JSON (Rts/Old.hs:134-157)") {
     val e = newEngine
     e.createStream("s12", schema)
