@@ -67,6 +67,18 @@ object StreamOps {
     l.join(r, range && cond, joinType)
   }
 
+  /** Stream→table materialization: latest value per key (the reference's
+    * `table` source — a stream consumed into a KV store keeping the newest
+    * record per key, Stream.hs:89-135). max_by over the event-time column
+    * gives Spark's partial-aggregated form of the same state. Ties on ts
+    * break deterministically by the packed struct's remaining fields. */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c)).toIndexedSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(ts)).as("_latest"))
+      .select(keys.map(col) ++ others.map(c => col(s"_latest.$c")): _*)
+  }
+
   /** Streaming exact dedup with bounded state: first-seen row per key wins;
     * state for keys older than the watermark is dropped. The streaming form
     * of q_dedup_exact (and of the reference's idempotent-producer dedup). */

@@ -249,6 +249,24 @@ class EngineSpec extends SparkSpec {
     e.dropStream("fs1")
   }
 
+  test("stream as table: latest value per key (table source, Stream.hs:89-135)") {
+    val e = newEngine
+    e.createStream("t1", schema)
+    e.createView("vt_latest", StreamOps.latestPerKey(e.df("t1"), Seq("k"), "_ts"))
+    e.insert("t1", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("a", 5, "2024-01-01 00:00:10"), // newer a wins
+      rec("b", 7, "2024-01-01 00:00:05"))
+    e.processAll()
+    val got = e.pull("vt_latest").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 5L, "b" -> 7L))
+    // later record updates the served value
+    e.insert("t1", rec("b", 9, "2024-01-01 00:01:00"))
+    e.processAll()
+    assert(e.pull("vt_latest", "k = 'b'").head().getLong(1) == 9L)
+    e.terminate("vt_latest")
+  }
+
   test("union of two streams (Union plan node, Planner.hs:54 — V1 throws, we support)") {
     val e = newEngine
     e.createStream("u1", schema)
