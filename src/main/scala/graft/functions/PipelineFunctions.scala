@@ -89,14 +89,6 @@ object PipelineFunctions {
           + get(wh, i + 2), lit(P)))))
       .otherwise(array().cast("array<long>"))
 
-  /** Production hash path: xxhash64 folded to 32 bits — fully codegen'd, no
-    * md5 string round-trip, ~10× cheaper per shingle. Same distribution
-    * properties, but NOT cross-engine verifiable (the oracle engine has no
-    * xxhash64), so the md5 form backs every oracle-checked query and this
-    * backs the `*_fast` scale-path variants. */
-  def shingleHashesFast(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(1L << 32)))
-
   /** MinHash signature element i: min over shingle hashes of (a*x+b) mod P.
     * NULL (encoded as P, an impossible hash) for empty shingle sets. */
   def minhash(hs: Column, i: Int): Column = {

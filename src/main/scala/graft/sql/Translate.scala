@@ -52,15 +52,6 @@ object Translate {
 
   // ---- expression translation ----------------------------------------------
 
-  private def seconds(i: IntervalLit): Long = i.unit match {
-    case "SECOND" => i.n
-    case "MINUTE" => i.n * 60
-    case "HOUR" => i.n * 3600
-    case "DAY" => i.n * 86400
-    case "MONTH" => i.n * 2592000L  // calendar months only matter for DURATION options
-    case "YEAR" => i.n * 31536000L
-  }
-
   private def intervalExpr(i: IntervalLit): Column =
     expr(s"INTERVAL ${i.n} ${i.unit}")
 
