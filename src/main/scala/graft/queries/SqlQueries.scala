@@ -83,6 +83,15 @@ object SqlQueries extends QueryPack {
          WHERE a.event_id <> b.event_id
          GROUP BY user_id;""")),
 
+    // CROSS JOIN WITHIN: pure time-window pairing, no key (the reference's
+    // V1 join is secretly always this — empty join key, Codegen/V1.hs:286).
+    "q_sql_join_cross" -> ((s, dir) => run(s, dir,
+      """SELECT COUNT(*) AS pairs
+         FROM (SELECT ts, event_id FROM events) AS a
+         CROSS JOIN (SELECT ts, event_id FROM events) AS b
+           WITHIN (INTERVAL 1 SECOND)
+         WHERE a.event_id <> b.event_id;""")),
+
     // FULL OUTER interval join through the dialect — join-type fidelity the
     // reference V1 silently drops (Codegen/V1.hs:301). Clicks and errors
     // within 5 minutes per user, unmatched sides preserved as nulls.
@@ -168,6 +177,12 @@ object SqlQueries extends QueryPack {
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
          GROUP BY 1""",
+    "q_sql_join_cross" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT count(*) AS pairs
+         FROM ev a JOIN ev b ON a.event_id <> b.event_id
+           AND b.ts >= a.ts - INTERVAL '1 second'
+           AND b.ts <= a.ts + INTERVAL '1 second'""",
     "q_sql_join_full" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.event_id AS click_id, b.event_id AS error_id

@@ -190,6 +190,20 @@ class SqlEngineSpec extends SparkSpec {
     assert(r.getAs[String]("a.v") == "x" && r.getAs[String]("b.v") == "y")
   }
 
+  test("JSONB stream column: nested payload round-trips through -> ops") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM js (id INTEGER, props JSONB, _ts TIMESTAMP);")
+    e.sql("""INSERT INTO js VALUES '{"id": 1, "props": {"user": {"name": "ada", "age": 36}}, "_ts": "2024-01-01 00:00:00"}';""")
+    val q = e.sql(
+      """SELECT id, props #>> {'user','name'} AS name,
+                (props -> 'user') ->> 'age' AS age
+         FROM js EMIT CHANGES;""").asInstanceOf[e.Started]
+    e.engine.processAll()
+    val r = spark.table(q.query.name).head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "ada" && r.getString(2) == "36")
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
+
   test("multi-statement script + SHOW VIEWS/QUERIES separation") {
     val e = new SqlEngine(spark)
     val results = e.script(
