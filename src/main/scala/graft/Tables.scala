@@ -34,12 +34,18 @@ object Tables {
 
   /** Register every table as a temp view named after itself (idempotent;
     * skips when this dir's views are already in place — schema inference
-    * over 10 parquet footers isn't free when called per query). */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val marker = s"graft_registered_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!spark.catalog.tableExists(marker)) {
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      spark.emptyDataFrame.createOrReplaceTempView(marker)
+    * over 10 parquet footers isn't free when called per query). One marker
+    * tracks the CURRENTLY registered dir: switching dirs re-registers, and
+    * switching back re-registers again (a per-dir marker would go stale and
+    * silently serve the other dir's data). */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, dir)
+      }
     }
-  }
 }

@@ -80,8 +80,13 @@ object HFunctions {
 
   // ---- ternary: BETWEEN family (TerOp.hs:34-70) ----------------------------
 
-  /** x BETWEEN a AND b (null-propagating, TerOp.hs:38-44). */
-  def hBetween(x: Column, a: Column, b: Column): Column = x >= a && x <= b
+  /** x BETWEEN a AND b (null-propagating, TerOp.hs:38-44). Explicit guard:
+    * SQL three-valued AND would yield FALSE for `5 BETWEEN NULL AND 3`
+    * (one NULL bound, other comparison false) where the reference returns
+    * NULL — same treatment as hBetweenSymmetric. */
+  def hBetween(x: Column, a: Column, b: Column): Column =
+    when(x.isNull || a.isNull || b.isNull, lit(null).cast("boolean"))
+      .otherwise(x >= a && x <= b)
 
   /** x BETWEEN SYMMETRIC a AND b (bounds order-insensitive, TerOp.hs:46-52).
     * Explicit null-propagation: Spark's least/greatest SKIP nulls, which
@@ -104,10 +109,32 @@ object HFunctions {
   /** Half-open 0-based slice a[i:j] (Common.hs:77-86). */
   def arraySlice(a: Column, i: Int, j: Int): Column = slice(a, i + 1, math.max(j - i, 0))
 
+  // ---- TIME arithmetic (AST.hs:155-173 interval model) ---------------------
+  // TIME is carried as a zero-padded HH:mm:ss string (no Spark TIME type).
+  // Arithmetic routes through an anchored timestamp and takes the clock part
+  // back out, so crossing midnight wraps mod 24 h like the reference's
+  // TimeOfDay arithmetic. The anchor day is irrelevant — only the clock
+  // component survives date_format.
+
+  /** t + INTERVAL, wrapping past midnight. */
+  def timeAdd(t: Column, interval: Column): Column =
+    date_format(try_to_timestamp(concat(lit("1970-01-02 "), t)) + interval,
+      "HH:mm:ss")
+
+  /** t - INTERVAL, wrapping before midnight. */
+  def timeSub(t: Column, interval: Column): Column =
+    date_format(try_to_timestamp(concat(lit("1970-01-02 "), t)) - interval,
+      "HH:mm:ss")
+
   // ---- JSON ops (AST.hs:262-267, JsonOp.hs:33-84) --------------------------
   // The reference's JSONB values arrive as JSON text columns here (events.props).
 
-  /** j -> 'k': JSON field access keeping JSON typing (JsonOp.hs:40-44). */
+  /** j -> 'k': JSON field access (JsonOp.hs:40-44). Accepted divergence from
+    * the reference: JOpArrow there returns the typed JSON value while this
+    * returns get_json_object's text rendering — string leaves come back
+    * unquoted and JSON null is indistinguishable from a missing key. Callers
+    * needing the typed value cast the result (numbers/bools round-trip
+    * exactly; nested objects/arrays keep their JSON text form). */
   def jsonGet(j: Column, key: String): Column =
     get_json_object(j, s"$$.$key")
 

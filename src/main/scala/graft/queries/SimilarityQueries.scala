@@ -78,7 +78,8 @@ object SimilarityQueries extends QueryPack {
     // into inverted lists; queries probe their 2 nearest lists and exact-
     // rank inside them. At 100 TB: corpus is bucketed/partitioned by
     // centroid id once at ingest; a query touches probes/nlist of the data.
-    // Rows-only check (approximate recall by construction).
+    // Fully deterministic (round(6) ranking, cid/vec_id tie-breaks) — exact
+    // DuckDB oracle below.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val all = normVecs(s, dir)
@@ -109,8 +110,8 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // LSH-bucketed ANN (the scale path): candidates share the top-8-bit
-    // signature bucket; exact dot re-rank within the bucket. Driver records
-    // a rows-only check (approximate recall by construction).
+    // signature bucket; exact dot re-rank within the bucket. Deterministic
+    // end-to-end, so it gets an exact oracle like the brute-force baseline.
     "q_ann_lsh_bucketed" -> ((s, dir) => {
       import s.implicits._
       val sig = normVecs(s, dir)
@@ -165,6 +166,50 @@ object SimilarityQueries extends QueryPack {
                ((('0x' || substr(md5(concat('h', p::VARCHAR, '_', d::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)
                  * embedding[d + 1]::DOUBLE)), (s, x) -> s + x) >= 0
              THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS sig
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+    // IVF replica: same 16 deterministic centroids, same rank-1 assignment
+    // (round(6) cdot, cid tie-break), same 2-probe, same exact re-rank.
+    "q_ann_ivf" ->
+      s"""$normCte,
+         c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+         asg0 AS (SELECT e.vec_id, e.nv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
+           FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, nv, cid FROM (
+           SELECT vec_id, nv, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) r
+           FROM asg0) WHERE r = 1),
+         pr0 AS (SELECT e.vec_id qid, e.nv qv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
+           FROM e CROSS JOIN c WHERE e.vec_id < 10),
+         pr AS (SELECT qid, qv, cid FROM (
+           SELECT qid, qv, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY cdot DESC, cid) r
+           FROM pr0) WHERE r <= 2),
+         scored AS (SELECT pr.qid, asg.vec_id, ${dotSql("pr.qv", "asg.nv")} AS sim
+           FROM pr JOIN asg USING (cid) WHERE asg.vec_id <> pr.qid),
+         ranked AS (SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+           FROM scored)
+         SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    // LSH-bucketed replica: signatures over the NORMALIZED vectors (unlike
+    // q_lsh_signatures, which signs the raw embedding), same ascending-d
+    // left fold as graft_lsh16, bucket = sig >> 8.
+    "q_ann_lsh_bucketed" ->
+      s"""$normCte,
+         sg AS (SELECT vec_id, nv, (list_sum(list_transform(range(0, 16), p ->
+             CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
+                 ((('0x' || substr(md5(concat('h', p::VARCHAR, '_', d::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)
+                   * nv[d + 1])), (s, x) -> s + x) >= 0
+               THEN (1::BIGINT << p) ELSE 0 END)))::BIGINT AS sig
+           FROM e),
+         b AS (SELECT vec_id, nv, sig >> 8 AS bucket FROM sg),
+         pairs AS (SELECT a.vec_id qid, b2.vec_id vec_id,
+             ${dotSql("a.nv", "b2.nv")} AS sim
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+         ranked AS (SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+           FROM pairs)
+         SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+         ORDER BY qid, rnk"""
   )
 }

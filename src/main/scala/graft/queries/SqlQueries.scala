@@ -103,6 +103,38 @@ object SqlQueries extends QueryPack {
                     WHERE event_type = 'error') AS b
            ON a.user_id = b.user_id WITHIN (INTERVAL 5 MINUTE);""")),
 
+    // RIGHT OUTER interval join through the dialect (mirror of
+    // q_sql_join_full): every error row preserved, clicks matched within
+    // ±5 minutes per user or null. Semantics per the reference V2 engine
+    // (DiffFlow/Types.hs:323-328); V1 silently runs INNER.
+    "q_sql_join_right" -> ((s, dir) => run(s, dir,
+      """SELECT a.event_id AS click_id, b.event_id AS error_id
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') AS a
+         RIGHT JOIN (SELECT user_id, ts, event_id FROM events
+                     WHERE event_type = 'error') AS b
+           ON a.user_id = b.user_id WITHIN (INTERVAL 5 MINUTE);""")),
+
+    // RIGHT JOIN ... USING: exercises the surviving-key coalesce (unmatched
+    // right rows take the right side's key — Translate.usingJoin).
+    "q_sql_join_right_using" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, COUNT(*) AS n
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') AS a
+         RIGHT JOIN (SELECT user_id, ts, event_id FROM events
+                     WHERE event_type = 'error') AS b
+           USING (user_id) WITHIN (INTERVAL 5 MINUTE)
+         GROUP BY user_id;""")),
+
+    // TIME ± INTERVAL arithmetic with midnight wraparound (the reference's
+    // TimeOfDay interval model, AST.hs:155-173).
+    "q_sql_time_arith" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, ts :: TIME AS tod,
+                (ts :: TIME) + INTERVAL 90 MINUTE AS plus90,
+                (ts :: TIME) - INTERVAL 2 HOUR AS minus2h,
+                TIME '23:30:00' + INTERVAL 45 MINUTE AS wrap
+         FROM events;""")),
+
     // HOP window through the dialect (size 1h, advance 30m).
     "q_sql_window_hop" -> ((s, dir) => run(s, dir,
       """SELECT COUNT(*) AS cnt
@@ -191,6 +223,32 @@ object SqlQueries extends QueryPack {
            ON a.user_id = b.user_id
            AND b.ts >= a.ts - INTERVAL '5 minutes'
            AND b.ts <= a.ts + INTERVAL '5 minutes'""",
+    "q_sql_join_right" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.event_id AS click_id, b.event_id AS error_id
+         FROM (SELECT * FROM ev WHERE event_type = 'click') a
+         RIGHT JOIN (SELECT * FROM ev WHERE event_type = 'error') b
+           ON a.user_id = b.user_id
+           AND b.ts >= a.ts - INTERVAL '5 minutes'
+           AND b.ts <= a.ts + INTERVAL '5 minutes'""",
+    "q_sql_join_right_using" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT coalesce(a.user_id, b.user_id) AS user_id, count(*) AS n
+         FROM (SELECT * FROM ev WHERE event_type = 'click') a
+         RIGHT JOIN (SELECT * FROM ev WHERE event_type = 'error') b
+           ON a.user_id = b.user_id
+           AND b.ts >= a.ts - INTERVAL '5 minutes'
+           AND b.ts <= a.ts + INTERVAL '5 minutes'
+         GROUP BY 1""",
+    "q_sql_time_arith" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT event_id,
+           strftime(ts, '%H:%M:%S') AS tod,
+           strftime(ts + INTERVAL '90 minutes', '%H:%M:%S') AS plus90,
+           strftime(ts - INTERVAL '2 hours', '%H:%M:%S') AS minus2h,
+           strftime(TIMESTAMP '1970-01-02 23:30:00' + INTERVAL '45 minutes',
+                    '%H:%M:%S') AS wrap
+         FROM ev""",
     "q_sql_window_hop" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,

@@ -83,8 +83,15 @@ object TextQueries extends QueryPack {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tokens").as("total_tokens"),
-          round(avg($"n_tokens"), 4).as("avg_tokens"),
-          round(avg($"q"), 6).as("avg_quality"),
+          // Float averages must be cross-engine deterministic: Spark's
+          // partial aggregation sums doubles in partition order, DuckDB
+          // sums sequentially, and the 6th decimal can flip. Sum exactly
+          // as DECIMAL(38,18) (q carries <=6 decimal places, so the sum is
+          // exact), then do ONE double division — order-independent.
+          round(sum($"n_tokens").cast("double") / count(lit(1)), 4)
+            .as("avg_tokens"),
+          round(sum($"q".cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("avg_quality"),
           countDistinct($"h").as("n_unique"))
         .orderBy($"lang")
     }),
@@ -149,8 +156,8 @@ object TextQueries extends QueryPack {
              6) q
          FROM d)
          SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-           round(avg(n_tokens), 4) AS avg_tokens,
-           round(avg(q), 6) AS avg_quality,
+           round(sum(n_tokens)::DOUBLE / count(*), 4) AS avg_tokens,
+           round(CAST(sum(CAST(q AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS avg_quality,
            count(DISTINCT h) AS n_unique
          FROM q GROUP BY lang ORDER BY lang""",
     "q_text_fingerprint" ->

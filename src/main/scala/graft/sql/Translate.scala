@@ -116,8 +116,14 @@ object Translate {
     case ">" => go(l) > go(r)
     case "<=" => go(l) <= go(r)
     case ">=" => go(l) >= go(r)
-    case "+" => go(l) + go(r)
-    case "-" => go(l) - go(r)
+    case "+" =>
+      if (isTimeExpr(l) && r.isInstanceOf[IntervalLit])
+        HFunctions.timeAdd(go(l), go(r)) // TIME + INTERVAL wraps (AST.hs:155-173)
+      else go(l) + go(r)
+    case "-" =>
+      if (isTimeExpr(l) && r.isInstanceOf[IntervalLit])
+        HFunctions.timeSub(go(l), go(r))
+      else go(l) - go(r)
     case "*" => go(l) * go(r)
     // JSON access (JsonOp.hs:33-84); key is a string literal or int index
     case "->" | "->>" => jsonAccess(go(l), r)
@@ -129,6 +135,17 @@ object Translate {
         get_json_object(go(l), "$" + path)
       case other => throw new IllegalArgumentException(s"#> expects a path array, got $other")
     }
+  }
+
+  /** Statically TIME-typed expressions: TIME literals, ::TIME casts, and
+    * TIME±INTERVAL chains over them. Drives the wraparound arithmetic
+    * dispatch above (the reference types per-row at runtime; our dialect is
+    * schema-ful, so the static shape is the type). */
+  private def isTimeExpr(e: Expr): Boolean = e match {
+    case _: TimeLit => true
+    case Cast(_, TTime) => true
+    case Bin("+" | "-", l, _: IntervalLit) => isTimeExpr(l)
+    case _ => false
   }
 
   private def jsonAccess(j: Column, key: Expr): Column = key match {
@@ -163,8 +180,12 @@ object Translate {
     case "REVERSE" => reverse(a(0)); case "STRLEN" => HFunctions.strLen(a(0))
     case "IFNULL" => HFunctions.ifNull(a(0), a(1))
     case "NULLIF" => HFunctions.nullIf(a(0), a(1))
-    case "DATETOSTRING" => date_format(a(0), "yyyy-MM-dd") // fmt arg via overload below
-    case "STRINGTODATE" => to_date(a(0))
+    // Non-literal format strings would silently produce wrong answers
+    // (there is no column-typed date_format); reject loudly instead.
+    case "DATETOSTRING" => throw new IllegalArgumentException(
+      "DATETOSTRING requires a string-literal format argument")
+    case "STRINGTODATE" => throw new IllegalArgumentException(
+      "STRINGTODATE requires a string-literal format argument")
     case "SPLIT" => HFunctions.hSplit(a(0), a(1))
     case "CHUNKSOF" => regexp_extract_all(a(1), concat(lit("(?s).{1,"), a(0), lit("}")), lit(0))
     case "TAKE" => HFunctions.hTake(a(0), a(1))
@@ -178,7 +199,10 @@ object Translate {
     case "ARRAY_LENGTH" => size(a(0))
     case "ARRAY_REMOVE" => array_remove(a(0), a(1))
     case "ARRAY_UNION" => array_union(a(0), a(1))
-    case "ARRAY_JOIN" => if (a.size == 1) array_join(a(0), "") else array_join(a(0), "?")
+    case "ARRAY_JOIN" =>
+      if (a.size == 1) array_join(a(0), "")
+      else throw new IllegalArgumentException(
+        "ARRAY_JOIN requires a string-literal separator argument")
     case "ARRAY_MAX" => array_max(a(0)); case "ARRAY_MIN" => array_min(a(0))
     case "ARRAY_SORT" => array_sort(a(0))
     case other => throw new IllegalArgumentException(s"unknown function $other")
@@ -289,7 +313,15 @@ object Translate {
     val right = planFrom(j.r, lookup)
     require(left.window.isEmpty && right.window.isEmpty,
       "joining time-windowed streams is not supported (Codegen/V1.hs:295-300)")
-    val (ldf, rdf) = (left.df, right.df)
+    // Streaming inputs must carry a watermark BEFORE a stream-stream join:
+    // it bounds the buffered state to the WITHIN window (instead of growing
+    // forever), and Spark refuses outer stream-stream joins without one.
+    // Grace = the WITHIN interval (the reference's join grace is 0 —
+    // jwGraceMs, Codegen/V1.hs:287-291 — so the window itself is the bound).
+    def wm(df: DataFrame): DataFrame =
+      if (df.isStreaming) df.withWatermark(tsCol(df), intervalString(j.within))
+      else df
+    val (ldf, rdf) = (wm(left.df), wm(right.df))
     val lts = col(s"${refAlias(j.l)}.${tsCol(ldf)}")
     val rts = col(s"${refAlias(j.r)}.${tsCol(rdf)}")
     val w = intervalExpr(j.within)
