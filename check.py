@@ -46,8 +46,17 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); fail += 1; continue
     exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    # Mimic the driver's hash: integer widths are normalized (int32 == int64)
+    # but int-vs-float is a mismatch (DuckDB sum(BIGINT) -> HUGEINT -> pandas
+    # float64 must FAIL here, as it fails the driver's hash compare).
+    def norm_ints(df):
+        for c in df.columns:
+            if df[c].dtype.kind in "iu":
+                df[c] = df[c].astype("int64")
+        return df
+    exp_s, got_s = norm_ints(exp_s), norm_ints(got_s)
     try:
-        pd.testing.assert_frame_equal(exp_s, got_s, check_dtype=False,
+        pd.testing.assert_frame_equal(exp_s, got_s, check_dtype=True,
                                       check_exact=False, rtol=1e-9, atol=1e-9)
         print(f"ok   {name} ({len(exp)} rows)"); ok += 1
     except AssertionError as e:

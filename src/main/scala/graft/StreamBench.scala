@@ -50,8 +50,11 @@ object StreamBench {
         .select($"user_id".as("lu"), $"ts".as("lts"), $"event_id".as("lid"))
       val r = stream.filter($"event_id" % 2 === 1)
         .select($"user_id".as("ru"), $"ts".as("rts"), $"event_id".as("rid"))
+      // Grace = the WITHIN window itself (the reference's jwGraceMs = 0,
+      // Codegen/V1.hs:287-291) — NOT the 24 h default, which would buffer
+      // the whole replay corpus as join state for a ±2 min window.
       StreamOps.intervalJoin(l, r, "lts", "rts", "2 minutes", "2 minutes",
-        col("lu") === col("ru"))
+        col("lu") === col("ru"), grace = "2 minutes")
         .select($"lid", $"rid")
     }
 

@@ -37,13 +37,19 @@ object Tables {
     * over 10 parquet footers isn't free when called per query). One marker
     * tracks the CURRENTLY registered dir: switching dirs re-registers, and
     * switching back re-registers again (a per-dir marker would go stale and
-    * silently serve the other dir's data). */
+    * silently serve the other dir's data). Weak keys: a discarded
+    * SparkSession must not be pinned for the process lifetime by this cache
+    * (long-lived multi-session processes/tests). A sentinel-view existence
+    * check guards against temp views dropped out-of-band while the marker
+    * still claims the dir is registered. */
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     registeredDir.synchronized {
-      if (registeredDir.get(spark) != dir) {
+      val fresh = registeredDir.get(spark) != dir ||
+        !spark.catalog.tableExists(all.head)
+      if (fresh) {
         all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
         registeredDir.put(spark, dir)
       }

@@ -101,8 +101,11 @@ object DedupQueries extends QueryPack {
     }),
 
     // The same MinHash+LSH pipeline on the xxhash64 fast path — what you
-    // actually run at 100 TB (rows-only check; md5 variant above is the
-    // oracle-verified twin of this exact plan shape).
+    // actually run at 100 TB. Oracle'd with the md5 twin's DuckDB replica:
+    // same docs + same banding ⇒ the verified pair sets coincide, and the
+    // exact-Jaccard values are computed over injectively-hashed shingle
+    // sets, so they are hash-family-independent (DedupSpec pins the two
+    // pipelines equal in-Spark as well).
     "q_dedup_minhash_lsh_fast" -> ((s, dir) => {
       import s.implicits._
       val sig = Tables.load(s, dir, "documents")
@@ -180,6 +183,22 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" ->
+      s"""$shCte,
+         sig AS (SELECT doc_id, hs,
+           [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
+         FROM h),
+         banded AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+         SELECT d1, d2, jac FROM (
+           SELECT d1, d2,
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / len(list_distinct(a.hs || b.hs)), 6) AS jac
+           FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
+         WHERE jac >= 0.5 ORDER BY d1, d2""",
+    // The fast twin's verified output equals the md5 twin's (see the query
+    // comment); the md5 replica therefore oracles both.
+    "q_dedup_minhash_lsh_fast" ->
       s"""$shCte,
          sig AS (SELECT doc_id, hs,
            [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands

@@ -155,7 +155,7 @@ object TextQueries extends QueryPack {
              + (1.0 - len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w)) * 0.2,
              6) q
          FROM d)
-         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
            round(sum(n_tokens)::DOUBLE / count(*), 4) AS avg_tokens,
            round(CAST(sum(CAST(q AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS avg_quality,
            count(DISTINCT h) AS n_unique

@@ -140,7 +140,14 @@ object Translate {
   /** Statically TIME-typed expressions: TIME literals, ::TIME casts, and
     * TIME±INTERVAL chains over them. Drives the wraparound arithmetic
     * dispatch above (the reference types per-row at runtime; our dialect is
-    * schema-ful, so the static shape is the type). */
+    * schema-ful, so the static shape is the type).
+    *
+    * Known limitation (documented divergence): the check is purely
+    * syntactic, so a TIME value flowing through a subquery alias
+    * (`SELECT t + INTERVAL 1 HOUR FROM (SELECT ts::TIME AS t …)`) is not
+    * recognized and falls into plain string+interval arithmetic. Re-cast at
+    * the use site (`t::TIME + INTERVAL 1 HOUR`) to opt back into wraparound
+    * semantics; a schema-declared TIME column type would lift this. */
   private def isTimeExpr(e: Expr): Boolean = e match {
     case _: TimeLit => true
     case Cast(_, TTime) => true
