@@ -30,7 +30,7 @@ class SqlEngine(spark: SparkSession) {
 
   private def lookup(name: String): DataFrame =
     if (engine.showStreams.contains(name)) engine.df(name)
-    else spark.table(name)
+    else engine.pull(name) // parquet-backed view snapshot, else session catalog
 
   def planOf(sel: Select): DataFrame = Translate.plan(sel, lookup)
 

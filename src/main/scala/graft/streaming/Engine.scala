@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** The engine facade: streams, continuous queries, and materialized views —
   * the reference's server surface (SURVEY §3) re-expressed on Structured
@@ -24,27 +24,37 @@ import org.apache.spark.sql.types.StructType
   *     coalesces per batch, an accepted divergence (SURVEY §7.3).
   *   - CREATE VIEW … AS SELECT <agg> materializes aggregation state served
   *     by pull queries (hstream/src/HStream/Server/Core/View.hs:94-254). We
-  *     materialize the *final* view output (complete mode into a driver
-  *     table), which sidesteps the reference's HAVING/Project splice
-  *     (View.hs:189-222) by construction.
+  *     materialize the *final* view output into a parquet-backed snapshot
+  *     (distributed foreachBatch write, never driver memory), which
+  *     sidesteps the reference's HAVING/Project splice (View.hs:189-222) by
+  *     construction.
   *   - TERMINATE / PAUSE / RESUME / DROP / SHOW (AST.hs:806-906) map onto
   *     StreamingQuery lifecycle + catalog ops.
   *
   * Scale: MemoryStream is the test transport; production streams plug in any
   * readStream source (Kafka/files) with the same declared schema — every
   * transform downstream of [[df]] is source-agnostic. View state lives in
-  * Spark's state store (RocksDB on a cluster); only the *served snapshot* of
-  * a pull query is driver-side, and [[pull]] applies the predicate before
-  * collecting.
+  * Spark's state store (RocksDB on a cluster) and served snapshots live in
+  * parquet; [[pull]] is a batch scan with predicate/projection pushdown, so
+  * nothing view-sized ever sits on the driver.
   */
 class Engine(val spark: SparkSession) {
   import spark.implicits._
 
   private case class StreamEntry(schema: StructType, source: MemoryStream[String],
-                                 options: Map[String, String])
+                                 options: Map[String, String], wire: Boolean = false)
+  /** File-backed stream registration: `dir`+`format` are kept so sinks
+    * (insertSelect / CSAS into the stream) can write DISTRIBUTED into the
+    * same directory the source tails — no driver hop. */
+  private case class FileStreamEntry(dir: String, schema: StructType,
+                                     format: String, wire: Boolean = false)
   private val streams = TrieMap.empty[String, StreamEntry]
+  private val fileStreams = TrieMap.empty[String, FileStreamEntry]
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val paused  = TrieMap.empty[String, () => StreamingQuery]
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** Default window grace: the reference's fixed 24 h (TimeWindows.hs:39). */
   val defaultGrace: String = "24 hours"
@@ -60,7 +70,10 @@ class Engine(val spark: SparkSession) {
   def createStream(name: String, schema: StructType,
                    options: Map[String, String] = Map.empty): Unit = {
     require(!streams.contains(name), s"stream $name exists")
-    streams(name) = StreamEntry(schema, MemoryStream[String](spark), options)
+    // FORMAT='wire': payloads are the reference's extended JSON and are
+    // decoded on read (jsonValueToFlowValue, Rts/Old.hs:159-198)
+    val wire = options.get("FORMAT").exists(_.equalsIgnoreCase("wire"))
+    streams(name) = StreamEntry(schema, MemoryStream[String](spark), options, wire)
   }
 
   /** Declared WITH-options of a stream (DESCRIBE-style metadata). */
@@ -78,30 +91,41 @@ class Engine(val spark: SparkSession) {
 
   /** Register a file-backed stream (the production transport: new files in
     * `dir` are micro-batches; swap for Kafka by changing only this method's
-    * body — everything downstream of [[df]] is source-agnostic). */
+    * body — everything downstream of [[df]] is source-agnostic).
+    * `wire = true` reads text files of extended-JSON payloads and decodes
+    * them to the declared schema — the source half of the reference's
+    * connector transport (Rts/Old.hs:159-198). */
   def createFileStream(name: String, dir: String, schema: StructType,
-                       format: String = "json"): Unit = {
-    require(!streams.contains(name), s"stream $name exists")
-    fileStreams(name) = () => {
-      val parsed = spark.readStream.schema(schema).format(format).load(dir)
-      if (schema.fieldNames.contains("_ts")) parsed
-      else parsed.withColumn("_ts", current_timestamp())
-    }
+                       format: String = "json", wire: Boolean = false): Unit = {
+    require(!streams.contains(name) && !fileStreams.contains(name),
+      s"stream $name exists")
+    fileStreams(name) = FileStreamEntry(dir, schema, if (wire) "text" else format, wire)
   }
-  private val fileStreams = TrieMap.empty[String, () => DataFrame]
 
-  /** The stream as an unbounded DataFrame: parsed payload columns + `_ts`.
-    * If the schema declares no `_ts`, it is producer-assigned at append. */
+  /** Producer-assigned `_ts` when the schema declares none
+    * (Processor.hs:530 uses wall clock at sink). */
+  private def withEventTime(parsed: DataFrame, schema: StructType): DataFrame =
+    if (schema.fieldNames.contains("_ts")) parsed
+    else parsed.withColumn("_ts", current_timestamp())
+
+  /** The stream as an unbounded DataFrame: parsed payload columns + `_ts`. */
   def df(name: String): DataFrame = fileStreams.get(name) match {
-    case Some(mk) => mk()
+    case Some(fe) =>
+      val raw = spark.readStream.schema(
+          if (fe.wire) StructType(Seq(StructField("value", StringType)))
+          else fe.schema)
+        .format(fe.format).load(fe.dir)
+      val parsed =
+        if (fe.wire) graft.sources.WireFormat.decode(raw, fe.schema) else raw
+      withEventTime(parsed, fe.schema)
     case None =>
       val e = streams(name)
-      val parsed = e.source.toDF()
-        .select(from_json($"value", e.schema).as("r"))
-        .select($"r.*")
-      val withTs =
-        if (e.schema.fieldNames.contains("_ts")) parsed
-        else parsed.withColumn("_ts", current_timestamp())
+      val parsed =
+        if (e.wire) graft.sources.WireFormat.decode(e.source.toDF(), e.schema)
+        else e.source.toDF()
+          .select(from_json($"value", e.schema).as("r"))
+          .select($"r.*")
+      val withTs = withEventTime(parsed, e.schema)
       // DURATION retention: serve only records within the backlog window
       e.options.get("DURATION") match {
         case Some(d) => withTs.filter(col("_ts") >= current_timestamp() - expr(s"INTERVAL $d"))
@@ -115,6 +139,15 @@ class Engine(val spark: SparkSession) {
     * table named `name` (read results via `spark.table(name)`). */
   def emitChanges(name: String, plan: DataFrame): StreamingQuery =
     startQuery(name, plan, "update")
+
+  /** EMIT CHANGES with the reference's per-row cadence: one emission per
+    * input row (GroupedStream.hs:102), not one per micro-batch — the
+    * fidelity opt-in for tests/consumers that need the exact changelog
+    * (README "Accepted divergences"). Currently covers the unwindowed
+    * COUNT/SUM aggregate shape. */
+  def emitChangesPerRow(name: String, source: DataFrame,
+                        key: String, value: String): StreamingQuery =
+    startQuery(name, StreamOps.perRowCountSum(source, key, value), "update")
 
   /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query
     * writing into the sink stream's backing table. */
@@ -139,17 +172,33 @@ class Engine(val spark: SparkSession) {
 
   /** INSERT INTO target SELECT … (InsertBySelectPlan, Codegen/V1.hs:151-160):
     * a continuous query appending each result row INTO the target stream,
-    * so queries over the target observe them. Rows are re-encoded as JSON
-    * through the target's insert path (driver-side per micro-batch — the
-    * MemoryStream transport is driver-resident anyway; a file/Kafka-backed
-    * stream would make this a distributed sink write instead). */
+    * so queries over the target observe them.
+    *
+    * File-backed target: Spark's native streaming file sink writes result
+    * partitions EXECUTOR-SIDE into the directory the target's source tails —
+    * nothing crosses the driver, so INSERT-SELECT throughput scales with the
+    * cluster (this is the path a Kafka-backed stream would take too, with
+    * only the sink format changing). MemoryStream target: rows are collected
+    * and re-encoded through the insert path — that transport is
+    * driver-resident by definition (tests only). */
   def insertSelect(target: String, plan: DataFrame): StreamingQuery = {
-    val q = plan.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.toJSON.collect()
-        if (rows.nonEmpty) insert(target, rows.toIndexedSeq: _*)
-      }
-      .trigger(Trigger.ProcessingTime(0)).start()
+    val q = fileStreams.get(target) match {
+      case Some(fe) =>
+        // wire targets get the reference's sink encoding on the way out
+        val encoded =
+          if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
+        encoded.writeStream.outputMode("append").format(fe.format)
+          .option("checkpointLocation", tempDir(s"graft_ckpt_$target"))
+          .option("path", fe.dir)
+          .trigger(Trigger.ProcessingTime(0)).start()
+      case None =>
+        plan.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val rows = batch.toJSON.collect()
+            if (rows.nonEmpty) insert(target, rows.toIndexedSeq: _*)
+          }
+          .trigger(Trigger.ProcessingTime(0)).start()
+    }
     queries(s"insert_$target") = q
     q
   }
@@ -173,26 +222,78 @@ class Engine(val spark: SparkSession) {
   def explain(plan: DataFrame): String = plan.queryExecution.explainString(
     org.apache.spark.sql.execution.FormattedMode)
 
-  /** Block until every started query has processed all available input. */
-  def processAll(): Unit = queries.values.foreach(_.processAllAvailable())
+  /** Block until every started query has processed all available input.
+    * Queries can feed each other (CSAS / INSERT-SELECT pipelines), so one
+    * pass in arbitrary order can leave a downstream query unfed; draining
+    * once per query reaches a fixpoint for any acyclic pipeline (a drained
+    * query's processAllAvailable is a cheap no-op). */
+  def processAll(): Unit = {
+    val passes = math.max(queries.size, 1)
+    (1 to passes).foreach(_ => queries.values.foreach(_.processAllAvailable()))
+  }
 
   // ---- materialized views (SURVEY §3.2) ------------------------------------
 
-  /** CREATE VIEW name AS <aggregation plan>: completes-mode materialization
-    * into an in-memory table; serves pull queries. */
+  /** view name → (base dir, latest snapshot path, result schema). The
+    * snapshot pointer flips only after a full distributed write succeeds,
+    * so pulls never observe a half-written snapshot. */
+  private final class ViewState(val dir: String, val schema: StructType) {
+    @volatile var snapshot: Option[String] = None
+  }
+  private val views = TrieMap.empty[String, ViewState]
+
+  /** CREATE VIEW name AS <aggregation plan>: complete-mode materialization
+    * into a PARQUET-BACKED table via foreachBatch — each trigger writes the
+    * full aggregate distributed (executor-side, one snapshot dir per batch)
+    * and then flips the serving pointer. The reference holds view state in
+    * an in-memory store and dumps it per pull (groupbyStores, View.hs:
+    * 134-135; ksDump Processor.hs:380-411) — a driver-memory bound we
+    * deliberately do not inherit: at 100 TB the aggregate lives in files,
+    * the driver only tracks a path. */
   def createView(name: String, plan: DataFrame): StreamingQuery = {
+    val state = new ViewState(tempDir(s"graft_view_$name"), plan.schema)
+    views(name) = state
     val q = plan.writeStream
-      .outputMode("complete").format("memory").queryName(name)
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val path = s"${state.dir}/b$batchId"
+        batch.write.mode("overwrite").parquet(path)
+        val previous = state.snapshot
+        state.snapshot = Some(path)
+        // keep only the serving snapshot (and tolerate a concurrent reader
+        // of the one just replaced — deletion is deferred by one batch)
+        previous.foreach { p =>
+          val old = new java.io.File(state.dir).listFiles()
+          if (old != null) old.filter(f => f.getPath != path && f.getPath != p)
+            .foreach(deleteRecursively)
+        }
+      }
       .trigger(Trigger.ProcessingTime(0)).start()
     queries(name) = q
     q
   }
 
-  /** Pull query over a view: batch SELECT with the immediate WHERE applied
-    * before anything is collected (View.hs:166-254; predicate pushes into
-    * the in-memory scan, bounding what the driver serves). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Pull query over a view: a BATCH scan over the parquet snapshot with the
+    * immediate WHERE applied — the predicate and projection push into the
+    * parquet reader (View.hs:166-254's splice made unnecessary by
+    * materializing final output; SURVEY §3.2). Falls back to the session
+    * catalog for names materialized elsewhere (e.g. memory-sink tests). */
   def pull(view: String, where: String = "true"): DataFrame =
-    spark.table(view).where(where)
+    views.get(view) match {
+      case Some(state) => state.snapshot match {
+        case Some(path) => spark.read.parquet(path).where(where)
+        case None => // no trigger has completed yet: empty, correctly typed
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
+            .where(where)
+      }
+      case None => spark.table(view).where(where)
+    }
 
   /** Bounded pull: the reference dumps whole state stores to the client
     * (ksDump/ssDump, Processor.hs:380-411) — unbounded driver memory on a

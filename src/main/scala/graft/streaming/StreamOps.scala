@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming transform combinators: the windowed-aggregation and interval-
   * join surface of the dialect (SURVEY §2.4–§2.6), watermark-correct by
@@ -77,6 +78,33 @@ object StreamOps {
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), col(ts)).as("_latest"))
       .select(keys.map(col) ++ others.map(c => col(s"_latest.$c")): _*)
+  }
+
+  /** Per-row emission for unwindowed COUNT/SUM aggregation: ONE output row
+    * per INPUT row, carrying the running aggregate — the reference's exact
+    * EMIT CHANGES cadence (every input re-emits the updated accumulator,
+    * GroupedStream.hs:79-102), where plain update-mode groupBy coalesces all
+    * of a key's rows within a micro-batch into one emission. Built on
+    * flatMapGroupsWithState: state is the (count, sum) accumulator per key,
+    * partitioned across executors like any streaming agg — per-row fidelity
+    * costs emission volume, not driver memory. */
+  def perRowCountSum(df: DataFrame, key: String, value: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(key).cast("string"), col(value).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          var (cnt, sm) = state.getOption.getOrElse((0L, 0.0))
+          val emissions = rows.map { case (_, v) =>
+            cnt += 1; sm += v; (k, cnt, sm)
+          }.toVector // materialize BEFORE state.update sees the final acc
+          state.update((cnt, sm))
+          emissions.iterator
+      }
+      .toDF(key, "cnt", "sum")
   }
 
   /** Streaming exact dedup with bounded state: first-seen row per key wins;

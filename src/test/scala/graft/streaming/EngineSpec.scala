@@ -305,6 +305,112 @@ class EngineSpec extends SparkSpec {
     e.terminate("out11")
   }
 
+  test("INSERT-SELECT into a file-backed stream writes distributed (no driver collect)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ist").toString
+    val e = newEngine
+    e.createStream("src13", schema)
+    e.createFileStream("tgt13", dir, StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType))))
+    val q = e.insertSelect("tgt13",
+      e.df("src13").filter(col("v") > 1).select(col("k"), (col("v") * 2).as("x")))
+    // downstream continuous query over the target observes inserted rows
+    e.emitChanges("out13", e.df("tgt13").select(col("k"), col("x")))
+    e.insert("src13", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("b", 2, "2024-01-01 00:00:01"), rec("c", 5, "2024-01-01 00:00:02"))
+    e.processAll()
+    // the sink must be Spark's distributed FileSink, not a foreachBatch
+    // driver hop — this is the 100 TB path
+    assert(q.lastProgress.sink.description.contains("FileSink"),
+      s"sink was: ${q.lastProgress.sink.description}")
+    val got = spark.table("out13").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 4L), ("c", 10L)))
+    e.terminate("out13"); e.terminate("insert_tgt13")
+    e.dropStream("src13"); e.dropStream("tgt13")
+  }
+
+  test("views materialize to parquet snapshots; pull pushes the predicate into the scan") {
+    val e = newEngine
+    e.createStream("s14", schema)
+    e.createView("v14", e.df("s14").groupBy(col("k")).agg(sum(col("v")).as("total")))
+    // pull before any data: empty but correctly typed
+    assert(e.pull("v14").collect().isEmpty)
+    e.insert("s14", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("a", 2, "2024-01-01 00:00:01"), rec("b", 5, "2024-01-01 00:00:02"))
+    e.processAll()
+    val pulled = e.pull("v14", "total > 2")
+    // served from a parquet snapshot, and the WHERE reaches the file scan
+    val plan = pulled.queryExecution.executedPlan.toString
+    assert(plan.contains("Parquet"), s"not a parquet scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(total), GreaterThan(total,2)"),
+      s"predicate not pushed:\n$plan")
+    assert(pulled.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 3L, "b" -> 5L))
+    // snapshot advances with new data
+    e.insert("s14", rec("b", 10, "2024-01-01 00:00:03"))
+    e.processAll()
+    assert(e.pull("v14", "k = 'b'").head().getLong(1) == 15L)
+    e.terminate("v14")
+  }
+
+  test("wire-decode source path e2e: encode-sink → decode-source → query (Rts/Old.hs:159-198)") {
+    val e = newEngine
+    e.createStream("s15", schema)
+    // CSAS with wire encoding: the sink table holds extended-JSON payloads
+    e.createStreamAsWire("out15", e.df("s15").select(col("k"), col("v"), col("_ts")))
+    e.insert("s15", rec("a", 7, "2024-01-01 00:00:00"),
+      rec("b", -3, "2024-01-01 00:00:05"))
+    e.processAll()
+    val encoded = spark.table("out15").collect().map(_.getString(0))
+    assert(encoded.exists(_.contains(""""v":{"$numberLong":"7"}""")), encoded.mkString("\n"))
+    // a wire-format stream decodes those payloads back to typed columns
+    e.createStream("s16", schema, Map("FORMAT" -> "wire"))
+    e.emitChanges("out16", e.df("s16").filter(col("v") > 0)
+      .select(col("k"), (col("v") + 1).as("v1"), col("_ts")))
+    e.insert("s16", encoded.toIndexedSeq: _*)
+    e.processAll()
+    val got = spark.table("out16").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).toString))
+    assert(got.toSet == Set(("a", 8L, "2024-01-01 00:00:00.0")), got.mkString(","))
+    e.terminate("out15"); e.terminate("out16")
+    e.dropStream("s15"); e.dropStream("s16")
+  }
+
+  test("wire-decode file source: a directory of extended-JSON payloads is a typed stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wirefs").toString
+    val e = newEngine
+    e.createFileStream("fw1", dir, schema, wire = true)
+    e.emitChanges("outfw", e.df("fw1").select(col("k"), col("v")))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "w.txt"),
+      """{"k":"x","v":{"$numberLong":"42"},"_ts":{"$timestamp":"2024-01-01T00:00:00.000Z"}}""")
+    e.processAll()
+    val got = spark.table("outfw").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == Set(("x", 42L)))
+    e.terminate("outfw"); e.dropStream("fw1")
+  }
+
+  test("per-row EMIT CHANGES opt-in: one emission per input row (GroupedStream.hs:102)") {
+    val e = newEngine
+    e.createStream("s17", schema)
+    e.emitChangesPerRow("out17", e.df("s17"), "k", "v")
+    // three same-key rows in ONE micro-batch: update-mode groupBy would
+    // coalesce them into one emission; the per-row path must emit three
+    e.insert("s17", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("a", 2, "2024-01-01 00:00:01"), rec("a", 4, "2024-01-01 00:00:02"))
+    e.processAll()
+    val rows = spark.table("out17").collect()
+      .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), s"counts: ${rows.toSeq}")
+    assert(rows.last == (3L, 7.0), s"final acc: ${rows.last}")
+    // state persists across batches: a fourth row continues the accumulator
+    e.insert("s17", rec("a", 3, "2024-01-01 00:00:03"))
+    e.processAll()
+    val all = spark.table("out17").collect()
+      .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getDouble(2)))
+    assert(all.last == (4L, 10.0), s"after batch 2: ${all.toSeq}")
+    e.terminate("out17"); e.dropStream("s17")
+  }
+
   test("query lifecycle: terminate, pause/resume, show (AST.hs:806-906)") {
     val e = newEngine
     e.createStream("s7", schema)
