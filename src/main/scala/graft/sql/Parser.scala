@@ -15,7 +15,8 @@ import Ast._
   */
 object Parser {
 
-  def parse(sql: String): Stmt = new Parser(Lexer.tokenize(sql)).statement()
+  def parse(sql: String): Stmt =
+    Validate(new Parser(Lexer.tokenize(sql)).statement())
 
   def parseExpr(s: String): Expr = new Parser(Lexer.tokenize(s)).fullExpr()
 

@@ -436,6 +436,15 @@ object Translate {
       filtered.select(cols: _*)
     } else {
       // Reduce (Codegen/V1.hs:382-456)
+      // GROUP BY on a column the relation doesn't have: reject with the
+      // dialect's vocabulary, not a deep Catalyst resolution error
+      sel.groupBy.foreach {
+        case ColRef(None, n) if !base0.columns.contains(n) =>
+          throw new IllegalArgumentException(
+            s"GROUP BY references unknown column '$n' " +
+              s"(available: ${base0.columns.mkString(", ")})")
+        case _ => () // qualified refs resolve through alias scopes
+      }
       val aggNames = aggs.zipWithIndex.map { case (a, i) => a -> s"_agg$i" }.toMap
       val aggCols = aggs.map(a => aggColumn(a, resolve).as(aggNames(a)))
       val keyCols = sel.groupBy.map(c => resolve(c).as(c.name))

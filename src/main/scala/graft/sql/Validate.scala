@@ -1,0 +1,157 @@
+package graft.sql
+
+import Ast._
+
+/** Parse-time semantic validation — the reference's `validate` stage
+  * (hstream-sql/src/HStream/SQL/Internal/Validate.hs, 805 LoC), which runs
+  * between parsing and refinement and rejects ill-formed statements with a
+  * meaningful message before anything is planned. The checks here mirror the
+  * reference's rules (each cites its source); schema-dependent checks (e.g.
+  * GROUP BY on a column the relation doesn't have) live in Translate.plan
+  * where the resolved relation is in hand.
+  *
+  * Deliberate supersets (README "Accepted divergences"): scalar functions
+  * OVER aggregates (`ABS(SUM(v))`) are allowed here — the reference rejects
+  * them (Validate.hs:126-135) but the planner's aggregate extraction handles
+  * them correctly, so rejecting would only shrink the surface.
+  */
+object Validate {
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  def apply(stmt: Stmt): Stmt = { checkStmt(stmt); stmt }
+
+  private def checkStmt(stmt: Stmt): Unit = stmt match {
+    case SelectStmt(sel) => checkSelect(sel)
+    case CreateStreamAs(_, sel, _) => checkSelect(sel)
+    case CreateView(_, sel) => checkSelect(sel)
+    case InsertSel(_, sel) => checkSelect(sel)
+    case CreateStream(name, schema, _) =>
+      val dups = schema.map(_._1).groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+      if (dups.nonEmpty)
+        fail(s"CREATE STREAM $name: duplicate column ${dups.mkString(", ")}")
+    case InsertValues(stream, cols, vals) =>
+      if (cols.size != vals.size)
+        fail(s"INSERT INTO $stream: ${cols.size} columns but ${vals.size} values")
+      val dups = cols.groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+      if (dups.nonEmpty) fail(s"INSERT INTO $stream: duplicate column ${dups.mkString(", ")}")
+      vals.foreach(checkExpr(_, aggAllowed = false, where = "INSERT VALUES"))
+    case Explain(inner) => checkStmt(inner)
+    case _ => ()
+  }
+
+  private def checkSelect(sel: Select): Unit = {
+    // duplicate output aliases (Validate.hs `sel` case: DerivedColAs with a
+    // repeated Ident is rejected)
+    val aliases = sel.items.collect { case ItemExpr(_, Some(a)) => a }
+    val dupAliases = aliases.groupBy(identity).collect { case (a, vs) if vs.size > 1 => a }
+    if (dupAliases.nonEmpty)
+      fail(s"duplicate column alias in SELECT: ${dupAliases.mkString(", ")}")
+
+    // aggregates are not allowed in WHERE (Validate.hs:521: "Aggregate
+    // functions are not allowed in WHERE clause, HAVING clause and JOIN
+    // condition" — HAVING over aggregates is standard SQL and the planner
+    // handles it, so only WHERE and JOIN conditions reject here)
+    sel.where.foreach(checkExpr(_, aggAllowed = false, where = "WHERE clause"))
+    sel.items.foreach {
+      case ItemExpr(e, _) => checkExpr(e, aggAllowed = true, where = "SELECT list")
+      case _ => ()
+    }
+    sel.having.foreach(checkExpr(_, aggAllowed = true, where = "HAVING clause"))
+    sel.groupBy.foreach(c => checkExpr(c, aggAllowed = false, where = "GROUP BY"))
+    checkFrom(sel.from, inJoin = false)
+  }
+
+  private def checkFrom(ref: TableRef, inJoin: Boolean): Unit = ref match {
+    case TRStream(_) => ()
+    case TRSubquery(s) => checkSelect(s)
+    case TRAlias(inner, _) => checkFrom(inner, inJoin)
+    case TRWindowed(inner, win) =>
+      // windowed relations cannot be join inputs (Codegen/V1.hs:295-300
+      // "Joining time-windowed and non-time-windowed streams is not
+      // supported") — rejected HERE at parse time, not at plan time
+      if (inJoin) fail("joining time-windowed streams is not supported (window the join's result instead)")
+      checkWindow(win)
+      checkFrom(inner, inJoin)
+    case TRJoin(l, r, _, cond, within) =>
+      if (within.n <= 0)
+        fail(s"WITHIN interval must be positive, got ${within.n} ${within.unit}")
+      cond match {
+        case On(e) => checkExpr(e, aggAllowed = false, where = "JOIN condition")
+        case Using(cols) if cols.isEmpty => fail("USING () requires at least one column")
+        case _ => ()
+      }
+      checkFrom(l, inJoin = true)
+      checkFrom(r, inJoin = true)
+  }
+
+  private def checkWindow(win: WindowSpec): Unit = win match {
+    case Tumble(i) =>
+      if (i.n <= 0) fail(s"TUMBLE interval must be positive, got ${i.n} ${i.unit}")
+    case Session(g) =>
+      if (g.n <= 0) fail(s"SESSION gap must be positive, got ${g.n} ${g.unit}")
+    case Hop(size, adv) =>
+      if (size.n <= 0 || adv.n <= 0)
+        fail("HOP size and advance must be positive")
+      // advance > size leaves gaps no record falls into — reject loudly
+      // (Spark's window() would also refuse slide > duration at run time)
+      if (toMillis(adv) > toMillis(size))
+        fail(s"HOP advance (${adv.n} ${adv.unit}) must not exceed size (${size.n} ${size.unit})")
+  }
+
+  private def toMillis(i: IntervalLit): Long = i.unit.toUpperCase match {
+    case "SECOND" | "SECONDS" => i.n * 1000L
+    case "MINUTE" | "MINUTES" => i.n * 60000L
+    case "HOUR" | "HOURS" => i.n * 3600000L
+    case "DAY" | "DAYS" => i.n * 86400000L
+    case _ => i.n // months/years: only compared against like units in practice
+  }
+
+  /** Expression walk: nested-aggregate rejection (Validate.hs:106
+    * "Aggregate functions can not be nested"), aggregate-position rules,
+    * and date/time literal well-formedness (Validate.hs date/time cases:
+    * 2021-02-29 and 14:61:59 must be rejected at parse time). */
+  private def checkExpr(e: Expr, aggAllowed: Boolean, where: String,
+                        insideAgg: Boolean = false): Unit = e match {
+    case Agg(name, args, _) =>
+      if (insideAgg) fail(s"aggregate functions cannot be nested: $name")
+      if (!aggAllowed) fail(s"aggregate function $name is not allowed in $where")
+      name match {
+        case "TOPK" | "TOPKDISTINCT" => args match {
+          case Seq(v, IntLit(k)) =>
+            if (k <= 0) fail(s"$name k must be positive, got $k")
+            checkExpr(v, aggAllowed, where, insideAgg = true)
+          case _ => fail(s"$name requires (expr, positive-int-literal)")
+        }
+        case _ => args.foreach(checkExpr(_, aggAllowed, where, insideAgg = true))
+      }
+    case DateLit(s) =>
+      try java.time.LocalDate.parse(s)
+      catch { case _: Exception => fail(s"invalid DATE literal: $s") }
+    case TimeLit(s) =>
+      try java.time.LocalTime.parse(s)
+      catch { case _: Exception => fail(s"invalid TIME literal: $s") }
+    case TimestampLit(s) =>
+      // both forms the reference accepts: 'yyyy-MM-dd HH:mm:ss[.f]' and
+      // ISO-8601 with T separator / zone offset (FlowTimestamp ZonedTime)
+      val ok =
+        try { java.sql.Timestamp.valueOf(s); true }
+        catch { case _: Exception =>
+          try { java.time.OffsetDateTime.parse(s); true }
+          catch { case _: Exception =>
+            try { java.time.LocalDateTime.parse(s); true }
+            catch { case _: Exception => false } } }
+      if (!ok) fail(s"invalid TIMESTAMP literal: $s")
+    case Bin(_, l, r) =>
+      checkExpr(l, aggAllowed, where, insideAgg); checkExpr(r, aggAllowed, where, insideAgg)
+    case Not(x) => checkExpr(x, aggAllowed, where, insideAgg)
+    case Fn(_, args) => args.foreach(checkExpr(_, aggAllowed, where, insideAgg))
+    case Cast(x, _) => checkExpr(x, aggAllowed, where, insideAgg)
+    case Between(x, lo, hi, _, _) =>
+      Seq(x, lo, hi).foreach(checkExpr(_, aggAllowed, where, insideAgg))
+    case ArrIndex(x, _) => checkExpr(x, aggAllowed, where, insideAgg)
+    case ArrSlice(x, _, _) => checkExpr(x, aggAllowed, where, insideAgg)
+    case ArrLit(items) => items.foreach(checkExpr(_, aggAllowed, where, insideAgg))
+    case _ => ()
+  }
+}

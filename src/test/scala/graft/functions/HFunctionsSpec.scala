@@ -169,4 +169,36 @@ class HFunctionsSpec extends SparkSpec {
     assert(eval(dateToString(lit("2024-03-05").cast("date"), "yyyy/MM/dd")) == "2024/03/05")
     assert(eval(stringToDate(lit("2024/03/05"), "yyyy/MM/dd")).toString == "2024-03-05")
   }
+
+  // --- TIME ± INTERVAL wraparound (AST.hs:155-173 TimeOfDay arithmetic) ------
+  test("TIME + INTERVAL wraps past midnight (23:30 + 45 min = 00:15)") {
+    assert(eval(timeAdd(lit("23:30:00"), expr("INTERVAL 45 MINUTE"))) == "00:15:00")
+  }
+  test("TIME + INTERVAL within the day does not wrap") {
+    assert(eval(timeAdd(lit("10:00:00"), expr("INTERVAL 90 MINUTE"))) == "11:30:00")
+  }
+  test("TIME - INTERVAL wraps before midnight (00:15 - 45 min = 23:30)") {
+    assert(eval(timeSub(lit("00:15:00"), expr("INTERVAL 45 MINUTE"))) == "23:30:00")
+  }
+  test("TIME + multi-day INTERVAL keeps only the clock component") {
+    assert(eval(timeAdd(lit("12:00:00"), expr("INTERVAL 49 HOUR"))) == "13:00:00")
+  }
+  test("TIME arithmetic on malformed input yields NULL, never aborts") {
+    assert(eval(timeAdd(lit("not-a-time"), expr("INTERVAL 1 HOUR"))) == null)
+  }
+
+  // --- BETWEEN null cases (TerOp.hs:38-52: null-propagating) -----------------
+  test("x BETWEEN NULL AND b -> NULL, not FALSE (TerOp.hs:38-44)") {
+    assert(eval(hBetween(lit(5), lit(null).cast("int"), lit(3))) == null)
+    assert(eval(hBetween(lit(5), lit(1), lit(null).cast("int"))) == null)
+    assert(eval(hBetween(lit(null).cast("int"), lit(1), lit(3))) == null)
+  }
+  test("BETWEEN SYMMETRIC null bound -> NULL (TerOp.hs:46-52)") {
+    assert(eval(hBetweenSymmetric(lit(5), lit(null).cast("int"), lit(3))) == null)
+    assert(eval(hBetweenSymmetric(lit(2), lit(3), lit(1))) == true)
+  }
+  test("BETWEEN non-null cases unchanged by the null guard") {
+    assert(eval(hBetween(lit(2), lit(1), lit(3))) == true)
+    assert(eval(hBetween(lit(5), lit(1), lit(3))) == false)
+  }
 }

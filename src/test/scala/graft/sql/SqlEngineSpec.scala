@@ -82,6 +82,31 @@ class SqlEngineSpec extends SparkSpec {
     started.stop()
   }
 
+  test("RIGHT outer join USING under streaming CSAS coalesces the key (Translate.usingJoin)") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM rjl (k STRING, v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM rjr (k STRING, w INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      """SELECT k, v, w FROM rjl RIGHT JOIN rjr USING (k)
+         WITHIN (INTERVAL 1 MINUTE);""").asInstanceOf[e.Rows]
+    val started = e.engine.createStreamAs("rjout", q.df)
+    e.sql("INSERT INTO rjl (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO rjr (k, w, _ts) VALUES ('a', 10, '2024-01-01 00:00:30');")
+    e.sql("INSERT INTO rjr (k, w, _ts) VALUES ('b', 20, '2024-01-01 00:00:30');")
+    e.engine.processAll()
+    // flush both watermarks past the window so the unmatched right row
+    // ('b') must emit — with its key COALESCED from the right side, not null
+    e.sql("INSERT INTO rjl (k, v, _ts) VALUES ('zf', 0, '2024-01-01 02:00:00');")
+    e.sql("INSERT INTO rjr (k, w, _ts) VALUES ('zf', 0, '2024-01-01 02:00:00');")
+    e.engine.processAll()
+    val got = spark.table("rjout").collect()
+      .filter(r => Set("a", "b").contains(r.getString(0)))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1L, 10L), ("b", -1L, 20L)), s"got $got")
+    started.stop()
+  }
+
   test("materialized view + pull query with WHERE (Core/View.hs:166-254)") {
     val e = new SqlEngine(spark)
     e.sql("CREATE STREAM st5 (k STRING, v INTEGER, _ts TIMESTAMP);")

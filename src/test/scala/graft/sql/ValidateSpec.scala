@@ -64,6 +64,88 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT x FROM s")
   }
 
+  // ---- parse-time semantic validation (Validate.hs, 805 LoC mirrored) ------
+
+  test("aggregates in JOIN condition are rejected (Validate.hs:521)") {
+    rejects("""SELECT * FROM a JOIN b ON SUM(a.x) = b.y
+               WITHIN (INTERVAL 1 MINUTE);""", "aggregate")
+  }
+
+  test("nested aggregates are rejected (Validate.hs:106)") {
+    rejects("SELECT SUM(COUNT(x)) AS s FROM s GROUP BY k;", "nested")
+  }
+
+  test("duplicate SELECT aliases are rejected (Validate.hs sel case)") {
+    rejects("SELECT a AS x, b AS x FROM s;", "duplicate")
+  }
+
+  test("invalid DATE literal rejected at parse time (Validate.hs date case)") {
+    rejects("SELECT * FROM s WHERE d = DATE '2021-02-29';", "date")
+  }
+
+  test("invalid TIME literal rejected at parse time (Validate.hs time case)") {
+    rejects("SELECT * FROM s WHERE t = TIME '14:61:59';", "time")
+  }
+
+  test("invalid TIMESTAMP literal rejected at parse time") {
+    rejects("SELECT * FROM s WHERE t = TIMESTAMP '2024-13-01 00:00:00';", "timestamp")
+  }
+
+  test("valid date/time literals pass validation (not vacuous rejections)") {
+    // leap day 2020-02-29 is valid — the reference's own positive case
+    Parser.parse("SELECT * FROM s WHERE d = DATE '2020-02-29';")
+    Parser.parse("SELECT * FROM s WHERE t = TIME '14:16:59';")
+    Parser.parse("SELECT * FROM s WHERE t = TIMESTAMP '2024-12-01 00:00:00';")
+  }
+
+  test("non-positive WITHIN interval is rejected") {
+    rejects("""SELECT * FROM a JOIN b ON a.x = b.y
+               WITHIN (INTERVAL 0 MINUTE);""", "positive")
+  }
+
+  test("non-positive window intervals are rejected") {
+    rejects("SELECT COUNT(*) AS c FROM TUMBLE(s, INTERVAL 0 MINUTE);", "positive")
+    rejects("SELECT COUNT(*) AS c FROM SESSION(s, INTERVAL 0 SECOND);", "positive")
+  }
+
+  test("HOP advance exceeding size is rejected") {
+    rejects("""SELECT COUNT(*) AS c
+               FROM HOP(s, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE);""", "advance")
+  }
+
+  test("windowed join inputs rejected at PARSE time, not plan time (Codegen/V1.hs:295-300)") {
+    // no streams/views exist: if this error surfaces, it came from Validate
+    // before any name resolution happened
+    rejects("""SELECT * FROM TUMBLE(nosuch1, INTERVAL 1 MINUTE) AS a
+               JOIN nosuch2 AS b ON a.v = b.v WITHIN (INTERVAL 1 MINUTE);""",
+      "window")
+  }
+
+  test("CREATE STREAM with duplicate columns is rejected") {
+    rejects("CREATE STREAM dupc (a INTEGER, a STRING, _ts TIMESTAMP);", "duplicate")
+  }
+
+  test("INSERT arity mismatch is rejected") {
+    rejects("INSERT INTO s (a, b) VALUES (1);", "values")
+  }
+
+  test("INSERT duplicate target columns are rejected") {
+    rejects("INSERT INTO s (a, a) VALUES (1, 2);", "duplicate")
+  }
+
+  test("TOPK with non-positive k is rejected") {
+    rejects("SELECT TOPK(v, 0) AS t FROM s GROUP BY k;", "positive")
+  }
+
+  test("USING with empty column list is rejected") {
+    rejects("""SELECT * FROM a JOIN b USING () WITHIN (INTERVAL 1 MINUTE);""")
+  }
+
+  test("GROUP BY on an unknown column names the dialect, not Catalyst internals") {
+    spark.range(1).selectExpr("id AS v").createOrReplaceTempView("vt4")
+    rejects("SELECT COUNT(*) AS c FROM vt4 GROUP BY nope;", "unknown column")
+  }
+
   test("malformed CAST yields NULL per row, never aborts the query") {
     import spark.implicits._
     Seq("42", "abc", "7").toDF("s").createOrReplaceTempView("vt3")
