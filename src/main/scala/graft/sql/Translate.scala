@@ -187,12 +187,14 @@ object Translate {
     case "REVERSE" => reverse(a(0)); case "STRLEN" => HFunctions.strLen(a(0))
     case "IFNULL" => HFunctions.ifNull(a(0), a(1))
     case "NULLIF" => HFunctions.nullIf(a(0), a(1))
-    // Non-literal format strings would silently produce wrong answers
-    // (there is no column-typed date_format); reject loudly instead.
-    case "DATETOSTRING" => throw new IllegalArgumentException(
-      "DATETOSTRING requires a string-literal format argument")
-    case "STRINGTODATE" => throw new IllegalArgumentException(
-      "STRINGTODATE requires a string-literal format argument")
+    // Non-literal (per-row) format strings: the reference evaluates the
+    // format at runtime (op_dateStr/op_strDate take FlowText). Catalyst's
+    // DateFormatClass / GetTimestamp accept a NON-FOLDABLE format — the
+    // formatter is built per row instead of once — so call_function keeps
+    // this codegen'd with no UDF; the literal path (fnCallLit) stays the
+    // build-formatter-once fast path.
+    case "DATETOSTRING" => call_function("date_format", a(0), a(1))
+    case "STRINGTODATE" => call_function("try_to_date", a(0), a(1))
     case "SPLIT" => HFunctions.hSplit(a(0), a(1))
     case "CHUNKSOF" => regexp_extract_all(a(1), concat(lit("(?s).{1,"), a(0), lit("}")), lit(0))
     case "TAKE" => HFunctions.hTake(a(0), a(1))
@@ -207,9 +209,10 @@ object Translate {
     case "ARRAY_REMOVE" => array_remove(a(0), a(1))
     case "ARRAY_UNION" => array_union(a(0), a(1))
     case "ARRAY_JOIN" =>
+      // ArrayJoin's delimiter is a full expression — a per-row separator
+      // column rides whole-stage codegen like the literal form
       if (a.size == 1) array_join(a(0), "")
-      else throw new IllegalArgumentException(
-        "ARRAY_JOIN requires a string-literal separator argument")
+      else call_function("array_join", a(0), a(1))
     case "ARRAY_MAX" => array_max(a(0)); case "ARRAY_MIN" => array_min(a(0))
     case "ARRAY_SORT" => array_sort(a(0))
     case other => throw new IllegalArgumentException(s"unknown function $other")
@@ -220,7 +223,10 @@ object Translate {
   private def fnCallLit(name: String, args: Seq[Expr], go: Expr => Column): Option[Column] =
     (name, args) match {
       case ("DATETOSTRING", Seq(d, StrLit(fmt))) => Some(date_format(go(d), fmt))
-      case ("STRINGTODATE", Seq(s, StrLit(fmt))) => Some(to_date(go(s), fmt))
+      // try_to_date: a malformed string yields NULL for that row — ANSI
+      // to_date would abort the whole query on one bad record (see castTo)
+      case ("STRINGTODATE", Seq(s, StrLit(fmt))) =>
+        Some(try_to_date(go(s), fmt))
       case ("ARRAY_JOIN", Seq(arr, StrLit(sep))) => Some(array_join(go(arr), sep))
       case ("CHUNKSOF", Seq(IntLit(n), s)) => Some(HFunctions.chunksOf(n.toInt, go(s)))
       case _ => None

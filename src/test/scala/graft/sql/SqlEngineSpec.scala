@@ -250,6 +250,23 @@ class SqlEngineSpec extends SparkSpec {
     assert(e.sql("SHOW VIEWS;").asInstanceOf[e.Done].info.isEmpty)
   }
 
+  test("per-row (non-literal) formats: DATETOSTRING/STRINGTODATE/ARRAY_JOIN with column args") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq(
+        (java.sql.Date.valueOf("2024-03-05"), "yyyy/MM/dd", "2024|03|05", "yyyy|MM|dd", "-"),
+        (java.sql.Date.valueOf("2024-03-05"), "dd.MM.yyyy", "05.03.2024", "dd.MM.yyyy", "+")))
+      .toDF("d", "fmt", "ds", "pfmt", "sep").createOrReplaceTempView("t9")
+    val got = e.batch(
+      """SELECT DATETOSTRING(d, fmt) AS out,
+                STRINGTODATE(ds, pfmt) AS back,
+                ARRAY_JOIN({'a','b'}, sep) AS joined
+         FROM t9;""").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getString(2))).toSet
+    assert(got == Set(
+      ("2024/03/05", "2024-03-05", "a-b"),
+      ("05.03.2024", "2024-03-05", "a+b")), got.toString)
+  }
+
   test("null-safe equality: NULL = NULL is TRUE (BinOp.hs:116-118)") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq((1L, Some("x")), (2L, None: Option[String])))
