@@ -149,10 +149,24 @@ class Engine(val spark: SparkSession) {
                         key: String, value: String): StreamingQuery =
     startQuery(name, StreamOps.perRowCountSum(source, key, value), "update")
 
-  /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query
-    * writing into the sink stream's backing table. */
+  /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query.
+    * If `name` is a registered file-backed stream, result partitions write
+    * executor-side through the streaming FileSink into the stream's
+    * directory (the 100 TB path — downstream queries tail the same files);
+    * otherwise an in-memory sink table serves tests and pull-style reads. */
   def createStreamAs(name: String, plan: DataFrame): StreamingQuery =
-    startQuery(name, plan, "append")
+    fileStreams.get(name) match {
+      case Some(fe) =>
+        val encoded =
+          if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
+        val q = encoded.writeStream.outputMode("append").format(fe.format)
+          .option("checkpointLocation", tempDir(s"graft_ckpt_$name"))
+          .option("path", fe.dir)
+          .trigger(Trigger.ProcessingTime(0)).start()
+        queries(name) = q
+        q
+      case None => startQuery(name, plan, "append")
+    }
 
   /** CSAS with the reference's wire encoding on the way out: rows are
     * serialized to extended JSON (graft.sources.WireFormat) so the sink

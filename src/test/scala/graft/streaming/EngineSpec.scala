@@ -389,6 +389,27 @@ class EngineSpec extends SparkSpec {
     e.terminate("outfw"); e.dropStream("fw1")
   }
 
+  test("CSAS into a file-backed stream writes distributed (FileSink, not memory)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csas").toString
+    val e = newEngine
+    e.createStream("src18", schema)
+    e.createFileStream("tgt18", dir, StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType))))
+    val q = e.createStreamAs("tgt18",
+      e.df("src18").filter(col("v") > 1).select(col("k"), (col("v") * 3).as("x")))
+    e.emitChanges("out18", e.df("tgt18").select(col("k"), col("x")))
+    e.insert("src18", rec("a", 1, "2024-01-01 00:00:00"),
+      rec("b", 4, "2024-01-01 00:00:01"))
+    e.processAll()
+    assert(q.lastProgress.sink.description.contains("FileSink"),
+      s"sink was: ${q.lastProgress.sink.description}")
+    val got = spark.table("out18").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 12L)))
+    e.terminate("out18"); e.terminate("tgt18")
+    e.dropStream("src18"); e.dropStream("tgt18")
+  }
+
   test("per-row EMIT CHANGES opt-in: one emission per input row (GroupedStream.hs:102)") {
     val e = newEngine
     e.createStream("s17", schema)
