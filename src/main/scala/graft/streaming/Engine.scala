@@ -56,6 +56,19 @@ class Engine(val spark: SparkSession) {
   private def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Root for streaming checkpoints (file sinks + views). Set
+    * `spark.graft.checkpointRoot` to a durable path for recovery across
+    * engine restarts (RecoverySpec shape: offsets + state survive, nothing
+    * reprocessed); defaults to a fresh temp dir per engine instance, so
+    * within one engine a terminated-and-recreated query resumes from its
+    * own checkpoint. Memory-sink queries are deliberately NOT checkpointed:
+    * pause/resume replays the MemoryStream from the start into the fresh
+    * sink table, and a checkpoint would skip those offsets. */
+  private val checkpointRoot: String =
+    spark.conf.getOption("spark.graft.checkpointRoot")
+      .getOrElse(tempDir("graft_ckpt"))
+  private def ckpt(tag: String): String = s"$checkpointRoot/$tag"
+
   /** Default window grace: the reference's fixed 24 h (TimeWindows.hs:39). */
   val defaultGrace: String = "24 hours"
 
@@ -143,11 +156,11 @@ class Engine(val spark: SparkSession) {
   /** EMIT CHANGES with the reference's per-row cadence: one emission per
     * input row (GroupedStream.hs:102), not one per micro-batch — the
     * fidelity opt-in for tests/consumers that need the exact changelog
-    * (README "Accepted divergences"). Currently covers the unwindowed
-    * COUNT/SUM aggregate shape. */
+    * (README "Accepted divergences"). Covers the unwindowed aggregate set:
+    * running COUNT/SUM/MIN/MAX/AVG per key. */
   def emitChangesPerRow(name: String, source: DataFrame,
                         key: String, value: String): StreamingQuery =
-    startQuery(name, StreamOps.perRowCountSum(source, key, value), "update")
+    startQuery(name, StreamOps.perRowAgg(source, key, value), "update")
 
   /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query.
     * If `name` is a registered file-backed stream, result partitions write
@@ -160,7 +173,7 @@ class Engine(val spark: SparkSession) {
         val encoded =
           if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
         val q = encoded.writeStream.outputMode("append").format(fe.format)
-          .option("checkpointLocation", tempDir(s"graft_ckpt_$name"))
+          .option("checkpointLocation", ckpt(s"csas_$name"))
           .option("path", fe.dir)
           .trigger(Trigger.ProcessingTime(0)).start()
         queries(name) = q
@@ -202,7 +215,7 @@ class Engine(val spark: SparkSession) {
         val encoded =
           if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
         encoded.writeStream.outputMode("append").format(fe.format)
-          .option("checkpointLocation", tempDir(s"graft_ckpt_$target"))
+          .option("checkpointLocation", ckpt(s"insert_$target"))
           .option("path", fe.dir)
           .trigger(Trigger.ProcessingTime(0)).start()
       case None =>
@@ -269,6 +282,7 @@ class Engine(val spark: SparkSession) {
     views(name) = state
     val q = plan.writeStream
       .outputMode("complete")
+      .option("checkpointLocation", ckpt(s"view_$name"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val path = s"${state.dir}/b$batchId"
         batch.write.mode("overwrite").parquet(path)

@@ -80,31 +80,42 @@ object StreamOps {
       .select(keys.map(col) ++ others.map(c => col(s"_latest.$c")): _*)
   }
 
-  /** Per-row emission for unwindowed COUNT/SUM aggregation: ONE output row
-    * per INPUT row, carrying the running aggregate — the reference's exact
-    * EMIT CHANGES cadence (every input re-emits the updated accumulator,
-    * GroupedStream.hs:79-102), where plain update-mode groupBy coalesces all
-    * of a key's rows within a micro-batch into one emission. Built on
-    * flatMapGroupsWithState: state is the (count, sum) accumulator per key,
+  /** Per-row running accumulator: (count, sum, min, max) composes every
+    * unwindowed aggregate of the dialect (AVG = sum/count) — the Spark twin
+    * of the reference's one-accumulator-object `composeAggs`
+    * (Codegen/Common.hs:96-119). */
+  /** Per-row emission for unwindowed aggregation: ONE output row per INPUT
+    * row, carrying the running COUNT/SUM/MIN/MAX/AVG — the reference's
+    * exact EMIT CHANGES cadence (every input re-emits the updated
+    * accumulator, GroupedStream.hs:79-102), where plain update-mode groupBy
+    * coalesces all of a key's rows within a micro-batch into one emission.
+    * Built on flatMapGroupsWithState: state is one accumulator per key,
     * partitioned across executors like any streaming agg — per-row fidelity
     * costs emission volume, not driver memory. */
-  def perRowCountSum(df: DataFrame, key: String, value: String): DataFrame = {
+  def perRowAgg(df: DataFrame, key: String, value: String): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
+    // state = (count, sum, min, max): composes every unwindowed aggregate
+    // of the dialect (AVG = sum/count) — the Spark twin of the reference's
+    // one-accumulator-object composeAggs (Codegen/Common.hs:96-119)
     df.select(col(key).cast("string"), col(value).cast("double"))
       .as[(String, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+      .flatMapGroupsWithState[(Long, Double, Double, Double),
+        (String, Long, Double, Double, Double, Double)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (k: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
-          var (cnt, sm) = state.getOption.getOrElse((0L, 0.0))
+        (k: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Long, Double, Double, Double)]) =>
+          var (cnt, sm, lo, hi) = state.getOption.getOrElse(
+            (0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
           val emissions = rows.map { case (_, v) =>
-            cnt += 1; sm += v; (k, cnt, sm)
+            cnt += 1; sm += v; lo = math.min(lo, v); hi = math.max(hi, v)
+            (k, cnt, sm, lo, hi, sm / cnt)
           }.toVector // materialize BEFORE state.update sees the final acc
-          state.update((cnt, sm))
+          state.update((cnt, sm, lo, hi))
           emissions.iterator
       }
-      .toDF(key, "cnt", "sum")
+      .toDF(key, "cnt", "sum", "min", "max", "avg")
   }
 
   /** Streaming exact dedup with bounded state: first-seen row per key wins;

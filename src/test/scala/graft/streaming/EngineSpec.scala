@@ -420,15 +420,18 @@ class EngineSpec extends SparkSpec {
       rec("a", 2, "2024-01-01 00:00:01"), rec("a", 4, "2024-01-01 00:00:02"))
     e.processAll()
     val rows = spark.table("out17").collect()
-      .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getDouble(2)))
+      .filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), s"counts: ${rows.toSeq}")
-    assert(rows.last == (3L, 7.0), s"final acc: ${rows.last}")
+    // full accumulator after 1,2,4: cnt=3 sum=7 min=1 max=4 avg=7/3
+    assert(rows.last == (3L, 7.0, 1.0, 4.0, 7.0 / 3), s"final acc: ${rows.last}")
     // state persists across batches: a fourth row continues the accumulator
     e.insert("s17", rec("a", 3, "2024-01-01 00:00:03"))
     e.processAll()
     val all = spark.table("out17").collect()
-      .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getDouble(2)))
-    assert(all.last == (4L, 10.0), s"after batch 2: ${all.toSeq}")
+      .filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(all.last == (4L, 10.0, 1.0, 4.0), s"after batch 2: ${all.toSeq}")
     e.terminate("out17"); e.dropStream("s17")
   }
 
