@@ -27,6 +27,7 @@ object Bench {
     "q_json_ops",              // JSON access
     "q_text_stats",            // HOF text statistics
     "q_text_fingerprint",      // rolling-hash fingerprint
+    "q_pipeline_quality_dedup",// composed corpus-prep pipeline e2e
     "q_dedup_exact",           // hash groupBy dedup
     "q_minhash_signatures",    // MinHash map-side primitive
     "q_dedup_minhash_lsh",     // full LSH near-dup pipeline (md5, verifiable)

@@ -96,6 +96,38 @@ object TextQueries extends QueryPack {
         .orderBy($"lang")
     }),
 
+    // The pretraining pipeline END-TO-END: quality-score → filter → exact
+    // dedup (planted duplicates, as q_dedup_exact) → per-language dataset
+    // stats. One composed plan: scoring is map-side, dedup shuffles only
+    // (hash, id, tiny attrs), the final agg is over the deduped survivors —
+    // at 100 TB this is the shape of a real corpus-prep job, and Catalyst
+    // pipelines all three stages without materializing between them.
+    "q_pipeline_quality_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      def rate(markers: Seq[String]) =
+        size(filter(w, t => t.isin(markers: _*))).cast("double") / size(w)
+      val sEn = rate(Seq("the", "a", "of"))
+      val sDb = rate(Seq("data", "table", "query"))
+      val sOp = rate(Seq("row", "value", "scan"))
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.unionAll(d.filter($"doc_id" % 3 === 0))
+      val scored = corpus
+        .select($"doc_id", md5($"text").as("h"),
+          round(qualityScore(w), 6).as("q"),
+          when(sEn >= sDb && sEn >= sOp, "en")
+            .when(sDb >= sOp, "db").otherwise("op").as("pred"))
+        .filter($"q" >= 0.5)
+      // duplicates share text ⇒ identical (h, q, pred); keep the smallest id
+      val deduped = scored.groupBy($"h")
+        .agg(min($"doc_id").as("doc_id"), min($"pred").as("pred"),
+          min($"q".cast("decimal(38,18)")).as("qd"))
+      deduped.groupBy($"pred")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"qd").cast("double") / count(lit(1)), 6).as("avg_quality"))
+        .orderBy($"pred")
+    }),
+
     // Document fingerprinting: content md5, order-sensitive polynomial
     // rolling hash over words, and a 60-bit integer fingerprint.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -160,6 +192,29 @@ object TextQueries extends QueryPack {
            round(CAST(sum(CAST(q AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS avg_quality,
            count(DISTINCT h) AS n_unique
          FROM q GROUP BY lang ORDER BY lang""",
+    "q_pipeline_quality_dedup" ->
+      """WITH corpus AS (
+           SELECT * FROM documents
+           UNION ALL SELECT * FROM documents WHERE doc_id % 3 = 0),
+         d AS (SELECT doc_id, md5(text) h, string_split(text, ' ') w FROM corpus),
+         sc AS (SELECT doc_id, h,
+           round(least(len(w) / 200.0, 1.0) * 0.5
+             + (len(list_distinct(w))::DOUBLE / len(w)) * 0.3
+             + (1.0 - len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w)) * 0.2,
+             6) q,
+           len(list_filter(w, t -> t IN ('the','a','of')))::DOUBLE / len(w) s_en,
+           len(list_filter(w, t -> t IN ('data','table','query')))::DOUBLE / len(w) s_db,
+           len(list_filter(w, t -> t IN ('row','value','scan')))::DOUBLE / len(w) s_op
+         FROM d),
+         flt AS (SELECT *,
+           CASE WHEN s_en >= s_db AND s_en >= s_op THEN 'en'
+                WHEN s_db >= s_op THEN 'db' ELSE 'op' END pred
+         FROM sc WHERE q >= 0.5),
+         ddp AS (SELECT min(doc_id) doc_id, min(pred) pred,
+           min(CAST(q AS DECIMAL(38,18))) qd FROM flt GROUP BY h)
+         SELECT pred, count(*) AS n_docs,
+           round(CAST(sum(qd) AS DOUBLE) / count(*), 6) AS avg_quality
+         FROM ddp GROUP BY pred ORDER BY pred""",
     "q_text_fingerprint" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
          SELECT doc_id,

@@ -25,8 +25,15 @@ import org.apache.spark.sql.types._
   */
 object WireFormat {
 
-  private def jsonEscape(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+  /** Render a string column as a quoted JSON string literal with FULL
+    * escaping (control chars, quotes, backslashes, unicode) — by round-
+    * tripping through to_json, whose Jackson writer is the exact inverse of
+    * the from_json reader used on decode. `{"v":<escaped>}` minus the fixed
+    * 5-char prefix and 1-char suffix is the quoted literal itself. */
+  private def jsonStringLit(c: Column): Column = {
+    val obj = to_json(struct(c.as("v")))
+    obj.substr(lit(6), length(obj) - 6)
+  }
 
   private def nullable(c: Column, enc: Column): Column =
     when(c.isNull, lit("null")).otherwise(enc)
@@ -38,7 +45,7 @@ object WireFormat {
     case DoubleType | FloatType =>
       nullable(c, concat(lit("{\"$numberDouble\":\""), c.cast("string"), lit("\"}")))
     case BooleanType => nullable(c, c.cast("string"))
-    case StringType => nullable(c, concat(lit("\""), jsonEscape(c), lit("\"")))
+    case StringType => nullable(c, jsonStringLit(c))
     case BinaryType => nullable(c, concat(
       lit("{\"$binary\":{\"base64\":\""), base64(c), lit("\",\"subType\":\"00\"}}")))
     case DateType => nullable(c, concat(
