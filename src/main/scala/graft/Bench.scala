@@ -77,8 +77,10 @@ object Bench {
     // streaming replay (the reference's own bench shape: push records
     // through a live topology — hstream-diffflow/bench/throughout-*.hs):
     // events replayed through a windowed agg and a filter+project push query
+    // key off ALL runs, not the first: one failed run (StreamBench returns
+    // empty on error) must not silently drop the surviving measurements
     val streamRuns = (1 to runs).map(_ => StreamBench.run(spark, sfDir).toMap)
-    val streamResults = streamRuns.head.keys.toSeq.sorted.map { k =>
+    val streamResults = streamRuns.flatMap(_.keys).distinct.sorted.map { k =>
       k -> median(streamRuns.flatMap(_.get(k)))
     }
     val all = results ++ streamResults

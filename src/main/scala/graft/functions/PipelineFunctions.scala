@@ -225,4 +225,27 @@ object PipelineFunctions {
     least(n / lit(200.0), lit(1.0)) * lit(0.5) +
       diversity * lit(0.3) + (lit(1.0) - stopwordRatio(words)) * lit(0.2)
   }
+
+  // ---- language-profile scoring (one definition for every consumer) --------
+
+  /** Per-profile marker lists. Real deployments swap in per-language
+    * stopword/charset profiles; the scoring plumbing is what scales. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "db" -> Seq("data", "table", "query"),
+    "op" -> Seq("row", "value", "scan"))
+
+  /** Fraction of tokens hitting a marker list. */
+  def markerRate(words: Column, markers: Seq[String]): Column =
+    size(filter(words, t => t.isin(markers: _*))).cast("double") / size(words)
+
+  /** Profile scores in LangProfiles order. */
+  def langScores(words: Column): Seq[Column] =
+    LangProfiles.map { case (_, markers) => markerRate(words, markers) }
+
+  /** Argmax profile with deterministic first-wins tie-break. */
+  def langPred(words: Column): Column = {
+    val Seq(sEn, sDb, sOp) = langScores(words)
+    when(sEn >= sDb && sEn >= sOp, "en").when(sDb >= sOp, "db").otherwise("op")
+  }
 }

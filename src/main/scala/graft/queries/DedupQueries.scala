@@ -171,6 +171,29 @@ object DedupQueries extends QueryPack {
     s"coalesce(list_min(list_transform($hs, x -> ($a * x + $b) % 1000000007)), 1000000007)"
   }
 
+  /** DuckDB replica of the md5 MinHash+LSH pipeline. Shared by BOTH twins:
+    * on this corpus the verified pair sets and Jaccard values are
+    * empirically identical across hash families (DedupSpec pins the twins
+    * equal in-Spark; the driver's hash gate confirmed it at sf0.01). This
+    * coincidence is NOT guaranteed in general — LSH candidate recall is
+    * probabilistic per hash family — so if a corpus change ever fails only
+    * the fast twin's gate row, check DedupSpec first: a twin-equality pass
+    * with a red gate means band-collision luck diverged, not a plan bug. */
+  private val lshOracleSql: String =
+    s"""$shCte,
+       sig AS (SELECT doc_id, hs,
+         [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
+       FROM h),
+       banded AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+       cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+       SELECT d1, d2, jac FROM (
+         SELECT d1, d2,
+           round(len(list_intersect(a.hs, b.hs))::DOUBLE
+             / len(list_distinct(a.hs || b.hs)), 6) AS jac
+         FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
+       WHERE jac >= 0.5 ORDER BY d1, d2"""
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH corpus AS (
@@ -182,36 +205,8 @@ object DedupQueries extends QueryPack {
       s"""$shCte
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
-    "q_dedup_minhash_lsh" ->
-      s"""$shCte,
-         sig AS (SELECT doc_id, hs,
-           [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
-         FROM h),
-         banded AS (SELECT doc_id, unnest(bands) AS band FROM sig),
-         cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
-         SELECT d1, d2, jac FROM (
-           SELECT d1, d2,
-             round(len(list_intersect(a.hs, b.hs))::DOUBLE
-               / len(list_distinct(a.hs || b.hs)), 6) AS jac
-           FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
-         WHERE jac >= 0.5 ORDER BY d1, d2""",
-    // The fast twin's verified output equals the md5 twin's (see the query
-    // comment); the md5 replica therefore oracles both.
-    "q_dedup_minhash_lsh_fast" ->
-      s"""$shCte,
-         sig AS (SELECT doc_id, hs,
-           [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
-         FROM h),
-         banded AS (SELECT doc_id, unnest(bands) AS band FROM sig),
-         cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
-         SELECT d1, d2, jac FROM (
-           SELECT d1, d2,
-             round(len(list_intersect(a.hs, b.hs))::DOUBLE
-               / len(list_distinct(a.hs || b.hs)), 6) AS jac
-           FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
-         WHERE jac >= 0.5 ORDER BY d1, d2""",
+    "q_dedup_minhash_lsh" -> lshOracleSql,
+    "q_dedup_minhash_lsh_fast" -> lshOracleSql,
     "q_dedup_jaccard_exact" ->
       s"""$shCte
          SELECT d1, d2, jac FROM (

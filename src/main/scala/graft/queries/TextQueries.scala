@@ -38,19 +38,12 @@ object TextQueries extends QueryPack {
     "q_text_langid" -> ((s, dir) => {
       import s.implicits._
       val w = tokens($"text")
-      def rate(markers: Seq[String]) =
-        size(filter(w, t => t.isin(markers: _*))).cast("double") / size(w)
-      val sEn = rate(Seq("the", "a", "of"))
-      val sDb = rate(Seq("data", "table", "query"))
-      val sOp = rate(Seq("row", "value", "scan"))
+      val scores = langScores(w)
       Tables.load(s, dir, "documents")
-        .select(
-          $"doc_id",
-          round(sEn, 6).as("score_en"),
-          round(sDb, 6).as("score_db"),
-          round(sOp, 6).as("score_op"),
-          when(sEn >= sDb && sEn >= sOp, "en")
-            .when(sDb >= sOp, "db").otherwise("op").as("pred"))
+        .select(Seq($"doc_id") ++
+          LangProfiles.zip(scores).map { case ((name, _), sc) =>
+            round(sc, 6).as(s"score_$name") } :+
+          langPred(w).as("pred"): _*)
         .orderBy($"doc_id")
     }),
 
@@ -105,18 +98,12 @@ object TextQueries extends QueryPack {
     "q_pipeline_quality_dedup" -> ((s, dir) => {
       import s.implicits._
       val w = tokens($"text")
-      def rate(markers: Seq[String]) =
-        size(filter(w, t => t.isin(markers: _*))).cast("double") / size(w)
-      val sEn = rate(Seq("the", "a", "of"))
-      val sDb = rate(Seq("data", "table", "query"))
-      val sOp = rate(Seq("row", "value", "scan"))
       val d = Tables.load(s, dir, "documents")
       val corpus = d.unionAll(d.filter($"doc_id" % 3 === 0))
       val scored = corpus
         .select($"doc_id", md5($"text").as("h"),
           round(qualityScore(w), 6).as("q"),
-          when(sEn >= sDb && sEn >= sOp, "en")
-            .when(sDb >= sOp, "db").otherwise("op").as("pred"))
+          langPred(w).as("pred"))
         .filter($"q" >= 0.5)
       // duplicates share text ⇒ identical (h, q, pred); keep the smallest id
       val deduped = scored.groupBy($"h")

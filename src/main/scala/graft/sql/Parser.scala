@@ -154,7 +154,7 @@ object Parser {
             val cols = Seq.newBuilder[(String, SqlType)]
             do cols += ((ident(), dataType())) while (accept(","))
             expect(")")
-            CreateStream(n, cols.result(), Map.empty)
+            CreateStream(n, cols.result(), if (isKw("WITH")) options() else Map.empty)
           } else CreateStream(n, Nil, if (isKw("WITH")) options() else Map.empty)
         case kind @ ("SOURCE" | "SINK") =>
           next(); expect("CONNECTOR")

@@ -62,10 +62,16 @@ class SqlEngine(spark: SparkSession) {
       views.add(name)
       Started(engine.createView(name, planOf(sel)))
     case InsertValues(stream, cols, vals) =>
-      val fields = cols.zip(vals).map { case (c, v) => s""""$c":${jsonValue(v)}""" }
+      // wire streams store extended-JSON payloads (Rts/Old.hs:134-157), so
+      // typed literals are wire-encoded; plain streams get plain JSON
+      val enc: Expr => String =
+        if (engine.isWireStream(stream)) wireValue else jsonValue
+      val fields = cols.zip(vals).map { case (c, v) => s""""$c":${enc(v)}""" }
       engine.insert(stream, fields.mkString("{", ",", "}"))
       Done(s"inserted into $stream")
     case InsertJson(stream, json) =>
+      // payload passes through verbatim: for wire streams the caller
+      // supplies extended JSON (that IS the json form's contract there)
       engine.insert(stream, json)
       Done(s"inserted into $stream")
     case InsertRaw(stream, raw) =>
@@ -149,6 +155,16 @@ class SqlEngine(spark: SparkSession) {
   def batch(text: String): DataFrame = sql(text) match {
     case Rows(df) => df
     case other => throw new IllegalArgumentException(s"not a batch query: $other")
+  }
+
+  /** Literal → extended-JSON wire value (flowValueToJsonValue shapes). */
+  private def wireValue(e: Expr): String = e match {
+    case IntLit(v) => s"""{"$$numberLong":"$v"}"""
+    case NumLit(v) => s"""{"$$numberDouble":"$v"}"""
+    case TimestampLit(s) => s"""{"$$timestamp":"$s"}"""
+    case DateLit(s) => s"""{"$$date":"$s"}"""
+    case ArrLit(items) => items.map(wireValue).mkString("[", ",", "]")
+    case other => jsonValue(other) // string/bool/null are plain in the wire
   }
 
   private def jsonValue(e: Expr): String = e match {

@@ -443,9 +443,16 @@ object Translate {
     } else {
       // Reduce (Codegen/V1.hs:382-456)
       // GROUP BY on a column the relation doesn't have: reject with the
-      // dialect's vocabulary, not a deep Catalyst resolution error
+      // dialect's vocabulary, not a deep Catalyst resolution error. Match
+      // with the resolver's case rules (spark.sql.caseSensitive, default
+      // false) so a query accepted in SELECT/WHERE isn't rejected here.
+      val caseSensitive = base0.sparkSession.conf
+        .get("spark.sql.caseSensitive", "false").toBoolean
+      def hasColumn(n: String): Boolean =
+        if (caseSensitive) base0.columns.contains(n)
+        else base0.columns.exists(_.equalsIgnoreCase(n))
       sel.groupBy.foreach {
-        case ColRef(None, n) if !base0.columns.contains(n) =>
+        case ColRef(None, n) if !hasColumn(n) =>
           throw new IllegalArgumentException(
             s"GROUP BY references unknown column '$n' " +
               s"(available: ${base0.columns.mkString(", ")})")

@@ -19,6 +19,16 @@ object Validate {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** Strict 'uuuu-MM-dd HH:mm:ss[.f…]' — no lenient field rollover. */
+  private val strictTsFmt: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("uuuu-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .toFormatter()
+      .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+
   def apply(stmt: Stmt): Stmt = { checkStmt(stmt); stmt }
 
   private def checkStmt(stmt: Stmt): Unit = stmt match {
@@ -133,9 +143,12 @@ object Validate {
       catch { case _: Exception => fail(s"invalid TIME literal: $s") }
     case TimestampLit(s) =>
       // both forms the reference accepts: 'yyyy-MM-dd HH:mm:ss[.f]' and
-      // ISO-8601 with T separator / zone offset (FlowTimestamp ZonedTime)
+      // ISO-8601 with T separator / zone offset (FlowTimestamp ZonedTime).
+      // STRICT resolution throughout — java.sql.Timestamp.valueOf would
+      // leniently roll '2021-02-29 14:61:59' over to March 1st 15:01:59,
+      // exactly the class of literal this pass exists to reject.
       val ok =
-        try { java.sql.Timestamp.valueOf(s); true }
+        try { java.time.LocalDateTime.parse(s, Validate.strictTsFmt); true }
         catch { case _: Exception =>
           try { java.time.OffsetDateTime.parse(s); true }
           catch { case _: Exception =>

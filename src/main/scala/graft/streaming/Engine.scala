@@ -82,12 +82,18 @@ class Engine(val spark: SparkSession) {
     * and is recorded but inert. */
   def createStream(name: String, schema: StructType,
                    options: Map[String, String] = Map.empty): Unit = {
-    require(!streams.contains(name), s"stream $name exists")
+    require(!streams.contains(name) && !fileStreams.contains(name),
+      s"stream $name exists")
     // FORMAT='wire': payloads are the reference's extended JSON and are
     // decoded on read (jsonValueToFlowValue, Rts/Old.hs:159-198)
     val wire = options.get("FORMAT").exists(_.equalsIgnoreCase("wire"))
     streams(name) = StreamEntry(schema, MemoryStream[String](spark), options, wire)
   }
+
+  /** Whether `name` is a wire-format stream (payloads are extended JSON).
+    * Callers appending records (INSERT paths) must encode accordingly. */
+  def isWireStream(name: String): Boolean =
+    streams.get(name).exists(_.wire) || fileStreams.get(name).exists(_.wire)
 
   /** Declared WITH-options of a stream (DESCRIBE-style metadata). */
   def streamOptions(name: String): Map[String, String] =
@@ -107,12 +113,30 @@ class Engine(val spark: SparkSession) {
     * body — everything downstream of [[df]] is source-agnostic).
     * `wire = true` reads text files of extended-JSON payloads and decodes
     * them to the declared schema — the source half of the reference's
-    * connector transport (Rts/Old.hs:159-198). */
+    * connector transport (Rts/Old.hs:159-198).
+    *
+    * Producer contract: a file-backed stream is fed EITHER by an external
+    * producer dropping files into `dir` OR by one engine file-sink query
+    * (CSAS / INSERT-SELECT). Once a FileSink attaches it writes
+    * `_spark_metadata` into `dir`, and file sources then list only
+    * sink-committed files — externally-dropped files become invisible, and
+    * a second sink sharing the metadata log would silently skip batches.
+    * [[attachFileSink]] enforces the one-sink half of this loudly. */
   def createFileStream(name: String, dir: String, schema: StructType,
                        format: String = "json", wire: Boolean = false): Unit = {
     require(!streams.contains(name) && !fileStreams.contains(name),
       s"stream $name exists")
     fileStreams(name) = FileStreamEntry(dir, schema, if (wire) "text" else format, wire)
+  }
+
+  /** Writer registry enforcing one live FileSink per file-backed stream
+    * (two sinks sharing one _spark_metadata log lose batches silently). */
+  private val fileSinkWriters = TrieMap.empty[String, String]
+  private def attachFileSink(target: String, writer: String): Unit = {
+    val prev = fileSinkWriters.putIfAbsent(target, writer)
+    require(prev.isEmpty || prev.contains(writer),
+      s"stream $target already has file-sink writer ${prev.get}; " +
+        "terminate it first (one sink per file-backed stream)")
   }
 
   /** Producer-assigned `_ts` when the schema declares none
@@ -169,17 +193,28 @@ class Engine(val spark: SparkSession) {
     * otherwise an in-memory sink table serves tests and pull-style reads. */
   def createStreamAs(name: String, plan: DataFrame): StreamingQuery =
     fileStreams.get(name) match {
-      case Some(fe) =>
-        val encoded =
-          if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
-        val q = encoded.writeStream.outputMode("append").format(fe.format)
-          .option("checkpointLocation", ckpt(s"csas_$name"))
-          .option("path", fe.dir)
-          .trigger(Trigger.ProcessingTime(0)).start()
-        queries(name) = q
-        q
+      case Some(fe) => startFileSinkQuery(name, name, fe, plan, s"csas_$name")
       case None => startQuery(name, plan, "append")
     }
+
+  /** Shared FileSink launch for CSAS / INSERT-SELECT into a file-backed
+    * stream: distributed append writes, resumable (checkpointed + paused-
+    * closure registered like every other query), one sink per target. */
+  private def startFileSinkQuery(queryName: String, target: String,
+                                 fe: FileStreamEntry, plan: DataFrame,
+                                 ckptTag: String): StreamingQuery = {
+    attachFileSink(target, queryName)
+    val encoded =
+      if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
+    def start() = encoded.writeStream.outputMode("append").format(fe.format)
+      .option("checkpointLocation", ckpt(ckptTag))
+      .option("path", fe.dir)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q = start()
+    queries(queryName) = q
+    paused(queryName) = start _
+    q
+  }
 
   /** CSAS with the reference's wire encoding on the way out: rows are
     * serialized to extended JSON (graft.sources.WireFormat) so the sink
@@ -208,31 +243,37 @@ class Engine(val spark: SparkSession) {
     * only the sink format changing). MemoryStream target: rows are collected
     * and re-encoded through the insert path — that transport is
     * driver-resident by definition (tests only). */
-  def insertSelect(target: String, plan: DataFrame): StreamingQuery = {
-    val q = fileStreams.get(target) match {
+  def insertSelect(target: String, plan: DataFrame): StreamingQuery =
+    fileStreams.get(target) match {
       case Some(fe) =>
-        // wire targets get the reference's sink encoding on the way out
-        val encoded =
-          if (fe.wire) graft.sources.WireFormat.encode(plan) else plan
-        encoded.writeStream.outputMode("append").format(fe.format)
-          .option("checkpointLocation", ckpt(s"insert_$target"))
-          .option("path", fe.dir)
-          .trigger(Trigger.ProcessingTime(0)).start()
+        startFileSinkQuery(s"insert_$target", target, fe, plan, s"insert_$target")
       case None =>
-        plan.writeStream.outputMode("append")
+        // MemoryStream transport (driver-resident by definition; tests).
+        // A wire-format target stores extended-JSON payloads, so re-encode
+        // through WireFormat (one `value` string column) — plain toJSON
+        // would feed bare values to the wire decoder, which nulls every
+        // non-string field.
+        val wire = isWireStream(target)
+        val encoded =
+          if (wire) graft.sources.WireFormat.encode(plan) else plan
+        def start() = encoded.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val rows = batch.toJSON.collect()
+            val rows =
+              if (wire) batch.collect().map(_.getString(0))
+              else batch.toJSON.collect()
             if (rows.nonEmpty) insert(target, rows.toIndexedSeq: _*)
           }
           .trigger(Trigger.ProcessingTime(0)).start()
+        val q = start()
+        queries(s"insert_$target") = q
+        paused(s"insert_$target") = start _
+        q
     }
-    queries(s"insert_$target") = q
-    q
-  }
 
   /** TERMINATE QUERY (AST.hs:856-868). */
   def terminate(name: String): Unit = {
     queries.remove(name).foreach(_.stop()); paused.remove(name)
+    fileSinkWriters.filterInPlace((_, writer) => writer != name)
   }
 
   /** PAUSE: stop consumption, keep the restart closure (AST.hs:880-906).
@@ -277,8 +318,15 @@ class Engine(val spark: SparkSession) {
     * 134-135; ksDump Processor.hs:380-411) — a driver-memory bound we
     * deliberately do not inherit: at 100 TB the aggregate lives in files,
     * the driver only tracks a path. */
+  /** Root for view snapshots. Set `spark.graft.viewRoot` to SHARED storage
+    * (HDFS/object store) on a real cluster — executors write snapshot
+    * partitions there and the driver's pull() scans the same path; the
+    * local temp default is correct only for local[*]. */
+  private val viewRoot: String =
+    spark.conf.getOption("spark.graft.viewRoot").getOrElse(tempDir("graft_view"))
+
   def createView(name: String, plan: DataFrame): StreamingQuery = {
-    val state = new ViewState(tempDir(s"graft_view_$name"), plan.schema)
+    val state = new ViewState(s"$viewRoot/$name", plan.schema)
     views(name) = state
     val q = plan.writeStream
       .outputMode("complete")
@@ -289,22 +337,20 @@ class Engine(val spark: SparkSession) {
         val previous = state.snapshot
         state.snapshot = Some(path)
         // keep only the serving snapshot (and tolerate a concurrent reader
-        // of the one just replaced — deletion is deferred by one batch)
+        // of the one just replaced — deletion is deferred by one batch).
+        // Hadoop FS, not java.io: the view root may be HDFS/S3.
         previous.foreach { p =>
-          val old = new java.io.File(state.dir).listFiles()
-          if (old != null) old.filter(f => f.getPath != path && f.getPath != p)
-            .foreach(deleteRecursively)
+          val dirPath = new org.apache.hadoop.fs.Path(state.dir)
+          val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val keep = Set(path, p).map(s => new org.apache.hadoop.fs.Path(s).getName)
+          fs.listStatus(dirPath)
+            .filterNot(st => keep.contains(st.getPath.getName))
+            .foreach(st => fs.delete(st.getPath, true))
         }
       }
       .trigger(Trigger.ProcessingTime(0)).start()
     queries(name) = q
     q
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Pull query over a view: a BATCH scan over the parquet snapshot with the

@@ -267,6 +267,19 @@ class SqlEngineSpec extends SparkSpec {
       ("05.03.2024", "2024-03-05", "a+b")), got.toString)
   }
 
+  test("SQL INSERT into a FORMAT='wire' stream wire-encodes typed literals") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM ws (k STRING, v INTEGER, _ts TIMESTAMP) WITH (FORMAT = 'wire');")
+    val q = e.sql("SELECT k, v FROM ws EMIT CHANGES;").asInstanceOf[e.Started]
+    // typed literals must land as {"$numberLong":"7"} etc., or the wire
+    // decoder nulls the field
+    e.sql("INSERT INTO ws (k, v, _ts) VALUES ('a', 7, '2024-01-01 00:00:00');")
+    e.engine.processAll()
+    val r = spark.table(q.query.name).head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 7L)
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
+
   test("null-safe equality: NULL = NULL is TRUE (BinOp.hs:116-118)") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq((1L, Some("x")), (2L, None: Option[String])))

@@ -91,6 +91,20 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT * FROM s WHERE t = TIMESTAMP '2024-13-01 00:00:00';", "timestamp")
   }
 
+  test("lenient timestamp rollover is rejected, not normalized (strict resolution)") {
+    // java.sql.Timestamp.valueOf would silently turn this into Mar 1 15:01:59
+    rejects("SELECT * FROM s WHERE t = TIMESTAMP '2021-02-29 14:61:59';", "timestamp")
+    rejects("SELECT * FROM s WHERE t = TIMESTAMP '2024-01-01 25:00:00';", "timestamp")
+  }
+
+  test("GROUP BY matches columns case-insensitively, like the resolver") {
+    spark.range(1).selectExpr("id AS lang").createOrReplaceTempView("vt5")
+    // caseSensitive=false (default): LANG resolves to lang in SELECT/WHERE,
+    // so the GROUP BY guard must accept it too
+    assert(e.batch("SELECT COUNT(*) AS c FROM vt5 GROUP BY LANG;")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("valid date/time literals pass validation (not vacuous rejections)") {
     // leap day 2020-02-29 is valid — the reference's own positive case
     Parser.parse("SELECT * FROM s WHERE d = DATE '2020-02-29';")

@@ -410,6 +410,48 @@ class EngineSpec extends SparkSpec {
     e.dropStream("src18"); e.dropStream("tgt18")
   }
 
+  test("one FileSink writer per file-backed stream; terminate frees the slot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_1w").toString
+    val e = newEngine
+    e.createStream("src19", schema)
+    e.createFileStream("tgt19", dir, StructType(Seq(StructField("k", StringType))))
+    e.insertSelect("tgt19", e.df("src19").select(col("k")))
+    // a second sink on the same dir would share _spark_metadata and lose
+    // batches silently — must be refused loudly
+    val ex = intercept[IllegalArgumentException](
+      e.createStreamAs("tgt19", e.df("src19").select(col("k"))))
+    assert(ex.getMessage.contains("already has file-sink writer"), ex.getMessage)
+    e.terminate("insert_tgt19")
+    e.createStreamAs("tgt19", e.df("src19").select(col("k"))) // slot freed
+    e.terminate("tgt19")
+    e.dropStream("src19"); e.dropStream("tgt19")
+  }
+
+  test("memory stream cannot shadow a file stream name (collision both ways)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_col").toString
+    val e = newEngine
+    e.createFileStream("dup20", dir, schema)
+    // before this check, insert() would feed an invisible memory twin
+    intercept[IllegalArgumentException](e.createStream("dup20", schema))
+    e.dropStream("dup20")
+  }
+
+  test("insertSelect into a wire memory stream re-encodes through the wire format") {
+    val e = newEngine
+    e.createStream("src21", schema)
+    e.createStream("tgt21", schema, Map("FORMAT" -> "wire"))
+    e.emitChanges("out21", e.df("tgt21").select(col("k"), col("v")))
+    e.insertSelect("tgt21", e.df("src21").select(col("k"), col("v"), col("_ts")))
+    e.insert("src21", rec("a", 7, "2024-01-01 00:00:00"))
+    e.processAll()
+    // plain toJSON would feed bare 7 to the wire decoder -> null; the
+    // re-encode path must deliver the typed value
+    val got = spark.table("out21").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == Set(("a", 7L)), got.mkString(","))
+    e.terminate("out21"); e.terminate("insert_tgt21")
+    e.dropStream("src21"); e.dropStream("tgt21")
+  }
+
   test("per-row EMIT CHANGES opt-in: one emission per input row (GroupedStream.hs:102)") {
     val e = newEngine
     e.createStream("s17", schema)
