@@ -50,13 +50,43 @@ object ScaleProbe {
       import graft.functions.PipelineFunctions._
       df.select($"doc_id", polyFingerprint(tokens($"text")).as("fp"))
     }
+    // 10× corpus of DISTINCT docs (ids offset, text perturbed): a plain x10
+    // union would give every doc 9 exact twins and the candidate set would
+    // blow up quadratically from the DATA, hiding what the PLAN does
+    def x10Distinct(df: DataFrame): DataFrame = (0 until 10).map(i =>
+      df.withColumn("doc_id", $"doc_id" + lit(i * 10000000L))
+        .withColumn("text", concat($"text", lit(s" probe$i")))).reduce(_ unionAll _)
+    // the full banded LSH near-dup pipeline (q_dedup_minhash_lsh_fast's
+    // plan shape): signatures -> band explode -> bucket self-join ->
+    // candidate dedup -> Jaccard verify
+    def lshShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      val sig = df
+        .withColumn("wh", transform(tokens($"text"), w => pmod(xxhash64(w), lit(1L << 32))))
+        .withColumn("hs", combineShingles3($"wh"))
+        .select($"doc_id", $"hs",
+          array((0 until 4).map(b =>
+            concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+            .as("bands"))
+        .persist()
+      val banded = sig.select($"doc_id", explode($"bands").as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+      val hs = sig.select($"doc_id", $"hs")
+      cand.join(hs.as("h1"), $"d1" === $"h1.doc_id")
+        .join(hs.as("h2"), $"d2" === $"h2.doc_id")
+        .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+    }
 
     // warmup
     time(aggShape(lineitem))
     val probes = Seq(
       "agg_600k_vs_6m" -> (time(aggShape(lineitem)), time(aggShape(x10(lineitem)))),
       "minhash_5k_vs_50k" -> (time(minhashShape(docs)), time(minhashShape(x10(docs)))),
-      "fingerprint_5k_vs_50k" -> (time(fingerprintShape(docs)), time(fingerprintShape(x10(docs)))))
+      "fingerprint_5k_vs_50k" -> (time(fingerprintShape(docs)), time(fingerprintShape(x10(docs)))),
+      "lsh_neardup_5k_vs_50k" -> (time(lshShape(docs)), time(lshShape(x10Distinct(docs)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")
