@@ -16,6 +16,48 @@ import graft.SparkSpec
   */
 class RecoverySpec extends SparkSpec {
 
+  test("file-backed CSAS resumes exactly-once across an ENGINE restart (spark.graft.checkpointRoot)") {
+    val srcDir = Files.createTempDirectory("graft_rsrc").toString
+    val tgtDir = Files.createTempDirectory("graft_rtgt").toString
+    val ckptRoot = Files.createTempDirectory("graft_rckpt").toString
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("_ts", TimestampType)))
+    val tgtSchema = StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType)))
+    def writeFile(name: String, lines: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(srcDir, name), lines)
+
+    spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
+    try {
+      def mkEngine(): Engine = {
+        val e = new Engine(spark)
+        e.createFileStream("rsrc", srcDir, schema)
+        e.createFileStream("rtgt", tgtDir, tgtSchema)
+        e
+      }
+      val e1 = mkEngine()
+      writeFile("f1.json", """{"k":"a","v":1,"_ts":"2024-01-01 00:00:00"}""")
+      e1.createStreamAs("rtgt",
+        e1.df("rsrc").select(col("k"), (col("v") * 2).as("x")))
+      e1.processAll()
+      e1.terminate("rtgt") // "crash": the engine goes away, checkpoint stays
+
+      writeFile("f2.json", """{"k":"b","v":5,"_ts":"2024-01-01 00:00:01"}""")
+      val e2 = mkEngine() // fresh engine, same checkpoint root
+      e2.createStreamAs("rtgt",
+        e2.df("rsrc").select(col("k"), (col("v") * 2).as("x")))
+      e2.processAll()
+      e2.terminate("rtgt")
+
+      // exactly-once: f1's row was NOT reprocessed after the restart, f2's
+      // row arrived — two rows total, each exactly once
+      val got = spark.read.schema(tgtSchema).json(tgtDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(got.toSeq == Seq(("a", 2L), ("b", 10L)), got.mkString(","))
+    } finally spark.conf.unset("spark.graft.checkpointRoot")
+  }
+
   test("aggregation state survives query restart via checkpoint") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_src").toFile
