@@ -140,6 +140,15 @@ object SqlQueries extends QueryPack {
       """SELECT COUNT(*) AS cnt
          FROM HOP(events, INTERVAL 1 HOUR, INTERVAL 30 MINUTE);""")),
 
+    // SESSION window through the dialect (30-min gap, keyed) — completes
+    // the FROM-clause window trio in dialect text; bounds are appended
+    // (window_start = min ts, window_end = max ts + gap). MAX not SUM for
+    // the value: session groups are order-free under max, so the oracle
+    // compares exactly without float-summation concerns.
+    "q_sql_window_session" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, COUNT(*) AS cnt, MAX(value) AS mx
+         FROM SESSION(events, INTERVAL 30 MINUTE) GROUP BY user_id;""")),
+
     // NATURAL join: all shared non-time columns (user_id, value) equal.
     "q_sql_join_natural" -> ((s, dir) => run(s, dir,
       """SELECT user_id, COUNT(*) AS n
@@ -258,6 +267,21 @@ object SqlQueries extends QueryPack {
                   - k * (INTERVAL '30 minutes') AS ws
            FROM ev CROSS JOIN (VALUES (0),(1)) t(k))
          GROUP BY 1""",
+    "q_sql_window_session" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM marked)
+         SELECT user_id, count(*) AS cnt, max(value) AS mx,
+           min(ts) AS window_start, max(ts) + INTERVAL '30 minutes' AS window_end
+         FROM numbered GROUP BY user_id, sid""",
     "q_sql_join_natural" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.user_id AS user_id, count(*) AS n
