@@ -130,6 +130,38 @@ object DedupQueries extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // The SAME md5 MinHash+LSH pipeline through the PLAIN-SQL frontend:
+    // pure spark.sql text over the SqlFunctions UDF surface (no Column API,
+    // no dialect) — a third frontend path hash-verified against the same
+    // oracle. CTEs instead of persist(): this is the correctness twin; the
+    // DataFrame form above is the perf path.
+    "q_dedup_minhash_lsh_sql" -> ((s, dir) => {
+      graft.functions.SqlFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val bands = (0 until 4).map { b =>
+        val (a1, b1) = MinhashPerms(2 * b); val (a2, b2) = MinhashPerms(2 * b + 1)
+        s"concat_ws('_', $b, graft_minhash(hs, ${a1}L, ${b1}L), graft_minhash(hs, ${a2}L, ${b2}L))"
+      }
+      s.sql(
+        s"""WITH sig AS (
+              SELECT doc_id,
+                     graft_shingles3(graft_word_hashes(graft_tokens(text))) AS hs
+              FROM documents),
+            withbands AS (
+              SELECT doc_id, hs, array(${bands.mkString(", ")}) AS bands FROM sig),
+            banded AS (SELECT doc_id, explode(bands) AS band FROM withbands),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT d1, d2, round(graft_jaccard(h1.hs, h2.hs), 6) AS jac
+            FROM cand
+            JOIN withbands h1 ON d1 = h1.doc_id
+            JOIN withbands h2 ON d2 = h2.doc_id
+            WHERE round(graft_jaccard(h1.hs, h2.hs), 6) >= 0.5
+            ORDER BY d1, d2""")
+    }),
+
     // SimHash signatures + Hamming-distance near-dup pairs (distance ≤ 3 of
     // 16 bits). One integer per doc; the pair join is on the tiny signature
     // relation.
@@ -207,6 +239,7 @@ object DedupQueries extends QueryPack {
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" -> lshOracleSql,
     "q_dedup_minhash_lsh_fast" -> lshOracleSql,
+    "q_dedup_minhash_lsh_sql" -> lshOracleSql, // same md5 formulas, SQL frontend
     "q_dedup_jaccard_exact" ->
       s"""$shCte
          SELECT d1, d2, jac FROM (
