@@ -109,10 +109,16 @@ object PipelineFunctions {
     *
     * Single pass over the word hashes, accumulating all 16 signed bit
     * counters in one array fold (a 16-scan per-bit formulation computes the
-    * same integers — order-independent — at 16× the cost). SQL-lambda form
-    * because bit shifts by a lambda variable need expression-level shifts.
+    * same integers — order-independent — at 16× the cost). Uses the native
+    * codegen'd expression (VectorExpressions.SimHash16 — one loop, no
+    * per-word intermediate arrays) when the session has GraftExtensions;
+    * bit-identical signatures either way. SQL-lambda fallback form because
+    * bit shifts by a lambda variable need expression-level shifts.
     * @param wordsExpr SQL expression string yielding an array<string> */
   def simhash16(wordsExpr: String): Column = {
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_simhash16_native")))
+      return call_function("graft_simhash16_native", expr(wordsExpr))
     val h =
       if (org.apache.spark.sql.SparkSession.getActiveSession
           .exists(_.catalog.functionExists("graft_hash32"))) "graft_hash32(w)"

@@ -156,6 +156,73 @@ case class Md5Prefix32(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_simhash16(words)`: 16-bit SimHash over a word array as ONE native
+  * loop — per word, one direct md5 digest and 16 counter updates. The HOF
+  * form builds an intermediate 16-element array per word (transform inside
+  * aggregate) and interprets every lambda; this is the same arithmetic
+  * (same md5-prefix hashes, same signed bit counters, same >= 0 rule), so
+  * signatures are bit-identical and the DuckDB oracle is unchanged.
+  * A null word poisons the result to NULL, matching the HOF form's
+  * null-propagating fold. */
+case class SimHash16(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash16"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = HashUtil.md5Prefix32(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 16) { counts(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $counts = new long[16];
+         |int ${ev.value}_n = $v.numElements();
+         |boolean ${ev.value}_null = false;
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.value}_null = true; break; }
+         |  long $h = graft.functions.HashUtil.md5Prefix32($v.getUTF8String($i).getBytes());
+         |  for (int $b = 0; $b < 16; $b++) {
+         |    $counts[$b] += (($h >> $b) & 1L) * 2 - 1;
+         |  }
+         |}
+         |if (${ev.value}_null) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = -1L;
+         |} else {
+         |  long ${ev.value}_sig = 0L;
+         |  for (int $b = 0; $b < 16; $b++) {
+         |    if ($counts[$b] >= 0) ${ev.value}_sig |= 1L << $b;
+         |  }
+         |  ${ev.value} = ${ev.value}_sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native functions — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -172,5 +239,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "graft_hash32"),
       (args: Seq[Expression]) => Md5Prefix32(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash16_native"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16_native"),
+      (args: Seq[Expression]) => SimHash16(args.head)))
   }
 }

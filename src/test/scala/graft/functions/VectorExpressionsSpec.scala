@@ -59,6 +59,36 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("graft_simhash16_native (codegen) equals the HOF fold on corpus text") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+    // the HOF form, forced (bypasses the native dispatch in simhash16)
+    val hof = expr(
+      """aggregate(
+        |  transform(
+        |    aggregate(
+        |      transform(split(text, ' '), w -> graft_hash32(w)),
+        |      array_repeat(0L, 16),
+        |      (acc, x) -> transform(acc, (c, b) -> c + ((x >> b) & 1) * 2 - 1)),
+        |    (c, b) -> IF(c >= 0, shiftleft(1L, b), 0L)),
+        |  0L, (s, v) -> s + v)""".stripMargin)
+    val rows = docs.select($"doc_id",
+      call_function("graft_simhash16_native", split($"text", " ")).as("native"),
+      hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
+  test("graft_simhash16_native: null word poisons to NULL like the HOF fold") {
+    import spark.implicits._
+    val r = spark.range(1)
+      .select(call_function("graft_simhash16_native",
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("s"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
   test("dot() picks the native function when registered") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
