@@ -69,7 +69,10 @@ object ScaleProbe {
             concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
             .as("bands"))
         .persist()
-      val banded = sig.select($"doc_id", explode($"bands").as("band"))
+      // degenerate-doc guard, same as DedupQueries: <3-word docs have empty
+      // shingle sets and would all share the sentinel band key in all bands
+      val banded = sig.filter(size($"hs") > 0)
+        .select($"doc_id", explode($"bands").as("band"))
       val cand = banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
@@ -79,6 +82,15 @@ object ScaleProbe {
         .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
         .filter($"jac" >= 0.5)
     }
+    // ~10% near-empty (1-2 word) docs mixed in: without the size(hs) > 0
+    // guard all of them share every band key (minhash sentinel) and the
+    // candidate self-join goes quadratic in their count; with the guard the
+    // probe must stay sublinear.
+    def withShorts(df: DataFrame): DataFrame = df.unionAll(
+      df.sample(0.1, seed = 42)
+        .withColumn("doc_id", $"doc_id" + lit(900000000L))
+        .withColumn("text",
+          when($"doc_id" % 2 === 0, lit("ok")).otherwise(lit("tiny doc"))))
 
     // warmup
     time(aggShape(lineitem))
@@ -86,7 +98,9 @@ object ScaleProbe {
       "agg_600k_vs_6m" -> (time(aggShape(lineitem)), time(aggShape(x10(lineitem)))),
       "minhash_5k_vs_50k" -> (time(minhashShape(docs)), time(minhashShape(x10(docs)))),
       "fingerprint_5k_vs_50k" -> (time(fingerprintShape(docs)), time(fingerprintShape(x10(docs)))),
-      "lsh_neardup_5k_vs_50k" -> (time(lshShape(docs)), time(lshShape(x10Distinct(docs)))))
+      "lsh_neardup_5k_vs_50k" -> (time(lshShape(docs)), time(lshShape(x10Distinct(docs)))),
+      "lsh_neardup_10pct_short_docs" ->
+        (time(lshShape(withShorts(docs))), time(lshShape(withShorts(x10Distinct(docs))))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")

@@ -73,7 +73,15 @@ object DedupQueries extends QueryPack {
           concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
           .as("bands"))
         .persist()
-      val banded = sig.select($"doc_id", explode($"bands").as("band"))
+      // Degenerate-doc skew guard: docs under 3 words have an EMPTY shingle
+      // set, so minhash returns the sentinel P for every permutation and all
+      // of them would share identical band keys in all bands — a quadratic
+      // candidate blowup on a 100 TB corpus with billions of near-empty
+      // docs. They can't be near-dups by shingle definition (Jaccard is
+      // 0/0 = NULL), so exclude them before banding. Mirrored in the SQL
+      // frontend and the DuckDB oracle.
+      val banded = sig.filter(size($"hs") > 0)
+        .select($"doc_id", explode($"bands").as("band"))
       val cand = banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -116,7 +124,9 @@ object DedupQueries extends QueryPack {
             concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
             .as("bands"))
         .persist()
-      val banded = sig.select($"doc_id", explode($"bands").as("band"))
+      // same degenerate-doc skew guard as the md5 twin (see above)
+      val banded = sig.filter(size($"hs") > 0)
+        .select($"doc_id", explode($"bands").as("band"))
       val cand = banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -149,7 +159,8 @@ object DedupQueries extends QueryPack {
               FROM documents),
             withbands AS (
               SELECT doc_id, hs, array(${bands.mkString(", ")}) AS bands FROM sig),
-            banded AS (SELECT doc_id, explode(bands) AS band FROM withbands),
+            banded AS (SELECT doc_id, explode(bands) AS band FROM withbands
+                       WHERE size(hs) > 0),
             cand AS (
               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
               FROM banded a JOIN banded b
@@ -216,7 +227,8 @@ object DedupQueries extends QueryPack {
        sig AS (SELECT doc_id, hs,
          [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
        FROM h),
-       banded AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+       banded AS (SELECT doc_id, unnest(bands) AS band FROM sig
+                  WHERE len(hs) > 0),
        cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
        SELECT d1, d2, jac FROM (

@@ -52,7 +52,10 @@ object WireFormat {
       lit("{\"$date\":\""), date_format(c, "yyyy-MM-dd"), lit("\"}")))
     case TimestampType => nullable(c, concat(
       lit("{\"$timestamp\":\""),
-      date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), lit("\"}")))
+      // microsecond pattern: Spark timestamps carry micros, and a .SSS
+      // pattern would silently truncate them on the wire (encode/decode
+      // must round-trip exactly)
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"), lit("\"}")))
     case ArrayType(et, _) => nullable(c, concat(
       lit("["), array_join(transform(c, x => encodeValue(x, et)), ","), lit("]")))
     case st: StructType => nullable(c, concat(

@@ -60,7 +60,17 @@ class SqlEngine(spark: SparkSession) {
       Started(engine.createStreamAs(name, planOf(sel)))
     case CreateView(name, sel) =>
       views.add(name)
-      Started(engine.createView(name, planOf(sel)))
+      val plan = planOf(sel)
+      // Unwindowed simple-key aggregates maintain the view INCREMENTALLY
+      // (update-mode upsert, O(changed keys) write amplification per
+      // trigger — the reference's own model, Core/View.hs:94-141); windowed
+      // or join-fed views fall back to complete-mode snapshots.
+      val keys = sel.groupBy.map(_.name)
+      val incremental = !needsAppendMode(sel.from) && !hasWindow(sel.from) &&
+        keys.nonEmpty && keys.forall(plan.columns.contains)
+      Started(
+        if (incremental) engine.createViewIncremental(name, plan, keys)
+        else engine.createView(name, plan))
     case InsertValues(stream, cols, vals) =>
       // wire streams store extended-JSON payloads (Rts/Old.hs:134-157), so
       // typed literals are wire-encoded; plain streams get plain JSON
@@ -140,6 +150,14 @@ class SqlEngine(spark: SparkSession) {
     }
     require(cur.toString.trim.isEmpty, s"unterminated statement: ${cur.toString.trim.take(60)}")
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def hasWindow(ref: TableRef): Boolean = ref match {
+    case _: TRWindowed => true
+    case TRAlias(i, _) => hasWindow(i)
+    case TRJoin(l, r, _, _, _) => hasWindow(l) || hasWindow(r)
+    case TRSubquery(s) => hasWindow(s.from)
+    case _ => false
   }
 
   private def needsAppendMode(ref: TableRef): Boolean = ref match {

@@ -93,16 +93,18 @@ class Engine(val spark: SparkSession) {
   /** Whether `name` is a wire-format stream (payloads are extended JSON).
     * Callers appending records (INSERT paths) must encode accordingly. */
   def isWireStream(name: String): Boolean =
-    streams.get(name).exists(_.wire) || fileStreams.get(name).exists(_.wire)
+    streams.get(name).exists(_.wire) || fileStreams.get(name).exists(_.wire) ||
+      socketStreams.get(name).exists(_.wire)
 
   /** Declared WITH-options of a stream (DESCRIBE-style metadata). */
   def streamOptions(name: String): Map[String, String] =
     streams.get(name).map(_.options).getOrElse(Map.empty)
 
   def dropStream(name: String): Unit = {
-    streams.remove(name); fileStreams.remove(name)
+    streams.remove(name); fileStreams.remove(name); socketStreams.remove(name)
   }
-  def showStreams: Seq[String] = (streams.keys ++ fileStreams.keys).toSeq.sorted
+  def showStreams: Seq[String] =
+    (streams.keys ++ fileStreams.keys ++ socketStreams.keys).toSeq.sorted
 
   /** INSERT INTO name: append JSON payloads (AST.hs:777-804 json form). */
   def insert(name: String, jsonRecords: String*): Unit =
@@ -129,6 +131,33 @@ class Engine(val spark: SparkSession) {
     fileStreams(name) = FileStreamEntry(dir, schema, if (wire) "text" else format, wire)
   }
 
+  /** Socket-backed stream registration: a real non-file NETWORK transport
+    * through the same [[df]] seam — each line received on the TCP
+    * connection is one record payload. */
+  private case class SocketStreamEntry(host: String, port: Int,
+                                       schema: StructType, wire: Boolean)
+  private val socketStreams = TrieMap.empty[String, SocketStreamEntry]
+
+  /** Register a socket-backed stream: records arrive as newline-delimited
+    * payloads over TCP — the engine-side half of the reference's external
+    * source connector tasks (hstream-io/src/HStream/IO/Worker.hs:71-83
+    * runs them as separate processes feeding a stream; here the producer is
+    * whatever serves `host:port`). `wire = true` decodes extended-JSON
+    * payloads (Rts/Old.hs:159-198) to the declared schema, else plain JSON.
+    *
+    * This is the live proof of the "swap the transport by changing only
+    * [[df]]'s source expression" claim: everything downstream — wire
+    * decode, `_ts` assignment, every query — is byte-identical to the
+    * MemoryStream and file paths. Spark's socket source keeps no offsets
+    * (at-most-once; test/demo transport); an offset-tracked transport
+    * (Kafka, files) plugs into the same seam with its own format string. */
+  def createSocketStream(name: String, host: String, port: Int,
+                         schema: StructType, wire: Boolean = false): Unit = {
+    require(!streams.contains(name) && !fileStreams.contains(name) &&
+      !socketStreams.contains(name), s"stream $name exists")
+    socketStreams(name) = SocketStreamEntry(host, port, schema, wire)
+  }
+
   /** Writer registry enforcing one live FileSink per file-backed stream
     * (two sinks sharing one _spark_metadata log lose batches silently). */
   private val fileSinkWriters = TrieMap.empty[String, String]
@@ -145,6 +174,12 @@ class Engine(val spark: SparkSession) {
     if (schema.fieldNames.contains("_ts")) parsed
     else parsed.withColumn("_ts", current_timestamp())
 
+  /** Parse a one-string-column `value` payload stream to the declared
+    * schema: wire decode (extended JSON) or plain from_json. */
+  private def parsePayload(raw: DataFrame, schema: StructType, wire: Boolean): DataFrame =
+    if (wire) graft.sources.WireFormat.decode(raw, schema)
+    else raw.select(from_json($"value", schema).as("r")).select($"r.*")
+
   /** The stream as an unbounded DataFrame: parsed payload columns + `_ts`. */
   def df(name: String): DataFrame = fileStreams.get(name) match {
     case Some(fe) =>
@@ -155,19 +190,23 @@ class Engine(val spark: SparkSession) {
       val parsed =
         if (fe.wire) graft.sources.WireFormat.decode(raw, fe.schema) else raw
       withEventTime(parsed, fe.schema)
-    case None =>
-      val e = streams(name)
-      val parsed =
-        if (e.wire) graft.sources.WireFormat.decode(e.source.toDF(), e.schema)
-        else e.source.toDF()
-          .select(from_json($"value", e.schema).as("r"))
-          .select($"r.*")
-      val withTs = withEventTime(parsed, e.schema)
-      // DURATION retention: serve only records within the backlog window
-      e.options.get("DURATION") match {
-        case Some(d) => withTs.filter(col("_ts") >= current_timestamp() - expr(s"INTERVAL $d"))
-        case None => withTs
-      }
+    case None => socketStreams.get(name) match {
+      case Some(se) =>
+        // the ONLY transport-specific lines: everything below the load()
+        // is shared with every other source
+        val raw = spark.readStream.format("socket")
+          .option("host", se.host).option("port", se.port).load()
+        withEventTime(parsePayload(raw, se.schema, se.wire), se.schema)
+      case None =>
+        val e = streams(name)
+        val parsed = parsePayload(e.source.toDF(), e.schema, e.wire)
+        val withTs = withEventTime(parsed, e.schema)
+        // DURATION retention: serve only records within the backlog window
+        e.options.get("DURATION") match {
+          case Some(d) => withTs.filter(col("_ts") >= current_timestamp() - expr(s"INTERVAL $d"))
+          case None => withTs
+        }
+    }
   }
 
   // ---- continuous queries (SURVEY §3.1, §3.3) ------------------------------
@@ -185,6 +224,13 @@ class Engine(val spark: SparkSession) {
   def emitChangesPerRow(name: String, source: DataFrame,
                         key: String, value: String): StreamingQuery =
     startQuery(name, StreamOps.perRowAgg(source, key, value), "update")
+
+  /** Per-row EMIT CHANGES over the FULL multi-aggregate SELECT list: any
+    * COUNT/SUM/MIN/MAX/AVG mix over any value columns and composite keys
+    * (see [[StreamOps.perRowAggs]]). */
+  def emitChangesPerRow(name: String, source: DataFrame, keys: Seq[String],
+                        aggs: Seq[StreamOps.RowAgg]): StreamingQuery =
+    startQuery(name, StreamOps.perRowAggs(source, keys, aggs), "update")
 
   /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query.
     * If `name` is a registered file-backed stream, result partitions write
@@ -292,12 +338,31 @@ class Engine(val spark: SparkSession) {
 
   /** Block until every started query has processed all available input.
     * Queries can feed each other (CSAS / INSERT-SELECT pipelines), so one
-    * pass in arbitrary order can leave a downstream query unfed; draining
-    * once per query reaches a fixpoint for any acyclic pipeline (a drained
-    * query's processAllAvailable is a cheap no-op). */
-  def processAll(): Unit = {
-    val passes = math.max(queries.size, 1)
-    (1 to passes).foreach(_ => queries.values.foreach(_.processAllAvailable()))
+    * pass in arbitrary order can leave a downstream query unfed. Iterate
+    * until a full pass moves no data (fixpoint): the shallowest unfed hop
+    * drains every pass, so productive passes ≤ pipeline depth regardless of
+    * how many queries the engine hosts — not the old N passes × N queries.
+    * Returns the number of PRODUCTIVE passes (one final no-progress pass
+    * verifies the fixpoint and is not counted). */
+  def processAll(): Int = {
+    // a pass "made progress" if any query processed a batch with input rows
+    // beyond its batchId high-water mark
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    var productive = 0
+    var progress = true
+    while (progress) {
+      progress = false
+      queries.foreach { case (name, q) =>
+        q.processAllAvailable()
+        val hwm = seen.getOrElse(name, -1L)
+        val advanced = q.recentProgress.exists(p =>
+          p.batchId > hwm && p.numInputRows > 0)
+        seen(name) = (q.recentProgress.map(_.batchId) :+ hwm).max
+        if (advanced) progress = true
+      }
+      if (progress) productive += 1
+    }
+    productive
   }
 
   // ---- materialized views (SURVEY §3.2) ------------------------------------
@@ -325,8 +390,35 @@ class Engine(val spark: SparkSession) {
   private val viewRoot: String =
     spark.conf.getOption("spark.graft.viewRoot").getOrElse(tempDir("graft_view"))
 
+  /** How many snapshot generations to retain per view (besides serving
+    * correctness, this is the grace window for long-lived readers: a
+    * continuous query planned over [[pull]] re-reads its pinned snapshot
+    * path every micro-batch, so retention must cover its lifetime — raise
+    * this, or re-plan such readers per batch). Default 2 = current +
+    * previous. */
+  private def viewRetain: Int = math.max(2,
+    spark.conf.getOption("spark.graft.viewRetainSnapshots").map(_.toInt).getOrElse(2))
+
+  private def hadoopFs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   def createView(name: String, plan: DataFrame): StreamingQuery = {
     val state = new ViewState(s"$viewRoot/$name", plan.schema)
+    // Recovery: with a durable viewRoot + checkpointRoot, a restarted engine
+    // must serve the last committed snapshot immediately — not an empty
+    // result until new input arrives (the checkpoint makes the query itself
+    // resume, but the serving pointer lives here). Latest b<N> wins.
+    locally {
+      val (fs, dirPath) = hadoopFs(state.dir)
+      if (fs.exists(dirPath)) {
+        val prior = fs.listStatus(dirPath)
+          .filter(st => st.isDirectory && st.getPath.getName.matches("b\\d+"))
+          .sortBy(_.getPath.getName.drop(1).toLong)
+        prior.lastOption.foreach(st => state.snapshot = Some(st.getPath.toString))
+      }
+    }
     views(name) = state
     val q = plan.writeStream
       .outputMode("complete")
@@ -334,23 +426,140 @@ class Engine(val spark: SparkSession) {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val path = s"${state.dir}/b$batchId"
         batch.write.mode("overwrite").parquet(path)
-        val previous = state.snapshot
         state.snapshot = Some(path)
-        // keep only the serving snapshot (and tolerate a concurrent reader
-        // of the one just replaced — deletion is deferred by one batch).
-        // Hadoop FS, not java.io: the view root may be HDFS/S3.
-        previous.foreach { p =>
-          val dirPath = new org.apache.hadoop.fs.Path(state.dir)
-          val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val keep = Set(path, p).map(s => new org.apache.hadoop.fs.Path(s).getName)
-          fs.listStatus(dirPath)
-            .filterNot(st => keep.contains(st.getPath.getName))
-            .foreach(st => fs.delete(st.getPath, true))
-        }
+        // retain the newest `viewRetain` snapshots (concurrent readers of a
+        // replaced snapshot get that many generations of grace — see
+        // viewRetain). Hadoop FS, not java.io: the root may be HDFS/S3.
+        val (fs, dirPath) = hadoopFs(state.dir)
+        val gens = fs.listStatus(dirPath)
+          .filter(st => st.isDirectory && st.getPath.getName.matches("b\\d+"))
+          .sortBy(-_.getPath.getName.drop(1).toLong)
+        gens.drop(viewRetain).foreach(st => fs.delete(st.getPath, true))
       }
       .trigger(Trigger.ProcessingTime(0)).start()
     queries(name) = q
     q
+  }
+
+  // ---- incremental views (update-mode upsert; the 100× scale path) ---------
+
+  /** view name → (dir, output schema, upsert keys, bucket count, serving
+    * manifest bucket→path). The manifest flips atomically after each batch's
+    * distributed write; history retains recent manifests so pinned readers
+    * get a grace window (viewRetain generations). */
+  private final class IncViewState(val dir: String, val schema: StructType,
+                                   val keys: Seq[String], val buckets: Int) {
+    @volatile var manifest: Map[Int, String] = Map.empty
+    @volatile var history: List[Map[Int, String]] = Nil
+  }
+  private val incViews = TrieMap.empty[String, IncViewState]
+
+  /** CREATE VIEW with INCREMENTAL maintenance: the aggregation runs in
+    * UPDATE mode, so each trigger carries only the keys whose aggregates
+    * changed, and the sink upserts just those keys into a bucket-partitioned
+    * parquet table — write amplification is O(changed buckets), not O(view)
+    * as in complete-mode [[createView]]. The reference maintains view state
+    * incrementally and serves pulls from it (hstream/src/HStream/Server/
+    * Core/View.hs:94-141; state dump Processor.hs:380-411); this is that
+    * semantics with the state in shared storage instead of driver memory.
+    *
+    * Layout: each batch writes `dir/g<batchId>/graft_bucket=<b>/` for affected
+    * buckets only; a manifest (bucket → leaf path) flips atomically and is
+    * persisted for engine-restart recovery. Unchanged buckets keep serving
+    * their old generation's files untouched. `keys` must be output columns
+    * of `plan` (the upsert identity); `buckets` bounds the per-trigger
+    * rewrite granularity — at 100 TB size it so one bucket's parquet fits
+    * comfortably in executor memory (e.g. thousands). */
+  def createViewIncremental(name: String, plan: DataFrame, keys: Seq[String],
+                            buckets: Int = 64): StreamingQuery = {
+    require(keys.nonEmpty && keys.forall(plan.schema.fieldNames.contains),
+      s"upsert keys $keys must be output columns of the view plan")
+    val state = new IncViewState(s"$viewRoot/$name", plan.schema, keys, buckets)
+    loadManifest(state) // engine-restart recovery: serve last committed state
+    incViews(name) = state
+    def bucketOf = pmod(hash(keys.map(col): _*), lit(buckets))
+    val q = plan.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt(s"incview_$name"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.withColumn("graft_bucket", bucketOf).persist()
+        try {
+          val affected = delta.select("graft_bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (affected.nonEmpty) {
+            val existingPaths = state.manifest.view.filterKeys(affected).values.toSeq
+            val current =
+              if (existingPaths.isEmpty)
+                spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
+              else spark.read.schema(state.schema).parquet(existingPaths: _*)
+            // upsert = unchanged rows of affected buckets + the delta rows
+            val merged = current
+              .join(delta.select(keys.map(col): _*), keys, "left_anti")
+              .withColumn("graft_bucket", bucketOf)
+              .unionByName(delta)
+            val genDir = s"${state.dir}/g$batchId"
+            merged.write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
+            state.manifest = state.manifest ++
+              affected.map(b => b -> s"$genDir/graft_bucket=$b")
+            state.history = (state.manifest :: state.history).take(viewRetain)
+            persistManifest(state, batchId)
+            gcIncView(state)
+          }
+        } finally delta.unpersist()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queries(name) = q
+    q
+  }
+
+  /** The serving manifest of an incremental view (tests/diagnostics). */
+  private[graft] def viewManifest(name: String): Map[Int, String] =
+    incViews(name).manifest
+
+  private def persistManifest(state: IncViewState, gen: Long): Unit = {
+    val (fs, _) = hadoopFs(state.dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${state.dir}/manifest-g$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(state.manifest.toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"${state.dir}/manifest-g$gen.txt"))
+  }
+
+  private def loadManifest(state: IncViewState): Unit = {
+    val (fs, dirPath) = hadoopFs(state.dir)
+    if (!fs.exists(dirPath)) return
+    val manifests = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.matches("manifest-g\\d+\\.txt"))
+      .sortBy(_.getPath.getName.stripPrefix("manifest-g").stripSuffix(".txt").toLong)
+    manifests.lastOption.foreach { st =>
+      val in = fs.open(st.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      state.manifest = text.linesIterator.filter(_.contains('\t')).map { line =>
+        val Array(b, p) = line.split("\t", 2); b.toInt -> p
+      }.toMap
+      state.history = List(state.manifest)
+    }
+  }
+
+  /** Delete generation dirs no manifest in the retention window references,
+    * and manifest files older than the newest (recovery needs only that). */
+  private def gcIncView(state: IncViewState): Unit = {
+    val (fs, dirPath) = hadoopFs(state.dir)
+    val referenced = state.history.flatMap(_.values)
+      .map(leaf => new org.apache.hadoop.fs.Path(leaf).getParent.getName).toSet
+    val newestManifest = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.matches("manifest-g\\d+\\.txt"))
+      .map(_.getPath.getName.stripPrefix("manifest-g").stripSuffix(".txt").toLong)
+      .maxOption
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("g\\d+") && !referenced.contains(n))
+        fs.delete(st.getPath, true)
+      else if (n.matches("manifest-g\\d+\\.txt") &&
+          newestManifest.exists(_ > n.stripPrefix("manifest-g").stripSuffix(".txt").toLong))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Pull query over a view: a BATCH scan over the parquet snapshot with the
@@ -359,14 +568,25 @@ class Engine(val spark: SparkSession) {
     * materializing final output; SURVEY §3.2). Falls back to the session
     * catalog for names materialized elsewhere (e.g. memory-sink tests). */
   def pull(view: String, where: String = "true"): DataFrame =
-    views.get(view) match {
-      case Some(state) => state.snapshot match {
-        case Some(path) => spark.read.parquet(path).where(where)
-        case None => // no trigger has completed yet: empty, correctly typed
+    incViews.get(view) match {
+      case Some(state) =>
+        // resolved from the manifest at CALL time: each pull (and each
+        // re-planned batch over it) sees the current generation set; a
+        // pinned plan gets viewRetain generations of grace before GC
+        val paths = state.manifest.values.toSeq
+        if (paths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
             .where(where)
+        else spark.read.schema(state.schema).parquet(paths: _*).where(where)
+      case None => views.get(view) match {
+        case Some(state) => state.snapshot match {
+          case Some(path) => spark.read.parquet(path).where(where)
+          case None => // no trigger has completed yet: empty, correctly typed
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
+              .where(where)
+        }
+        case None => spark.table(view).where(where)
       }
-      case None => spark.table(view).where(where)
     }
 
   /** Bounded pull: the reference dumps whole state stores to the client

@@ -80,43 +80,134 @@ object StreamOps {
       .select(keys.map(col) ++ others.map(c => col(s"_latest.$c")): _*)
   }
 
-  /** Per-row running accumulator: (count, sum, min, max) composes every
-    * unwindowed aggregate of the dialect (AVG = sum/count) — the Spark twin
-    * of the reference's one-accumulator-object `composeAggs`
-    * (Codegen/Common.hs:96-119). */
+  /** One aggregate of a per-row-emission SELECT list: output column name,
+    * kind (`count`|`sum`|`min`|`max`|`avg`), input column (`*` for
+    * COUNT(*)). */
+  final case class RowAgg(name: String, kind: String, input: String)
+
   /** Per-row emission for unwindowed aggregation: ONE output row per INPUT
-    * row, carrying the running COUNT/SUM/MIN/MAX/AVG — the reference's
-    * exact EMIT CHANGES cadence (every input re-emits the updated
-    * accumulator, GroupedStream.hs:79-102), where plain update-mode groupBy
-    * coalesces all of a key's rows within a micro-batch into one emission.
-    * Built on flatMapGroupsWithState: state is one accumulator per key,
+    * row, carrying the running aggregates — the reference's exact EMIT
+    * CHANGES cadence (every input re-emits the updated accumulator,
+    * GroupedStream.hs:79-102), where plain update-mode groupBy coalesces
+    * all of a key's rows within a micro-batch into one emission.
+    *
+    * Takes the FULL multi-aggregate SELECT list: any number of
+    * COUNT/SUM/MIN/MAX/AVG over any mix of value columns (numeric, string,
+    * timestamp — MIN/MAX keep the input's type), over composite keys. The
+    * per-key state is one Row holding every accumulator — the Spark twin of
+    * the reference's one-accumulator-object `composeAggs`
+    * (Codegen/Common.hs:96-119). Built on flatMapGroupsWithState: state is
     * partitioned across executors like any streaming agg — per-row fidelity
     * costs emission volume, not driver memory. */
-  def perRowAgg(df: DataFrame, key: String, value: String): DataFrame = {
-    val session = df.sparkSession
-    import session.implicits._
-    // state = (count, sum, min, max): composes every unwindowed aggregate
-    // of the dialect (AVG = sum/count) — the Spark twin of the reference's
-    // one-accumulator-object composeAggs (Codegen/Common.hs:96-119)
-    df.select(col(key).cast("string"), col(value).cast("double"))
-      .as[(String, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double, Double, Double),
-        (String, Long, Double, Double, Double, Double)](
+  def perRowAggs(df: DataFrame, keys: Seq[String], aggs: Seq[RowAgg]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val inputCols = aggs.map(_.input).filter(_ != "*").distinct
+    val proj = df.select((keys ++ inputCols).distinct.map(col): _*)
+    val schema = proj.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val inIdx = aggs.map(a => if (a.input == "*") -1 else schema.fieldIndex(a.input))
+    def inType(a: RowAgg): DataType = schema(a.input).dataType
+    def integral(a: RowAgg): Boolean = inType(a) match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val outSchema = StructType(
+      keys.map(k => schema(schema.fieldIndex(k))) ++ aggs.map { a =>
+        StructField(a.name, a.kind match {
+          case "count" => LongType
+          // SUM keeps int for int inputs (op_add: int+int→int, AggOp.hs:73-81)
+          case "sum" => if (integral(a)) LongType else DoubleType
+          case "avg" => DoubleType
+          case "min" | "max" => inType(a)
+        })
+      })
+    // accumulator slots: count → running count; sum/avg → (sum, n);
+    // min/max → current extremum of the input's own type
+    val stateSchema = StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"a$i", a.kind match {
+        case "count" => LongType
+        case "sum" | "avg" => StructType(Seq(
+          StructField("s", DoubleType), StructField("n", LongType)))
+        case "min" | "max" => inType(a)
+      })
+    })
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+      case (x: String, y: String) => x < y
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+      case _ => throw new IllegalArgumentException(s"unorderable: $a / $b")
+    }
+    def num(v: Any): Double = v.asInstanceOf[java.lang.Number].doubleValue
+    val keyEnc = Encoders.row(StructType(keyIdx.map(schema(_))))
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    proj.groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (k: String, rows: Iterator[(String, Double)],
-         state: GroupState[(Long, Double, Double, Double)]) =>
-          var (cnt, sm, lo, hi) = state.getOption.getOrElse(
-            (0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
-          val emissions = rows.map { case (_, v) =>
-            cnt += 1; sm += v; lo = math.min(lo, v); hi = math.max(hi, v)
-            (k, cnt, sm, lo, hi, sm / cnt)
+        (k: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          val acc: Array[Any] = state.getOption match {
+            case Some(s) => Array.tabulate(aggs.size) { i =>
+              aggs(i).kind match {
+                case "sum" | "avg" =>
+                  val r = s.getStruct(i); (r.getDouble(0), r.getLong(1))
+                case _ => s.get(i)
+              }
+            }
+            case None => aggs.map(a => a.kind match {
+              case "count" => 0L
+              case "sum" | "avg" => (0.0, 0L)
+              case _ => null
+            }).toArray[Any]
+          }
+          def emitted: Row = Row.fromSeq(k.toSeq ++ aggs.indices.map { i =>
+            (aggs(i).kind, acc(i)) match {
+              case ("count", c) => c
+              case ("sum", (s: Double, n: Long)) =>
+                if (n == 0) null else if (integral(aggs(i))) s.toLong else s
+              case ("avg", (s: Double, n: Long)) => if (n == 0) null else s / n
+              case (_, v) => v // min/max (null until a value arrives)
+            }
+          })
+          val emissions = rows.map { r =>
+            aggs.indices.foreach { i =>
+              val v = if (inIdx(i) < 0) null else r.get(inIdx(i))
+              aggs(i).kind match {
+                case "count" => // COUNT(*) counts rows; COUNT(e) skips NULLs
+                  if (inIdx(i) < 0 || v != null)
+                    acc(i) = acc(i).asInstanceOf[Long] + 1L
+                case "sum" | "avg" => if (v != null) {
+                  val (s, n) = acc(i).asInstanceOf[(Double, Long)]
+                  acc(i) = (s + num(v), n + 1L)
+                }
+                case "min" => if (v != null && (acc(i) == null || lt(v, acc(i)))) acc(i) = v
+                case "max" => if (v != null && (acc(i) == null || lt(acc(i), v))) acc(i) = v
+              }
+            }
+            emitted
           }.toVector // materialize BEFORE state.update sees the final acc
-          state.update((cnt, sm, lo, hi))
+          state.update(Row.fromSeq(aggs.indices.map { i =>
+            acc(i) match {
+              case (s: Double, n: Long) => Row(s, n)
+              case v => v
+            }
+          }))
           emissions.iterator
-      }
-      .toDF(key, "cnt", "sum", "min", "max", "avg")
+      }(stateEnc, outEnc)
+      .toDF((keys ++ aggs.map(_.name)): _*)
   }
+
+  /** The single-key single-value convenience form: running
+    * COUNT/SUM/MIN/MAX/AVG of one numeric column. */
+  def perRowAgg(df: DataFrame, key: String, value: String): DataFrame =
+    perRowAggs(
+      df.select(col(key).cast("string").as(key), col(value).cast("double").as(value)),
+      Seq(key),
+      Seq(RowAgg("cnt", "count", "*"), RowAgg("sum", "sum", value),
+        RowAgg("min", "min", value), RowAgg("max", "max", value),
+        RowAgg("avg", "avg", value)))
 
   /** Streaming exact dedup with bounded state: first-seen row per key wins;
     * state for keys older than the watermark is dropped. The streaming form

@@ -477,6 +477,41 @@ class EngineSpec extends SparkSpec {
     e.terminate("out17"); e.dropStream("s17")
   }
 
+  test("per-row EMIT CHANGES over a full multi-agg SELECT list (two values + string agg)") {
+    val e = newEngine
+    val sch = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("w", DoubleType), StructField("s", StringType),
+      StructField("_ts", TimestampType)))
+    e.createStream("s18", sch)
+    def r18(k: String, v: Long, w: Double, s: String, ts: String) =
+      s"""{"k":"$k","v":$v,"w":$w,"s":"$s","_ts":"$ts"}"""
+    // SELECT COUNT(*), SUM(v), AVG(w), MAX(s), MIN(v) — two numeric value
+    // columns and a STRING aggregate, one Row-encoded accumulator per key
+    e.emitChangesPerRow("out18", e.df("s18"), Seq("k"), Seq(
+      StreamOps.RowAgg("cnt", "count", "*"),
+      StreamOps.RowAgg("sv", "sum", "v"),
+      StreamOps.RowAgg("aw", "avg", "w"),
+      StreamOps.RowAgg("mxs", "max", "s"),
+      StreamOps.RowAgg("mnv", "min", "v")))
+    // three same-key rows in one micro-batch → three emissions
+    e.insert("s18", r18("a", 1, 2.0, "pear", "2024-01-01 00:00:00"),
+      r18("a", 5, 4.0, "apple", "2024-01-01 00:00:01"),
+      r18("a", 3, 6.0, "plum", "2024-01-01 00:00:02"))
+    e.processAll()
+    val rows = spark.table("out18").collect().filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), s"cadence: ${rows.toSeq}")
+    assert(rows.last == (3L, 9L, 4.0, "plum", 1L), s"final acc: ${rows.last}")
+    // state persists across batches, string extremum updates correctly
+    e.insert("s18", r18("a", 7, 8.0, "zebra", "2024-01-01 00:00:03"))
+    e.processAll()
+    val all = spark.table("out18").collect().filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getLong(5)))
+    assert(all.last == (4L, 16L, 5.0, "zebra", 1L), s"after batch 2: ${all.toSeq}")
+    e.terminate("out18"); e.dropStream("s18")
+  }
+
   test("query lifecycle: terminate, pause/resume, show (AST.hs:806-906)") {
     val e = newEngine
     e.createStream("s7", schema)
