@@ -129,21 +129,27 @@ object HFunctions {
   // ---- JSON ops (AST.hs:262-267, JsonOp.hs:33-84) --------------------------
   // The reference's JSONB values arrive as JSON text columns here (events.props).
 
-  /** j -> 'k': JSON field access (JsonOp.hs:40-44). Accepted divergence from
-    * the reference: JOpArrow there returns the typed JSON value while this
-    * returns get_json_object's text rendering — string leaves come back
-    * unquoted and JSON null is indistinguishable from a missing key. Callers
-    * needing the typed value cast the result (numbers/bools round-trip
-    * exactly; nested objects/arrays keep their JSON text form). */
+  /** j -> 'k': TYPED JSON field access (JsonOp.hs:40-44 — JOpArrow returns
+    * the typed FlowValue, not text). The result is a Spark VARIANT: ints
+    * stay ints, bools stay bools, nested objects/arrays stay structured,
+    * and a JSON null is distinguishable from a missing key
+    * (is_variant_null vs NULL). Cast at the use site for concrete-typed
+    * arithmetic/comparison — `(props -> 'k')::INTEGER` compares numerically
+    * where the text form `->>` would compare lexicographically. */
   def jsonGet(j: Column, key: String): Column =
-    get_json_object(j, s"$$.$key")
+    try_variant_get(try_parse_json(j), s"$$.$key", "variant")
 
   /** j ->> 'k': JSON field access as text (JsonOp.hs:46-48). */
   def jsonGetText(j: Column, key: String): Column =
     get_json_object(j, s"$$.$key")
 
-  /** j #> '{a,b}': JSON path access (JsonOp.hs:50-60). */
+  /** j #> '{a,b}': TYPED JSON path access (JsonOp.hs:50-60; same typed
+    * value semantics as `->`). */
   def jsonPath(j: Column, path: Seq[String]): Column =
+    try_variant_get(try_parse_json(j), "$." + path.mkString("."), "variant")
+
+  /** j #>> '{a,b}': JSON path access as text. */
+  def jsonPathText(j: Column, path: Seq[String]): Column =
     get_json_object(j, "$." + path.mkString("."))
 
   /** IS_NUM-style dynamic type predicate over a JSON text value.

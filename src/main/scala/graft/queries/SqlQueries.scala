@@ -41,11 +41,15 @@ object SqlQueries extends QueryPack {
                 n_chars BETWEEN 100 AND 2000 AS inrange
          FROM documents;""")),
 
-    // JSON access ops on the props JSON column (JsonOp.hs:33-84): field
-    // access and #> path-array access.
+    // JSON access ops on the props JSON column (JsonOp.hs:33-84): `->`/`#>`
+    // return the TYPED value (JOpArrow, JsonOp.hs:40-44) — here compared as
+    // a NUMBER against the oracle — while `->>`/`#>>` return text.
     "q_sql_json" -> ((s, dir) => run(s, dir,
-      """SELECT event_id, props -> 'k' AS v,
-                props #>> {'k'} AS vp FROM events;""")),
+      """SELECT event_id,
+                CAST(props -> 'k' AS INTEGER) AS v_num,
+                CAST(props #> {'k'} AS INTEGER) AS vp_num,
+                props ->> 'k' AS v_text,
+                props #>> {'k'} AS vp_text FROM events;""")),
 
     // Interval join in dialect text: WITHIN becomes the ±2min range
     // predicate; equi-key on user_id hash-partitions at scale.
@@ -185,8 +189,11 @@ object SqlQueries extends QueryPack {
          n_chars BETWEEN 100 AND 2000 AS inrange
          FROM documents""",
     "q_sql_json" ->
-      """SELECT event_id, json_extract_string(props, '$.k') AS v,
-         json_extract_string(props, '$.k') AS vp FROM events""",
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_num,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS vp_num,
+         json_extract_string(props, '$.k') AS v_text,
+         json_extract_string(props, '$.k') AS vp_text FROM events""",
     "q_sql_interval_join" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.user_id AS user_id, count(*) AS pairs

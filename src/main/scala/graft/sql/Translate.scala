@@ -125,15 +125,22 @@ object Translate {
         HFunctions.timeSub(go(l), go(r))
       else go(l) - go(r)
     case "*" => go(l) * go(r)
-    // JSON access (JsonOp.hs:33-84); key is a string literal or int index
-    case "->" | "->>" => jsonAccess(go(l), r)
+    // JSON access (JsonOp.hs:33-84); key is a string literal or int index.
+    // `->` / `#>` return the TYPED JSON value (a VARIANT — JOpArrow yields
+    // FlowValue, JsonOp.hs:40-44); `->>` / `#>>` return text (JsonOp.hs:46).
+    // Accesses compose: a chained `(j -> 'a') ->> 'b'` operates on the
+    // VARIANT produced by the inner access, not on re-parsed text.
+    case "->" => jsonAccess(l, r, typed = true, go)
+    case "->>" => jsonAccess(l, r, typed = false, go)
     case "#>" | "#>>" => r match {
       case ArrLit(parts) =>
         val path = parts.map { case StrLit(s) => s; case IntLit(i) => s"[$i]"
           case other => throw new IllegalArgumentException(s"bad json path: $other") }
           .map(p => if (p.startsWith("[")) p else s".$p").mkString
-        get_json_object(go(l), "$" + path)
-      case other => throw new IllegalArgumentException(s"#> expects a path array, got $other")
+        if (op == "#>")
+          try_variant_get(jsonVariant(l, go), "$" + path, "variant")
+        else get_json_object(jsonSource(l, go), "$" + path)
+      case other => throw new IllegalArgumentException(s"$op expects a path array, got $other")
     }
   }
 
@@ -155,10 +162,29 @@ object Translate {
     case _ => false
   }
 
-  private def jsonAccess(j: Column, key: Expr): Column = key match {
-    case StrLit(k) => get_json_object(j, s"$$.$k")
-    case IntLit(i) => get_json_object(j, s"$$[$i]")
-    case other => throw new IllegalArgumentException(s"-> expects string/int key, got $other")
+  private def jsonAccess(j: Expr, key: Expr, typed: Boolean, go: Expr => Column): Column = {
+    val path = key match {
+      case StrLit(k) => s"$$.$k"
+      case IntLit(i) => s"$$[$i]"
+      case other => throw new IllegalArgumentException(s"-> expects string/int key, got $other")
+    }
+    if (typed) try_variant_get(jsonVariant(j, go), path, "variant")
+    else get_json_object(jsonSource(j, go), path)
+  }
+
+  /** The operand of a JSON op as a VARIANT: a typed access (`->` / `#>`)
+    * already IS one; anything else is JSON text and gets parsed. */
+  private def jsonVariant(e: Expr, go: Expr => Column): Column = e match {
+    case Bin("->" | "#>", _, _) => go(e)
+    case _ => try_parse_json(go(e))
+  }
+
+  /** The operand of a text JSON op (`->>` / `#>>`) as JSON text:
+    * a typed-access VARIANT renders back to its JSON form (to_json), so
+    * get_json_object semantics stay byte-identical to the plain-text path. */
+  private def jsonSource(e: Expr, go: Expr => Column): Column = e match {
+    case Bin("->" | "#>", _, _) => to_json(go(e))
+    case _ => go(e)
   }
 
   private def fnCall(name: String, a: Seq[Column]): Column = name match {

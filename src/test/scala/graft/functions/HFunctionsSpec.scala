@@ -159,9 +159,26 @@ class HFunctionsSpec extends SparkSpec {
     val j = lit("""{"a": 1, "b": {"c": "x"}}""")
     assert(eval(jsonGetText(j, "a")) == "1")
     assert(eval(jsonGet(j, "a").cast("long")) == 1L)
-    assert(eval(jsonPath(j, Seq("b", "c"))) == "x")
+    assert(eval(jsonPath(j, Seq("b", "c")).cast("string")) == "x")
+    assert(eval(jsonPathText(j, Seq("b", "c"))) == "x")
     assert(eval(jsonIsNum(j, "a")) == true)
     assert(eval(jsonIsNum(lit("""{"a":"z"}"""), "a")) == false)
+  }
+
+  test("-> is TYPED (JOpArrow, JsonOp.hs:40-44): numeric compare + null-vs-missing") {
+    // typed: 9 > 50 is FALSE numerically; the text form compares
+    // lexicographically and '9' > '50' is TRUE — the divergence typed
+    // access exists to prevent
+    val j = lit("""{"n": 9, "z": null}""")
+    assert(eval(jsonGet(j, "n").cast("long") > 50) == false)
+    assert(eval(jsonGetText(j, "n") > "50") == true)
+    // typed access distinguishes a JSON null from a missing key
+    // (get_json_object renders both as SQL NULL)
+    assert(eval(is_variant_null(jsonGet(j, "z"))) == true)
+    assert(eval(jsonGet(j, "missing").isNull) == true)
+    // nested object stays structured: field access composes on the variant
+    val o = lit("""{"b": {"c": 7}}""")
+    assert(eval(variant_get(jsonGet(o, "b"), "$.c", "long")) == 7L)
   }
 
   // --- date/time -------------------------------------------------------------
