@@ -71,7 +71,8 @@ object Translate {
     case _ => "expr"
   }
 
-  def column(e: Expr, resolve: ColRef => Column): Column = {
+  def column(e: Expr, resolve: ColRef => Column,
+             env: TypeCheck.Env = Map.empty): Column = {
     def go(e: Expr): Column = e match {
       case IntLit(v) => lit(v)
       case NumLit(v) => lit(v)
@@ -85,7 +86,7 @@ object Translate {
       case ArrLit(items) => array(items.map(go): _*)
       case c: ColRef => resolve(c)
       case Not(x) => !go(x)
-      case Bin(op, l, r) => binOp(op, l, r, go)
+      case Bin(op, l, r) => binOp(op, l, r, go, env)
       case Fn(name, args) =>
         fnCallLit(name, args, go).getOrElse(fnCall(name, args.map(go)))
       case Cast(x, dt) => castTo(go(x), dt)
@@ -107,7 +108,8 @@ object Translate {
     go(e)
   }
 
-  private def binOp(op: String, l: Expr, r: Expr, go: Expr => Column): Column = op match {
+  private def binOp(op: String, l: Expr, r: Expr, go: Expr => Column,
+                    env: TypeCheck.Env): Column = op match {
     case "OR" => go(l) || go(r)
     case "AND" => go(l) && go(r)
     case "=" => HFunctions.hEq(go(l), go(r))   // null-safe (BinOp.hs:116-118)
@@ -117,11 +119,11 @@ object Translate {
     case "<=" => go(l) <= go(r)
     case ">=" => go(l) >= go(r)
     case "+" =>
-      if (isTimeExpr(l) && r.isInstanceOf[IntervalLit])
+      if (isTimeExpr(l, env) && r.isInstanceOf[IntervalLit])
         HFunctions.timeAdd(go(l), go(r)) // TIME + INTERVAL wraps (AST.hs:155-173)
       else go(l) + go(r)
     case "-" =>
-      if (isTimeExpr(l) && r.isInstanceOf[IntervalLit])
+      if (isTimeExpr(l, env) && r.isInstanceOf[IntervalLit])
         HFunctions.timeSub(go(l), go(r))
       else go(l) - go(r)
     case "*" => go(l) * go(r)
@@ -144,21 +146,19 @@ object Translate {
     }
   }
 
-  /** Statically TIME-typed expressions: TIME literals, ::TIME casts, and
-    * TIME±INTERVAL chains over them. Drives the wraparound arithmetic
-    * dispatch above (the reference types per-row at runtime; our dialect is
-    * schema-ful, so the static shape is the type).
-    *
-    * Known limitation (documented divergence): the check is purely
-    * syntactic, so a TIME value flowing through a subquery alias
-    * (`SELECT t + INTERVAL 1 HOUR FROM (SELECT ts::TIME AS t …)`) is not
-    * recognized and falls into plain string+interval arithmetic. Re-cast at
-    * the use site (`t::TIME + INTERVAL 1 HOUR`) to opt back into wraparound
-    * semantics; a schema-declared TIME column type would lift this. */
-  private def isTimeExpr(e: Expr): Boolean = e match {
+  /** Statically TIME-typed expressions: TIME literals, ::TIME casts,
+    * TIME±INTERVAL chains over them, and — via the inferred type
+    * environment — column refs whose dialect type is TIME, including
+    * subquery output aliases (`SELECT t + INTERVAL 1 HOUR FROM
+    * (SELECT ts::TIME AS t …)` gets wraparound semantics without a
+    * re-cast). Drives the wraparound arithmetic dispatch above (the
+    * reference types per-row at runtime; our dialect is schema-ful, so
+    * the static type is the dispatch). */
+  private def isTimeExpr(e: Expr, env: TypeCheck.Env): Boolean = e match {
     case _: TimeLit => true
     case Cast(_, TTime) => true
-    case Bin("+" | "-", l, _: IntervalLit) => isTimeExpr(l)
+    case Bin("+" | "-", l, _: IntervalLit) => isTimeExpr(l, env)
+    case c: ColRef => TypeCheck.infer(c, env).contains(TTime)
     case _ => false
   }
 
@@ -426,6 +426,32 @@ object Translate {
     keys.foldLeft(merged)((d, k) => d.drop(s"__graft_r_$k"))
   }
 
+  /** AST-level output types a Spark schema cannot carry (TIME renders as a
+    * string column): inferred statically from subquery SELECT items so the
+    * dialect type survives an alias boundary. Inference runs with the
+    * inner relation's own dialect overrides only (no Spark schema), which
+    * can only under-approximate — an unknown type never rejects. */
+  private def dialectTypes(ref: TableRef): TypeCheck.Env = ref match {
+    case TRSubquery(sel) => selTypes(sel)
+    case TRAlias(inner, a) =>
+      val m = dialectTypes(inner)
+      m ++ m.map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
+    case TRWindowed(inner, _) => dialectTypes(inner)
+    case TRJoin(l, r, _, _, _) => dialectTypes(l) ++ dialectTypes(r)
+    case TRStream(_) => Map.empty
+  }
+
+  private def selTypes(sel: Select): TypeCheck.Env = {
+    val inner = dialectTypes(sel.from)
+    sel.items.flatMap {
+      case ItemExpr(e, alias) =>
+        val name = alias.getOrElse(exprName(e)).toLowerCase
+        // only record types Spark's schema would mis-describe
+        TypeCheck.infer(e, inner).filter(_ == TTime).map(name -> _)
+      case _ => Nil
+    }.toMap
+  }
+
   private def refAlias(r: TableRef): String = r match {
     case TRStream(n) => n
     case TRAlias(_, a) => a
@@ -443,6 +469,16 @@ object Translate {
     val src = planFrom(sel.from, lookup)
     val base0 = src.df
 
+    // Schema-aware type validation (the type-compatibility rules of
+    // Validate.hs, now with the resolved relation's schema in hand — see
+    // TypeCheck). Dialect-level types a Spark schema can't carry (TIME
+    // renders as a string column) are layered on top, so e.g. a TIME value
+    // flowing through a subquery alias keeps wraparound arithmetic.
+    val env: TypeCheck.Env = TypeCheck.envOf(base0) ++ dialectTypes(sel.from)
+    sel.where.foreach(TypeCheck.check(_, env))
+    sel.items.foreach { case ItemExpr(e, _) => TypeCheck.check(e, env); case _ => () }
+    sel.having.foreach(TypeCheck.check(_, env))
+
     def resolve(c: ColRef): Column = c match {
       // collision-renamed join outputs carry the literal name "q.n"
       case ColRef(Some(q), n) if base0.columns.contains(s"$q.$n") =>
@@ -452,7 +488,7 @@ object Translate {
     }
 
     // WHERE → Filter (Planner.hs:343-345)
-    val filtered = sel.where.map(w => base0.filter(column(w, resolve))).getOrElse(base0)
+    val filtered = sel.where.map(w => base0.filter(column(w, resolve, env))).getOrElse(base0)
 
     // aggregates from SELECT + HAVING (Planner.hs:390-432)
     val itemAggs = sel.items.flatMap { case ItemExpr(e, _) => collectAggs(e); case _ => Nil }
@@ -463,7 +499,7 @@ object Translate {
       val cols = sel.items.map {
         case ItemWildcard(None) => col("*")
         case ItemWildcard(Some(q)) => col(s"$q.*")
-        case ItemExpr(e, alias) => column(e, resolve).as(alias.getOrElse(exprName(e)))
+        case ItemExpr(e, alias) => column(e, resolve, env).as(alias.getOrElse(exprName(e)))
       }
       filtered.select(cols: _*)
     } else {
@@ -507,14 +543,14 @@ object Translate {
       // HAVING over the aggregated relation (Planner.hs:380-382)
       def postResolve(c: ColRef): Column = col(c.name)
       val havinged = sel.having
-        .map(h => agged.filter(column(rewriteAggs(h, aggNames), postResolve)))
+        .map(h => agged.filter(column(rewriteAggs(h, aggNames), postResolve, env)))
         .getOrElse(agged)
 
       // final Project; window bounds appended (Codegen/V1.hs:422-425)
       val itemCols = sel.items.map {
         case ItemWildcard(_) => col("*")
         case ItemExpr(e, alias) =>
-          column(rewriteAggs(e, aggNames), postResolve).as(alias.getOrElse(exprName(e)))
+          column(rewriteAggs(e, aggNames), postResolve, env).as(alias.getOrElse(exprName(e)))
       }
       val windowBounds = windowCol.toSeq.flatMap(_ => Seq(
         col(s"$windowName.start").as("window_start"),
