@@ -134,6 +134,23 @@ object PipelineFunctions {
          |  0L, (s, v) -> s + v)""".stripMargin)
   }
 
+  /** Column-input SimHash16 (for callers that hold a Column, e.g. the
+    * dialect's SIMHASH16 function): native codegen'd expression when the
+    * session has GraftExtensions, else a per-bit 16-scan Column fold —
+    * order-independent signed sums, so bit-identical signatures to the
+    * single-pass forms above at 16× the fallback cost. */
+  def simhash16Col(words: Column): Column = {
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_simhash16_native")))
+      return call_function("graft_simhash16_native", words)
+    val wh = transform(words, w => hash32(w))
+    (0 until 16).map { b =>
+      val cnt = aggregate(wh, lit(0L),
+        (acc, x) => acc + shiftright(x, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      when(cnt >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -51,6 +51,25 @@ object SqlQueries extends QueryPack {
                 props ->> 'k' AS v_text,
                 props #>> {'k'} AS vp_text FROM events;""")),
 
+    // MinHash signature stage of the LSH dedup pipeline through the DIALECT
+    // frontend (4th frontend over the shared md5 formulas — Column API,
+    // spark.sql UDFs, and the DuckDB oracle are the others). Nested
+    // subqueries materialize wh/hs: CollapseProject keeps a projection
+    // boundary when inlining would duplicate a non-cheap expression, so
+    // word hashing runs once per row, not once per MINHASH reference.
+    "q_sql_minhash" -> ((s, dir) => run(s, dir,
+      s"""SELECT doc_id,
+            ${graft.functions.PipelineFunctions.MinhashPerms.indices
+              .map(i => s"MINHASH(hs, $i) AS m$i").mkString(", ")}
+          FROM (SELECT doc_id, SHINGLES3(wh) AS hs
+                FROM (SELECT doc_id, WORD_HASHES(TOKENS(text)) AS wh
+                      FROM documents) AS w) AS sig;""")),
+
+    // SimHash signatures through the dialect (native codegen'd expression
+    // under SIMHASH16 when GraftExtensions is registered).
+    "q_sql_simhash" -> ((s, dir) => run(s, dir,
+      "SELECT doc_id, SIMHASH16(TOKENS(text)) AS sh16 FROM documents;")),
+
     // Interval join in dialect text: WITHIN becomes the ±2min range
     // predicate; equi-key on user_id hash-partitions at scale.
     "q_sql_interval_join" -> ((s, dir) => run(s, dir,
@@ -194,6 +213,9 @@ object SqlQueries extends QueryPack {
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS vp_num,
          json_extract_string(props, '$.k') AS v_text,
          json_extract_string(props, '$.k') AS vp_text FROM events""",
+    // same md5 formulas ⇒ the dedup oracles apply verbatim
+    "q_sql_minhash" -> DedupQueries.oracleSql("q_minhash_signatures"),
+    "q_sql_simhash" -> DedupQueries.oracleSql("q_dedup_simhash"),
     "q_sql_interval_join" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.user_id AS user_id, count(*) AS pairs

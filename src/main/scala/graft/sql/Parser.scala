@@ -84,6 +84,12 @@ object Parser {
     "STRINGTODATE", "SPLIT", "CHUNKSOF", "TAKE", "TAKEEND", "DROP", "DROPEND",
     "ARRAY_CONTAIN", "ARRAY_EXCEPT", "ARRAY_INTERSECT", "ARRAY_REMOVE",
     "ARRAY_UNION", "ARRAY_JOIN")
+  /** LLM-pipeline primitives (SURVEY §6) surfaced in the dialect — same
+    * formulas as the Column API / SQL-UDF frontends (PipelineFunctions /
+    * SqlFunctions), so the shared DuckDB oracles apply. */
+  private val pipelineFns = Set("TOKENS", "WORD_HASHES", "SHINGLES3",
+    "MINHASH", "JACCARD", "SIMHASH16", "HAMMING", "FINGERPRINT",
+    "STOPWORD_RATIO", "QUALITY_SCORE", "COSINE")
   private val intervalUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
 
   class Parser(toks: Vector[Tok]) {
@@ -463,7 +469,8 @@ object Parser {
         expect(")")
         return Agg(kw, args.result())
       }
-      if ((unaryFns.contains(kw) || binaryFns.contains(kw)) && toks(pos + 1) == TSym("(")) {
+      if ((unaryFns.contains(kw) || binaryFns.contains(kw) ||
+           pipelineFns.contains(kw)) && toks(pos + 1) == TSym("(")) {
         next(); next()
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))

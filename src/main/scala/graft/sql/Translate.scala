@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType => SparkDT, _}
 
 import Ast._
-import graft.functions.HFunctions
+import graft.functions.{HFunctions, PipelineFunctions}
 import graft.operators.TopK
 
 /** AST → DataFrame planner: the reference's `decouple` pipeline
@@ -241,6 +241,18 @@ object Translate {
       else call_function("array_join", a(0), a(1))
     case "ARRAY_MAX" => array_max(a(0)); case "ARRAY_MIN" => array_min(a(0))
     case "ARRAY_SORT" => array_sort(a(0))
+    // LLM-pipeline primitives (SURVEY §6) — same formulas as the Column
+    // API frontend (PipelineFunctions), so the shared oracles apply
+    case "TOKENS" => PipelineFunctions.tokens(a(0))
+    case "WORD_HASHES" => PipelineFunctions.wordHashes(a(0))
+    case "SHINGLES3" => PipelineFunctions.combineShingles3(a(0))
+    case "JACCARD" => PipelineFunctions.jaccard(a(0), a(1))
+    case "SIMHASH16" => PipelineFunctions.simhash16Col(a(0))
+    case "HAMMING" => PipelineFunctions.hamming(a(0), a(1))
+    case "FINGERPRINT" => PipelineFunctions.polyFingerprint(a(0))
+    case "STOPWORD_RATIO" => PipelineFunctions.stopwordRatio(a(0))
+    case "QUALITY_SCORE" => PipelineFunctions.qualityScore(a(0))
+    case "COSINE" => PipelineFunctions.cosine(a(0), a(1))
     case other => throw new IllegalArgumentException(s"unknown function $other")
   }
 
@@ -255,6 +267,10 @@ object Translate {
         Some(try_to_date(go(s), fmt))
       case ("ARRAY_JOIN", Seq(arr, StrLit(sep))) => Some(array_join(go(arr), sep))
       case ("CHUNKSOF", Seq(IntLit(n), s)) => Some(HFunctions.chunksOf(n.toInt, go(s)))
+      // MINHASH(hs, i): permutation index must be a literal — it selects
+      // the (a, b) constants of the i-th shared permutation (MinhashPerms)
+      case ("MINHASH", Seq(hs, IntLit(i))) =>
+        Some(PipelineFunctions.minhash(go(hs), i.toInt))
       case _ => None
     }
 

@@ -233,6 +233,17 @@ object TypeCheck {
       case "IS_INT" | "IS_FLOAT" | "IS_NUM" | "IS_BOOL" | "IS_STR" |
            "IS_ARRAY" | "IS_DATE" | "IS_TIME" =>
         infer(args.head, env); Some(TBool) // dynamic predicates take anything
+      // LLM-pipeline primitives (SURVEY §6)
+      case "TOKENS" =>
+        requireString(args.head, env, name); Some(TArray(TString))
+      case "WORD_HASHES" | "SHINGLES3" =>
+        requireArray(args.head, env, name); Some(TArray(TInt))
+      case "MINHASH" | "FINGERPRINT" | "SIMHASH16" | "HAMMING" =>
+        requireArrayOrNum(name, args, env); Some(TInt)
+      case "JACCARD" | "COSINE" =>
+        args.foreach(a => requireArray(a, env, name)); Some(TFloat)
+      case "STOPWORD_RATIO" | "QUALITY_SCORE" =>
+        requireArray(args.head, env, name); Some(TFloat)
       case "IFNULL" | "NULLIF" =>
         val ts = args.map(infer(_, env))
         for (Some(a) <- ts; Some(b) <- ts)
@@ -270,6 +281,15 @@ object TypeCheck {
       if (x != TString && x != TJson)
         fail(s"Expected a string expression in $where but got ${show(x)} (Validate.hs:134)")
     }
+  /** MINHASH(arr, i) / FINGERPRINT(arr) / SIMHASH16(arr) / HAMMING(n, n):
+    * first arg array (HAMMING: numeric), trailing args numeric. */
+  private def requireArrayOrNum(name: String, args: Seq[Expr], env: Env): Unit =
+    if (name == "HAMMING") args.foreach(a => requireNum(a, env, name))
+    else {
+      args.headOption.foreach(a => requireArray(a, env, name))
+      args.drop(1).foreach(a => requireNum(a, env, name))
+    }
+
   private def requireArray(e: Expr, env: Env, where: String): Unit =
     infer(e, env).foreach {
       case TArray(_) | TJson => ()
