@@ -109,11 +109,14 @@ object DedupQueries extends QueryPack {
     }),
 
     // The same MinHash+LSH pipeline on the xxhash64 fast path — what you
-    // actually run at 100 TB. Oracle'd with the md5 twin's DuckDB replica:
-    // same docs + same banding ⇒ the verified pair sets coincide, and the
-    // exact-Jaccard values are computed over injectively-hashed shingle
-    // sets, so they are hash-family-independent (DedupSpec pins the two
-    // pipelines equal in-Spark as well).
+    // actually run at 100 TB. NOT DuckDB-oracle'd: xxhash64 is not
+    // expressible in DuckDB SQL and LSH candidate recall is
+    // hash-family-dependent, so aliasing the md5 oracle would be a gate
+    // that can go red on a corpus change without any plan bug. The
+    // correctness pin is in-Spark instead: DedupSpec asserts this
+    // pipeline's verified pair set equals the (fully oracle'd) md5 twin's
+    // on the test corpus, and the Jaccard values it emits are computed
+    // over injectively-hashed shingle sets (family-independent).
     "q_dedup_minhash_lsh_fast" -> ((s, dir) => {
       import s.implicits._
       val sig = Tables.load(s, dir, "documents")
@@ -250,7 +253,9 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" -> lshOracleSql,
-    "q_dedup_minhash_lsh_fast" -> lshOracleSql,
+    // q_dedup_minhash_lsh_fast deliberately absent (rows>0 gate only):
+    // xxhash64 banding is not DuckDB-expressible and candidate recall is
+    // hash-family-dependent — DedupSpec pins it to the md5 twin in-Spark.
     "q_dedup_minhash_lsh_sql" -> lshOracleSql, // same md5 formulas, SQL frontend
     "q_dedup_jaccard_exact" ->
       s"""$shCte

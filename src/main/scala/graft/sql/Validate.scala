@@ -114,7 +114,13 @@ object Validate {
     case "MINUTE" | "MINUTES" => i.n * 60000L
     case "HOUR" | "HOURS" => i.n * 3600000L
     case "DAY" | "DAYS" => i.n * 86400000L
-    case _ => i.n // months/years: only compared against like units in practice
+    // calendar units: approximate spans so the HOP gap check compares in a
+    // common scale (raw counts silently passed mixed-unit pairs, e.g.
+    // HOP size 40 DAYS advance 2 MONTHS). Exact length varies per month;
+    // a ±2-day approximation cannot flip a sane size/advance pair.
+    case "MONTH" | "MONTHS" => i.n * 30L * 86400000L
+    case "YEAR" | "YEARS" => i.n * 365L * 86400000L
+    case _ => i.n
   }
 
   /** Expression walk: nested-aggregate rejection (Validate.hs:106

@@ -127,6 +127,18 @@ class ValidateSpec extends SparkSpec {
                FROM HOP(s, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE);""", "advance")
   }
 
+  test("HOP gap check handles mixed calendar/fixed units") {
+    // 2 MONTHS ≈ 60 days > 40 days — the raw-count comparison (2 < 40)
+    // silently let this gap-producing window through
+    rejects("""SELECT COUNT(*) AS c
+               FROM HOP(s, INTERVAL 40 DAY, INTERVAL 2 MONTH);""", "advance")
+    // and the sane calendar pair still passes validation (fails later only
+    // on the unknown stream, not on the window)
+    val ex = intercept[Exception](e.sql(
+      """SELECT COUNT(*) AS c FROM HOP(nosuchstream, INTERVAL 1 YEAR, INTERVAL 1 MONTH);"""))
+    assert(!ex.getMessage.toLowerCase.contains("advance"))
+  }
+
   test("windowed join inputs rejected at PARSE time, not plan time (Codegen/V1.hs:295-300)") {
     // no streams/views exist: if this error surfaces, it came from Validate
     // before any name resolution happened
