@@ -100,7 +100,13 @@ object ScalarQueries extends QueryPack {
         .select(
           $"event_id",
           jsonGetText($"props", "k").as("v_text"),
-          jsonGet($"props", "k").cast("long").as("v_typed"),
+          // explicit text→long cast, NOT the variant-typed jsonGet: this
+          // oracle defines text-cast semantics (CAST(json_extract_string)),
+          // and get_json_object's streaming single-key extract is ~40%
+          // cheaper than a full variant parse — the right plan for a hot
+          // scan extracting one scalar. Typed `->` access is gated by
+          // q_sql_json and HFunctionsSpec instead.
+          jsonGetText($"props", "k").cast("long").as("v_typed"),
           jsonIsNum($"props", "k").as("v_isnum"))
         .orderBy($"event_id")
     }),

@@ -91,20 +91,42 @@ class SqlEngine(spark: SparkSession) {
       Done(s"inserted into $stream")
     case InsertSel(stream, sel) =>
       Started(engine.insertSelect(stream, planOf(sel)))
-    case CreateConnector(kind, name, target, ifNot, _) =>
-      // metadata catalog only: execution is an external task in the
-      // reference (Docker images, conf/hstream.yaml:129-143) and out of
-      // engine scope; the statement surface and lifecycle verbs are honored
-      if (!ifNot || !connectors.contains(name))
-        connectors(name) = s"$kind->$target:RUNNING"
-      Done(s"connector $name registered (external task; not executed)")
+    case CreateConnector(kind, name, target, ifNot, opts) =>
+      if (ifNot && connectors.contains(name)) Done(s"connector $name exists")
+      else target.toLowerCase match {
+        // the built-in `socket` type EXECUTES in-engine: a live TCP task
+        // through Engine's source/sink seams, under the same lifecycle
+        // verbs that in the reference control external worker processes
+        // (hstream-io/src/HStream/IO/Worker.hs:71-83)
+        case "socket" =>
+          def opt(k: String): Option[String] = opts.get(k).collect {
+            case StrLit(v) => v; case IntLit(v) => v.toString }
+          def req(k: String): String = opt(k).getOrElse(throw
+            new IllegalArgumentException(s"connector $name: $k option required"))
+          val stream = req("STREAM")
+          val host = opt("HOST").getOrElse("localhost")
+          val port = req("PORT").toInt
+          val q =
+            if (kind == "SOURCE") engine.startSourceConnector(name, stream, host, port)
+            else engine.startSinkConnector(name, stream, host, port)
+          connectors(name) = s"$kind->$target:RUNNING"
+          Started(q)
+        case _ =>
+          // other types: metadata catalog only — execution is an external
+          // task in the reference (Docker images, conf/hstream.yaml:129-143)
+          connectors(name) = s"$kind->$target:RUNNING"
+          Done(s"connector $name registered (external task; not executed)")
+      }
     case PauseConnector(n) =>
+      if (engine.showQueries.contains(s"connector_$n")) engine.pause(s"connector_$n")
       connectors.updateWith(n)(_.map(_.replace(":RUNNING", ":PAUSED")))
       Done(s"paused connector $n")
     case ResumeConnector(n) =>
+      if (engine.showQueries.contains(s"connector_$n")) engine.resume(s"connector_$n")
       connectors.updateWith(n)(_.map(_.replace(":PAUSED", ":RUNNING")))
       Done(s"resumed connector $n")
     case DropStmt("CONNECTOR", n, ifEx) =>
+      if (engine.showQueries.contains(s"connector_$n")) engine.dropConnector(n)
       if (!ifEx || connectors.contains(n)) connectors.remove(n)
       Done(s"dropped connector $n")
     case Show("CONNECTORS") =>

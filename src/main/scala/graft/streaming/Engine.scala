@@ -100,6 +100,13 @@ class Engine(val spark: SparkSession) {
   def streamOptions(name: String): Map[String, String] =
     streams.get(name).map(_.options).getOrElse(Map.empty)
 
+  /** Declared schema of a stream, any transport. */
+  def schemaOf(name: String): StructType =
+    streams.get(name).map(_.schema)
+      .orElse(fileStreams.get(name).map(_.schema))
+      .orElse(socketStreams.get(name).map(_.schema))
+      .getOrElse(throw new IllegalArgumentException(s"unknown stream $name"))
+
   def dropStream(name: String): Unit = {
     streams.remove(name); fileStreams.remove(name); socketStreams.remove(name)
   }
@@ -289,10 +296,12 @@ class Engine(val spark: SparkSession) {
     * only the sink format changing). MemoryStream target: rows are collected
     * and re-encoded through the insert path — that transport is
     * driver-resident by definition (tests only). */
-  def insertSelect(target: String, plan: DataFrame): StreamingQuery =
+  def insertSelect(target: String, plan: DataFrame,
+                   qname: String = null): StreamingQuery = {
+    val n = Option(qname).getOrElse(s"insert_$target")
     fileStreams.get(target) match {
       case Some(fe) =>
-        startFileSinkQuery(s"insert_$target", target, fe, plan, s"insert_$target")
+        startFileSinkQuery(n, target, fe, plan, n)
       case None =>
         // MemoryStream transport (driver-resident by definition; tests).
         // A wire-format target stores extended-JSON payloads, so re-encode
@@ -311,10 +320,70 @@ class Engine(val spark: SparkSession) {
           }
           .trigger(Trigger.ProcessingTime(0)).start()
         val q = start()
-        queries(s"insert_$target") = q
-        paused(s"insert_$target") = start _
+        queries(n) = q
+        paused(n) = start _
         q
     }
+  }
+
+  // ---- connector tasks (SURVEY §2.1) ---------------------------------------
+
+  /** Execute a SOURCE connector of the built-in `socket` type: a live TCP
+    * transport feeding `stream` through the same [[df]] seam every other
+    * source uses (payload format follows the target stream's: wire streams
+    * decode extended JSON). The reference launches connector tasks as
+    * external processes (hstream-io/src/HStream/IO/Worker.hs:71-83,
+    * Docker images); socket tasks run in-engine, other types stay external
+    * metadata. At-most-once like the underlying socket source: on
+    * PAUSE/RESUME the task reconnects and the producer decides what to
+    * replay. */
+  def startSourceConnector(name: String, stream: String, host: String,
+                           port: Int): StreamingQuery = {
+    val internal = s"__conn_$name"
+    createSocketStream(internal, host, port, schemaOf(stream),
+      wire = isWireStream(stream))
+    insertSelect(stream, df(internal), qname = s"connector_$name")
+  }
+
+  /** Execute a SINK connector of the built-in `socket` type: the stream's
+    * records wire-encode (Rts/Old.hs:134-157 — what the reference's sink
+    * task would push) and go out over TCP, each result partition writing on
+    * its OWN connection executor-side — nothing crosses the driver, so sink
+    * throughput scales with the cluster; the receiving system load-balances
+    * connections exactly as it would the reference's parallel sink tasks. */
+  def startSinkConnector(name: String, stream: String, host: String,
+                         port: Int): StreamingQuery = {
+    val qn = s"connector_$name"
+    val encoded = graft.sources.WireFormat.encode(df(stream))
+    def start() = encoded.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt(qn))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-partition connection: the one justified RDD use (imperative
+        // per-partition network I/O with connection lifecycle)
+        batch.rdd.foreachPartition { rows =>
+          if (rows.hasNext) {
+            val sock = new java.net.Socket(host, port)
+            try {
+              val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+                sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+              rows.foreach(r => out.println(r.getString(0)))
+              out.flush()
+            } finally sock.close()
+          }
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q = start()
+    queries(qn) = q
+    paused(qn) = start _
+    q
+  }
+
+  /** Stop a connector task and remove its transient source stream. */
+  def dropConnector(name: String): Unit = {
+    terminate(s"connector_$name")
+    dropStream(s"__conn_$name")
+  }
 
   /** TERMINATE QUERY (AST.hs:856-868). */
   def terminate(name: String): Unit = {
