@@ -34,6 +34,43 @@ object DedupQueries extends QueryPack {
       .select($"doc_id", $"hs")
   }
 
+  /** The verified near-dup pairs of the md5 MinHash+LSH pipeline:
+    * 4 bands × 2 rows → candidate id pairs → exact Jaccard ≥ 0.5 on
+    * candidates only. Scale shape: the banded self-join and the candidate
+    * dedup shuffle BARE (band, id) / (d1, d2) tuples — shingle-hash arrays
+    * are re-joined only for the few surviving candidates, and Jaccard
+    * compares int arrays, not strings. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the signature relation feeds three plan branches (banding + both
+    // sides of the verify join); persist it so the md5 shingling runs
+    // once — the batch analogue of materializing a signature table
+    val sig = shingled(s, dir).select($"doc_id", $"hs",
+      array((0 until 4).map(b =>
+        concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+        .as("bands"))
+      .persist()
+    // Degenerate-doc skew guard: docs under 3 words have an EMPTY shingle
+    // set, so minhash returns the sentinel P for every permutation and all
+    // of them would share identical band keys in all bands — a quadratic
+    // candidate blowup on a 100 TB corpus with billions of near-empty
+    // docs. They can't be near-dups by shingle definition (Jaccard is
+    // 0/0 = NULL), so exclude them before banding. Mirrored in the SQL
+    // frontend and the DuckDB oracle.
+    val banded = sig.filter(size($"hs") > 0)
+      .select($"doc_id", explode($"bands").as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val hs = sig.select($"doc_id", $"hs")
+    cand
+      .join(hs.as("h1"), $"d1" === $"h1.doc_id")
+      .join(hs.as("h2"), $"d2" === $"h2.doc_id")
+      .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+      .filter($"jac" >= 0.5)
+  }
+
   override def queries: Map[String, Q] = Map(
     // Exact dedup: corpus with planted duplicates (every 3rd doc re-appears)
     // → group by md5(text), keep the smallest id as canonical.
@@ -63,36 +100,47 @@ object DedupQueries extends QueryPack {
     // banded self-join and the candidate dedup shuffle BARE (band, id) /
     // (d1, d2) tuples — shingle-hash arrays are re-joined only for the few
     // surviving candidates, and Jaccard compares int arrays, not strings.
-    "q_dedup_minhash_lsh" -> ((s, dir) => {
+    "q_dedup_minhash_lsh" -> ((s, dir) => lshPairs(s, dir).orderBy("d1", "d2")),
+
+    // Near-dup CLUSTERING: connected components over the verified LSH pair
+    // graph + canonical-doc election (min id per component) — the step that
+    // turns pairwise near-dups into the actual corpus-dedup decision ("keep
+    // one doc per cluster"). Distributed min-label propagation: labels
+    // shrink monotonically to the component minimum, so the fixpoint is the
+    // exact component id regardless of schedule. The driver loop only
+    // ORCHESTRATES iterations (the classic Pregel shape — GraphX does the
+    // same); every data operation is a distributed join/agg, and per
+    // iteration it shuffles ONLY the dup-pair node set (a tiny fraction of
+    // the corpus), for at most graph-diameter rounds (near-dup clusters are
+    // near-cliques — 2-3 rounds in practice, hard cap 20).
+    "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      // the signature relation feeds three plan branches (banding + both
-      // sides of the verify join); persist it so the md5 shingling runs
-      // once — the batch analogue of materializing a signature table
-      val sig = shingled(s, dir).select($"doc_id", $"hs",
-        array((0 until 4).map(b =>
-          concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
-          .as("bands"))
+      val pairs = lshPairs(s, dir).select($"d1", $"d2")
+      val edges = pairs.select($"d1".as("u"), $"d2".as("v"))
+        .unionByName(pairs.select($"d2".as("u"), $"d1".as("v")))
         .persist()
-      // Degenerate-doc skew guard: docs under 3 words have an EMPTY shingle
-      // set, so minhash returns the sentinel P for every permutation and all
-      // of them would share identical band keys in all bands — a quadratic
-      // candidate blowup on a 100 TB corpus with billions of near-empty
-      // docs. They can't be near-dups by shingle definition (Jaccard is
-      // 0/0 = NULL), so exclude them before banding. Mirrored in the SQL
-      // frontend and the DuckDB oracle.
-      val banded = sig.filter(size($"hs") > 0)
-        .select($"doc_id", explode($"bands").as("band"))
-      val cand = banded.as("a").join(banded.as("b"),
-          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-      val hs = sig.select($"doc_id", $"hs")
-      cand
-        .join(hs.as("h1"), $"d1" === $"h1.doc_id")
-        .join(hs.as("h2"), $"d2" === $"h2.doc_id")
-        .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
-        .filter($"jac" >= 0.5)
-        .orderBy($"d1", $"d2")
+      var labels = edges.select($"u").distinct().withColumn("lbl", $"u").persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbr = edges.join(labels.select($"u".as("v"), $"lbl".as("nlbl")), "v")
+          .groupBy($"u").agg(min($"nlbl").as("nlbl"))
+        val next = labels.join(nbr, Seq("u"), "left")
+          .select($"u", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+          .persist()
+        converged = next
+          .join(labels.withColumnRenamed("lbl", "old"), "u")
+          .filter($"lbl" =!= $"old").isEmpty
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val members = labels.select($"u".as("doc_id"), $"lbl".as("canonical_id"))
+      val sizes = members.groupBy($"canonical_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      members.join(sizes, "canonical_id")
+        .select($"doc_id", $"canonical_id", $"cluster_size")
+        .orderBy($"doc_id")
     }),
 
     // Exact n-gram Jaccard ground truth (brute-force pairwise — correctness
@@ -225,7 +273,7 @@ object DedupQueries extends QueryPack {
     * probabilistic per hash family — so if a corpus change ever fails only
     * the fast twin's gate row, check DedupSpec first: a twin-equality pass
     * with a red gate means band-collision luck diverged, not a plan bug. */
-  private val lshOracleSql: String =
+  private val lshVerifiedCte: String =
     s"""$shCte,
        sig AS (SELECT doc_id, hs,
          [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
@@ -233,13 +281,35 @@ object DedupQueries extends QueryPack {
        banded AS (SELECT doc_id, unnest(bands) AS band FROM sig
                   WHERE len(hs) > 0),
        cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
-       SELECT d1, d2, jac FROM (
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       vp AS (SELECT d1, d2, jac FROM (
          SELECT d1, d2,
            round(len(list_intersect(a.hs, b.hs))::DOUBLE
              / len(list_distinct(a.hs || b.hs)), 6) AS jac
          FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
-       WHERE jac >= 0.5 ORDER BY d1, d2"""
+         WHERE jac >= 0.5)"""
+
+  private val lshOracleSql: String =
+    s"$lshVerifiedCte SELECT d1, d2, jac FROM vp ORDER BY d1, d2"
+
+  /** Connected components over the verified pair graph via a recursive CTE:
+    * `walk` accumulates every (node, reachable-node) pair — symmetric edges
+    * put each node in its own reachable set — so min per node is the exact
+    * component minimum, the same fixpoint the Spark label propagation
+    * converges to. */
+  private val clusterOracleSql: String =
+    s"""${lshVerifiedCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       edges AS (SELECT d1 AS u, d2 AS v FROM vp
+                 UNION SELECT d2, d1 FROM vp),
+       walk(node, lbl) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v),
+       cc AS (SELECT node AS doc_id, least(node, min(lbl)) AS canonical_id
+              FROM walk GROUP BY node)
+       SELECT doc_id, canonical_id,
+              count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       FROM cc ORDER BY doc_id"""
 
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -253,6 +323,7 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" -> lshOracleSql,
+    "q_dedup_clusters" -> clusterOracleSql,
     // q_dedup_minhash_lsh_fast deliberately absent (rows>0 gate only):
     // xxhash64 banding is not DuckDB-expressible and candidate recall is
     // hash-family-dependent — DedupSpec pins it to the md5 twin in-Spark.

@@ -31,4 +31,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lsh.toSet == exact.toSet)
   }
+
+  test("near-dup clusters: connected components of the pair graph, min canonical") {
+    val pairs = DedupQueries.queries("q_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val members = DedupQueries.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty && members.nonEmpty)
+    val label = members.map(m => m._1 -> m._2).toMap
+    // every doc appearing in a pair is a member, and pair endpoints share
+    // a component (transitivity by fixpoint)
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label(a) == label(b), s"pair ($a,$b) split")
+    }
+    // canonical = the component minimum; sizes consistent
+    members.groupBy(_._2).foreach { case (canon, ms) =>
+      assert(ms.map(_._1).min == canon, s"canonical $canon is not the min")
+      assert(ms.forall(_._3 == ms.size), s"bad cluster_size for $canon")
+    }
+  }
 }
