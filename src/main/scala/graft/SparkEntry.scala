@@ -19,7 +19,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     SqlQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PipelineFunctions._
+
+/** Corpus-curation operators — the selection half of a training-data
+  * pipeline (the cleaning/dedup half lives in TextQueries/DedupQueries):
+  * deterministic stratified sampling, per-group quality top-k, and
+  * token-budget selection. All three are DETERMINISTIC by construction
+  * (hash-based sampling, total orders with unique tiebreaks) so they
+  * hash-verify against DuckDB — the property that separates reproducible
+  * dataset builds from `rand()`-seeded ones no two runs agree on.
+  */
+object CurationQueries extends QueryPack {
+
+  /** Shared DuckDB quality CTE fragment (the exact qualityScore formula). */
+  private val qExpr =
+    """round(least(len(w) / 200.0, 1.0) * 0.5
+         + (len(list_distinct(w))::DOUBLE / len(w)) * 0.3
+         + (1.0 - len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w)) * 0.2,
+         6)"""
+
+  override def queries: Map[String, Q] = Map(
+    // Deterministic stratified sampling: keep a doc iff a stable hash of
+    // its id falls under the language's rate — reproducible downsampling
+    // (the md5-derived hash32 used across the pipeline), map-side only,
+    // zero shuffle: the filter pushes to the scan and at 100 TB this is
+    // pure embarrassing parallelism. rand()-based sampling could never
+    // hash-verify — determinism IS the operator here.
+    "q_curation_sample" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(100L))
+      val rate = when($"lang" === "en", 30L).otherwise(10L)
+      Tables.load(s, dir, "documents")
+        .filter(bucket < rate)
+        .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-language quality top-k: the "best N docs per bucket" curation
+    // primitive. row_number over (lang | q DESC, doc_id) — rounded quality
+    // + unique id tiebreak = total order, so ranks are reproducible. One
+    // shuffle on lang; rank truncation happens inside the window exec, so
+    // only k rows per group survive to the output.
+    "q_curation_topk_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      val win = Window.partitionBy($"lang").orderBy($"q".desc, $"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .filter($"rk" <= 3)
+        .orderBy($"lang", $"rk")
+    }),
+
+    // Token-budget selection: per language, admit docs in quality order
+    // until the running token total exceeds the budget — "assemble a 10k-
+    // token training mix per language, best docs first". Running-sum window
+    // over the same total order. At 100 TB an exact per-group global order
+    // is a big sort; that is the semantics' price — the scale variant
+    // (approximate quantile cutoff via percentile_approx, then one filter)
+    // trades exactness for a single pass and is what you'd run first.
+    "q_curation_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      val order = Window.partitionBy($"lang").orderBy($"q".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tokens"),
+          round(qualityScore(w), 6).as("q"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(order))
+        .filter($"cum_tokens" <= 10000)
+        .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_curation_sample" ->
+      """SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+               < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
+         ORDER BY doc_id""",
+    "q_curation_topk_group" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+          q AS (SELECT doc_id, lang, $qExpr AS q FROM d),
+          r AS (SELECT doc_id, lang, q,
+                  row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
+                FROM q)
+          SELECT doc_id, lang, q, rk FROM r WHERE rk <= 3 ORDER BY lang, rk""",
+    "q_curation_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+          q AS (SELECT doc_id, lang, len(w)::BIGINT AS n_tokens, $qExpr AS q FROM d),
+          c AS (SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+                FROM q)
+          SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= 10000 ORDER BY doc_id"""
+  )
+}
