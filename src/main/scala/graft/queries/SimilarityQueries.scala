@@ -109,6 +109,44 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"qid", $"rnk")
     }),
 
+    // IVF index TRAINING: 2 Lloyd (k-means) rounds refining the 16 seed
+    // centroids — assignment by rounded dot (rank-1, cid tiebreak), then
+    // element-wise means via DECIMAL(38,18)-exact sums (order-independent,
+    // so map-side partial aggregation at 100 TB cannot perturb the result)
+    // cast once to double, re-packed in ascending-dimension order and
+    // re-normalized with the same ascending fold as every other vector op.
+    // Each round shuffles (cid, dim, partial-sum) triples — 16×64 keys —
+    // regardless of corpus size; the corpus itself is only scanned.
+    "q_ann_ivf_train" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir).persist()
+      var centroids = all.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv"))
+      for (_ <- 1 to 2) {
+        val wA = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+        val assigned = all.join(broadcast(centroids))
+          .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
+          .withColumn("r", row_number().over(wA)).filter($"r" === 1)
+          .select($"cid", $"v")
+        val byDim = assigned
+          .select($"cid", posexplode($"v").as(Seq("i", "x")))
+          .groupBy($"cid", $"i")
+          .agg((sum($"x".cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("m"))
+        val packed = byDim.groupBy($"cid")
+          .agg(array_sort(collect_list(struct($"i", $"m"))).as("im"))
+          .select($"cid", transform($"im", e => e("m")).as("mv"))
+        centroids = packed
+          .withColumn("nrm", l2norm($"mv"))
+          .select($"cid", transform($"mv", x => x / $"nrm").as("cv"))
+          .persist()
+      }
+      centroids
+        .select($"cid", posexplode($"cv").as(Seq("i", "x")))
+        .select($"cid", $"i".cast("long").as("i"), round($"x", 6).as("val"))
+        .orderBy($"cid", $"i")
+    }),
+
     // LSH-bucketed ANN (the scale path): candidates share the top-8-bit
     // signature bucket; exact dot re-rank within the bucket. Deterministic
     // end-to-end, so it gets an exact oracle like the brute-force baseline.
@@ -142,6 +180,24 @@ object SimilarityQueries extends QueryPack {
   private def dotSql(a: String, b: String): String =
     s"""round(list_reduce(list_prepend(0.0,
         list_transform(range(1, 65), i -> $a[i] * $b[i])), (s, t) -> s + t), 6)"""
+
+  /** One DuckDB Lloyd round over centroid relation `prev`: rank-1
+    * assignment by rounded dot (cid tiebreak) → DECIMAL(38,18)-exact
+    * per-dim means → ascending repack → renormalize (ascending fold). */
+  private def lloydCte(r: Int, prev: String): String =
+    s"""a$r AS (SELECT e.vec_id, e.nv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${dotSql("e.nv", "c.cv")} DESC, c.cid) rk
+         FROM e CROSS JOIN $prev c),
+       m$r AS (SELECT cid, i, sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*) AS m
+         FROM (SELECT cid, unnest(nv) AS x, unnest(range(1, 65)) AS i
+               FROM a$r WHERE rk = 1)
+         GROUP BY cid, i),
+       p$r AS (SELECT cid, list(m ORDER BY i) AS mv FROM m$r GROUP BY cid),
+       c$r AS (SELECT cid, list_transform(mv, x -> x / sqrt(list_reduce(
+           list_prepend(0.0, list_transform(range(1, 65), i -> mv[i] * mv[i])),
+           (s, t) -> s + t))) AS cv
+         FROM p$r)"""
 
   override def oracleSql: Map[String, String] = Map(
     "q_ann_bruteforce" ->
@@ -191,6 +247,16 @@ object SimilarityQueries extends QueryPack {
            FROM scored)
          SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // Lloyd-training replica: identical assignment, the same
+    // DECIMAL(38,18)-exact per-dimension sums (one double division), same
+    // ascending repack + renormalization fold — unrolled two rounds.
+    "q_ann_ivf_train" ->
+      s"""$normCte,
+         c0 AS (SELECT vec_id AS cid, nv AS cv FROM e WHERE vec_id < 16),
+         ${lloydCte(1, "c0")},
+         ${lloydCte(2, "c1")}
+         SELECT cid, unnest(range(0, 64)) AS i, round(unnest(cv), 6) AS val
+         FROM c2 ORDER BY cid, i""",
     // LSH-bucketed replica: signatures over the NORMALIZED vectors (unlike
     // q_lsh_signatures, which signs the raw embedding), same ascending-d
     // left fold as graft_lsh16, bucket = sig >> 8.
