@@ -215,4 +215,62 @@ object StreamOps {
   def dedupWithinWatermark(df: DataFrame, ts: String, cols: Seq[String],
                            grace: String = DefaultGrace): DataFrame =
     df.withWatermark(ts, grace).dropDuplicatesWithinWatermark(cols)
+
+  /** Public (not private): Catalyst's generated deserializer instantiates
+    * the encoder target class and cannot access private members. */
+  case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: String)
+
+  /** Streaming NEAR-dup detection — the streaming form of the batch LSH
+    * candidate stage (DedupQueries.lshPairs): each doc's 4 MinHash band
+    * keys (same md5 formulas as every batch frontend) are exploded; per
+    * band key one stateful group remembers the first-seen owner doc, and
+    * every later doc colliding on that band emits a candidate pair
+    * (doc_id, owner_id, band). Consumers `distinct()` pairs across bands
+    * and (as in batch) verify with exact Jaccard where precision matters.
+    *
+    * Scale/semantics notes: state is one long per live band key, dropped
+    * after `grace` past the watermark (EventTimeTimeout) — bounded exactly
+    * like the batch pipeline bounds its shuffle; the degenerate-doc guard
+    * (empty shingle sets never band) carries over, so a flood of sub-3-word
+    * docs cannot hot-spot one band group. Within a micro-batch, arrival
+    * order is (event time, doc_id) — deterministic under replay. */
+  def nearDupCandidates(df: DataFrame, id: String, text: String, ts: String,
+                        grace: String = DefaultGrace): DataFrame = {
+    import graft.functions.PipelineFunctions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val banded = df
+      .withColumn("__wh", wordHashes(tokens(col(text))))
+      .withColumn("__hs", combineShingles3(col("__wh")))
+      .filter(size(col("__hs")) > 0) // degenerate-doc band-skew guard
+      .select(col(id).cast("long").as("doc_id"), col(ts).as("ts"),
+        explode(array((0 until 4).map(b => concat_ws("_", lit(b),
+          minhash(col("__hs"), 2 * b), minhash(col("__hs"), 2 * b + 1))): _*))
+          .as("band"))
+      .withWatermark("ts", grace)
+    banded.as[BandRow]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[Long, (Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (band, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = Seq.newBuilder[(Long, Long, String)]
+            var owner = if (state.exists) Some(state.get) else None
+            sorted.foreach { r =>
+              owner match {
+                case None => owner = Some(r.doc_id)
+                case Some(o) if o != r.doc_id => out += ((r.doc_id, o, band))
+                case _ => ()
+              }
+            }
+            owner.foreach(state.update)
+            sorted.lastOption.foreach(r =>
+              state.setTimeoutTimestamp(r.ts.getTime, grace))
+            out.result().iterator
+          }
+      }
+      .toDF("doc_id", "owner_id", "band")
+  }
 }
