@@ -115,9 +115,13 @@ object DedupQueries extends QueryPack {
     // near-cliques — 2-3 rounds in practice, hard cap 20).
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val pairs = lshPairs(s, dir).select($"d1", $"d2")
-      val edges = pairs.select($"d1".as("u"), $"d2".as("v"))
-        .unionByName(pairs.select($"d2".as("u"), $"d1".as("v")))
+      // both edge directions in ONE pass over the (expensive) LSH pipeline
+      // — a union of two selects would execute the pipeline twice
+      val edges = lshPairs(s, dir)
+        .select(explode(array(
+          struct($"d1".as("u"), $"d2".as("v")),
+          struct($"d2".as("u"), $"d1".as("v")))).as("e"))
+        .select($"e.u", $"e.v")
         .persist()
       var labels = edges.select($"u").distinct().withColumn("lbl", $"u").persist()
       var converged = false

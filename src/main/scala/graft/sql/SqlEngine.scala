@@ -61,12 +61,19 @@ class SqlEngine(spark: SparkSession) {
     case CreateView(name, sel) =>
       views.add(name)
       val plan = planOf(sel)
-      // Unwindowed simple-key aggregates maintain the view INCREMENTALLY
-      // (update-mode upsert, O(changed keys) write amplification per
-      // trigger — the reference's own model, Core/View.hs:94-141); windowed
-      // or join-fed views fall back to complete-mode snapshots.
-      val keys = sel.groupBy.map(_.name)
-      val incremental = !needsAppendMode(sel.from) && !hasWindow(sel.from) &&
+      // Simple-key aggregates — unwindowed OR over FIXED windows
+      // (TUMBLE/HOP, where a window's identity never changes) — maintain
+      // the view INCREMENTALLY (update-mode upsert keyed by
+      // groupBy-keys [+ window_start], O(changed keys/windows) write
+      // amplification per trigger — the reference's own model,
+      // Core/View.hs:94-141). SESSION windows and join-fed views fall back
+      // to complete-mode snapshots: session merges REPLACE earlier windows
+      // (a merged session has a new start), so upserting by window_start
+      // would leave stale rows behind.
+      val keys = sel.groupBy.map(_.name) ++
+        (if (fixedWindow(sel.from)) Seq("window_start") else Nil)
+      val incremental = !needsAppendMode(sel.from) &&
+        (!hasWindow(sel.from) || fixedWindow(sel.from)) &&
         keys.nonEmpty && keys.forall(plan.columns.contains)
       Started(
         if (incremental) engine.createViewIncremental(name, plan, keys)
@@ -172,6 +179,16 @@ class SqlEngine(spark: SparkSession) {
     }
     require(cur.toString.trim.isEmpty, s"unterminated statement: ${cur.toString.trim.take(60)}")
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** TUMBLE/HOP — fixed windows whose identity (start) never changes, so
+    * window_start is a stable upsert key. SESSION is NOT fixed: merges
+    * produce windows with new starts that subsume old ones. */
+  private def fixedWindow(ref: TableRef): Boolean = ref match {
+    case TRWindowed(_, _: Tumble | _: Hop) => true
+    case TRAlias(i, _) => fixedWindow(i)
+    case TRSubquery(s) => fixedWindow(s.from)
+    case _ => false
   }
 
   private def hasWindow(ref: TableRef): Boolean = ref match {
