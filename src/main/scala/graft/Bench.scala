@@ -56,6 +56,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // state store backend knob (default HDFS-backed; rocksdb = the
+      // large-state production choice: state off-heap, no GC pressure)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries

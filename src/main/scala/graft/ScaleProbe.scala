@@ -31,6 +31,13 @@ object ScaleProbe {
       plan.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // by-name: for shapes that run actions while BUILDING (the iterative
+    // CC loop) — strict `time` would evaluate them before the clock starts
+    def timeAll(plan: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      plan.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     val lineitem = Tables.load(spark, sfDir, "lineitem")
     val docs = Tables.load(spark, sfDir, "documents")
@@ -92,6 +99,18 @@ object ScaleProbe {
         .withColumn("text",
           when($"doc_id" % 2 === 0, lit("ok")).otherwise(lit("tiny doc"))))
 
+    // near-dup clustering over the LSH pairs: connected components must
+    // scale with the PAIR set (proportional to dups), not the corpus —
+    // iteration count is graph diameter, constant across scale
+    def clusterShape(df: DataFrame) = {
+      val edges = lshShape(df)
+        .select(explode(array(
+          struct($"d1".as("u"), $"d2".as("v")),
+          struct($"d2".as("u"), $"d1".as("v")))).as("e"))
+        .select($"e.u", $"e.v")
+      graft.operators.Graph.connectedComponents(edges)
+    }
+
     // warmup
     time(aggShape(lineitem))
     val probes = Seq(
@@ -100,7 +119,9 @@ object ScaleProbe {
       "fingerprint_5k_vs_50k" -> (time(fingerprintShape(docs)), time(fingerprintShape(x10(docs)))),
       "lsh_neardup_5k_vs_50k" -> (time(lshShape(docs)), time(lshShape(x10Distinct(docs)))),
       "lsh_neardup_10pct_short_docs" ->
-        (time(lshShape(withShorts(docs))), time(lshShape(withShorts(x10Distinct(docs))))))
+        (time(lshShape(withShorts(docs))), time(lshShape(withShorts(x10Distinct(docs))))),
+      "cluster_cc_5k_vs_50k" ->
+        (timeAll(clusterShape(docs)), timeAll(clusterShape(x10Distinct(docs)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")

@@ -122,23 +122,7 @@ object DedupQueries extends QueryPack {
           struct($"d1".as("u"), $"d2".as("v")),
           struct($"d2".as("u"), $"d1".as("v")))).as("e"))
         .select($"e.u", $"e.v")
-        .persist()
-      var labels = edges.select($"u").distinct().withColumn("lbl", $"u").persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val nbr = edges.join(labels.select($"u".as("v"), $"lbl".as("nlbl")), "v")
-          .groupBy($"u").agg(min($"nlbl").as("nlbl"))
-        val next = labels.join(nbr, Seq("u"), "left")
-          .select($"u", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
-          .persist()
-        converged = next
-          .join(labels.withColumnRenamed("lbl", "old"), "u")
-          .filter($"lbl" =!= $"old").isEmpty
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
+      val labels = graft.operators.Graph.connectedComponents(edges)
       val members = labels.select($"u".as("doc_id"), $"lbl".as("canonical_id"))
       val sizes = members.groupBy($"canonical_id")
         .agg(count(lit(1)).as("cluster_size"))

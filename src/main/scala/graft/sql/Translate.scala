@@ -388,7 +388,16 @@ object Translate {
     j.cond match {
       case CrossC => qualifyCollisions(ldf.join(rdf, range, "inner"), j, ldf, rdf)
       case On(e) =>
-        qualifyCollisions(ldf.join(rdf, range && column(e, resolve), j.joinType),
+        // type-check the join condition against both sides' schemas
+        // (bare + alias-qualified names)
+        val env: TypeCheck.Env =
+          TypeCheck.envOf(ldf) ++ TypeCheck.envOf(rdf) ++
+            TypeCheck.envOf(ldf).map { case (k, v) =>
+              s"${refAlias(j.l).toLowerCase}.$k" -> v } ++
+            TypeCheck.envOf(rdf).map { case (k, v) =>
+              s"${refAlias(j.r).toLowerCase}.$k" -> v }
+        TypeCheck.check(e, env)
+        qualifyCollisions(ldf.join(rdf, range && column(e, resolve, env), j.joinType),
           j, ldf, rdf)
       case Using(cols0) => usingJoin(ldf, rdf, j, range, cols0)
       case Natural =>

@@ -93,6 +93,17 @@ class TypeCheckSpec extends SparkSpec {
     rejects("SELECT n[0] AS x FROM tc;", "array")
   }
 
+  test("ill-typed JOIN condition is rejected (qualified refs resolve)") {
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("x", "ts").createOrReplaceTempView("tj1")
+    Seq(("s", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("y", "ts").createOrReplaceTempView("tj2")
+    rejects(
+      """SELECT * FROM tj1 AS a JOIN tj2 AS b ON a.x < b.y
+         WITHIN (INTERVAL 1 MINUTE);""", "compare")
+  }
+
   // ---- acceptance: dynamic values stay unchecked ---------------------------
   test("JSON leaves are dynamic: comparisons/arithmetic over -> pass") {
     import spark.implicits._
