@@ -26,14 +26,15 @@ object Graph {
     while (!converged && iter < maxIter) {
       val nbr = edges.join(labels.select($"u".as("v"), $"lbl".as("nlbl")), "v")
         .groupBy($"u").agg(min($"nlbl").as("nlbl"))
+      // carry the previous label through the SAME join so convergence is a
+      // filter over `next`, not a second labels join per iteration
       val next = labels.join(nbr, Seq("u"), "left")
-        .select($"u", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .select($"u", $"lbl".as("old"),
+          least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
         .persist()
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "old"), "u")
-        .filter($"lbl" =!= $"old").isEmpty
+      converged = next.filter($"lbl" =!= $"old").isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select($"u", $"lbl")
       iter += 1
     }
     labels

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import Ast._
-import graft.streaming.Engine
+import graft.streaming.{Engine, StreamOps}
 
 /** The end-user surface: `sql(stmt)` parses the HStream dialect and executes
   * it — DDL effects, batch DataFrames (pull queries), or StreamingQuerys
@@ -41,10 +41,18 @@ class SqlEngine(spark: SparkSession) {
       // stream, minus the randomness). Update mode = the reference's
       // re-emit-per-row; session windows and stream-stream joins emit in
       // append mode (Spark's completion-driven semantics for both).
+      // With spark.graft.emitPerRow=true, unwindowed simple aggregates get
+      // the reference's exact PER-ROW cadence (one emission per input row,
+      // GroupedStream.hs:102) instead of per-micro-batch coalescing.
       val name = s"q${queryCounter.incrementAndGet()}"
-      val plan = planOf(sel)
-      if (needsAppendMode(sel.from)) Started(engine.createStreamAs(name, plan))
-      else Started(engine.emitChanges(name, plan))
+      val perRow = spark.conf.getOption("spark.graft.emitPerRow").contains("true")
+      if (needsAppendMode(sel.from)) Started(engine.createStreamAs(name, planOf(sel)))
+      else (if (perRow) perRowForm(sel) else None) match {
+        case Some((keys, aggs)) =>
+          val src = planOf(Select(Seq(ItemWildcard(None)), sel.from, sel.where, Nil, None))
+          Started(engine.emitChangesPerRow(name, src, keys, aggs))
+        case None => Started(engine.emitChanges(name, planOf(sel)))
+      }
     case SelectStmt(sel) =>
       Rows(planOf(sel)) // batch / pull query
     case CreateStream(name, schema, options) =>
@@ -179,6 +187,27 @@ class SqlEngine(spark: SparkSession) {
     }
     require(cur.toString.trim.isEmpty, s"unterminated statement: ${cur.toString.trim.take(60)}")
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The per-row-emission form of an EMIT CHANGES select, when it fits:
+    * unwindowed, bare-column GROUP BY keys, SELECT list of key refs plus
+    * COUNT(*)/COUNT/SUM/MIN/MAX/AVG over bare columns, no HAVING. Output
+    * columns are keys-then-aggregates (StreamOps.perRowAggs order). */
+  private def perRowForm(sel: Select): Option[(Seq[String], Seq[StreamOps.RowAgg])] = {
+    if (sel.having.nonEmpty || hasWindow(sel.from)) return None
+    val keys = sel.groupBy.collect { case ColRef(None, n) => n }
+    if (keys.isEmpty || keys.size != sel.groupBy.size) return None
+    val rowAggKinds = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+    val aggs = sel.items.flatMap {
+      case ItemExpr(ColRef(None, n), _) if keys.contains(n) => Nil
+      case ItemExpr(a @ Agg("COUNT", _, true), alias) =>
+        Seq(Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), "count", "*")))
+      case ItemExpr(a @ Agg(k, Seq(ColRef(None, c)), false), alias) if rowAggKinds(k) =>
+        Seq(Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), k.toLowerCase, c)))
+      case _ => Seq(None) // anything else: fall back to micro-batch cadence
+    }
+    if (aggs.contains(None) || aggs.isEmpty) None
+    else Some((keys, aggs.flatten))
   }
 
   /** TUMBLE/HOP — fixed windows whose identity (start) never changes, so

@@ -229,6 +229,28 @@ class SqlEngineSpec extends SparkSpec {
     e.sql(s"TERMINATE QUERY ${q.query.name};")
   }
 
+  test("spark.graft.emitPerRow=true: dialect EMIT CHANGES gets per-row cadence") {
+    spark.conf.set("spark.graft.emitPerRow", "true")
+    try {
+      val e = new SqlEngine(spark)
+      e.sql("CREATE STREAM prc (k STRING, v INTEGER, _ts TIMESTAMP);")
+      val q = e.sql(
+        """SELECT k, COUNT(*) AS n, SUM(v) AS s FROM prc
+           GROUP BY k EMIT CHANGES;""").asInstanceOf[e.Started]
+      // three rows in ONE micro-batch: per-row cadence emits THREE
+      // cumulative states (micro-batch coalescing would emit one)
+      e.sql("INSERT INTO prc (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:00:00');")
+      e.sql("INSERT INTO prc (k, v, _ts) VALUES ('a', 3, '2024-01-01 00:00:01');")
+      e.sql("INSERT INTO prc (k, v, _ts) VALUES ('a', 10, '2024-01-01 00:00:02');")
+      e.engine.processAll()
+      val rows = spark.table(q.query.name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("a", 1L, 2L), ("a", 2L, 5L), ("a", 3L, 15L)), s"got $rows")
+      e.sql(s"TERMINATE QUERY ${q.query.name};")
+      e.sql("DROP STREAM prc;")
+    } finally spark.conf.unset("spark.graft.emitPerRow")
+  }
+
   test("multi-statement script + SHOW VIEWS/QUERIES separation") {
     val e = new SqlEngine(spark)
     val results = e.script(
