@@ -85,9 +85,15 @@ object Bench {
     (1 to passes).foreach { _ =>
       batchNames.foreach { name =>
         val t0 = System.nanoTime()
-        try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        record(name, (System.nanoTime() - t0) / 1e9)
+        // a FAILED run must not record: its near-zero elapsed time would
+        // win the min and understate the query (median tolerated this;
+        // min is maximally sensitive to it)
+        try {
+          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          record(name, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
       }
       // streaming replay (the reference's own bench shape: push records
       // through a live topology — hstream-diffflow/bench/throughout-*.hs)

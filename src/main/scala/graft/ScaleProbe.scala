@@ -26,14 +26,9 @@ object ScaleProbe {
     import spark.implicits._
 
     def x10(df: DataFrame): DataFrame = (1 to 10).map(_ => df).reduce(_ unionAll _)
-    def time(plan: DataFrame): Double = {
-      val t0 = System.nanoTime()
-      plan.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // by-name: for shapes that run actions while BUILDING (the iterative
-    // CC loop) — strict `time` would evaluate them before the clock starts
-    def timeAll(plan: => DataFrame): Double = {
+    // by-name: shapes that run actions while BUILDING (the iterative CC
+    // loop) must have their build time inside the clock too
+    def time(plan: => DataFrame): Double = {
       val t0 = System.nanoTime()
       plan.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -121,7 +116,7 @@ object ScaleProbe {
       "lsh_neardup_10pct_short_docs" ->
         (time(lshShape(withShorts(docs))), time(lshShape(withShorts(x10Distinct(docs))))),
       "cluster_cc_5k_vs_50k" ->
-        (timeAll(clusterShape(docs)), timeAll(clusterShape(x10Distinct(docs)))))
+        (time(clusterShape(docs)), time(clusterShape(x10Distinct(docs)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")

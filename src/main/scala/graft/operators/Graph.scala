@@ -37,6 +37,11 @@ object Graph {
       labels = next.select($"u", $"lbl")
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter iterations (graph diameter exceeds the cap) — " +
+        "labels may split components; raise maxIter")
+    edges.unpersist()
     labels
   }
 }

@@ -32,7 +32,16 @@ class SqlEngine(spark: SparkSession) {
     if (engine.showStreams.contains(name)) engine.df(name)
     else engine.pull(name) // parquet-backed view snapshot, else session catalog
 
-  def planOf(sel: Select): DataFrame = Translate.plan(sel, lookup)
+  /** Declared dialect column types per stream — the ones a Spark schema
+    * cannot carry (TIME and JSONB render as string columns). TypeCheck
+    * consults this so e.g. a declared TIME column gets wraparound
+    * arithmetic and TIME-family comparisons. */
+  private val streamTypes =
+    scala.collection.concurrent.TrieMap.empty[String, TypeCheck.Env]
+
+  def planOf(sel: Select): DataFrame =
+    Translate.plan(sel, lookup,
+      declared = n => streamTypes.getOrElse(n, Map.empty))
 
   /** Execute one statement. */
   def sql(text: String): Result = Parser.parse(text) match {
@@ -49,6 +58,7 @@ class SqlEngine(spark: SparkSession) {
       if (needsAppendMode(sel.from)) Started(engine.createStreamAs(name, planOf(sel)))
       else (if (perRow) perRowForm(sel) else None) match {
         case Some((keys, aggs)) =>
+          planOf(sel) // full plan-time validation (TypeCheck on the items)
           val src = planOf(Select(Seq(ItemWildcard(None)), sel.from, sel.where, Nil, None))
           Started(engine.emitChangesPerRow(name, src, keys, aggs))
         case None => Started(engine.emitChanges(name, planOf(sel)))
@@ -63,6 +73,9 @@ class SqlEngine(spark: SparkSession) {
         case (k, other) => k -> other.toString
       }
       engine.createStream(name, Translate.structType(schema), opts)
+      streamTypes(name) = schema.collect {
+        case (n, t @ (TTime | TJson)) => n.toLowerCase -> t
+      }.toMap
       Done(s"stream $name created")
     case CreateStreamAs(name, sel, _) =>
       Started(engine.createStreamAs(name, planOf(sel)))
@@ -153,6 +166,7 @@ class SqlEngine(spark: SparkSession) {
     case Show(other) => throw new IllegalArgumentException(s"SHOW $other not supported")
     case DropStmt("STREAM", n, ifEx) =>
       if (!ifEx || engine.showStreams.contains(n)) engine.dropStream(n)
+      streamTypes.remove(n)
       Done(s"dropped $n")
     case DropStmt("VIEW" | "QUERY", n, ifEx) =>
       if (!ifEx || engine.showQueries.contains(n)) engine.terminate(n)
@@ -189,22 +203,26 @@ class SqlEngine(spark: SparkSession) {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** The per-row-emission form of an EMIT CHANGES select, when it fits:
-    * unwindowed, bare-column GROUP BY keys, SELECT list of key refs plus
-    * COUNT(*)/COUNT/SUM/MIN/MAX/AVG over bare columns, no HAVING. Output
-    * columns are keys-then-aggregates (StreamOps.perRowAggs order). */
+  /** The per-row-emission form of an EMIT CHANGES select, when it fits
+    * EXACTLY (so the output schema is identical to the micro-batch path's
+    * and flipping spark.graft.emitPerRow never reorders/renames columns):
+    * unwindowed; SELECT list = the bare GROUP BY keys first, unaliased, in
+    * GROUP BY order, then only COUNT(*)/COUNT/SUM/MIN/MAX/AVG over bare
+    * columns; no HAVING. Anything else falls back to micro-batch cadence. */
   private def perRowForm(sel: Select): Option[(Seq[String], Seq[StreamOps.RowAgg])] = {
     if (sel.having.nonEmpty || hasWindow(sel.from)) return None
     val keys = sel.groupBy.collect { case ColRef(None, n) => n }
     if (keys.isEmpty || keys.size != sel.groupBy.size) return None
+    val (keyItems, aggItems) = sel.items.splitAt(keys.size)
+    val keyNames = keyItems.collect { case ItemExpr(ColRef(None, n), None) => n }
+    if (keyNames != keys) return None // keys first, groupBy order, unaliased
     val rowAggKinds = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
-    val aggs = sel.items.flatMap {
-      case ItemExpr(ColRef(None, n), _) if keys.contains(n) => Nil
+    val aggs = aggItems.map {
       case ItemExpr(a @ Agg("COUNT", _, true), alias) =>
-        Seq(Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), "count", "*")))
+        Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), "count", "*"))
       case ItemExpr(a @ Agg(k, Seq(ColRef(None, c)), false), alias) if rowAggKinds(k) =>
-        Seq(Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), k.toLowerCase, c)))
-      case _ => Seq(None) // anything else: fall back to micro-batch cadence
+        Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), k.toLowerCase, c))
+      case _ => None
     }
     if (aggs.contains(None) || aggs.isEmpty) None
     else Some((keys, aggs.flatten))

@@ -451,29 +451,34 @@ object Translate {
     keys.foldLeft(merged)((d, k) => d.drop(s"__graft_r_$k"))
   }
 
-  /** AST-level output types a Spark schema cannot carry (TIME renders as a
-    * string column): inferred statically from subquery SELECT items so the
-    * dialect type survives an alias boundary. Inference runs with the
+  /** AST-level output types a Spark schema cannot carry (TIME and JSONB
+    * render as string columns): declared CREATE STREAM types for named
+    * streams, inferred statically from SELECT items for subqueries — so
+    * the dialect type survives an alias boundary. Inference runs with the
     * inner relation's own dialect overrides only (no Spark schema), which
     * can only under-approximate — an unknown type never rejects. */
-  private def dialectTypes(ref: TableRef): TypeCheck.Env = ref match {
-    case TRSubquery(sel) => selTypes(sel)
-    case TRAlias(inner, a) =>
-      val m = dialectTypes(inner)
-      m ++ m.map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
-    case TRWindowed(inner, _) => dialectTypes(inner)
-    case TRJoin(l, r, _, _, _) => dialectTypes(l) ++ dialectTypes(r)
-    case TRStream(_) => Map.empty
-  }
+  private def dialectTypes(ref: TableRef, declared: DeclaredTypes): TypeCheck.Env =
+    ref match {
+      case TRSubquery(sel) => selTypes(sel, declared)
+      case TRAlias(inner, a) =>
+        val m = dialectTypes(inner, declared)
+        m ++ m.map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
+      case TRWindowed(inner, _) => dialectTypes(inner, declared)
+      case TRJoin(l, r, _, _, _) =>
+        dialectTypes(l, declared) ++ dialectTypes(r, declared)
+      case TRStream(n) => declared(n)
+    }
 
-  private def selTypes(sel: Select): TypeCheck.Env = {
-    val inner = dialectTypes(sel.from)
+  private def selTypes(sel: Select, declared: DeclaredTypes): TypeCheck.Env = {
+    val inner = dialectTypes(sel.from, declared)
     sel.items.flatMap {
       case ItemExpr(e, alias) =>
         val name = alias.getOrElse(exprName(e)).toLowerCase
         // only record types Spark's schema would mis-describe
-        TypeCheck.infer(e, inner).filter(_ == TTime).map(name -> _)
-      case _ => Nil
+        TypeCheck.infer(e, inner)
+          .filter(t => t == TTime || t == TJson).map(name -> _)
+      // wildcards pass the inner relation's dialect types through unchanged
+      case ItemWildcard(_) => inner.filterNot(_._1.contains('.'))
     }.toMap
   }
 
@@ -490,7 +495,14 @@ object Translate {
 
   /** Plan a SELECT. `grace` is the watermark used for windowed aggregation
     * over streaming sources (the reference's 24 h, TimeWindows.hs:39). */
-  def plan(sel: Select, lookup: Lookup, grace: String = "24 hours"): DataFrame = {
+  /** Dialect-declared column types of a named stream (CREATE STREAM
+    * schema) that a Spark schema cannot carry — TIME and JSONB both render
+    * as string columns. Engines that track declared schemas pass their
+    * registry here so TypeCheck sees the dialect type. */
+  type DeclaredTypes = String => TypeCheck.Env
+
+  def plan(sel: Select, lookup: Lookup, grace: String = "24 hours",
+           declared: DeclaredTypes = _ => Map.empty): DataFrame = {
     val src = planFrom(sel.from, lookup)
     val base0 = src.df
 
@@ -499,7 +511,7 @@ object Translate {
     // TypeCheck). Dialect-level types a Spark schema can't carry (TIME
     // renders as a string column) are layered on top, so e.g. a TIME value
     // flowing through a subquery alias keeps wraparound arithmetic.
-    val env: TypeCheck.Env = TypeCheck.envOf(base0) ++ dialectTypes(sel.from)
+    val env: TypeCheck.Env = TypeCheck.envOf(base0) ++ dialectTypes(sel.from, declared)
     sel.where.foreach(TypeCheck.check(_, env))
     sel.items.foreach { case ItemExpr(e, _) => TypeCheck.check(e, env); case _ => () }
     sel.having.foreach(TypeCheck.check(_, env))

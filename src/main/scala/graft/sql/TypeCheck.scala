@@ -61,12 +61,16 @@ object TypeCheck {
 
   /** Comparable family for <, BETWEEN, …: numbers with numbers, strings with
     * strings, temporals with temporals (DATE vs TIMESTAMP compares fine).
+    * TIME also compares with STRING: TIME is carried as a fixed-width
+    * HH:mm:ss string column (SURVEY §1.2), whose lexicographic order IS
+    * chronological order — a string/TIME comparison is well-defined.
     * JSONB is dynamically typed — it is compatible with everything and the
     * runtime value decides (the reference compares FlowValues at runtime). */
   private def sameFamily(a: SqlType, b: SqlType): Boolean =
     a == TJson || b == TJson ||
       (isNum(a) && isNum(b)) || (a == TString && b == TString) ||
-      (isTemporal(a) && isTemporal(b)) || a == b
+      (isTemporal(a) && isTemporal(b)) || a == b ||
+      Set(a, b) == Set[SqlType](TString, TTime)
 
   private def show(t: SqlType): String = t match {
     case TInt => "INTEGER";  case TFloat => "FLOAT";  case TBool => "BOOLEAN"

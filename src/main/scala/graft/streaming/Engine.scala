@@ -364,9 +364,13 @@ class Engine(val spark: SparkSession) {
           if (rows.hasNext) {
             val sock = new java.net.Socket(host, port)
             try {
-              val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+              // BufferedWriter, NOT PrintWriter: PrintWriter swallows
+              // IOExceptions (only sets an internal flag), which would let
+              // the batch commit after a broken connection — silent loss.
+              // A thrown IOException here fails the batch and Spark retries.
+              val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
                 sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-              rows.foreach(r => out.println(r.getString(0)))
+              rows.foreach { r => out.write(r.getString(0)); out.newLine() }
               out.flush()
             } finally sock.close()
           }
@@ -419,7 +423,14 @@ class Engine(val spark: SparkSession) {
     val seen = scala.collection.mutable.Map.empty[String, Long]
     var productive = 0
     var progress = true
-    while (progress) {
+    // pass bound: a self-feeding pipeline (INSERT INTO s SELECT ... FROM s)
+    // or a continuously-fed external source would otherwise never reach the
+    // fixpoint — cap at a generous multiple of the pipeline size and return
+    // what drained so far rather than hanging the caller
+    val maxPasses = math.max(queries.size * 2, 8)
+    var passes = 0
+    while (progress && passes < maxPasses) {
+      passes += 1
       progress = false
       queries.foreach { case (name, q) =>
         q.processAllAvailable()
@@ -561,12 +572,28 @@ class Engine(val spark: SparkSession) {
               if (existingPaths.isEmpty)
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
               else spark.read.schema(state.schema).parquet(existingPaths: _*)
-            // upsert = unchanged rows of affected buckets + the delta rows
+            // upsert = unchanged rows of affected buckets + the delta rows.
+            // Null-SAFE key equality: a null group key's old row must be
+            // replaced too (k = k is NULL for nulls and a plain anti-join
+            // would keep appending one stale row per trigger).
+            val deltaKeys = delta.select(keys.map(col): _*).alias("__dk")
+            val antiCond = keys.map(k =>
+              current(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k"))
+              .reduce(_ && _)
             val merged = current
-              .join(delta.select(keys.map(col): _*), keys, "left_anti")
+              .join(deltaKeys, antiCond, "left_anti")
               .withColumn("graft_bucket", bucketOf)
               .unionByName(delta)
-            val genDir = s"${state.dir}/g$batchId"
+            // Replay safety: after a crash between manifest persist and the
+            // checkpoint commit, the replayed batch's manifest may point
+            // INTO g<batchId> — overwriting a directory that is also the
+            // lazy read input would destroy it. Pick a fresh suffix.
+            val (gfs, _) = hadoopFs(state.dir)
+            var genDir = s"${state.dir}/g$batchId"
+            var attempt = 0
+            while (gfs.exists(new org.apache.hadoop.fs.Path(genDir))) {
+              attempt += 1; genDir = s"${state.dir}/g$batchId-r$attempt"
+            }
             merged.write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
             state.manifest = state.manifest ++
               affected.map(b => b -> s"$genDir/graft_bucket=$b")
@@ -592,7 +619,11 @@ class Engine(val spark: SparkSession) {
     try out.write(state.manifest.toSeq.sortBy(_._1)
       .map { case (b, p) => s"$b\t$p" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"${state.dir}/manifest-g$gen.txt"))
+    val dst = new org.apache.hadoop.fs.Path(s"${state.dir}/manifest-g$gen.txt")
+    // a replayed batch re-persists the same generation id: HDFS rename to
+    // an existing path fails (local FS silently succeeds) — delete first
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
   }
 
   private def loadManifest(state: IncViewState): Unit = {
@@ -623,7 +654,7 @@ class Engine(val spark: SparkSession) {
       .maxOption
     fs.listStatus(dirPath).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("g\\d+") && !referenced.contains(n))
+      if (st.isDirectory && n.matches("g\\d+(-r\\d+)?") && !referenced.contains(n))
         fs.delete(st.getPath, true)
       else if (n.matches("manifest-g\\d+\\.txt") &&
           newestManifest.exists(_ > n.stripPrefix("manifest-g").stripSuffix(".txt").toLong))

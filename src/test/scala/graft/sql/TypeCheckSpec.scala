@@ -126,6 +126,34 @@ class TypeCheckSpec extends SparkSpec {
     assert(out.getString(0) == "01:00:00")
   }
 
+  test("declared TIME stream column: wraparound arithmetic + TIME comparison plan") {
+    val eng = e
+    eng.sql("CREATE STREAM tctt (t TIME, _ts TIMESTAMP);")
+    try {
+      // regression: CREATE STREAM declares TIME but Spark carries a string
+      // column — the declared dialect type must reach TypeCheck, so this
+      // plans (with wraparound dispatch) instead of failing "INTERVAL
+      // arithmetic needs a DATE/TIME/TIMESTAMP left operand"
+      val q = eng.sql(
+        """SELECT t + INTERVAL 90 MINUTE AS w FROM tctt
+           WHERE t < TIME '23:59:59' EMIT CHANGES;""").asInstanceOf[SqlEngine#Started]
+      eng.sql("""INSERT INTO tctt (t, _ts) VALUES ('23:30:00', '2024-01-01 00:00:00');""")
+      eng.engine.processAll()
+      val w = spark.table(q.query.name).head().getString(0)
+      assert(w == "01:00:00", s"no wraparound: $w")
+      eng.sql(s"TERMINATE QUERY ${q.query.name};")
+    } finally eng.sql("DROP STREAM tctt;")
+  }
+
+  test("TIME survives a SELECT * wildcard subquery hop") {
+    typed
+    val out = e.sql(
+      """SELECT t + INTERVAL 90 MINUTE AS wrapped
+         FROM (SELECT * FROM (SELECT ts :: TIME AS t FROM tc) AS s1) AS s2;""")
+      .asInstanceOf[SqlEngine#Rows].df.head()
+    assert(out.getString(0) == "01:00:00")
+  }
+
   test("TIME through TWO alias hops still wraps") {
     typed
     val out = e.sql(

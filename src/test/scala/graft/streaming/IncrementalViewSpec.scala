@@ -116,6 +116,26 @@ class IncrementalViewSpec extends SparkSpec {
     e.sql("DROP STREAM wivs;")
   }
 
+  test("null group key upserts in place (null-safe anti-join), no stale rows") {
+    val e = new Engine(spark)
+    e.createStream("nivs", schema)
+    e.createViewIncremental("niv",
+      e.df("nivs").groupBy(col("k")).agg(sum(col("v")).as("total")),
+      keys = Seq("k"), buckets = 4)
+    // records WITHOUT k: from_json yields a null group key
+    e.insert("nivs", """{"v":1,"_ts":"2024-01-01 00:00:00"}""")
+    e.processAll()
+    e.insert("nivs", """{"v":2,"_ts":"2024-01-01 00:00:01"}""")
+    e.processAll()
+    // plain k = k anti-join would keep appending one stale null-key row
+    // per trigger; null-safe equality replaces it
+    val nullRows = e.pull("niv", "k IS NULL").collect()
+    assert(nullRows.length == 1, s"stale null-key rows: ${nullRows.toSeq}")
+    assert(nullRows.head.getLong(1) == 3L)
+    e.terminate("niv")
+    e.dropStream("nivs")
+  }
+
   test("manifest + aggregate state recover across an engine restart") {
     val srcDir = Files.createTempDirectory("graft_ivsrc").toString
     val viewRoot = Files.createTempDirectory("graft_ivroot").toString
