@@ -159,7 +159,8 @@ class SqlEngine(spark: SparkSession) {
       Done(s"dropped connector $n")
     case Show("CONNECTORS") =>
       Done(connectors.toSeq.sorted.map { case (k, v) => s"$k($v)" }.mkString(","))
-    case Show("STREAMS") => Done(engine.showStreams.mkString(","))
+    case Show("STREAMS") => // connector-internal source streams are hidden
+      Done(engine.showStreams.filterNot(_.startsWith("__conn_")).mkString(","))
     case Show("VIEWS") => Done(views.toSeq.sorted.mkString(","))
     case Show("QUERIES") =>
       Done(engine.showQueries.filterNot(views.contains).mkString(","))
