@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.CoreQueries
+
+/** Streaming-vs-batch TWIN equality: the same data replayed through live
+  * Structured Streaming topologies must produce exactly the rows of the
+  * DuckDB-hash-verified batch gate queries — which transitively puts the
+  * streaming execution paths (watermarks, output modes, state stores)
+  * under the oracle. One twin per streaming surface the gate can't reach
+  * directly: tumble/hop/session window aggs, the stream-stream interval
+  * join, unwindowed update-mode agg, and the stateless filter/project. */
+class StreamingTwinSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Stage a table's parquet into a temp dir and open it as a stream
+    * (whole file = one micro-batch), with the same ns→µs events handling
+    * as Tables.load. Returns (staging dir, stream). */
+  private def staged(table: String) = {
+    val dir = Files.createTempDirectory(s"graft_twin_$table")
+    Files.copy(Paths.get(s"$sf/$table.parquet"), dir.resolve(s"$table.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val df = if (table == "events")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+    (dir, df)
+  }
+
+  private def drain(plan: DataFrame, mode: String, name: String) = {
+    val q = plan.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Far-future sentinel event (user_id −1): appended as a second
+    * micro-batch it advances the watermark past every real record, closing
+    * all append-mode windows. */
+  private def appendSentinel(dir: java.nio.file.Path): Unit =
+    spark.read.parquet(dir.toString).limit(1)
+      .withColumn("ts", lit(4000000000000000000L)) // ~2096 in nanos
+      .withColumn("user_id", lit(-1L))
+      .write.mode("append").parquet(dir.toString)
+
+  private def batch(name: String) =
+    CoreQueries.queries(name)(spark, sf).collect().toSeq
+
+  test("tumbling window agg twin (update mode) == oracle'd q_window_tumble") {
+    import spark.implicits._
+    val (_, s) = staged("events")
+    val q = drain(
+      s.withWatermark("ts", "1 minute")
+        .groupBy(window($"ts", "1 day"))
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("window_start"), $"cnt", $"sum_value"),
+      "update", "tw_tumble")
+    val got = spark.table("tw_tumble").orderBy("window_start").collect().toSeq
+    assert(got == batch("q_window_tumble"), "streaming tumble != batch twin")
+    q.stop()
+  }
+
+  test("hopping window agg twin (update mode) == oracle'd q_window_hop") {
+    import spark.implicits._
+    val (_, s) = staged("events")
+    val q = drain(
+      s.withWatermark("ts", "1 minute")
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("window_start"), $"cnt"),
+      "update", "tw_hop")
+    val got = spark.table("tw_hop").orderBy("window_start").collect().toSeq
+    assert(got == batch("q_window_hop"), "streaming hop != batch twin")
+    q.stop()
+  }
+
+  test("session window agg twin (append + sentinel close) == oracle'd q_window_session") {
+    import spark.implicits._
+    val (dir, s) = staged("events")
+    val q = drain(
+      s.withWatermark("ts", "1 minute")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"cnt", $"sum_value"),
+      "append", "tw_session")
+    appendSentinel(dir) // close every real session
+    q.processAllAvailable()
+    val got = spark.table("tw_session").filter($"user_id" =!= -1L)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got == batch("q_window_session"), "streaming session != batch twin")
+    q.stop()
+  }
+
+  test("stream-stream interval join twin == oracle'd q_interval_join") {
+    import spark.implicits._
+    val (_, s) = staged("events")
+    val a = s.select($"user_id".as("a_user"), $"ts".as("a_ts"), $"event_id".as("a_id"))
+      .withWatermark("a_ts", "2 minutes")
+    val b = s.select($"user_id".as("b_user"), $"ts".as("b_ts"), $"event_id".as("b_id"))
+      .withWatermark("b_ts", "2 minutes")
+    val q = drain(
+      a.join(b, $"a_user" === $"b_user" && $"a_id" =!= $"b_id"
+          && $"b_ts" >= $"a_ts" - expr("INTERVAL 2 MINUTES")
+          && $"b_ts" <= $"a_ts" + expr("INTERVAL 2 MINUTES"))
+        .select($"a_user", $"a_id", $"b_id"),
+      "append", "tw_join")
+    // aggregate the emitted pair stream batch-side (chaining a streaming
+    // agg after a stream-stream join is its own operator-support question;
+    // the twin pins the JOIN) — must equal the oracle'd per-user counts
+    val got = spark.table("tw_join").groupBy($"a_user")
+      .agg(count(lit(1)).as("pairs"))
+      .select($"a_user".as("user_id"), $"pairs")
+      .orderBy("user_id").collect().toSeq
+    assert(got == batch("q_interval_join"), "streaming interval join != batch twin")
+    q.stop()
+  }
+
+  test("unwindowed agg twin (update mode) == oracle'd q_agg_unwindowed") {
+    import spark.implicits._
+    val (_, s) = staged("lineitem")
+    val q = drain(
+      s.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          round(min($"l_quantity"), 2).as("min_qty"),
+          round(max($"l_quantity"), 2).as("max_qty"),
+          round(avg($"l_discount"), 6).as("avg_disc")),
+      "update", "tw_agg")
+    val got = spark.table("tw_agg").orderBy("l_suppkey").collect().toSeq
+    assert(got == batch("q_agg_unwindowed"), "streaming agg != batch twin")
+    q.stop()
+  }
+
+  test("stateless filter/project twin (append) == oracle'd q_filter_project") {
+    import spark.implicits._
+    val (_, s) = staged("events")
+    val q = drain(
+      s.filter($"event_type" === "purchase" && $"value" > 100.0)
+        .select($"event_id", $"user_id",
+          round($"value" * lit(2) - lit(1), 4).as("v2")),
+      "append", "tw_filter")
+    val got = spark.table("tw_filter").orderBy("event_id").collect().toSeq
+    assert(got == batch("q_filter_project"), "streaming filter != batch twin")
+    q.stop()
+  }
+}
