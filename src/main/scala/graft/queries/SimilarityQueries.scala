@@ -63,6 +63,32 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // Embedding-space near-dup CLUSTERING: connected components over the
+    // cosine pair graph + canonical election — the embedding twin of
+    // q_dedup_clusters (same Graph.connectedComponents operator). Built on
+    // the brute-force ground-truth pairs so it stays exactly oracle-able;
+    // at scale the SAME composition runs over q_ann_lsh_bucketed's
+    // candidate pairs instead (bucketed edges in, identical CC + election).
+    "q_embed_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir)
+      val pairs = all.as("a").join(all.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
+          round(dot($"a.v", $"b.v"), 6).as("sim"))
+        .filter($"sim" >= 0.4)
+      val edges = pairs.select(explode(array(
+          struct($"d1".as("u"), $"d2".as("v")),
+          struct($"d2".as("u"), $"d1".as("v")))).as("e"))
+        .select($"e.u", $"e.v")
+      val labels = graft.operators.Graph.connectedComponents(edges)
+      val members = labels.select($"u".as("vec_id"), $"lbl".as("canonical_id"))
+      val sizes = members.groupBy($"canonical_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      members.join(sizes, "canonical_id")
+        .select($"vec_id", $"canonical_id", $"cluster_size")
+        .orderBy($"vec_id")
+    }),
+
     // Random-hyperplane LSH signatures — the bucketing primitive, verified
     // value-exactly cross-engine (the oracle re-derives the same md5-based
     // plane weights the LshWeights literal matrix was built from).
@@ -216,6 +242,24 @@ object SimilarityQueries extends QueryPack {
            SELECT a.vec_id d1, b.vec_id d2, ${dotSql("a.nv", "b.nv")} AS sim
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          WHERE sim >= 0.4 ORDER BY d1, d2""",
+    // CC replica: same recursive-CTE min-reachable-id as the text cluster
+    // oracle, over the cosine pair graph
+    "q_embed_clusters" ->
+      s"""${normCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         vp AS (SELECT d1, d2 FROM (
+           SELECT a.vec_id d1, b.vec_id d2, ${dotSql("a.nv", "b.nv")} AS sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           WHERE sim >= 0.4),
+         edges AS (SELECT d1 AS u, d2 AS v FROM vp UNION SELECT d2, d1 FROM vp),
+         walk(node, lbl) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT e2.u, w.lbl FROM edges e2 JOIN walk w ON w.node = e2.v),
+         cc AS (SELECT node AS vec_id, least(node, min(lbl)) AS canonical_id
+                FROM walk GROUP BY node)
+         SELECT vec_id, canonical_id,
+                count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+         FROM cc ORDER BY vec_id""",
     "q_lsh_signatures" ->
       """SELECT vec_id, list_sum(list_transform(range(0, 16), p ->
            CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
