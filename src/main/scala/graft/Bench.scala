@@ -38,8 +38,8 @@ object Bench {
     "q_lsh_signatures",        // hyperplane LSH signatures
     "q_ann_bruteforce",        // cosine top-k baseline
     "q_ann_lsh_bucketed",      // bucketed ANN scale path
-    "q_ann_ivf",
-    "q_ann_ivf_train",         // 2 Lloyd rounds of IVF centroid training               // IVF inverted-list ANN scale path
+    "q_ann_ivf",               // IVF inverted-list ANN scale path
+    "q_ann_ivf_train",         // 2 Lloyd rounds of IVF centroid training
     // q_embed_neardup is NOT here: O(n²) pairwise cosine is a correctness
     // anchor (like q_dedup_jaccard_exact); its scale path is q_ann_lsh_bucketed
     "q_multimodal_features",   // mapPartitions feature extraction

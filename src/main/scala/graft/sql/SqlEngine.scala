@@ -91,10 +91,20 @@ class SqlEngine(spark: SparkSession) {
       // to complete-mode snapshots: session merges REPLACE earlier windows
       // (a merged session has a new start), so upserting by window_start
       // would leave stale rows behind.
+      // a key output column must BE the bare group-key ref (unaliased or
+      // aliased to its own name) — a name match alone is not enough: an
+      // aggregate aliased to a key's name (COUNT(*) AS lang ... GROUP BY
+      // lang) would otherwise be mistaken for the key and the view would
+      // upsert on the aggregate VALUE, stranding stale rows
+      val keyOutputs = sel.items.collect {
+        case ItemExpr(ColRef(None, n), None) => n
+        case ItemExpr(ColRef(None, n), Some(a)) if a == n => n
+      }.toSet
       val keys = sel.groupBy.map(_.name) ++
         (if (fixedWindow(sel.from)) Seq("window_start") else Nil)
       val incremental = !needsAppendMode(sel.from) &&
         (!hasWindow(sel.from) || fixedWindow(sel.from)) &&
+        sel.groupBy.map(_.name).forall(keyOutputs.contains) &&
         keys.nonEmpty && keys.forall(plan.columns.contains)
       Started(
         if (incremental) engine.createViewIncremental(name, plan, keys)

@@ -351,21 +351,23 @@ object Translate {
     else throw new IllegalArgumentException(
       s"no event-time column (_ts/ts) in [${df.columns.mkString(",")}]")
 
-  private def planFrom(ref: TableRef, lookup: Lookup): Source = ref match {
+  private def planFrom(ref: TableRef, lookup: Lookup,
+                       declared: DeclaredTypes): Source = ref match {
     case TRStream(n) => Source(lookup(n).alias(n), None)
-    case TRSubquery(sel) => Source(plan(sel, lookup), None)
+    case TRSubquery(sel) => Source(plan(sel, lookup, declared = declared), None)
     case TRAlias(inner, a) =>
-      val s = planFrom(inner, lookup); Source(s.df.alias(a), s.window)
+      val s = planFrom(inner, lookup, declared); Source(s.df.alias(a), s.window)
     case TRWindowed(inner, w) =>
-      val s = planFrom(inner, lookup)
+      val s = planFrom(inner, lookup, declared)
       require(s.window.isEmpty, "nested windows are not supported")
       Source(s.df, Some(w))
-    case j: TRJoin => Source(planJoin(j, lookup), None)
+    case j: TRJoin => Source(planJoin(j, lookup, declared), None)
   }
 
-  private def planJoin(j: TRJoin, lookup: Lookup): DataFrame = {
-    val left = planFrom(j.l, lookup)
-    val right = planFrom(j.r, lookup)
+  private def planJoin(j: TRJoin, lookup: Lookup,
+                       declared: DeclaredTypes): DataFrame = {
+    val left = planFrom(j.l, lookup, declared)
+    val right = planFrom(j.r, lookup, declared)
     require(left.window.isEmpty && right.window.isEmpty,
       "joining time-windowed streams is not supported (Codegen/V1.hs:295-300)")
     // Streaming inputs must carry a watermark BEFORE a stream-stream join:
@@ -389,13 +391,13 @@ object Translate {
       case CrossC => qualifyCollisions(ldf.join(rdf, range, "inner"), j, ldf, rdf)
       case On(e) =>
         // type-check the join condition against both sides' schemas
-        // (bare + alias-qualified names)
-        val env: TypeCheck.Env =
-          TypeCheck.envOf(ldf) ++ TypeCheck.envOf(rdf) ++
-            TypeCheck.envOf(ldf).map { case (k, v) =>
-              s"${refAlias(j.l).toLowerCase}.$k" -> v } ++
-            TypeCheck.envOf(rdf).map { case (k, v) =>
-              s"${refAlias(j.r).toLowerCase}.$k" -> v }
+        // (bare + alias-qualified names), with declared dialect types
+        // (TIME/JSONB carried as strings) layered on top as in plan()
+        val lenv = TypeCheck.envOf(ldf) ++ dialectTypes(j.l, declared)
+        val renv = TypeCheck.envOf(rdf) ++ dialectTypes(j.r, declared)
+        val env: TypeCheck.Env = lenv ++ renv ++
+          lenv.map { case (k, v) => s"${refAlias(j.l).toLowerCase}.$k" -> v } ++
+          renv.map { case (k, v) => s"${refAlias(j.r).toLowerCase}.$k" -> v }
         TypeCheck.check(e, env)
         qualifyCollisions(ldf.join(rdf, range && column(e, resolve, env), j.joinType),
           j, ldf, rdf)
@@ -503,7 +505,7 @@ object Translate {
 
   def plan(sel: Select, lookup: Lookup, grace: String = "24 hours",
            declared: DeclaredTypes = _ => Map.empty): DataFrame = {
-    val src = planFrom(sel.from, lookup)
+    val src = planFrom(sel.from, lookup, declared)
     val base0 = src.df
 
     // Schema-aware type validation (the type-compatibility rules of

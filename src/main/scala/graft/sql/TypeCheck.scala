@@ -170,8 +170,11 @@ object TypeCheck {
 
     case "+" | "-" =>
       (infer(l, env), infer(r, env)) match {
-        // TIME/DATE/TIMESTAMP ± INTERVAL (AST.hs:155-173); JSONB dynamic
+        // TIME/DATE/TIMESTAMP ± INTERVAL (AST.hs:155-173); JSONB dynamic;
+        // an UNKNOWN (None) left operand never rejects (best-effort
+        // contract) — only a PROVABLY non-temporal one does
         case (t @ Some(x), Some(TInterval)) if isTemporal(x) || x == TJson => t
+        case (None, Some(TInterval)) => None
         case (_, Some(TInterval)) | (Some(TInterval), _) =>
           fail(s"INTERVAL arithmetic needs a DATE/TIME/TIMESTAMP left operand")
         case (a, b) =>
@@ -227,8 +230,11 @@ object TypeCheck {
         case _ => infer(args.head, env)
       }
     } else name match {
-      case "SPLIT" | "CHUNKSOF" =>
+      case "SPLIT" => // SPLIT(s, delim)
         requireString(args.head, env, name); Some(TArray(TString))
+      case "CHUNKSOF" => // CHUNKSOF(n, s) — chunk size FIRST (SQL-v1.cf)
+        requireNum(args.head, env, name)
+        requireString(args.last, env, name); Some(TArray(TString))
       case "TAKE" | "TAKEEND" | "DROP" | "DROPEND" =>
         requireString(args.last, env, name); Some(TString)
       case "TO_STR" => infer(args.head, env); Some(TString)

@@ -339,6 +339,8 @@ class Engine(val spark: SparkSession) {
     * replay. */
   def startSourceConnector(name: String, stream: String, host: String,
                            port: Int): StreamingQuery = {
+    require(!queries.contains(s"connector_$name"),
+      s"connector $name already running; DROP it first")
     val internal = s"__conn_$name"
     createSocketStream(internal, host, port, schemaOf(stream),
       wire = isWireStream(stream))
@@ -354,6 +356,10 @@ class Engine(val spark: SparkSession) {
   def startSinkConnector(name: String, stream: String, host: String,
                          port: Int): StreamingQuery = {
     val qn = s"connector_$name"
+    // duplicate guard: a second query on the same checkpoint would corrupt
+    // offsets and orphan the first's handle in the registry
+    require(!queries.contains(qn),
+      s"connector $name already running; DROP it first")
     val encoded = graft.sources.WireFormat.encode(df(stream))
     def start() = encoded.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt(qn))
@@ -493,8 +499,12 @@ class Engine(val spark: SparkSession) {
     locally {
       val (fs, dirPath) = hadoopFs(state.dir)
       if (fs.exists(dirPath)) {
+        // only COMMITTED snapshots qualify (_SUCCESS marker): a crash mid
+        // parquet write leaves a partial b<N> that must not be served —
+        // the newest committed generation wins, not the lexically newest
         val prior = fs.listStatus(dirPath)
-          .filter(st => st.isDirectory && st.getPath.getName.matches("b\\d+"))
+          .filter(st => st.isDirectory && st.getPath.getName.matches("b\\d+") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
           .sortBy(_.getPath.getName.drop(1).toLong)
         prior.lastOption.foreach(st => state.snapshot = Some(st.getPath.toString))
       }

@@ -105,15 +105,23 @@ object StreamOps {
     val inputCols = aggs.map(_.input).filter(_ != "*").distinct
     val proj = df.select((keys ++ inputCols).distinct.map(col): _*)
     val schema = proj.schema
-    val keyIdx = keys.map(schema.fieldIndex)
-    val inIdx = aggs.map(a => if (a.input == "*") -1 else schema.fieldIndex(a.input))
-    def inType(a: RowAgg): DataType = schema(a.input).dataType
+    // select() above resolved names case-INSENSITIVELY and the projected
+    // schema carries the source's canonical casing — index the same way,
+    // or a key written as `Lang` over a declared `lang` column would crash
+    def fieldIdx(n: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0, s"column $n not in [${schema.fieldNames.mkString(",")}]")
+      i
+    }
+    val keyIdx = keys.map(fieldIdx)
+    val inIdx = aggs.map(a => if (a.input == "*") -1 else fieldIdx(a.input))
+    def inType(a: RowAgg): DataType = schema(fieldIdx(a.input)).dataType
     def integral(a: RowAgg): Boolean = inType(a) match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
     val outSchema = StructType(
-      keys.map(k => schema(schema.fieldIndex(k))) ++ aggs.map { a =>
+      keys.map(k => schema(fieldIdx(k))) ++ aggs.map { a =>
         StructField(a.name, a.kind match {
           case "count" => LongType
           // SUM keeps int for int inputs (op_add: int+int→int, AggOp.hs:73-81)
@@ -122,17 +130,24 @@ object StreamOps {
           case "min" | "max" => inType(a)
         })
       })
-    // accumulator slots: count → running count; sum/avg → (sum, n);
-    // min/max → current extremum of the input's own type
+    // accumulator slots: count → running count; sum/avg → (sum, n) with
+    // the sum in LONG for integral inputs — a Double accumulator would
+    // silently drop low-order bits past 2^53, where Spark's exact long sum
+    // (the non-per-row path) would not; min/max → input's own type
     val stateSchema = StructType(aggs.zipWithIndex.map { case (a, i) =>
       StructField(s"a$i", a.kind match {
         case "count" => LongType
         case "sum" | "avg" => StructType(Seq(
-          StructField("s", DoubleType), StructField("n", LongType)))
+          StructField("s", if (integral(a)) LongType else DoubleType),
+          StructField("n", LongType)))
         case "min" | "max" => inType(a)
       })
     })
     def lt(a: Any, b: Any): Boolean = (a, b) match {
+      // exact integral compares FIRST: doubleValue collapses longs that
+      // differ only below 2^53
+      case (x: java.lang.Long, y: java.lang.Long) => x.longValue < y.longValue
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.intValue < y.intValue
       case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
       case (x: String, y: String) => x < y
       case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
@@ -152,21 +167,24 @@ object StreamOps {
             case Some(s) => Array.tabulate(aggs.size) { i =>
               aggs(i).kind match {
                 case "sum" | "avg" =>
-                  val r = s.getStruct(i); (r.getDouble(0), r.getLong(1))
+                  val r = s.getStruct(i)
+                  if (integral(aggs(i))) (r.getLong(0), r.getLong(1))
+                  else (r.getDouble(0), r.getLong(1))
                 case _ => s.get(i)
               }
             }
             case None => aggs.map(a => a.kind match {
               case "count" => 0L
-              case "sum" | "avg" => (0.0, 0L)
+              case "sum" | "avg" => if (integral(a)) (0L, 0L) else (0.0, 0L)
               case _ => null
             }).toArray[Any]
           }
           def emitted: Row = Row.fromSeq(k.toSeq ++ aggs.indices.map { i =>
             (aggs(i).kind, acc(i)) match {
               case ("count", c) => c
-              case ("sum", (s: Double, n: Long)) =>
-                if (n == 0) null else if (integral(aggs(i))) s.toLong else s
+              case ("sum", (s: Long, n: Long)) => if (n == 0) null else s
+              case ("sum", (s: Double, n: Long)) => if (n == 0) null else s
+              case ("avg", (s: Long, n: Long)) => if (n == 0) null else s.toDouble / n
               case ("avg", (s: Double, n: Long)) => if (n == 0) null else s / n
               case (_, v) => v // min/max (null until a value arrives)
             }
@@ -178,9 +196,10 @@ object StreamOps {
                 case "count" => // COUNT(*) counts rows; COUNT(e) skips NULLs
                   if (inIdx(i) < 0 || v != null)
                     acc(i) = acc(i).asInstanceOf[Long] + 1L
-                case "sum" | "avg" => if (v != null) {
-                  val (s, n) = acc(i).asInstanceOf[(Double, Long)]
-                  acc(i) = (s + num(v), n + 1L)
+                case "sum" | "avg" => if (v != null) acc(i) match {
+                  case (s: Long, n: Long) =>
+                    acc(i) = (s + v.asInstanceOf[java.lang.Number].longValue, n + 1L)
+                  case (s: Double, n: Long) => acc(i) = (s + num(v), n + 1L)
                 }
                 case "min" => if (v != null && (acc(i) == null || lt(v, acc(i)))) acc(i) = v
                 case "max" => if (v != null && (acc(i) == null || lt(acc(i), v))) acc(i) = v
@@ -190,7 +209,8 @@ object StreamOps {
           }.toVector // materialize BEFORE state.update sees the final acc
           state.update(Row.fromSeq(aggs.indices.map { i =>
             acc(i) match {
-              case (s: Double, n: Long) => Row(s, n)
+              case (s, n: Long) if aggs(i).kind == "sum" || aggs(i).kind == "avg" =>
+                Row(s, n)
               case v => v
             }
           }))

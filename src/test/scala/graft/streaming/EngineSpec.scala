@@ -512,6 +512,28 @@ class EngineSpec extends SparkSpec {
     e.terminate("out18"); e.dropStream("s18")
   }
 
+  test("per-row integral SUM/MIN stay exact past 2^53 (long accumulator, not double)") {
+    val e = newEngine
+    val sch = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("_ts", TimestampType)))
+    e.createStream("s19", sch)
+    val big = (1L << 53) + 1L // indistinguishable from 2^53 in a Double
+    e.emitChangesPerRow("out19", e.df("s19"), Seq("k"), Seq(
+      StreamOps.RowAgg("sv", "sum", "v"), StreamOps.RowAgg("mn", "min", "v")))
+    e.insert("s19",
+      s"""{"k":"a","v":$big,"_ts":"2024-01-01 00:00:00"}""",
+      s"""{"k":"a","v":3,"_ts":"2024-01-01 00:00:01"}""",
+      s"""{"k":"a","v":${big - 1L},"_ts":"2024-01-01 00:00:02"}""")
+    e.processAll()
+    val last = spark.table("out19").collect().filter(_.getString(0) == "a").last
+    // double accumulation would report sum = 2^54+3 ± drop the low bit and
+    // min(big, big-1) could tie via doubleValue — both must be exact
+    assert(last.getLong(1) == big + 3L + (big - 1L), s"sum drifted: $last")
+    assert(last.getLong(2) == 3L)
+    e.terminate("out19"); e.dropStream("s19")
+  }
+
   test("query lifecycle: terminate, pause/resume, show (AST.hs:806-906)") {
     val e = newEngine
     e.createStream("s7", schema)
