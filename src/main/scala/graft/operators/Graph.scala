@@ -16,7 +16,10 @@ object Graph {
     * near-cliques — 2-3 rounds in practice).
     *
     * Returns (u, lbl): one row per node appearing in `edges`, labelled with
-    * its component's minimum node id. */
+    * its component's minimum node id. The returned relation is CACHED (it
+    * fed the final convergence check); the caller owns it — unpersist after
+    * consuming if the session runs many of these. Intermediate labels and
+    * the edge relation are released here. */
   def connectedComponents(edges0: DataFrame, maxIter: Int = 20): DataFrame = {
     import edges0.sparkSession.implicits._
     val edges = edges0.persist()
