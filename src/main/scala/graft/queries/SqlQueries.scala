@@ -7,8 +7,9 @@ import graft.sql.SqlEngine
   * through our parser → planner → Catalyst pipeline (graft.sql), batch mode
   * over the parquet tables. This puts the whole frontend inside the DuckDB
   * correctness gate: every construct here is dialect text, not DataFrame
-  * calls. (The driver sorts rows before hashing, so the dialect's lack of
-  * ORDER BY — SQL-v1.cf has no such production — doesn't matter.)
+  * calls. (The driver sorts rows before hashing, so row order never affects
+  * a gate; ORDER BY + LIMIT queries still gate exactly because a total
+  * order — unique tiebreaker — makes the limited SET deterministic.)
   */
 object SqlQueries extends QueryPack {
 
@@ -188,7 +189,23 @@ object SqlQueries extends QueryPack {
                 IS_INT(props ->> 'k') AS isint,
                 IS_STR(event_type) AS isstr,
                 TO_STR(user_id) AS us
-         FROM events;"""))
+         FROM events;""")),
+
+    // ORDER BY + LIMIT (dialect EXTENSION — no production in SQL-v1.cf,
+    // SURVEY §2.7; batch/pull only). Unique doc_id tiebreaker makes the
+    // top-20 SET deterministic; plans as TakeOrderedAndProject (per-
+    // partition top-n + driver merge), never a full sort.
+    "q_sql_orderby_limit" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id, n_chars FROM documents
+         WHERE lang = 'en' ORDER BY n_chars DESC, doc_id LIMIT 20;""")),
+
+    // ORDER BY an aggregate alias with LIMIT: top-3 (flag, status) groups
+    // by count. The alias binds to the projected aggregate (standard SQL
+    // scope); group keys break ties deterministically.
+    "q_sql_topn_groups" -> ((s, dir) => run(s, dir,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -324,6 +341,13 @@ object SqlQueries extends QueryPack {
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS isint,
            event_type IS NOT NULL AS isstr,
            user_id::VARCHAR AS us
-         FROM events"""
+         FROM events""",
+    "q_sql_orderby_limit" ->
+      """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+         ORDER BY n_chars DESC, doc_id LIMIT 20""",
+    "q_sql_topn_groups" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2
+         ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3"""
   )
 }

@@ -80,9 +80,17 @@ object Ast {
   case class ItemExpr(e: Expr, alias: Option[String]) extends SelectItem
   case class ItemWildcard(stream: Option[String]) extends SelectItem
 
+  /** ORDER BY item — dialect EXTENSION: the reference grammar has no
+    * ORDER BY/LIMIT production at all (SURVEY §2.7; no production in
+    * SQL-v1.cf). Batch/pull queries only; Validate rejects continuous
+    * forms, where a total order over an unbounded stream is undefined. */
+  case class OrderItem(e: Expr, desc: Boolean)
+
   case class Select(items: Seq[SelectItem], from: TableRef, where: Option[Expr],
                     groupBy: Seq[ColRef], having: Option[Expr],
-                    emitChanges: Boolean = false)
+                    emitChanges: Boolean = false,
+                    orderBy: Seq[OrderItem] = Nil,
+                    limit: Option[Long] = None)
 
   sealed trait Stmt
   case class SelectStmt(sel: Select) extends Stmt

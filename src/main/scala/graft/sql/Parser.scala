@@ -224,8 +224,21 @@ object Parser {
           cols.result()
         } else Nil
       val having = if (accept("HAVING")) Some(expr()) else None
+      // ORDER BY / LIMIT: dialect extension (no production in SQL-v1.cf —
+      // SURVEY §2.7); batch/pull only, Validate rejects continuous forms
+      val orderBy =
+        if (accept("ORDER")) { expect("BY")
+          val os = Seq.newBuilder[OrderItem]
+          do {
+            val e = expr()
+            val desc = if (accept("DESC")) true else { accept("ASC"); false }
+            os += OrderItem(e, desc)
+          } while (accept(","))
+          os.result()
+        } else Nil
+      val limitN = if (accept("LIMIT")) Some(intTok()) else None
       val emit = accept("EMIT") && { expect("CHANGES"); true }
-      Select(items.result(), from, where, groupBy, having, emit)
+      Select(items.result(), from, where, groupBy, having, emit, orderBy, limitN)
     }
 
     private def selectItem(): SelectItem =

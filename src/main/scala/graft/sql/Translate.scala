@@ -517,6 +517,7 @@ object Translate {
     sel.where.foreach(TypeCheck.check(_, env))
     sel.items.foreach { case ItemExpr(e, _) => TypeCheck.check(e, env); case _ => () }
     sel.having.foreach(TypeCheck.check(_, env))
+    sel.orderBy.foreach(o => TypeCheck.check(o.e, env))
 
     def resolve(c: ColRef): Column = c match {
       // collision-renamed join outputs carry the literal name "q.n"
@@ -540,7 +541,7 @@ object Translate {
         case ItemWildcard(Some(q)) => col(s"$q.*")
         case ItemExpr(e, alias) => column(e, resolve, env).as(alias.getOrElse(exprName(e)))
       }
-      filtered.select(cols: _*)
+      finishSelect(filtered, cols, Nil, sel, e => column(e, resolve, env))
     } else {
       // Reduce (Codegen/V1.hs:382-456)
       // GROUP BY on a column the relation doesn't have: reject with the
@@ -594,8 +595,45 @@ object Translate {
       val windowBounds = windowCol.toSeq.flatMap(_ => Seq(
         col(s"$windowName.start").as("window_start"),
         col(s"$windowName.end").as("window_end")))
-      havinged.select(itemCols ++ windowBounds: _*)
+      finishSelect(havinged, itemCols ++ windowBounds,
+        windowCol.toSeq.flatMap(_ => Seq("window_start", "window_end")), sel,
+        e => column(rewriteAggs(e, aggNames), postResolve, env))
     }
+  }
+
+  /** Final projection plus the ORDER BY / LIMIT extension (SURVEY §2.7 —
+    * no such production in the reference grammar; Validate restricts both
+    * to batch/pull queries). ORDER BY keys resolve standard-SQL style: a
+    * bare name that matches an output column binds to the PROJECTED value
+    * (so aliases of computed columns sort correctly); anything else is
+    * translated against the pre-projection relation and carried through as
+    * a hidden column, dropped after the sort. `orderBy.limit(n)` plans as
+    * TakeOrderedAndProject — a per-partition top-n plus a k-way driver
+    * merge, never a full global sort, which is the 100 TB-safe shape. */
+  private def finishSelect(pre: DataFrame, outCols: Seq[Column],
+                           extraOutNames: Seq[String], sel: Select,
+                           translate: Expr => Column): DataFrame = {
+    if (sel.orderBy.isEmpty)
+      return sel.limit.foldLeft(pre.select(outCols: _*))((d, n) => d.limit(n.toInt))
+    val outNames: Seq[String] = sel.items.flatMap {
+      case ItemExpr(e, alias) => Seq(alias.getOrElse(exprName(e)))
+      case ItemWildcard(None) => pre.columns.toSeq
+      case ItemWildcard(Some(_)) => Nil // qualified subset — hidden-column path
+    } ++ extraOutNames
+    val keys = sel.orderBy.zipWithIndex.map {
+      case (OrderItem(ColRef(None, n), desc), _)
+          if outNames.exists(_.equalsIgnoreCase(n)) =>
+        (col(n), desc, None)
+      case (OrderItem(e, desc), i) =>
+        (col(s"__graft_ord$i"), desc, Some(translate(e).as(s"__graft_ord$i")))
+    }
+    val hidden = keys.collect { case (_, _, Some(c)) => c }
+    val sortCols = keys.map { case (c, desc, _) => if (desc) c.desc else c.asc }
+    val sorted = pre.select(outCols ++ hidden: _*).orderBy(sortCols: _*)
+    // limit BEFORE dropping the hidden keys, so the cut respects the sort
+    val limited = sel.limit.foldLeft(sorted)((d, n) => d.limit(n.toInt))
+    keys.collect { case (c, _, Some(_)) => c }
+      .foldLeft(limited)((d, c) => d.drop(c))
   }
 
   /** Full fn translation including literal-arg special cases. */

@@ -32,10 +32,10 @@ object Validate {
   def apply(stmt: Stmt): Stmt = { checkStmt(stmt); stmt }
 
   private def checkStmt(stmt: Stmt): Unit = stmt match {
-    case SelectStmt(sel) => checkSelect(sel)
-    case CreateStreamAs(_, sel, _) => checkSelect(sel)
-    case CreateView(_, sel) => checkSelect(sel)
-    case InsertSel(_, sel) => checkSelect(sel)
+    case SelectStmt(sel) => checkSelect(sel, continuous = sel.emitChanges)
+    case CreateStreamAs(_, sel, _) => checkSelect(sel, continuous = true)
+    case CreateView(_, sel) => checkSelect(sel, continuous = true)
+    case InsertSel(_, sel) => checkSelect(sel, continuous = true)
     case CreateStream(name, schema, _) =>
       val dups = schema.map(_._1).groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
       if (dups.nonEmpty)
@@ -50,13 +50,23 @@ object Validate {
     case _ => ()
   }
 
-  private def checkSelect(sel: Select): Unit = {
+  private def checkSelect(sel: Select, continuous: Boolean = false): Unit = {
     // duplicate output aliases (Validate.hs `sel` case: DerivedColAs with a
     // repeated Ident is rejected)
     val aliases = sel.items.collect { case ItemExpr(_, Some(a)) => a }
     val dupAliases = aliases.groupBy(identity).collect { case (a, vs) if vs.size > 1 => a }
     if (dupAliases.nonEmpty)
       fail(s"duplicate column alias in SELECT: ${dupAliases.mkString(", ")}")
+
+    // ORDER BY / LIMIT are a batch/pull-only extension (SURVEY §2.7): a
+    // total order over an unbounded stream is undefined, and Spark rejects
+    // sorting on streaming plans — surface that as a dialect rule, not a
+    // deep Catalyst error
+    if (continuous && (sel.orderBy.nonEmpty || sel.limit.nonEmpty))
+      fail("ORDER BY / LIMIT are not supported in continuous queries " +
+        "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
+        "use a batch/pull SELECT")
+    sel.orderBy.foreach(o => checkExpr(o.e, aggAllowed = true, where = "ORDER BY"))
 
     // aggregates are not allowed in WHERE (Validate.hs:521: "Aggregate
     // functions are not allowed in WHERE clause, HAVING clause and JOIN
@@ -69,20 +79,20 @@ object Validate {
     }
     sel.having.foreach(checkExpr(_, aggAllowed = true, where = "HAVING clause"))
     sel.groupBy.foreach(c => checkExpr(c, aggAllowed = false, where = "GROUP BY"))
-    checkFrom(sel.from, inJoin = false)
+    checkFrom(sel.from, inJoin = false, continuous = continuous)
   }
 
-  private def checkFrom(ref: TableRef, inJoin: Boolean): Unit = ref match {
+  private def checkFrom(ref: TableRef, inJoin: Boolean, continuous: Boolean): Unit = ref match {
     case TRStream(_) => ()
-    case TRSubquery(s) => checkSelect(s)
-    case TRAlias(inner, _) => checkFrom(inner, inJoin)
+    case TRSubquery(s) => checkSelect(s, continuous)
+    case TRAlias(inner, _) => checkFrom(inner, inJoin, continuous)
     case TRWindowed(inner, win) =>
       // windowed relations cannot be join inputs (Codegen/V1.hs:295-300
       // "Joining time-windowed and non-time-windowed streams is not
       // supported") — rejected HERE at parse time, not at plan time
       if (inJoin) fail("joining time-windowed streams is not supported (window the join's result instead)")
       checkWindow(win)
-      checkFrom(inner, inJoin)
+      checkFrom(inner, inJoin, continuous)
     case TRJoin(l, r, _, cond, within) =>
       if (within.n <= 0)
         fail(s"WITHIN interval must be positive, got ${within.n} ${within.unit}")
@@ -91,8 +101,8 @@ object Validate {
         case Using(cols) if cols.isEmpty => fail("USING () requires at least one column")
         case _ => ()
       }
-      checkFrom(l, inJoin = true)
-      checkFrom(r, inJoin = true)
+      checkFrom(l, inJoin = true, continuous = continuous)
+      checkFrom(r, inJoin = true, continuous = continuous)
   }
 
   private def checkWindow(win: WindowSpec): Unit = win match {

@@ -171,4 +171,20 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parseExpr("-3.5") == NumLit(-3.5))
     assert(Parser.parseExpr("\"Weird Name\"") == ColRef(None, "Weird Name"))
   }
+
+  test("ORDER BY / LIMIT extension (SURVEY §2.7 — absent from SQL-v1.cf)") {
+    val s = Parser.parse(
+      "SELECT a, b FROM s1 ORDER BY b DESC, a LIMIT 10;")
+      .asInstanceOf[SelectStmt].sel
+    assert(s.orderBy == Seq(OrderItem(ColRef(None, "b"), desc = true),
+      OrderItem(ColRef(None, "a"), desc = false)))
+    assert(s.limit.contains(10L))
+    // LIMIT alone; explicit ASC; expression keys
+    val t = Parser.parse("SELECT a FROM s1 LIMIT 3;").asInstanceOf[SelectStmt].sel
+    assert(t.orderBy.isEmpty && t.limit.contains(3L))
+    val u = Parser.parse("SELECT a FROM s1 ORDER BY a * 2 ASC;")
+      .asInstanceOf[SelectStmt].sel
+    assert(u.orderBy == Seq(OrderItem(Bin("*", ColRef(None, "a"), IntLit(2)), desc = false))
+      && u.limit.isEmpty)
+  }
 }

@@ -309,4 +309,28 @@ class SqlEngineSpec extends SparkSpec {
     val df = e.sql("SELECT id FROM t7 WHERE s = NULL;").asInstanceOf[e.Rows]
     assert(df.df.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("batch ORDER BY / LIMIT: alias keys, hidden keys, TakeOrdered plan") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq((1L, "a", 5.0), (2L, "b", 1.0), (3L, "c", 9.0),
+      (4L, "d", 3.0))).toDF("id", "s", "x").createOrReplaceTempView("ob1")
+    // key on a computed-column ALIAS (binds to the projected value)
+    val byAlias = e.batch("SELECT id, x * 2 AS d FROM ob1 ORDER BY d DESC LIMIT 2;")
+    assert(byAlias.collect().map(_.getLong(0)).toSeq == Seq(3L, 1L))
+    // key NOT in the SELECT list (hidden-column path; column then dropped)
+    val hidden = e.batch("SELECT s FROM ob1 ORDER BY x LIMIT 2;")
+    assert(hidden.columns.toSeq == Seq("s"))
+    assert(hidden.collect().map(_.getString(0)).toSeq == Seq("b", "d"))
+    // ORDER BY an aggregate over grouped data
+    spark.createDataFrame(Seq(("p", 1L), ("p", 2L), ("q", 10L), ("r", 5L)))
+      .toDF("k", "v").createOrReplaceTempView("ob2")
+    val agg = e.batch(
+      "SELECT k, SUM(v) AS sv FROM ob2 GROUP BY k ORDER BY SUM(v) DESC LIMIT 2;")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("q", 10L), ("r", 5L)))
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full global sort
+    val plan = e.batch("SELECT id FROM ob1 ORDER BY x LIMIT 2;")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -179,4 +179,16 @@ class ValidateSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(rows.toSet == Set(Some(42L), None, Some(7L)))
   }
+
+  test("ORDER BY / LIMIT rejected in continuous queries (batch/pull-only extension)") {
+    rejects("SELECT a FROM s ORDER BY a EMIT CHANGES;", "order by / limit")
+    rejects("SELECT a FROM s LIMIT 5 EMIT CHANGES;", "order by / limit")
+    rejects("CREATE STREAM o1 AS SELECT a FROM s ORDER BY a;", "order by / limit")
+    rejects("CREATE VIEW o2 AS SELECT a, COUNT(*) AS c FROM s GROUP BY a LIMIT 3;",
+      "order by / limit")
+    rejects("INSERT INTO t SELECT a FROM s ORDER BY a LIMIT 1;", "order by / limit")
+    // a sorted subquery inside a continuous statement is just as unbounded
+    rejects("CREATE STREAM o3 AS SELECT a FROM (SELECT a FROM s ORDER BY a) AS x;",
+      "order by / limit")
+  }
 }
