@@ -205,7 +205,31 @@ object SqlQueries extends QueryPack {
     "q_sql_topn_groups" -> ((s, dir) => run(s, dir,
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3;"""))
+         ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3;""")),
+
+    // Set operations (dialect EXTENSION — SURVEY §2.7: no UNION/INTERSECT/
+    // EXCEPT production exists in SQL-v1.cf; the reference's V1 codegen
+    // throws on its internal Union node, Codegen/V1.hs:457-460). Distinct
+    // UNION: nation keys present in either table, deduplicated.
+    "q_sql_union" -> ((s, dir) => run(s, dir,
+      """SELECT c_nationkey AS k FROM customer
+         UNION SELECT s_nationkey AS k FROM supplier;""")),
+
+    // INTERSECT + EXCEPT (parenthesized — identical grouping on both
+    // engines): keys in both tables, minus low-numbered nations.
+    "q_sql_setops" -> ((s, dir) => run(s, dir,
+      """(SELECT c_nationkey AS k FROM customer
+         INTERSECT SELECT s_nationkey AS k FROM supplier)
+         EXCEPT SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10;""")),
+
+    // UNION ALL as a FROM-subquery feeding an aggregate: per-nation row
+    // counts across both relations in one Catalyst plan (positional
+    // matching, one shuffle for the groupBy).
+    "q_sql_union_all_agg" -> ((s, dir) => run(s, dir,
+      """SELECT k, COUNT(*) AS c
+         FROM (SELECT c_nationkey AS k FROM customer
+               UNION ALL SELECT s_nationkey AS k FROM supplier) AS u
+         GROUP BY k;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -348,6 +372,18 @@ object SqlQueries extends QueryPack {
     "q_sql_topn_groups" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2
-         ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3"""
+         ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3""",
+    "q_sql_union" ->
+      """SELECT c_nationkey AS k FROM customer
+         UNION SELECT s_nationkey AS k FROM supplier""",
+    "q_sql_setops" ->
+      """(SELECT c_nationkey AS k FROM customer
+         INTERSECT SELECT s_nationkey AS k FROM supplier)
+         EXCEPT SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10""",
+    "q_sql_union_all_agg" ->
+      """SELECT k, count(*) AS c
+         FROM (SELECT c_nationkey AS k FROM customer
+               UNION ALL SELECT s_nationkey AS k FROM supplier) u
+         GROUP BY k"""
   )
 }

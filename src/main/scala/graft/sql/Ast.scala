@@ -58,7 +58,7 @@ object Ast {
   case class TRStream(name: String) extends TableRef
   /** FROM-clause subquery — parsed-but-rejected in the reference
     * (AST.hs:593 "Subquery is not supported yet"); we support it. */
-  case class TRSubquery(sel: Select) extends TableRef
+  case class TRSubquery(sel: Query) extends TableRef
   case class TRAlias(inner: TableRef, alias: String) extends TableRef
   sealed trait WindowSpec
   case class Tumble(size: IntervalLit) extends WindowSpec
@@ -86,24 +86,44 @@ object Ast {
     * forms, where a total order over an unbounded stream is undefined. */
   case class OrderItem(e: Expr, desc: Boolean)
 
+  /** A query body: a single SELECT or a set-operation tree over them.
+    * Set operations are a dialect EXTENSION (SURVEY §2.7: UNION/INTERSECT/
+    * EXCEPT productions don't exist in SQL-v1.cf; the reference's V1
+    * codegen throws on its internal Union plan node, Codegen/V1.hs:457-460,
+    * while V2 implements union — DiffFlow/Graph.hs:70-71). */
+  sealed trait Query {
+    def emitChanges: Boolean
+    def orderBy: Seq[OrderItem]
+    def limit: Option[Long]
+  }
+
   case class Select(items: Seq[SelectItem], from: TableRef, where: Option[Expr],
                     groupBy: Seq[ColRef], having: Option[Expr],
                     emitChanges: Boolean = false,
                     orderBy: Seq[OrderItem] = Nil,
-                    limit: Option[Long] = None)
+                    limit: Option[Long] = None) extends Query
+
+  /** op ∈ union/intersect/except; column matching is positional (standard
+    * SQL), output names come from the left operand. INTERSECT binds tighter
+    * than UNION/EXCEPT (standard precedence); chains are otherwise
+    * left-associative. Trailing ORDER BY/LIMIT bind to the whole tree. */
+  case class SetOp(op: String, all: Boolean, l: Query, r: Query,
+                   orderBy: Seq[OrderItem] = Nil,
+                   limit: Option[Long] = None,
+                   emitChanges: Boolean = false) extends Query
 
   sealed trait Stmt
-  case class SelectStmt(sel: Select) extends Stmt
+  case class SelectStmt(sel: Query) extends Stmt
   case class CreateStream(name: String, schema: Seq[(String, SqlType)],
                           options: Map[String, Expr]) extends Stmt
-  case class CreateStreamAs(name: String, sel: Select,
+  case class CreateStreamAs(name: String, sel: Query,
                             options: Map[String, Expr]) extends Stmt
-  case class CreateView(name: String, sel: Select) extends Stmt
+  case class CreateView(name: String, sel: Query) extends Stmt
   case class InsertValues(stream: String, cols: Seq[String], vals: Seq[Expr]) extends Stmt
   case class InsertJson(stream: String, json: String) extends Stmt
   /** INSERT … VALUES '…' :: BYTEA — opaque binary payload. */
   case class InsertRaw(stream: String, raw: String) extends Stmt
-  case class InsertSel(stream: String, sel: Select) extends Stmt
+  case class InsertSel(stream: String, sel: Query) extends Stmt
   case class Show(what: String) extends Stmt
   /** CREATE SOURCE/SINK CONNECTOR — external CDC task metadata
     * (SQL-v1.cf:54-60); execution is out of engine scope (the reference

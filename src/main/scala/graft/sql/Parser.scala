@@ -115,7 +115,7 @@ object Parser {
 
     def statement(): Stmt = {
       val s = kwPeek match {
-        case "SELECT" => SelectStmt(select())
+        case "SELECT" | "(" => SelectStmt(query())
         case "CREATE" => create()
         case "INSERT" => insert()
         case "SHOW" => next(); val w = kwPeek; next(); Show(w)
@@ -141,7 +141,7 @@ object Parser {
     }
 
     private def statementNoSemi(): Stmt = kwPeek match {
-      case "SELECT" => SelectStmt(select())
+      case "SELECT" | "(" => SelectStmt(query())
       case "CREATE" => create()
       case k => throw new IllegalArgumentException(s"EXPLAIN does not support: $k")
     }
@@ -149,11 +149,11 @@ object Parser {
     private def create(): Stmt = {
       expect("CREATE")
       kwPeek match {
-        case "VIEW" => next(); val n = ident(); expect("AS"); CreateView(n, select())
+        case "VIEW" => next(); val n = ident(); expect("AS"); CreateView(n, query())
         case "STREAM" =>
           next(); val n = ident()
           if (accept("AS")) {
-            val sel = select()
+            val sel = query()
             CreateStreamAs(n, sel, if (isKw("WITH")) options() else Map.empty)
           } else if (isKw("(")) {
             expect("(")
@@ -207,10 +207,52 @@ object Parser {
           case other => throw new IllegalArgumentException(
             s"INSERT VALUES expects a raw/json string, got $other")
         }
-      } else InsertSel(n, select())
+      } else InsertSel(n, query())
     }
 
+    /** Query body: SELECT cores chained by set operations (dialect
+      * extension, SURVEY §2.7 — the reference grammar has no UNION/
+      * INTERSECT/EXCEPT). INTERSECT binds tighter than UNION/EXCEPT
+      * (standard precedence); trailing ORDER BY / LIMIT / EMIT CHANGES
+      * bind to the WHOLE tree, not the last branch. */
+    def query(): Query = {
+      var l = intersectChain()
+      var done = false
+      while (!done) kwPeek match {
+        case op @ ("UNION" | "EXCEPT") =>
+          next(); val all = accept("ALL")
+          l = SetOp(op.toLowerCase, all, l, intersectChain())
+        case _ => done = true
+      }
+      val (ob, lim, emit) = trailing()
+      l match {
+        case s: Select => s.copy(orderBy = ob, limit = lim, emitChanges = emit)
+        case so: SetOp => so.copy(orderBy = ob, limit = lim, emitChanges = emit)
+      }
+    }
+
+    private def intersectChain(): Query = {
+      var l = queryBranch()
+      while (isKw("INTERSECT")) {
+        next(); val all = accept("ALL")
+        l = SetOp("intersect", all, l, queryBranch())
+      }
+      l
+    }
+
+    /** One set-op operand: a bare SELECT core, or a parenthesized query
+      * (which may carry branch-level ORDER BY/LIMIT, standard SQL). */
+    private def queryBranch(): Query =
+      if (isKw("(")) { next(); val q = query(); expect(")"); q }
+      else selectCore()
+
     def select(): Select = {
+      val core = selectCore()
+      val (ob, lim, emit) = trailing()
+      core.copy(orderBy = ob, limit = lim, emitChanges = emit)
+    }
+
+    private def selectCore(): Select = {
       expect("SELECT")
       val items = Seq.newBuilder[SelectItem]
       do items += selectItem() while (accept(","))
@@ -224,8 +266,14 @@ object Parser {
           cols.result()
         } else Nil
       val having = if (accept("HAVING")) Some(expr()) else None
-      // ORDER BY / LIMIT: dialect extension (no production in SQL-v1.cf —
-      // SURVEY §2.7); batch/pull only, Validate rejects continuous forms
+      Select(items.result(), from, where, groupBy, having)
+    }
+
+    /** Trailing clauses shared by select() and query(): ORDER BY / LIMIT
+      * (dialect extension — no production in SQL-v1.cf, SURVEY §2.7;
+      * batch/pull only, Validate rejects continuous forms) and
+      * EMIT CHANGES. */
+    private def trailing(): (Seq[OrderItem], Option[Long], Boolean) = {
       val orderBy =
         if (accept("ORDER")) { expect("BY")
           val os = Seq.newBuilder[OrderItem]
@@ -238,7 +286,7 @@ object Parser {
         } else Nil
       val limitN = if (accept("LIMIT")) Some(intTok()) else None
       val emit = accept("EMIT") && { expect("CHANGES"); true }
-      Select(items.result(), from, where, groupBy, having, emit, orderBy, limitN)
+      (orderBy, limitN, emit)
     }
 
     private def selectItem(): SelectItem =
@@ -304,7 +352,7 @@ object Parser {
         case "(" =>
           // FROM-clause subquery (TableRefSubquery, SQL-v1.cf:135 — parsed
           // but rejected by the reference's refiner AST.hs:593; we support it)
-          next(); val sub = select(); expect(")")
+          next(); val sub = query(); expect(")")
           TRSubquery(sub)
         case "TUMBLE" =>
           next(); expect("(")

@@ -39,13 +39,13 @@ class SqlEngine(spark: SparkSession) {
   private val streamTypes =
     scala.collection.concurrent.TrieMap.empty[String, TypeCheck.Env]
 
-  def planOf(sel: Select): DataFrame =
+  def planOf(sel: Query): DataFrame =
     Translate.plan(sel, lookup,
       declared = n => streamTypes.getOrElse(n, Map.empty))
 
   /** Execute one statement. */
   def sql(text: String): Result = Parser.parse(text) match {
-    case SelectStmt(sel) if sel.emitChanges =>
+    case SelectStmt(q) if q.emitChanges =>
       // push query → sink named q<n> (Codegen/V1.hs:465-474's random sink
       // stream, minus the randomness). Update mode = the reference's
       // re-emit-per-row; session windows and stream-stream joins emit in
@@ -55,16 +55,20 @@ class SqlEngine(spark: SparkSession) {
       // GroupedStream.hs:102) instead of per-micro-batch coalescing.
       val name = s"q${queryCounter.incrementAndGet()}"
       val perRow = spark.conf.getOption("spark.graft.emitPerRow").contains("true")
-      if (needsAppendMode(sel.from)) Started(engine.createStreamAs(name, planOf(sel)))
-      else (if (perRow) perRowForm(sel) else None) match {
+      if (qNeedsAppendMode(q)) Started(engine.createStreamAs(name, planOf(q)))
+      else (q match {
+        case sel: Select if perRow => perRowForm(sel)
+        case _ => None // per-row cadence covers single-SELECT aggregates only
+      }) match {
         case Some((keys, aggs)) =>
+          val sel = q.asInstanceOf[Select]
           planOf(sel) // full plan-time validation (TypeCheck on the items)
           val src = planOf(Select(Seq(ItemWildcard(None)), sel.from, sel.where, Nil, None))
           Started(engine.emitChangesPerRow(name, src, keys, aggs))
-        case None => Started(engine.emitChanges(name, planOf(sel)))
+        case None => Started(engine.emitChanges(name, planOf(q)))
       }
-    case SelectStmt(sel) =>
-      Rows(planOf(sel)) // batch / pull query
+    case SelectStmt(q) =>
+      Rows(planOf(q)) // batch / pull query
     case CreateStream(name, schema, options) =>
       val opts = options.map {
         case (k, IntervalLit(n, u)) => k -> s"$n $u"
@@ -79,9 +83,15 @@ class SqlEngine(spark: SparkSession) {
       Done(s"stream $name created")
     case CreateStreamAs(name, sel, _) =>
       Started(engine.createStreamAs(name, planOf(sel)))
-    case CreateView(name, sel) =>
+    case CreateView(name, q) =>
       views.add(name)
-      val plan = planOf(sel)
+      val plan = planOf(q)
+      // Set-op-fed views (UNION ALL of streams) have no stable per-key
+      // identity to upsert on → complete-mode snapshots
+      val sel = q match {
+        case s: Select => s
+        case _ => return Started(engine.createView(name, plan))
+      }
       // Simple-key aggregates — unwindowed OR over FIXED windows
       // (TUMBLE/HOP, where a window's identity never changes) — maintain
       // the view INCREMENTALLY (update-mode upsert keyed by
@@ -245,7 +255,7 @@ class SqlEngine(spark: SparkSession) {
   private def fixedWindow(ref: TableRef): Boolean = ref match {
     case TRWindowed(_, _: Tumble | _: Hop) => true
     case TRAlias(i, _) => fixedWindow(i)
-    case TRSubquery(s) => fixedWindow(s.from)
+    case TRSubquery(s: Select) => fixedWindow(s.from)
     case _ => false
   }
 
@@ -253,8 +263,13 @@ class SqlEngine(spark: SparkSession) {
     case _: TRWindowed => true
     case TRAlias(i, _) => hasWindow(i)
     case TRJoin(l, r, _, _, _) => hasWindow(l) || hasWindow(r)
-    case TRSubquery(s) => hasWindow(s.from)
+    case TRSubquery(q) => qHasWindow(q)
     case _ => false
+  }
+
+  private def qHasWindow(q: Query): Boolean = q match {
+    case s: Select => hasWindow(s.from)
+    case SetOp(_, _, l, r, _, _, _) => qHasWindow(l) || qHasWindow(r)
   }
 
   private def needsAppendMode(ref: TableRef): Boolean = ref match {
@@ -262,8 +277,15 @@ class SqlEngine(spark: SparkSession) {
     case TRWindowed(i, _) => needsAppendMode(i)
     case TRAlias(i, _) => needsAppendMode(i)
     case _: TRJoin => true
-    case TRSubquery(s) => needsAppendMode(s.from)
+    case TRSubquery(q) => qNeedsAppendMode(q)
     case _ => false
+  }
+
+  /** A set op needs append mode if either operand does (the union emits
+    * whatever cadence its inputs can support). */
+  private def qNeedsAppendMode(q: Query): Boolean = q match {
+    case s: Select => needsAppendMode(s.from)
+    case SetOp(_, _, l, r, _, _, _) => qNeedsAppendMode(l) || qNeedsAppendMode(r)
   }
 
   /** Run a batch/pull SELECT and return its DataFrame (throws on non-SELECT). */

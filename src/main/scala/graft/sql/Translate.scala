@@ -461,7 +461,7 @@ object Translate {
     * can only under-approximate — an unknown type never rejects. */
   private def dialectTypes(ref: TableRef, declared: DeclaredTypes): TypeCheck.Env =
     ref match {
-      case TRSubquery(sel) => selTypes(sel, declared)
+      case TRSubquery(sel) => qTypes(sel, declared)
       case TRAlias(inner, a) =>
         val m = dialectTypes(inner, declared)
         m ++ m.map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
@@ -470,6 +470,13 @@ object Translate {
         dialectTypes(l, declared) ++ dialectTypes(r, declared)
       case TRStream(n) => declared(n)
     }
+
+  /** Dialect types of a query body's output: a set op takes the LEFT
+    * operand's names (standard SQL), so its types come from the left. */
+  private def qTypes(q: Query, declared: DeclaredTypes): TypeCheck.Env = q match {
+    case s: Select => selTypes(s, declared)
+    case SetOp(_, _, l, _, _, _, _) => qTypes(l, declared)
+  }
 
   private def selTypes(sel: Select, declared: DeclaredTypes): TypeCheck.Env = {
     val inner = dialectTypes(sel.from, declared)
@@ -503,8 +510,48 @@ object Translate {
     * registry here so TypeCheck sees the dialect type. */
   type DeclaredTypes = String => TypeCheck.Env
 
-  def plan(sel: Select, lookup: Lookup, grace: String = "24 hours",
-           declared: DeclaredTypes = _ => Map.empty): DataFrame = {
+  /** Plan a query body: a single SELECT, or a set-operation tree (dialect
+    * extension, SURVEY §2.7 — the reference's V1 codegen throws on its own
+    * Union node, Codegen/V1.hs:457-460; V2 implements union). Column
+    * matching is positional with the left operand's names (standard SQL);
+    * Spark's union/intersect/exceptAll plan as hash-partitioned
+    * aggregates/joins on the row value — shuffle-safe at scale. */
+  def plan(q: Query, lookup: Lookup, grace: String = "24 hours",
+           declared: DeclaredTypes = _ => Map.empty): DataFrame = q match {
+    case s: Select => planSelect(s, lookup, grace, declared)
+    case SetOp(op, all, l, r, ob, lim, _) =>
+      val ld = plan(l, lookup, grace, declared)
+      val rd = plan(r, lookup, grace, declared)
+      require(ld.columns.length == rd.columns.length,
+        s"set operation operands must have the same number of columns " +
+          s"(${ld.columns.length} vs ${rd.columns.length})")
+      val combined = (op, all) match {
+        case ("union", true) => ld.union(rd)
+        case ("union", false) => ld.union(rd).distinct()
+        case ("intersect", true) => ld.intersectAll(rd)
+        case ("intersect", false) => ld.intersect(rd)
+        case ("except", true) => ld.exceptAll(rd)
+        case ("except", false) => ld.except(rd)
+        case other => throw new IllegalArgumentException(s"bad set op: $other")
+      }
+      // ORDER BY over a set op resolves against the combined relation's
+      // (= left operand's) output columns
+      val env: TypeCheck.Env = TypeCheck.envOf(combined)
+      ob.foreach(o => TypeCheck.check(o.e, env))
+      def resolve(c: ColRef): Column = c match {
+        case ColRef(None, n) => col(n)
+        case ColRef(Some(q0), n) => col(s"$q0.$n")
+      }
+      val sorted =
+        if (ob.isEmpty) combined
+        else combined.orderBy(ob.map(o =>
+          if (o.desc) column(o.e, resolve, env).desc
+          else column(o.e, resolve, env).asc): _*)
+      lim.foldLeft(sorted)((d, n) => d.limit(n.toInt))
+  }
+
+  private def planSelect(sel: Select, lookup: Lookup, grace: String,
+                         declared: DeclaredTypes): DataFrame = {
     val src = planFrom(sel.from, lookup, declared)
     val base0 = src.df
 

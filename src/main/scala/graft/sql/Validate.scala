@@ -32,10 +32,10 @@ object Validate {
   def apply(stmt: Stmt): Stmt = { checkStmt(stmt); stmt }
 
   private def checkStmt(stmt: Stmt): Unit = stmt match {
-    case SelectStmt(sel) => checkSelect(sel, continuous = sel.emitChanges)
-    case CreateStreamAs(_, sel, _) => checkSelect(sel, continuous = true)
-    case CreateView(_, sel) => checkSelect(sel, continuous = true)
-    case InsertSel(_, sel) => checkSelect(sel, continuous = true)
+    case SelectStmt(q) => checkQuery(q, continuous = q.emitChanges)
+    case CreateStreamAs(_, q, _) => checkQuery(q, continuous = true)
+    case CreateView(_, q) => checkQuery(q, continuous = true)
+    case InsertSel(_, q) => checkQuery(q, continuous = true)
     case CreateStream(name, schema, _) =>
       val dups = schema.map(_._1).groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
       if (dups.nonEmpty)
@@ -48,6 +48,37 @@ object Validate {
       vals.foreach(checkExpr(_, aggAllowed = false, where = "INSERT VALUES"))
     case Explain(inner) => checkStmt(inner)
     case _ => ()
+  }
+
+  /** A query body: a single SELECT or a set-operation tree (dialect
+    * extension, SURVEY §2.7). Continuous forms allow only UNION ALL —
+    * streaming union is the one set op Spark (and the reference's V2
+    * union node, DiffFlow/Graph.hs:70-71) can run without unbounded
+    * distinct state; INTERSECT/EXCEPT/distinct-UNION are batch-only. */
+  private def checkQuery(q: Query, continuous: Boolean,
+                         top: Boolean = true): Unit = q match {
+    case s: Select =>
+      if (!top && s.emitChanges)
+        fail("EMIT CHANGES is only allowed at the top level of a query")
+      checkSelect(s, continuous)
+    case SetOp(op, all, l, r, ob, lim, emit) =>
+      if (!top && emit)
+        fail("EMIT CHANGES is only allowed at the top level of a query")
+      val cont = continuous || emit
+      if (cont && !(op == "union" && all))
+        fail(s"only UNION ALL is supported in continuous queries, not " +
+          s"${op.toUpperCase}${if (all) " ALL" else ""} — " +
+          "INTERSECT/EXCEPT/distinct UNION need unbounded state; " +
+          "use a batch/pull SELECT")
+      if (cont && (ob.nonEmpty || lim.nonEmpty))
+        fail("ORDER BY / LIMIT are not supported in continuous queries " +
+          "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
+          "use a batch/pull SELECT")
+      // set-op output rows carry no aggregation context: keys are plain
+      // expressions over the combined relation's columns
+      ob.foreach(o => checkExpr(o.e, aggAllowed = false, where = "ORDER BY"))
+      checkQuery(l, cont, top = false)
+      checkQuery(r, cont, top = false)
   }
 
   private def checkSelect(sel: Select, continuous: Boolean = false): Unit = {
@@ -84,7 +115,7 @@ object Validate {
 
   private def checkFrom(ref: TableRef, inJoin: Boolean, continuous: Boolean): Unit = ref match {
     case TRStream(_) => ()
-    case TRSubquery(s) => checkSelect(s, continuous)
+    case TRSubquery(s) => checkQuery(s, continuous, top = false)
     case TRAlias(inner, _) => checkFrom(inner, inJoin, continuous)
     case TRWindowed(inner, win) =>
       // windowed relations cannot be join inputs (Codegen/V1.hs:295-300

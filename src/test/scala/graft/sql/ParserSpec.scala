@@ -26,7 +26,7 @@ class ParserSpec extends AnyFunSuite {
   test("SELECT with WHERE/GROUP BY/HAVING/EMIT CHANGES") {
     val s = Parser.parse(
       "SELECT k, SUM(v) AS s FROM s1 WHERE v > 1 GROUP BY k HAVING SUM(v) < 10 EMIT CHANGES;")
-      .asInstanceOf[SelectStmt].sel
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(s.emitChanges)
     assert(s.groupBy == Seq(ColRef(None, "k")))
     assert(s.items == Seq(
@@ -37,17 +37,17 @@ class ParserSpec extends AnyFunSuite {
 
   test("windowed FROM: TUMBLE/HOP/SESSION (SQL-v1.cf:128-130)") {
     val s = Parser.parse(
-      "SELECT k FROM TUMBLE(s1, INTERVAL 5 MINUTE) GROUP BY k;").asInstanceOf[SelectStmt].sel
+      "SELECT k FROM TUMBLE(s1, INTERVAL 5 MINUTE) GROUP BY k;").asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(s.from == TRWindowed(TRStream("s1"), Tumble(IntervalLit(5, "MINUTE"))))
     val h = Parser.parse(
       "SELECT k FROM HOP(s1, INTERVAL 1 HOUR, INTERVAL 30 MINUTE) GROUP BY k;")
-      .asInstanceOf[SelectStmt].sel
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(h.from == TRWindowed(TRStream("s1"),
       Hop(IntervalLit(1, "HOUR"), IntervalLit(30, "MINUTE"))))
   }
 
   test("joins require WITHIN; all four condition forms (SQL-v1.cf:121-124)") {
-    def from(q: String) = Parser.parse(q).asInstanceOf[SelectStmt].sel.from
+    def from(q: String) = Parser.parse(q).asInstanceOf[SelectStmt].sel.asInstanceOf[Select].from
     from("SELECT * FROM s1 LEFT JOIN s2 ON s1.a = s2.b WITHIN (INTERVAL 1 MINUTE);") match {
       case TRJoin(TRStream("s1"), TRStream("s2"), "left", On(_), IntervalLit(1, "MINUTE")) =>
       case other => fail(other.toString)
@@ -150,7 +150,7 @@ class ParserSpec extends AnyFunSuite {
     }
     // `a-b` must lex as subtraction, not an identifier with a dash
     assert(Parser.parse("select a-b from s emit changes;").asInstanceOf[SelectStmt]
-      .sel.items.head == ItemExpr(Bin("-", ColRef(None, "a"), ColRef(None, "b")), None))
+      .sel.asInstanceOf[Select].items.head == ItemExpr(Bin("-", ColRef(None, "a"), ColRef(None, "b")), None))
     // raw/json insert payload forms
     assert(Parser.parse("""insert into s values '{"x": 1}' :: jsonb;""") ==
       InsertJson("s", """{"x": 1}"""))
@@ -175,16 +175,39 @@ class ParserSpec extends AnyFunSuite {
   test("ORDER BY / LIMIT extension (SURVEY §2.7 — absent from SQL-v1.cf)") {
     val s = Parser.parse(
       "SELECT a, b FROM s1 ORDER BY b DESC, a LIMIT 10;")
-      .asInstanceOf[SelectStmt].sel
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(s.orderBy == Seq(OrderItem(ColRef(None, "b"), desc = true),
       OrderItem(ColRef(None, "a"), desc = false)))
     assert(s.limit.contains(10L))
     // LIMIT alone; explicit ASC; expression keys
-    val t = Parser.parse("SELECT a FROM s1 LIMIT 3;").asInstanceOf[SelectStmt].sel
+    val t = Parser.parse("SELECT a FROM s1 LIMIT 3;").asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(t.orderBy.isEmpty && t.limit.contains(3L))
     val u = Parser.parse("SELECT a FROM s1 ORDER BY a * 2 ASC;")
-      .asInstanceOf[SelectStmt].sel
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(u.orderBy == Seq(OrderItem(Bin("*", ColRef(None, "a"), IntLit(2)), desc = false))
       && u.limit.isEmpty)
+  }
+
+  test("set operations: precedence, ALL, trailing clauses bind to the tree") {
+    val q = Parser.parse(
+      "SELECT a FROM s UNION ALL SELECT a FROM t ORDER BY a LIMIT 5;")
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[SetOp]
+    assert(q.op == "union" && q.all)
+    assert(q.orderBy == Seq(OrderItem(ColRef(None, "a"), desc = false)))
+    assert(q.limit.contains(5L))
+    // branch selects carry no trailing clauses of their own
+    assert(q.l.asInstanceOf[Select].orderBy.isEmpty)
+    // INTERSECT binds tighter than UNION (standard precedence):
+    // A UNION B INTERSECT C = A UNION (B INTERSECT C)
+    val p2 = Parser.parse(
+      "SELECT a FROM x UNION SELECT a FROM y INTERSECT SELECT a FROM z;")
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[SetOp]
+    assert(p2.op == "union" && !p2.all)
+    assert(p2.r.asInstanceOf[SetOp].op == "intersect")
+    // parenthesized branch with branch-level LIMIT
+    val p3 = Parser.parse(
+      "(SELECT a FROM x LIMIT 2) UNION SELECT a FROM y;")
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[SetOp]
+    assert(p3.l.asInstanceOf[Select].limit.contains(2L))
   }
 }

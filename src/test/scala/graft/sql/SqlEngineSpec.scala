@@ -333,4 +333,45 @@ class SqlEngineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("batch set operations: UNION/UNION ALL/INTERSECT/EXCEPT semantics") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(2L), Tuple1(3L)))
+      .toDF("a").createOrReplaceTempView("su_l")
+    spark.createDataFrame(Seq(Tuple1(2L), Tuple1(3L), Tuple1(4L)))
+      .toDF("b").createOrReplaceTempView("su_r")
+    def vals(sql: String) = e.batch(sql).collect().map(_.getLong(0)).toSeq.sorted
+    // positional matching; left operand names the output
+    val u = e.batch("SELECT a FROM su_l UNION SELECT b FROM su_r;")
+    assert(u.columns.toSeq == Seq("a"))
+    assert(vals("SELECT a FROM su_l UNION SELECT b FROM su_r;") == Seq(1L, 2L, 3L, 4L))
+    assert(vals("SELECT a FROM su_l UNION ALL SELECT b FROM su_r;") ==
+      Seq(1L, 2L, 2L, 2L, 3L, 3L, 4L))
+    assert(vals("SELECT a FROM su_l INTERSECT SELECT b FROM su_r;") == Seq(2L, 3L))
+    assert(vals("SELECT a FROM su_l EXCEPT SELECT b FROM su_r;") == Seq(1L))
+    // trailing ORDER BY/LIMIT over the whole tree
+    assert(e.batch("SELECT a FROM su_l UNION SELECT b FROM su_r ORDER BY a DESC LIMIT 2;")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 3L))
+    // set op as a FROM-subquery feeding an aggregate
+    assert(e.batch(
+      """SELECT a, COUNT(*) AS c FROM
+         (SELECT a FROM su_l UNION ALL SELECT b FROM su_r) AS x
+         GROUP BY a;""").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 3L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("continuous UNION ALL: CSAS over two live streams") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM ua1 (v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM ua2 (v INTEGER, _ts TIMESTAMP);")
+    e.sql("""CREATE STREAM ua_out AS
+             SELECT v, _ts FROM ua1 UNION ALL SELECT v, _ts FROM ua2;""")
+    e.sql("INSERT INTO ua1 (v, _ts) VALUES (1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO ua2 (v, _ts) VALUES (2, '2024-01-01 00:00:01');")
+    e.sql("INSERT INTO ua1 (v, _ts) VALUES (3, '2024-01-01 00:00:02');")
+    e.engine.processAll()
+    val got = e.batch("SELECT v FROM ua_out;").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+    e.sql("TERMINATE QUERY ua_out;")
+  }
 }

@@ -191,4 +191,12 @@ class ValidateSpec extends SparkSpec {
     rejects("CREATE STREAM o3 AS SELECT a FROM (SELECT a FROM s ORDER BY a) AS x;",
       "order by / limit")
   }
+
+  test("set ops in continuous queries: UNION ALL only; nested EMIT rejected") {
+    rejects("SELECT a FROM s INTERSECT SELECT a FROM t EMIT CHANGES;", "union all")
+    rejects("SELECT a FROM s EXCEPT SELECT a FROM t EMIT CHANGES;", "union all")
+    rejects("SELECT a FROM s UNION SELECT a FROM t EMIT CHANGES;", "union all")
+    rejects("CREATE STREAM su1 AS SELECT a FROM s EXCEPT SELECT a FROM t;", "union all")
+    rejects("SELECT a FROM (SELECT a FROM s EMIT CHANGES) AS x;", "top level")
+  }
 }
