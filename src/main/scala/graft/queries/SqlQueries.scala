@@ -229,7 +229,16 @@ object SqlQueries extends QueryPack {
       """SELECT k, COUNT(*) AS c
          FROM (SELECT c_nationkey AS k FROM customer
                UNION ALL SELECT s_nationkey AS k FROM supplier) AS u
-         GROUP BY k;"""))
+         GROUP BY k;""")),
+
+    // COUNT/SUM(DISTINCT …) — dialect EXTENSION (the reference has no
+    // DISTINCT inside aggregates besides TOPKDISTINCT, SURVEY §2.5).
+    // Batch-only; continuous queries are pointed at APPROX_COUNT_DISTINCT
+    // (mergeable HyperLogLog state — the 100 TB/streaming form).
+    "q_sql_count_distinct" -> ((s, dir) => run(s, dir,
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS cd,
+                SUM(DISTINCT l_linenumber) AS sd, COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -384,6 +393,13 @@ object SqlQueries extends QueryPack {
       """SELECT k, count(*) AS c
          FROM (SELECT c_nationkey AS k FROM customer
                UNION ALL SELECT s_nationkey AS k FROM supplier) u
-         GROUP BY k"""
+         GROUP BY k""",
+    "q_sql_count_distinct" ->
+      // ::BIGINT — DuckDB's sum(DISTINCT int) is HUGEINT (float in pandas);
+      // Spark's sum_distinct(int) is LongType. Same dtype fix as
+      // q_corpus_stats (r3).
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS cd,
+         sum(DISTINCT l_linenumber)::BIGINT AS sd, count(*) AS cnt
+         FROM lineitem GROUP BY 1"""
   )
 }

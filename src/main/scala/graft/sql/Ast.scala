@@ -29,8 +29,13 @@ object Ast {
   case class Not(e: Expr) extends Expr
   /** Named scalar function call (SQL-v1.cf:285-350). */
   case class Fn(name: String, args: Seq[Expr]) extends Expr
-  /** Aggregate (set function, SQL-v1.cf:264-273). star = COUNT(*). */
-  case class Agg(name: String, args: Seq[Expr], star: Boolean = false) extends Expr
+  /** Aggregate (set function, SQL-v1.cf:264-273). star = COUNT(*).
+    * distinct = COUNT/SUM(DISTINCT e) — dialect EXTENSION (the reference
+    * has no DISTINCT inside aggregates besides TOPKDISTINCT, SURVEY §2.5);
+    * batch-only (Spark streaming can't dedup exactly — Validate points
+    * continuous queries at APPROX_COUNT_DISTINCT instead). */
+  case class Agg(name: String, args: Seq[Expr], star: Boolean = false,
+                 distinct: Boolean = false) extends Expr
   case class Cast(e: Expr, dt: SqlType) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** 0-based index / half-open slice (SQL-v1.cf:204-211). */

@@ -72,7 +72,8 @@ object Parser {
     }
   }
 
-  private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK", "TOPKDISTINCT")
+  private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
+    "TOPKDISTINCT", "APPROX_COUNT_DISTINCT")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
     "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",
@@ -525,10 +526,11 @@ object Parser {
       if (aggNames.contains(kw) && toks(pos + 1) == TSym("(")) {
         next(); next()
         if (kw == "COUNT" && accept("*")) { expect(")"); return Agg("COUNT", Nil, star = true) }
+        val dist = accept("DISTINCT") // COUNT/SUM(DISTINCT e) extension
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))
         expect(")")
-        return Agg(kw, args.result())
+        return Agg(kw, args.result(), star = false, distinct = dist)
       }
       if ((unaryFns.contains(kw) || binaryFns.contains(kw) ||
            pipelineFns.contains(kw)) && toks(pos + 1) == TSym("(")) {

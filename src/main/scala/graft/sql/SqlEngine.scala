@@ -239,9 +239,9 @@ class SqlEngine(spark: SparkSession) {
     if (keyNames != keys) return None // keys first, groupBy order, unaliased
     val rowAggKinds = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
     val aggs = aggItems.map {
-      case ItemExpr(a @ Agg("COUNT", _, true), alias) =>
+      case ItemExpr(a @ Agg("COUNT", _, true, _), alias) =>
         Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), "count", "*"))
-      case ItemExpr(a @ Agg(k, Seq(ColRef(None, c)), false), alias) if rowAggKinds(k) =>
+      case ItemExpr(a @ Agg(k, Seq(ColRef(None, c)), false, false), alias) if rowAggKinds(k) =>
         Some(StreamOps.RowAgg(alias.getOrElse(Translate.exprName(a)), k.toLowerCase, c))
       case _ => None
     }

@@ -61,8 +61,10 @@ object Translate {
     * names by pretty-printed expression text, Planner.hs:178-222). */
   def exprName(e: Expr): String = e match {
     case ColRef(_, n) => n
-    case Agg(n, args, true) => s"${n}(*)".toLowerCase
-    case Agg(n, args, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
+    case Agg(n, args, true, _) => s"${n}(*)".toLowerCase
+    case Agg(n, args, _, true) =>
+      s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
+    case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Bin(op, l, r) => s"(${exprName(l)}$op${exprName(r)})"
     case IntLit(v) => v.toString
@@ -326,15 +328,23 @@ object Translate {
     * COUNT(e) skips NULLs per standard SQL, AVG is supported, MIN/MAX start
     * from NULL not FlowInt 0). */
   def aggColumn(a: Agg, resolve: ColRef => Column): Column = a match {
-    case Agg("COUNT", _, true) => count(lit(1))
-    case Agg("COUNT", Seq(e), _) => count(column(e, resolve))
-    case Agg("SUM", Seq(e), _) => sum(column(e, resolve))
-    case Agg("MIN", Seq(e), _) => min(column(e, resolve))
-    case Agg("MAX", Seq(e), _) => max(column(e, resolve))
-    case Agg("AVG", Seq(e), _) => avg(column(e, resolve))
-    case Agg("TOPK", Seq(e, IntLit(k)), _) =>
+    case Agg("COUNT", _, true, _) => count(lit(1))
+    // DISTINCT aggregates (extension; batch-only — Validate gates them):
+    // Spark plans these as a partial-dedup expand + final agg, shuffle-safe
+    case Agg("COUNT", Seq(e), _, true) => count_distinct(column(e, resolve))
+    case Agg("SUM", Seq(e), _, true) => sum_distinct(column(e, resolve))
+    case Agg("COUNT", Seq(e), _, _) => count(column(e, resolve))
+    case Agg("SUM", Seq(e), _, _) => sum(column(e, resolve))
+    case Agg("MIN", Seq(e), _, _) => min(column(e, resolve))
+    case Agg("MAX", Seq(e), _, _) => max(column(e, resolve))
+    case Agg("AVG", Seq(e), _, _) => avg(column(e, resolve))
+    // HyperLogLog++ sketch — the streaming/100 TB-scale form of COUNT
+    // DISTINCT (mergeable partial state, works in update-mode streaming)
+    case Agg("APPROX_COUNT_DISTINCT", Seq(e), _, _) =>
+      approx_count_distinct(column(e, resolve))
+    case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
-    case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _) =>
+    case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _, _) =>
       TopK.topkDistinct(column(e, resolve).cast("double"), k.toInt)
     case other => throw new IllegalArgumentException(s"bad aggregate: $other")
   }

@@ -145,7 +145,7 @@ object TypeCheck {
         case Some(t) => fail(s"array slice over non-array ${show(t)}")
       }
 
-    case Agg(name, args, star) => aggType(name, args, star, env)
+    case Agg(name, args, star, _) => aggType(name, args, star, env)
 
     case Fn(name, args) => fnType(name, args, env)
   }
@@ -207,6 +207,7 @@ object TypeCheck {
       case "TOPK" | "TOPKDISTINCT" => // isNumExpr both args (Validate.hs:121-123)
         args.foreach(a => requireNum(a, env, name))
         Some(TArray(TFloat))
+      case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
       case _ => args.foreach(infer(_, env)); None
     }
 

@@ -99,6 +99,18 @@ object Validate {
         "use a batch/pull SELECT")
     sel.orderBy.foreach(o => checkExpr(o.e, aggAllowed = true, where = "ORDER BY"))
 
+    // exact DISTINCT aggregates cannot run incrementally over a stream
+    // (Spark refuses distinct aggregation on streaming plans); the
+    // mergeable-sketch form can — point users at it
+    if (continuous) {
+      val distinctAggs = (sel.items.collect { case ItemExpr(e, _) => e } ++
+        sel.having.toSeq).flatMap(collectDistinctAggs)
+      if (distinctAggs.nonEmpty)
+        fail(s"${distinctAggs.head.name}(DISTINCT …) is not supported in " +
+          "continuous queries — use APPROX_COUNT_DISTINCT (mergeable " +
+          "HyperLogLog state) or a batch/pull SELECT")
+    }
+
     // aggregates are not allowed in WHERE (Validate.hs:521: "Aggregate
     // functions are not allowed in WHERE clause, HAVING clause and JOIN
     // condition" — HAVING over aggregates is standard SQL and the planner
@@ -164,15 +176,33 @@ object Validate {
     case _ => i.n
   }
 
+  private def collectDistinctAggs(e: Expr): Seq[Agg] = e match {
+    case a: Agg if a.distinct => Seq(a)
+    case Bin(_, l, r) => collectDistinctAggs(l) ++ collectDistinctAggs(r)
+    case Not(x) => collectDistinctAggs(x)
+    case Fn(_, args) => args.flatMap(collectDistinctAggs)
+    case Cast(x, _) => collectDistinctAggs(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectDistinctAggs)
+    case ArrIndex(x, _) => collectDistinctAggs(x)
+    case ArrSlice(x, _, _) => collectDistinctAggs(x)
+    case ArrLit(items) => items.flatMap(collectDistinctAggs)
+    case _ => Nil
+  }
+
   /** Expression walk: nested-aggregate rejection (Validate.hs:106
     * "Aggregate functions can not be nested"), aggregate-position rules,
     * and date/time literal well-formedness (Validate.hs date/time cases:
     * 2021-02-29 and 14:61:59 must be rejected at parse time). */
   private def checkExpr(e: Expr, aggAllowed: Boolean, where: String,
                         insideAgg: Boolean = false): Unit = e match {
-    case Agg(name, args, _) =>
+    case Agg(name, args, _, distinct) =>
       if (insideAgg) fail(s"aggregate functions cannot be nested: $name")
       if (!aggAllowed) fail(s"aggregate function $name is not allowed in $where")
+      // DISTINCT aggregates (extension): exact dedup only for COUNT/SUM;
+      // MIN/MAX(DISTINCT) is a no-op and the rest have no exact Spark form
+      if (distinct && !Set("COUNT", "SUM").contains(name))
+        fail(s"DISTINCT is supported for COUNT and SUM only, not $name " +
+          "(for approximate cardinality use APPROX_COUNT_DISTINCT)")
       name match {
         case "TOPK" | "TOPKDISTINCT" => args match {
           case Seq(v, IntLit(k)) =>

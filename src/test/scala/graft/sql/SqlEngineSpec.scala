@@ -374,4 +374,41 @@ class SqlEngineSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
     e.sql("TERMINATE QUERY ua_out;")
   }
+
+  test("DISTINCT aggregates + APPROX_COUNT_DISTINCT (extension)") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L),
+      ("b", 5L))).toDF("k", "v").createOrReplaceTempView("cd1")
+    val got = e.batch(
+      """SELECT k, COUNT(DISTINCT v) AS cd, SUM(DISTINCT v) AS sd,
+         COUNT(v) AS c FROM cd1 GROUP BY k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 2L, 3L, 3L), ("b", 1L, 5L, 2L)))
+    // approx sketch tracks exact closely at small cardinality
+    import org.apache.spark.sql.functions._
+    val n = 10000
+    spark.range(n).selectExpr("id % 1000 AS u").createOrReplaceTempView("cd2")
+    val approx = e.batch("SELECT APPROX_COUNT_DISTINCT(u) AS a FROM cd2;")
+    val a = approx.collect().head.getLong(0)
+    assert(math.abs(a - 1000L) <= 100L, s"approx=$a")
+  }
+
+  test("DISTINCT aggregate rejected in continuous queries, APPROX allowed") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM cds (k STRING, v INTEGER, _ts TIMESTAMP);")
+    val ex = intercept[Exception](e.sql(
+      "SELECT k, COUNT(DISTINCT v) AS cd FROM cds GROUP BY k EMIT CHANGES;"))
+    assert(ex.getMessage.contains("APPROX_COUNT_DISTINCT"))
+    // the sketch form runs as a live update-mode query
+    val q = e.sql(
+      "SELECT k, APPROX_COUNT_DISTINCT(v) AS acd FROM cds GROUP BY k EMIT CHANGES;")
+      .asInstanceOf[e.Started]
+    Seq(1, 1, 2, 3).zipWithIndex.foreach { case (v, i) =>
+      e.sql(s"INSERT INTO cds (k, v, _ts) VALUES ('a', $v, '2024-01-01 00:00:0$i');")
+    }
+    e.engine.processAll()
+    val last = spark.table(q.query.name).collect().map(r => r.getLong(1)).max
+    assert(last == 3L)
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
 }
