@@ -102,6 +102,35 @@ object DedupQueries extends QueryPack {
     // surviving candidates, and Jaccard compares int arrays, not strings.
     "q_dedup_minhash_lsh" -> ((s, dir) => lshPairs(s, dir).orderBy("d1", "d2")),
 
+    // LSH candidates verified by EDIT DISTANCE instead of Jaccard:
+    // dist ≤ 20% of the longer text (dist*5 ≤ max_len — integer form, no
+    // float threshold). The expensive O(len²) Levenshtein kernel runs on
+    // CANDIDATE PAIRS ONLY (the banded join prunes the n² pair space), the
+    // shape that keeps fuzzy dedup feasible at 100 TB.
+    "q_dedup_lsh_editdist" -> ((s, dir) => {
+      import s.implicits._
+      val sig = shingled(s, dir).select($"doc_id",
+          array((0 until 4).map(b =>
+            concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+            .as("bands"), size($"hs").as("nsh"))
+      val banded = sig.filter($"nsh" > 0) // degenerate-doc skew guard
+        .select($"doc_id", explode($"bands").as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      val txt = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      cand
+        .join(txt.as("t1"), $"d1" === $"t1.doc_id")
+        .join(txt.as("t2"), $"d2" === $"t2.doc_id")
+        .select($"d1", $"d2",
+          levenshtein($"t1.text", $"t2.text").as("dist"),
+          greatest(length($"t1.text"), length($"t2.text")).as("mx"))
+        .filter($"dist" * 5 <= $"mx")
+        .select($"d1", $"d2", $"dist")
+        .orderBy("d1", "d2")
+    }),
+
     // Near-dup CLUSTERING: connected components over the verified LSH pair
     // graph + canonical-doc election (min id per component) — the step that
     // turns pairwise near-dups into the actual corpus-dedup decision ("keep
@@ -311,6 +340,20 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" -> lshOracleSql,
+    "q_dedup_lsh_editdist" ->
+      s"""$shCte,
+         sig AS (SELECT doc_id, hs,
+           [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
+         FROM h),
+         banded AS (SELECT doc_id, unnest(bands) AS band FROM sig
+                    WHERE len(hs) > 0),
+         cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         ed AS (SELECT d1, d2, levenshtein(ta.text, tb.text) AS dist,
+                  greatest(length(ta.text), length(tb.text)) AS mx
+                FROM cand JOIN documents ta ON ta.doc_id = d1
+                          JOIN documents tb ON tb.doc_id = d2)
+         SELECT d1, d2, dist FROM ed WHERE dist * 5 <= mx ORDER BY d1, d2""",
     "q_dedup_clusters" -> clusterOracleSql,
     // q_dedup_minhash_lsh_fast deliberately absent (rows>0 gate only):
     // xxhash64 banding is not DuckDB-expressible and candidate recall is

@@ -238,7 +238,23 @@ object SqlQueries extends QueryPack {
     "q_sql_count_distinct" -> ((s, dir) => run(s, dir,
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS cd,
                 SUM(DISTINCT l_linenumber) AS sd, COUNT(*) AS cnt
-         FROM lineitem GROUP BY l_returnflag;"""))
+         FROM lineitem GROUP BY l_returnflag;""")),
+
+    // Exact PERCENTILE/MEDIAN (extension): linear interpolation — the same
+    // definition as DuckDB quantile_cont, so doubles hash-match. Per-lang
+    // doc-length distribution, a standard corpus-stats shape.
+    "q_sql_percentile" -> ((s, dir) => run(s, dir,
+      """SELECT lang, PERCENTILE(n_chars, 0.5) AS p50,
+                PERCENTILE(n_chars, 0.9) AS p90, MEDIAN(n_chars) AS med
+         FROM documents GROUP BY lang;""")),
+
+    // LEVENSHTEIN (extension): edit distance of each doc's 32-char prefix
+    // to its lowercased form = count of uppercase letters in the prefix —
+    // a deterministic per-row probe of the distance kernel.
+    "q_sql_levenshtein" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id,
+                LEVENSHTEIN(TAKE(32, text), TO_LOWER(TAKE(32, text))) AS ucase
+         FROM documents;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -400,6 +416,14 @@ object SqlQueries extends QueryPack {
       // q_corpus_stats (r3).
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS cd,
          sum(DISTINCT l_linenumber)::BIGINT AS sd, count(*) AS cnt
-         FROM lineitem GROUP BY 1"""
+         FROM lineitem GROUP BY 1""",
+    "q_sql_percentile" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+         quantile_cont(n_chars, 0.9) AS p90, median(n_chars::DOUBLE) AS med
+         FROM documents GROUP BY 1""",
+    "q_sql_levenshtein" ->
+      """SELECT doc_id,
+         levenshtein(left(text, 32), lower(left(text, 32))) AS ucase
+         FROM documents"""
   )
 }

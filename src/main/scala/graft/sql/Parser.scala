@@ -73,7 +73,7 @@ object Parser {
   }
 
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
-    "TOPKDISTINCT", "APPROX_COUNT_DISTINCT")
+    "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE", "MEDIAN")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
     "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",
@@ -84,7 +84,7 @@ object Parser {
   private val binaryFns = Set("IFNULL", "NULLIF", "DATETOSTRING",
     "STRINGTODATE", "SPLIT", "CHUNKSOF", "TAKE", "TAKEEND", "DROP", "DROPEND",
     "ARRAY_CONTAIN", "ARRAY_EXCEPT", "ARRAY_INTERSECT", "ARRAY_REMOVE",
-    "ARRAY_UNION", "ARRAY_JOIN")
+    "ARRAY_UNION", "ARRAY_JOIN", "LEVENSHTEIN")
   /** LLM-pipeline primitives (SURVEY §6) surfaced in the dialect — same
     * formulas as the Column API / SQL-UDF frontends (PipelineFunctions /
     * SqlFunctions), so the shared DuckDB oracles apply. */

@@ -241,6 +241,7 @@ object Translate {
       // column rides whole-stage codegen like the literal form
       if (a.size == 1) array_join(a(0), "")
       else call_function("array_join", a(0), a(1))
+    case "LEVENSHTEIN" => levenshtein(a(0), a(1))
     case "ARRAY_MAX" => array_max(a(0)); case "ARRAY_MIN" => array_min(a(0))
     case "ARRAY_SORT" => array_sort(a(0))
     // LLM-pipeline primitives (SURVEY §6) — same formulas as the Column
@@ -342,6 +343,18 @@ object Translate {
     // DISTINCT (mergeable partial state, works in update-mode streaming)
     case Agg("APPROX_COUNT_DISTINCT", Seq(e), _, _) =>
       approx_count_distinct(column(e, resolve))
+    // Exact percentile/median (extension; linear interpolation — the same
+    // definition as DuckDB's quantile_cont, so results hash-match). Sort-
+    // free: Spark's Percentile aggregate builds a per-group value map.
+    case Agg("PERCENTILE", Seq(e, p), _, _) =>
+      val frac = p match {
+        case NumLit(x) => x
+        case IntLit(x) => x.toDouble
+        case other => throw new IllegalArgumentException(
+          s"PERCENTILE fraction must be a literal, got $other")
+      }
+      percentile(column(e, resolve), lit(frac))
+    case Agg("MEDIAN", Seq(e), _, _) => median(column(e, resolve))
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
     case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _, _) =>

@@ -208,6 +208,8 @@ object TypeCheck {
         args.foreach(a => requireNum(a, env, name))
         Some(TArray(TFloat))
       case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
+      case "PERCENTILE" | "MEDIAN" => // numeric input, continuous output
+        args.foreach(a => requireNum(a, env, name)); Some(TFloat)
       case _ => args.foreach(infer(_, env)); None
     }
 
@@ -233,6 +235,8 @@ object TypeCheck {
     } else name match {
       case "SPLIT" => // SPLIT(s, delim)
         requireString(args.head, env, name); Some(TArray(TString))
+      case "LEVENSHTEIN" => // edit distance over two strings
+        args.foreach(a => requireString(a, env, name)); Some(TInt)
       case "CHUNKSOF" => // CHUNKSOF(n, s) — chunk size FIRST (SQL-v1.cf)
         requireNum(args.head, env, name)
         requireString(args.last, env, name); Some(TArray(TString))

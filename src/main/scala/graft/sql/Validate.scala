@@ -204,6 +204,20 @@ object Validate {
         fail(s"DISTINCT is supported for COUNT and SUM only, not $name " +
           "(for approximate cardinality use APPROX_COUNT_DISTINCT)")
       name match {
+        case "PERCENTILE" => args match {
+          case Seq(v, frac) =>
+            val f = frac match {
+              case NumLit(x) => x; case IntLit(x) => x.toDouble
+              case other => fail(s"PERCENTILE fraction must be a numeric literal, got $other")
+            }
+            if (f < 0.0 || f > 1.0) fail(s"PERCENTILE fraction must be in [0, 1], got $f")
+            checkExpr(v, aggAllowed, where, insideAgg = true)
+          case _ => fail("PERCENTILE requires (expr, fraction-literal)")
+        }
+        case "MEDIAN" => args match {
+          case Seq(v) => checkExpr(v, aggAllowed, where, insideAgg = true)
+          case _ => fail("MEDIAN requires exactly one argument")
+        }
         case "TOPK" | "TOPKDISTINCT" => args match {
           case Seq(v, IntLit(k)) =>
             if (k <= 0) fail(s"$name k must be positive, got $k")

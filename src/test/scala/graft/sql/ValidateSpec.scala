@@ -199,4 +199,11 @@ class ValidateSpec extends SparkSpec {
     rejects("CREATE STREAM su1 AS SELECT a FROM s EXCEPT SELECT a FROM t;", "union all")
     rejects("SELECT a FROM (SELECT a FROM s EMIT CHANGES) AS x;", "top level")
   }
+
+  test("PERCENTILE literal-fraction rules; DISTINCT limited to COUNT/SUM") {
+    rejects("SELECT PERCENTILE(v, 1.5) AS p FROM s;", "[0, 1]")
+    rejects("SELECT PERCENTILE(v, x) AS p FROM s;", "literal")
+    rejects("SELECT MEDIAN(v, 2) AS m FROM s;", "one argument")
+    rejects("SELECT AVG(DISTINCT v) AS a FROM s;", "count and sum")
+  }
 }
