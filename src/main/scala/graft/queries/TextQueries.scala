@@ -126,6 +126,46 @@ object TextQueries extends QueryPack {
           polyFingerprint(tokens($"text")).as("fp_poly"),
           hash60($"text").as("fp_int60"))
         .orderBy($"doc_id")
+    }),
+
+    // Vocabulary build: token → collection frequency + document frequency,
+    // floor-filtered — the input of BPE training, stopword discovery, and
+    // IDF weighting. The classic word-count shape: explode is map-side,
+    // the single shuffle is the partial-agg'd groupBy(token); at 100 TB
+    // the tf floor prunes the long hapax tail before any driver contact.
+    "q_text_vocab" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
+        .filter($"tf" >= 10)
+        .orderBy($"tok")
+    }),
+
+    // Per-doc top-3 TF-IDF terms — keyword extraction for retrieval/quality
+    // filters, and the repo's demonstration of ANALYTIC window functions
+    // (SURVEY §2.8: no OVER clause exists in the reference; free in Spark).
+    // Corpus size N is one scalar aggregate (a single count job, broadcast
+    // as a literal); ranking shuffles by doc_id only. Scores are rounded
+    // BEFORE ranking on both engines so rank ties break identically.
+    "q_text_tfidf_top" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select($"doc_id", $"tok").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val n = docs.count().toDouble
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+      tf.join(df, "tok")
+        .select($"doc_id", $"tok",
+          round($"tf" * log(lit(n) / $"df"), 6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"tok", $"score", $"rk")
+        .orderBy($"doc_id", $"rk")
     })
   )
 
@@ -211,6 +251,26 @@ object TextQueries extends QueryPack {
                list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
              (h, x) -> (h * 131 + x) % 1000000007) AS fp_poly,
            ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_int60
-         FROM d ORDER BY doc_id"""
+         FROM d ORDER BY doc_id""",
+    "q_text_vocab" ->
+      """SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY tok HAVING count(*) >= 10 ORDER BY tok""",
+    "q_text_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT doc_id, t.tok,
+                      round(tf * ln(n.n::DOUBLE / df), 6) AS score
+                    FROM tf t JOIN df USING (tok) CROSS JOIN n),
+         ranked AS (SELECT doc_id, tok, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, tok) AS rk
+                    FROM scored)
+         SELECT doc_id, tok, score, rk FROM ranked
+         WHERE rk <= 3 ORDER BY doc_id, rk"""
   )
 }
