@@ -254,7 +254,16 @@ object SqlQueries extends QueryPack {
     "q_sql_levenshtein" -> ((s, dir) => run(s, dir,
       """SELECT doc_id,
                 LEVENSHTEIN(TAKE(32, text), TO_LOWER(TAKE(32, text))) AS ucase
-         FROM documents;"""))
+         FROM documents;""")),
+
+    // FLATTEN + COUNT(DISTINCT): the vocabulary build through the dialect —
+    // FROM FLATTEN(rel, expr AS col) is the dialect's explode/UNNEST
+    // (extension), composing with TOKENS and DISTINCT aggregation. Same
+    // formula as q_text_vocab, so its oracle applies verbatim.
+    "q_sql_vocab" -> ((s, dir) => run(s, dir,
+      """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         FROM FLATTEN(documents, TOKENS(text) AS tok)
+         GROUP BY tok HAVING COUNT(*) >= 10;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -424,6 +433,7 @@ object SqlQueries extends QueryPack {
     "q_sql_levenshtein" ->
       """SELECT doc_id,
          levenshtein(left(text, 32), lower(left(text, 32))) AS ucase
-         FROM documents"""
+         FROM documents""",
+    "q_sql_vocab" -> TextQueries.oracleSql("q_text_vocab")
   )
 }

@@ -70,6 +70,11 @@ object Ast {
   case class Hop(size: IntervalLit, advance: IntervalLit) extends WindowSpec
   case class Session(gap: IntervalLit) extends WindowSpec
   case class TRWindowed(inner: TableRef, win: WindowSpec) extends TableRef
+  /** FROM FLATTEN(rel, expr AS col) — dialect EXTENSION: one output row
+    * per element of the (array-valued) expr, exposed as column `col`
+    * alongside the input row; the dialect form of explode/UNNEST. Works
+    * on streams too (a continuous tokenizer). */
+  case class TRFlatten(inner: TableRef, e: Expr, alias: String) extends TableRef
   sealed trait JoinCond
   case class On(expr: Expr) extends JoinCond
   case class Using(cols: Seq[String]) extends JoinCond

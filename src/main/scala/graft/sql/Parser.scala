@@ -371,6 +371,11 @@ object Parser {
           val in = tableRefUnit(); expect(",")
           val g = intervalLit(); expect(")")
           TRWindowed(in, Session(g))
+        case "FLATTEN" =>
+          next(); expect("(")
+          val in = tableRefUnit(); expect(",")
+          val e = expr(); expect("AS"); val a = ident(); expect(")")
+          TRFlatten(in, e, a)
         case _ => TRStream(ident())
       }
       if (accept("AS")) TRAlias(base, ident()) else base

@@ -255,6 +255,7 @@ class SqlEngine(spark: SparkSession) {
   private def fixedWindow(ref: TableRef): Boolean = ref match {
     case TRWindowed(_, _: Tumble | _: Hop) => true
     case TRAlias(i, _) => fixedWindow(i)
+    case TRFlatten(i, _, _) => fixedWindow(i)
     case TRSubquery(s: Select) => fixedWindow(s.from)
     case _ => false
   }
@@ -262,6 +263,7 @@ class SqlEngine(spark: SparkSession) {
   private def hasWindow(ref: TableRef): Boolean = ref match {
     case _: TRWindowed => true
     case TRAlias(i, _) => hasWindow(i)
+    case TRFlatten(i, _, _) => hasWindow(i)
     case TRJoin(l, r, _, _, _) => hasWindow(l) || hasWindow(r)
     case TRSubquery(q) => qHasWindow(q)
     case _ => false
@@ -276,6 +278,7 @@ class SqlEngine(spark: SparkSession) {
     case TRWindowed(i, _: Session) => true
     case TRWindowed(i, _) => needsAppendMode(i)
     case TRAlias(i, _) => needsAppendMode(i)
+    case TRFlatten(i, _, _) => needsAppendMode(i)
     case _: TRJoin => true
     case TRSubquery(q) => qNeedsAppendMode(q)
     case _ => false

@@ -384,6 +384,15 @@ object Translate {
       val s = planFrom(inner, lookup, declared)
       require(s.window.isEmpty, "nested windows are not supported")
       Source(s.df, Some(w))
+    case TRFlatten(inner, e, alias) =>
+      // one row per array element (explode = Spark's Generate — map-side,
+      // no shuffle); the element column joins the input row's columns
+      val s = planFrom(inner, lookup, declared)
+      def res(c: ColRef): Column = c match {
+        case ColRef(Some(q), n) => col(s"$q.$n")
+        case ColRef(None, n) => col(n)
+      }
+      Source(s.df.withColumn(alias, explode(column(e, res))), s.window)
     case j: TRJoin => Source(planJoin(j, lookup, declared), None)
   }
 
@@ -489,6 +498,7 @@ object Translate {
         val m = dialectTypes(inner, declared)
         m ++ m.map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
       case TRWindowed(inner, _) => dialectTypes(inner, declared)
+      case TRFlatten(inner, _, _) => dialectTypes(inner, declared)
       case TRJoin(l, r, _, _, _) =>
         dialectTypes(l, declared) ++ dialectTypes(r, declared)
       case TRStream(n) => declared(n)
@@ -518,6 +528,7 @@ object Translate {
     case TRStream(n) => n
     case TRAlias(_, a) => a
     case TRWindowed(i, _) => refAlias(i)
+    case TRFlatten(i, _, _) => refAlias(i)
     case j: TRJoin => refAlias(j.l)
     case _: TRSubquery =>
       throw new IllegalArgumentException("subquery in a join needs an AS alias")

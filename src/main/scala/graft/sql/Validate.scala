@@ -129,6 +129,9 @@ object Validate {
     case TRStream(_) => ()
     case TRSubquery(s) => checkQuery(s, continuous, top = false)
     case TRAlias(inner, _) => checkFrom(inner, inJoin, continuous)
+    case TRFlatten(inner, e, _) =>
+      checkExpr(e, aggAllowed = false, where = "FLATTEN")
+      checkFrom(inner, inJoin, continuous)
     case TRWindowed(inner, win) =>
       // windowed relations cannot be join inputs (Codegen/V1.hs:295-300
       // "Joining time-windowed and non-time-windowed streams is not

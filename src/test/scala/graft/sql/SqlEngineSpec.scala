@@ -411,4 +411,27 @@ class SqlEngineSpec extends SparkSpec {
     assert(last == 3L)
     e.sql(s"TERMINATE QUERY ${q.query.name};")
   }
+
+  test("FLATTEN: batch explode + live streaming tokenizer") {
+    val e = new SqlEngine(spark)
+    // batch: per-element rows with the input row's columns alongside
+    spark.createDataFrame(Seq((1L, "a b a"), (2L, "c")))
+      .toDF("id", "s").createOrReplaceTempView("fl1")
+    val got = e.batch(
+      """SELECT w, COUNT(*) AS n, COUNT(DISTINCT id) AS docs
+         FROM FLATTEN(fl1, SPLIT(s, ' ') AS w) GROUP BY w;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)))
+    // streaming: FLATTEN over a live stream (continuous tokenizer CSAS)
+    e.sql("CREATE STREAM fsrc (id INTEGER, s STRING, _ts TIMESTAMP);")
+    e.sql("""CREATE STREAM ftoks AS
+             SELECT id, w, _ts FROM FLATTEN(fsrc, SPLIT(s, ' ') AS w);""")
+    e.sql("INSERT INTO fsrc (id, s, _ts) VALUES (1, 'x y', '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO fsrc (id, s, _ts) VALUES (2, 'z', '2024-01-01 00:00:01');")
+    e.engine.processAll()
+    val toks = e.batch("SELECT id, w FROM ftoks;").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(toks == Set((1L, "x"), (1L, "y"), (2L, "z")))
+    e.sql("TERMINATE QUERY ftoks;")
+  }
 }
