@@ -86,6 +86,15 @@ class SqlEngine(spark: SparkSession) {
     case CreateView(name, q) =>
       views.add(name)
       val plan = planOf(q)
+      // SESSION-window / join-fed views: append-mode FileSink opt-in
+      // (spark.graft.sessionViewAppend=true) — closed sessions are
+      // immutable, so the store only appends: O(new rows) per trigger vs
+      // the complete-mode default's O(view) snapshot rewrite. Divergence
+      // (documented at Engine.createViewAppend): pulls see closed
+      // sessions only, the default also shows open ones.
+      if (qNeedsAppendMode(q) &&
+          spark.conf.getOption("spark.graft.sessionViewAppend").contains("true"))
+        return Started(engine.createViewAppend(name, plan))
       // Set-op-fed views (UNION ALL of streams) have no stable per-key
       // identity to upsert on → complete-mode snapshots
       val sel = q match {

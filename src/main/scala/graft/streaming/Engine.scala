@@ -531,6 +531,36 @@ class Engine(val spark: SparkSession) {
     q
   }
 
+  /** APPEND-mode view maintenance for SESSION-window (and join-fed)
+    * aggregations — the scale path complete-mode snapshots can't offer:
+    * once the watermark passes, a session is CLOSED and immutable, so the
+    * store is a FileSink parquet log that only ever appends —
+    * O(new sessions) write amplification per trigger vs O(view) for the
+    * snapshot rewrite. Exactly-once via the FileSink commit log; restart
+    * recovery is automatic (checkpoint resumes the query, pulls read the
+    * directory). Opt-in semantics divergence, documented: pulls see
+    * closed sessions only — sessions still open inside the watermark are
+    * buffered in streaming state and not yet visible (the complete-mode
+    * default shows them; the reference's incremental state does too,
+    * Core/View.hs:94-141). */
+  def createViewAppend(name: String, plan: DataFrame): StreamingQuery = {
+    val dir = s"$viewRoot/$name/alog"
+    appendViews(name) = (dir, plan.schema)
+    val q = plan.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt(s"view_$name"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    queries(name) = q
+    q
+  }
+
+  private val appendViews = TrieMap.empty[String, (String, StructType)]
+
+  /** Storage directory of an append-mode view (tests/diagnostics). */
+  private[graft] def appendViewDir(name: String): String = appendViews(name)._1
+
   // ---- incremental views (update-mode upsert; the 100× scale path) ---------
 
   /** view name → (dir, output schema, upsert keys, bucket count, serving
@@ -678,6 +708,17 @@ class Engine(val spark: SparkSession) {
     * materializing final output; SURVEY §3.2). Falls back to the session
     * catalog for names materialized elsewhere (e.g. memory-sink tests). */
   def pull(view: String, where: String = "true"): DataFrame =
+    appendViews.get(view) match {
+      case Some((dir, schema)) =>
+        val (fs, p) = hadoopFs(dir)
+        if (fs.exists(p)) spark.read.schema(schema).parquet(dir).where(where)
+        else // no session has closed yet: empty, correctly typed
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+            .where(where)
+      case None => pullNonAppend(view, where)
+    }
+
+  private def pullNonAppend(view: String, where: String): DataFrame =
     incViews.get(view) match {
       case Some(state) =>
         // resolved from the manifest at CALL time: each pull (and each

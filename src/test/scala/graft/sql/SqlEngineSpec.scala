@@ -434,4 +434,39 @@ class SqlEngineSpec extends SparkSpec {
     assert(toks == Set((1L, "x"), (1L, "y"), (2L, "z")))
     e.sql("TERMINATE QUERY ftoks;")
   }
+
+  test("SESSION view: append-mode FileSink opt-in is append-only storage") {
+    spark.conf.set("spark.graft.sessionViewAppend", "true")
+    try {
+      val e = new SqlEngine(spark)
+      e.sql("CREATE STREAM sav (k STRING, v INTEGER, _ts TIMESTAMP);")
+      e.sql("""CREATE VIEW savv AS SELECT k, COUNT(*) AS c
+               FROM SESSION(sav, INTERVAL 30 SECOND) GROUP BY k;""")
+      e.sql("INSERT INTO sav (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+      e.sql("INSERT INTO sav (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:10');")
+      e.engine.processAll()
+      // close the session: advance the watermark past gap + 24h grace
+      e.sql("INSERT INTO sav (k, v, _ts) VALUES ('z1', 0, '2024-01-03 00:00:00');")
+      e.engine.processAll()
+      val pull1 = e.batch("SELECT k, c FROM savv WHERE k = 'a';").collect()
+      assert(pull1.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 2L)))
+      // record the parquet files serving the view, then close ANOTHER session
+      def files = {
+        val dir = new java.io.File(e.engine.appendViewDir("savv"))
+        dir.listFiles((_, n) => n.endsWith(".parquet")).map(_.getName).toSet
+      }
+      val before = files
+      e.sql("INSERT INTO sav (k, v, _ts) VALUES ('b', 1, '2024-01-03 00:01:00');")
+      e.engine.processAll()
+      e.sql("INSERT INTO sav (k, v, _ts) VALUES ('z2', 0, '2024-01-05 00:00:00');")
+      e.engine.processAll()
+      val after = files
+      // append-only: every original file is still there, new ones arrived
+      assert(before.subsetOf(after), s"files rewritten: ${before -- after}")
+      assert(e.batch("SELECT k, c FROM savv;").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+        .contains(("b", 1L)))
+      e.sql("DROP VIEW savv;")
+    } finally spark.conf.unset("spark.graft.sessionViewAppend")
+  }
 }
