@@ -106,6 +106,43 @@ object ScaleProbe {
       graft.operators.Graph.connectedComponents(edges)
     }
 
+    // vocabulary build (q_text_vocab's shape): map-side explode, one
+    // partial-agg'd shuffle on token — the classic word-count; must stay
+    // linear in corpus size (distinct-doc 10× so df grows too)
+    def vocabShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      df.select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
+        .filter($"tf" >= 10)
+    }
+    // LSH + edit-distance verify (q_dedup_lsh_editdist's shape): the
+    // O(len²) Levenshtein kernel must run on candidate pairs only — time
+    // scales with candidates (≈ dups), not the n² pair space
+    def editdistShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      val sig = df
+        .withColumn("wh", transform(tokens($"text"), w => pmod(xxhash64(w), lit(1L << 32))))
+        .withColumn("hs", combineShingles3($"wh"))
+        .select($"doc_id", $"text",
+          array((0 until 4).map(b =>
+            concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+            .as("bands"), size($"hs").as("nsh"))
+        .persist()
+      val banded = sig.filter($"nsh" > 0)
+        .select($"doc_id", explode($"bands").as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+      val txt = sig.select($"doc_id", $"text")
+      cand.join(txt.as("t1"), $"d1" === $"t1.doc_id")
+        .join(txt.as("t2"), $"d2" === $"t2.doc_id")
+        .select($"d1", $"d2", levenshtein($"t1.text", $"t2.text").as("dist"),
+          greatest(length($"t1.text"), length($"t2.text")).as("mx"))
+        .filter($"dist" * 5 <= $"mx")
+        .select($"d1", $"d2", $"dist")
+    }
+
     // warmup
     time(aggShape(lineitem))
     val probes = Seq(
@@ -116,7 +153,10 @@ object ScaleProbe {
       "lsh_neardup_10pct_short_docs" ->
         (time(lshShape(withShorts(docs))), time(lshShape(withShorts(x10Distinct(docs))))),
       "cluster_cc_5k_vs_50k" ->
-        (time(clusterShape(docs)), time(clusterShape(x10Distinct(docs)))))
+        (time(clusterShape(docs)), time(clusterShape(x10Distinct(docs)))),
+      "vocab_5k_vs_50k" -> (time(vocabShape(docs)), time(vocabShape(x10Distinct(docs)))),
+      "lsh_editdist_5k_vs_50k" ->
+        (time(editdistShape(docs)), time(editdistShape(x10Distinct(docs)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")
