@@ -116,6 +116,24 @@ object ScaleProbe {
         .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
         .filter($"tf" >= 10)
     }
+    // 10× corpus where cross-copy texts share (almost) no shingles: each
+    // copy rotates the alphabet, so nearly every word differs between
+    // copies while TEXT LENGTH and within-copy near-dup structure are
+    // preserved exactly — the corpus grows 10× at the SAME dup rate and
+    // the SAME per-pair verify cost, which is what a real 10× crawl
+    // looks like. (x10Distinct's weak suffix perturbation leaves
+    // cross-copy docs as genuine near-dups: harmless when the verify
+    // kernel is cheap Jaccard, but an O(len²) verify probe would then
+    // measure the quadratic-in-copies dup structure of the DATA, not
+    // the plan.)
+    def x10Disjoint(df: DataFrame): DataFrame = {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      (0 until 10).map(i =>
+        df.withColumn("doc_id", $"doc_id" + lit(i * 10000000L))
+          .withColumn("text",
+            translate($"text", alpha, alpha.drop(i) + alpha.take(i))))
+        .reduce(_ unionAll _)
+    }
     // LSH + edit-distance verify (q_dedup_lsh_editdist's shape): the
     // O(len²) Levenshtein kernel must run on candidate pairs only — time
     // scales with candidates (≈ dups), not the n² pair space
@@ -156,7 +174,7 @@ object ScaleProbe {
         (time(clusterShape(docs)), time(clusterShape(x10Distinct(docs)))),
       "vocab_5k_vs_50k" -> (time(vocabShape(docs)), time(vocabShape(x10Distinct(docs)))),
       "lsh_editdist_5k_vs_50k" ->
-        (time(editdistShape(docs)), time(editdistShape(x10Distinct(docs)))))
+        (time(editdistShape(docs)), time(editdistShape(x10Disjoint(docs)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")

@@ -143,6 +143,23 @@ object TextQueries extends QueryPack {
         .orderBy($"tok")
     }),
 
+    // Token-window chunking: split each doc into 100-token windows —
+    // sequence packing for a training pipeline (context-window sharding).
+    // Pure per-row compute (transform + posexplode, no shuffle at all);
+    // chunk count rides with doc length so output is linear in corpus.
+    "q_text_chunks" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), floor((size($"w") - 1) / 100).cast("int")),
+          i => array_join(slice($"w", i * 100 + 1, lit(100)), " "))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .withColumn("n_tok", size(split($"chunk", " ")))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Per-doc top-3 TF-IDF terms — keyword extraction for retrieval/quality
     // filters, and the repo's demonstration of ANALYTIC window functions
     // (SURVEY §2.8: no OVER clause exists in the reference; free in Spark).
@@ -257,6 +274,19 @@ object TextQueries extends QueryPack {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM documents)
          GROUP BY tok HAVING count(*) >= 10 ORDER BY tok""",
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         c AS (SELECT doc_id, w,
+                 unnest(range(0,
+                   CAST(floor((len(w)-1)/100.0) AS BIGINT) + 1)) AS chunk_idx
+               FROM d),
+         ch AS (SELECT doc_id, chunk_idx,
+                  array_to_string(w[chunk_idx*100+1 : (chunk_idx+1)*100],
+                                  ' ') AS chunk
+                FROM c)
+         SELECT doc_id, chunk_idx, chunk,
+                len(string_split(chunk, ' ')) AS n_tok
+         FROM ch ORDER BY doc_id, chunk_idx""",
     "q_text_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),

@@ -149,4 +149,21 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got == batch("q_filter_project"), "streaming filter != batch twin")
     q.stop()
   }
+
+  test("streaming vocabulary twin (tokenize-explode path) == oracle'd q_text_vocab tf") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions
+    val (_, s) = staged("documents")
+    val q = drain(
+      s.select($"doc_id", explode(PipelineFunctions.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("tf"))
+        .filter($"tf" >= 10),
+      "update", "twin_vocab")
+    val streaming = spark.table("twin_vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchRows = graft.queries.TextQueries.queries("q_text_vocab")(spark, sf)
+      .select("tok", "tf").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streaming == batchRows, s"streaming=$streaming batch=$batchRows")
+    q.stop()
+  }
 }
