@@ -160,6 +160,31 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // Sequence PACKING: assign the token-window chunks to fixed 2048-token
+    // training bins via a running sum — bin = floor(tokens-before / 2048).
+    // Packing is PER-LANGUAGE (partition-parallel windows): a single global
+    // running sum would serialize on one partition at 100 TB; per-shard
+    // packing is how real pipelines do it (shard = language here).
+    "q_text_pack" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = docs
+        .select($"doc_id", $"lang", tokens($"text").as("w"))
+        .select($"doc_id", $"lang", posexplode(transform(
+          sequence(lit(0), floor((size($"w") - 1) / 100).cast("int")),
+          i => array_join(slice($"w", i * 100 + 1, lit(100)), " "))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumn("n_tok", size(split($"col", " ")))
+        .drop("col")
+      val w = Window.partitionBy($"lang").orderBy($"doc_id", $"chunk_idx")
+      chunks
+        .withColumn("bin",
+          floor((sum($"n_tok").over(w) - $"n_tok") / 2048).cast("long"))
+        .select($"lang", $"doc_id", $"chunk_idx", $"n_tok", $"bin")
+        .orderBy($"lang", $"doc_id", $"chunk_idx")
+    }),
+
     // Per-doc top-3 TF-IDF terms — keyword extraction for retrieval/quality
     // filters, and the repo's demonstration of ANALYTIC window functions
     // (SURVEY §2.8: no OVER clause exists in the reference; free in Spark).
@@ -287,6 +312,23 @@ object TextQueries extends QueryPack {
          SELECT doc_id, chunk_idx, chunk,
                 len(string_split(chunk, ' ')) AS n_tok
          FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_text_pack" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w
+                    FROM documents),
+         c AS (SELECT doc_id, lang, w,
+                 unnest(range(0,
+                   CAST(floor((len(w)-1)/100.0) AS BIGINT) + 1)) AS chunk_idx
+               FROM d),
+         ch AS (SELECT doc_id, lang, chunk_idx,
+                  len(string_split(
+                    array_to_string(w[chunk_idx*100+1 : (chunk_idx+1)*100],
+                                    ' '), ' ')) AS n_tok
+                FROM c)
+         SELECT lang, doc_id, chunk_idx, n_tok,
+           CAST(floor((sum(n_tok) OVER (PARTITION BY lang
+                                        ORDER BY doc_id, chunk_idx)
+                       - n_tok) / 2048.0) AS BIGINT) AS bin
+         FROM ch ORDER BY lang, doc_id, chunk_idx""",
     "q_text_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),
