@@ -149,14 +149,7 @@ object TextQueries extends QueryPack {
     // chunk count rides with doc length so output is linear in corpus.
     "q_text_chunks" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", tokens($"text").as("w"))
-        .select($"doc_id", posexplode(transform(
-          sequence(lit(0), floor((size($"w") - 1) / 100).cast("int")),
-          i => array_join(slice($"w", i * 100 + 1, lit(100)), " "))))
-        .withColumnRenamed("pos", "chunk_idx")
-        .withColumnRenamed("col", "chunk")
-        .withColumn("n_tok", size(split($"chunk", " ")))
+      chunkRows(Tables.load(s, dir, "documents"), Seq.empty)
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
@@ -168,17 +161,8 @@ object TextQueries extends QueryPack {
     "q_text_pack" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val chunks = docs
-        .select($"doc_id", $"lang", tokens($"text").as("w"))
-        .select($"doc_id", $"lang", posexplode(transform(
-          sequence(lit(0), floor((size($"w") - 1) / 100).cast("int")),
-          i => array_join(slice($"w", i * 100 + 1, lit(100)), " "))))
-        .withColumnRenamed("pos", "chunk_idx")
-        .withColumn("n_tok", size(split($"col", " ")))
-        .drop("col")
       val w = Window.partitionBy($"lang").orderBy($"doc_id", $"chunk_idx")
-      chunks
+      chunkRows(Tables.load(s, dir, "documents"), Seq("lang"))
         .withColumn("bin",
           floor((sum($"n_tok").over(w) - $"n_tok") / 2048).cast("long"))
         .select($"lang", $"doc_id", $"chunk_idx", $"n_tok", $"bin")
@@ -210,6 +194,23 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id", $"rk")
     })
   )
+
+  /** 100-token window chunks per doc: (doc_id, extra…, chunk_idx, chunk,
+    * n_tok) via transform + posexplode — pure per-row compute, no shuffle.
+    * The single chunking definition behind q_text_chunks AND q_text_pack
+    * (the 100-token constant and the slice arithmetic live only here). */
+  private def chunkRows(docs: org.apache.spark.sql.DataFrame,
+                        extra: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val keep = $"doc_id" +: extra.map(col)
+    docs.select(keep :+ tokens($"text").as("w"): _*)
+      .select(keep :+ posexplode(transform(
+        sequence(lit(0), floor((size($"w") - 1) / 100).cast("int")),
+        i => array_join(slice($"w", i * 100 + 1, lit(100)), " "))): _*)
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_tok", size(split($"chunk", " ")))
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_text_stats" ->

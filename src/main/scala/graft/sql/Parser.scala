@@ -226,9 +226,20 @@ object Parser {
         case _ => done = true
       }
       val (ob, lim, emit) = trailing()
-      l match {
-        case s: Select => s.copy(orderBy = ob, limit = lim, emitChanges = emit)
-        case so: SetOp => so.copy(orderBy = ob, limit = lim, emitChanges = emit)
+      // a solely-parenthesized query keeps its own trailing clauses; outer
+      // clauses may not REPLACE inner ones (standard SQL would apply them
+      // over the inner result — direct users through a FROM-subquery
+      // rather than silently dropping either set)
+      if (ob.isEmpty && lim.isEmpty && !emit) l
+      else {
+        require(l.orderBy.isEmpty && l.limit.isEmpty && !l.emitChanges,
+          "both the parenthesized query and the outer query carry " +
+            "ORDER BY/LIMIT/EMIT CHANGES; put the inner query in a " +
+            "FROM-subquery instead")
+        l match {
+          case s: Select => s.copy(orderBy = ob, limit = lim, emitChanges = emit)
+          case so: SetOp => so.copy(orderBy = ob, limit = lim, emitChanges = emit)
+        }
       }
     }
 
@@ -246,12 +257,6 @@ object Parser {
     private def queryBranch(): Query =
       if (isKw("(")) { next(); val q = query(); expect(")"); q }
       else selectCore()
-
-    def select(): Select = {
-      val core = selectCore()
-      val (ob, lim, emit) = trailing()
-      core.copy(orderBy = ob, limit = lim, emitChanges = emit)
-    }
 
     private def selectCore(): Select = {
       expect("SELECT")

@@ -611,9 +611,12 @@ object Translate {
     // WHERE → Filter (Planner.hs:343-345)
     val filtered = sel.where.map(w => base0.filter(column(w, resolve, env))).getOrElse(base0)
 
-    // aggregates from SELECT + HAVING (Planner.hs:390-432)
+    // aggregates from SELECT + HAVING (Planner.hs:390-432) + ORDER BY
+    // (extension: `ORDER BY SUM(x)` with the agg absent from the SELECT
+    // list is standard SQL; its agg must join the Reduce like HAVING's)
     val itemAggs = sel.items.flatMap { case ItemExpr(e, _) => collectAggs(e); case _ => Nil }
-    val aggs = (itemAggs ++ sel.having.toSeq.flatMap(collectAggs)).distinct
+    val aggs = (itemAggs ++ sel.having.toSeq.flatMap(collectAggs) ++
+      sel.orderBy.flatMap(o => collectAggs(o.e))).distinct
 
     if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty) {
       // plain Filter/Project pipeline

@@ -77,6 +77,7 @@ object Validate {
       // set-op output rows carry no aggregation context: keys are plain
       // expressions over the combined relation's columns
       ob.foreach(o => checkExpr(o.e, aggAllowed = false, where = "ORDER BY"))
+      checkLimit(lim)
       checkQuery(l, cont, top = false)
       checkQuery(r, cont, top = false)
   }
@@ -98,6 +99,7 @@ object Validate {
         "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
         "use a batch/pull SELECT")
     sel.orderBy.foreach(o => checkExpr(o.e, aggAllowed = true, where = "ORDER BY"))
+    checkLimit(sel.limit)
 
     // exact DISTINCT aggregates cannot run incrementally over a stream
     // (Spark refuses distinct aggregation on streaming plans); the
@@ -177,6 +179,13 @@ object Validate {
     case "MONTH" | "MONTHS" => i.n * 30L * 86400000L
     case "YEAR" | "YEARS" => i.n * 365L * 86400000L
     case _ => i.n
+  }
+
+  /** LIMIT rides Spark's Dataset.limit(Int); larger literals would
+    * silently truncate (2^32 → 0 rows). Reject at parse time. */
+  private def checkLimit(limit: Option[Long]): Unit = limit.foreach { n =>
+    if (n > Int.MaxValue)
+      fail(s"LIMIT $n exceeds the supported maximum (${Int.MaxValue})")
   }
 
   private def collectDistinctAggs(e: Expr): Seq[Agg] = e match {

@@ -398,6 +398,10 @@ class Engine(val spark: SparkSession) {
   /** TERMINATE QUERY (AST.hs:856-868). */
   def terminate(name: String): Unit = {
     queries.remove(name).foreach(_.stop()); paused.remove(name)
+    // a terminated view must stop SERVING too: stale snapshot/manifest/
+    // append-log registrations would otherwise shadow a recreated view
+    // of the same name (pull checks these maps before the catalog)
+    views.remove(name); incViews.remove(name); appendViews.remove(name)
     fileSinkWriters.filterInPlace((_, writer) => writer != name)
   }
 

@@ -210,4 +210,18 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[SelectStmt].sel.asInstanceOf[SetOp]
     assert(p3.l.asInstanceOf[Select].limit.contains(2L))
   }
+
+  test("parenthesized query keeps its own trailing clauses; conflicts reject") {
+    val q = Parser.parse("(SELECT a FROM s1 ORDER BY a LIMIT 2);")
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
+    assert(q.limit.contains(2L) &&
+      q.orderBy == Seq(OrderItem(ColRef(None, "a"), desc = false)))
+    // EMIT CHANGES inside parens survives as a push query
+    assert(Parser.parse("(SELECT a FROM s1 EMIT CHANGES);")
+      .asInstanceOf[SelectStmt].sel.emitChanges)
+    // inner AND outer trailing clauses: rejected, not silently merged
+    val ex = intercept[Exception](
+      Parser.parse("(SELECT a FROM s1 LIMIT 2) ORDER BY a;"))
+    assert(ex.getMessage.contains("FROM-subquery"))
+  }
 }

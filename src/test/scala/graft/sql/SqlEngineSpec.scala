@@ -328,6 +328,9 @@ class SqlEngineSpec extends SparkSpec {
       "SELECT k, SUM(v) AS sv FROM ob2 GROUP BY k ORDER BY SUM(v) DESC LIMIT 2;")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("q", 10L), ("r", 5L)))
+    // ORDER BY an aggregate that is NOT in the SELECT list (standard SQL)
+    assert(e.batch("SELECT k FROM ob2 GROUP BY k ORDER BY SUM(v) DESC LIMIT 1;")
+      .collect().map(_.getString(0)).toSeq == Seq("q"))
     // ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full global sort
     val plan = e.batch("SELECT id FROM ob1 ORDER BY x LIMIT 2;")
       .queryExecution.executedPlan.toString
@@ -467,6 +470,8 @@ class SqlEngineSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1))).toSet
         .contains(("b", 1L)))
       e.sql("DROP VIEW savv;")
+      // a dropped append view must stop SERVING its stale log
+      assertThrows[Exception](e.batch("SELECT k, c FROM savv;").collect())
     } finally spark.conf.unset("spark.graft.sessionViewAppend")
   }
 }

@@ -206,4 +206,9 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT MEDIAN(v, 2) AS m FROM s;", "one argument")
     rejects("SELECT AVG(DISTINCT v) AS a FROM s;", "count and sum")
   }
+
+  test("LIMIT beyond Int.MaxValue is rejected (Dataset.limit is Int)") {
+    rejects("SELECT a FROM s LIMIT 4294967296;", "maximum")
+    rejects("SELECT a FROM s UNION SELECT b FROM t LIMIT 2147483648;", "maximum")
+  }
 }
