@@ -75,6 +75,23 @@ object CurationQueries extends QueryPack {
         .filter($"cum_tokens" <= 10000)
         .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens")
         .orderBy($"doc_id")
+    }),
+
+    // Quality-WEIGHTED sampling: keep a doc with probability equal to its
+    // quality score — deterministic Bernoulli via the stable id hash
+    // (bucket/1000 < floor(q·1000)), so high-quality docs survive
+    // proportionally more often and the draw is reproducible. Map-side
+    // only, zero shuffle — the 100 TB shape of importance sampling.
+    "q_curation_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(1000L))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"),
+          bucket.as("bucket"))
+        .filter($"bucket" < floor($"q" * 1000).cast("long"))
+        .select($"doc_id", $"lang", $"q")
+        .orderBy($"doc_id")
     })
   )
 
@@ -100,6 +117,13 @@ object CurationQueries extends QueryPack {
                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
                 FROM q)
           SELECT doc_id, lang, n_tokens, cum_tokens FROM c
-          WHERE cum_tokens <= 10000 ORDER BY doc_id"""
+          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "q_curation_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+          q AS (SELECT doc_id, lang, $qExpr AS q FROM d)
+          SELECT doc_id, lang, q FROM q
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+                < CAST(floor(q * 1000) AS BIGINT)
+          ORDER BY doc_id"""
   )
 }

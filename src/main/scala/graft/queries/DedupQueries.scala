@@ -102,6 +102,27 @@ object DedupQueries extends QueryPack {
     // surviving candidates, and Jaccard compares int arrays, not strings.
     "q_dedup_minhash_lsh" -> ((s, dir) => lshPairs(s, dir).orderBy("d1", "d2")),
 
+    // Benchmark DECONTAMINATION: find training docs whose 3-shingle sets
+    // overlap a held-out test set (every 50th doc here) above 20% — the
+    // contamination check every training-data pipeline runs before a
+    // model sees the corpus. Shape: inverted-index join on shingle hash
+    // (shuffle by shingle; the benchmark side is small → broadcast at
+    // scale), group by pair, count overlap — never an n² doc comparison.
+    "q_dedup_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingled(s, dir)
+      val test = sh.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("test_id"), explode($"hs").as("h"))
+      val train = sh.filter($"doc_id" % 50 =!= 0)
+        .select($"doc_id".as("train_id"), size($"hs").as("n"), explode($"hs").as("h"))
+      train.join(test, "h")
+        .groupBy($"train_id", $"test_id", $"n")
+        .agg(count(lit(1)).as("overlap"))
+        .filter($"overlap" * 5 >= $"n") // ≥ 20% of the train doc's shingles
+        .select($"train_id", $"test_id", $"overlap")
+        .orderBy($"train_id", $"test_id")
+    }),
+
     // LSH candidates verified by EDIT DISTANCE instead of Jaccard:
     // dist ≤ 20% of the longer text (dist*5 ≤ max_len — integer form, no
     // float threshold). The expensive O(len²) Levenshtein kernel runs on
@@ -340,6 +361,16 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" -> lshOracleSql,
+    "q_dedup_contamination" ->
+      s"""$shCte,
+         test AS (SELECT doc_id AS test_id, hs FROM h WHERE doc_id % 50 = 0),
+         train AS (SELECT doc_id AS train_id, hs FROM h WHERE doc_id % 50 <> 0),
+         pairs AS (SELECT train_id, test_id,
+                     len(list_intersect(train.hs, test.hs)) AS overlap,
+                     len(train.hs) AS n
+                   FROM train CROSS JOIN test)
+         SELECT train_id, test_id, overlap FROM pairs
+         WHERE overlap * 5 >= n ORDER BY train_id, test_id""",
     "q_dedup_lsh_editdist" ->
       s"""$shCte,
          sig AS (SELECT doc_id, hs,
