@@ -89,6 +89,34 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // SemDeDup-shape semantic dedup (Abbas et al. 2023, public): cluster
+    // the embedding space with the same coarse quantizer IVF uses, then
+    // compare pairs ONLY within a cluster — the pair space collapses from
+    // O(n²) to Σ|cluster|², and at 100 TB members co-locate with ONE
+    // shuffle on cid (giant clusters get capped/sub-bucketed in
+    // production; the per-cluster kernel is unchanged). A dropped vector
+    // reports its canonical (lowest-id) near-duplicate and best cosine.
+    "q_dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir)
+      val centroids = broadcast(all.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv")))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      val assigned = all.join(centroids)
+        .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
+        .withColumn("r", row_number().over(wAssign))
+        .filter($"r" === 1).select($"vec_id", $"v", $"cid")
+        .persist()
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .select($"b.vec_id".as("vec_id"), $"a.vec_id".as("dup_of"),
+          round(dot($"a.v", $"b.v"), 6).as("sim"))
+        .filter($"sim" >= 0.4)
+      pairs.groupBy($"vec_id")
+        .agg(min($"dup_of").as("dup_of"), max($"sim").as("best_sim"))
+        .orderBy($"vec_id")
+    }),
+
     // Random-hyperplane LSH signatures — the bucketing primitive, verified
     // value-exactly cross-engine (the oracle re-derives the same md5-based
     // plane weights the LshWeights literal matrix was built from).
@@ -260,6 +288,23 @@ object SimilarityQueries extends QueryPack {
          SELECT vec_id, canonical_id,
                 count(*) OVER (PARTITION BY canonical_id) AS cluster_size
          FROM cc ORDER BY vec_id""",
+    // SemDeDup replica: identical rank-1 centroid assignment, then the
+    // within-cluster pair scan + min/max rollup.
+    "q_dedup_semantic" ->
+      s"""$normCte,
+         c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+         asg0 AS (SELECT e.vec_id, e.nv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
+           FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, nv, cid FROM (
+           SELECT vec_id, nv, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) r
+           FROM asg0) WHERE r = 1),
+         pairs AS (SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
+             ${dotSql("a.nv", "b.nv")} AS sim
+           FROM asg a JOIN asg b
+           ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT vec_id, min(dup_of) AS dup_of, max(sim) AS best_sim
+         FROM pairs WHERE sim >= 0.4 GROUP BY vec_id ORDER BY vec_id""",
     "q_lsh_signatures" ->
       """SELECT vec_id, list_sum(list_transform(range(0, 16), p ->
            CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->

@@ -169,6 +169,74 @@ object TextQueries extends QueryPack {
         .orderBy($"lang", $"doc_id", $"chunk_idx")
     }),
 
+    // Gopher-style repetition/quality heuristics (Rae et al. 2021 §A1.1,
+    // public): word-count bounds, mean word length, duplicate-word
+    // fraction, top-bigram fraction → a keep/drop verdict per doc. The
+    // per-doc metrics are map-side HOFs; the top-bigram mode is computed
+    // RELATIONALLY (explode → two-level groupBy → max) rather than a
+    // per-row scan — mode-within-array is O(len²) per row, and at 100 TB
+    // a single doc can be 100k words, while the explode path is the same
+    // distributed partial-agg Spark already scales.
+    "q_quality_gopher" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val w = tokens($"text")
+      val base = docs.select(
+        $"doc_id",
+        size(w).cast("long").as("n_words"),
+        round(aggregate(transform(w, t => length(t).cast("long")), lit(0L),
+          (a, x) => a + x).cast("double") / size(w), 6).as("mean_word_len"),
+        round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+          .as("dup_word_frac"))
+      val bigrams = docs.select($"doc_id", explode(
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      val top = bigrams.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bg"))
+      base.join(top, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_words", $"mean_word_len", $"dup_word_frac",
+          when($"n_words" > 1,
+            round(coalesce($"top_bg", lit(0L)).cast("double")
+              / ($"n_words" - 1), 6)).otherwise(0.0).as("top_bigram_frac"))
+        .withColumn("keep",
+          $"n_words" >= 30 && $"mean_word_len".between(3.0, 10.0) &&
+            $"dup_word_frac" < 0.6 && $"top_bigram_frac" < 0.06)
+        .orderBy($"doc_id")
+    }),
+
+    // PII redaction — the scrub step of a pretraining pipeline. The
+    // synthetic corpus has no natural PII, so deterministic fake PII
+    // (derived from doc_id: one email, doc_id%3 IPs, one phone) is
+    // INJECTED first and then redacted — the operator under test is the
+    // regex scrub, and the counts prove every injected item was found.
+    // Pure codegen'd string expressions: zero shuffle at 100 TB.
+    "q_text_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\+1-555-\\d{4}"
+      val ipOnce = concat(lit(" from 10."), pmod($"doc_id", lit(200L)),
+        lit(".0."), pmod($"doc_id", lit(250L)))
+      val ips = when(pmod($"doc_id", lit(3L)) === 0, lit(""))
+        .when(pmod($"doc_id", lit(3L)) === 1, ipOnce)
+        .otherwise(concat(ipOnce, ipOnce))
+      val aug = concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example.com"), ips, lit(" call +1-555-"),
+        lpad(pmod($"doc_id", lit(10000L)).cast("string"), 4, "0"))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(aug,
+        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          regexp_count(aug, lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(aug, lit(ipRe)).cast("long").as("n_ips"),
+          regexp_count(aug, lit(phoneRe)).cast("long").as("n_phones"),
+          redacted.as("redacted"))
+        .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+          expr("right(redacted, 46)").as("tail"),
+          md5($"redacted").as("redacted_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-doc top-3 TF-IDF terms — keyword extraction for retrieval/quality
     // filters, and the repo's demonstration of ANALYTIC window functions
     // (SURVEY §2.8: no OVER clause exists in the reference; free in Spark).
@@ -330,6 +398,57 @@ object TextQueries extends QueryPack {
                                         ORDER BY doc_id, chunk_idx)
                        - n_tok) / 2048.0) AS BIGINT) AS bin
          FROM ch ORDER BY lang, doc_id, chunk_idx""",
+    "q_quality_gopher" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         base AS (SELECT doc_id, len(w) AS n_words,
+           round(list_sum(list_transform(w, t -> len(t)))::DOUBLE / len(w), 6)
+             AS mean_word_len,
+           round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+             AS dup_word_frac
+         FROM d),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i + 1])) AS bg FROM d),
+         top AS (SELECT doc_id, max(c) AS top_bg FROM
+           (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+           GROUP BY doc_id),
+         m AS (SELECT b.doc_id, n_words, mean_word_len, dup_word_frac,
+           CASE WHEN n_words > 1 THEN
+             round(coalesce(top_bg, 0)::DOUBLE / (n_words - 1), 6)
+           ELSE 0.0 END AS top_bigram_frac
+         FROM base b LEFT JOIN top USING (doc_id))
+         SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+           top_bigram_frac,
+           (n_words >= 30 AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND dup_word_frac < 0.6 AND top_bigram_frac < 0.06) AS keep
+         FROM m ORDER BY doc_id""",
+    "q_text_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+             || CASE WHEN doc_id % 3 = 0 THEN ''
+                     WHEN doc_id % 3 = 1 THEN
+                       ' from 10.' || (doc_id % 200)::VARCHAR || '.0.'
+                         || (doc_id % 250)::VARCHAR
+                     ELSE repeat(' from 10.' || (doc_id % 200)::VARCHAR
+                         || '.0.' || (doc_id % 250)::VARCHAR, 2) END
+             || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             AS aug
+         FROM documents),
+         r AS (SELECT doc_id, aug,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+1-555-\d{4}', '<PHONE>', 'g') AS redacted
+         FROM a)
+         SELECT doc_id,
+           len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(aug,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+           len(regexp_extract_all(aug, '\+1-555-\d{4}'))::BIGINT AS n_phones,
+           right(redacted, 46) AS tail,
+           md5(redacted) AS redacted_fp
+         FROM r ORDER BY doc_id""",
     "q_text_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),
