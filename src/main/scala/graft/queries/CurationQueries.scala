@@ -92,6 +92,54 @@ object CurationQueries extends QueryPack {
         .filter($"bucket" < floor($"q" * 1000).cast("long"))
         .select($"doc_id", $"lang", $"q")
         .orderBy($"doc_id")
+    }),
+
+    // Domain-MIXTURE sampling: downsample each language to target mixture
+    // weights — "40% en, 15% each of the rest" — taking the LARGEST corpus
+    // that matches the target proportions without upsampling any group:
+    // feasible total T = min_g(n_g / w_g), per-group keep probability
+    // p_g = w_g·T / n_g, applied as the deterministic id-hash Bernoulli.
+    // Relational end to end: group counts are one tiny agg (|langs| rows)
+    // broadcast back onto the scan, T is a 1-row cross join — the keep
+    // filter itself is map-side, so at 100 TB this costs one pass plus a
+    // kilobyte-sized shuffle, never a collect.
+    "q_curation_mix" -> ((s, dir) => {
+      import s.implicits._
+      val wgt = when($"lang" === "en", 0.40).otherwise(0.15)
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_avail")).withColumn("w", wgt)
+      val feasible = counts
+        .agg(min($"n_avail" / $"w").as("t"))
+      val rated = counts.join(broadcast(feasible))
+        .withColumn("p", least(lit(1.0), $"w" * $"t" / $"n_avail"))
+        .select($"lang", $"n_avail", $"p")
+      val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(1000000L))
+      docs.join(broadcast(rated), "lang")
+        .filter(bucket < floor($"p" * 1e6).cast("long"))
+        .groupBy($"lang").agg(count(lit(1)).as("n_kept"),
+          first($"n_avail").as("n_avail"), round(first($"p"), 6).as("keep_p"))
+        .select($"lang", $"n_avail", $"n_kept", $"keep_p")
+        .orderBy($"lang")
+    }),
+
+    // Deterministic training-order SHARDING: every epoch pipeline needs a
+    // reproducible global shuffle of the corpus into N output shards. A
+    // true global sort at 100 TB is one giant range exchange; instead the
+    // doc's stable hash picks the shard (map-side) and an independent
+    // order-hash gives the within-shard position — partition-parallel
+    // row_number per shard, shuffle is O(corpus) with no global order
+    // anywhere. This is exactly repartition-by-key + sortWithinPartitions.
+    "q_curation_shard" -> ((s, dir) => {
+      import s.implicits._
+      val shard = pmod(hash32Chain($"doc_id".cast("string")), lit(16L))
+      val ord = hash32Chain(concat(lit("ord"), $"doc_id".cast("string")))
+      val win = Window.partitionBy($"shard").orderBy($"ord", $"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", shard.as("shard"), ord.as("ord"))
+        .withColumn("pos", row_number().over(win).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
     })
   )
 
@@ -124,6 +172,33 @@ object CurationQueries extends QueryPack {
           SELECT doc_id, lang, q FROM q
           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
                 < CAST(floor(q * 1000) AS BIGINT)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+    "q_curation_mix" ->
+      """WITH counts AS (
+           SELECT lang, count(*) AS n_avail,
+                  CASE WHEN lang = 'en' THEN 0.40::DOUBLE
+                       ELSE 0.15::DOUBLE END AS w
+           FROM documents GROUP BY lang),
+         feas AS (SELECT min(n_avail / w) AS t FROM counts),
+         rated AS (SELECT lang, n_avail,
+                     least(1.0::DOUBLE, w * t / n_avail) AS p
+                   FROM counts CROSS JOIN feas),
+         kept AS (SELECT d.lang, count(*) AS n_kept
+                  FROM documents d JOIN rated r USING (lang)
+                  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                          % 1000000
+                        < CAST(floor(p * 1e6) AS BIGINT)
+                  GROUP BY d.lang)
+         SELECT lang, n_avail, n_kept, round(p::DOUBLE, 6) AS keep_p
+         FROM rated JOIN kept USING (lang)
+         ORDER BY lang""",
+    "q_curation_shard" ->
+      """WITH s AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+           ('0x' || substr(md5('ord' || doc_id::VARCHAR), 1, 8))::BIGINT AS ord
+         FROM documents)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+         FROM s ORDER BY shard, pos"""
   )
 }

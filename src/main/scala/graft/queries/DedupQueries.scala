@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PipelineFunctions._
@@ -281,6 +282,40 @@ object DedupQueries extends QueryPack {
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
           hamming($"a.sh16", $"b.sh16").cast("long").as("dist"))
         .orderBy($"d1", $"d2")
+    }),
+
+    // PARAGRAPH-level exact dedup (CCNet-style boilerplate removal): split
+    // each doc into paragraphs, keep only each paragraph's FIRST occurrence
+    // corpus-wide (total (doc_id, idx) order), report per-doc survivors.
+    // The synthetic corpus has no natural paragraph structure, so a shared
+    // boilerplate paragraph is injected deterministically into every 4th
+    // doc — the classic header/footer the operator exists to strip.
+    // Scale: shuffle 1 partitions by paragraph hash (O(paragraphs) — the
+    // within-hash row_number touches only same-hash rows, and paragraph
+    // duplicate groups are bounded by corpus dup rate, not corpus size);
+    // shuffle 2 regroups by doc. No global sort anywhere. This is the
+    // feasible sub-document dedup shape at 100 TB — suffix-array substring
+    // dedup needs a global order and does not distribute.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      import s.implicits._
+      val bp = "this site uses cookies accept our policy to continue reading"
+      val aug = when(pmod($"doc_id", lit(4L)) === 0,
+        concat($"text", lit(" <p> "), lit(bp))).otherwise($"text")
+      val paras = Tables.load(s, dir, "documents")
+        .select($"doc_id", posexplode(split(aug, " <p> ")))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "para")
+      val win = Window.partitionBy(md5($"para")).orderBy($"doc_id", $"idx")
+      paras.withColumn("rk", row_number().over(win))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when($"rk" > 1, 1L).otherwise(0L)).as("n_removed"),
+          // collect_list skips the NULLs the when() leaves for removed
+          // paragraphs; struct sort restores document order
+          md5(array_join(transform(
+            array_sort(collect_list(when($"rk" === 1, struct($"idx", $"para")))),
+            p => p("para")), " <p> ")).as("kept_fp"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -419,6 +454,25 @@ object DedupQueries extends QueryPack {
          SELECT a.doc_id d1, b.doc_id d2, bit_count(xor(a.sh16, b.sh16))::BIGINT AS dist
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND bit_count(xor(a.sh16, b.sh16)) <= 3
-         ORDER BY d1, d2"""
+         ORDER BY d1, d2""",
+    "q_dedup_paragraph" ->
+      """WITH a AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN text || ' <p> ' ||
+             'this site uses cookies accept our policy to continue reading'
+           ELSE text END AS aug
+         FROM documents),
+         sp AS (SELECT doc_id, string_split(aug, ' <p> ') ps FROM a),
+         ix AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM sp),
+         p AS (SELECT doc_id, i - 1 AS idx, ps[i] AS para FROM ix),
+         r AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, idx) AS rk
+               FROM p)
+         SELECT doc_id, count(*) AS n_paras,
+           sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           md5(coalesce(array_to_string(
+             list(para ORDER BY idx) FILTER (WHERE rk = 1), ' <p> '), ''))
+             AS kept_fp
+         FROM r GROUP BY doc_id ORDER BY doc_id"""
   )
 }

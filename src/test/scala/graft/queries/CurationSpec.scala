@@ -35,4 +35,31 @@ class CurationSpec extends SparkSpec {
       assert(rs.map(_._4).max == total, s"$lang cum/total mismatch")
     }
   }
+
+  test("mixture sampling: no upsampling, binding group near target, others above") {
+    val rows = CurationQueries.queries("q_curation_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, avail, kept, p) =>
+      assert(kept <= avail, s"$lang upsampled: $kept > $avail")
+      assert(p > 0.0 && p <= 1.0, s"$lang keep_p $p out of range")
+    }
+    // the binding group (min n/w) has p == 1, so every doc is kept
+    val binding = rows.minBy { case (lang, avail, _, _) =>
+      avail / (if (lang == "en") 0.40 else 0.15) }
+    assert(binding._4 == 1.0 && binding._3 == binding._2,
+      s"binding group ${binding._1} should keep everything: $binding")
+  }
+
+  test("shard assignment: partition of the corpus, dense positions per shard") {
+    val rows = CurationQueries.queries("q_curation_shard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n, "sharding must not drop or duplicate docs")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length),
+        s"shard $shard positions not dense: ${rs.map(_._3).sorted.toSeq}")
+    }
+  }
 }

@@ -50,4 +50,25 @@ class DedupSpec extends SparkSpec {
       assert(ms.forall(_._3 == ms.size), s"bad cluster_size for $canon")
     }
   }
+
+  test("paragraph dedup: injected boilerplate removed everywhere but its first host") {
+    val rows = DedupQueries.queries("q_dedup_paragraph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val hosts = rows.filter(_._1 % 4 == 0)
+    assert(hosts.nonEmpty)
+    // every 4th doc carries text + boilerplate; others only their text
+    hosts.foreach { case (id, nParas, _, _) =>
+      assert(nParas == 2, s"doc $id should have 2 paragraphs, had $nParas") }
+    rows.filterNot(_._1 % 4 == 0).foreach { case (id, nParas, _, _) =>
+      assert(nParas == 1, s"doc $id should have 1 paragraph, had $nParas") }
+    // the boilerplate survives exactly once corpus-wide: each host after the
+    // first loses (at least) its boilerplate copy
+    val firstHost = hosts.map(_._1).min
+    assert(hosts.count(_._3 == 0) <= 1, "only the first host keeps boilerplate")
+    assert(hosts.filter(_._1 > firstHost).forall(_._3 >= 1),
+      "later hosts must have their boilerplate copy removed")
+    // hosts that kept everything vs lost boilerplate have different kept text
+    val first = hosts.find(_._1 == firstHost).get
+    assert(first._3 == 0, s"first host $firstHost must keep its boilerplate")
+  }
 }
