@@ -42,6 +42,8 @@ object Bench {
     "q_ann_ivf_train",         // 2 Lloyd rounds of IVF centroid training
     // q_embed_neardup is NOT here: O(n²) pairwise cosine is a correctness
     // anchor (like q_dedup_jaccard_exact); its scale path is q_ann_lsh_bucketed
+    "q_dedup_paragraph",       // sub-document dedup (hash window + regroup)
+    "q_embed_quantize",        // int8 vector codec (pure map-side)
     "q_multimodal_features",   // mapPartitions feature extraction
     "q_sql_agg_having",        // dialect frontend end-to-end
     "q_sql_interval_join"

@@ -161,6 +161,39 @@ object ScaleProbe {
         .select($"d1", $"d2", $"dist")
     }
 
+    // paragraph-level dedup (q_dedup_paragraph's shape): shuffle 1 by
+    // paragraph hash (the boilerplate group grows linearly with the corpus
+    // — a within-group sort, not a self-join, so no quadratic blowup),
+    // shuffle 2 regroups by doc. Must stay ~linear.
+    def paragraphShape(df: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val bp = "this site uses cookies accept our policy to continue reading"
+      val aug = when(pmod($"doc_id", lit(4L)) === 0,
+        concat($"text", lit(" <p> "), lit(bp))).otherwise($"text")
+      val paras = df.select($"doc_id", posexplode(split(aug, " <p> ")))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+      val win = Window.partitionBy(md5($"para")).orderBy($"doc_id", $"idx")
+      paras.withColumn("rk", row_number().over(win))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when($"rk" > 1, 1L).otherwise(0L)).as("n_removed"))
+    }
+    // int8 quantization (q_embed_quantize's shape): pure map-side codec,
+    // zero shuffle — the ratio IS the scan ratio
+    def quantizeShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      df.select($"vec_id", vecD($"embedding").as("v"))
+        .withColumn("mn", array_min($"v"))
+        .withColumn("scale", (array_max($"v") - $"mn") / 255.0)
+        .select($"vec_id", aggregate(transform($"v", x =>
+          when($"scale" === 0, lit(0L))
+            .otherwise(round((x - $"mn") / $"scale", 0).cast("long"))),
+          lit(0L), (a, c) => a + c).as("code_sum"))
+    }
+    val embeds = Tables.load(spark, sfDir, "embeddings")
+    def x10Vecs(df: DataFrame): DataFrame = (0 until 10).map(i =>
+      df.withColumn("vec_id", $"vec_id" + lit(i * 10000000L))).reduce(_ unionAll _)
+
     // warmup
     time(aggShape(lineitem))
     val probes = Seq(
@@ -174,7 +207,11 @@ object ScaleProbe {
         (time(clusterShape(docs)), time(clusterShape(x10Distinct(docs)))),
       "vocab_5k_vs_50k" -> (time(vocabShape(docs)), time(vocabShape(x10Distinct(docs)))),
       "lsh_editdist_5k_vs_50k" ->
-        (time(editdistShape(docs)), time(editdistShape(x10Disjoint(docs)))))
+        (time(editdistShape(docs)), time(editdistShape(x10Disjoint(docs)))),
+      "paragraph_dedup_5k_vs_50k" ->
+        (time(paragraphShape(docs)), time(paragraphShape(x10Distinct(docs)))),
+      "quantize_5k_vs_50k" ->
+        (time(quantizeShape(embeds)), time(quantizeShape(x10Vecs(embeds)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")

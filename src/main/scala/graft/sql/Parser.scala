@@ -73,7 +73,8 @@ object Parser {
   }
 
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
-    "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE", "MEDIAN")
+    "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE",
+    "APPROX_PERCENTILE", "MEDIAN")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
     "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",

@@ -355,6 +355,20 @@ object Translate {
       }
       percentile(column(e, resolve), lit(frac))
     case Agg("MEDIAN", Seq(e), _, _) => median(column(e, resolve))
+    // Mergeable quantile sketch (GK summaries, bounded state) — the
+    // streaming/100 TB form of PERCENTILE; returns an actual data value.
+    case Agg("APPROX_PERCENTILE", e +: p +: rest, _, _) =>
+      val frac = p match {
+        case NumLit(x) => x
+        case IntLit(x) => x.toDouble
+        case other => throw new IllegalArgumentException(
+          s"APPROX_PERCENTILE fraction must be a literal, got $other")
+      }
+      val acc = rest match {
+        case Seq(IntLit(a)) => a
+        case _ => 10000L
+      }
+      percentile_approx(column(e, resolve), lit(frac), lit(acc))
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
     case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _, _) =>

@@ -210,6 +210,9 @@ object TypeCheck {
       case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
       case "PERCENTILE" | "MEDIAN" => // numeric input, continuous output
         args.foreach(a => requireNum(a, env, name)); Some(TFloat)
+      case "APPROX_PERCENTILE" => // sketch returns a value from the data
+        args.foreach(a => requireNum(a, env, name))
+        infer(args.head, env)
       case _ => args.foreach(infer(_, env)); None
     }
 

@@ -230,6 +230,21 @@ object Validate {
           case Seq(v) => checkExpr(v, aggAllowed, where, insideAgg = true)
           case _ => fail("MEDIAN requires exactly one argument")
         }
+        // the mergeable-sketch percentile (bounded state; the streaming /
+        // 100 TB form — exact PERCENTILE keeps a per-group value map)
+        case "APPROX_PERCENTILE" =>
+          if (args.length < 2 || args.length > 3)
+            fail("APPROX_PERCENTILE requires (expr, fraction[, accuracy])")
+          val f = args(1) match {
+            case NumLit(x) => x; case IntLit(x) => x.toDouble
+            case other => fail(s"APPROX_PERCENTILE fraction must be a numeric literal, got $other")
+          }
+          if (f < 0.0 || f > 1.0) fail(s"APPROX_PERCENTILE fraction must be in [0, 1], got $f")
+          if (args.length == 3) args(2) match {
+            case IntLit(a) if a > 0 => ()
+            case other => fail(s"APPROX_PERCENTILE accuracy must be a positive int literal, got $other")
+          }
+          checkExpr(args.head, aggAllowed, where, insideAgg = true)
         case "TOPK" | "TOPKDISTINCT" => args match {
           case Seq(v, IntLit(k)) =>
             if (k <= 0) fail(s"$name k must be positive, got $k")

@@ -415,6 +415,33 @@ class SqlEngineSpec extends SparkSpec {
     e.sql(s"TERMINATE QUERY ${q.query.name};")
   }
 
+  test("APPROX_PERCENTILE: sketch tracks exact batch, runs live in update mode") {
+    val e = new SqlEngine(spark)
+    spark.range(1001).selectExpr("CAST(id AS BIGINT) AS v")
+      .createOrReplaceTempView("apt1")
+    // at accuracy >= n the GK sketch is exact: p50 of 0..1000 is 500
+    val exact = e.batch(
+      "SELECT APPROX_PERCENTILE(v, 0.5) AS p FROM apt1;")
+      .collect().head.getLong(0)
+    assert(exact == 500L, s"p50=$exact")
+    val coarse = e.batch(
+      "SELECT APPROX_PERCENTILE(v, 0.9, 100) AS p FROM apt1;")
+      .collect().head.getLong(0)
+    assert(math.abs(coarse - 900L) <= 20L, s"p90=$coarse")
+    // the sketch form runs as a live update-mode continuous query
+    e.sql("CREATE STREAM aps (k STRING, v INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      "SELECT k, APPROX_PERCENTILE(v, 0.5) AS p50 FROM aps GROUP BY k EMIT CHANGES;")
+      .asInstanceOf[e.Started]
+    Seq(10, 20, 30, 40, 50).zipWithIndex.foreach { case (v, i) =>
+      e.sql(s"INSERT INTO aps (k, v, _ts) VALUES ('a', $v, '2024-01-01 00:00:0$i');")
+    }
+    e.engine.processAll()
+    val last = spark.table(q.query.name).collect().map(_.getLong(1)).max
+    assert(last == 30L, s"streaming p50=$last")
+    e.sql(s"TERMINATE QUERY ${q.query.name};")
+  }
+
   test("FLATTEN: batch explode + live streaming tokenizer") {
     val e = new SqlEngine(spark)
     // batch: per-element rows with the input row's columns alongside

@@ -207,6 +207,14 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT AVG(DISTINCT v) AS a FROM s;", "count and sum")
   }
 
+  test("APPROX_PERCENTILE argument rules") {
+    rejects("SELECT APPROX_PERCENTILE(v) AS p FROM s;", "fraction")
+    rejects("SELECT APPROX_PERCENTILE(v, 2.0) AS p FROM s;", "[0, 1]")
+    rejects("SELECT APPROX_PERCENTILE(v, x) AS p FROM s;", "literal")
+    rejects("SELECT APPROX_PERCENTILE(v, 0.5, 0) AS p FROM s;", "positive")
+    rejects("SELECT APPROX_PERCENTILE(v, 0.5, x) AS p FROM s;", "positive int")
+  }
+
   test("LIMIT beyond Int.MaxValue is rejected (Dataset.limit is Int)") {
     rejects("SELECT a FROM s LIMIT 4294967296;", "maximum")
     rejects("SELECT a FROM s UNION SELECT b FROM t LIMIT 2147483648;", "maximum")
