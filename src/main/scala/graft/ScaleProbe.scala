@@ -161,22 +161,24 @@ object ScaleProbe {
         .select($"d1", $"d2", $"dist")
     }
 
-    // paragraph-level dedup (q_dedup_paragraph's shape): shuffle 1 by
-    // paragraph hash (the boilerplate group grows linearly with the corpus
-    // — a within-group sort, not a self-join, so no quadratic blowup),
-    // shuffle 2 regroups by doc. Must stay ~linear.
+    // paragraph-level dedup (q_dedup_paragraph's shape): first-occurrence
+    // via partial-aggregated min per paragraph hash (map-side combined —
+    // the boilerplate group that grows linearly with the corpus collapses
+    // to one row per partition before the shuffle), join back (AQE-
+    // splittable hot key), regroup by doc. Must stay ~linear.
     def paragraphShape(df: DataFrame) = {
-      import org.apache.spark.sql.expressions.Window
       val bp = "this site uses cookies accept our policy to continue reading"
       val aug = when(pmod($"doc_id", lit(4L)) === 0,
         concat($"text", lit(" <p> "), lit(bp))).otherwise($"text")
       val paras = df.select($"doc_id", posexplode(split(aug, " <p> ")))
         .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
-      val win = Window.partitionBy(md5($"para")).orderBy($"doc_id", $"idx")
-      paras.withColumn("rk", row_number().over(win))
+        .withColumn("h", md5($"para"))
+        .withColumn("okey", $"doc_id" * lit(1000000L) + $"idx")
+      val firsts = paras.groupBy($"h").agg(min($"okey").as("first_okey"))
+      paras.join(firsts, "h")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_paras"),
-          sum(when($"rk" > 1, 1L).otherwise(0L)).as("n_removed"))
+          sum(when($"okey" =!= $"first_okey", 1L).otherwise(0L)).as("n_removed"))
     }
     // int8 quantization (q_embed_quantize's shape): pure map-side codec,
     // zero shuffle — the ratio IS the scan ratio

@@ -99,16 +99,18 @@ object CurationQueries extends QueryPack {
     // that matches the target proportions without upsampling any group:
     // feasible total T = min_g(n_g / w_g), per-group keep probability
     // p_g = w_g·T / n_g, applied as the deterministic id-hash Bernoulli.
-    // Relational end to end: group counts are one tiny agg (|langs| rows)
-    // broadcast back onto the scan, T is a 1-row cross join — the keep
-    // filter itself is map-side, so at 100 TB this costs one pass plus a
-    // kilobyte-sized shuffle, never a collect.
+    // Relational end to end, TWO corpus passes (inherent: group counts
+    // must exist before any keep decision): pass 1 is the counts agg —
+    // persisted at |langs| rows so the T and rate branches don't re-run
+    // its scan — and pass 2 is the keep filter, map-side against the
+    // broadcast rates. Never a collect.
     "q_curation_mix" -> ((s, dir) => {
       import s.implicits._
       val wgt = when($"lang" === "en", 0.40).otherwise(0.15)
       val docs = Tables.load(s, dir, "documents")
       val counts = docs.groupBy($"lang")
         .agg(count(lit(1)).as("n_avail")).withColumn("w", wgt)
+        .persist()
       val feasible = counts
         .agg(min($"n_avail" / $"w").as("t"))
       val rated = counts.join(broadcast(feasible))

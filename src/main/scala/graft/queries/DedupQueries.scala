@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PipelineFunctions._
@@ -290,30 +289,38 @@ object DedupQueries extends QueryPack {
     // The synthetic corpus has no natural paragraph structure, so a shared
     // boilerplate paragraph is injected deterministically into every 4th
     // doc — the classic header/footer the operator exists to strip.
-    // Scale: shuffle 1 partitions by paragraph hash (O(paragraphs) — the
-    // within-hash row_number touches only same-hash rows, and paragraph
-    // duplicate groups are bounded by corpus dup rate, not corpus size);
-    // shuffle 2 regroups by doc. No global sort anywhere. This is the
-    // feasible sub-document dedup shape at 100 TB — suffix-array substring
-    // dedup needs a global order and does not distribute.
+    // Scale: the first-occurrence key per paragraph hash is a PARTIAL-
+    // AGGREGATED min (map-side combined — a boilerplate paragraph shared by
+    // 25% of the corpus still reduces to one row per partition before the
+    // shuffle), NOT a row_number window: a window's within-partition sort
+    // runs the whole hot hash group in one un-splittable task. The join
+    // back on the hash IS hot-keyed, but it's a shuffle equi-join with a
+    // 1-row-per-key build side — exactly the shape AQE skew-join splits at
+    // runtime. Then one regroup by doc. Suffix-array substring dedup (the
+    // alternative) needs a global order and does not distribute.
     "q_dedup_paragraph" -> ((s, dir) => {
       import s.implicits._
       val bp = "this site uses cookies accept our policy to continue reading"
       val aug = when(pmod($"doc_id", lit(4L)) === 0,
         concat($"text", lit(" <p> "), lit(bp))).otherwise($"text")
+      // okey = total (doc_id, idx) order packed into one long (paragraph
+      // index is bounded far below 1e6 by doc length)
       val paras = Tables.load(s, dir, "documents")
         .select($"doc_id", posexplode(split(aug, " <p> ")))
         .withColumnRenamed("pos", "idx")
         .withColumnRenamed("col", "para")
-      val win = Window.partitionBy(md5($"para")).orderBy($"doc_id", $"idx")
-      paras.withColumn("rk", row_number().over(win))
+        .withColumn("h", md5($"para"))
+        .withColumn("okey", $"doc_id" * lit(1000000L) + $"idx")
+      val firsts = paras.groupBy($"h").agg(min($"okey").as("first_okey"))
+      paras.join(firsts, "h")
+        .withColumn("keep", $"okey" === $"first_okey")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_paras"),
-          sum(when($"rk" > 1, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(!$"keep", 1L).otherwise(0L)).as("n_removed"),
           // collect_list skips the NULLs the when() leaves for removed
           // paragraphs; struct sort restores document order
           md5(array_join(transform(
-            array_sort(collect_list(when($"rk" === 1, struct($"idx", $"para")))),
+            array_sort(collect_list(when($"keep", struct($"idx", $"para")))),
             p => p("para")), " <p> ")).as("kept_fp"))
         .orderBy($"doc_id")
     })
@@ -465,14 +472,16 @@ object DedupQueries extends QueryPack {
          ix AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM sp),
          p AS (SELECT doc_id, i - 1 AS idx, ps[i] AS para FROM ix),
          r AS (SELECT doc_id, idx, para,
-                 row_number() OVER (PARTITION BY md5(para)
-                                    ORDER BY doc_id, idx) AS rk
+                 doc_id * 1000000 + idx AS okey,
+                 min(doc_id * 1000000 + idx)
+                   OVER (PARTITION BY md5(para)) AS first_okey
                FROM p)
          SELECT doc_id, count(*) AS n_paras,
-           sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           sum(CASE WHEN okey <> first_okey THEN 1 ELSE 0 END)::BIGINT
+             AS n_removed,
            md5(coalesce(array_to_string(
-             list(para ORDER BY idx) FILTER (WHERE rk = 1), ' <p> '), ''))
-             AS kept_fp
+             list(para ORDER BY idx) FILTER (WHERE okey = first_okey),
+             ' <p> '), '')) AS kept_fp
          FROM r GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -236,8 +236,10 @@ object SimilarityQueries extends QueryPack {
         .withColumn("codes", transform($"v", x =>
           when($"scale" === 0, lit(0L))
             .otherwise(round((x - $"mn") / $"scale", 0).cast("long"))))
-        .withColumn("sqerr", transform($"v", { x =>
-          val e = x - ($"mn" + round((x - $"mn") / $"scale", 0) * $"scale")
+        // reconstruction error FROM the codes (zip_with) — one rounding
+        // site, so a codec change can never diverge from its error metric
+        .withColumn("sqerr", zip_with($"codes", $"v", { (c, x) =>
+          val e = x - ($"mn" + c * $"scale")
           when($"scale" === 0, lit(0.0)).otherwise(e * e)
         }))
         .select($"vec_id",

@@ -365,8 +365,10 @@ object Translate {
           s"APPROX_PERCENTILE fraction must be a literal, got $other")
       }
       val acc = rest match {
+        case Seq() => 10000L
         case Seq(IntLit(a)) => a
-        case _ => 10000L
+        case other => throw new IllegalArgumentException(
+          s"APPROX_PERCENTILE accuracy must be an int literal, got $other")
       }
       percentile_approx(column(e, resolve), lit(frac), lit(acc))
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>

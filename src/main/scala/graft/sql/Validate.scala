@@ -241,7 +241,11 @@ object Validate {
           }
           if (f < 0.0 || f > 1.0) fail(s"APPROX_PERCENTILE fraction must be in [0, 1], got $f")
           if (args.length == 3) args(2) match {
-            case IntLit(a) if a > 0 => ()
+            // Spark's ApproximatePercentile takes an Int accuracy — reject
+            // overflow here, as for LIMIT, instead of leaking an engine error
+            case IntLit(a) if a > 0 && a <= Int.MaxValue => ()
+            case IntLit(a) if a > Int.MaxValue =>
+              fail(s"APPROX_PERCENTILE accuracy maximum is ${Int.MaxValue}, got $a")
             case other => fail(s"APPROX_PERCENTILE accuracy must be a positive int literal, got $other")
           }
           checkExpr(args.head, aggAllowed, where, insideAgg = true)

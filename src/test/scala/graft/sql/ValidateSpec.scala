@@ -213,6 +213,7 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT APPROX_PERCENTILE(v, x) AS p FROM s;", "literal")
     rejects("SELECT APPROX_PERCENTILE(v, 0.5, 0) AS p FROM s;", "positive")
     rejects("SELECT APPROX_PERCENTILE(v, 0.5, x) AS p FROM s;", "positive int")
+    rejects("SELECT APPROX_PERCENTILE(v, 0.5, 4294967296) AS p FROM s;", "maximum")
   }
 
   test("LIMIT beyond Int.MaxValue is rejected (Dataset.limit is Int)") {
