@@ -236,6 +236,26 @@ object StreamOps {
                            grace: String = DefaultGrace): DataFrame =
     df.withWatermark(ts, grace).dropDuplicatesWithinWatermark(cols)
 
+  /** Streaming PARAGRAPH-level dedup — q_dedup_paragraph's streaming form
+    * (CCNet boilerplate removal on a live feed): docs explode into
+    * paragraphs map-side, and each paragraph hash's first arrival within
+    * the watermark survives (state = one entry per live paragraph hash,
+    * dropped past the grace — the streaming analogue of the batch op's
+    * keep-first-occurrence, with arrival order standing in for the batch
+    * total order). Emits surviving (doc_id, idx, para) rows. */
+  def paragraphDedup(df: DataFrame, id: String, text: String, ts: String,
+                     sep: String = " <p> ",
+                     grace: String = DefaultGrace): DataFrame = {
+    val paras = df
+      .select(col(id).cast("long").as("doc_id"), col(ts).as("__ts"),
+        posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "para")
+      .withColumn("h", md5(col("para")))
+    dedupWithinWatermark(paras, "__ts", Seq("h"))
+      .select(col("doc_id"), col("idx"), col("para"))
+  }
+
   /** Public (not private): Catalyst's generated deserializer instantiates
     * the encoder target class and cannot access private members. */
   case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: String)

@@ -47,4 +47,29 @@ class StreamDedupSpec extends SparkSpec {
       assert(pairs2 == Set((3L, 1L), (5L, 2L)), s"got $pairs2")
     } finally q.stop()
   }
+
+  test("streaming paragraph dedup: boilerplate survives once, unique paragraphs pass") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val bp = "this site uses cookies"
+
+    val out = StreamOps.paragraphDedup(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("paradedup_out").start()
+    try {
+      in.addData((1L, s"unique alpha words <p> $bp", ts(0)))
+      q.processAllAvailable()
+      // doc 2 repeats the boilerplate (dropped) + brings a new paragraph
+      in.addData((2L, s"fresh beta content <p> $bp", ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("paradedup_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == Set(
+        (1L, 0, "unique alpha words"), (1L, 1, bp),
+        (2L, 0, "fresh beta content")), s"got $got")
+    } finally q.stop()
+  }
 }
