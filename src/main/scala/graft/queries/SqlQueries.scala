@@ -107,6 +107,21 @@ object SqlQueries extends QueryPack {
          WHERE a.event_id <> b.event_id
          GROUP BY user_id;""")),
 
+    // CHAINED (3-way) interval join — dialect EXTENSION (the reference's
+    // V1 grammar takes one join per SELECT): left-anchored WITHIN
+    // chaining, so b and c are each matched against a's timestamps. Equi-
+    // conjuncts on user_id keep both joins hash-partitionable at scale.
+    "q_sql_join_threeway" -> ((s, dir) => run(s, dir,
+      """SELECT a.user_id AS user_id, COUNT(*) AS triples
+         FROM (SELECT user_id, ts, event_id FROM events) AS a
+         JOIN (SELECT user_id, ts, event_id FROM events) AS b
+           ON a.user_id = b.user_id WITHIN (INTERVAL 30 MINUTE)
+         JOIN (SELECT user_id, ts, event_id FROM events) AS c
+           ON a.user_id = c.user_id WITHIN (INTERVAL 30 MINUTE)
+         WHERE a.event_id <> b.event_id AND b.event_id <> c.event_id
+           AND a.event_id <> c.event_id
+         GROUP BY user_id;""")),
+
     // CROSS JOIN WITHIN: pure time-window pairing, no key (the reference's
     // V1 join is secretly always this — empty join key, Codegen/V1.hs:286).
     "q_sql_join_cross" -> ((s, dir) => run(s, dir,
@@ -321,6 +336,18 @@ object SqlQueries extends QueryPack {
            AND a.event_id <> b.event_id
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
+         GROUP BY 1""",
+    "q_sql_join_threeway" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT a.user_id AS user_id, count(*) AS triples
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND b.ts >= a.ts - INTERVAL '30 minutes'
+           AND b.ts <= a.ts + INTERVAL '30 minutes'
+         JOIN ev c ON a.user_id = c.user_id
+           AND c.ts >= a.ts - INTERVAL '30 minutes'
+           AND c.ts <= a.ts + INTERVAL '30 minutes'
+         WHERE a.event_id <> b.event_id AND b.event_id <> c.event_id
+           AND a.event_id <> c.event_id
          GROUP BY 1""",
     "q_sql_join_cross" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)

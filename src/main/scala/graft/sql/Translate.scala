@@ -423,15 +423,36 @@ object Translate {
     // forever), and Spark refuses outer stream-stream joins without one.
     // Grace = the WITHIN interval (the reference's join grace is 0 —
     // jwGraceMs, Codegen/V1.hs:287-291 — so the window itself is the bound).
+    // A chained join's left side has no plain ts (qualifyCollisions renamed
+    // it to the literal `<alias>.ts`); its watermark propagated through the
+    // inner join, so only plain-ts (leaf) inputs set one here.
     def wm(df: DataFrame): DataFrame =
-      if (df.isStreaming) df.withWatermark(tsCol(df), intervalString(j.within))
+      if (df.isStreaming &&
+          (df.columns.contains("_ts") || df.columns.contains("ts")))
+        df.withWatermark(tsCol(df), intervalString(j.within))
       else df
     val (ldf, rdf) = (wm(left.df), wm(right.df))
-    val lts = col(s"${refAlias(j.l)}.${tsCol(ldf)}")
-    val rts = col(s"${refAlias(j.r)}.${tsCol(rdf)}")
+    // Event time of a join side, anchored at its leftmost stream: a leaf
+    // side resolves `alias.ts` through its alias; a chained-join side
+    // carries the renamed literal `a.ts` column (backtick-quoted) — so in
+    // `a JOIN b ... JOIN c`, c is matched against a's timestamps
+    // (left-anchored chaining; the dialect's documented n-way semantics).
+    def eventTs(df: DataFrame, anchor: String): Column =
+      if (df.columns.contains("_ts")) col(s"$anchor._ts")
+      else if (df.columns.contains("ts")) col(s"$anchor.ts")
+      else if (df.columns.contains(s"$anchor._ts")) col(s"`$anchor._ts`")
+      else if (df.columns.contains(s"$anchor.ts")) col(s"`$anchor.ts`")
+      else throw new IllegalArgumentException(
+        s"no event-time column (_ts/ts) in [${df.columns.mkString(",")}]")
+    val lts = eventTs(ldf, refAlias(j.l))
+    val rts = eventTs(rdf, refAlias(j.r))
     val w = intervalExpr(j.within)
     val range = rts >= lts - w && rts <= lts + w // Stream.hs:297
     def resolve(c: ColRef): Column = c match {
+      // a chained join's left side carries collision-renamed literal "q.n"
+      // columns (same fallback as the SELECT-level resolver)
+      case ColRef(Some(q), n) if ldf.columns.contains(s"$q.$n") ||
+          rdf.columns.contains(s"$q.$n") => col(s"`$q.$n`")
       case ColRef(Some(q), n) => col(s"$q.$n")
       case ColRef(None, n) => col(n)
     }

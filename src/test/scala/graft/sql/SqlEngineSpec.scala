@@ -82,6 +82,31 @@ class SqlEngineSpec extends SparkSpec {
     started.stop()
   }
 
+  test("chained 3-way interval join: batch resolution + live streaming CSAS") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM t3a (k STRING, va INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM t3b (k STRING, vb INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM t3c (k STRING, vc INTEGER, _ts TIMESTAMP);")
+    // left-anchored chaining: b and c each within 1 minute of a
+    val q = e.sql(
+      """SELECT a.k AS k, a.va AS va, b.vb AS vb, c.vc AS vc
+         FROM t3a AS a
+         JOIN t3b AS b ON a.k = b.k WITHIN (INTERVAL 1 MINUTE)
+         JOIN t3c AS c ON a.k = c.k WITHIN (INTERVAL 1 MINUTE);""")
+      .asInstanceOf[e.Rows]
+    val started = e.engine.createStreamAs("t3out", q.df)
+    e.sql("INSERT INTO t3a (k, va, _ts) VALUES ('x', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO t3b (k, vb, _ts) VALUES ('x', 2, '2024-01-01 00:00:20');")
+    e.sql("INSERT INTO t3c (k, vc, _ts) VALUES ('x', 3, '2024-01-01 00:00:40');")
+    // outside the 1-minute anchor window of a — must not join
+    e.sql("INSERT INTO t3c (k, vc, _ts) VALUES ('x', 9, '2024-01-01 00:30:00');")
+    e.engine.processAll()
+    val got = spark.table("t3out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("x", 1L, 2L, 3L)), s"got $got")
+    started.stop()
+  }
+
   test("RIGHT outer join USING under streaming CSAS coalesces the key (Translate.usingJoin)") {
     val e = new SqlEngine(spark)
     e.sql("CREATE STREAM rjl (k STRING, v INTEGER, _ts TIMESTAMP);")
