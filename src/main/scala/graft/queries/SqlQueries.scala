@@ -278,7 +278,17 @@ object SqlQueries extends QueryPack {
     "q_sql_vocab" -> ((s, dir) => run(s, dir,
       """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          FROM FLATTEN(documents, TOKENS(text) AS tok)
-         GROUP BY tok HAVING COUNT(*) >= 10;"""))
+         GROUP BY tok HAVING COUNT(*) >= 10;""")),
+
+    // Deterministic stratified sampling through the dialect: BUCKET is the
+    // reproducible hash-bucket primitive (the grammar has no % operator);
+    // the per-language rate is expressed as a boolean (no CASE in the
+    // grammar either). Same draws as q_curation_sample — oracle verbatim.
+    "q_sql_sample" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id, lang, ARRAY_LENGTH(TOKENS(text)) AS n_tokens
+         FROM documents
+         WHERE BUCKET(TO_STR(doc_id), 100) < 10
+            OR (lang = 'en' AND BUCKET(TO_STR(doc_id), 100) < 30);"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -461,6 +471,7 @@ object SqlQueries extends QueryPack {
       """SELECT doc_id,
          levenshtein(left(text, 32), lower(left(text, 32))) AS ucase
          FROM documents""",
-    "q_sql_vocab" -> TextQueries.oracleSql("q_text_vocab")
+    "q_sql_vocab" -> TextQueries.oracleSql("q_text_vocab"),
+    "q_sql_sample" -> CurationQueries.oracleSql("q_curation_sample")
   )
 }

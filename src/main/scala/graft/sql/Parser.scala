@@ -91,7 +91,7 @@ object Parser {
     * SqlFunctions), so the shared DuckDB oracles apply. */
   private val pipelineFns = Set("TOKENS", "WORD_HASHES", "SHINGLES3",
     "MINHASH", "JACCARD", "SIMHASH16", "HAMMING", "FINGERPRINT",
-    "STOPWORD_RATIO", "QUALITY_SCORE", "COSINE")
+    "STOPWORD_RATIO", "QUALITY_SCORE", "COSINE", "BUCKET")
   private val intervalUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
 
   class Parser(toks: Vector[Tok]) {

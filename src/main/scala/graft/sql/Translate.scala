@@ -274,6 +274,14 @@ object Translate {
       // the (a, b) constants of the i-th shared permutation (MinhashPerms)
       case ("MINHASH", Seq(hs, IntLit(i))) =>
         Some(PipelineFunctions.minhash(go(hs), i.toInt))
+      // BUCKET(s, n): deterministic hash bucket in [0, n) — the dialect's
+      // reproducible-sampling primitive (the grammar has no % operator);
+      // same md5-derived hash32 as the curation operators, so the shared
+      // oracles apply
+      case ("BUCKET", Seq(s, IntLit(n))) =>
+        Some(pmod(PipelineFunctions.hash32(go(s)), lit(n)))
+      case ("BUCKET", Seq(_, other)) => throw new IllegalArgumentException(
+        s"BUCKET modulus must be an int literal, got $other")
       case _ => None
     }
 

@@ -262,6 +262,8 @@ object TypeCheck {
         args.foreach(a => requireArray(a, env, name)); Some(TFloat)
       case "STOPWORD_RATIO" | "QUALITY_SCORE" =>
         requireArray(args.head, env, name); Some(TFloat)
+      case "BUCKET" =>
+        requireString(args.head, env, name); Some(TInt)
       case "IFNULL" | "NULLIF" =>
         val ts = args.map(infer(_, env))
         for (Some(a) <- ts; Some(b) <- ts)

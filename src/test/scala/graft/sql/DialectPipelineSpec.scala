@@ -92,4 +92,25 @@ class DialectPipelineSpec extends SparkSpec {
       e.sql("SELECT MINHASH(doc_id, 0) AS m FROM ddocs;"))
     assert(ex.getMessage.toLowerCase.contains("array"))
   }
+
+  test("dialect BUCKET == Column-API hash bucket; typed and literal-checked") {
+    docs
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = rows("SELECT doc_id, BUCKET(TO_STR(doc_id), 100) AS b FROM ddocs;")
+    val want = spark.table("ddocs")
+      .select($"doc_id",
+        pmod(PipelineFunctions.hash32($"doc_id".cast("string")), lit(100L)).as("b"))
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq == want.map(_.getLong(1)).toSeq)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    // modulus must be a literal; input must be a string (`this.e`: the
+    // functions._ import shadows the engine helper with Euler's number)
+    val ex1 = intercept[Exception](
+      this.e.sql("SELECT BUCKET(TO_STR(doc_id), doc_id) AS b FROM ddocs;"))
+    assert(ex1.getMessage.toLowerCase.contains("literal"))
+    val ex2 = intercept[Exception](
+      this.e.sql("SELECT BUCKET(doc_id, 100) AS b FROM ddocs;"))
+    assert(ex2.getMessage.toLowerCase.contains("string"))
+  }
 }
