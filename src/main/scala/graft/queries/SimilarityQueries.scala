@@ -227,32 +227,37 @@ object SimilarityQueries extends QueryPack {
     // Pure map-side codegen'd array expressions — zero shuffle; the codes
     // are pinned exactly (fingerprint + sum) and the MSE is a fixed-order
     // left fold, bit-identical cross-engine before rounding.
-    "q_embed_quantize" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "embeddings")
-        .select($"vec_id", vecD($"embedding").as("v"))
-        .withColumn("mn", array_min($"v"))
-        .withColumn("scale", (array_max($"v") - $"mn") / 255.0)
-        .withColumn("codes", transform($"v", x =>
-          when($"scale" === 0, lit(0L))
-            .otherwise(round((x - $"mn") / $"scale", 0).cast("long"))))
-        // reconstruction error FROM the codes (zip_with) — one rounding
-        // site, so a codec change can never diverge from its error metric
-        .withColumn("sqerr", zip_with($"codes", $"v", { (c, x) =>
-          val e = x - ($"mn" + c * $"scale")
-          when($"scale" === 0, lit(0.0)).otherwise(e * e)
-        }))
-        .select($"vec_id",
-          round($"mn", 6).as("mn"),
-          round($"scale", 9).as("scale"),
-          aggregate($"codes", lit(0L), (a, c) => a + c).as("code_sum"),
-          md5(array_join(transform($"codes", c => c.cast("string")), ","))
-            .as("codes_fp"),
-          round(aggregate($"sqerr", lit(0.0), (a, e) => a + e)
-            / size($"v"), 12).as("mse"))
-        .orderBy($"vec_id")
-    })
+    "q_embed_quantize" -> ((s, dir) =>
+      quantize(Tables.load(s, dir, "embeddings")).orderBy("vec_id"))
   )
+
+  /** The int8 min/max quantization pipeline over (vec_id, embedding) rows —
+    * ONE definition shared by the q_embed_quantize gate and the streaming
+    * twin (StreamingTwinSpec), so codec and error metric cannot drift
+    * between the batch and streaming paths. */
+  def quantize(in: DataFrame): DataFrame = {
+    import in.sparkSession.implicits._
+    in.select($"vec_id", vecD($"embedding").as("v"))
+      .withColumn("mn", array_min($"v"))
+      .withColumn("scale", (array_max($"v") - $"mn") / 255.0)
+      .withColumn("codes", transform($"v", x =>
+        when($"scale" === 0, lit(0L))
+          .otherwise(round((x - $"mn") / $"scale", 0).cast("long"))))
+      // reconstruction error FROM the codes (zip_with) — one rounding
+      // site, so a codec change can never diverge from its error metric
+      .withColumn("sqerr", zip_with($"codes", $"v", { (c, x) =>
+        val e = x - ($"mn" + c * $"scale")
+        when($"scale" === 0, lit(0.0)).otherwise(e * e)
+      }))
+      .select($"vec_id",
+        round($"mn", 6).as("mn"),
+        round($"scale", 9).as("scale"),
+        aggregate($"codes", lit(0L), (a, c) => a + c).as("code_sum"),
+        md5(array_join(transform($"codes", c => c.cast("string")), ","))
+          .as("codes_fp"),
+        round(aggregate($"sqerr", lit(0.0), (a, e) => a + e)
+          / size($"v"), 12).as("mse"))
+  }
 
   /** Oracle CTE: the same normalize-once-then-dot pipeline with identical
     * left-fold summation order, so doubles match bit-for-bit pre-rounding. */

@@ -279,9 +279,13 @@ object Translate {
       // same md5-derived hash32 as the curation operators, so the shared
       // oracles apply
       case ("BUCKET", Seq(s, IntLit(n))) =>
+        // n <= 0 would be pmod-by-zero (ANSI abort) or negative buckets
+        // (a `< rate` sampling filter silently keeps everything)
+        if (n <= 0) throw new IllegalArgumentException(
+          s"BUCKET modulus must be a positive int literal, got $n")
         Some(pmod(PipelineFunctions.hash32(go(s)), lit(n)))
       case ("BUCKET", Seq(_, other)) => throw new IllegalArgumentException(
-        s"BUCKET modulus must be an int literal, got $other")
+        s"BUCKET modulus must be a positive int literal, got $other")
       case _ => None
     }
 
@@ -440,16 +444,18 @@ object Translate {
         df.withWatermark(tsCol(df), intervalString(j.within))
       else df
     val (ldf, rdf) = (wm(left.df), wm(right.df))
-    // Event time of a join side, anchored at its leftmost stream: a leaf
-    // side resolves `alias.ts` through its alias; a chained-join side
-    // carries the renamed literal `a.ts` column (backtick-quoted) — so in
+    // Event time of a join side, anchored at its leftmost stream: a
+    // chained-join side carries the renamed literal `a.ts` column
+    // (backtick-quoted — checked FIRST: a deeper chain can also hold a
+    // later leaf's un-renamed plain ts, which must not shadow the anchor);
+    // a leaf side resolves `alias.ts` through its alias. So in
     // `a JOIN b ... JOIN c`, c is matched against a's timestamps
     // (left-anchored chaining; the dialect's documented n-way semantics).
     def eventTs(df: DataFrame, anchor: String): Column =
-      if (df.columns.contains("_ts")) col(s"$anchor._ts")
-      else if (df.columns.contains("ts")) col(s"$anchor.ts")
-      else if (df.columns.contains(s"$anchor._ts")) col(s"`$anchor._ts`")
+      if (df.columns.contains(s"$anchor._ts")) col(s"`$anchor._ts`")
       else if (df.columns.contains(s"$anchor.ts")) col(s"`$anchor.ts`")
+      else if (df.columns.contains("_ts")) col(s"$anchor._ts")
+      else if (df.columns.contains("ts")) col(s"$anchor.ts")
       else throw new IllegalArgumentException(
         s"no event-time column (_ts/ts) in [${df.columns.mkString(",")}]")
     val lts = eventTs(ldf, refAlias(j.l))
@@ -493,20 +499,38 @@ object Translate {
     * in later clauses resolve to these renamed columns (see resolve). */
   private def qualifyCollisions(joined: DataFrame, j: TRJoin,
                                 ldf: DataFrame, rdf: DataFrame): DataFrame = {
-    val la = refAlias(j.l); val ra = refAlias(j.r)
+    val ra = refAlias(j.r)
     val collisions = ldf.columns.toSet.intersect(rdf.columns.toSet)
     if (collisions.isEmpty) joined
     else {
+      // A chained left side can contribute a colliding plain column that
+      // belongs to an INNER leaf (a(k) JOIN b(k,w) JOIN c(w): the plain w
+      // is b's) — qualify with the leaf alias that actually resolves it,
+      // not blindly the leftmost. At most one left leaf can own a plain
+      // column (two owners would have collided and been renamed earlier).
+      val leftLeaves = leafAliases(j.l)
+      def leftOwner(c: String): String =
+        leftLeaves.find(q => scala.util.Try(ldf(s"$q.$c")).isSuccess)
+          .getOrElse(leftLeaves.head)
       val cols = joined.columns.zipWithIndex.map { case (c, i) =>
-        if (!collisions.contains(c)) joined(c)
+        // backtick-quote pass-through names: a deeper chain's left side
+        // already holds literal `x.y` columns a bare joined(c) would
+        // misparse as qualifier x + field y
+        if (!collisions.contains(c)) joined(s"`$c`")
         else {
           // left copy comes first in join output column order
-          val qualifier = if (i < ldf.columns.length) la else ra
+          val qualifier = if (i < ldf.columns.length) leftOwner(c) else ra
           col(s"$qualifier.$c").as(s"$qualifier.$c")
         }
       }
       joined.select(cols.toIndexedSeq: _*)
     }
+  }
+
+  /** Leaf (non-join) aliases of a table ref, left to right. */
+  private def leafAliases(r: TableRef): Seq[String] = r match {
+    case TRJoin(l, rr, _, _, _) => leafAliases(l) ++ leafAliases(rr)
+    case other => Seq(refAlias(other))
   }
 
   /** USING/NATURAL join keeping ONE copy of each key column: the right

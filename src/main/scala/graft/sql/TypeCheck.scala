@@ -263,6 +263,7 @@ object TypeCheck {
       case "STOPWORD_RATIO" | "QUALITY_SCORE" =>
         requireArray(args.head, env, name); Some(TFloat)
       case "BUCKET" =>
+        if (args.length != 2) fail("BUCKET requires (string-expr, modulus)")
         requireString(args.head, env, name); Some(TInt)
       case "IFNULL" | "NULLIF" =>
         val ts = args.map(infer(_, env))

@@ -247,7 +247,9 @@ object StreamOps {
                      sep: String = " <p> ",
                      grace: String = DefaultGrace): DataFrame = {
     val paras = df
-      .select(col(id).cast("long").as("doc_id"), col(ts).as("__ts"),
+      // id passes through untyped — no cast to abort on (ANSI) and no
+      // typed encoder downstream to require one
+      .select(col(id).as("doc_id"), col(ts).as("__ts"),
         posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("pos", "idx")
       .withColumnRenamed("col", "para")
@@ -283,10 +285,14 @@ object StreamOps {
       .withColumn("__wh", wordHashes(tokens(col(text))))
       .withColumn("__hs", combineShingles3(col("__wh")))
       .filter(size(col("__hs")) > 0) // degenerate-doc band-skew guard
-      .select(col(id).cast("long").as("doc_id"), col(ts).as("ts"),
+      // try_cast + null-drop: one malformed id must not abort the stream
+      // (ANSI cast would); unparseable ids are dropped, not fatal
+      .select(expr(s"try_cast(`$id` AS BIGINT)").as("doc_id"),
+        col(ts).as("ts"),
         explode(array((0 until 4).map(b => concat_ws("_", lit(b),
           minhash(col("__hs"), 2 * b), minhash(col("__hs"), 2 * b + 1))): _*))
           .as("band"))
+      .filter(col("doc_id").isNotNull)
       .withWatermark("ts", grace)
     banded.as[BandRow]
       .groupByKey(_.band)

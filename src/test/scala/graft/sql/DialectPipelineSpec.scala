@@ -112,5 +112,16 @@ class DialectPipelineSpec extends SparkSpec {
     val ex2 = intercept[Exception](
       this.e.sql("SELECT BUCKET(doc_id, 100) AS b FROM ddocs;"))
     assert(ex2.getMessage.toLowerCase.contains("string"))
+    // modulus 0 would be pmod-by-zero (ANSI abort); negative buckets would
+    // make a `< rate` filter always-true; wrong arity gets a real message
+    val ex3 = intercept[Exception](
+      this.e.sql("SELECT BUCKET(TO_STR(doc_id), 0) AS b FROM ddocs;"))
+    assert(ex3.getMessage.toLowerCase.contains("positive"))
+    val ex4 = intercept[Exception](
+      this.e.sql("SELECT BUCKET(TO_STR(doc_id), -5) AS b FROM ddocs;"))
+    assert(ex4.getMessage.toLowerCase.contains("positive"))
+    val ex5 = intercept[Exception](
+      this.e.sql("SELECT BUCKET(TO_STR(doc_id)) AS b FROM ddocs;"))
+    assert(ex5.getMessage.toLowerCase.contains("requires"))
   }
 }

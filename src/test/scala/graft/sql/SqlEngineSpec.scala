@@ -107,6 +107,47 @@ class SqlEngineSpec extends SparkSpec {
     started.stop()
   }
 
+  test("4-way chained join + inner-leaf column ownership in collisions") {
+    val e = new SqlEngine(spark)
+    import spark.implicits._
+    // 4-way: after (a⋈b)⋈c, c's plain _ts survives un-renamed in the
+    // chained left side — the 4th join must still anchor at a's _ts
+    // (eventTs checks anchor-literal columns before plain ones)
+    Seq(("x", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "va", "_ts").createOrReplaceTempView("f4a")
+    Seq(("x", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")))
+      .toDF("k", "vb", "_ts").createOrReplaceTempView("f4b")
+    Seq(("x", 3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20")))
+      .toDF("k", "vc", "_ts").createOrReplaceTempView("f4c")
+    Seq(("x", 4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30")),
+        ("x", 9L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")))
+      .toDF("k", "vd", "_ts").createOrReplaceTempView("f4d")
+    val got = e.batch(
+      """SELECT a.va AS va, b.vb AS vb, c.vc AS vc, d.vd AS vd
+         FROM f4a AS a
+         JOIN f4b AS b ON a.k = b.k WITHIN (INTERVAL 1 MINUTE)
+         JOIN f4c AS c ON a.k = c.k WITHIN (INTERVAL 1 MINUTE)
+         JOIN f4d AS d ON a.k = d.k WITHIN (INTERVAL 1 MINUTE);""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 3L, 4L)), s"got $got")
+
+    // inner-leaf ownership: b's w survives join 1 plain, collides with c's
+    // w in join 2 — it must be addressable as b.w (not mislabeled a.w)
+    Seq(("x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "_ts").createOrReplaceTempView("o3a")
+    Seq(("x", 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")))
+      .toDF("k", "w", "_ts").createOrReplaceTempView("o3b")
+    Seq(("x", 30L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20")))
+      .toDF("k", "w", "_ts").createOrReplaceTempView("o3c")
+    val own = e.batch(
+      """SELECT b.w AS bw, c.w AS cw
+         FROM o3a AS a
+         JOIN o3b AS b ON a.k = b.k WITHIN (INTERVAL 1 MINUTE)
+         JOIN o3c AS c ON a.k = c.k WITHIN (INTERVAL 1 MINUTE);""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(own == Set((20L, 30L)), s"got $own")
+  }
+
   test("RIGHT outer join USING under streaming CSAS coalesces the key (Translate.usingJoin)") {
     val e = new SqlEngine(spark)
     e.sql("CREATE STREAM rjl (k STRING, v INTEGER, _ts TIMESTAMP);")

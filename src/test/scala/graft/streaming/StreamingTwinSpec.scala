@@ -168,28 +168,10 @@ class StreamingTwinSpec extends SparkSpec {
   }
 
   test("streaming int8-quantization twin (stateless map path) == oracle'd q_embed_quantize") {
-    import spark.implicits._
-    import graft.functions.PipelineFunctions._
     val (_, s) = staged("embeddings")
-    // the exact q_embed_quantize expression pipeline, stateless append mode
-    val q = drain(
-      s.select($"vec_id", vecD($"embedding").as("v"))
-        .withColumn("mn", array_min($"v"))
-        .withColumn("scale", (array_max($"v") - $"mn") / 255.0)
-        .withColumn("codes", transform($"v", x =>
-          when($"scale" === 0, lit(0L))
-            .otherwise(round((x - $"mn") / $"scale", 0).cast("long"))))
-        .withColumn("sqerr", zip_with($"codes", $"v", { (c, x) =>
-          val e = x - ($"mn" + c * $"scale")
-          when($"scale" === 0, lit(0.0)).otherwise(e * e)
-        }))
-        .select($"vec_id", round($"mn", 6).as("mn"),
-          round($"scale", 9).as("scale"),
-          aggregate($"codes", lit(0L), (a, c) => a + c).as("code_sum"),
-          md5(array_join(transform($"codes", c => c.cast("string")), ","))
-            .as("codes_fp"),
-          round(aggregate($"sqerr", lit(0.0), (a, e) => a + e)
-            / size($"v"), 12).as("mse")),
+    // the ONE shared quantize pipeline (SimilarityQueries.quantize) over a
+    // live stream, stateless append mode
+    val q = drain(graft.queries.SimilarityQueries.quantize(s),
       "append", "twin_quantize")
     val streaming = spark.table("twin_quantize").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
