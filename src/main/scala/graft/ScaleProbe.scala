@@ -164,8 +164,9 @@ object ScaleProbe {
     // paragraph-level dedup (q_dedup_paragraph's shape): first-occurrence
     // via partial-aggregated min per paragraph hash (map-side combined —
     // the boilerplate group that grows linearly with the corpus collapses
-    // to one row per partition before the shuffle), join back (AQE-
-    // splittable hot key), regroup by doc. Must stay ~linear.
+    // to one row per partition before the shuffle), join back (hot key;
+    // AQE-splittable once firsts is materialized — SkewJoinSpec), regroup
+    // by doc. Must stay ~linear.
     def paragraphShape(df: DataFrame) = {
       val bp = "this site uses cookies accept our policy to continue reading"
       val aug = when(pmod($"doc_id", lit(4L)) === 0,

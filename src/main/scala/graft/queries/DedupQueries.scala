@@ -294,10 +294,14 @@ object DedupQueries extends QueryPack {
     // 25% of the corpus still reduces to one row per partition before the
     // shuffle), NOT a row_number window: a window's within-partition sort
     // runs the whole hot hash group in one un-splittable task. The join
-    // back on the hash IS hot-keyed, but it's a shuffle equi-join with a
-    // 1-row-per-key build side — exactly the shape AQE skew-join splits at
-    // runtime. Then one regroup by doc. Suffix-array substring dedup (the
-    // alternative) needs a global order and does not distribute.
+    // back on the hash IS hot-keyed; AQE's skew splitter handles exactly
+    // this shape PROVIDED the firsts side is materialized (written and
+    // re-read between stages, as a 100 TB pipeline would) — the splitter
+    // pattern-matches bare shuffle stages, so this single-query gate form
+    // with the agg inlined above the build shuffle does not engage it
+    // (SkewJoinSpec pins both facts). Then one regroup by doc.
+    // Suffix-array substring dedup (the alternative) needs a global order
+    // and does not distribute.
     "q_dedup_paragraph" -> ((s, dir) => {
       import s.implicits._
       val bp = "this site uses cookies accept our policy to continue reading"
