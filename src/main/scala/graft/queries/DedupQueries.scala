@@ -302,33 +302,57 @@ object DedupQueries extends QueryPack {
     // (SkewJoinSpec pins both facts). Then one regroup by doc.
     // Suffix-array substring dedup (the alternative) needs a global order
     // and does not distribute.
-    "q_dedup_paragraph" -> ((s, dir) => {
-      import s.implicits._
-      val bp = "this site uses cookies accept our policy to continue reading"
-      val aug = when(pmod($"doc_id", lit(4L)) === 0,
-        concat($"text", lit(" <p> "), lit(bp))).otherwise($"text")
-      // okey = total (doc_id, idx) order packed into one long (paragraph
-      // index is bounded far below 1e6 by doc length)
-      val paras = Tables.load(s, dir, "documents")
-        .select($"doc_id", posexplode(split(aug, " <p> ")))
-        .withColumnRenamed("pos", "idx")
-        .withColumnRenamed("col", "para")
-        .withColumn("h", md5($"para"))
-        .withColumn("okey", $"doc_id" * lit(1000000L) + $"idx")
-      val firsts = paras.groupBy($"h").agg(min($"okey").as("first_okey"))
-      paras.join(firsts, "h")
-        .withColumn("keep", $"okey" === $"first_okey")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(!$"keep", 1L).otherwise(0L)).as("n_removed"),
-          // collect_list skips the NULLs the when() leaves for removed
-          // paragraphs; struct sort restores document order
-          md5(array_join(transform(
-            array_sort(collect_list(when($"keep", struct($"idx", $"para")))),
-            p => p("para")), " <p> ")).as("kept_fp"))
-        .orderBy($"doc_id")
-    })
+    "q_dedup_paragraph" -> ((s, dir) => paragraphDedup(s, dir, salt = 0)),
+
+    // The SAME operator with the firsts join SALTED 8 ways (same oracle):
+    // probe rows scatter by an okey-derived salt, build rows replicate to
+    // every salt — the hot boilerplate key spreads over 8 reducers WITHOUT
+    // relying on AQE's (conditional — see SkewJoinSpec) splitter. This is
+    // the self-contained single-query form you'd run at 100 TB when the
+    // firsts relation is not materialized.
+    "q_dedup_paragraph_salted" -> ((s, dir) => paragraphDedup(s, dir, salt = 8))
   )
+
+  /** The paragraph-dedup pipeline behind q_dedup_paragraph and its salted
+    * twin — one definition, so operator and mitigation cannot drift.
+    * @param salt 0 = plain hash join on h; n > 0 = the probe side scatters
+    *             by pmod(okey, n) and the firsts side replicates to every
+    *             salt, spreading a hot paragraph hash over n reducers. */
+  private def paragraphDedup(s: SparkSession, dir: String,
+                             salt: Int): DataFrame = {
+    import s.implicits._
+    val bp = "this site uses cookies accept our policy to continue reading"
+    val aug = when(pmod($"doc_id", lit(4L)) === 0,
+      concat($"text", lit(" <p> "), lit(bp))).otherwise($"text")
+    // okey = total (doc_id, idx) order packed into one long (paragraph
+    // index is bounded far below 1e6 by doc length)
+    val paras = Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(split(aug, " <p> ")))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "para")
+      .withColumn("h", md5($"para"))
+      .withColumn("okey", $"doc_id" * lit(1000000L) + $"idx")
+    val firsts0 = paras.groupBy($"h").agg(min($"okey").as("first_okey"))
+    val joined =
+      if (salt == 0) paras.join(firsts0, "h")
+      else {
+        val firsts = firsts0.withColumn("__salt",
+          explode(array((0 until salt).map(i => lit(i)): _*)))
+        paras.withColumn("__salt", pmod($"okey", lit(salt.toLong)).cast("int"))
+          .join(firsts, Seq("h", "__salt"))
+      }
+    joined
+      .withColumn("keep", $"okey" === $"first_okey")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the NULLs the when() leaves for removed
+        // paragraphs; struct sort restores document order
+        md5(array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"idx", $"para")))),
+          p => p("para")), " <p> ")).as("kept_fp"))
+      .orderBy($"doc_id")
+  }
 
   /** DuckDB-side shingle CTE shared by the dedup oracles: the same per-word
     * hash + rolling combine as combineShingles3. */
@@ -466,26 +490,30 @@ object DedupQueries extends QueryPack {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND bit_count(xor(a.sh16, b.sh16)) <= 3
          ORDER BY d1, d2""",
-    "q_dedup_paragraph" ->
-      """WITH a AS (SELECT doc_id,
-           CASE WHEN doc_id % 4 = 0 THEN text || ' <p> ' ||
-             'this site uses cookies accept our policy to continue reading'
-           ELSE text END AS aug
-         FROM documents),
-         sp AS (SELECT doc_id, string_split(aug, ' <p> ') ps FROM a),
-         ix AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM sp),
-         p AS (SELECT doc_id, i - 1 AS idx, ps[i] AS para FROM ix),
-         r AS (SELECT doc_id, idx, para,
-                 doc_id * 1000000 + idx AS okey,
-                 min(doc_id * 1000000 + idx)
-                   OVER (PARTITION BY md5(para)) AS first_okey
-               FROM p)
-         SELECT doc_id, count(*) AS n_paras,
-           sum(CASE WHEN okey <> first_okey THEN 1 ELSE 0 END)::BIGINT
-             AS n_removed,
-           md5(coalesce(array_to_string(
-             list(para ORDER BY idx) FILTER (WHERE okey = first_okey),
-             ' <p> '), '')) AS kept_fp
-         FROM r GROUP BY doc_id ORDER BY doc_id"""
+    "q_dedup_paragraph" -> paragraphOracleSql,
+    // salting must not change a single value — same oracle
+    "q_dedup_paragraph_salted" -> paragraphOracleSql
   )
+
+  private val paragraphOracleSql: String =
+    """WITH a AS (SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' <p> ' ||
+           'this site uses cookies accept our policy to continue reading'
+         ELSE text END AS aug
+       FROM documents),
+       sp AS (SELECT doc_id, string_split(aug, ' <p> ') ps FROM a),
+       ix AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM sp),
+       p AS (SELECT doc_id, i - 1 AS idx, ps[i] AS para FROM ix),
+       r AS (SELECT doc_id, idx, para,
+               doc_id * 1000000 + idx AS okey,
+               min(doc_id * 1000000 + idx)
+                 OVER (PARTITION BY md5(para)) AS first_okey
+             FROM p)
+       SELECT doc_id, count(*) AS n_paras,
+         sum(CASE WHEN okey <> first_okey THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+         md5(coalesce(array_to_string(
+           list(para ORDER BY idx) FILTER (WHERE okey = first_okey),
+           ' <p> '), '')) AS kept_fp
+       FROM r GROUP BY doc_id ORDER BY doc_id"""
 }
