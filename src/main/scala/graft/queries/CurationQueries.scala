@@ -125,6 +125,24 @@ object CurationQueries extends QueryPack {
         .orderBy($"lang")
     }),
 
+    // Deterministic train/val/test SPLIT assignment (98/1/1): the split a
+    // doc lands in is a pure function of its id (an independent hash
+    // stream — note the "split" prefix — so membership is uncorrelated
+    // with the sampling draws), which is what makes splits reproducible,
+    // disjoint by construction, and stable under corpus growth: adding
+    // docs never moves an existing doc across splits. Map-side, zero
+    // shuffle.
+    "q_curation_split" -> ((s, dir) => {
+      import s.implicits._
+      val b = pmod(hash32Chain(concat(lit("split"), $"doc_id".cast("string"))),
+        lit(100L))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          when(b < 98, "train").when(b < 99, "val").otherwise("test")
+            .as("split"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic training-order SHARDING: every epoch pipeline needs a
     // reproducible global shuffle of the corpus into N output shards. A
     // true global sort at 100 TB is one giant range exchange; instead the
@@ -194,6 +212,15 @@ object CurationQueries extends QueryPack {
          SELECT lang, n_avail, n_kept, round(p::DOUBLE, 6) AS keep_p
          FROM rated JOIN kept USING (lang)
          ORDER BY lang""",
+    "q_curation_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 100 AS b
+               FROM documents)
+         ORDER BY doc_id""",
     "q_curation_shard" ->
       """WITH s AS (SELECT doc_id,
            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,

@@ -51,6 +51,19 @@ class CurationSpec extends SparkSpec {
       s"binding group ${binding._1} should keep everything: $binding")
   }
 
+  test("split assignment: all three splits present, stable across corpus growth") {
+    val small = CurationQueries.queries("q_curation_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val large = CurationQueries.queries("q_curation_split")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(large.values.toSet == Set("train", "val", "test"))
+    assert(large.values.count(_ == "train") > large.size * 9 / 10)
+    // growth stability: a doc's split never changes when the corpus grows
+    small.foreach { case (id, sp) =>
+      assert(large.get(id).forall(_ == sp), s"doc $id moved split: $sp -> ${large(id)}")
+    }
+  }
+
   test("shard assignment: partition of the corpus, dense positions per shard") {
     val rows = CurationQueries.queries("q_curation_shard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
