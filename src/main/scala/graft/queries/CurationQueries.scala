@@ -143,6 +143,30 @@ object CurationQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Corpus VERSION DIFF — the dataset-versioning primitive: which docs
+    // were added, removed, or content-changed between corpus snapshots
+    // (v2 is derived deterministically here: every 97th doc dropped, every
+    // 31st edited, every 13th re-added under a new id). Content compare is
+    // by hash (never raw text at the join), the full-outer join hash-
+    // partitions on doc_id, and "same" rows — the overwhelming mass at
+    // 100 TB — are filtered before any downstream stage.
+    "q_curation_diff" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val v1 = d.select($"doc_id", md5($"text").as("h1"))
+      val v2 = d.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", md5(when($"doc_id" % 31 === 0,
+          concat($"text", lit(" edited"))).otherwise($"text")).as("h2"))
+        .unionAll(d.filter($"doc_id" % 13 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h2")))
+      v1.join(v2, Seq("doc_id"), "full")
+        .select($"doc_id",
+          when($"h1".isNull, "added").when($"h2".isNull, "removed")
+            .when($"h1" =!= $"h2", "changed").otherwise("same").as("change"))
+        .filter($"change" =!= "same")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic training-order SHARDING: every epoch pipeline needs a
     // reproducible global shuffle of the corpus into N output shards. A
     // true global sort at 100 TB is one giant range exchange; instead the
@@ -220,6 +244,24 @@ object CurationQueries extends QueryPack {
                  ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
                    % 100 AS b
                FROM documents)
+         ORDER BY doc_id""",
+    "q_curation_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 31 = 0 THEN text || ' edited'
+                 ELSE text END) AS h2
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, md5(text) FROM documents
+           WHERE doc_id % 13 = 0),
+         j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                 CASE WHEN v1.h1 IS NULL THEN 'added'
+                      WHEN v2.h2 IS NULL THEN 'removed'
+                      WHEN v1.h1 <> v2.h2 THEN 'changed'
+                      ELSE 'same' END AS change
+               FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT doc_id, change FROM j WHERE change <> 'same'
          ORDER BY doc_id""",
     "q_curation_shard" ->
       """WITH s AS (SELECT doc_id,
