@@ -19,6 +19,7 @@ object Bench {
     "q_agg_pricing",           // scan+filter+groupBy (TPC-H Q1 shape)
     "q_agg_unwindowed",        // high-cardinality groupBy
     "q_join_revenue_by_nation",// multi-join w/ broadcast dims
+    "q_join_profit_by_nation", // 6-table TPC-H Q9 shape
     "q_filter_project",        // pushdown + pruning
     "q_window_tumble", "q_window_hop", "q_window_session",
     "q_interval_join",         // self interval join

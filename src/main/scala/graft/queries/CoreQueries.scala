@@ -75,6 +75,40 @@ object CoreQueries extends QueryPack {
         .orderBy($"n_name")
     }),
 
+    // TPC-H Q9-shaped 6-table profit query — the deepest relational chain
+    // in the gate, covering the otherwise-unused part/supplier/region
+    // tables. Scale shape: part/supplier/nation/region are dims (filters
+    // pushed to their scans, then broadcast — supplier⋈nation⋈region
+    // collapses into ONE broadcast relation), so the only real shuffles
+    // are lineitem⋈orders on orderkey and the final groupBy. Per-row
+    // amounts round to 4 dp (identical doubles both engines), then sum as
+    // DECIMAL(38,6) — exact and order-independent — before one division-
+    // free cast back.
+    "q_join_profit_by_nation" -> ((s, dir) => {
+      import s.implicits._
+      val part = Tables.load(s, dir, "part").filter($"p_type" === "PROMO")
+      val supplier = Tables.load(s, dir, "supplier")
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+        .filter($"r_name".isin("ASIA", "EUROPE"))
+      val suppGeo = supplier
+        .join(broadcast(nation.join(broadcast(region),
+          $"n_regionkey" === $"r_regionkey")), $"s_nationkey" === $"n_nationkey")
+      val amount = round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        - $"p_retailprice" * $"l_quantity" * 0.1, 4)
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(broadcast(suppGeo), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .select($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"),
+          amount.as("amount"))
+        .groupBy($"nation", $"o_year")
+        .agg(round(sum($"amount".cast("decimal(38,6)")).cast("double"), 2)
+          .as("profit"), count(lit(1)).as("n_items"))
+        .orderBy($"nation", $"o_year")
+    }),
+
     // §2.6 TUMBLE window (TimeWindows.hs:34-40): 1-day tumbling agg on the
     // event-time column, via Spark's window() — start/end struct matches the
     // reference's serialized TimeWindow {start,end} (Codegen/V1.hs:422-425).
@@ -212,6 +246,20 @@ object CoreQueries extends QueryPack {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    "q_join_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+         round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             - p_retailprice * l_quantity * 0.1, 4) AS DECIMAL(38,6)))
+           AS DOUBLE), 2) AS profit,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+           AND r_name IN ('ASIA', 'EUROPE')
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_window_tumble" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT date_trunc('day', ts) AS window_start, count(*) AS cnt,
