@@ -149,7 +149,10 @@ object CurationQueries extends QueryPack {
     // 31st edited, every 13th re-added under a new id). Content compare is
     // by hash (never raw text at the join), the full-outer join hash-
     // partitions on doc_id, and "same" rows — the overwhelming mass at
-    // 100 TB — are filtered before any downstream stage.
+    // 100 TB — are filtered before any downstream stage. Synthetic re-add
+    // ids are NEGATIVE (-id-1): collision-free with any real non-negative
+    // id at any corpus size, and the re-add branch reuses v1's hashes —
+    // two corpus scans total (v1, and v2's edited-text hashes).
     "q_curation_diff" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.load(s, dir, "documents")
@@ -157,8 +160,8 @@ object CurationQueries extends QueryPack {
       val v2 = d.filter($"doc_id" % 97 =!= 0)
         .select($"doc_id", md5(when($"doc_id" % 31 === 0,
           concat($"text", lit(" edited"))).otherwise($"text")).as("h2"))
-        .unionAll(d.filter($"doc_id" % 13 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h2")))
+        .unionAll(v1.filter($"doc_id" % 13 === 0)
+          .select((-$"doc_id" - 1).as("doc_id"), $"h1".as("h2")))
       v1.join(v2, Seq("doc_id"), "full")
         .select($"doc_id",
           when($"h1".isNull, "added").when($"h2".isNull, "removed")
@@ -253,7 +256,7 @@ object CurationQueries extends QueryPack {
                  ELSE text END) AS h2
            FROM documents WHERE doc_id % 97 <> 0
            UNION ALL
-           SELECT doc_id + 1000000, md5(text) FROM documents
+           SELECT -doc_id - 1, md5(text) FROM documents
            WHERE doc_id % 13 = 0),
          j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
                  CASE WHEN v1.h1 IS NULL THEN 'added'

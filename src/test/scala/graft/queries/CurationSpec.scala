@@ -54,8 +54,11 @@ class CurationSpec extends SparkSpec {
   test("split assignment: all three splits present, stable across corpus growth") {
     val small = CurationQueries.queries("q_curation_split")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    val large = CurationQueries.queries("q_curation_split")(spark, "/root/testdata/sf0.01")
+    // sf0.1 is a genuine id-SUPERSET (5000 docs vs 500) — sf0.01 shares
+    // sf0.001's exact id set and would make this test vacuous
+    val large = CurationQueries.queries("q_curation_split")(spark, "/root/testdata/sf0.1")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(large.size > small.size * 5, "large corpus must actually be larger")
     assert(large.values.toSet == Set("train", "val", "test"))
     assert(large.values.count(_ == "train") > large.size * 9 / 10)
     // growth stability: a doc's split never changes when the corpus grows
