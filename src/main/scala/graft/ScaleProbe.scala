@@ -197,6 +197,27 @@ object ScaleProbe {
     def x10Vecs(df: DataFrame): DataFrame = (0 until 10).map(i =>
       df.withColumn("vec_id", $"vec_id" + lit(i * 10000000L))).reduce(_ unionAll _)
 
+    // 6-table Q9-shaped join (q_join_profit_by_nation): fact side grows
+    // 10×, dims stay fixed — broadcasts must hold and time must track the
+    // fact scan, not the join count
+    def profitShape(fact: DataFrame) = {
+      val part = Tables.load(spark, sfDir, "part").filter($"p_type" === "PROMO")
+      val suppGeo = Tables.load(spark, sfDir, "supplier")
+        .join(broadcast(Tables.load(spark, sfDir, "nation")
+          .join(broadcast(Tables.load(spark, sfDir, "region")
+            .filter($"r_name".isin("ASIA", "EUROPE"))),
+            $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+      fact
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(broadcast(suppGeo), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.load(spark, sfDir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", year($"o_orderdate"))
+        .agg(count(lit(1)).as("n"), round(sum(round($"l_extendedprice"
+          * (lit(1.0) - $"l_discount"), 4).cast("decimal(38,6)"))
+          .cast("double"), 2).as("rev"))
+    }
+
     // warmup
     time(aggShape(lineitem))
     val probes = Seq(
@@ -214,7 +235,9 @@ object ScaleProbe {
       "paragraph_dedup_5k_vs_50k" ->
         (time(paragraphShape(docs)), time(paragraphShape(x10Distinct(docs)))),
       "quantize_5k_vs_50k" ->
-        (time(quantizeShape(embeds)), time(quantizeShape(x10Vecs(embeds)))))
+        (time(quantizeShape(embeds)), time(quantizeShape(x10Vecs(embeds)))),
+      "profit_join_600k_vs_6m" ->
+        (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")
