@@ -280,6 +280,17 @@ object SqlQueries extends QueryPack {
          FROM FLATTEN(documents, TOKENS(text) AS tok)
          GROUP BY tok HAVING COUNT(*) >= 10;""")),
 
+    // TOPK — the reference's flagship aggregate (AST.hs:297-301; per-row
+    // step undefined in its shipped V1 engine) — through the dialect,
+    // composed with FLATTEN over an aggregating subquery to emit the
+    // top-value multiset as rows. No arithmetic touches the values, so
+    // they gate bit-exactly without rounding.
+    "q_sql_topk" -> ((s, dir) => run(s, dir,
+      """SELECT l_returnflag, v
+         FROM FLATTEN((SELECT l_returnflag, TOPK(l_extendedprice, 5) AS vals
+                       FROM lineitem GROUP BY l_returnflag) AS t,
+                      vals AS v);""")),
+
     // Deterministic stratified sampling through the dialect: BUCKET is the
     // reproducible hash-bucket primitive (the grammar has no % operator);
     // the per-language rate is expressed as a boolean (no CASE in the
@@ -472,6 +483,13 @@ object SqlQueries extends QueryPack {
          levenshtein(left(text, 32), lower(left(text, 32))) AS ucase
          FROM documents""",
     "q_sql_vocab" -> TextQueries.oracleSql("q_text_vocab"),
-    "q_sql_sample" -> CurationQueries.oracleSql("q_curation_sample")
+    "q_sql_sample" -> CurationQueries.oracleSql("q_curation_sample"),
+    "q_sql_topk" ->
+      """SELECT l_returnflag, price AS v FROM (
+           SELECT l_returnflag, l_extendedprice AS price,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC) AS rnk
+           FROM lineitem)
+         WHERE rnk <= 5 ORDER BY l_returnflag, v"""
   )
 }
