@@ -291,6 +291,12 @@ object SqlQueries extends QueryPack {
                        FROM lineitem GROUP BY l_returnflag) AS t,
                       vals AS v);""")),
 
+    "q_sql_topk_distinct" -> ((s, dir) => run(s, dir,
+      """SELECT l_linestatus, v
+         FROM FLATTEN((SELECT l_linestatus, TOPKDISTINCT(l_quantity, 10) AS vals
+                       FROM lineitem GROUP BY l_linestatus) AS t,
+                      vals AS v);""")),
+
     // Deterministic stratified sampling through the dialect: BUCKET is the
     // reproducible hash-bucket primitive (the grammar has no % operator);
     // the per-language rate is expressed as a boolean (no CASE in the
@@ -490,6 +496,13 @@ object SqlQueries extends QueryPack {
              row_number() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_extendedprice DESC) AS rnk
            FROM lineitem)
-         WHERE rnk <= 5 ORDER BY l_returnflag, v"""
+         WHERE rnk <= 5 ORDER BY l_returnflag, v""",
+    "q_sql_topk_distinct" ->
+      """SELECT l_linestatus, q AS v FROM (
+           SELECT l_linestatus, q,
+             row_number() OVER (PARTITION BY l_linestatus
+                                ORDER BY q DESC) AS rnk
+           FROM (SELECT DISTINCT l_linestatus, l_quantity AS q FROM lineitem))
+         WHERE rnk <= 10 ORDER BY l_linestatus, v"""
   )
 }
