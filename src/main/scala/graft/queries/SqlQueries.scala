@@ -283,8 +283,10 @@ object SqlQueries extends QueryPack {
     // TOPK — the reference's flagship aggregate (AST.hs:297-301; per-row
     // step undefined in its shipped V1 engine) — through the dialect,
     // composed with FLATTEN over an aggregating subquery to emit the
-    // top-value multiset as rows. No arithmetic touches the values, so
-    // they gate bit-exactly without rounding.
+    // top-value multiset as rows. Values gate bit-exactly without
+    // rounding BECAUSE these columns are already float64 in parquet
+    // (TOPK casts its input to double — a no-op here; a DECIMAL-typed
+    // column would need explicit rounding on both sides).
     "q_sql_topk" -> ((s, dir) => run(s, dir,
       """SELECT l_returnflag, v
          FROM FLATTEN((SELECT l_returnflag, TOPK(l_extendedprice, 5) AS vals
