@@ -237,6 +237,26 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Repeated-SPAN collapse — the cleanup for degenerate repetition
+    // (stuttered crawls, looping generations): drop a token that repeats
+    // its immediate predecessor, and a token that continues an immediately
+    // repeated bigram. ONE positional pass over the original indices (a
+    // fixpoint re-collapse would be sequential semantics; the single pass
+    // is what distributes), pure codegen'd HOFs — zero shuffle at 100 TB.
+    "q_text_despan" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .withColumn("kept", filter($"w", (t, i) =>
+          !(i >= 1 && t === get($"w", i - 1)) &&
+            !(i >= 3 && t === get($"w", i - 2) &&
+              get($"w", i - 1) === get($"w", i - 3))))
+        .select($"doc_id", size($"w").cast("long").as("n_before"),
+          size($"kept").cast("long").as("n_after"),
+          md5(array_join($"kept", " ")).as("cleaned_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-doc top-3 TF-IDF terms — keyword extraction for retrieval/quality
     // filters, and the repo's demonstration of ANALYTIC window functions
     // (SURVEY §2.8: no OVER clause exists in the reference; free in Spark).
@@ -449,6 +469,18 @@ object TextQueries extends QueryPack {
            right(redacted, 46) AS tail,
            md5(redacted) AS redacted_fp
          FROM r ORDER BY doc_id""",
+    "q_text_despan" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         k AS (SELECT doc_id, w,
+           list_transform(
+             list_filter(range(1, len(w) + 1), i ->
+               NOT (i >= 2 AND w[i] = w[i-1])
+               AND NOT (i >= 4 AND w[i] = w[i-2] AND w[i-1] = w[i-3])),
+             i -> w[i]) AS kept
+           FROM d)
+         SELECT doc_id, len(w) AS n_before, len(kept) AS n_after,
+           md5(array_to_string(kept, ' ')) AS cleaned_fp
+         FROM k ORDER BY doc_id""",
     "q_text_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),
