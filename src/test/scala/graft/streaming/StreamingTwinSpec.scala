@@ -167,6 +167,31 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming repeated-span-collapse twin == oracle'd q_text_despan") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions._
+    val (_, s) = staged("documents")
+    // q_text_despan's indexed-filter pipeline (a different HOF class than
+    // the quantize twin's folds), stateless append mode
+    val q = drain(
+      s.select($"doc_id", tokens($"text").as("w"))
+        .withColumn("kept", filter($"w", (t, i) =>
+          !(i >= 1 && t === get($"w", i - 1)) &&
+            !(i >= 3 && t === get($"w", i - 2) &&
+              get($"w", i - 1) === get($"w", i - 3))))
+        .select($"doc_id", size($"w").cast("long").as("n_before"),
+          size($"kept").cast("long").as("n_after"),
+          md5(array_join($"kept", " ")).as("cleaned_fp")),
+      "append", "twin_despan")
+    val streaming = spark.table("twin_despan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batchRows = graft.queries.TextQueries.queries("q_text_despan")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streaming == batchRows)
+    q.stop()
+  }
+
   test("streaming int8-quantization twin (stateless map path) == oracle'd q_embed_quantize") {
     val (_, s) = staged("embeddings")
     // the ONE shared quantize pipeline (SimilarityQueries.quantize) over a
