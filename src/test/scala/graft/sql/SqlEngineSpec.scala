@@ -42,6 +42,17 @@ class SqlEngineSpec extends SparkSpec {
     e.sql(s"TERMINATE QUERY ${q.query.name};")
   }
 
+  test("HAVING over an aggregate absent from the SELECT list joins the Reduce") {
+    val e = new SqlEngine(spark)
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("k", "v")
+      .createOrReplaceTempView("hv1")
+    val got = e.batch(
+      "SELECT k, SUM(v) AS s FROM hv1 GROUP BY k HAVING COUNT(*) > 1;")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 3L)), s"got $got")
+  }
+
   test("tumbling window via FROM TUMBLE (SQL-v1.cf:128)") {
     val e = new SqlEngine(spark)
     e.sql("CREATE STREAM st3 (k STRING, v INTEGER, _ts TIMESTAMP);")
