@@ -32,6 +32,20 @@ object SqlQueries extends QueryPack {
                 AVG(l_quantity) AS av
          FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 10;""")),
 
+    // Unary math/trig through dialect text (UnaryOp.hs:34-358): the dialect
+    // has only unary ROUND, so 6-decimal pinning is spelled
+    // ROUND(f(x) * 1000000) — same rounded-integer compare as the Column
+    // API trig gate, robust to last-ulp libm differences.
+    "q_sql_math" -> ((s, dir) => run(s, dir,
+      """SELECT event_id,
+                ROUND(SIN(value) * 1000000) AS sin6,
+                ROUND(COS(value) * 1000000) AS cos6,
+                ROUND(SQRT(ABS(value)) * 1000000) AS sqrt6,
+                ROUND(LOG(ABS(value) + 1) * 1000000) AS log6,
+                ROUND(EXP(0 - ABS(value)) * 1000000) AS exp6,
+                SIGN(value) AS sg, CEIL(value) AS ce, FLOOR(value) AS fl
+         FROM events;""")),
+
     // Scalar layer through the dialect: math, string ops, BETWEEN, IFNULL /
     // NULLIF, CAST, TAKE/DROP.
     "q_sql_scalar" -> ((s, dir) => run(s, dir,
@@ -314,6 +328,16 @@ object SqlQueries extends QueryPack {
     "q_sql_filter_project" ->
       """SELECT event_id, user_id, value*2-1 AS v2 FROM events
          WHERE event_type = 'purchase' AND value > 100.0""",
+    "q_sql_math" ->
+      """SELECT event_id,
+         round(sin(value) * 1000000) AS sin6,
+         round(cos(value) * 1000000) AS cos6,
+         round(sqrt(abs(value)) * 1000000) AS sqrt6,
+         round(ln(abs(value) + 1) * 1000000) AS log6,
+         round(exp(0 - abs(value)) * 1000000) AS exp6,
+         sign(value)::DOUBLE AS sg,
+         ceil(value)::BIGINT AS ce, floor(value)::BIGINT AS fl
+         FROM events""",
     "q_sql_agg_having" ->
       """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sq,
          min(l_quantity) AS mn, max(l_quantity) AS mx, avg(l_quantity) AS av
