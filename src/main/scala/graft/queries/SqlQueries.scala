@@ -46,6 +46,17 @@ object SqlQueries extends QueryPack {
                 SIGN(value) AS sg, CEIL(value) AS ce, FLOOR(value) AS fl
          FROM events;""")),
 
+    // String layer through dialect text: REVERSE, CHUNKSOF, SPLIT — the
+    // §2.3 string ops q_sql_scalar doesn't reach. Array results stringify
+    // via ARRAY_JOIN (cross-engine array compare is avoided by all gates).
+    "q_sql_string" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id,
+                REVERSE(TAKE(6, text)) AS rev6,
+                TO_LOWER(TO_UPPER(TAKE(8, text))) AS roundtrip,
+                ARRAY_JOIN(CHUNKSOF(4, TAKE(12, text)), '|') AS chunks,
+                ARRAY_JOIN(SPLIT(TAKE(20, text), ' '), '+') AS words
+         FROM documents;""")),
+
     // Scalar layer through the dialect: math, string ops, BETWEEN, IFNULL /
     // NULLIF, CAST, TAKE/DROP.
     "q_sql_scalar" -> ((s, dir) => run(s, dir,
@@ -338,6 +349,14 @@ object SqlQueries extends QueryPack {
          sign(value)::DOUBLE AS sg,
          ceil(value)::BIGINT AS ce, floor(value)::BIGINT AS fl
          FROM events""",
+    "q_sql_string" ->
+      """SELECT doc_id,
+         reverse(left(text, 6)) AS rev6,
+         lower(upper(left(text, 8))) AS roundtrip,
+         array_to_string(list_transform(range(0, 3),
+           i -> substr(left(text, 12), i * 4 + 1, 4)), '|') AS chunks,
+         array_to_string(string_split(left(text, 20), ' '), '+') AS words
+         FROM documents""",
     "q_sql_agg_having" ->
       """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sq,
          min(l_quantity) AS mn, max(l_quantity) AS mx, avg(l_quantity) AS av
