@@ -96,7 +96,7 @@ object Bench {
           record(name, (System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
-        }
+        } finally spark.catalog.clearCache() // per-query persists are intra-query only
       }
       // streaming replay (the reference's own bench shape: push records
       // through a live topology — hstream-diffflow/bench/throughout-*.hs)

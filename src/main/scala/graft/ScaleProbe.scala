@@ -240,6 +240,9 @@ object ScaleProbe {
         (time(quantizeShape(embeds)), time(quantizeShape(x10Vecs(embeds)))),
       "profit_join_600k_vs_6m" ->
         (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
+    // probes are strict (Seq, not view): all timing is done — release the
+    // persisted profit-join relations before emitting
+    Seq(partAll, suppGeoAll, ordersAll).foreach(_.unpersist())
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")

@@ -100,9 +100,11 @@ object CurationQueries extends QueryPack {
     // feasible total T = min_g(n_g / w_g), per-group keep probability
     // p_g = w_g·T / n_g, applied as the deterministic id-hash Bernoulli.
     // Relational end to end, TWO corpus passes (inherent: group counts
-    // must exist before any keep decision): pass 1 is the counts agg —
-    // persisted at |langs| rows so the T and rate branches don't re-run
-    // its scan — and pass 2 is the keep filter, map-side against the
+    // must exist before any keep decision): pass 1 is the counts agg, with
+    // T derived in-frame by a global window over the |langs|-row agg output
+    // (one task over a handful of rows — NOT over the corpus; this replaces
+    // an earlier persist() that leaked a cache entry per invocation in
+    // long-lived sessions); pass 2 is the keep filter, map-side against the
     // broadcast rates. Never a collect.
     "q_curation_mix" -> ((s, dir) => {
       import s.implicits._
@@ -110,10 +112,8 @@ object CurationQueries extends QueryPack {
       val docs = Tables.load(s, dir, "documents")
       val counts = docs.groupBy($"lang")
         .agg(count(lit(1)).as("n_avail")).withColumn("w", wgt)
-        .persist()
-      val feasible = counts
-        .agg(min($"n_avail" / $"w").as("t"))
-      val rated = counts.join(broadcast(feasible))
+      val rated = counts
+        .withColumn("t", min($"n_avail" / $"w").over(Window.partitionBy()))
         .withColumn("p", least(lit(1.0), $"w" * $"t" / $"n_avail"))
         .select($"lang", $"n_avail", $"p")
       val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(1000000L))

@@ -353,7 +353,8 @@ object SqlQueries extends QueryPack {
       """SELECT doc_id,
          reverse(left(text, 6)) AS rev6,
          lower(upper(left(text, 8))) AS roundtrip,
-         array_to_string(list_transform(range(0, 3),
+         array_to_string(list_transform(
+           range(0, CAST(ceil(length(left(text, 12)) / 4.0) AS BIGINT)),
            i -> substr(left(text, 12), i * 4 + 1, 4)), '|') AS chunks,
          array_to_string(string_split(left(text, 20), ' '), '+') AS words
          FROM documents""",

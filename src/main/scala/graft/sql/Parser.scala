@@ -45,9 +45,19 @@ object Parser {
         } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
           i = s.indexOf("*/", i) match { case -1 => s.length; case j => j + 2 }
         } else if (c == '\'') {
-          val j = s.indexOf('\'', i + 1)
-          require(j >= 0, s"unterminated string at $i")
-          out += TStr(s.substring(i + 1, j)); i = j + 1
+          // standard SQL '' escape: a doubled quote inside a literal is a
+          // single quote character, not close-then-reopen
+          val sb = new StringBuilder
+          var j = i + 1
+          var done = false
+          while (!done) {
+            require(j < s.length, s"unterminated string at $i")
+            if (s(j) == '\'') {
+              if (j + 1 < s.length && s(j + 1) == '\'') { sb += '\''; j += 2 }
+              else { done = true; j += 1 }
+            } else { sb += s(j); j += 1 }
+          }
+          out += TStr(sb.toString); i = j
         } else if (c == '"') {
           val j = s.indexOf('"', i + 1)
           require(j >= 0, s"unterminated quoted ident at $i")

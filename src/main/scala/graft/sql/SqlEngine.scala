@@ -224,10 +224,18 @@ class SqlEngine(spark: SparkSession) {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inStr = false
-    text.foreach { c =>
-      if (c == '\'') inStr = !inStr
-      cur += c
-      if (c == ';' && !inStr) { out += cur.toString; cur.clear() }
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr && c == '\'' && i + 1 < text.length && text.charAt(i + 1) == '\'') {
+        // '' inside a literal is an escaped quote, not close-then-reopen
+        cur += '\''; cur += '\''; i += 1
+      } else {
+        if (c == '\'') inStr = !inStr
+        cur += c
+        if (c == ';' && !inStr) { out += cur.toString; cur.clear() }
+      }
+      i += 1
     }
     require(cur.toString.trim.isEmpty, s"unterminated statement: ${cur.toString.trim.take(60)}")
     out.result().map(_.trim).filter(_.nonEmpty)

@@ -451,13 +451,20 @@ object Translate {
     // a leaf side resolves `alias.ts` through its alias. So in
     // `a JOIN b ... JOIN c`, c is matched against a's timestamps
     // (left-anchored chaining; the dialect's documented n-way semantics).
-    def eventTs(df: DataFrame, anchor: String): Column =
+    // The plain-name fallbacks test ANCHOR-QUALIFIED resolvability, not
+    // bare columns.contains on the whole frame: a side whose anchor leaf
+    // uses `ts` while a pass-through leaf contributes an uncollided `_ts`
+    // must resolve the anchor's ts, not fail on `<anchor>._ts`.
+    def eventTs(df: DataFrame, anchor: String): Column = {
+      def resolves(name: String): Boolean =
+        try { df(name); true } catch { case _: Throwable => false }
       if (df.columns.contains(s"$anchor._ts")) col(s"`$anchor._ts`")
       else if (df.columns.contains(s"$anchor.ts")) col(s"`$anchor.ts`")
-      else if (df.columns.contains("_ts")) col(s"$anchor._ts")
-      else if (df.columns.contains("ts")) col(s"$anchor.ts")
+      else if (resolves(s"$anchor._ts")) col(s"$anchor._ts")
+      else if (resolves(s"$anchor.ts")) col(s"$anchor.ts")
       else throw new IllegalArgumentException(
         s"no event-time column (_ts/ts) in [${df.columns.mkString(",")}]")
+    }
     val lts = eventTs(ldf, refAlias(j.l))
     val rts = eventTs(rdf, refAlias(j.r))
     val w = intervalExpr(j.within)

@@ -349,6 +349,39 @@ class SqlEngineSpec extends SparkSpec {
     assert(e.sql("SHOW VIEWS;").asInstanceOf[e.Done].info.isEmpty)
   }
 
+  test("chained join: anchor leaf ts + pass-through leaf _ts resolves anchor's ts") {
+    val e = new SqlEngine(spark)
+    import java.sql.Timestamp
+    spark.createDataFrame(Seq(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "e1"),
+        (1L, Timestamp.valueOf("2024-01-01 00:05:00"), "e2")))
+      .toDF("user_id", "ts", "event_id").createOrReplaceTempView("evmix")
+    // b contributes an uncollided `_ts`; the second join's left side must
+    // anchor on a's `ts`, not fail resolving `a._ts`
+    val df = e.batch(
+      """SELECT a.user_id AS user_id, COUNT(*) AS n
+         FROM (SELECT user_id, ts, event_id FROM evmix) AS a
+         JOIN (SELECT user_id, ts AS _ts, event_id FROM evmix) AS b
+           ON a.user_id = b.user_id WITHIN (INTERVAL 30 MINUTE)
+         JOIN (SELECT user_id, ts, event_id FROM evmix) AS c
+           ON a.user_id = c.user_id WITHIN (INTERVAL 30 MINUTE)
+         GROUP BY a.user_id;""")
+    val r = df.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 8L) // 2×2×2 combinations
+  }
+
+  test("script splitter + lexer: '' escaped quote with embedded ';' literal") {
+    val e = new SqlEngine(spark)
+    spark.createDataFrame(Seq(Tuple1(1))).toDF("k")
+      .createOrReplaceTempView("tsplit")
+    // the '';'' literal must NOT split the first statement mid-string
+    val rs = e.script(
+      "SELECT 'it''s; fine' AS a FROM tsplit; SELECT 'x' AS b FROM tsplit;")
+    assert(rs.size == 2)
+    assert(e.batch("SELECT 'it''s; fine' AS a FROM tsplit;")
+      .head().getString(0) == "it's; fine")
+  }
+
   test("per-row (non-literal) formats: DATETOSTRING/STRINGTODATE/ARRAY_JOIN with column args") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq(
