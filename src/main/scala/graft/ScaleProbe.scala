@@ -181,6 +181,47 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_paras"),
           sum(when($"okey" =!= $"first_okey", 1L).otherwise(0L)).as("n_removed"))
     }
+    // approx token-budget (q_curation_token_budget_approx's shape): the
+    // scale-safe curation form — histogram agg (|langs|·101-row shuffle),
+    // tiny window, broadcast cutoff filter. No per-language total order;
+    // must stay ~linear in corpus size.
+    def tokenBudgetApproxShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val w = tokens($"text")
+      val d = df.select($"doc_id", $"lang",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        floor(round(qualityScore(w), 6) * 100).cast("long").as("qbin"))
+      val hist = d.groupBy($"lang", $"qbin").agg(sum($"n_tokens").as("bin_tokens"))
+      val desc = Window.partitionBy($"lang").orderBy($"qbin".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cut = hist
+        .withColumn("cum_above", sum($"bin_tokens").over(desc) - $"bin_tokens")
+        .filter($"cum_above" < 10000)
+        .groupBy($"lang").agg(min($"qbin").as("cut_bin"))
+      d.join(broadcast(cut), "lang").filter($"qbin" >= $"cut_bin")
+        .select($"doc_id", $"lang", $"n_tokens", $"qbin")
+    }
+    // sub-bucketed sharding (q_curation_shard_scalable's shape): 128
+    // parallel small sorts + relational offset stitch — per-(shard,sub)
+    // partitions each grow 10× but there is no per-shard single sort task
+    def shardScalableShape(df: DataFrame) = {
+      import graft.functions.PipelineFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val rows = df.select($"doc_id",
+        pmod(hash32Chain($"doc_id".cast("string")), lit(16L)).as("shard"),
+        pmod(hash32Chain(concat(lit("sub"), $"doc_id".cast("string"))), lit(8L)).as("sub"),
+        hash32Chain(concat(lit("ord"), $"doc_id".cast("string"))).as("ord"))
+      val counts = rows.groupBy($"shard", $"sub").agg(count(lit(1)).as("n"))
+      val perShard = Window.partitionBy($"shard").orderBy($"sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = counts.withColumn("off", sum($"n").over(perShard) - $"n")
+        .select($"shard", $"sub", $"off")
+      val sub = Window.partitionBy($"shard", $"sub").orderBy($"ord", $"doc_id")
+      rows.withColumn("rk", row_number().over(sub).cast("long"))
+        .join(broadcast(offsets), Seq("shard", "sub"))
+        .select($"doc_id", $"shard", ($"off" + $"rk").as("pos"))
+    }
     // int8 quantization (q_embed_quantize's shape): pure map-side codec,
     // zero shuffle — the ratio IS the scan ratio
     def quantizeShape(df: DataFrame) = {
@@ -236,6 +277,11 @@ object ScaleProbe {
         (time(editdistShape(docs)), time(editdistShape(x10Disjoint(docs)))),
       "paragraph_dedup_5k_vs_50k" ->
         (time(paragraphShape(docs)), time(paragraphShape(x10Distinct(docs)))),
+      "token_budget_approx_5k_vs_50k" ->
+        (time(tokenBudgetApproxShape(docs)),
+          time(tokenBudgetApproxShape(x10Distinct(docs)))),
+      "shard_scalable_5k_vs_50k" ->
+        (time(shardScalableShape(docs)), time(shardScalableShape(x10Distinct(docs)))),
       "quantize_5k_vs_50k" ->
         (time(quantizeShape(embeds)), time(quantizeShape(x10Vecs(embeds)))),
       "profit_join_600k_vs_6m" ->

@@ -77,6 +77,39 @@ object CurationQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // SCALE-SAFE token-budget selection (the form you'd run at 100 TB
+    // first): instead of an exact running sum over a per-language total
+    // order (one un-splittable sort task per language at scale), quantize
+    // quality into 100 integer bins and find the admission cutoff from a
+    // per-(lang,bin) token histogram — a map-side partial agg whose shuffle
+    // is |langs|·101 rows, a window over that tiny frame, and one broadcast-
+    // joined filter pass. Histogram-quantile rather than percentile_approx:
+    // the GK sketch's merge is partition-order-dependent and DuckDB can't
+    // replicate it bit-for-bit, while integer binning is deterministic and
+    // hash-verifiable in both engines. Error bound: admitted token mass
+    // overshoots the budget by at most the boundary bin's mass (the bin
+    // whose strictly-higher bins are still under budget is admitted whole).
+    "q_curation_token_budget_approx" -> ((s, dir) => {
+      import s.implicits._
+      val w = tokens($"text")
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(tokens($"text")).cast("long").as("n_tokens"),
+          floor(round(qualityScore(w), 6) * 100).cast("long").as("qbin"))
+      val hist = docs.groupBy($"lang", $"qbin")
+        .agg(sum($"n_tokens").as("bin_tokens"))
+      val desc = Window.partitionBy($"lang").orderBy($"qbin".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cut = hist
+        .withColumn("cum_above", sum($"bin_tokens").over(desc) - $"bin_tokens")
+        .filter($"cum_above" < 10000)
+        .groupBy($"lang").agg(min($"qbin").as("cut_bin"))
+      docs.join(broadcast(cut), "lang")
+        .filter($"qbin" >= $"cut_bin")
+        .select($"doc_id", $"lang", $"n_tokens", $"qbin")
+        .orderBy($"doc_id")
+    }),
+
     // Quality-WEIGHTED sampling: keep a doc with probability equal to its
     // quality score — deterministic Bernoulli via the stable id hash
     // (bucket/1000 < floor(q·1000)), so high-quality docs survive
@@ -187,6 +220,39 @@ object CurationQueries extends QueryPack {
         .withColumn("pos", row_number().over(win).cast("long"))
         .select($"doc_id", $"shard", $"pos")
         .orderBy($"shard", $"pos")
+    }),
+
+    // SCALE-SAFE sharding: q_curation_shard's per-shard row_number is one
+    // sort task per shard (6 TB each at 100 TB / 16 shards). Here the
+    // within-shard order is redefined as (sub, ord, doc_id) where sub is an
+    // independent hash sub-bucket — still a pure deterministic function of
+    // the doc id, still a total order, but now ranks are computed per
+    // (shard, sub) partition (16·8 = 128 parallel small sorts; at 100 TB
+    // you'd raise SUBS into the thousands) and stitched to global per-shard
+    // positions RELATIONALLY: offset(shard, sub) = token count of all lower
+    // subs in the shard, from a |shards|·|subs|-row count frame windowed
+    // per shard and broadcast back. No single-task sort anywhere.
+    "q_curation_shard_scalable" -> ((s, dir) => {
+      import s.implicits._
+      val SUBS = 8L
+      val rows = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          pmod(hash32Chain($"doc_id".cast("string")), lit(16L)).as("shard"),
+          pmod(hash32Chain(concat(lit("sub"), $"doc_id".cast("string"))),
+            lit(SUBS)).as("sub"),
+          hash32Chain(concat(lit("ord"), $"doc_id".cast("string"))).as("ord"))
+      val counts = rows.groupBy($"shard", $"sub").agg(count(lit(1)).as("n"))
+      val perShard = Window.partitionBy($"shard").orderBy($"sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = counts
+        .withColumn("off", sum($"n").over(perShard) - $"n")
+        .select($"shard", $"sub", $"off")
+      val sub = Window.partitionBy($"shard", $"sub").orderBy($"ord", $"doc_id")
+      rows
+        .withColumn("rk", row_number().over(sub).cast("long"))
+        .join(broadcast(offsets), Seq("shard", "sub"))
+        .select($"doc_id", $"shard", ($"off" + $"rk").as("pos"))
+        .orderBy($"shard", $"pos")
     })
   )
 
@@ -213,6 +279,20 @@ object CurationQueries extends QueryPack {
                 FROM q)
           SELECT doc_id, lang, n_tokens, cum_tokens FROM c
           WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "q_curation_token_budget_approx" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+          q AS (SELECT doc_id, lang, len(w)::BIGINT AS n_tokens,
+                  CAST(floor($qExpr * 100) AS BIGINT) AS qbin FROM d),
+          h AS (SELECT lang, qbin, sum(n_tokens) AS bin_tokens
+                FROM q GROUP BY lang, qbin),
+          c AS (SELECT lang, qbin,
+                  sum(bin_tokens) OVER (PARTITION BY lang ORDER BY qbin DESC
+                    ROWS UNBOUNDED PRECEDING) - bin_tokens AS cum_above
+                FROM h),
+          cut AS (SELECT lang, min(qbin) AS cut_bin
+                  FROM c WHERE cum_above < 10000 GROUP BY lang)
+          SELECT doc_id, lang, n_tokens, qbin FROM q JOIN cut USING (lang)
+          WHERE qbin >= cut_bin ORDER BY doc_id""",
     "q_curation_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
           q AS (SELECT doc_id, lang, $qExpr AS q FROM d)
@@ -273,6 +353,15 @@ object CurationQueries extends QueryPack {
          FROM documents)
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+         FROM s ORDER BY shard, pos""",
+    "q_curation_shard_scalable" ->
+      """WITH s AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+           ('0x' || substr(md5('sub' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS sub,
+           ('0x' || substr(md5('ord' || doc_id::VARCHAR), 1, 8))::BIGINT AS ord
+         FROM documents)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY sub, ord, doc_id) AS pos
          FROM s ORDER BY shard, pos"""
   )
 }
