@@ -176,6 +176,26 @@ object PipelineFunctions {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalized double vector — the one-expression form of normVecs
+    * (SimilarityQueries), surfaced to the dialect as L2NORMALIZE. The norm
+    * is an outer reference inside the HOF lambda; codegen subexpression
+    * elimination computes it once per row, not once per element. */
+  def l2normalize(a: Column): Column = {
+    val v = vecD(a)
+    transform(v, x => x / l2norm(v))
+  }
+
+  /** int8 min/max quantization codes — EXACTLY SimilarityQueries.quantize's
+    * codec (one rounding site: round(..., 0) to long), as a single column
+    * expression for the dialect's QUANTIZE_INT8. */
+  def quantizeInt8(a: Column): Column = {
+    val v = vecD(a)
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / 255.0
+    transform(v, x => when(scale === 0, lit(0L))
+      .otherwise(round((x - mn) / scale, 0).cast("long")))
+  }
+
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

@@ -335,12 +335,7 @@ object DedupQueries extends QueryPack {
     val firsts0 = paras.groupBy($"h").agg(min($"okey").as("first_okey"))
     val joined =
       if (salt == 0) paras.join(firsts0, "h")
-      else {
-        val firsts = firsts0.withColumn("__salt",
-          explode(array((0 until salt).map(i => lit(i)): _*)))
-        paras.withColumn("__salt", pmod($"okey", lit(salt.toLong)).cast("int"))
-          .join(firsts, Seq("h", "__salt"))
-      }
+      else graft.operators.SaltedJoin(paras, firsts0, Seq("h"), $"okey", salt)
     joined
       .withColumn("keep", $"okey" === $"first_okey")
       .groupBy($"doc_id")

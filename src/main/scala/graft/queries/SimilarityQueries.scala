@@ -228,7 +228,49 @@ object SimilarityQueries extends QueryPack {
     // are pinned exactly (fingerprint + sum) and the MSE is a fixed-order
     // left fold, bit-identical cross-engine before rounding.
     "q_embed_quantize" -> ((s, dir) =>
-      quantize(Tables.load(s, dir, "embeddings")).orderBy("vec_id"))
+      quantize(Tables.load(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // Bucketed ANN in PURE DIALECT TEXT (5th frontend for the similarity
+    // pack): L2NORMALIZE/LSH16/SHIFTRIGHT build the bucket key, the batch
+    // join (WITHIN-less — dialect extension) generates candidates within a
+    // bucket only, DOT scores them, and TOPK + FLATTEN stands in for the
+    // per-group rank window the grammar lacks — the top-5 VALUE multiset
+    // per query vector is identical to q_ann_lsh_bucketed's rank output.
+    // Same plan shape as the Column-API twin: one bucket equi-join, never
+    // all pairs. Sim is pinned as ROUND(dot·1e6) (dialect ROUND is unary).
+    "q_sql_ann" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      new graft.sql.SqlEngine(s).batch(
+        """SELECT qid, sim FROM FLATTEN(
+             (SELECT qid, TOPK(sim, 5) AS sims
+              FROM (SELECT a.vec_id AS qid,
+                           ROUND(DOT(a.nv, b.nv) * 1000000) AS sim
+                    FROM (SELECT vec_id, L2NORMALIZE(embedding) AS nv,
+                                 SHIFTRIGHT(LSH16(L2NORMALIZE(embedding)), 8) AS bucket
+                          FROM embeddings) AS a
+                    JOIN (SELECT vec_id, L2NORMALIZE(embedding) AS nv,
+                                 SHIFTRIGHT(LSH16(L2NORMALIZE(embedding)), 8) AS bucket
+                          FROM embeddings) AS b
+                      ON a.bucket = b.bucket
+                    WHERE a.vec_id <> b.vec_id) AS p
+              GROUP BY qid) AS t, sims AS sim)
+           ORDER BY qid, sim;""")
+    }),
+
+    // int8 quantization through dialect text — QUANTIZE_INT8 is the same
+    // single-rounding-site codec as SimilarityQueries.quantize. The codes
+    // array is pinned scalar-wise (FLATTEN + per-vector sum/min/max/count —
+    // the driver's compare sorts rows by every column, so raw array columns
+    // can't be gated directly).
+    "q_sql_quantize" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      new graft.sql.SqlEngine(s).batch(
+        """SELECT vec_id, SUM(c) AS code_sum, MIN(c) AS code_min,
+                  MAX(c) AS code_max, COUNT(*) AS n
+           FROM FLATTEN((SELECT vec_id, QUANTIZE_INT8(embedding) AS codes
+                         FROM embeddings) AS t, codes AS c)
+           GROUP BY vec_id ORDER BY vec_id;""")
+    })
   )
 
   /** The int8 min/max quantization pipeline over (vec_id, embedding) rows —
@@ -404,6 +446,46 @@ object SimilarityQueries extends QueryPack {
            FROM pairs)
          SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // Same sg/b CTEs as q_ann_lsh_bucketed; sim is round(rawdot·1e6) —
+    // mirroring the dialect's unary-ROUND pinning (NOT round(dot,6)·1e6,
+    // which could differ at half-ulp boundaries) — and only the VALUE
+    // multiset of the top 5 per qid is selected, which is rank-window and
+    // TOPK agree on by construction.
+    "q_sql_ann" ->
+      s"""$normCte,
+         sg AS (SELECT vec_id, nv, (list_sum(list_transform(range(0, 16), p ->
+             CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
+                 ((('0x' || substr(md5(concat('h', p::VARCHAR, '_', d::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)
+                   * nv[d + 1])), (s, x) -> s + x) >= 0
+               THEN (1::BIGINT << p) ELSE 0 END)))::BIGINT AS sig
+           FROM e),
+         b AS (SELECT vec_id, nv, sig >> 8 AS bucket FROM sg),
+         pairs AS (SELECT a.vec_id qid, b2.vec_id vec_id,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> a.nv[i] * b2.nv[i])),
+               (s, t) -> s + t) * 1000000) AS sim
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+         ranked AS (SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+           FROM pairs)
+         SELECT qid, sim FROM ranked WHERE rnk <= 5
+         ORDER BY qid, sim""",
+    "q_sql_quantize" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, v, list_min(v) AS mn,
+                 (list_max(v) - list_min(v)) / 255.0 AS scale
+               FROM v),
+         q AS (SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN scale = 0 THEN 0::BIGINT
+                   ELSE CAST(round((x - mn) / scale, 0) AS BIGINT) END) AS codes
+               FROM s)
+         SELECT vec_id, list_sum(codes)::BIGINT AS code_sum,
+           list_min(codes)::BIGINT AS code_min,
+           list_max(codes)::BIGINT AS code_max,
+           len(codes)::BIGINT AS n
+         FROM q ORDER BY vec_id""",
     "q_embed_quantize" ->
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v

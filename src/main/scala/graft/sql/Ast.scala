@@ -80,9 +80,13 @@ object Ast {
   case class Using(cols: Seq[String]) extends JoinCond
   case object Natural extends JoinCond
   case object CrossC extends JoinCond
-  /** join type ∈ inner/left/right/full/cross; within = WITHIN interval. */
+  /** join type ∈ inner/left/right/full/cross; within = WITHIN interval.
+    * within = None is a dialect EXTENSION (the reference grammar requires
+    * WITHIN on every join, SQL-v1.cf:121): a plain relational join, legal
+    * only when both sides are batch — streams must still bound their
+    * buffered state with WITHIN. */
   case class TRJoin(l: TableRef, r: TableRef, joinType: String,
-                    cond: JoinCond, within: IntervalLit) extends TableRef
+                    cond: JoinCond, within: Option[IntervalLit]) extends TableRef
 
   // ---- statements (SQL-v1.cf:30-116) ---------------------------------------
 

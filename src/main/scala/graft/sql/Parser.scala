@@ -101,7 +101,9 @@ object Parser {
     * SqlFunctions), so the shared DuckDB oracles apply. */
   private val pipelineFns = Set("TOKENS", "WORD_HASHES", "SHINGLES3",
     "MINHASH", "JACCARD", "SIMHASH16", "HAMMING", "FINGERPRINT",
-    "STOPWORD_RATIO", "QUALITY_SCORE", "COSINE", "BUCKET")
+    "STOPWORD_RATIO", "QUALITY_SCORE", "COSINE", "BUCKET",
+    // similarity/ANN pack (embedding-vector primitives)
+    "L2NORMALIZE", "DOT", "LSH16", "QUANTIZE_INT8", "SHIFTRIGHT")
   private val intervalUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
 
   class Parser(toks: Vector[Tok]) {
@@ -353,9 +355,14 @@ object Parser {
             expect(")")
             Using(cols.result())
           } else Natural
-        expect("WITHIN"); expect("(")
-        val within = intervalLit()
-        expect(")")
+        // WITHIN optional (extension): absent = plain batch join; the
+        // translator rejects stream inputs without one
+        val within = if (accept("WITHIN")) {
+          expect("(")
+          val w = intervalLit()
+          expect(")")
+          Some(w)
+        } else None
         left = TRJoin(left, right, joinType, cond, within)
       }
       left

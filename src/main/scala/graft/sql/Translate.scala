@@ -256,6 +256,15 @@ object Translate {
     case "STOPWORD_RATIO" => PipelineFunctions.stopwordRatio(a(0))
     case "QUALITY_SCORE" => PipelineFunctions.qualityScore(a(0))
     case "COSINE" => PipelineFunctions.cosine(a(0), a(1))
+    // similarity/ANN pack: vector args pass through vecD (no-op on double
+    // arrays, stable-cast on raw float embeddings) so each fn works on
+    // both raw and pre-normalized inputs
+    case "L2NORMALIZE" => PipelineFunctions.l2normalize(a(0))
+    case "DOT" =>
+      PipelineFunctions.dot(PipelineFunctions.vecD(a(0)), PipelineFunctions.vecD(a(1)))
+    case "LSH16" =>
+      PipelineFunctions.lshSignatureFast(PipelineFunctions.vecD(a(0)))
+    case "QUANTIZE_INT8" => PipelineFunctions.quantizeInt8(a(0))
     case other => throw new IllegalArgumentException(s"unknown function $other")
   }
 
@@ -286,6 +295,12 @@ object Translate {
         Some(pmod(PipelineFunctions.hash32(go(s)), lit(n)))
       case ("BUCKET", Seq(_, other)) => throw new IllegalArgumentException(
         s"BUCKET modulus must be a positive int literal, got $other")
+      // SHIFTRIGHT(x, n): shift count must be a literal (Spark's shiftright
+      // takes an Int, and a data-dependent shift has no dialect use case)
+      case ("SHIFTRIGHT", Seq(x, IntLit(n))) =>
+        Some(shiftright(go(x), n.toInt))
+      case ("SHIFTRIGHT", Seq(_, other)) => throw new IllegalArgumentException(
+        s"SHIFTRIGHT count must be an int literal, got $other")
       case _ => None
     }
 
@@ -438,11 +453,18 @@ object Translate {
     // A chained join's left side has no plain ts (qualifyCollisions renamed
     // it to the literal `<alias>.ts`); its watermark propagated through the
     // inner join, so only plain-ts (leaf) inputs set one here.
-    def wm(df: DataFrame): DataFrame =
-      if (df.isStreaming &&
-          (df.columns.contains("_ts") || df.columns.contains("ts")))
-        df.withWatermark(tsCol(df), intervalString(j.within))
-      else df
+    // WITHIN absent (extension): a plain relational join — legal only for
+    // batch inputs, where no state bound is needed; streams must bound
+    // their buffered state with WITHIN.
+    if (j.within.isEmpty)
+      require(!left.df.isStreaming && !right.df.isStreaming,
+        "WITHIN is required when joining streams (it bounds the join state)")
+    def wm(df: DataFrame): DataFrame = j.within match {
+      case Some(iv) if df.isStreaming &&
+          (df.columns.contains("_ts") || df.columns.contains("ts")) =>
+        df.withWatermark(tsCol(df), intervalString(iv))
+      case _ => df
+    }
     val (ldf, rdf) = (wm(left.df), wm(right.df))
     // Event time of a join side, anchored at its leftmost stream: a
     // chained-join side carries the renamed literal `a.ts` column
@@ -465,10 +487,14 @@ object Translate {
       else throw new IllegalArgumentException(
         s"no event-time column (_ts/ts) in [${df.columns.mkString(",")}]")
     }
-    val lts = eventTs(ldf, refAlias(j.l))
-    val rts = eventTs(rdf, refAlias(j.r))
-    val w = intervalExpr(j.within)
-    val range = rts >= lts - w && rts <= lts + w // Stream.hs:297
+    val range: Column = j.within match {
+      case Some(iv) =>
+        val lts = eventTs(ldf, refAlias(j.l))
+        val rts = eventTs(rdf, refAlias(j.r))
+        val w = intervalExpr(iv)
+        rts >= lts - w && rts <= lts + w // Stream.hs:297
+      case None => lit(true) // batch join, no time bound (folded away)
+    }
     def resolve(c: ColRef): Column = c match {
       // a chained join's left side carries collision-renamed literal "q.n"
       // columns (same fallback as the SELECT-level resolver)

@@ -265,6 +265,18 @@ object TypeCheck {
       case "BUCKET" =>
         if (args.length != 2) fail("BUCKET requires (string-expr, modulus)")
         requireString(args.head, env, name); Some(TInt)
+      // similarity/ANN pack
+      case "L2NORMALIZE" =>
+        requireArray(args.head, env, name); Some(TArray(TFloat))
+      case "DOT" =>
+        args.foreach(a => requireArray(a, env, name)); Some(TFloat)
+      case "LSH16" =>
+        requireArray(args.head, env, name); Some(TInt)
+      case "QUANTIZE_INT8" =>
+        requireArray(args.head, env, name); Some(TArray(TInt))
+      case "SHIFTRIGHT" =>
+        if (args.length != 2) fail("SHIFTRIGHT requires (expr, count)")
+        args.foreach(a => requireNum(a, env, name)); Some(TInt)
       case "IFNULL" | "NULLIF" =>
         val ts = args.map(infer(_, env))
         for (Some(a) <- ts; Some(b) <- ts)

@@ -142,8 +142,10 @@ object Validate {
       checkWindow(win)
       checkFrom(inner, inJoin, continuous)
     case TRJoin(l, r, _, cond, within) =>
-      if (within.n <= 0)
-        fail(s"WITHIN interval must be positive, got ${within.n} ${within.unit}")
+      within.foreach { w =>
+        if (w.n <= 0)
+          fail(s"WITHIN interval must be positive, got ${w.n} ${w.unit}")
+      }
       cond match {
         case On(e) => checkExpr(e, aggAllowed = false, where = "JOIN condition")
         case Using(cols) if cols.isEmpty => fail("USING () requires at least one column")

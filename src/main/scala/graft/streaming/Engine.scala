@@ -94,7 +94,8 @@ class Engine(val spark: SparkSession) {
     * Callers appending records (INSERT paths) must encode accordingly. */
   def isWireStream(name: String): Boolean =
     streams.get(name).exists(_.wire) || fileStreams.get(name).exists(_.wire) ||
-      socketStreams.get(name).exists(_.wire)
+      socketStreams.get(name).exists(_.wire) ||
+      ledgerStreams.get(name).exists(_.wire)
 
   /** Declared WITH-options of a stream (DESCRIBE-style metadata). */
   def streamOptions(name: String): Map[String, String] =
@@ -105,13 +106,16 @@ class Engine(val spark: SparkSession) {
     streams.get(name).map(_.schema)
       .orElse(fileStreams.get(name).map(_.schema))
       .orElse(socketStreams.get(name).map(_.schema))
+      .orElse(ledgerStreams.get(name).map(_.schema))
       .getOrElse(throw new IllegalArgumentException(s"unknown stream $name"))
 
   def dropStream(name: String): Unit = {
     streams.remove(name); fileStreams.remove(name); socketStreams.remove(name)
+    ledgerStreams.remove(name)
   }
   def showStreams: Seq[String] =
-    (streams.keys ++ fileStreams.keys ++ socketStreams.keys).toSeq.sorted
+    (streams.keys ++ fileStreams.keys ++ socketStreams.keys ++
+      ledgerStreams.keys).toSeq.sorted
 
   /** INSERT INTO name: append JSON payloads (AST.hs:777-804 json form). */
   def insert(name: String, jsonRecords: String*): Unit =
@@ -161,8 +165,29 @@ class Engine(val spark: SparkSession) {
   def createSocketStream(name: String, host: String, port: Int,
                          schema: StructType, wire: Boolean = false): Unit = {
     require(!streams.contains(name) && !fileStreams.contains(name) &&
-      !socketStreams.contains(name), s"stream $name exists")
+      !socketStreams.contains(name) && !ledgerStreams.contains(name),
+      s"stream $name exists")
     socketStreams(name) = SocketStreamEntry(host, port, schema, wire)
+  }
+
+  /** Ledger-backed stream registration: the OFFSET-TRACKED network
+    * transport (graft.sources.LedgerSourceProvider) through the same
+    * [[df]] seam — records carry monotone broker offsets, Spark's
+    * checkpoint stores the consumed range per batch, and the broker
+    * replays any range on demand, so a restarted query resumes from its
+    * last committed offset with no loss and no duplication (the contract
+    * the reference's resumable connector tasks provide, hstream-io/src/
+    * HStream/IO/Worker.hs:71-83; Kafka is the production instance). */
+  private case class LedgerStreamEntry(host: String, port: Int,
+                                       schema: StructType, wire: Boolean)
+  private val ledgerStreams = TrieMap.empty[String, LedgerStreamEntry]
+
+  def createLedgerStream(name: String, host: String, port: Int,
+                         schema: StructType, wire: Boolean = false): Unit = {
+    require(!streams.contains(name) && !fileStreams.contains(name) &&
+      !socketStreams.contains(name) && !ledgerStreams.contains(name),
+      s"stream $name exists")
+    ledgerStreams(name) = LedgerStreamEntry(host, port, schema, wire)
   }
 
   /** Writer registry enforcing one live FileSink per file-backed stream
@@ -204,6 +229,12 @@ class Engine(val spark: SparkSession) {
         val raw = spark.readStream.format("socket")
           .option("host", se.host).option("port", se.port).load()
         withEventTime(parsePayload(raw, se.schema, se.wire), se.schema)
+      case None if ledgerStreams.contains(name) =>
+        val le = ledgerStreams(name)
+        val raw = spark.readStream
+          .format("graft.sources.LedgerSourceProvider")
+          .option("host", le.host).option("port", le.port.toString).load()
+        withEventTime(parsePayload(raw, le.schema, le.wire), le.schema)
       case None =>
         val e = streams(name)
         val parsed = parsePayload(e.source.toDF(), e.schema, e.wire)

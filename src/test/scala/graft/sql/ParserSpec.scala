@@ -46,10 +46,10 @@ class ParserSpec extends AnyFunSuite {
       Hop(IntervalLit(1, "HOUR"), IntervalLit(30, "MINUTE"))))
   }
 
-  test("joins require WITHIN; all four condition forms (SQL-v1.cf:121-124)") {
+  test("joins: WITHIN parsed when present (optional, batch joins omit it); all four condition forms (SQL-v1.cf:121-124)") {
     def from(q: String) = Parser.parse(q).asInstanceOf[SelectStmt].sel.asInstanceOf[Select].from
     from("SELECT * FROM s1 LEFT JOIN s2 ON s1.a = s2.b WITHIN (INTERVAL 1 MINUTE);") match {
-      case TRJoin(TRStream("s1"), TRStream("s2"), "left", On(_), IntervalLit(1, "MINUTE")) =>
+      case TRJoin(TRStream("s1"), TRStream("s2"), "left", On(_), Some(IntervalLit(1, "MINUTE"))) =>
       case other => fail(other.toString)
     }
     from("SELECT * FROM s1 JOIN s2 USING (k) WITHIN (INTERVAL 5 SECOND);") match {
@@ -62,8 +62,11 @@ class ParserSpec extends AnyFunSuite {
     from("SELECT * FROM s1 CROSS JOIN s2 WITHIN (INTERVAL 5 SECOND);") match {
       case TRJoin(_, _, "inner", CrossC, _) => case other => fail(other.toString)
     }
-    assertThrows[IllegalArgumentException] {
-      Parser.parse("SELECT * FROM s1 JOIN s2 ON s1.a = s2.b;") // no WITHIN
+    // no WITHIN parses as within=None (batch-join extension; the
+    // translator still rejects stream inputs without one)
+    from("SELECT * FROM s1 JOIN s2 ON s1.a = s2.b;") match {
+      case TRJoin(_, _, "inner", On(_), None) =>
+      case other => fail(other.toString)
     }
   }
 

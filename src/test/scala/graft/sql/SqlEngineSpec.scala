@@ -370,6 +370,18 @@ class SqlEngineSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 8L) // 2×2×2 combinations
   }
 
+  test("WITHIN-less join is batch-only: stream inputs still rejected") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM jw1 (k STRING, v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM jw2 (k STRING, v INTEGER, _ts TIMESTAMP);")
+    try {
+      val ex = intercept[Exception] {
+        e.sql("SELECT a.v AS v FROM jw1 AS a JOIN jw2 AS b ON a.k = b.k;")
+      }
+      assert(ex.getMessage.contains("WITHIN"), ex.getMessage)
+    } finally { e.sql("DROP STREAM jw1;"); e.sql("DROP STREAM jw2;") }
+  }
+
   test("script splitter + lexer: '' escaped quote with embedded ';' literal") {
     val e = new SqlEngine(spark)
     spark.createDataFrame(Seq(Tuple1(1))).toDF("k")

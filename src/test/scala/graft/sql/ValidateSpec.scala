@@ -19,8 +19,14 @@ class ValidateSpec extends SparkSpec {
         s"expected '$fragment' in: ${ex.getMessage}")
   }
 
-  test("joins without WITHIN are rejected (SQL-v1.cf:121)") {
-    rejects("SELECT * FROM a JOIN b ON a.x = b.y;", "within")
+  test("WITHIN-less join is batch-only (stream rejection lives in Translate; SqlEngineSpec)") {
+    // batch tables join fine without WITHIN (extension); a nonexistent
+    // relation now fails at resolution, not at the grammar
+    spark.range(1).toDF("x").createOrReplaceTempView("wlj1")
+    spark.range(1).toDF("y").createOrReplaceTempView("wlj2")
+    val e = new SqlEngine(spark)
+    val df = e.batch("SELECT a.x AS x FROM wlj1 AS a JOIN wlj2 AS b ON a.x = b.y;")
+    assert(df.count() == 1)
   }
 
   test("aggregates in WHERE are rejected (aggregate context)") {
