@@ -60,11 +60,18 @@ class SqlEngine(spark: SparkSession) {
         case sel: Select if perRow => perRowForm(sel)
         case _ => None // per-row cadence covers single-SELECT aggregates only
       }) match {
-        case Some((keys, aggs)) =>
+        case Some((keys, aggs, winSpec)) =>
           val sel = q.asInstanceOf[Select]
           planOf(sel) // full plan-time validation (TypeCheck on the items)
-          val src = planOf(Select(Seq(ItemWildcard(None)), sel.from, sel.where, Nil, None))
-          Started(engine.emitChangesPerRow(name, src, keys, aggs))
+          val (rawFrom, _) = stripWindow(sel.from)
+          val src = planOf(Select(Seq(ItemWildcard(None)), rawFrom, sel.where, Nil, None))
+          Started(winSpec match {
+            case Some((size, advance)) =>
+              val ts = if (src.columns.contains("_ts")) "_ts" else "ts"
+              engine.emitChangesPerRowWindowed(name, src, keys, aggs, ts,
+                size, advance)
+            case None => engine.emitChangesPerRow(name, src, keys, aggs)
+          })
         case None => Started(engine.emitChanges(name, planOf(q)))
       }
     case SelectStmt(q) =>
@@ -76,7 +83,29 @@ class SqlEngine(spark: SparkSession) {
         case (k, StrLit(v)) => k -> v
         case (k, other) => k -> other.toString
       }
-      engine.createStream(name, Translate.structType(schema), opts)
+      // TRANSPORT option (extension): back the stream with a live network
+      // source instead of the default in-engine log — 'socket' (at-most-
+      // once TCP) or 'ledger' (offset-tracked replayable broker; Kafka's
+      // contract class). HOST/PORT locate the endpoint; FORMAT='wire'
+      // composes with either.
+      val wire = opts.get("FORMAT").exists(_.equalsIgnoreCase("wire"))
+      opts.get("TRANSPORT").map(_.toLowerCase) match {
+        case Some(t @ ("socket" | "ledger")) =>
+          val host = opts.getOrElse("HOST", "localhost")
+          val port = opts.getOrElse("PORT",
+            throw new IllegalArgumentException(
+              s"stream $name: PORT option required for TRANSPORT '$t'")).toInt
+          if (t == "socket")
+            engine.createSocketStream(name, host, port,
+              Translate.structType(schema), wire)
+          else
+            engine.createLedgerStream(name, host, port,
+              Translate.structType(schema), wire)
+        case Some(other) => throw new IllegalArgumentException(
+          s"stream $name: unknown TRANSPORT '$other' (socket|ledger)")
+        case None =>
+          engine.createStream(name, Translate.structType(schema), opts)
+      }
       streamTypes(name) = schema.collect {
         case (n, t @ (TTime | TJson)) => n.toLowerCase -> t
       }.toMap
@@ -92,9 +121,19 @@ class SqlEngine(spark: SparkSession) {
       // the complete-mode default's O(view) snapshot rewrite. Divergence
       // (documented at Engine.createViewAppend): pulls see closed
       // sessions only, the default also shows open ones.
+      // DURATION of the view's source stream(s) = store retention: rows
+      // whose time anchor (window_end/window_start/_ts) falls out of the
+      // backlog window vanish from pulls and their storage is GC'd — the
+      // view-store side of the stream option the read path already honors
+      // (AST.hs:703-750; Engine.df's DURATION filter). Joins of streams
+      // with differing DURATIONs keep the LONGEST (retention must cover
+      // every contributing backlog). Views whose output has no timestamp
+      // column (plain unwindowed aggregates) are not time-addressable and
+      // keep everything.
+      val (retainOn, retention) = viewRetention(q, plan)
       if (qNeedsAppendMode(q) &&
           spark.conf.getOption("spark.graft.sessionViewAppend").contains("true"))
-        return Started(engine.createViewAppend(name, plan))
+        return Started(engine.createViewAppend(name, plan, retainOn, retention))
       // Set-op-fed views (UNION ALL of streams) have no stable per-key
       // identity to upsert on → complete-mode snapshots
       val sel = q match {
@@ -126,7 +165,8 @@ class SqlEngine(spark: SparkSession) {
         sel.groupBy.map(_.name).forall(keyOutputs.contains) &&
         keys.nonEmpty && keys.forall(plan.columns.contains)
       Started(
-        if (incremental) engine.createViewIncremental(name, plan, keys)
+        if (incremental) engine.createViewIncremental(name, plan, keys,
+          retainOn = retainOn, retention = retention)
         else engine.createView(name, plan))
     case InsertValues(stream, cols, vals) =>
       // wire streams store extended-JSON payloads (Rts/Old.hs:134-157), so
@@ -151,11 +191,13 @@ class SqlEngine(spark: SparkSession) {
     case CreateConnector(kind, name, target, ifNot, opts) =>
       if (ifNot && connectors.contains(name)) Done(s"connector $name exists")
       else target.toLowerCase match {
-        // the built-in `socket` type EXECUTES in-engine: a live TCP task
-        // through Engine's source/sink seams, under the same lifecycle
-        // verbs that in the reference control external worker processes
-        // (hstream-io/src/HStream/IO/Worker.hs:71-83)
-        case "socket" =>
+        // the built-in `socket` and `ledger` types EXECUTE in-engine: live
+        // network tasks through Engine's source/sink seams, under the same
+        // lifecycle verbs that in the reference control external worker
+        // processes (hstream-io/src/HStream/IO/Worker.hs:71-83). socket =
+        // at-most-once TCP; ledger = the offset-tracked replayable class
+        // (resumable source, the reference's CDC-connector guarantee).
+        case transport @ ("socket" | "ledger") =>
           def opt(k: String): Option[String] = opts.get(k).collect {
             case StrLit(v) => v; case IntLit(v) => v.toString }
           def req(k: String): String = opt(k).getOrElse(throw
@@ -164,8 +206,9 @@ class SqlEngine(spark: SparkSession) {
           val host = opt("HOST").getOrElse("localhost")
           val port = req("PORT").toInt
           val q =
-            if (kind == "SOURCE") engine.startSourceConnector(name, stream, host, port)
-            else engine.startSinkConnector(name, stream, host, port)
+            if (kind == "SOURCE")
+              engine.startSourceConnector(name, stream, host, port, transport)
+            else engine.startSinkConnector(name, stream, host, port, transport)
           connectors(name) = s"$kind->$target:RUNNING"
           Started(q)
         case _ =>
@@ -244,11 +287,24 @@ class SqlEngine(spark: SparkSession) {
   /** The per-row-emission form of an EMIT CHANGES select, when it fits
     * EXACTLY (so the output schema is identical to the micro-batch path's
     * and flipping spark.graft.emitPerRow never reorders/renames columns):
-    * unwindowed; SELECT list = the bare GROUP BY keys first, unaliased, in
-    * GROUP BY order, then only COUNT(*)/COUNT/SUM/MIN/MAX/AVG over bare
-    * columns; no HAVING. Anything else falls back to micro-batch cadence. */
-  private def perRowForm(sel: Select): Option[(Seq[String], Seq[StreamOps.RowAgg])] = {
-    if (sel.having.nonEmpty || hasWindow(sel.from)) return None
+    * unwindowed OR a top-level TUMBLE/HOP (whose bounds append after the
+    * aggs, same as the micro-batch path); SELECT list = the bare GROUP BY
+    * keys first, unaliased, in GROUP BY order, then only
+    * COUNT(*)/COUNT/SUM/MIN/MAX/AVG over bare columns; no HAVING. Anything
+    * else falls back to micro-batch cadence. Returns (keys, aggs,
+    * window size+advance if windowed). */
+  private def perRowForm(sel: Select)
+      : Option[(Seq[String], Seq[StreamOps.RowAgg], Option[(String, Option[String])])] = {
+    if (sel.having.nonEmpty) return None
+    // only a TOP-LEVEL fixed window qualifies (possibly aliased); windows
+    // nested in subqueries/joins keep micro-batch cadence
+    val winSpec: Option[(String, Option[String])] = stripWindow(sel.from) match {
+      case (_, None) => if (hasWindow(sel.from)) return None else None
+      case (_, Some(Tumble(i))) => Some((Translate.intervalString(i), None))
+      case (_, Some(Hop(s, a))) =>
+        Some((Translate.intervalString(s), Some(Translate.intervalString(a))))
+      case (_, Some(_: Session)) => return None // merging windows: no stable key
+    }
     val keys = sel.groupBy.collect { case ColRef(None, n) => n }
     if (keys.isEmpty || keys.size != sel.groupBy.size) return None
     val (keyItems, aggItems) = sel.items.splitAt(keys.size)
@@ -263,7 +319,45 @@ class SqlEngine(spark: SparkSession) {
       case _ => None
     }
     if (aggs.contains(None) || aggs.isEmpty) None
-    else Some((keys, aggs.flatten))
+    else Some((keys, aggs.flatten, winSpec))
+  }
+
+  /** Peel a top-level (possibly aliased) window off a from-ref. */
+  private def stripWindow(ref: TableRef): (TableRef, Option[WindowSpec]) =
+    ref match {
+      case TRWindowed(i, w) => (i, Some(w))
+      case TRAlias(i, a) =>
+        val (r, w) = stripWindow(i); (TRAlias(r, a), w)
+      case other => (other, None)
+    }
+
+  /** Source-stream DURATIONs → view-store retention: the longest declared
+    * backlog among the query's source streams, anchored on the first
+    * timestamp output column in window_end > window_start > _ts order
+    * (a closed window expires when its END leaves the backlog). */
+  private def viewRetention(q: Query,
+                            plan: DataFrame): (Option[String], Option[String]) = {
+    def streamsOf(ref: TableRef): Seq[String] = ref match {
+      case TRStream(n) => Seq(n)
+      case TRAlias(i, _) => streamsOf(i)
+      case TRWindowed(i, _) => streamsOf(i)
+      case TRFlatten(i, _, _) => streamsOf(i)
+      case TRJoin(l, r, _, _, _) => streamsOf(l) ++ streamsOf(r)
+      case TRSubquery(s) => qStreamsOf(s)
+    }
+    def qStreamsOf(q: Query): Seq[String] = q match {
+      case s: Select => streamsOf(s.from)
+      case SetOp(_, _, l, r, _, _, _) => qStreamsOf(l) ++ qStreamsOf(r)
+    }
+    val durations = qStreamsOf(q).distinct
+      .flatMap(s => engine.streamOptions(s).get("DURATION"))
+    val retention = durations.maxByOption(engine.intervalSeconds)
+    val retainOn = Seq("window_end", "window_start", "_ts").find(n =>
+      plan.schema.fields.exists(f =>
+        f.name == n &&
+          f.dataType == org.apache.spark.sql.types.TimestampType))
+    if (retention.isDefined && retainOn.isDefined) (retainOn, retention)
+    else (None, None)
   }
 
   /** TUMBLE/HOP — fixed windows whose identity (start) never changes, so

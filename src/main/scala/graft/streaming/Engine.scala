@@ -2,11 +2,11 @@ package graft.streaming
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The engine facade: streams, continuous queries, and materialized views —
   * the reference's server surface (SURVEY §3) re-expressed on Structured
@@ -77,7 +77,10 @@ class Engine(val spark: SparkSession) {
   /** CREATE STREAM name (schema) [WITH (…)]: registers an append-only JSON
     * stream. Options (AST.hs:703-750): DURATION = backlog retention — served
     * reads exclude records older than it (default: unbounded here; the
-    * reference defaults to 7 days). REPLICATE is storage-layer metadata
+    * reference defaults to 7 days), and views over the stream inherit it as
+    * store retention (SqlEngine.viewRetention → createViewAppend /
+    * createViewIncremental, where expired rows vanish from pulls and their
+    * storage is GC'd). REPLICATE is storage-layer metadata
     * (meaningless on Spark — durability comes from the source/checkpoint)
     * and is recorded but inert. */
   def createStream(name: String, schema: StructType,
@@ -270,6 +273,17 @@ class Engine(val spark: SparkSession) {
                         aggs: Seq[StreamOps.RowAgg]): StreamingQuery =
     startQuery(name, StreamOps.perRowAggs(source, keys, aggs), "update")
 
+  /** Per-row EMIT CHANGES over TUMBLE/HOP windows: per-input-row cadence
+    * with the window folded into the key; state expires by event-time
+    * timeout at window close (see [[StreamOps.perRowAggsWindowed]]). */
+  def emitChangesPerRowWindowed(name: String, source: DataFrame,
+                                keys: Seq[String], aggs: Seq[StreamOps.RowAgg],
+                                ts: String, size: String,
+                                advance: Option[String]): StreamingQuery =
+    startQuery(name,
+      StreamOps.perRowAggsWindowed(source, keys, aggs, ts, size, advance),
+      "update")
+
   /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query.
     * If `name` is a registered file-backed stream, result partitions write
     * executor-side through the streaming FileSink into the stream's
@@ -369,12 +383,26 @@ class Engine(val spark: SparkSession) {
     * PAUSE/RESUME the task reconnects and the producer decides what to
     * replay. */
   def startSourceConnector(name: String, stream: String, host: String,
-                           port: Int): StreamingQuery = {
+                           port: Int,
+                           transport: String = "socket"): StreamingQuery = {
     require(!queries.contains(s"connector_$name"),
       s"connector $name already running; DROP it first")
     val internal = s"__conn_$name"
-    createSocketStream(internal, host, port, schemaOf(stream),
-      wire = isWireStream(stream))
+    transport match {
+      case "socket" =>
+        createSocketStream(internal, host, port, schemaOf(stream),
+          wire = isWireStream(stream))
+      case "ledger" =>
+        // offset-tracked transport: consumed ranges live in the query's
+        // checkpoint and the broker replays on demand, so this connector
+        // class is RESUMABLE (exactly-once into file-backed streams) —
+        // the guarantee the reference's CDC connector tasks provide
+        // (hstream-io/src/HStream/IO/Worker.hs:71-83)
+        createLedgerStream(internal, host, port, schemaOf(stream),
+          wire = isWireStream(stream))
+      case other => throw new IllegalArgumentException(
+        s"unknown connector transport $other (socket|ledger)")
+    }
     insertSelect(stream, df(internal), qname = s"connector_$name")
   }
 
@@ -385,12 +413,15 @@ class Engine(val spark: SparkSession) {
     * throughput scales with the cluster; the receiving system load-balances
     * connections exactly as it would the reference's parallel sink tasks. */
   def startSinkConnector(name: String, stream: String, host: String,
-                         port: Int): StreamingQuery = {
+                         port: Int,
+                         transport: String = "socket"): StreamingQuery = {
     val qn = s"connector_$name"
     // duplicate guard: a second query on the same checkpoint would corrupt
     // offsets and orphan the first's handle in the registry
     require(!queries.contains(qn),
       s"connector $name already running; DROP it first")
+    require(transport == "socket" || transport == "ledger",
+      s"unknown connector transport $transport (socket|ledger)")
     val encoded = graft.sources.WireFormat.encode(df(stream))
     def start() = encoded.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt(qn))
@@ -398,18 +429,26 @@ class Engine(val spark: SparkSession) {
         // per-partition connection: the one justified RDD use (imperative
         // per-partition network I/O with connection lifecycle)
         batch.rdd.foreachPartition { rows =>
-          if (rows.hasNext) {
-            val sock = new java.net.Socket(host, port)
-            try {
-              // BufferedWriter, NOT PrintWriter: PrintWriter swallows
-              // IOExceptions (only sets an internal flag), which would let
-              // the batch commit after a broken connection — silent loss.
-              // A thrown IOException here fails the batch and Spark retries.
-              val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-                sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-              rows.foreach { r => out.write(r.getString(0)); out.newLine() }
-              out.flush()
-            } finally sock.close()
+          if (rows.hasNext) transport match {
+            case "socket" =>
+              val sock = new java.net.Socket(host, port)
+              try {
+                // BufferedWriter, NOT PrintWriter: PrintWriter swallows
+                // IOExceptions (only sets an internal flag), which would let
+                // the batch commit after a broken connection — silent loss.
+                // A thrown IOException here fails the batch and Spark retries.
+                val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                  sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+                rows.foreach { r => out.write(r.getString(0)); out.newLine() }
+                out.flush()
+              } finally sock.close()
+            case "ledger" =>
+              // durable-before-ack appends; a failed produce throws and the
+              // batch retries → at-least-once into the broker log (the same
+              // contract as a non-transactional Kafka producer sink)
+              rows.foreach { r =>
+                graft.sources.LedgerClient.produce(host, port, r.getString(0))
+              }
           }
         }
       }
@@ -578,36 +617,122 @@ class Engine(val spark: SparkSession) {
     * buffered in streaming state and not yet visible (the complete-mode
     * default shows them; the reference's incremental state does too,
     * Core/View.hs:94-141). */
-  def createViewAppend(name: String, plan: DataFrame): StreamingQuery = {
+  def createViewAppend(name: String, plan: DataFrame,
+                       retainOn: Option[String] = None,
+                       retention: Option[String] = None): StreamingQuery = {
+    require(retention.isEmpty == retainOn.isEmpty,
+      "retention and retainOn must be set together")
+    retainOn.foreach(c => require(plan.schema.fieldNames.contains(c),
+      s"retention column $c must be an output column of the view plan"))
     val dir = s"$viewRoot/$name/alog"
-    appendViews(name) = (dir, plan.schema)
-    val q = plan.writeStream
+    val bucketSecs = retention.map(intervalSeconds)
+    appendViews(name) =
+      AppendViewState(dir, plan.schema, retainOn, retention, bucketSecs)
+    // With retention, the log is partitioned by a coarse time bucket of the
+    // retention column (one bucket = one retention width), so GC can drop
+    // whole expired partition dirs without touching live files.
+    val withBucket = (retainOn, bucketSecs) match {
+      case (Some(c), Some(s)) => plan.withColumn("graft_ret_bucket",
+        floor(unix_timestamp(col(c)) / s))
+      case _ => plan
+    }
+    val writer = withBucket.writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", dir)
       .option("checkpointLocation", ckpt(s"view_$name"))
+    val q = (if (retention.isDefined) writer.partitionBy("graft_ret_bucket")
+             else writer)
       .trigger(Trigger.ProcessingTime(0)).start()
     queries(name) = q
     q
   }
 
-  private val appendViews = TrieMap.empty[String, (String, StructType)]
+  private case class AppendViewState(dir: String, schema: StructType,
+                                     retainOn: Option[String],
+                                     retention: Option[String],
+                                     bucketSecs: Option[Long])
+  private val appendViews = TrieMap.empty[String, AppendViewState]
 
   /** Storage directory of an append-mode view (tests/diagnostics). */
-  private[graft] def appendViewDir(name: String): String = appendViews(name)._1
+  private[graft] def appendViewDir(name: String): String = appendViews(name).dir
+
+  /** Interval string → seconds, evaluated by Spark itself (so "1 HOUR",
+    * "90 seconds", … parse exactly as they do in the read path's filter).
+    * Month/year intervals resolve at the epoch — retention is meant for
+    * day-scale backlogs, not calendar arithmetic. */
+  private[graft] def intervalSeconds(d: String): Long =
+    spark.range(1).select(
+      (lit(new java.sql.Timestamp(0L)) + expr(s"INTERVAL $d")).cast("long"))
+      .head().getLong(0)
+
+  /** Drop whole expired partition dirs of an append view: a bucket covers
+    * [b·s, (b+1)·s) of the retention column, so it is deletable once its
+    * UPPER bound is a full bucket width behind the wall-clock horizon —
+    * live readers of the metadata log skip the vanished files
+    * (ignoreMissingFiles on the pull read). Runs opportunistically at pull
+    * time; idempotent, O(#partition dirs) listing. */
+  private def gcAppendView(state: AppendViewState): Unit =
+    for (s <- state.bucketSecs; ret = intervalSeconds(state.retention.get)) {
+      val (fs, dirPath) = hadoopFs(state.dir)
+      if (fs.exists(dirPath)) {
+        val horizonBucket = (System.currentTimeMillis() / 1000L - ret) / s
+        fs.listStatus(dirPath).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("graft_ret_bucket=") &&
+              n.stripPrefix("graft_ret_bucket=").toLong + 1 <= horizonBucket - 1)
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
 
   // ---- incremental views (update-mode upsert; the 100× scale path) ---------
 
   /** view name → (dir, output schema, upsert keys, bucket count, serving
-    * manifest bucket→path). The manifest flips atomically after each batch's
+    * manifest bucket→paths). The manifest flips atomically after each batch's
     * distributed write; history retains recent manifests so pinned readers
-    * get a grace window (viewRetain generations). */
+    * get a grace window (viewRetain generations).
+    *
+    * A bucket maps to a LIST of leaf paths: in the default whole-bucket
+    * upsert mode the list is always one element (the bucket's current
+    * generation); in delta-log mode it is the compacted base plus the
+    * per-trigger delta files since the last compaction. */
   private final class IncViewState(val dir: String, val schema: StructType,
-                                   val keys: Seq[String], val buckets: Int) {
-    @volatile var manifest: Map[Int, String] = Map.empty
-    @volatile var history: List[Map[Int, String]] = Nil
+                                   val keys: Seq[String], val buckets: Int,
+                                   val deltaLog: Boolean,
+                                   val compactThreshold: Int,
+                                   val retainOn: Option[String],
+                                   val retention: Option[String]) {
+    @volatile var manifest: Map[Int, List[String]] = Map.empty
+    @volatile var history: List[Map[Int, List[String]]] = Nil
+    /** Retention predicate over served/compacted rows (true = keep);
+      * DURATION semantics, same wall-clock form as the stream read path. */
+    def live: Column = (retainOn, retention) match {
+      case (Some(c), Some(d)) =>
+        col(c) >= current_timestamp() - expr(s"INTERVAL $d")
+      case _ => lit(true)
+    }
   }
   private val incViews = TrieMap.empty[String, IncViewState]
+
+  /** On-disk row schema of a DELTA-LOG incremental view: the view schema
+    * plus the writing trigger's generation — last-writer-wins resolution
+    * orders on it (update mode emits at most one row per key per trigger,
+    * so (key, max graft_gen) is the current aggregate). */
+  private def deltaSchema(s: StructType): StructType =
+    StructType(s.fields :+ StructField("graft_gen", LongType))
+
+  /** Keep the newest row per upsert key across base + delta files. A window
+    * partition (unlike join equality) groups NULL keys together, so null
+    * group keys resolve in place with no special casing. Replay ties (two
+    * persisted copies of one replayed trigger share a generation) carry
+    * identical rows, so the arbitrary tiebreak cannot change the result. */
+  private def resolveLatest(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("graft_gen").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
 
   /** CREATE VIEW with INCREMENTAL maintenance: the aggregation runs in
     * UPDATE mode, so each trigger carries only the keys whose aggregates
@@ -626,10 +751,19 @@ class Engine(val spark: SparkSession) {
     * rewrite granularity — at 100 TB size it so one bucket's parquet fits
     * comfortably in executor memory (e.g. thousands). */
   def createViewIncremental(name: String, plan: DataFrame, keys: Seq[String],
-                            buckets: Int = 64): StreamingQuery = {
+                            buckets: Int = 64, deltaLog: Boolean = false,
+                            compactThreshold: Int = 8,
+                            retainOn: Option[String] = None,
+                            retention: Option[String] = None): StreamingQuery = {
     require(keys.nonEmpty && keys.forall(plan.schema.fieldNames.contains),
       s"upsert keys $keys must be output columns of the view plan")
-    val state = new IncViewState(s"$viewRoot/$name", plan.schema, keys, buckets)
+    require(compactThreshold >= 1, s"compactThreshold must be >= 1")
+    require(retention.isEmpty == retainOn.isEmpty,
+      "retention and retainOn must be set together")
+    retainOn.foreach(c => require(plan.schema.fieldNames.contains(c),
+      s"retention column $c must be an output column of the view plan"))
+    val state = new IncViewState(s"$viewRoot/$name", plan.schema, keys, buckets,
+      deltaLog, compactThreshold, retainOn, retention)
     loadManifest(state) // engine-restart recovery: serve last committed state
     incViews(name) = state
     def bucketOf = pmod(hash(keys.map(col): _*), lit(buckets))
@@ -642,23 +776,6 @@ class Engine(val spark: SparkSession) {
           val affected = delta.select("graft_bucket").distinct()
             .collect().map(_.getInt(0)).toSet
           if (affected.nonEmpty) {
-            val existingPaths = state.manifest.view.filterKeys(affected).values.toSeq
-            val current =
-              if (existingPaths.isEmpty)
-                spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
-              else spark.read.schema(state.schema).parquet(existingPaths: _*)
-            // upsert = unchanged rows of affected buckets + the delta rows.
-            // Null-SAFE key equality: a null group key's old row must be
-            // replaced too (k = k is NULL for nulls and a plain anti-join
-            // would keep appending one stale row per trigger).
-            val deltaKeys = delta.select(keys.map(col): _*).alias("__dk")
-            val antiCond = keys.map(k =>
-              current(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k"))
-              .reduce(_ && _)
-            val merged = current
-              .join(deltaKeys, antiCond, "left_anti")
-              .withColumn("graft_bucket", bucketOf)
-              .unionByName(delta)
             // Replay safety: after a crash between manifest persist and the
             // checkpoint commit, the replayed batch's manifest may point
             // INTO g<batchId> — overwriting a directory that is also the
@@ -669,9 +786,8 @@ class Engine(val spark: SparkSession) {
             while (gfs.exists(new org.apache.hadoop.fs.Path(genDir))) {
               attempt += 1; genDir = s"${state.dir}/g$batchId-r$attempt"
             }
-            merged.write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
-            state.manifest = state.manifest ++
-              affected.map(b => b -> s"$genDir/graft_bucket=$b")
+            if (deltaLog) upsertDeltaLog(state, delta, affected, genDir, batchId)
+            else upsertWholeBucket(state, delta, affected, genDir, bucketOf)
             state.history = (state.manifest :: state.history).take(viewRetain)
             persistManifest(state, batchId)
             gcIncView(state)
@@ -683,16 +799,98 @@ class Engine(val spark: SparkSession) {
     q
   }
 
-  /** The serving manifest of an incremental view (tests/diagnostics). */
+  /** Default upsert: rewrite each affected bucket whole — unchanged rows of
+    * the bucket (null-safe anti-join against the delta keys: a null group
+    * key's old row must be replaced too, since k = k is NULL for nulls and
+    * a plain anti-join would keep appending one stale row per trigger) plus
+    * the delta rows. O(changed buckets) writes; pulls are a raw parquet
+    * scan with full predicate pushdown. */
+  private def upsertWholeBucket(state: IncViewState, delta: DataFrame,
+                                affected: Set[Int], genDir: String,
+                                bucketOf: => Column): Unit = {
+    val existingPaths =
+      state.manifest.view.filterKeys(affected).values.flatten.toSeq
+    val current =
+      (if (existingPaths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
+      else spark.read.schema(state.schema).parquet(existingPaths: _*))
+        .where(state.live) // bucket rewrites shed rows past retention
+    val deltaKeys = delta.select(state.keys.map(col): _*).alias("__dk")
+    val antiCond = state.keys.map(k =>
+      current(k) <=> org.apache.spark.sql.functions.col(s"__dk.$k"))
+      .reduce(_ && _)
+    val merged = current
+      .join(deltaKeys, antiCond, "left_anti")
+      .withColumn("graft_bucket", bucketOf)
+      .unionByName(delta)
+    merged.write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
+    state.manifest = state.manifest ++
+      affected.map(b => b -> List(s"$genDir/graft_bucket=$b"))
+  }
+
+  /** DELTA-LOG upsert (opt-in; the hot-key refinement): each trigger writes
+    * ONLY the changed rows — O(delta), not O(changed buckets) — stamped
+    * with a generation column; serving resolves last-writer-wins per key
+    * ([[resolveLatest]]). When a bucket accumulates more than
+    * `compactThreshold` files, that bucket (alone) is compacted back to a
+    * single base file in the same distributed write. Steady state per
+    * bucket: one base + at most threshold deltas, so a hot key costs one
+    * small file per trigger instead of a whole-bucket rewrite.
+    *
+    * Trade-off vs whole-bucket mode (why this is opt-in): pulls insert a
+    * per-key window above the scan, so only KEY predicates prune the read —
+    * a value predicate (e.g. total > 4) must logically apply after
+    * resolution (a stale generation's row could pass it while the current
+    * one fails) and cannot push into parquet. Views with high key churn and
+    * value-filtered pulls should stay whole-bucket. */
+  private def upsertDeltaLog(state: IncViewState, delta: DataFrame,
+                             affected: Set[Int], genDir: String,
+                             gen: Long): Unit = {
+    delta.withColumn("graft_gen", lit(gen))
+      .write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
+    val withDeltas = state.manifest ++ affected.map(b =>
+      b -> (state.manifest.getOrElse(b, Nil) :+ s"$genDir/graft_bucket=$b"))
+    val toCompact = affected.filter(b =>
+      withDeltas(b).size > state.compactThreshold)
+    state.manifest =
+      if (toCompact.isEmpty) withDeltas
+      else {
+        // one distributed write compacts ALL over-threshold buckets: read
+        // their base+deltas, keep the newest row per key (generations
+        // survive compaction, so later deltas still win over the base)
+        val compactDir = s"$genDir-c"
+        val paths = toCompact.toSeq.flatMap(withDeltas)
+        val merged = resolveLatest(
+          spark.read.schema(deltaSchema(state.schema)).parquet(paths: _*),
+          state.keys)
+          .where(state.live) // compaction sheds rows past retention
+        merged
+          .withColumn("graft_bucket",
+            pmod(hash(state.keys.map(col): _*), lit(state.buckets)))
+          .write.partitionBy("graft_bucket").mode("overwrite").parquet(compactDir)
+        withDeltas ++ toCompact.map(b =>
+          b -> List(s"$compactDir/graft_bucket=$b"))
+      }
+  }
+
+  /** The serving manifest of an incremental view (tests/diagnostics):
+    * bucket → current single leaf (whole-bucket mode semantics). */
   private[graft] def viewManifest(name: String): Map[Int, String] =
+    incViews(name).manifest.map { case (b, ps) => b -> ps.head }
+
+  /** Full manifest including delta chains (delta-log mode diagnostics). */
+  private[graft] def viewManifestPaths(name: String): Map[Int, List[String]] =
     incViews(name).manifest
 
   private def persistManifest(state: IncViewState, gen: Long): Unit = {
     val (fs, _) = hadoopFs(state.dir)
     val tmp = new org.apache.hadoop.fs.Path(s"${state.dir}/manifest-g$gen.tmp")
     val out = fs.create(tmp, true)
+    // one line per bucket: bucket \t path [\t path …] — whole-bucket mode
+    // writes one path, delta-log mode the base-then-deltas chain in order
     try out.write(state.manifest.toSeq.sortBy(_._1)
-      .map { case (b, p) => s"$b\t$p" }.mkString("\n").getBytes("UTF-8"))
+      .map { case (b, ps) => (b.toString +: ps).mkString("\t") }
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(s"${state.dir}/manifest-g$gen.txt")
     // a replayed batch re-persists the same generation id: HDFS rename to
@@ -711,7 +909,8 @@ class Engine(val spark: SparkSession) {
       val in = fs.open(st.getPath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       state.manifest = text.linesIterator.filter(_.contains('\t')).map { line =>
-        val Array(b, p) = line.split("\t", 2); b.toInt -> p
+        val parts = line.split("\t").toList
+        parts.head.toInt -> parts.tail
       }.toMap
       state.history = List(state.manifest)
     }
@@ -721,7 +920,7 @@ class Engine(val spark: SparkSession) {
     * and manifest files older than the newest (recovery needs only that). */
   private def gcIncView(state: IncViewState): Unit = {
     val (fs, dirPath) = hadoopFs(state.dir)
-    val referenced = state.history.flatMap(_.values)
+    val referenced = state.history.flatMap(_.values).flatten
       .map(leaf => new org.apache.hadoop.fs.Path(leaf).getParent.getName).toSet
     val newestManifest = fs.listStatus(dirPath)
       .filter(_.getPath.getName.matches("manifest-g\\d+\\.txt"))
@@ -729,7 +928,7 @@ class Engine(val spark: SparkSession) {
       .maxOption
     fs.listStatus(dirPath).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("g\\d+(-r\\d+)?") && !referenced.contains(n))
+      if (st.isDirectory && n.matches("g\\d+(-r\\d+)?(-c)?") && !referenced.contains(n))
         fs.delete(st.getPath, true)
       else if (n.matches("manifest-g\\d+\\.txt") &&
           newestManifest.exists(_ > n.stripPrefix("manifest-g").stripSuffix(".txt").toLong))
@@ -744,12 +943,46 @@ class Engine(val spark: SparkSession) {
     * catalog for names materialized elsewhere (e.g. memory-sink tests). */
   def pull(view: String, where: String = "true"): DataFrame =
     appendViews.get(view) match {
-      case Some((dir, schema)) =>
-        val (fs, p) = hadoopFs(dir)
-        if (fs.exists(p)) spark.read.schema(schema).parquet(dir).where(where)
-        else // no session has closed yet: empty, correctly typed
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(state) =>
+        val (fs, p) = hadoopFs(state.dir)
+        if (!fs.exists(p)) // no session has closed yet: empty, correctly typed
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
             .where(where)
+        else (state.retainOn, state.retention) match {
+          case (Some(c), Some(ret)) =>
+            gcAppendView(state) // opportunistic: expired partitions vanish
+            // GC may have emptied the log entirely (everything expired):
+            // schema inference over a metadata log of vanished files fails,
+            // so serve empty-typed directly
+            val anyLive = fs.listStatus(p).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("graft_ret_bucket="))
+            if (!anyLive)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
+                .where(where)
+            else {
+              // ignoreMissingFiles: the FileSink metadata log still lists
+              // GC'd files; the scan must skip them, not fail. The bucket
+              // predicate prunes expired partitions the GC grace still
+              // retains; the row filter is the exact retention semantics
+              // (same wall-clock form as the stream read path's DURATION).
+              val horizon = current_timestamp() - expr(s"INTERVAL $ret")
+              // explicit schema (view schema + the partition column): footer
+              // inference would try to read GC'd files before the scan's
+              // ignoreMissingFiles can skip them
+              spark.read
+                .schema(StructType(state.schema.fields :+
+                  StructField("graft_ret_bucket", LongType)))
+                .option("ignoreMissingFiles", "true")
+                .parquet(state.dir)
+                .where(col("graft_ret_bucket") >=
+                  floor(unix_timestamp(horizon) / state.bucketSecs.get) - 1)
+                .where(col(c) >= horizon)
+                .drop("graft_ret_bucket")
+                .where(where)
+            }
+          case _ =>
+            spark.read.schema(state.schema).parquet(state.dir).where(where)
+        }
       case None => pullNonAppend(view, where)
     }
 
@@ -759,11 +992,20 @@ class Engine(val spark: SparkSession) {
         // resolved from the manifest at CALL time: each pull (and each
         // re-planned batch over it) sees the current generation set; a
         // pinned plan gets viewRetain generations of grace before GC
-        val paths = state.manifest.values.toSeq
+        val paths = state.manifest.values.flatten.toSeq
         if (paths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
             .where(where)
-        else spark.read.schema(state.schema).parquet(paths: _*).where(where)
+        else if (state.deltaLog)
+          // base + deltas: last-writer-wins per key, THEN the predicate —
+          // key predicates push through the window partition into parquet,
+          // value predicates apply post-resolution (see upsertDeltaLog)
+          resolveLatest(
+            spark.read.schema(deltaSchema(state.schema)).parquet(paths: _*),
+            state.keys)
+            .drop("graft_gen").where(state.live).where(where)
+        else spark.read.schema(state.schema).parquet(paths: _*)
+          .where(state.live).where(where)
       case None => views.get(view) match {
         case Some(state) => state.snapshot match {
           case Some(path) => spark.read.parquet(path).where(where)

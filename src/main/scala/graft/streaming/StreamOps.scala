@@ -99,11 +99,27 @@ object StreamOps {
     * (Codegen/Common.hs:96-119). Built on flatMapGroupsWithState: state is
     * partitioned across executors like any streaming agg — per-row fidelity
     * costs emission volume, not driver memory. */
-  def perRowAggs(df: DataFrame, keys: Seq[String], aggs: Seq[RowAgg]): DataFrame = {
+  def perRowAggs(df: DataFrame, keys: Seq[String], aggs: Seq[RowAgg],
+                 timeoutOn: Option[String] = None,
+                 carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // timeoutOn: a TIMESTAMP key column (e.g. window_end) — when the
+    // WATERMARK passes a group's value, its state is dropped (the windowed
+    // form would otherwise accrete one state entry per window forever).
+    // Requires a watermark upstream (EventTimeTimeout's precondition).
+    val timeoutKeyIdx = timeoutOn.map { c =>
+      val i = keys.indexWhere(_.equalsIgnoreCase(c))
+      require(i >= 0, s"timeout column $c must be one of the keys $keys")
+      i
+    }
     val inputCols = aggs.map(_.input).filter(_ != "*").distinct
-    val proj = df.select((keys ++ inputCols).distinct.map(col): _*)
+    // carry: columns kept in the projection without participating in the
+    // key or any accumulator — the windowed form must keep the original
+    // WATERMARKED event-time column visible to the analyzer (extracting
+    // window.start drops the watermark tag, and EventTimeTimeout's checker
+    // requires a tagged column below the flatMapGroupsWithState)
+    val proj = df.select((keys ++ inputCols ++ carry).distinct.map(col): _*)
     val schema = proj.schema
     // select() above resolved names case-INSENSITIVELY and the projected
     // schema carries the source's canonical casing — index the same way,
@@ -128,7 +144,9 @@ object StreamOps {
           case "sum" => if (integral(a)) LongType else DoubleType
           case "avg" => DoubleType
           case "min" | "max" => inType(a)
-        })
+          // COUNT is never null — matching Spark's own agg schema exactly
+          // (the per-row and micro-batch paths must be flip-compatible)
+        }, nullable = a.kind != "count")
       })
     // accumulator slots: count → running count; sum/avg → (sum, n) with
     // the sum in LONG for integral inputs — a Double accumulator would
@@ -161,8 +179,24 @@ object StreamOps {
     val outEnc = Encoders.row(outSchema)
     proj.groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(),
+        if (timeoutKeyIdx.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (k: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          if (state.hasTimedOut) {
+            // watermark passed this group's anchor (window closed): free
+            // the state, emit nothing — Spark's own windowed agg stops
+            // maintaining the window at exactly this point
+            state.remove()
+            Iterator.empty
+          } else if (timeoutKeyIdx.exists(ti => state.getOption.isEmpty &&
+              k.getAs[java.sql.Timestamp](ti).getTime <=
+                state.getCurrentWatermarkMs())) {
+            // too-late rows for an already-closed (expired) window: drop,
+            // like Spark's windowed agg — recreating state would restart
+            // the accumulators from zero and emit wrong partial values
+            Iterator.empty
+          } else {
           val acc: Array[Any] = state.getOption match {
             case Some(s) => Array.tabulate(aggs.size) { i =>
               aggs(i).kind match {
@@ -214,9 +248,48 @@ object StreamOps {
               case v => v
             }
           }))
+          timeoutKeyIdx.foreach { ti =>
+            // fire when the watermark passes the group's anchor; a group
+            // already at/behind the watermark (edge of lateness) must still
+            // set a LEGAL timestamp (> watermark), hence the clamp
+            val anchor = k.getAs[java.sql.Timestamp](ti).getTime
+            state.setTimeoutTimestamp(
+              math.max(anchor, state.getCurrentWatermarkMs() + 1))
+          }
           emissions.iterator
+          }
       }(stateEnc, outEnc)
       .toDF((keys ++ aggs.map(_.name)): _*)
+  }
+
+  /** Per-row EMIT CHANGES over FIXED windows (TUMBLE/HOP): the reference's
+    * per-input-row cadence (GroupedStream.hs:102) with the window identity
+    * folded into the group key — key = (group keys, window_start,
+    * window_end). Spark's own `window()` expression derives the windows in
+    * a plain projection (one row per covering window — HOP expands to
+    * ⌈size/advance⌉ rows, exactly the reference's landing rule,
+    * TimeWindows.hs:42-48), so window boundaries agree bit-for-bit with the
+    * micro-batch groupBy path. State per (key, window) is dropped via
+    * event-time timeout once the watermark passes window_end. Output
+    * schema matches the micro-batch windowed path exactly:
+    * keys…, aggs…, window_start, window_end. */
+  def perRowAggsWindowed(df: DataFrame, keys: Seq[String], aggs: Seq[RowAgg],
+                         ts: String, size: String,
+                         advance: Option[String] = None,
+                         grace: String = DefaultGrace): DataFrame = {
+    val win = advance match {
+      case Some(a) => window(col(ts), size, a)
+      case None => window(col(ts), size)
+    }
+    val expanded = df.withWatermark(ts, grace)
+      .withColumn("__gw", win)
+      .withColumn("window_start", col("__gw.start"))
+      .withColumn("window_end", col("__gw.end"))
+      .drop("__gw")
+    perRowAggs(expanded, keys ++ Seq("window_start", "window_end"), aggs,
+      timeoutOn = Some("window_end"), carry = Seq(ts))
+      .select(keys.map(col) ++ aggs.map(a => col(a.name)) ++
+        Seq(col("window_start"), col("window_end")): _*)
   }
 
   /** The single-key single-value convenience form: running

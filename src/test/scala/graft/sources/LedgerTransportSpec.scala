@@ -88,6 +88,64 @@ class LedgerTransportSpec extends SparkSpec {
     } finally b2.stop()
   }
 
+  test("dialect: CREATE STREAM WITH TRANSPORT='ledger' reads the broker") {
+    val dataFile = Files.createTempDirectory("graft_ledger4").resolve("log")
+    val broker = new LedgerBroker(dataFile)
+    val port = broker.start()
+    val e = new graft.sql.SqlEngine(spark)
+    try {
+      LedgerClient.produce("localhost", port, rec("a", 1, 0))
+      LedgerClient.produce("localhost", port, rec("b", 5, 1))
+      e.sql(s"""CREATE STREAM lds (k STRING, v INTEGER, _ts TIMESTAMP)
+                WITH (TRANSPORT = 'ledger', PORT = $port);""")
+      val q = e.sql("SELECT k, v FROM lds EMIT CHANGES;").asInstanceOf[e.Started]
+      val deadline = System.currentTimeMillis() + 20000
+      def rows() = { e.engine.processAll(); spark.table(q.query.name).collect() }
+      while (rows().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 1L), ("b", 5L)))
+      e.sql(s"TERMINATE QUERY ${q.query.name};")
+      e.sql("DROP STREAM lds;")
+    } finally broker.stop()
+  }
+
+  test("dialect: ledger SOURCE and SINK connectors execute in-engine") {
+    val srcBroker = new LedgerBroker(
+      Files.createTempDirectory("graft_ledger5").resolve("log"))
+    val sinkBroker = new LedgerBroker(
+      Files.createTempDirectory("graft_ledger6").resolve("log"))
+    val (p1, p2) = (srcBroker.start(), sinkBroker.start())
+    val e = new graft.sql.SqlEngine(spark)
+    try {
+      LedgerClient.produce("localhost", p1, rec("a", 1, 0))
+      LedgerClient.produce("localhost", p1, rec("b", 5, 1))
+      e.sql("CREATE STREAM ltgt2 (k STRING, v INTEGER, _ts TIMESTAMP);")
+      val r = e.sql(
+        s"""CREATE SOURCE CONNECTOR lc1 FROM ledger
+            WITH ("stream" = 'ltgt2', "port" = $p1);""")
+      assert(r.isInstanceOf[e.Started])
+      val rk = e.sql(
+        s"""CREATE SINK CONNECTOR lk1 TO ledger
+            WITH ("stream" = 'ltgt2', "port" = $p2);""")
+      assert(rk.isInstanceOf[e.Started])
+      // broker → source connector → stream → sink connector → broker:
+      // the sink broker's log ends up holding the wire-encoded records
+      val deadline = System.currentTimeMillis() + 20000
+      def sunk() = { e.engine.processAll(); LedgerClient.endOffset("localhost", p2) }
+      while (sunk() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val lines = LedgerClient.fetch("localhost", p2, 0,
+        LedgerClient.endOffset("localhost", p2))
+      assert(lines.size == 2, s"got $lines")
+      assert(lines.exists(l => l.contains(""""k":"a"""") &&
+        l.contains(""""v":{"$numberLong":"1"}""")), s"got $lines")
+      e.sql("DROP CONNECTOR lc1;")
+      e.sql("DROP CONNECTOR lk1;")
+      e.sql("DROP STREAM ltgt2;")
+    } finally { srcBroker.stop(); sinkBroker.stop() }
+  }
+
   test("batch ranges split into executor-parallel fetch partitions") {
     val dataFile = Files.createTempDirectory("graft_ledger3").resolve("log")
     val broker = new LedgerBroker(dataFile)

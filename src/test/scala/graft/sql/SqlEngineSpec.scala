@@ -328,6 +328,70 @@ class SqlEngineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.emitPerRow")
   }
 
+  test("emitPerRow over TUMBLE: per-row cadence, schema + final states twin the micro-batch path") {
+    val text = """SELECT k, COUNT(*) AS n, SUM(v) AS s
+                  FROM TUMBLE(wpr, INTERVAL 1 MINUTE) GROUP BY k EMIT CHANGES;"""
+    def run(perRow: Boolean): (org.apache.spark.sql.types.StructType, Set[(String, Long, Long, String)]) = {
+      if (perRow) spark.conf.set("spark.graft.emitPerRow", "true")
+      try {
+        val e = new SqlEngine(spark)
+        e.sql("CREATE STREAM wpr (k STRING, v INTEGER, _ts TIMESTAMP);")
+        val q = e.sql(text).asInstanceOf[e.Started]
+        e.sql("INSERT INTO wpr (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:00:10');")
+        e.sql("INSERT INTO wpr (k, v, _ts) VALUES ('a', 3, '2024-01-01 00:00:40');")
+        e.sql("INSERT INTO wpr (k, v, _ts) VALUES ('a', 10, '2024-01-01 00:01:20');")
+        e.sql("INSERT INTO wpr (k, v, _ts) VALUES ('b', 7, '2024-01-01 00:00:50');")
+        e.engine.processAll()
+        val df = spark.table(q.query.name)
+        val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getAs[java.sql.Timestamp]("window_start").toString)).toSet
+        e.sql(s"TERMINATE QUERY ${q.query.name};")
+        e.sql("DROP STREAM wpr;")
+        (df.schema, rows)
+      } finally spark.conf.unset("spark.graft.emitPerRow")
+    }
+    val (batchSchema, batchRows) = run(perRow = false)
+    val (perRowSchema, perRowRows) = run(perRow = true)
+    // flipping the conf never changes the output shape
+    assert(perRowSchema == batchSchema,
+      s"schema drift: $perRowSchema vs $batchSchema")
+    // per-row cadence: one emission per input row — the 'a'/w0 window shows
+    // BOTH cumulative states, not just the coalesced final one
+    val w0 = "2024-01-01 00:00:00.0"
+    val w1 = "2024-01-01 00:01:00.0"
+    assert(perRowRows == Set(
+      ("a", 1L, 2L, w0), ("a", 2L, 5L, w0),
+      ("a", 1L, 10L, w1), ("b", 1L, 7L, w0)), s"got $perRowRows")
+    // twin: the micro-batch result is exactly the LAST per-row state of
+    // every (key, window) — per-window maxima of the cumulative chain
+    val finals = perRowRows.groupBy(r => (r._1, r._4))
+      .map { case (_, states) => states.maxBy(_._2) }.toSet
+    assert(finals == batchRows, s"per-row finals $finals vs micro-batch $batchRows")
+  }
+
+  test("emitPerRow over HOP: a row lands in size/advance windows, each with its own running state") {
+    spark.conf.set("spark.graft.emitPerRow", "true")
+    try {
+      val e = new SqlEngine(spark)
+      e.sql("CREATE STREAM hpr (k STRING, v INTEGER, _ts TIMESTAMP);")
+      val q = e.sql(
+        """SELECT k, SUM(v) AS s FROM HOP(hpr, INTERVAL 2 MINUTE, INTERVAL 1 MINUTE)
+           GROUP BY k EMIT CHANGES;""").asInstanceOf[e.Started]
+      e.sql("INSERT INTO hpr (k, v, _ts) VALUES ('a', 5, '2024-01-01 00:00:30');")
+      e.engine.processAll()
+      val rows = spark.table(q.query.name).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getAs[java.sql.Timestamp]("window_start").toString)).toSet
+      // one input row → TWO emissions, one per covering hop window
+      // (TimeWindows.hs:42-48's landing rule through Spark's window())
+      assert(rows == Set(
+        ("a", 5L, "2023-12-31 23:59:00.0"),
+        ("a", 5L, "2024-01-01 00:00:00.0")), s"got $rows")
+      e.sql(s"TERMINATE QUERY ${q.query.name};")
+      e.sql("DROP STREAM hpr;")
+    } finally spark.conf.unset("spark.graft.emitPerRow")
+  }
+
   test("multi-statement script + SHOW VIEWS/QUERIES separation") {
     val e = new SqlEngine(spark)
     val results = e.script(

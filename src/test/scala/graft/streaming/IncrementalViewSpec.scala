@@ -116,6 +116,97 @@ class IncrementalViewSpec extends SparkSpec {
     e.sql("DROP STREAM wivs;")
   }
 
+  test("delta-log mode: N triggers on one key = N small delta files, one threshold compaction, other buckets untouched") {
+    val srcDir = Files.createTempDirectory("graft_dlsrc").toString
+    val viewRoot = Files.createTempDirectory("graft_dlroot").toString
+    val ckptRoot = Files.createTempDirectory("graft_dlckpt").toString
+    spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
+    spark.conf.set("spark.graft.viewRoot", viewRoot)
+    var n = 0
+    def push(lines: String*): Unit = {
+      n += 1
+      Files.writeString(java.nio.file.Paths.get(srcDir, s"f$n.json"),
+        lines.mkString("\n"))
+    }
+    try {
+      val buckets = 8
+      val (k1, k2, b1, b2) = twoKeysDifferentBuckets(buckets)
+      def mkEngine(): Engine = {
+        val e = new Engine(spark)
+        e.createFileStream("dls", srcDir, schema)
+        e
+      }
+      def startView(e: Engine) = e.createViewIncremental("dlv",
+        e.df("dls").groupBy(col("k")).agg(sum(col("v")).as("total")),
+        keys = Seq("k"), buckets = buckets, deltaLog = true, compactThreshold = 3)
+
+      val e = mkEngine()
+      startView(e)
+      push(rec(k1, 1, "2024-01-01 00:00:00"), rec(k2, 100, "2024-01-01 00:00:00"))
+      e.processAll()
+      val m1 = e.viewManifestPaths("dlv")
+      assert(m1(b1).size == 1 && m1(b2).size == 1)
+
+      // two more triggers touch ONLY k1: each appends ONE delta leaf with
+      // ONE row (O(delta) write, not a bucket rewrite); k2's chain must
+      // stay byte-identical throughout
+      (2 to 3).foreach { i =>
+        push(rec(k1, i, s"2024-01-01 00:00:0$i"))
+        e.processAll()
+        val m = e.viewManifestPaths("dlv")
+        assert(m(b1).size == i, s"expected $i delta leaves, got ${m(b1)}")
+        assert(m(b2) == m1(b2), "untouched bucket's chain changed")
+        val newest = spark.read.parquet(m(b1).last)
+        assert(newest.count() == 1, "delta leaf holds more than the changed key")
+      }
+      // …and serving resolves last-writer-wins at every step
+      assert(e.pull("dlv", s"k = '$k1'").head().getLong(1) == 6L)
+
+      // the 4th delta crosses compactThreshold=3: the bucket collapses to
+      // ONE compacted base; the other bucket is still untouched
+      push(rec(k1, 4, "2024-01-01 00:00:04"))
+      e.processAll()
+      val mc = e.viewManifestPaths("dlv")
+      assert(mc(b1).size == 1, s"expected compacted single base, got ${mc(b1)}")
+      assert(mc(b1).head.contains("-c/"), s"not a compaction dir: ${mc(b1)}")
+      assert(mc(b2) == m1(b2), "untouched bucket's chain changed by compaction")
+      assert(e.pull("dlv").collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map(k1 -> 10L, k2 -> 100L))
+
+      // deltas keep winning over the compacted base (generations survive)
+      push(rec(k1, 5, "2024-01-01 00:00:05"))
+      e.processAll()
+      assert(e.viewManifestPaths("dlv")(b1).size == 2)
+      assert(e.pull("dlv", s"k = '$k1'").head().getLong(1) == 15L)
+
+      // null group keys resolve in place too (window partitioning groups
+      // nulls; no stale-row append as with plain-equality anti-joins)
+      push("""{"v":7,"_ts":"2024-01-01 00:00:06"}""")
+      e.processAll()
+      push("""{"v":8,"_ts":"2024-01-01 00:00:07"}""")
+      e.processAll()
+      val nullRows = e.pull("dlv", "k IS NULL").collect()
+      assert(nullRows.length == 1 && nullRows.head.getLong(1) == 15L,
+        s"stale null-key rows: ${nullRows.toSeq}")
+
+      // restart recovery parses the multi-path manifest chain and serves it
+      // BEFORE any new trigger; agg state resumes from the checkpoint
+      e.terminate("dlv")
+      val e2 = mkEngine()
+      startView(e2)
+      assert(e2.pull("dlv", s"k = '$k1'").head().getLong(1) == 15L,
+        "delta chain not recovered from manifest")
+      push(rec(k1, 10, "2024-01-01 00:00:08"))
+      e2.processAll()
+      assert(e2.pull("dlv", s"k = '$k1'").head().getLong(1) == 25L,
+        "agg state lost across restart")
+      e2.terminate("dlv")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointRoot")
+      spark.conf.unset("spark.graft.viewRoot")
+    }
+  }
+
   test("null group key upserts in place (null-safe anti-join), no stale rows") {
     val e = new Engine(spark)
     e.createStream("nivs", schema)

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** View-store retention (VERDICT r4 ask #6): the stream's DURATION backlog,
+  * already honored by the read path (Engine.df filters served records), now
+  * also bounds the GROW-FOREVER view stores — append-mode session logs and
+  * incremental upsert tables. Rows past retention vanish from pull() AND
+  * their storage is physically reclaimed (partition-dir GC for append logs;
+  * shed-on-rewrite/compaction for incremental buckets). The reference ties
+  * the same option to stream backlog (AST.hs:703-750). */
+class ViewRetentionSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType),
+    StructField("_ts", TimestampType)))
+
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(ZoneOffset.UTC) // session TZ is UTC (SparkSpec)
+  private def ts(i: Instant): String = fmt.format(i)
+  private def rec(k: String, v: Long, at: String) =
+    s"""{"k":"$k","v":$v,"_ts":"$at"}"""
+
+  test("append view: expired sessions vanish from pull and their partition dirs are deleted") {
+    val e = new Engine(spark)
+    e.createStream("rvs", schema)
+    val plan = StreamOps.session(e.df("rvs"), "_ts", "30 seconds",
+        Seq(col("k")), grace = "1 second")
+      .agg(count(lit(1)).as("c"))
+      .select(col("k"), col("session_window.end").as("window_end"), col("c"))
+    e.createViewAppend("rv", plan,
+      retainOn = Some("window_end"), retention = Some("1 HOUR"))
+
+    val now = Instant.now()
+    // an ancient session (2024) and a current one, both closed by a flush
+    // record whose own session stays open (watermark = max _ts - 1 s)
+    e.insert("rvs", rec("old", 1, "2024-01-01 00:00:00"))
+    e.processAll()
+    e.insert("rvs", rec("fresh", 1, ts(now)))
+    e.processAll()
+    e.insert("rvs", rec("flush", 0, ts(now.plusSeconds(600))))
+    e.processAll()
+
+    // both partition buckets were written before any GC ran
+    val dir = new java.io.File(e.appendViewDir("rv"))
+    def bucketDirs = dir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ret_bucket="))
+      .map(_.getName).toSet
+    val oldBucket = s"graft_ret_bucket=${java.time.LocalDateTime
+      .of(2024, 1, 1, 0, 0, 30).toEpochSecond(ZoneOffset.UTC) / 3600}"
+    assert(bucketDirs.contains(oldBucket), s"expected $oldBucket in $bucketDirs")
+
+    // pull: the expired session is filtered out AND its partition dir GC'd
+    val rows = e.pull("rv").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows == Map("fresh" -> 1L), s"got $rows")
+    assert(!bucketDirs.contains(oldBucket), s"expired dir not deleted: $bucketDirs")
+
+    // the metadata log still lists the vanished files: a re-pull must keep
+    // working (ignoreMissingFiles), serving the same live rows
+    val again = e.pull("rv").collect().map(_.getString(0)).toSet
+    assert(again == Set("fresh"))
+    e.terminate("rv")
+    e.dropStream("rvs")
+  }
+
+  test("incremental view: expired windows vanish from pull; bucket rewrites shed them from files") {
+    val e = new Engine(spark)
+    e.createStream("ris", schema)
+    // buckets = 1 so every trigger rewrites the single bucket — the rewrite
+    // must SHED expired rows, not carry them forward
+    val plan = StreamOps.tumble(e.df("ris"), "_ts", "1 hour",
+        Seq(col("k")), grace = "1 second")
+      .agg(sum(col("v")).as("total"))
+      .select(col("k"), col("window.start").as("window_start"), col("total"))
+    e.createViewIncremental("riv", plan, keys = Seq("k", "window_start"),
+      buckets = 1, retainOn = Some("window_start"), retention = Some("1 HOUR"))
+
+    val now = Instant.now()
+    e.insert("ris", rec("a", 5, "2024-01-01 00:10:00"))
+    e.processAll()
+    // the ancient window IS in the store now (no rewrite has shed it yet —
+    // only pull-level filtering applies): files contain it
+    val m1 = e.viewManifest("riv")
+    assert(spark.read.parquet(m1(0)).where("k = 'a'").count() == 1)
+    // …but pull already excludes it
+    assert(e.pull("riv").collect().isEmpty)
+
+    // a fresh-window trigger rewrites the bucket: expired rows shed
+    e.insert("ris", rec("a", 7, ts(now)))
+    e.processAll()
+    val m2 = e.viewManifest("riv")
+    val served = e.pull("riv").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(served == Set(("a", 7L)), s"got ${served.toSeq}")
+    val onDisk = spark.read.schema(
+      StructType(plan.schema.fields)).parquet(m2(0))
+    assert(onDisk.count() == 1, "expired window row not shed from rewritten bucket")
+    e.terminate("riv")
+    e.dropStream("ris")
+  }
+
+  test("dialect: a stream's DURATION option flows into its view's retention") {
+    val e = new graft.sql.SqlEngine(spark)
+    e.sql("CREATE STREAM drs (k STRING, v INTEGER, _ts TIMESTAMP) WITH (DURATION = INTERVAL 1 HOUR);")
+    e.sql("""CREATE VIEW drv AS SELECT k, SUM(v) AS total
+             FROM TUMBLE(drs, INTERVAL 1 MINUTE) GROUP BY k;""")
+    val now = Instant.now()
+    e.sql("INSERT INTO drs (k, v, _ts) VALUES ('a', 3, '2024-01-01 00:00:30');")
+    e.sql(s"INSERT INTO drs (k, v, _ts) VALUES ('a', 4, '${ts(now)}');")
+    e.engine.processAll()
+    // both windows maintained; only the one inside the DURATION backlog
+    // serves (window_end anchored)
+    val rows = e.engine.pull("drv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 4L)), s"got ${rows.toSeq}")
+    e.sql("DROP VIEW drv;")
+    e.sql("DROP STREAM drs;")
+  }
+}
