@@ -34,6 +34,8 @@ object Bench {
     "q_dedup_minhash_lsh",     // full LSH near-dup pipeline (md5, verifiable)
     "q_dedup_clusters",        // near-dup connected components + canonical
     "q_curation_token_budget", // per-lang quality-ordered token budget (window)
+    "q_curation_token_budget_approx", // histogram-cutoff form (the 100 TB path)
+    "q_curation_shard_scalable",      // sub-bucketed shard ranks, no global sort
     "q_dedup_minhash_lsh_fast",// same pipeline on xxhash64 (production path)
     "q_dedup_simhash",         // SimHash signatures
     "q_lsh_signatures",        // hyperplane LSH signatures

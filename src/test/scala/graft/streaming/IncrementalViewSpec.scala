@@ -207,6 +207,30 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("dialect opt-in: spark.graft.viewDeltaLog=true maintains a view as delta chains") {
+    spark.conf.set("spark.graft.viewDeltaLog", "true")
+    spark.conf.set("spark.graft.viewDeltaCompactThreshold", "2")
+    try {
+      val e = new graft.sql.SqlEngine(spark)
+      e.sql("CREATE STREAM dlqs (k STRING, v INTEGER, _ts TIMESTAMP);")
+      e.sql("CREATE VIEW dlqv AS SELECT k, SUM(v) AS total FROM dlqs GROUP BY k;")
+      (1 to 3).foreach { i =>
+        e.sql(s"INSERT INTO dlqs (k, v, _ts) VALUES ('a', $i, '2024-01-01 00:00:0$i');")
+        e.engine.processAll()
+      }
+      // chains grew then compacted at threshold 2 (3rd delta -> 1 base)
+      val chain = e.engine.viewManifestPaths("dlqv").values.flatten.toList
+      assert(chain.size == 1 && chain.head.contains("-c/"),
+        s"expected one compacted base, got $chain")
+      assert(e.engine.pull("dlqv", "k = 'a'").head().getLong(1) == 6L)
+      e.sql("DROP VIEW dlqv;")
+      e.sql("DROP STREAM dlqs;")
+    } finally {
+      spark.conf.unset("spark.graft.viewDeltaLog")
+      spark.conf.unset("spark.graft.viewDeltaCompactThreshold")
+    }
+  }
+
   test("null group key upserts in place (null-safe anti-join), no stale rows") {
     val e = new Engine(spark)
     e.createStream("nivs", schema)
