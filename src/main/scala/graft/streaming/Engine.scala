@@ -120,9 +120,40 @@ class Engine(val spark: SparkSession) {
     (streams.keys ++ fileStreams.keys ++ socketStreams.keys ++
       ledgerStreams.keys).toSeq.sorted
 
-  /** INSERT INTO name: append JSON payloads (AST.hs:777-804 json form). */
+  /** INSERT INTO name: append JSON payloads (AST.hs:777-804 json form) —
+    * uniform across transports, like the reference's append-to-log:
+    * memory streams buffer in the MemoryStream; ledger streams PRODUCE to
+    * the broker (durable before the ack); file streams get one new file
+    * per call (= one micro-batch), refused loudly once a FileSink owns the
+    * directory (externally-dropped files would be invisible to its
+    * metadata log); socket streams cannot be appended to (the engine is
+    * the CLIENT side of that transport — produce at the server). */
   def insert(name: String, jsonRecords: String*): Unit =
-    streams(name).source.addData(jsonRecords)
+    if (streams.contains(name)) streams(name).source.addData(jsonRecords)
+    else if (ledgerStreams.contains(name)) {
+      val le = ledgerStreams(name)
+      jsonRecords.foreach(r =>
+        graft.sources.LedgerClient.produce(le.host, le.port, r))
+    } else if (fileStreams.contains(name)) {
+      require(!fileSinkWriters.contains(name),
+        s"stream $name is fed by FileSink query '${fileSinkWriters(name)}'; " +
+          "files dropped beside its metadata log would be invisible")
+      val fe = fileStreams(name)
+      val (fs, dirPath) = hadoopFs(fe.dir)
+      val tmp = new org.apache.hadoop.fs.Path(dirPath,
+        s".insert-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((jsonRecords.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      // atomic visibility: the file source must never list a half-written
+      // file, so write to a dotfile (hidden from listings) and rename
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(dirPath,
+        s"insert-${java.util.UUID.randomUUID()}.${if (fe.wire) "txt" else "json"}"))
+    } else if (socketStreams.contains(name))
+      throw new UnsupportedOperationException(
+        s"stream $name is socket-backed; the engine consumes that socket — " +
+          "append by producing to the socket's server side")
+    else throw new IllegalArgumentException(s"unknown stream $name")
 
   /** Register a file-backed stream (the production transport: new files in
     * `dir` are micro-batches; swap for Kafka by changing only this method's

@@ -105,6 +105,16 @@ class LedgerTransportSpec extends SparkSpec {
         Thread.sleep(200)
       assert(rows().map(r => (r.getString(0), r.getLong(1))).toSet ==
         Set(("a", 1L), ("b", 5L)))
+      // dialect INSERT INTO a ledger stream PRODUCES to the broker (the
+      // uniform append-to-log contract, AST.hs:777-804): durable in the
+      // log, then visible to the running query
+      e.sql("INSERT INTO lds (k, v, _ts) VALUES ('c', 9, '2024-01-01 00:00:02');")
+      assert(LedgerClient.endOffset("localhost", port) == 3L,
+        "INSERT did not produce to the broker")
+      while (rows().length < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 1L), ("b", 5L), ("c", 9L)))
       e.sql(s"TERMINATE QUERY ${q.query.name};")
       e.sql("DROP STREAM lds;")
     } finally broker.stop()
@@ -144,6 +154,36 @@ class LedgerTransportSpec extends SparkSpec {
       e.sql("DROP CONNECTOR lk1;")
       e.sql("DROP STREAM ltgt2;")
     } finally { srcBroker.stop(); sinkBroker.stop() }
+  }
+
+  test("ledger SOURCE connector: PAUSE/RESUME preserves exactly-once into a file-backed stream") {
+    val dataFile = Files.createTempDirectory("graft_ledger7").resolve("log")
+    val tgtDir = Files.createTempDirectory("graft_lprt").toString
+    val broker = new LedgerBroker(dataFile)
+    val port = broker.start()
+    val e = new Engine(spark)
+    try {
+      LedgerClient.produce("localhost", port, rec("a", 1, 0))
+      LedgerClient.produce("localhost", port, rec("b", 2, 1))
+      e.createFileStream("lprt", tgtDir, schema)
+      e.startSourceConnector("lpc", "lprt", "localhost", port, "ledger")
+      e.processAll()
+      def got() = spark.read.schema(schema).json(tgtDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got() == Seq(("a", 1L), ("b", 2L)))
+
+      // PAUSE stops consumption; records produced meanwhile wait in the
+      // broker; RESUME restarts from the CHECKPOINTED offset — the already-
+      // consumed records must not duplicate even though the broker would
+      // happily replay them (the lifecycle contract of the reference's
+      // resumable connector tasks, Worker.hs:71-83)
+      e.pause("connector_lpc")
+      LedgerClient.produce("localhost", port, rec("c", 3, 2))
+      e.resume("connector_lpc")
+      e.processAll()
+      assert(got() == Seq(("a", 1L), ("b", 2L), ("c", 3L)), got().mkString(","))
+      e.dropConnector("lpc")
+    } finally broker.stop()
   }
 
   test("batch ranges split into executor-parallel fetch partitions") {

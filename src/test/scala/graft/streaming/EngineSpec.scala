@@ -249,6 +249,31 @@ class EngineSpec extends SparkSpec {
     e.dropStream("fs1")
   }
 
+  test("INSERT is transport-uniform: file streams get a new file; FileSink-owned and socket streams refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fins").toString
+    val e = newEngine
+    e.createFileStream("fins", dir, schema)
+    // INSERT into a file stream = one new file = one micro-batch
+    e.insert("fins",
+      """{"k":"a","v":1,"_ts":"2024-01-01 00:00:00"}""",
+      """{"k":"b","v":5,"_ts":"2024-01-01 00:00:01"}""")
+    e.emitChanges("finsq", e.df("fins").select(col("k"), col("v")))
+    e.processAll()
+    assert(spark.table("finsq").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 1L), ("b", 5L)))
+    e.terminate("finsq")
+    // once a FileSink owns the directory, external INSERT must refuse
+    // (dropped files would be invisible to the sink's metadata log)
+    e.createStream("finsrc", schema)
+    e.createStreamAs("fins", e.df("finsrc").select(col("k"), col("v"), col("_ts")))
+    assertThrows[IllegalArgumentException](e.insert("fins", """{"k":"x"}"""))
+    e.terminate("fins")
+    // socket streams: the engine is the consumer side — no append path
+    e.createSocketStream("sins", "localhost", 1, schema)
+    assertThrows[UnsupportedOperationException](e.insert("sins", """{"k":"x"}"""))
+    e.dropStream("sins"); e.dropStream("fins"); e.dropStream("finsrc")
+  }
+
   test("stream as table: latest value per key (table source, Stream.hs:89-135)") {
     val e = newEngine
     e.createStream("t1", schema)
