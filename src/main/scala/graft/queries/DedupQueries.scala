@@ -123,6 +123,42 @@ object DedupQueries extends QueryPack {
         .orderBy($"train_id", $"test_id")
     }),
 
+    // Cross-document REPEATED n-GRAM detection — the duplicated-substring
+    // signal of training-data dedup (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better") at 3-shingle granularity: which
+    // shingles recur across >= 3 distinct docs. Scale shape: ONE shuffle
+    // keyed by shingle hash with map-side partial counts (hs is distinct
+    // per doc, so count(*) IS the doc frequency); no doc×doc comparison
+    // anywhere. At 100 TB this is the word-count shape over ~tokens rows.
+    "q_dedup_hot_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      shingled(s, dir).select(explode($"hs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 3)
+        .orderBy($"ndocs".desc, $"h")
+    }),
+
+    // Per-doc BOILERPLATE ratio: how much of each doc is corpus-hot
+    // shingles (the actionable per-doc form of q_dedup_hot_ngrams — docs
+    // dominated by repeated spans are template/boilerplate candidates).
+    // The hot set is tiny after the >= 3 filter → broadcast back against
+    // the exploded corpus; output kept integral (nsh, nhot) so the gate
+    // hashes exactly.
+    "q_dedup_boilerplate_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingled(s, dir)
+      val hot = sh.select(explode($"hs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 3).select($"h")
+      val hotCounts = sh.select($"doc_id", explode($"hs").as("h"))
+        .join(broadcast(hot), "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("nhot"))
+      sh.select($"doc_id", size($"hs").cast("long").as("nsh"))
+        .join(hotCounts, Seq("doc_id"), "left")
+        .select($"doc_id", $"nsh", coalesce($"nhot", lit(0L)).as("nhot"))
+        .orderBy($"doc_id")
+    }),
+
     // LSH candidates verified by EDIT DISTANCE instead of Jaccard:
     // dist ≤ 20% of the longer text (dist*5 ≤ max_len — integer form, no
     // float threshold). The expensive O(len²) Levenshtein kernel runs on
@@ -436,6 +472,21 @@ object DedupQueries extends QueryPack {
                    FROM train CROSS JOIN test)
          SELECT train_id, test_id, overlap FROM pairs
          WHERE overlap * 5 >= n ORDER BY train_id, test_id""",
+    "q_dedup_hot_ngrams" ->
+      s"""$shCte,
+         ex AS (SELECT doc_id, unnest(hs) AS hh FROM h),
+         hot AS (SELECT hh, count(*)::BIGINT AS ndocs FROM ex
+                 GROUP BY hh HAVING count(*) >= 3)
+         SELECT hh AS h, ndocs FROM hot ORDER BY ndocs DESC, hh""",
+    "q_dedup_boilerplate_ratio" ->
+      s"""$shCte,
+         ex AS (SELECT doc_id, unnest(hs) AS hh FROM h),
+         hot AS (SELECT hh FROM ex GROUP BY hh HAVING count(*) >= 3),
+         hc AS (SELECT doc_id, count(*)::BIGINT AS nhot FROM ex
+                JOIN hot USING (hh) GROUP BY doc_id)
+         SELECT h.doc_id, len(hs)::BIGINT AS nsh,
+                coalesce(hc.nhot, 0)::BIGINT AS nhot
+         FROM h LEFT JOIN hc USING (doc_id) ORDER BY doc_id""",
     "q_dedup_lsh_editdist" ->
       s"""$shCte,
          sig AS (SELECT doc_id, hs,
