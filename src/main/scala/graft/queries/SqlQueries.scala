@@ -96,6 +96,17 @@ object SqlQueries extends QueryPack {
     "q_sql_simhash" -> ((s, dir) => run(s, dir,
       "SELECT doc_id, SIMHASH16(TOKENS(text)) AS sh16 FROM documents;")),
 
+    // Duplicated-substring detection in pure dialect text: FLATTEN explodes
+    // the per-doc distinct shingle array, GROUP BY + HAVING cuts on doc
+    // frequency — the same one-shuffle word-count plan as
+    // q_dedup_hot_ngrams, whose oracle applies verbatim.
+    "q_sql_hot_ngrams" -> ((s, dir) => run(s, dir,
+      """SELECT h, COUNT(*) AS ndocs
+         FROM FLATTEN((SELECT doc_id, SHINGLES3(WORD_HASHES(TOKENS(text))) AS hs
+                       FROM documents) AS t, hs AS h)
+         GROUP BY h HAVING COUNT(*) >= 3
+         ORDER BY ndocs DESC, h;""")),
+
     // Interval join in dialect text: WITHIN becomes the ±2min range
     // predicate; equi-key on user_id hash-partitions at scale.
     "q_sql_interval_join" -> ((s, dir) => run(s, dir,
@@ -379,6 +390,7 @@ object SqlQueries extends QueryPack {
     // same md5 formulas ⇒ the dedup oracles apply verbatim
     "q_sql_minhash" -> DedupQueries.oracleSql("q_minhash_signatures"),
     "q_sql_simhash" -> DedupQueries.oracleSql("q_dedup_simhash"),
+    "q_sql_hot_ngrams" -> DedupQueries.oracleSql("q_dedup_hot_ngrams"),
     "q_sql_interval_join" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.user_id AS user_id, count(*) AS pairs

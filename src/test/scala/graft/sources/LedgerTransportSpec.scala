@@ -156,6 +156,30 @@ class LedgerTransportSpec extends SparkSpec {
     } finally { srcBroker.stop(); sinkBroker.stop() }
   }
 
+  test("FORMAT='wire' composes with TRANSPORT='ledger': INSERT wire-encodes, read decodes") {
+    val dataFile = Files.createTempDirectory("graft_ledger8").resolve("log")
+    val broker = new LedgerBroker(dataFile)
+    val port = broker.start()
+    val e = new graft.sql.SqlEngine(spark)
+    try {
+      e.sql(s"""CREATE STREAM lwr (k STRING, v INTEGER, _ts TIMESTAMP)
+                WITH (TRANSPORT = 'ledger', PORT = $port, FORMAT = 'wire');""")
+      e.sql("INSERT INTO lwr (k, v, _ts) VALUES ('w', 7, '2024-01-01 00:00:00');")
+      // the broker log holds the EXTENDED-JSON wire payload…
+      val raw = LedgerClient.fetch("localhost", port, 0, 1).head
+      assert(raw.contains(""""v":{"$numberLong":"7"}"""), raw)
+      // …and the stream decodes it back to the declared types
+      val q = e.sql("SELECT k, v FROM lwr EMIT CHANGES;").asInstanceOf[e.Started]
+      val deadline = System.currentTimeMillis() + 20000
+      def rows() = { e.engine.processAll(); spark.table(q.query.name).collect() }
+      while (rows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("w", 7L)))
+      e.sql(s"TERMINATE QUERY ${q.query.name};")
+      e.sql("DROP STREAM lwr;")
+    } finally broker.stop()
+  }
+
   test("ledger SOURCE connector: PAUSE/RESUME preserves exactly-once into a file-backed stream") {
     val dataFile = Files.createTempDirectory("graft_ledger7").resolve("log")
     val tgtDir = Files.createTempDirectory("graft_lprt").toString
