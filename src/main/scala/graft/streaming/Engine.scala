@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, NumericType, StringType, StructField, StructType}
 
 /** The engine facade: streams, continuous queries, and materialized views —
   * the reference's server surface (SURVEY §3) re-expressed on Structured
@@ -736,6 +736,11 @@ class Engine(val spark: SparkSession) {
                                    val retention: Option[String]) {
     @volatile var manifest: Map[Int, List[String]] = Map.empty
     @volatile var history: List[Map[Int, List[String]]] = Nil
+    /** DELTA-LOG zone maps: leaf path → numeric column → (min, max).
+      * Assigned BEFORE the manifest flips, so every served path has its
+      * zones visible to pulls; trimmed to the serving manifest's paths on
+      * persist (history readers never prune). See [[ZoneMap]]. */
+    @volatile var zones: ZoneMap.Zones = Map.empty
     /** Retention predicate over served/compacted rows (true = keep);
       * DURATION semantics, same wall-clock form as the stream read path. */
     def live: Column = (retainOn, retention) match {
@@ -869,16 +874,71 @@ class Engine(val spark: SparkSession) {
     * small file per trigger instead of a whole-bucket rewrite.
     *
     * Trade-off vs whole-bucket mode (why this is opt-in): pulls insert a
-    * per-key window above the scan, so only KEY predicates prune the read —
-    * a value predicate (e.g. total > 4) must logically apply after
-    * resolution (a stale generation's row could pass it while the current
-    * one fails) and cannot push into parquet. Views with high key churn and
-    * value-filtered pulls should stay whole-bucket. */
+    * per-key window above the scan, so only KEY predicates prune the
+    * parquet read row-wise — a value predicate (e.g. total > 4) must
+    * logically apply after resolution (a stale generation's row could pass
+    * it while the current one fails) and cannot push into the reader. What
+    * value predicates DO get is bucket-level zone pruning: each write
+    * records per-leaf min/max of the numeric output columns, and a pull
+    * skips every bucket whose whole chain's range cannot satisfy the
+    * predicate ([[ZoneMap]] — sound at chain granularity because every
+    * resolved row is a stored chain row). Views with high key churn and
+    * heavily value-filtered pulls may still prefer whole-bucket mode. */
+  /** The numeric output columns of a view — the zone-mapped set. */
+  private def zonedCols(s: StructType): Seq[String] =
+    s.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+  /** Per-bucket min/max of the numeric output columns of `df` (which must
+    * carry graft_bucket), keyed by the leaf path each bucket was written
+    * to. One small agg over an already-persisted frame, O(affected
+    * buckets) on the driver — same bound as the affected-set collect.
+    * NaN/±Inf extremes yield no zone for that column (unprunable, sound);
+    * min/max ignore nulls, so an all-null column likewise goes unzoned. */
+  private def collectZones(df: DataFrame, cols: Seq[String],
+                           pathOf: Int => String): ZoneMap.Zones =
+    if (cols.isEmpty) Map.empty
+    else {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      df.groupBy(col("graft_bucket")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val colZones = cols.flatMap { c =>
+            (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
+              case (Some(mn), Some(mx)) => scala.util.Try(
+                c -> (BigDecimal(mn.toString).toString,
+                      BigDecimal(mx.toString).toString)).toOption
+              case _ => None
+            }
+          }.toMap
+          pathOf(r.getInt(0)) -> colZones
+        }.toMap
+    }
+
+  /** The delta chains a pull with `where` must read, after bucket-level
+    * zone pruning. Pulls with no prunable conjunct serve every chain. */
+  private def servingChains(state: IncViewState, where: String): Seq[List[String]] = {
+    val bnds = ZoneMap.bounds(spark, where, zonedCols(state.schema).toSet)
+    if (bnds.isEmpty) state.manifest.values.toSeq
+    else state.manifest.values.filter(ch =>
+      ZoneMap.mayMatch(ch, bnds, state.zones)).toSeq
+  }
+
+  /** Post-pruning serving paths of a delta-log view (tests/diagnostics):
+    * asserts that zone pruning actually engages for a given predicate. */
+  private[graft] def viewServingPaths(name: String, where: String): Seq[String] =
+    servingChains(incViews(name), where).flatten
+
   private def upsertDeltaLog(state: IncViewState, delta: DataFrame,
                              affected: Set[Int], genDir: String,
                              gen: Long): Unit = {
     delta.withColumn("graft_gen", lit(gen))
       .write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
+    val zc = zonedCols(state.schema)
+    // zones flip before the manifest below: a pull racing this trigger
+    // either sees the old manifest (old zones suffice) or the new one
+    // (whose new paths are already zoned)
+    state.zones = state.zones ++
+      collectZones(delta, zc, b => s"$genDir/graft_bucket=$b")
     val withDeltas = state.manifest ++ affected.map(b =>
       b -> (state.manifest.getOrElse(b, Nil) :+ s"$genDir/graft_bucket=$b"))
     val toCompact = affected.filter(b =>
@@ -895,10 +955,16 @@ class Engine(val spark: SparkSession) {
           spark.read.schema(deltaSchema(state.schema)).parquet(paths: _*),
           state.keys)
           .where(state.live) // compaction sheds rows past retention
-        merged
           .withColumn("graft_bucket",
             pmod(hash(state.keys.map(col): _*), lit(state.buckets)))
-          .write.partitionBy("graft_bucket").mode("overwrite").parquet(compactDir)
+          .persist() // written once, then one small zone agg
+        try {
+          merged.write.partitionBy("graft_bucket").mode("overwrite").parquet(compactDir)
+          // fresh (not union-merged) zones: compaction sheds superseded and
+          // expired rows, so the compacted base's ranges tighten
+          state.zones = state.zones ++
+            collectZones(merged, zc, b => s"$compactDir/graft_bucket=$b")
+        } finally merged.unpersist()
         withDeltas ++ toCompact.map(b =>
           b -> List(s"$compactDir/graft_bucket=$b"))
       }
@@ -928,6 +994,27 @@ class Engine(val spark: SparkSession) {
     // an existing path fails (local FS silently succeeds) — delete first
     if (fs.exists(dst)) fs.delete(dst, false)
     fs.rename(tmp, dst)
+    if (state.deltaLog) persistZones(state, gen, fs)
+  }
+
+  /** Zones sidecar next to each manifest generation (same atomic dance):
+    * one line per (leaf, column): path \t col \t min \t max. Trimmed to
+    * the serving manifest's paths — older generations never prune. A
+    * missing sidecar at recovery just means no pruning until the next
+    * write ([[ZoneMap.mayMatch]] treats unknown ranges as satisfiable). */
+  private def persistZones(state: IncViewState, gen: Long,
+                           fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val serving = state.manifest.values.flatten.toSet
+    state.zones = state.zones.view.filterKeys(serving).toMap
+    val tmp = new org.apache.hadoop.fs.Path(s"${state.dir}/zones-g$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(state.zones.toSeq.sortBy(_._1).flatMap { case (p, cz) =>
+      cz.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$p\t$c\t$mn\t$mx" }
+    }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"${state.dir}/zones-g$gen.txt")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
   }
 
   private def loadManifest(state: IncViewState): Unit = {
@@ -944,6 +1031,17 @@ class Engine(val spark: SparkSession) {
         parts.head.toInt -> parts.tail
       }.toMap
       state.history = List(state.manifest)
+      val gen = st.getPath.getName.stripPrefix("manifest-g").stripSuffix(".txt")
+      val zpath = new org.apache.hadoop.fs.Path(s"${state.dir}/zones-g$gen.txt")
+      if (fs.exists(zpath)) {
+        val zin = fs.open(zpath)
+        val ztext = try scala.io.Source.fromInputStream(zin, "UTF-8").mkString finally zin.close()
+        state.zones = ztext.linesIterator.map(_.split("\t"))
+          .collect { case Array(p, c, mn, mx) => (p, c, mn, mx) }.toSeq
+          .groupBy(_._1)
+          .map { case (p, rows) =>
+            p -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
+      }
     }
   }
 
@@ -961,8 +1059,9 @@ class Engine(val spark: SparkSession) {
       val n = st.getPath.getName
       if (st.isDirectory && n.matches("g\\d+(-r\\d+)?(-c)?") && !referenced.contains(n))
         fs.delete(st.getPath, true)
-      else if (n.matches("manifest-g\\d+\\.txt") &&
-          newestManifest.exists(_ > n.stripPrefix("manifest-g").stripSuffix(".txt").toLong))
+      else if (n.matches("(manifest|zones)-g\\d+\\.txt") &&
+          newestManifest.exists(_ > n.replaceAll("^(manifest|zones)-g", "")
+            .stripSuffix(".txt").toLong))
         fs.delete(st.getPath, false)
     }
   }
@@ -1023,14 +1122,17 @@ class Engine(val spark: SparkSession) {
         // resolved from the manifest at CALL time: each pull (and each
         // re-planned batch over it) sees the current generation set; a
         // pinned plan gets viewRetain generations of grace before GC
-        val paths = state.manifest.values.flatten.toSeq
+        val paths =
+          if (state.deltaLog) servingChains(state, where).flatten
+          else state.manifest.values.flatten.toSeq
         if (paths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], state.schema)
             .where(where)
         else if (state.deltaLog)
           // base + deltas: last-writer-wins per key, THEN the predicate —
           // key predicates push through the window partition into parquet,
-          // value predicates apply post-resolution (see upsertDeltaLog)
+          // value predicates apply post-resolution but have already pruned
+          // whole bucket chains above (servingChains/ZoneMap)
           resolveLatest(
             spark.read.schema(deltaSchema(state.schema)).parquet(paths: _*),
             state.keys)

@@ -207,6 +207,75 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("delta-log zone maps: value predicates prune whole bucket chains, soundly") {
+    val srcDir = Files.createTempDirectory("graft_zmsrc").toString
+    val viewRoot = Files.createTempDirectory("graft_zmroot").toString
+    val ckptRoot = Files.createTempDirectory("graft_zmckpt").toString
+    spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
+    spark.conf.set("spark.graft.viewRoot", viewRoot)
+    var n = 0
+    def push(lines: String*): Unit = {
+      n += 1
+      Files.writeString(java.nio.file.Paths.get(srcDir, s"f$n.json"),
+        lines.mkString("\n"))
+    }
+    try {
+      val buckets = 8
+      def mkEngine(): Engine = {
+        val e = new Engine(spark)
+        e.createFileStream("zms", srcDir, schema)
+        e
+      }
+      def startView(e: Engine) = e.createViewIncremental("zmv",
+        e.df("zms").groupBy(col("k")).agg(sum(col("v")).as("total")),
+        keys = Seq("k"), buckets = buckets, deltaLog = true, compactThreshold = 10)
+
+      val e = mkEngine(); startView(e)
+      // 8 cold keys (totals 1..8) spread across buckets, one hot key
+      push((('a' to 'h').zipWithIndex.map { case (k, i) =>
+        rec(k.toString, i + 1, "2024-01-01 00:00:00") } :+
+        rec("hot", 1000, "2024-01-01 00:00:00")): _*)
+      e.processAll()
+
+      val all = e.viewServingPaths("zmv", "true")
+      val kept = e.viewServingPaths("zmv", "total > 100")
+      // only the hot key's bucket chain can satisfy the range test
+      val bHot = spark.range(1)
+        .select(pmod(hash(lit("hot")), lit(buckets))).head().getInt(0)
+      assert(kept.toSet == e.viewManifestPaths("zmv")(bHot).toSet,
+        s"expected only the hot bucket's chain, got $kept of $all")
+      assert(kept.size < all.size)
+      // …and the pruned pull returns exactly the right rows
+      assert(e.pull("zmv", "total > 100").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("hot" -> 1000L))
+      // non-numeric / non-prunable predicates serve every chain
+      assert(e.viewServingPaths("zmv", "k = 'a'").size == all.size)
+
+      // SOUNDNESS: the hot total drops below the threshold in a later
+      // generation — the chain's union still passes the range test, so the
+      // bucket is served, and post-resolution filtering returns nothing.
+      // (File-level pruning would drop only the new delta and resurrect
+      // the stale 1000 — the exact unsoundness ZoneMap's doc names.)
+      push(rec("hot", -990, "2024-01-01 00:00:01"))
+      e.processAll()
+      assert(e.viewServingPaths("zmv", "total > 100").nonEmpty)
+      assert(e.pull("zmv", "total > 100").collect().isEmpty,
+        "stale generation leaked through zone pruning")
+      assert(e.pull("zmv", "total >= 10").head().getString(0) == "hot")
+
+      // zones recover across an engine restart via the manifest's sidecar
+      e.terminate("zmv")
+      val e2 = mkEngine(); startView(e2)
+      val kept2 = e2.viewServingPaths("zmv", "total > 100")
+      assert(kept2.toSet == e2.viewManifestPaths("zmv")(bHot).toSet,
+        "zone pruning lost after restart")
+      e2.terminate("zmv")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointRoot")
+      spark.conf.unset("spark.graft.viewRoot")
+    }
+  }
+
   test("dialect opt-in: spark.graft.viewDeltaLog=true maintains a view as delta chains") {
     spark.conf.set("spark.graft.viewDeltaLog", "true")
     spark.conf.set("spark.graft.viewDeltaCompactThreshold", "2")
