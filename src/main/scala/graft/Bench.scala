@@ -30,6 +30,7 @@ object Bench {
     "q_text_fingerprint",      // rolling-hash fingerprint
     "q_pipeline_quality_dedup",// composed corpus-prep pipeline e2e
     "q_dedup_exact",           // hash groupBy dedup
+    "q_dedup_hot_ngrams",      // corpus-wide inverted index (word-count shape)
     "q_minhash_signatures",    // MinHash map-side primitive
     "q_dedup_minhash_lsh",     // full LSH near-dup pipeline (md5, verifiable)
     "q_dedup_clusters",        // near-dup connected components + canonical

@@ -44,8 +44,7 @@ object ScaleProbe {
         count(lit(1)).as("c"))
     def minhashShape(df: DataFrame) = {
       import graft.functions.PipelineFunctions._
-      df.withColumn("wh", wordHashes(tokens($"text")))
-        .withColumn("hs", combineShingles3($"wh"))
+      df.withColumn("hs", shingles3(tokens($"text")))
         .select($"doc_id" +: (0 until 8).map(i => minhash($"hs", i).as(s"m$i")): _*)
     }
     def fingerprintShape(df: DataFrame) = {

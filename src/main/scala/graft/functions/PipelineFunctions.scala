@@ -89,6 +89,22 @@ object PipelineFunctions {
           + get(wh, i + 2), lit(P)))))
       .otherwise(array().cast("array<long>"))
 
+  /** Distinct 3-shingle hashes straight from the token array — ONE native
+    * codegen pass (hash → rolling combine → distinct) when the session has
+    * GraftExtensions, the [[combineShingles3]]∘[[wordHashes]] HOF chain
+    * otherwise. Prefer THIS over the chain: when CollapseProject inlines
+    * the word-hash transform into every `get(wh, i)` reference site, each
+    * element access re-evaluates the whole O(words) transform — O(words²)
+    * md5 digests per doc, repeated per plan node (a 25× slowdown on the
+    * sf0.1 hot-ngrams scan). Bit-identical output either way (same hashes,
+    * same polynomial, same first-occurrence distinct order); null words →
+    * empty, matching the chain's `when/otherwise` null fallthrough. */
+  def shingles3(words: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_shingles3_native")))
+      coalesce(call_function("graft_shingles3_native", words), array().cast("array<long>"))
+    else combineShingles3(wordHashes(words))
+
   /** MinHash signature element i: min over shingle hashes of (a*x+b) mod P.
     * NULL (encoded as P, an impossible hash) for empty shingle sets. */
   def minhash(hs: Column, i: Int): Column = {

@@ -132,6 +132,34 @@ object HashUtil {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** Distinct rolling 3-shingle hashes of a word array in ONE pass:
+    * wh_i = md5Prefix32(word_i), s_i = ((wh_i·131 + wh_{i+1}) mod P)·131 +
+    * wh_{i+2} mod P, first-occurrence order — the exact arithmetic of
+    * PipelineFunctions.combineShingles3(wordHashes(·)) (operands are
+    * non-negative, so % equals pmod). Fewer than 3 words → empty. */
+  def shingles3(words: ArrayData): ArrayData = {
+    val P = 1000000007L
+    val n = words.numElements()
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wh(i) = md5Prefix32(words.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val out = new Array[Long](n - 2)
+    val seen = new java.util.HashSet[java.lang.Long](2 * n)
+    var k = 0
+    i = 0
+    while (i < n - 2) {
+      val s = ((wh(i) * 131L + wh(i + 1)) % P * 131L + wh(i + 2)) % P
+      if (seen.add(s)) { out(k) = s; k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
 }
 
 /** `graft_hash32(s)`: the md5-prefix 32-bit hash without the hex-string
@@ -223,6 +251,34 @@ case class SimHash16(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_shingles3(words)`: tokenize→hash→rolling-combine→distinct as one
+  * native O(words) pass. The HOF chain (`combineShingles3(wordHashes(w))`)
+  * is correct but a scale trap: when CollapseProject inlines the word-hash
+  * array into every `get(wh, i)` reference site, each of the ~3·words
+  * element accesses re-evaluates the whole transform — O(words²) md5
+  * digests per doc, multiplied again by every plan node (Filter, Project,
+  * Generate) that repeats the expression. 25 s vs ~1 s on the sf0.1
+  * hot-ngrams scan. Output is bit-identical (HashUtil.shingles3 keeps the
+  * same arithmetic and first-occurrence distinct order), so every oracle
+  * and downstream MinHash signature is unchanged. */
+case class Shingles3(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles3_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.shingles3(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HashUtil.shingles3($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native functions — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -243,5 +299,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash16_native"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16_native"),
       (args: Seq[Expression]) => SimHash16(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles3_native"),
+      new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles3_native"),
+      (args: Seq[Expression]) => Shingles3(args.head)))
   }
 }

@@ -22,15 +22,15 @@ import graft.functions.PipelineFunctions._
 object DedupQueries extends QueryPack {
 
   /** doc_id + distinct 3-shingle hashes, built from per-word hashes combined
-    * arithmetically (combineShingles3) — no shingle strings are ever
-    * constructed, and the hash array is materialized ONCE so the 8 MinHash
-    * permutations reduce over precomputed integers. At 100 TB this map-side
-    * stage is the dominant cost of LSH dedup. */
+    * arithmetically — no shingle strings are ever constructed. One native
+    * codegen pass (PipelineFunctions.shingles3): the HOF chain re-evaluated
+    * the word-hash transform at every element access once CollapseProject
+    * inlined it — O(words²) md5 digests per doc per plan node. At 100 TB
+    * this map-side stage is the dominant cost of LSH dedup. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .withColumn("wh", wordHashes(tokens($"text")))
-      .withColumn("hs", combineShingles3($"wh"))
+      .withColumn("hs", shingles3(tokens($"text")))
       .select($"doc_id", $"hs")
   }
 

@@ -272,6 +272,12 @@ object Translate {
     * join separators) get special-cased before generic translation. */
   private def fnCallLit(name: String, args: Seq[Expr], go: Expr => Column): Option[Column] =
     (name, args) match {
+      // SHINGLES3(WORD_HASHES(w)): fused to the native one-pass expression.
+      // Translating the composition literally re-evaluates the word-hash
+      // HOF at every shingle element access once projections collapse —
+      // O(words²) md5 digests per doc. Values are bit-identical.
+      case ("SHINGLES3", Seq(Fn("WORD_HASHES", Seq(w)))) =>
+        Some(PipelineFunctions.shingles3(go(w)))
       case ("DATETOSTRING", Seq(d, StrLit(fmt))) => Some(date_format(go(d), fmt))
       // try_to_date: a malformed string yields NULL for that row — ANSI
       // to_date would abort the whole query on one bad record (see castTo)

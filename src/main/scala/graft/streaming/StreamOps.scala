@@ -355,8 +355,7 @@ object StreamOps {
     val spark = df.sparkSession
     import spark.implicits._
     val banded = df
-      .withColumn("__wh", wordHashes(tokens(col(text))))
-      .withColumn("__hs", combineShingles3(col("__wh")))
+      .withColumn("__hs", shingles3(tokens(col(text))))
       .filter(size(col("__hs")) > 0) // degenerate-doc band-skew guard
       // try_cast + null-drop: one malformed id must not abort the stream
       // (ANSI cast would); unparseable ids are dropped, not fatal

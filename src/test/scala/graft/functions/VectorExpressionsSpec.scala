@@ -94,4 +94,27 @@ class VectorExpressionsSpec extends SparkSpec {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     assert(df.select(dot($"a", $"b")).head().getDouble(0) == 11.0)
   }
+
+  test("graft_shingles3 equals the combineShingles3∘wordHashes HOF chain, element order included") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100).select($"doc_id", $"text")
+      // edge cases the corpus lacks: empty, 1-word, exactly-3-word, and a
+      // doc whose repeated words force distinct-dedup to actually fire
+      .unionByName(Seq((100001L, ""), (100002L, "one"), (100003L, "a b c"),
+        (100004L, "x y x y x y x y")).toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+      // the native expression directly (not the shingles3 dispatcher — a
+      // silent fallback to the HOF form would make this pin vacuous)
+      call_function("graft_shingles3_native", tokens($"text")).as("native"),
+      combineShingles3(wordHashes(tokens($"text"))).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"doc ${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}"))
+    // null text → EMPTY array, matching the chain's when/otherwise fallthrough
+    val nullRow = spark.range(1)
+      .select(shingles3(tokens(lit(null).cast("string"))).as("hs")).head()
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[Long](0).isEmpty)
+  }
 }
