@@ -253,6 +253,65 @@ object CurationQueries extends QueryPack {
         .join(broadcast(offsets), Seq("shard", "sub"))
         .select($"doc_id", $"shard", ($"off" + $"rk").as("pos"))
         .orderBy($"shard", $"pos")
+    }),
+
+    // DSIR-shape importance resampling (Xie et al. 2023, public): select
+    // raw docs whose hashed-n-gram profile looks like a target domain.
+    // Features are the unigram+bigram MULTISET hashed into 256 buckets
+    // (the same md5-derived hash32 as every other deterministic draw);
+    // the target distribution is the corpus' own lang='en' slice, the raw
+    // distribution is everything. Per-doc log importance weight
+    // w = Σ_b cnt_doc[b]·ln(p_tgt[b]/p_raw[b]) with add-1 smoothing, and
+    // the resample is per-language Gumbel-top-k: perturb w with a
+    // deterministic hash-derived Gumbel draw and keep the top 20 per
+    // language — the standard without-replacement softmax sample, made
+    // reproducible. Scale shape: bucket histograms are a 256-key map-side
+    // partial agg; the 256-row log-ratio table broadcasts back onto
+    // per-(doc,bucket) counts (one shuffle keyed by doc); the per-doc sum
+    // is DECIMAL-exact over round(7) ratios, so partial-agg order can
+    // never perturb a weight; the only window runs per language, the same
+    // accepted shape as q_curation_topk_group.
+    "q_curation_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val bigrams = when(size($"w") >= 2,
+        transform(sequence(lit(0), size($"w") - 2),
+          i => concat_ws(" ", slice($"w", i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val feats = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", tokens($"text").as("w"))
+        .select($"doc_id", $"lang", explode(concat($"w", bigrams)).as("f"))
+        .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      val docBuckets = feats.groupBy($"doc_id", $"lang", $"b")
+        .agg(count(lit(1)).as("cnt"))
+      val hist = docBuckets.groupBy($"b")
+        .agg(sum($"cnt").as("n_raw"),
+          sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("n_tgt"))
+      // global totals via a window over the ≤256-row histogram (tiny frame,
+      // same pattern as q_curation_mix's feasibility scalar)
+      val wAll = Window.partitionBy()
+      val ratio = hist
+        .withColumn("t_raw", sum($"n_raw").over(wAll))
+        .withColumn("t_tgt", sum($"n_tgt").over(wAll))
+        .select($"b", round(
+          log(($"n_tgt" + 1).cast("double") / ($"t_tgt" + 256)) -
+            log(($"n_raw" + 1).cast("double") / ($"t_raw" + 256)), 7)
+          .cast("decimal(20,7)").as("lr"))
+      val weights = docBuckets.join(broadcast(ratio), "b")
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"cnt".cast("decimal(12,0)") * $"lr").as("wdec"))
+        .select($"doc_id", $"lang",
+          round($"wdec".cast("double"), 6).as("w"))
+      // deterministic Gumbel draw g = -ln(-ln(u)) from an independent hash
+      // stream ("dsir" prefix), u offset to (0,1) open interval
+      val u = (pmod(hash32Chain(concat(lit("dsir"), $"doc_id".cast("string"))),
+        lit(1000000L)).cast("double") + 0.5) / 1e6
+      val win = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+      weights
+        .withColumn("key", $"w" + round(-log(-log(u)), 6))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .filter($"rk" <= 20)
+        .select($"doc_id", $"lang", $"w", $"rk")
+        .orderBy($"lang", $"rk")
     })
   )
 
@@ -362,6 +421,40 @@ object CurationQueries extends QueryPack {
          FROM documents)
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY sub, ord, doc_id) AS pos
-         FROM s ORDER BY shard, pos"""
+         FROM s ORDER BY shard, pos""",
+    // DSIR replica: identical features (unigrams + bigrams, multiset),
+    // identical md5 bucket hash, add-1 smoothing, round(7) log-ratios
+    // summed DECIMAL-exact, and the same hash-Gumbel per-language top-20.
+    "q_curation_dsir" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+         f AS (SELECT doc_id, lang,
+                 unnest(list_concat(w,
+                   list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS f
+               FROM d),
+         db AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b,
+                  count(*) AS cnt
+                FROM f GROUP BY doc_id, lang, b),
+         h AS (SELECT b, sum(cnt)::BIGINT AS n_raw,
+                 sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)::BIGINT AS n_tgt
+               FROM db GROUP BY b),
+         r AS (SELECT b,
+                 round(ln((n_tgt + 1)::DOUBLE / (t_tgt + 256))
+                     - ln((n_raw + 1)::DOUBLE / (t_raw + 256)), 7)::DECIMAL(20,7) AS lr
+               FROM (SELECT b, n_raw, n_tgt,
+                       sum(n_raw) OVER () AS t_raw,
+                       sum(n_tgt) OVER () AS t_tgt FROM h)),
+         wt AS (SELECT doc_id, lang,
+                  round(sum(cnt::DECIMAL(12,0) * lr)::DOUBLE, 6) AS w
+                FROM db JOIN r USING (b) GROUP BY doc_id, lang),
+         res AS (SELECT doc_id, lang, w,
+                   row_number() OVER (PARTITION BY lang ORDER BY
+                     w + round(-ln(-ln(
+                       ((('0x' || substr(md5('dsir' || doc_id::VARCHAR), 1, 8))::BIGINT
+                         % 1000000) + 0.5) / 1e6)), 6) DESC,
+                     doc_id) AS rk
+                 FROM wt)
+         SELECT doc_id, lang, w, rk FROM res WHERE rk <= 20
+         ORDER BY lang, rk"""
   )
 }

@@ -78,4 +78,26 @@ class CurationSpec extends SparkSpec {
         s"shard $shard positions not dense: ${rs.map(_._3).sorted.toSeq}")
     }
   }
+
+  test("DSIR importance resampling: target-language weights dominate, ranks dense") {
+    val rows = CurationQueries.queries("q_curation_dsir")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // ranks dense from 1, at most 20 per language
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.length <= 20, s"$lang has ${rs.length} rows")
+      assert(rs.map(_._4).sorted.sameElements(1L to rs.length), s"$lang ranks")
+    }
+    // the whole point of DSIR: docs from the target distribution (en) score
+    // higher log importance weights than off-target docs on average
+    val byLang = rows.groupBy(_._2).view.mapValues(rs =>
+      rs.map(_._3).sum / rs.length).toMap
+    val others = byLang.removed("en")
+    assert(others.nonEmpty && byLang("en") > others.values.max,
+      s"en mean weight must dominate: $byLang")
+    // determinism: a rerun agrees exactly
+    val again = CurationQueries.queries("q_curation_dsir")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
