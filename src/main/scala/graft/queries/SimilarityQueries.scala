@@ -257,6 +257,87 @@ object SimilarityQueries extends QueryPack {
            ORDER BY qid, sim;""")
     }),
 
+    // PRODUCT QUANTIZATION codes (PQ, Jégou et al. 2011, public): the
+    // third ANN family next to IVF (coarse partition) and LSH (bucketing)
+    // — compress each 64-dim vector to 8 centroid ids, one per 8-dim
+    // subspace, against per-subspace codebooks (here: the sub-vectors of
+    // the 16 deterministic seed vectors, the same seeds IVF uses; a
+    // trained variant would run q_ann_ivf_train's Lloyd rounds per
+    // subspace). Encoding is rank-1 nearest-centroid by rounded L2² with
+    // cid tie-break — deterministic, exact DuckDB oracle. At 100 TB the
+    // codebook is 16×8 tiny rows broadcast everywhere and encoding is one
+    // scan; the 8n×16 candidate frame never leaves its partition before
+    // the rank-1 window's 8n-row shuffle.
+    "q_ann_pq_codes" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir)
+      val subs = all.select($"vec_id", posexplode(
+          transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
+          .as(Seq("j", "sv")))
+      val codebook = broadcast(subs.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv")))
+      val wEnc = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")
+      subs.join(codebook, $"j" === $"cj")
+        .select($"vec_id", $"j", $"cid",
+          round(aggregate(zip_with($"sv", $"cv", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 9).as("d2"))
+        .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
+        .select($"vec_id", $"j".cast("long").as("j"),
+          $"cid".cast("long").as("code"), $"d2")
+        .orderBy($"vec_id", $"j")
+    }),
+
+    // PQ ANN search, the full production shape: ADC shortlist + exact
+    // re-rank. A query precomputes its distance table to every (subspace,
+    // centroid) — 8×16 rounded L2² cells — and a candidate's APPROXIMATE
+    // distance is the sum of 8 table lookups at its codes (asymmetric
+    // distance computation); the top-50 shortlist by ADC is then re-ranked
+    // by exact dot product and the top 5 kept. This is PQ's point at
+    // 100 TB: the full scan touches 8-byte codes, never raw vectors — the
+    // distance tables (10 queries × 128 cells) broadcast everywhere, and
+    // only |shortlist| raw vectors per query are ever fetched for the
+    // re-rank. Determinism: per-cell round(9) makes each partial a fixed
+    // decimal, the per-pair ADC sum is DECIMAL-exact (order-independent),
+    // so the shortlist boundary and final ranks reproduce cross-engine.
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir).persist() // feeds subspaces AND the re-rank
+      val subs = all.select($"vec_id", posexplode(
+          transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
+          .as(Seq("j", "sv")))
+      val codebook = broadcast(subs.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv")))
+      val wEnc = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")
+      val codes = subs.join(codebook, $"j" === $"cj")
+        .select($"vec_id", $"j", $"cid",
+          round(aggregate(zip_with($"sv", $"cv", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 9).as("d2"))
+        .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
+        .select($"vec_id", $"j", $"cid".as("code"))
+      val dtab = broadcast(subs.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"j".as("qj"), $"sv".as("qv"))
+        .join(codebook, $"qj" === $"cj")
+        .select($"qid", $"qj", $"cid",
+          round(aggregate(zip_with($"qv", $"cv", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 9).cast("decimal(20,9)").as("pd")))
+      val wShort = Window.partitionBy($"qid").orderBy($"adist", $"vec_id")
+      val shortlist = codes.join(dtab, $"j" === $"qj" && $"code" === $"cid")
+        .filter($"vec_id" =!= $"qid")
+        .groupBy($"qid", $"vec_id").agg(sum($"pd").as("adist"))
+        .withColumn("r", row_number().over(wShort)).filter($"r" <= 50)
+        .select($"qid", $"vec_id")
+      val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      shortlist
+        .join(all, "vec_id")
+        .join(broadcast(all.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid2"), $"v".as("qv2"))), $"qid" === $"qid2")
+        .select($"qid", $"vec_id", round(dot($"qv2", $"v"), 6).as("sim"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // int8 quantization through dialect text — QUANTIZE_INT8 is the same
     // single-rounding-site codec as SimilarityQueries.quantize. The codes
     // array is pinned scalar-wise (FLATTEN + per-vector sum/min/max/count —
@@ -470,6 +551,63 @@ object SimilarityQueries extends QueryPack {
            FROM pairs)
          SELECT qid, sim FROM ranked WHERE rnk <= 5
          ORDER BY qid, sim""",
+    // PQ replicas: identical subspace slicing (1-indexed inclusive windows
+    // of 8), identical ascending L2² folds, round(9) cells, rank-1 with
+    // cid tie-break, and DECIMAL-exact ADC sums.
+    "q_ann_pq_codes" ->
+      s"""$normCte,
+         sub AS (SELECT vec_id, j, list_slice(nv, j*8+1, j*8+8) AS sv
+                 FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
+         enc0 AS (SELECT s.vec_id, s.j, c.cid,
+                    round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                      (a, x) -> a + x), 9) AS d2
+                  FROM sub s JOIN cb c ON s.j = c.j)
+         SELECT vec_id, j, cid AS code, d2 FROM (
+           SELECT vec_id, j, cid, d2,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) r
+           FROM enc0) WHERE r = 1
+         ORDER BY vec_id, j""",
+    "q_ann_pq" ->
+      s"""$normCte,
+         sub AS (SELECT vec_id, j, list_slice(nv, j*8+1, j*8+8) AS sv
+                 FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
+         enc0 AS (SELECT s.vec_id, s.j, c.cid,
+                    round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                      (a, x) -> a + x), 9) AS d2
+                  FROM sub s JOIN cb c ON s.j = c.j),
+         codes AS (SELECT vec_id, j, cid AS code FROM (
+                     SELECT vec_id, j, cid,
+                       row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) r
+                     FROM enc0) WHERE r = 1),
+         dt AS (SELECT s.vec_id AS qid, s.j, c.cid,
+                  round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                    (a, x) -> a + x), 9)::DECIMAL(20,9) AS pd
+                FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
+         sc AS (SELECT dt.qid, codes.vec_id, sum(pd) AS adist
+                FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.cid
+                WHERE codes.vec_id <> dt.qid
+                GROUP BY dt.qid, codes.vec_id),
+         short AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY adist, vec_id) r
+                     FROM sc) WHERE r <= 50),
+         rr AS (SELECT short.qid, short.vec_id,
+                  ${dotSql("q.nv", "x.nv")} AS sim
+                FROM short
+                JOIN e x ON x.vec_id = short.vec_id
+                JOIN e q ON q.vec_id = short.qid),
+         ranked AS (SELECT qid, vec_id, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id) rnk
+                    FROM rr)
+         SELECT qid, rnk, vec_id, sim
+         FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q_sql_quantize" ->
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v
