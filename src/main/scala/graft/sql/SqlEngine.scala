@@ -50,26 +50,40 @@ class SqlEngine(spark: SparkSession) {
       // stream, minus the randomness). Update mode = the reference's
       // re-emit-per-row; session windows and stream-stream joins emit in
       // append mode (Spark's completion-driven semantics for both).
-      // With spark.graft.emitPerRow=true, unwindowed simple aggregates get
-      // the reference's exact PER-ROW cadence (one emission per input row,
-      // GroupedStream.hs:102) instead of per-micro-batch coalescing.
+      // With spark.graft.emitPerRow=true, unwindowed simple aggregates,
+      // TUMBLE/HOP aggregates, AND session aggregates get the reference's
+      // exact PER-ROW cadence (one emission per input row,
+      // GroupedStream.hs:102) instead of per-micro-batch coalescing —
+      // sessions are the one append-mode query class with a per-row update
+      // form (gap-merged sessions held in flatMapGroupsWithState state).
       val name = s"q${queryCounter.incrementAndGet()}"
       val perRow = spark.conf.getOption("spark.graft.emitPerRow").contains("true")
-      if (qNeedsAppendMode(q)) Started(engine.createStreamAs(name, planOf(q)))
-      else (q match {
+      def perRowPlan = q match {
         case sel: Select if perRow => perRowForm(sel)
         case _ => None // per-row cadence covers single-SELECT aggregates only
-      }) match {
+      }
+      def perRowSrc(sel: Select): org.apache.spark.sql.DataFrame = {
+        planOf(sel) // full plan-time validation (TypeCheck on the items)
+        val (rawFrom, _) = stripWindow(sel.from)
+        planOf(Select(Seq(ItemWildcard(None)), rawFrom, sel.where, Nil, None))
+      }
+      if (qNeedsAppendMode(q)) perRowPlan match {
+        case Some((keys, aggs, Some(SessionWin(gap)))) =>
+          val src = perRowSrc(q.asInstanceOf[Select])
+          val ts = if (src.columns.contains("_ts")) "_ts" else "ts"
+          Started(engine.emitChangesPerRowSession(name, src, keys, aggs, ts, gap))
+        case _ => Started(engine.createStreamAs(name, planOf(q)))
+      }
+      else perRowPlan match {
         case Some((keys, aggs, winSpec)) =>
-          val sel = q.asInstanceOf[Select]
-          planOf(sel) // full plan-time validation (TypeCheck on the items)
-          val (rawFrom, _) = stripWindow(sel.from)
-          val src = planOf(Select(Seq(ItemWildcard(None)), rawFrom, sel.where, Nil, None))
+          val src = perRowSrc(q.asInstanceOf[Select])
           Started(winSpec match {
-            case Some((size, advance)) =>
+            case Some(FixedWin(size, advance)) =>
               val ts = if (src.columns.contains("_ts")) "_ts" else "ts"
               engine.emitChangesPerRowWindowed(name, src, keys, aggs, ts,
                 size, advance)
+            case Some(_: SessionWin) => // unreachable: sessions are append-mode
+              engine.emitChanges(name, planOf(q))
             case None => engine.emitChangesPerRow(name, src, keys, aggs)
           })
         case None => Started(engine.emitChanges(name, planOf(q)))
@@ -302,17 +316,24 @@ class SqlEngine(spark: SparkSession) {
     * COUNT(*)/COUNT/SUM/MIN/MAX/AVG over bare columns; no HAVING. Anything
     * else falls back to micro-batch cadence. Returns (keys, aggs,
     * window size+advance if windowed). */
+  /** Window kind a per-row plan runs under: fixed (TUMBLE/HOP — window
+    * folds into the stateful key) or session (gap-merged — sessions live
+    * in the state value). */
+  private sealed trait PerRowWin
+  private case class FixedWin(size: String, advance: Option[String]) extends PerRowWin
+  private case class SessionWin(gap: String) extends PerRowWin
+
   private def perRowForm(sel: Select)
-      : Option[(Seq[String], Seq[StreamOps.RowAgg], Option[(String, Option[String])])] = {
+      : Option[(Seq[String], Seq[StreamOps.RowAgg], Option[PerRowWin])] = {
     if (sel.having.nonEmpty) return None
-    // only a TOP-LEVEL fixed window qualifies (possibly aliased); windows
+    // only a TOP-LEVEL window qualifies (possibly aliased); windows
     // nested in subqueries/joins keep micro-batch cadence
-    val winSpec: Option[(String, Option[String])] = stripWindow(sel.from) match {
+    val winSpec: Option[PerRowWin] = stripWindow(sel.from) match {
       case (_, None) => if (hasWindow(sel.from)) return None else None
-      case (_, Some(Tumble(i))) => Some((Translate.intervalString(i), None))
+      case (_, Some(Tumble(i))) => Some(FixedWin(Translate.intervalString(i), None))
       case (_, Some(Hop(s, a))) =>
-        Some((Translate.intervalString(s), Some(Translate.intervalString(a))))
-      case (_, Some(_: Session)) => return None // merging windows: no stable key
+        Some(FixedWin(Translate.intervalString(s), Some(Translate.intervalString(a))))
+      case (_, Some(Session(g))) => Some(SessionWin(Translate.intervalString(g)))
     }
     val keys = sel.groupBy.collect { case ColRef(None, n) => n }
     if (keys.isEmpty || keys.size != sel.groupBy.size) return None

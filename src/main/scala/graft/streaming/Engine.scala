@@ -315,6 +315,17 @@ class Engine(val spark: SparkSession) {
       StreamOps.perRowAggsWindowed(source, keys, aggs, ts, size, advance),
       "update")
 
+  /** Per-row EMIT CHANGES over SESSION windows: per-input-row cadence with
+    * the key's gap-merged open sessions held in state — the update-mode
+    * form of a session aggregate, which the micro-batch path can only
+    * emit append-mode at session close (see
+    * [[StreamOps.perRowAggsSession]]). */
+  def emitChangesPerRowSession(name: String, source: DataFrame,
+                               keys: Seq[String], aggs: Seq[StreamOps.RowAgg],
+                               ts: String, gap: String): StreamingQuery =
+    startQuery(name,
+      StreamOps.perRowAggsSession(source, keys, aggs, ts, gap), "update")
+
   /** CREATE STREAM out AS SELECT (CSAS): append-mode stream→stream query.
     * If `name` is a registered file-backed stream, result partitions write
     * executor-side through the streaming FileSink into the stream's

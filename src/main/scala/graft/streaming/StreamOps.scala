@@ -292,6 +292,219 @@ object StreamOps {
         Seq(col("window_start"), col("window_end")): _*)
   }
 
+  /** "30 minutes"-style duration → milliseconds (session-gap state math
+    * needs a plain long; Spark's own interval parser lives behind catalyst
+    * internals). */
+  private[streaming] def parseDurationMs(d: String): Long = {
+    val Pat = "(\\d+)\\s*(millisecond|second|minute|hour|day)s?".r
+    d.trim.toLowerCase match {
+      case Pat(n, u) => n.toLong * (u match {
+        case "millisecond" => 1L
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+      })
+      case other => throw new IllegalArgumentException(s"bad duration: $other")
+    }
+  }
+
+  /** Per-row EMIT CHANGES over SESSION windows (gap-merged): per-input-row
+    * cadence where the stateful key is the GROUP BY keys ONLY — unlike
+    * TUMBLE/HOP the window identity is fluid (sessions extend and MERGE as
+    * rows arrive, SessionWindowedStream.hs:93-138), so the key's open
+    * sessions (start, end, accumulators) live in the state VALUE. A row at
+    * t claims [t, t+gap); every open session it overlaps merges into one
+    * (min start / max end / accumulator merge — count/sum/avg add, min/max
+    * fold — the same mergeable shapes Spark's own partial aggregation
+    * relies on), the row's values apply, and ONE row emits carrying the
+    * merged session's current bounds. Boundary math is exactly Spark's
+    * session_window (end = last event + gap), so the final per-session
+    * emission agrees with the micro-batch groupBy(session_window) result
+    * row-for-row (pinned in StreamingTwinSpec). Sessions whose end the
+    * watermark passes drop via event-time timeout — their last per-row
+    * emission already carried their final state; rows behind the watermark
+    * drop, matching the windowed-agg late rule. State per key is O(open
+    * sessions), the same bound Spark's session state store keeps. */
+  def perRowAggsSession(df: DataFrame, keys: Seq[String], aggs: Seq[RowAgg],
+                        ts: String, gap: String,
+                        grace: String = DefaultGrace): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // all session arithmetic runs in MICROSECONDS — TimestampType's own
+    // precision; millisecond math would shear boundaries off Spark's
+    // session_window results (end = last event + gap, µs-exact)
+    val gapUs = parseDurationMs(gap) * 1000L
+    def tsToUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val inputCols = aggs.map(_.input).filter(_ != "*").distinct
+    val proj = df.withWatermark(ts, grace)
+      .select((keys ++ inputCols ++ Seq(ts)).distinct.map(col): _*)
+    val schema = proj.schema
+    def fieldIdx(n: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0, s"column $n not in [${schema.fieldNames.mkString(",")}]")
+      i
+    }
+    val keyIdx = keys.map(fieldIdx)
+    val tsIdx = fieldIdx(ts)
+    val inIdx = aggs.map(a => if (a.input == "*") -1 else fieldIdx(a.input))
+    def inType(a: RowAgg): DataType = schema(fieldIdx(a.input)).dataType
+    def integral(a: RowAgg): Boolean = inType(a) match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val outSchema = StructType(
+      keys.map(k => schema(fieldIdx(k))) ++ aggs.map { a =>
+        StructField(a.name, a.kind match {
+          case "count" => LongType
+          case "sum" => if (integral(a)) LongType else DoubleType
+          case "avg" => DoubleType
+          case "min" | "max" => inType(a)
+        }, nullable = a.kind != "count")
+      } ++ Seq(StructField("window_start", TimestampType, nullable = false),
+        StructField("window_end", TimestampType, nullable = false)))
+    val accSchema = StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"a$i", a.kind match {
+        case "count" => LongType
+        case "sum" | "avg" => StructType(Seq(
+          StructField("s", if (integral(a)) LongType else DoubleType),
+          StructField("n", LongType)))
+        case "min" | "max" => inType(a)
+      })
+    })
+    val stateSchema = StructType(Seq(StructField("sessions", ArrayType(
+      StructType(Seq(StructField("start", LongType),
+        StructField("end", LongType), StructField("accs", accSchema)))))))
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x.longValue < y.longValue
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.intValue < y.intValue
+      case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+      case (x: String, y: String) => x < y
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+      case _ => throw new IllegalArgumentException(s"unorderable: $a / $b")
+    }
+    def num(v: Any): Double = v.asInstanceOf[java.lang.Number].doubleValue
+    def initAccs(): Array[Any] = aggs.map(a => a.kind match {
+      case "count" => 0L
+      case "sum" | "avg" => if (integral(a)) (0L, 0L) else (0.0, 0L)
+      case _ => null
+    }).toArray[Any]
+    def loadAccs(s: Row): Array[Any] = Array.tabulate(aggs.size) { i =>
+      aggs(i).kind match {
+        case "sum" | "avg" =>
+          val r = s.getStruct(i)
+          if (integral(aggs(i))) (r.getLong(0), r.getLong(1))
+          else (r.getDouble(0), r.getLong(1))
+        case _ => s.get(i)
+      }
+    }
+    def saveAccs(acc: Array[Any]): Row = Row.fromSeq(aggs.indices.map { i =>
+      acc(i) match {
+        case (s, n: Long) if aggs(i).kind == "sum" || aggs(i).kind == "avg" =>
+          Row(s, n)
+        case v => v
+      }
+    })
+    def mergeAccs(x: Array[Any], y: Array[Any]): Array[Any] =
+      Array.tabulate(aggs.size) { i =>
+        aggs(i).kind match {
+          case "count" => x(i).asInstanceOf[Long] + y(i).asInstanceOf[Long]
+          case "sum" | "avg" => (x(i), y(i)) match {
+            case ((s1: Long, n1: Long), (s2: Long, n2: Long)) => (s1 + s2, n1 + n2)
+            case ((s1: Double, n1: Long), (s2: Double, n2: Long)) => (s1 + s2, n1 + n2)
+            case other => throw new IllegalStateException(s"acc shape: $other")
+          }
+          case "min" =>
+            if (x(i) == null) y(i) else if (y(i) == null) x(i)
+            else if (lt(y(i), x(i))) y(i) else x(i)
+          case "max" =>
+            if (x(i) == null) y(i) else if (y(i) == null) x(i)
+            else if (lt(x(i), y(i))) y(i) else x(i)
+        }
+      }
+    def applyRow(acc: Array[Any], r: Row): Unit = aggs.indices.foreach { i =>
+      val v = if (inIdx(i) < 0) null else r.get(inIdx(i))
+      aggs(i).kind match {
+        case "count" =>
+          if (inIdx(i) < 0 || v != null) acc(i) = acc(i).asInstanceOf[Long] + 1L
+        case "sum" | "avg" => if (v != null) acc(i) match {
+          case (s: Long, n: Long) =>
+            acc(i) = (s + v.asInstanceOf[java.lang.Number].longValue, n + 1L)
+          case (s: Double, n: Long) => acc(i) = (s + num(v), n + 1L)
+        }
+        case "min" => if (v != null && (acc(i) == null || lt(v, acc(i)))) acc(i) = v
+        case "max" => if (v != null && (acc(i) == null || lt(acc(i), v))) acc(i) = v
+      }
+    }
+    def emitVals(acc: Array[Any]): Seq[Any] = aggs.indices.map { i =>
+      (aggs(i).kind, acc(i)) match {
+        case ("count", c) => c
+        case ("sum", (s: Long, n: Long)) => if (n == 0) null else s
+        case ("sum", (s: Double, n: Long)) => if (n == 0) null else s
+        case ("avg", (s: Long, n: Long)) => if (n == 0) null else s.toDouble / n
+        case ("avg", (s: Double, n: Long)) => if (n == 0) null else s / n
+        case (_, v) => v
+      }
+    }
+    val keyEnc = Encoders.row(StructType(keyIdx.map(schema(_))))
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    proj.groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // open sessions, dropping any the watermark has closed (their
+          // final per-row emission already happened)
+          var sessions: Vector[(Long, Long, Array[Any])] =
+            state.getOption.map(_.getSeq[Row](0).iterator.map(s =>
+              (s.getLong(0), s.getLong(1), loadAccs(s.getStruct(2))))
+              .filter(_._2 > wmUs).toVector)
+              .getOrElse(Vector.empty)
+          val out = Vector.newBuilder[Row]
+          if (!state.hasTimedOut) {
+            // event-time order within the batch — deterministic merge path
+            rows.toVector.sortBy(r => tsToUs(r.getAs[java.sql.Timestamp](tsIdx)))
+              .foreach { r =>
+                val t = tsToUs(r.getAs[java.sql.Timestamp](tsIdx))
+                if (t >= wmUs) { // behind the watermark → drop, like windowed agg
+                  val claimEnd = t + gapUs
+                  val (hit, miss) = sessions.partition(s =>
+                    t < s._2 && s._1 < claimEnd)
+                  val seed = (t, claimEnd, initAccs())
+                  val m = (hit :+ seed).reduce((a, b) =>
+                    (math.min(a._1, b._1), math.max(a._2, b._2),
+                      mergeAccs(a._3, b._3)))
+                  applyRow(m._3, r)
+                  sessions = miss :+ m
+                  out += Row.fromSeq(k.toSeq ++ emitVals(m._3) ++ Seq(
+                    usToTs(m._1), usToTs(m._2)))
+                }
+              }
+          }
+          if (sessions.isEmpty) state.remove()
+          else {
+            state.update(Row(sessions.sortBy(_._1).map(s =>
+              Row(s._1, s._2, saveAccs(s._3)))))
+            // wake when the watermark passes the earliest open session end
+            // (ceil µs→ms so the timer can't fire a hair before the close)
+            state.setTimeoutTimestamp(math.max(
+              (sessions.map(_._2).min + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }(stateEnc, outEnc)
+      .toDF((keys ++ aggs.map(_.name) ++ Seq("window_start", "window_end")): _*)
+  }
+
   /** The single-key single-value convenience form: running
     * COUNT/SUM/MIN/MAX/AVG of one numeric column. */
   def perRowAgg(df: DataFrame, key: String, value: String): DataFrame =

@@ -392,6 +392,69 @@ class SqlEngineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.emitPerRow")
   }
 
+  test("emitPerRow over SESSION: per-row cadence with gap-merged fluid windows") {
+    spark.conf.set("spark.graft.emitPerRow", "true")
+    try {
+      val e = new SqlEngine(spark)
+      e.sql("CREATE STREAM spr (k STRING, v INTEGER, _ts TIMESTAMP);")
+      val q = e.sql(
+        """SELECT k, COUNT(*) AS n, SUM(v) AS s
+           FROM SESSION(spr, INTERVAL 1 MINUTE) GROUP BY k EMIT CHANGES;"""
+      ).asInstanceOf[e.Started]
+      // rows 1+2 fall within one gap (session extends: end = last + gap);
+      // row 3 is past the gap → a fresh session
+      e.sql("INSERT INTO spr (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:00:10');")
+      e.sql("INSERT INTO spr (k, v, _ts) VALUES ('a', 3, '2024-01-01 00:00:40');")
+      e.sql("INSERT INTO spr (k, v, _ts) VALUES ('a', 10, '2024-01-01 00:05:00');")
+      e.engine.processAll()
+      val rows = spark.table(q.query.name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[java.sql.Timestamp]("window_end").toString)).toSet
+      // per-row cadence: the first session emits BOTH cumulative states,
+      // and the second emission shows the EXTENDED end (00:00:40 + gap)
+      assert(rows == Set(
+        ("a", 1L, 2L, "2024-01-01 00:00:10.0", "2024-01-01 00:01:10.0"),
+        ("a", 2L, 5L, "2024-01-01 00:00:10.0", "2024-01-01 00:01:40.0"),
+        ("a", 1L, 10L, "2024-01-01 00:05:00.0", "2024-01-01 00:06:00.0")),
+        s"got $rows")
+      e.sql(s"TERMINATE QUERY ${q.query.name};")
+      e.sql("DROP STREAM spr;")
+    } finally spark.conf.unset("spark.graft.emitPerRow")
+  }
+
+  test("emitPerRow over SESSION: an out-of-gap-order row MERGES two open sessions") {
+    spark.conf.set("spark.graft.emitPerRow", "true")
+    try {
+      val e = new SqlEngine(spark)
+      e.sql("CREATE STREAM smr (k STRING, v INTEGER, _ts TIMESTAMP);")
+      val q = e.sql(
+        """SELECT k, COUNT(*) AS n, SUM(v) AS s
+           FROM SESSION(smr, INTERVAL 1 MINUTE) GROUP BY k EMIT CHANGES;"""
+      ).asInstanceOf[e.Started]
+      // two disjoint sessions land first; the bridging row's [t, t+gap)
+      // overlaps both → one merged session (min start / max end / merged
+      // accumulators) — SessionWindowedStream.hs:93-138's merge rule
+      e.sql("INSERT INTO smr (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+      e.sql("INSERT INTO smr (k, v, _ts) VALUES ('a', 2, '2024-01-01 00:01:30');")
+      e.engine.processAll()
+      e.sql("INSERT INTO smr (k, v, _ts) VALUES ('a', 4, '2024-01-01 00:00:50');")
+      e.engine.processAll()
+      val rows = spark.table(q.query.name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[java.sql.Timestamp]("window_end").toString)).toSet
+      assert(rows == Set(
+        ("a", 1L, 1L, "2024-01-01 00:00:00.0", "2024-01-01 00:01:00.0"),
+        ("a", 1L, 2L, "2024-01-01 00:01:30.0", "2024-01-01 00:02:30.0"),
+        // the merge: all three rows, bounds span both originals
+        ("a", 3L, 7L, "2024-01-01 00:00:00.0", "2024-01-01 00:02:30.0")),
+        s"got $rows")
+      e.sql(s"TERMINATE QUERY ${q.query.name};")
+      e.sql("DROP STREAM smr;")
+    } finally spark.conf.unset("spark.graft.emitPerRow")
+  }
+
   test("multi-statement script + SHOW VIEWS/QUERIES separation") {
     val e = new SqlEngine(spark)
     val results = e.script(

@@ -192,6 +192,36 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("per-row SESSION cadence: final session emissions == oracle'd q_window_session, one row per input") {
+    import spark.implicits._
+    val (_, s) = staged("events")
+    val plan = StreamOps.perRowAggsSession(
+      s, Seq("user_id"),
+      Seq(StreamOps.RowAgg("cnt", "count", "*"),
+        StreamOps.RowAgg("sum_value", "sum", "value")),
+      ts = "ts", gap = "30 minutes")
+    val q = drain(plan, "update", "tw_session_perrow")
+    val emitted = spark.table("tw_session_perrow").collect()
+    val inputs = spark.read.parquet(s"$sf/events.parquet").count()
+    // the reference's exact cadence: one emission per input row
+    assert(emitted.length == inputs, s"${emitted.length} emissions for $inputs rows")
+    // after a session's LAST event (event-time order within the replay),
+    // its emission carries the final merged bounds + accumulators — so
+    // every oracle'd batch session row must appear verbatim among the
+    // emissions (projected to the batch row shape)
+    // plan schema: user_id, cnt, sum_value, window_start, window_end
+    val emittedSet = emitted.map(r => (r.getLong(0),
+      r.getTimestamp(3), r.getLong(1),
+      BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    val batchRows = batch("q_window_session").map(r => (r.getLong(0),
+      r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val missing = batchRows.filterNot(emittedSet.contains)
+    assert(missing.isEmpty,
+      s"${missing.size}/${batchRows.size} batch sessions never emitted: ${missing.take(3)}")
+    q.stop()
+  }
+
   test("streaming int8-quantization twin (stateless map path) == oracle'd q_embed_quantize") {
     val (_, s) = staged("embeddings")
     // the ONE shared quantize pipeline (SimilarityQueries.quantize) over a
