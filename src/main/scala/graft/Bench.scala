@@ -44,6 +44,9 @@ object Bench {
     "q_ann_lsh_bucketed",      // bucketed ANN scale path
     "q_ann_ivf",               // IVF inverted-list ANN scale path
     "q_ann_ivf_train",         // 2 Lloyd rounds of IVF centroid training
+    "q_ann_pq",                // PQ/ADC shortlist + exact re-rank
+    "q_curation_dsir",         // DSIR importance resampling (hashed n-grams)
+    "q_join_asof_bucketed",    // point-in-time join, (key, bucket) sort groups
     // q_embed_neardup is NOT here: O(n²) pairwise cosine is a correctness
     // anchor (like q_dedup_jaccard_exact); its scale path is q_ann_lsh_bucketed
     "q_dedup_paragraph",       // sub-document dedup (hash window + regroup)

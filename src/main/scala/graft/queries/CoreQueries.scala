@@ -208,6 +208,47 @@ object CoreQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Beyond-reference §2.4 extension: point-in-time (as-of) join — each
+    // click picks the user's single LATEST purchase at-or-before its ts
+    // (the feature-store lookup shape; the reference grammar stops at
+    // INTERVAL joins, Stream.hs:273-312). Union-trick plan: ONE shuffle on
+    // user_id, running last() fills forward — no range self-join, no row
+    // explosion, unmatched clicks keep null purchase columns.
+    "q_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts",
+          round($"value", 4).as("click_value"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts",
+          round($"value", 4).as("purchase_value"), $"ts".as("purchase_ts"))
+      graft.operators.AsofJoin.backward(clicks, purchases,
+          "user_id", "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_ts"))
+        .orderBy($"event_id")
+    }),
+
+    // Skew-safe form of q_join_asof (same oracle — identical results):
+    // time cut into 1-day buckets, so the sort granularity is (user, day)
+    // instead of one user's ENTIRE history. At 100 TB a power-law user is
+    // years of events — the exact form makes that one un-splittable sort
+    // task; this form bounds every sort group by the bucket width.
+    "q_join_asof_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts",
+          round($"value", 4).as("click_value"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts",
+          round($"value", 4).as("purchase_value"), $"ts".as("purchase_ts"))
+      graft.operators.AsofJoin.backwardBucketed(clicks, purchases,
+          "user_id", "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_ts"), bucket = 86400L)
+        .orderBy($"event_id")
+    }),
+
     // §2.7 Distinct (plan node Planner.hs:48; unsupported in ref V1, we
     // support it) + Union (Planner.hs:54).
     "q_distinct_union" -> ((s, dir) => {
@@ -309,6 +350,29 @@ object CoreQueries extends QueryPack {
            UNION ALL
            SELECT user_id FROM events WHERE event_type='view')
          ORDER BY user_id""",
+    "q_join_asof" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         c AS (SELECT event_id, user_id, ts, round(value,4) AS click_value
+               FROM ev WHERE event_type='click'),
+         p AS (SELECT user_id, ts AS pts, round(value,4) AS purchase_value
+               FROM ev WHERE event_type='purchase')
+         SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           p.purchase_value, p.pts AS purchase_ts
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.pts
+         ORDER BY c.event_id""",
+    // identical result contract as the exact as-of join — that's the point
+    "q_join_asof_bucketed" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         c AS (SELECT event_id, user_id, ts, round(value,4) AS click_value
+               FROM ev WHERE event_type='click'),
+         p AS (SELECT user_id, ts AS pts, round(value,4) AS purchase_value
+               FROM ev WHERE event_type='purchase')
+         SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           p.purchase_value, p.pts AS purchase_ts
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.pts
+         ORDER BY c.event_id""",
     // identical result contract as the unsalted join — that's the point
     "q_interval_join_salted" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
