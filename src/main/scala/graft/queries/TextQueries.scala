@@ -89,6 +89,67 @@ object TextQueries extends QueryPack {
         .orderBy($"lang")
     }),
 
+    // CCNet-shape perplexity filtering (Wenzek et al. 2020, public): train
+    // a char-trigram LM on the corpus' own lang='en' slice, score every
+    // doc by mean negative log-likelihood under it — low avg_nll ≈ "looks
+    // like the target distribution", the classic model-based quality
+    // signal (complementing DSIR's n-gram importance weights). Add-1
+    // smoothing over the observed vocab + one OOV bucket. Scale shape:
+    // the LM is a bounded char-trigram table (broadcast both for the
+    // probability lookup and the totals); doc trigrams explode from
+    // co-located rows, so the per-doc partial agg collapses each doc
+    // map-side and the ONLY shuffle carries one row per doc. Per-trigram
+    // log-probs round to 7 dp as DECIMAL before the per-doc sum — exact,
+    // order-independent, engine-agnostic.
+    "q_quality_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", lower($"text").as("t"))
+        .filter(length($"t") >= 3)
+      val tris = docs.select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), length($"t") - 2),
+          i => $"t".substr(i, lit(3)))).as("tri"))
+      val lm = tris.filter($"lang" === "en")
+        .groupBy($"tri").agg(count(lit(1)).as("c"))
+      val totals = lm.agg(sum($"c").as("t_total"), count(lit(1)).as("v"))
+      val lmP = lm.crossJoin(broadcast(totals))
+        .select($"tri", round(log(($"c" + 1).cast("double") /
+          ($"t_total" + $"v" + 1)), 7).cast("decimal(20,7)").as("lp"))
+      tris.join(broadcast(lmP), Seq("tri"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("lp2", coalesce($"lp",
+          round(log(lit(1.0) / ($"t_total" + $"v" + 1)), 7)
+            .cast("decimal(20,7)")))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tri"), sum($"lp2").as("sdec"))
+        .select($"doc_id", $"lang", $"n_tri",
+          round(-$"sdec".cast("double") / $"n_tri", 6).as("avg_nll"))
+        .orderBy($"doc_id")
+    }),
+
+    // Multi-level corpus stats in ONE pass: ROLLUP (lang, source) computes
+    // per-(lang, source), per-lang, and grand-total rows without three
+    // scans — at 100 TB the difference between one shuffle and three. The
+    // grouping_id bitmask (source = LSB, same as DuckDB's grouping())
+    // disambiguates levels; base lang/source are never null, so the
+    // '<ALL>' coalesce is unambiguous and keeps ORDER BY engine-agnostic
+    // (Spark sorts nulls first, DuckDB last).
+    "q_corpus_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .rollup($"lang", $"source")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          round(sum($"n_chars").cast("double") / count(lit(1)), 2)
+            .as("avg_chars"))
+        .select($"gid",
+          coalesce($"lang", lit("<ALL>")).as("lang2"),
+          coalesce($"source", lit("<ALL>")).as("source2"),
+          $"n_docs", $"total_chars", $"avg_chars")
+        .orderBy($"gid", $"lang2", $"source2")
+    }),
+
     // The pretraining pipeline END-TO-END: quality-score → filter → exact
     // dedup (planted duplicates, as q_dedup_exact) → per-language dataset
     // stats. One composed plan: scoring is map-side, dedup shuffles only
@@ -350,6 +411,30 @@ object TextQueries extends QueryPack {
            round(CAST(sum(CAST(q AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS avg_quality,
            count(DISTINCT h) AS n_unique
          FROM q GROUP BY lang ORDER BY lang""",
+    "q_quality_perplexity" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) t FROM documents
+           WHERE len(text) >= 3),
+         tri AS (SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)-1), i -> substr(t, i, 3))) AS tri
+           FROM d),
+         lm AS (SELECT tri, count(*) c FROM tri WHERE lang='en' GROUP BY tri),
+         tot AS (SELECT sum(c) t_total, count(*) v FROM lm),
+         lmp AS (SELECT tri, round(ln((c+1)/(t_total+v+1)), 7)::DECIMAL(20,7) lp
+           FROM lm, tot),
+         sc AS (SELECT doc_id, lang, coalesce(lp,
+             (SELECT round(ln(1.0/(t_total+v+1)), 7)::DECIMAL(20,7) FROM tot)) lp2
+           FROM tri LEFT JOIN lmp USING (tri))
+         SELECT doc_id, lang, count(*) AS n_tri,
+           round(-CAST(sum(lp2) AS DOUBLE)/count(*), 6) AS avg_nll
+         FROM sc GROUP BY 1, 2 ORDER BY doc_id""",
+    "q_corpus_rollup" ->
+      """SELECT grouping(lang, source)::BIGINT AS gid,
+         coalesce(lang, '<ALL>') AS lang2,
+         coalesce(source, '<ALL>') AS source2,
+         count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+         round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars
+         FROM documents GROUP BY ROLLUP (lang, source)
+         ORDER BY gid, lang2, source2""",
     "q_pipeline_quality_dedup" ->
       """WITH corpus AS (
            SELECT * FROM documents
