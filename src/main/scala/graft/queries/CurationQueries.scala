@@ -279,6 +279,10 @@ object CurationQueries extends QueryPack {
         .otherwise(array().cast("array<string>"))
       val feats = Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang", tokens($"text").as("w"))
+        // the n-gram explode amplifies each doc ~2·tokens×; spread docs
+        // before it (at 100 TB the scan's own splits do this — one small
+        // local parquet file would serialize the pass into one task)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
         .select($"doc_id", $"lang", explode(concat($"w", bigrams)).as("f"))
         .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
       val docBuckets = feats.groupBy($"doc_id", $"lang", $"b")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.PipelineFunctions._
 
@@ -103,27 +104,43 @@ object TextQueries extends QueryPack {
     // order-independent, engine-agnostic.
     "q_quality_perplexity" -> ((s, dir) => {
       import s.implicits._
+      // the explode amplifies each doc ~n_chars×; spread docs across the
+      // cluster BEFORE it so the amplification is parallel. At 100 TB the
+      // scan's own splits provide this for free — a single small local
+      // parquet file is one split, which would serialize the whole
+      // trigram pass into one task.
       val docs = Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang", lower($"text").as("t"))
         .filter(length($"t") >= 3)
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       val tris = docs.select($"doc_id", $"lang",
         explode(transform(sequence(lit(1), length($"t") - 2),
           i => $"t".substr(i, lit(3)))).as("tri"))
       val lm = tris.filter($"lang" === "en")
         .groupBy($"tri").agg(count(lit(1)).as("c"))
-      val totals = lm.agg(sum($"c").as("t_total"), count(lit(1)).as("v"))
-      val lmP = lm.crossJoin(broadcast(totals))
-        .select($"tri", round(log(($"c" + 1).cast("double") /
-          ($"t_total" + $"v" + 1)), 7).cast("decimal(20,7)").as("lp"))
+      // smoothing denominator in-frame via a global window over the
+      // bounded LM table (the q_curation_mix pattern — no persist, no
+      // extra corpus pass), so lmP is ONE branch off the LM aggregation
+      val wAll = Window.partitionBy()
+      val lmP = lm
+        .withColumn("denom",
+          (sum($"c").over(wAll) + count(lit(1)).over(wAll) + 1).cast("double"))
+        .select($"tri",
+          round(log(($"c" + 1) / $"denom"), 7).cast("decimal(20,7)").as("lp"))
+      // OOV default applied AFTER the per-doc aggregation: count misses at
+      // trigram level, charge them the default on the O(docs) frame — the
+      // 1-row crossJoin never touches the exploded relation
+      val dflt = lm.agg((sum($"c") + count(lit(1)) + 1).cast("double").as("dn"))
+        .select(round(log(lit(1.0) / $"dn"), 7).cast("decimal(20,7)").as("dflt"))
       tris.join(broadcast(lmP), Seq("tri"), "left")
-        .crossJoin(broadcast(totals))
-        .withColumn("lp2", coalesce($"lp",
-          round(log(lit(1.0) / ($"t_total" + $"v" + 1)), 7)
-            .cast("decimal(20,7)")))
         .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_tri"), sum($"lp2").as("sdec"))
+        .agg(count(lit(1)).as("n_tri"), sum($"lp").as("sdec"),
+          count($"lp").as("n_match"))
+        .crossJoin(broadcast(dflt))
         .select($"doc_id", $"lang", $"n_tri",
-          round(-$"sdec".cast("double") / $"n_tri", 6).as("avg_nll"))
+          round(-(coalesce($"sdec", lit(0).cast("decimal(20,7)")) +
+            ($"n_tri" - $"n_match").cast("decimal(13,0)") * $"dflt")
+            .cast("double") / $"n_tri", 6).as("avg_nll"))
         .orderBy($"doc_id")
     }),
 
