@@ -237,6 +237,48 @@ object ScaleProbe {
     def x10Vecs(df: DataFrame): DataFrame = (0 until 10).map(i =>
       df.withColumn("vec_id", $"vec_id" + lit(i * 10000000L))).reduce(_ unionAll _)
 
+    // bucketed as-of join (q_join_asof_bucketed's shape): the user set is
+    // FIXED while events grow 10× — each user's history deepens 10×, the
+    // exact regime the (key, bucket) sort granularity exists for. Ratio
+    // must stay ~linear; the exact per-key form would go superlinear here
+    // as every key's single sort task deepens.
+    val events = Tables.load(spark, sfDir, "events")
+    def x10Events(df: DataFrame): DataFrame = (0 until 10).map(i =>
+      df.withColumn("event_id", $"event_id" + lit(i * 100000000L))
+        .withColumn("ts", $"ts" + expr(s"INTERVAL $i SECONDS")))
+      .reduce(_ unionAll _)
+    def asofShape(df: DataFrame) = {
+      val clicks = df.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = df.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value".as("pv"), $"ts".as("pts"))
+      graft.operators.AsofJoin.backwardBucketed(clicks, purchases,
+        "user_id", "user_id", "ts", "ts", Seq("pv", "pts"), bucket = 86400L)
+    }
+    // char-trigram LM scoring (q_quality_perplexity's shape): LM table is
+    // bounded (trigram space), so 10× docs = 10× map-side explode + a
+    // broadcast probe per trigram — must stay ~linear
+    def perplexityShape(df: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val d = df.select($"doc_id", $"lang", lower($"text").as("t"))
+        .filter(length($"t") >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      val tris = d.select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), length($"t") - 2),
+          i => $"t".substr(i, lit(3)))).as("tri"))
+      val lm = tris.filter($"lang" === "en")
+        .groupBy($"tri").agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy()
+      val lmP = lm.withColumn("denom",
+          (sum($"c").over(wAll) + count(lit(1)).over(wAll) + 1).cast("double"))
+        .select($"tri", round(log(($"c" + 1) / $"denom"), 7)
+          .cast("decimal(20,7)").as("lp"))
+      tris.join(broadcast(lmP), Seq("tri"), "left")
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tri"), sum($"lp").as("sdec"),
+          count($"lp").as("n_match"))
+    }
+
     // 6-table Q9-shaped join (q_join_profit_by_nation's exact amount
     // expression): fact side grows 10×, dims stay fixed. Dims are
     // persisted and materialized OUTSIDE the timed region, and the
@@ -283,6 +325,10 @@ object ScaleProbe {
         (time(shardScalableShape(docs)), time(shardScalableShape(x10Distinct(docs)))),
       "quantize_5k_vs_50k" ->
         (time(quantizeShape(embeds)), time(quantizeShape(x10Vecs(embeds)))),
+      "asof_bucketed_100k_vs_1m" ->
+        (time(asofShape(events)), time(asofShape(x10Events(events)))),
+      "perplexity_5k_vs_50k" ->
+        (time(perplexityShape(docs)), time(perplexityShape(x10Distinct(docs)))),
       "profit_join_600k_vs_6m" ->
         (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
     // probes are strict (Seq, not view): all timing is done — release the
