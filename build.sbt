@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through verbatim (no "[info] " prefix): the
+// driver json-parses Bench's final stdout line, and a logger prefix breaks
+// that parse (it has every round so far — BENCH_r0*.json all "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and no "[success] Total time" epilogue after the JSON line either.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -117,7 +117,16 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","queries":$qjson,"samples":$sjson,"sf":"$sfDir"}""")
+    // Two lines, auxiliary first: the driver keeps only a ~2000-char tail of
+    // stdout and json-parses the final line. With samples inlined the
+    // headline line outgrows the tail window and loses its own head (r5
+    // artifact starts mid-line). Samples stay visible on their own line;
+    // the LAST line is the compact contract JSON, printed after spark.stop()
+    // so shutdown chatter lands before it, and explicitly flushed.
+    println(s"""{"metric":"bench_samples","samples":$sjson}""")
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","queries":$qjson,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

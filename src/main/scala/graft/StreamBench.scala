@@ -27,12 +27,15 @@ object StreamBench {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     def stream: DataFrame = {
+      // Same two-generation ts normalization as Tables.load (nanos-as-long
+      // vs native timestamp[us]); keep both paths in sync.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.readStream
-        .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      Tables.normalizeEventsTs(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir.toString))
     }
 
     def drain(name: String, plan: DataFrame, mode: String): (String, Double) = {

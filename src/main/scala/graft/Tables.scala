@@ -16,18 +16,36 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is
-      // micros and the reader rejects nanos outright. Read nanos as long,
-      // then truncate to micros (`div` keeps full int64 precision; a double
-      // roundtrip would corrupt ~1.7e18 values). DuckDB's ns->us cast
-      // truncates identically, so oracle SQL does ts::TIMESTAMP.
+      // events.ts has shipped in two physical encodings across testdata
+      // generations: parquet TIMESTAMP(NANOS) (Spark's micros TimestampType
+      // rejects nanos outright — read as long via the legacy flag, truncate
+      // with `div` to keep full int64 precision) and plain timestamp[us]
+      // (read natively as TIMESTAMP_NTZ). Normalize both to session-TZ
+      // TimestampType (session is pinned UTC, so NTZ->TZ is the identity on
+      // wall-clock values) so every downstream query sees one type. DuckDB's
+      // cast truncates/passes through identically: oracle does ts::TIMESTAMP.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventsTs(raw)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** DuckDB-side view of `events` with the same ns->us truncation the Spark
+  /** Fold either ts generation (nanos-as-long or native timestamp[us]/NTZ)
+    * into session-TZ TimestampType. Works on batch AND streaming frames —
+    * the dispatch is on the static schema, not data. Shared by the batch
+    * loader, StreamBench, and the streaming twin tests so all paths agree. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation: int64 `div` keeps precision
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ generation (UTC session => identity wall-clock)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** DuckDB-side view of `events` with the same ts normalization the Spark
     * loader applies; prepend to any oracle SQL touching event timestamps. */
   val eventsUsCte /* reference it as `ev` */: String =
     "WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) "

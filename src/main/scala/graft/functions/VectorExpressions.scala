@@ -47,11 +47,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: a bare `i` collides with method-locals in the fused
+      // wholestage scope (Java forbids shadowing; Janino rejects the class
+      // and the whole stage silently falls back to interpreted eval)
+      val i = ctx.freshName("i")
       s"""
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_s = 0.0;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  ${ev.value}_s += $a.getDouble(i) * $b.getDouble(i);
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  ${ev.value}_s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = ${ev.value}_s;
        """.stripMargin
@@ -96,15 +100,18 @@ case class LshSignature16(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("lshWeights", w, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
+      // freshName for every local: bare names can shadow method-locals of
+      // the fused wholestage scope (Janino rejects -> interpreted fallback)
+      val (p, d, s) = (ctx.freshName("p"), ctx.freshName("d"), ctx.freshName("s"))
       s"""
          |int ${ev.value}_dim = java.lang.Math.min($v.numElements(), 64);
          |long ${ev.value}_sig = 0L;
-         |for (int p = 0; p < 16; p++) {
-         |  double s = 0.0;
-         |  for (int d = 0; d < ${ev.value}_dim; d++) {
-         |    s += $wRef[p * 64 + d] * $v.getDouble(d);
+         |for (int $p = 0; $p < 16; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < ${ev.value}_dim; $d++) {
+         |    $s += $wRef[$p * 64 + $d] * $v.getDouble($d);
          |  }
-         |  if (s >= 0) ${ev.value}_sig |= 1L << p;
+         |  if ($s >= 0) ${ev.value}_sig |= 1L << $p;
          |}
          |${ev.value} = ${ev.value}_sig;
        """.stripMargin

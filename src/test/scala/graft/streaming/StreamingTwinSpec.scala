@@ -28,8 +28,7 @@ class StreamingTwinSpec extends SparkSpec {
     val schema = spark.read.parquet(dir.toString).schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    val df = if (table == "events")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+    val df = if (table == "events") graft.Tables.normalizeEventsTs(raw) else raw
     (dir, df)
   }
 
@@ -42,11 +41,21 @@ class StreamingTwinSpec extends SparkSpec {
   /** Far-future sentinel event (user_id −1): appended as a second
     * micro-batch it advances the watermark past every real record, closing
     * all append-mode windows. */
-  private def appendSentinel(dir: java.nio.file.Path): Unit =
-    spark.read.parquet(dir.toString).limit(1)
-      .withColumn("ts", lit(4000000000000000000L)) // ~2096 in nanos
+  private def appendSentinel(dir: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.types._
+    val cur = spark.read.parquet(dir.toString)
+    // Sentinel must match the dir's physical ts encoding so the fixed-schema
+    // stream reader accepts the appended file: nanos long for the legacy
+    // generation, a cast timestamp (~2096) for timestamp[us]/NTZ data.
+    val sentinelTs = cur.schema("ts").dataType match {
+      case LongType => lit(4000000000000000000L) // ~2096 in nanos
+      case t => timestamp_micros(lit(4000000000000000L)).cast(t)
+    }
+    cur.limit(1)
+      .withColumn("ts", sentinelTs)
       .withColumn("user_id", lit(-1L))
       .write.mode("append").parquet(dir.toString)
+  }
 
   private def batch(name: String) =
     CoreQueries.queries(name)(spark, sf).collect().toSeq
