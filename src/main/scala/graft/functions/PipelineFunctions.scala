@@ -170,6 +170,19 @@ object PipelineFunctions {
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** One 16-bit band (bits [off, off+16) over 64-bit md5-prefix word
+    * hashes) of a 64-bit SimHash — see VectorExpressions.SimHashBand for
+    * the banding math. Native-only: the band decomposition exists FOR the
+    * bucketed join, which only runs where GraftExtensions is installed
+    * (every entrypoint session — Verify/Bench/SqlEngine/tests). */
+  def simhashBand(words: Column, off: Int): Column = {
+    require(Seq(0, 16, 32, 48).contains(off), s"bad band offset $off")
+    require(org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_simhash_band")),
+      "graft_simhash_band needs GraftExtensions (spark.sql.extensions)")
+    call_function("graft_simhash_band", words, lit(off))
+  }
+
   // ---- embedding vector math ----------------------------------------------
 
   /** Cast a float array column to double for stable arithmetic. */

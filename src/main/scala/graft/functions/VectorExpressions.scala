@@ -140,6 +140,44 @@ object HashUtil {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** First 64 bits of md5(bytes) as a long (unsigned bit pattern) —
+    * bit-identical to `('0x' || substr(md5(s), 1, 16))::UBIGINT` in DuckDB
+    * (first 16 hex chars = first 8 digest bytes, big-endian). */
+  def md5Prefix64(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 16-bit SimHash over bit range [off, off+16) of the 64-bit md5-prefix
+    * word hashes; null word poisons to null (boxed). Four of these at
+    * offsets 0/16/32/48 form a 64-bit signature as four independently
+    * joinable bands (pigeonhole: Hamming ≤ 3 over 64 bits ⇒ at least one
+    * 16-bit band matches exactly). */
+  def simhashBand(words: ArrayData, off: Int): java.lang.Long = {
+    val n = words.numElements()
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      val h = md5Prefix64(words.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 16) {
+        counts(b) += ((h >>> (b + off)) & 1L) * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
   /** Distinct rolling 3-shingle hashes of a word array in ONE pass:
     * wh_i = md5Prefix32(word_i), s_i = ((wh_i·131 + wh_{i+1}) mod P)·131 +
     * wh_{i+2} mod P, first-occurrence order — the exact arithmetic of
@@ -286,6 +324,57 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_simhash_band(words, off)`: one 16-bit band of a 64-bit SimHash —
+  * the signature over bits [off, off+16) of the 64-bit md5-prefix word
+  * hashes (off ∈ {0,16,32,48}, a foldable literal). Four bands make the
+  * 64-bit-signature near-dup join BUCKETED: Hamming ≤ 3 over 64 bits
+  * pigeonholes into an exact match on ≥1 band, so banding loses no pair.
+  * The 16-bit [[SimHash16]] can't support banding (4-bit bands have 16
+  * buckets — the "bucketed" join would still be n²/4). */
+case class SimHashBand(words: Expression, offsetExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = words
+  override def right: Expression = offsetExpr
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_band"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val wordsOk = words.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    val offOk = offsetExpr.foldable && (offsetExpr.eval(null) match {
+      case i: Int => Seq(0, 16, 32, 48).contains(i)
+      case _ => false
+    })
+    if (wordsOk && offOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_simhash_band expects (array<string>, literal offset in {0,16,32,48})")
+  }
+
+  @transient private lazy val off: Int =
+    offsetExpr.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.simhashBand(a.asInstanceOf[ArrayData], off)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, o) => {
+      val tmp = ctx.freshName("bandSig")
+      s"""
+         |java.lang.Long $tmp = graft.functions.HashUtil.simhashBand($v, (int) $o);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(words = newLeft, offsetExpr = newRight)
+}
+
 /** Session extension registering the native functions — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -310,5 +399,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingles3_native"),
       new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles3_native"),
       (args: Seq[Expression]) => Shingles3(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_band"),
+      new ExpressionInfo(classOf[SimHashBand].getName, "graft_simhash_band"),
+      (args: Seq[Expression]) => SimHashBand(args.head, args(1))))
   }
 }

@@ -319,6 +319,42 @@ object DedupQueries extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // SimHash near-dup at SCALE: 64-bit signature held as four 16-bit bands
+    // (sh0..sh3 = bits [0,16) [16,32) [32,48) [48,64) of the per-word
+    // 64-bit md5-prefix SimHash). Pigeonhole: Hamming ≤ 3 over 64 bits
+    // leaves ≥1 of the 4 bands untouched, so candidates = pairs agreeing
+    // EXACTLY on some band — a bucketed equi-join on (band, value), never
+    // the all-pairs Hamming scan of q_dedup_simhash_pairs (that one stays
+    // as the 16-bit correctness anchor; 16-bit sigs can't band — 4-bit
+    // buckets have 16 values, still n²/4). Expected bucket occupancy at
+    // uniform hashing is n/65536 per band value, so the shuffled candidate
+    // set is ~n + true-dup pairs: the same reason MinHash-LSH scales.
+    // The oracle is the EXHAUSTIVE O(n²) scan in DuckDB — banding is
+    // provably lossless, so the hash must match exactly.
+    "q_dedup_simhash_banded" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Tables.load(s, dir, "documents")
+        .select($"doc_id", simhashBand(split($"text", " "), 0).as("sh0"),
+          simhashBand(split($"text", " "), 16).as("sh1"),
+          simhashBand(split($"text", " "), 32).as("sh2"),
+          simhashBand(split($"text", " "), 48).as("sh3"))
+      val bands = sig.select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3",
+        explode(array((0 to 3).map(k =>
+          struct(lit(k).as("band"), col(s"sh$k").as("bval"))): _*)).as("bk"))
+        .select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3",
+          $"bk.band".as("band"), $"bk.bval".as("bval"))
+      val dist = hamming($"a.sh0", $"b.sh0") + hamming($"a.sh1", $"b.sh1") +
+        hamming($"a.sh2", $"b.sh2") + hamming($"a.sh3", $"b.sh3")
+      bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          dist.cast("long").as("dist"))
+        .distinct() // a pair can agree on several bands
+        .filter($"dist" <= 3)
+        .orderBy($"d1", $"d2")
+    }),
+
     // PARAGRAPH-level exact dedup (CCNet-style boilerplate removal): split
     // each doc into paragraphs, keep only each paragraph's FIRST occurrence
     // corpus-wide (total (doc_id, idx) order), report per-doc survivors.
@@ -536,6 +572,28 @@ object DedupQueries extends QueryPack {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND bit_count(xor(a.sh16, b.sh16)) <= 3
          ORDER BY d1, d2""",
+    // Exhaustive O(n²) 64-bit-Hamming scan: banding in the Spark plan is
+    // provably lossless (pigeonhole over 4×16-bit bands at dist ≤ 3), so
+    // the bucketed join must reproduce the brute-force answer bit-for-bit.
+    "q_dedup_simhash_banded" -> {
+      def sub(off: Int) =
+        s"""list_sum(list_transform(range(0, 16), b ->
+           CASE WHEN list_sum(list_transform(hs, x ->
+             ((x >> (b + $off)) & 1::UBIGINT)::BIGINT * 2 - 1)) >= 0
+           THEN (1::BIGINT << b) ELSE 0 END))::BIGINT"""
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         h AS (SELECT doc_id,
+           list_transform(w, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+         FROM d),
+         sig AS (SELECT doc_id, ${sub(0)} AS sh0, ${sub(16)} AS sh1,
+           ${sub(32)} AS sh2, ${sub(48)} AS sh3 FROM h)
+         SELECT d1, d2, dist FROM (
+           SELECT a.doc_id d1, b.doc_id d2,
+             (bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1))
+              + bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3)))::BIGINT AS dist
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE dist <= 3 ORDER BY d1, d2"""
+    },
     "q_dedup_paragraph" -> paragraphOracleSql,
     // salting must not change a single value — same oracle
     "q_dedup_paragraph_salted" -> paragraphOracleSql
