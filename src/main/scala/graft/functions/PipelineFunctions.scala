@@ -177,11 +177,34 @@ object PipelineFunctions {
     * (every entrypoint session — Verify/Bench/SqlEngine/tests). */
   def simhashBand(words: Column, off: Int): Column = {
     require(Seq(0, 16, 32, 48).contains(off), s"bad band offset $off")
-    require(org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.catalog.functionExists("graft_simhash_band")),
-      "graft_simhash_band needs GraftExtensions (spark.sql.extensions)")
+    requireNative("graft_simhash_band")
     call_function("graft_simhash_band", words, lit(off))
   }
+
+  /** All four bands at once as array<long> [sh0..sh3] — one md5 digest per
+    * word instead of four (VectorExpressions.SimHashBands). Native-only,
+    * like [[simhashBand]]. */
+  def simhashBands(words: Column): Column = {
+    requireNative("graft_simhash_bands")
+    call_function("graft_simhash_bands", words)
+  }
+
+  /** Distinguish "no active session on this thread" from "session lacks
+    * GraftExtensions" — the two failure modes need different fixes, and a
+    * message blaming the extension when no session exists sends the caller
+    * down the wrong path. */
+  private def requireNative(fn: String): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case None => throw new IllegalStateException(
+        s"$fn: no active SparkSession on this thread — build/getOrCreate the " +
+          "session (with spark.sql.extensions=graft.functions.GraftExtensions) " +
+          "before constructing this Column")
+      case Some(s) if !s.catalog.functionExists(fn) =>
+        throw new IllegalStateException(
+          s"$fn: active session lacks GraftExtensions — set " +
+            "spark.sql.extensions=graft.functions.GraftExtensions at session build")
+      case _ => ()
+    }
 
   // ---- embedding vector math ----------------------------------------------
 

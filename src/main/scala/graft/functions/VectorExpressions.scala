@@ -157,9 +157,15 @@ object HashUtil {
     * word hashes; null word poisons to null (boxed). Four of these at
     * offsets 0/16/32/48 form a 64-bit signature as four independently
     * joinable bands (pigeonhole: Hamming ≤ 3 over 64 bits ⇒ at least one
-    * 16-bit band matches exactly). */
+    * 16-bit band matches exactly).
+    *
+    * Empty word array → 0, matching the DuckDB oracle (list_sum over an
+    * empty list is NULL, so no CASE arm fires and every bit stays 0) —
+    * unreachable through split() (never yields an empty array) but pinned
+    * so a tokenization change can't open a silent Spark/oracle divergence. */
   def simhashBand(words: ArrayData, off: Int): java.lang.Long = {
     val n = words.numElements()
+    if (n == 0) return java.lang.Long.valueOf(0L)
     val counts = new Array[Long](16)
     var i = 0
     while (i < n) {
@@ -176,6 +182,41 @@ object HashUtil {
     var b = 0
     while (b < 16) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
     java.lang.Long.valueOf(sig)
+  }
+
+  /** All four 16-bit bands of the 64-bit SimHash in ONE pass: each word is
+    * md5-digested once and feeds all 64 counters. The per-band expression
+    * re-hashes every word per band — 4× the digests in the map-side stage
+    * banded dedup exists to make cheap. Identical band values to
+    * [[simhashBand]] at offsets 0/16/32/48 (same counters, same >= 0 rule;
+    * empty → four zeros, null word → null). */
+  def simhashBands(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      val h = md5Prefix64(words.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L) * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var k = 0
+    while (k < 4) {
+      var sig = 0L
+      var b = 0
+      while (b < 16) {
+        if (n > 0 && counts(k * 16 + b) >= 0) sig |= 1L << b
+        b += 1
+      }
+      out(k) = sig
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Distinct rolling 3-shingle hashes of a word array in ONE pass:
@@ -375,6 +416,46 @@ case class SimHashBand(words: Expression, offsetExpr: Expression)
     copy(words = newLeft, offsetExpr = newRight)
 }
 
+/** `graft_simhash_bands(words)`: all four 16-bit bands of the 64-bit
+  * SimHash as array<long> [sh0, sh1, sh2, sh3] — ONE md5 digest per word
+  * feeding all 64 counters, where four [[SimHashBand]] calls digest every
+  * word four times (and, uncached, once more per plan branch the sig
+  * subplan appears in). Values are bit-identical to the per-band
+  * expression at offsets 0/16/32/48. */
+case class SimHashBands(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_bands"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash_bands expects array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.simhashBands(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("bands")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.HashUtil.simhashBands($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native functions — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -403,5 +484,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash_band"),
       new ExpressionInfo(classOf[SimHashBand].getName, "graft_simhash_band"),
       (args: Seq[Expression]) => SimHashBand(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_bands"),
+      new ExpressionInfo(classOf[SimHashBands].getName, "graft_simhash_bands"),
+      (args: Seq[Expression]) => SimHashBands(args.head)))
   }
 }

@@ -49,4 +49,62 @@ object TopK {
   /** `topkdistinct(col, k)`: k largest distinct values, descending. */
   def topkDistinct(c: Column, k: Int): Column =
     udaf(new TopKAgg(k, distinct = true), Encoders.scalaDouble).apply(c)
+
+  /** `topkRows(key, id, v, k)`: the k rows with the largest `key` per
+    * group, ties broken by ascending `id` — ordered array out, rank =
+    * array position + 1. The scale-safe replacement for
+    * `row_number().over(Window.partitionBy(g).orderBy(key.desc, id))
+    * .filter(rk <= k)`: the window form funnels each group's ENTIRE
+    * membership through one un-splittable sort task (one language's whole
+    * corpus at 100 TB), while this bounded heap partial-aggregates
+    * map-side — every partition reduces to ≤ k rows per group before the
+    * shuffle, so the exchange carries O(partitions · k) rows per group and
+    * no total order exists anywhere. Same total order (key DESC, id ASC,
+    * NaN-greatest like Spark's desc sort), so for deterministic keys the
+    * selected rows and ranks are IDENTICAL to the window form — the twin
+    * queries hash-match the exact forms' oracles. */
+  def topkRows(key: Column, id: Column, v: Column, k: Int): Column =
+    udaf(new TopKRowsAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[RankedRow]())
+      .apply(key, id, v)
+}
+
+/** One candidate row of a per-group top-k selection: `key` ranks (DESC),
+  * `id` breaks ties (ASC) and makes the order total, `v` is the carried
+  * payload (often the unperturbed score the output reports). */
+case class RankedRow(key: Double, id: Long, v: Double)
+
+/** Bounded-heap top-k-rows Aggregator — see [[TopK.topkRows]]. Buffer is an
+  * unsorted Vector compacted lazily at 4k elements (amortized O(1) insert,
+  * O(cap log cap) compaction), merged buffers re-compact; `finish` returns
+  * the k rows in rank order. */
+final class TopKRowsAgg(k: Int)
+    extends Aggregator[RankedRow, Vector[RankedRow], Seq[RankedRow]] {
+  require(k > 0, s"topkRows k must be positive, got $k")
+  private val cap = 4 * k
+
+  // key DESC (NaN greatest → first, matching Spark's desc Double sort),
+  // id ASC — the exact total order of the window twin
+  private implicit val ord: Ordering[RankedRow] = new Ordering[RankedRow] {
+    def compare(a: RankedRow, b: RankedRow): Int = {
+      val c = java.lang.Double.compare(b.key, a.key)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+  private def compact(b: Vector[RankedRow]): Vector[RankedRow] =
+    b.sorted.take(k)
+
+  override def zero: Vector[RankedRow] = Vector.empty
+  override def reduce(b: Vector[RankedRow], a: RankedRow): Vector[RankedRow] = {
+    val nb = b :+ a
+    if (nb.length >= cap) compact(nb) else nb
+  }
+  override def merge(b1: Vector[RankedRow], b2: Vector[RankedRow]): Vector[RankedRow] =
+    compact(b1 ++ b2)
+  override def finish(r: Vector[RankedRow]): Seq[RankedRow] = compact(r)
+
+  override def bufferEncoder: Encoder[Vector[RankedRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[RankedRow]]()
+  override def outputEncoder: Encoder[Seq[RankedRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedRow]]()
 }

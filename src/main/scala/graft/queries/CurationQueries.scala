@@ -23,6 +23,62 @@ object CurationQueries extends QueryPack {
          + (1.0 - len(list_filter(w, t -> t IN ('the','a','of','and','is')))::DOUBLE / len(w)) * 0.2,
          6)"""
 
+  /** (doc_id, lang, q) quality-scored corpus — shared by the exact and
+    * scale-safe top-k-per-language twins so score arithmetic cannot drift. */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = tokens($"text")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"))
+  }
+
+  /** DSIR importance weights + deterministic Gumbel resample key
+    * (doc_id, lang, w, key) — the whole pipeline up to the final per-
+    * language top-20, shared by the exact (window) and scale-safe
+    * (bounded-heap) twins. See q_curation_dsir for the full design notes. */
+  private def dsirKeyed(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bigrams = when(size($"w") >= 2,
+      transform(sequence(lit(0), size($"w") - 2),
+        i => concat_ws(" ", slice($"w", i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val feats = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", tokens($"text").as("w"))
+      // the n-gram explode amplifies each doc ~2·tokens×; spread docs
+      // before it (at 100 TB the scan's own splits do this — one small
+      // local parquet file would serialize the pass into one task)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"lang", explode(concat($"w", bigrams)).as("f"))
+      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+    val docBuckets = feats.groupBy($"doc_id", $"lang", $"b")
+      .agg(count(lit(1)).as("cnt"))
+    val hist = docBuckets.groupBy($"b")
+      .agg(sum($"cnt").as("n_raw"),
+        sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("n_tgt"))
+    // global totals via a window over the ≤256-row histogram (tiny frame,
+    // same pattern as q_curation_mix's feasibility scalar)
+    val wAll = Window.partitionBy()
+    val ratio = hist
+      .withColumn("t_raw", sum($"n_raw").over(wAll))
+      .withColumn("t_tgt", sum($"n_tgt").over(wAll))
+      .select($"b", round(
+        log(($"n_tgt" + 1).cast("double") / ($"t_tgt" + 256)) -
+          log(($"n_raw" + 1).cast("double") / ($"t_raw" + 256)), 7)
+        .cast("decimal(20,7)").as("lr"))
+    val weights = docBuckets.join(broadcast(ratio), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"cnt".cast("decimal(12,0)") * $"lr").as("wdec"))
+      .select($"doc_id", $"lang",
+        round($"wdec".cast("double"), 6).as("w"))
+    // deterministic Gumbel draw g = -ln(-ln(u)) from an independent hash
+    // stream ("dsir" prefix), u offset to (0,1) open interval
+    val u = (pmod(hash32Chain(concat(lit("dsir"), $"doc_id".cast("string"))),
+      lit(1000000L)).cast("double") + 0.5) / 1e6
+    weights.withColumn("key", $"w" + round(-log(-log(u)), 6))
+  }
+
   override def queries: Map[String, Q] = Map(
     // Deterministic stratified sampling: keep a doc iff a stable hash of
     // its id falls under the language's rate — reproducible downsampling
@@ -47,12 +103,29 @@ object CurationQueries extends QueryPack {
     // only k rows per group survive to the output.
     "q_curation_topk_group" -> ((s, dir) => {
       import s.implicits._
-      val w = tokens($"text")
       val win = Window.partitionBy($"lang").orderBy($"q".desc, $"doc_id")
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"))
+      scoredDocs(s, dir)
         .withColumn("rk", row_number().over(win).cast("long"))
         .filter($"rk" <= 3)
+        .orderBy($"lang", $"rk")
+    }),
+
+    // SCALE-SAFE per-language top-k (same oracle as q_curation_topk_group):
+    // the window form above sorts one language's ENTIRE corpus in a single
+    // task; here the bounded-heap TopKRowsAgg partial-aggregates map-side —
+    // each partition reduces to ≤ k rows per language before the shuffle,
+    // so the exchange carries O(partitions·k) rows and no per-group total
+    // sort exists anywhere. Rank = position in the aggregator's ordered
+    // output (the identical (q DESC, doc_id) total order), so rows AND
+    // ranks hash-match the exact form bit-for-bit.
+    "q_curation_topk_group_scalable" -> ((s, dir) => {
+      import s.implicits._
+      scoredDocs(s, dir)
+        .groupBy($"lang")
+        .agg(graft.operators.TopK.topkRows($"q", $"doc_id", $"q", 3).as("top"))
+        .select($"lang", posexplode($"top"))
+        .select($"col.id".as("doc_id"), $"lang", $"col.v".as("q"),
+          ($"pos" + 1).cast("long").as("rk"))
         .orderBy($"lang", $"rk")
     }),
 
@@ -273,48 +346,30 @@ object CurationQueries extends QueryPack {
     // accepted shape as q_curation_topk_group.
     "q_curation_dsir" -> ((s, dir) => {
       import s.implicits._
-      val bigrams = when(size($"w") >= 2,
-        transform(sequence(lit(0), size($"w") - 2),
-          i => concat_ws(" ", slice($"w", i + 1, lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      val feats = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang", tokens($"text").as("w"))
-        // the n-gram explode amplifies each doc ~2·tokens×; spread docs
-        // before it (at 100 TB the scan's own splits do this — one small
-        // local parquet file would serialize the pass into one task)
-        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-        .select($"doc_id", $"lang", explode(concat($"w", bigrams)).as("f"))
-        .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
-      val docBuckets = feats.groupBy($"doc_id", $"lang", $"b")
-        .agg(count(lit(1)).as("cnt"))
-      val hist = docBuckets.groupBy($"b")
-        .agg(sum($"cnt").as("n_raw"),
-          sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("n_tgt"))
-      // global totals via a window over the ≤256-row histogram (tiny frame,
-      // same pattern as q_curation_mix's feasibility scalar)
-      val wAll = Window.partitionBy()
-      val ratio = hist
-        .withColumn("t_raw", sum($"n_raw").over(wAll))
-        .withColumn("t_tgt", sum($"n_tgt").over(wAll))
-        .select($"b", round(
-          log(($"n_tgt" + 1).cast("double") / ($"t_tgt" + 256)) -
-            log(($"n_raw" + 1).cast("double") / ($"t_raw" + 256)), 7)
-          .cast("decimal(20,7)").as("lr"))
-      val weights = docBuckets.join(broadcast(ratio), "b")
-        .groupBy($"doc_id", $"lang")
-        .agg(sum($"cnt".cast("decimal(12,0)") * $"lr").as("wdec"))
-        .select($"doc_id", $"lang",
-          round($"wdec".cast("double"), 6).as("w"))
-      // deterministic Gumbel draw g = -ln(-ln(u)) from an independent hash
-      // stream ("dsir" prefix), u offset to (0,1) open interval
-      val u = (pmod(hash32Chain(concat(lit("dsir"), $"doc_id".cast("string"))),
-        lit(1000000L)).cast("double") + 0.5) / 1e6
       val win = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
-      weights
-        .withColumn("key", $"w" + round(-log(-log(u)), 6))
+      dsirKeyed(s, dir)
         .withColumn("rk", row_number().over(win).cast("long"))
         .filter($"rk" <= 20)
         .select($"doc_id", $"lang", $"w", $"rk")
+        .orderBy($"lang", $"rk")
+    }),
+
+    // SCALE-SAFE DSIR resample (same oracle as q_curation_dsir): the
+    // Gumbel-top-20 per language via the bounded-heap TopKRowsAgg instead
+    // of a per-language row_number window — the window form funnels each
+    // language's whole weighted corpus through one sort task, the heap
+    // partial-aggregates to ≤ 20 rows per partition before the shuffle.
+    // Keys are the same round(6) doubles, so the selected docs and ranks
+    // hash-match the exact form; the carried payload v is the unperturbed
+    // weight w the output reports.
+    "q_curation_dsir_scalable" -> ((s, dir) => {
+      import s.implicits._
+      dsirKeyed(s, dir)
+        .groupBy($"lang")
+        .agg(graft.operators.TopK.topkRows($"key", $"doc_id", $"w", 20).as("top"))
+        .select($"lang", posexplode($"top"))
+        .select($"col.id".as("doc_id"), $"lang", $"col.v".as("w"),
+          ($"pos" + 1).cast("long").as("rk"))
         .orderBy($"lang", $"rk")
     })
   )
@@ -326,13 +381,9 @@ object CurationQueries extends QueryPack {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
                < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
          ORDER BY doc_id""",
-    "q_curation_topk_group" ->
-      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
-          q AS (SELECT doc_id, lang, $qExpr AS q FROM d),
-          r AS (SELECT doc_id, lang, q,
-                  row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
-                FROM q)
-          SELECT doc_id, lang, q, rk FROM r WHERE rk <= 3 ORDER BY lang, rk""",
+    "q_curation_topk_group" -> topkGroupOracleSql,
+    // the bounded-heap twin selects the identical rows/ranks — same oracle
+    "q_curation_topk_group_scalable" -> topkGroupOracleSql,
     "q_curation_token_budget" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
           q AS (SELECT doc_id, lang, len(w)::BIGINT AS n_tokens, $qExpr AS q FROM d),
@@ -429,8 +480,21 @@ object CurationQueries extends QueryPack {
     // DSIR replica: identical features (unigrams + bigrams, multiset),
     // identical md5 bucket hash, add-1 smoothing, round(7) log-ratios
     // summed DECIMAL-exact, and the same hash-Gumbel per-language top-20.
-    "q_curation_dsir" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+    "q_curation_dsir" -> dsirOracleSql,
+    // the bounded-heap twin selects the identical rows/ranks — same oracle
+    "q_curation_dsir_scalable" -> dsirOracleSql
+  )
+
+  private val topkGroupOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+        q AS (SELECT doc_id, lang, $qExpr AS q FROM d),
+        r AS (SELECT doc_id, lang, q,
+                row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
+              FROM q)
+        SELECT doc_id, lang, q, rk FROM r WHERE rk <= 3 ORDER BY lang, rk"""
+
+  private val dsirOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
          f AS (SELECT doc_id, lang,
                  unnest(list_concat(w,
                    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS f
@@ -460,5 +524,4 @@ object CurationQueries extends QueryPack {
                  FROM wt)
          SELECT doc_id, lang, w, rk FROM res WHERE rk <= 20
          ORDER BY lang, rk"""
-  )
 }

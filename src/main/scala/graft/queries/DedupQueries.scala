@@ -333,26 +333,15 @@ object DedupQueries extends QueryPack {
     // provably lossless, so the hash must match exactly.
     "q_dedup_simhash_banded" -> ((s, dir) => {
       import s.implicits._
+      // ONE native pass computes all four bands (each word md5-digested
+      // once, not 4×); persist truncates the plan so the map-side sig
+      // compute runs once, not once per self-join branch
       val sig = Tables.load(s, dir, "documents")
-        .select($"doc_id", simhashBand(split($"text", " "), 0).as("sh0"),
-          simhashBand(split($"text", " "), 16).as("sh1"),
-          simhashBand(split($"text", " "), 32).as("sh2"),
-          simhashBand(split($"text", " "), 48).as("sh3"))
-      val bands = sig.select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3",
-        explode(array((0 to 3).map(k =>
-          struct(lit(k).as("band"), col(s"sh$k").as("bval"))): _*)).as("bk"))
-        .select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3",
-          $"bk.band".as("band"), $"bk.bval".as("bval"))
-      val dist = hamming($"a.sh0", $"b.sh0") + hamming($"a.sh1", $"b.sh1") +
-        hamming($"a.sh2", $"b.sh2") + hamming($"a.sh3", $"b.sh3")
-      bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-          dist.cast("long").as("dist"))
-        .distinct() // a pair can agree on several bands
-        .filter($"dist" <= 3)
-        .orderBy($"d1", $"d2")
+        .select($"doc_id", simhashBands(split($"text", " ")).as("sh"))
+        .select($"doc_id", $"sh"(0).as("sh0"), $"sh"(1).as("sh1"),
+          $"sh"(2).as("sh2"), $"sh"(3).as("sh3"))
+        .persist()
+      simhashBandedPairs(sig, hotThreshold = 1024L).orderBy($"d1", $"d2")
     }),
 
     // PARAGRAPH-level exact dedup (CCNet-style boilerplate removal): split
@@ -384,6 +373,71 @@ object DedupQueries extends QueryPack {
     // firsts relation is not materialized.
     "q_dedup_paragraph_salted" -> ((s, dir) => paragraphDedup(s, dir, salt = 8))
   )
+
+  /** Banded 64-bit-SimHash near-dup pairs (d1, d2, dist ≤ 3) from a
+    * signature frame (doc_id, sh0..sh3) — shared by q_dedup_simhash_banded
+    * and the ScaleProbe rows so plan and probe cannot drift.
+    *
+    * Cold path: candidates = pairs agreeing exactly on some 16-bit band
+    * (pigeonhole: Hamming ≤ 3 over 64 bits leaves ≥ 1 of 4 bands
+    * untouched). Expected occupancy at uniform hashing is n/65536 per band
+    * value, so candidates ≈ n + true pairs.
+    *
+    * Hot-bucket refinement (the skew guard): real corpora break the
+    * uniformity assumption — short docs over a small vocabulary concentrate
+    * into few signatures, and one band value shared by m docs costs m²
+    * candidate pairs. Any bucket above `hotThreshold` is therefore joined
+    * on an ADDITIONAL 12-bit sub-band of the remaining 48 bits (the other
+    * three bands packed little-endian). Pigeonhole again: band k exact ⇒
+    * the ≤ 3 errors lie in those 48 bits ⇒ of the four 12-bit sub-bands
+    * ≥ 1 matches exactly — so refinement loses no pair, and a hot bucket's
+    * join cost drops from m² to Σ (m/4096-expected sub-occupancy)². The
+    * hot set itself is ≤ 4n/threshold keys — broadcastable by
+    * construction. Both paths union before the pair-level distinct, so a
+    * pair found via several bands (or both paths) counts once. */
+  private[graft] def simhashBandedPairs(sig: DataFrame,
+                                        hotThreshold: Long): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val bands = sig.select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3",
+      explode(array((0 to 3).map { k =>
+        // rest = the other three bands as one 48-bit word (consistent
+        // order both sides of the self-join — that is all pigeonhole needs)
+        val rest = col(s"sh${(k + 1) % 4}") +
+          col(s"sh${(k + 2) % 4}") * lit(65536L) +
+          col(s"sh${(k + 3) % 4}") * lit(65536L * 65536L)
+        struct(lit(k).as("band"), col(s"sh$k").as("bval"), rest.as("rest"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3",
+        $"bk.band".as("band"), $"bk.bval".as("bval"), $"bk.rest".as("rest"))
+    val hot = bands.groupBy($"band", $"bval")
+      .agg(count(lit(1)).as("n")).filter($"n" > hotThreshold)
+      .select($"band", $"bval", lit(true).as("__hot"))
+    val marked = bands.join(broadcast(hot), Seq("band", "bval"), "left")
+    val dist = (hamming($"a.sh0", $"b.sh0") + hamming($"a.sh1", $"b.sh1") +
+      hamming($"a.sh2", $"b.sh2") + hamming($"a.sh3", $"b.sh3")).cast("long")
+    val cold = marked.filter($"__hot".isNull)
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), dist.as("dist"))
+    val hotSub = marked.filter($"__hot" === true)
+      .select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3", $"band", $"bval",
+        explode(array((0 to 3).map(j =>
+          struct(lit(j).as("sub"),
+            shiftright($"rest", 12 * j).bitwiseAND(lit(4095L)).as("subv"))): _*))
+          .as("sb"))
+      .select($"doc_id", $"sh0", $"sh1", $"sh2", $"sh3", $"band", $"bval",
+        $"sb.sub".as("sub"), $"sb.subv".as("subv"))
+    val hotPairs = hotSub.as("a").join(hotSub.as("b"),
+        $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+          $"a.sub" === $"b.sub" && $"a.subv" === $"b.subv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), dist.as("dist"))
+    coldPairs.unionAll(hotPairs)
+      .distinct() // a pair can agree on several bands / sub-bands
+      .filter($"dist" <= 3)
+  }
 
   /** The paragraph-dedup pipeline behind q_dedup_paragraph and its salted
     * twin — one definition, so operator and mitigation cannot drift.

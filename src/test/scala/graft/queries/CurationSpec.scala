@@ -79,6 +79,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("scale-safe twins select the identical rows and ranks as the window forms") {
+    // the bounded-heap TopKRowsAgg twins must be value-identical to the
+    // exact row_number forms — that is what lets them share one oracle
+    for ((exact, scalable) <- Seq(
+        "q_curation_topk_group" -> "q_curation_topk_group_scalable",
+        "q_curation_dsir" -> "q_curation_dsir_scalable")) {
+      val a = CurationQueries.queries(exact)(spark, sf).collect().toSeq
+      val b = CurationQueries.queries(scalable)(spark, sf).collect().toSeq
+      assert(a.nonEmpty, s"$exact returned no rows")
+      assert(a == b, s"$scalable diverges from $exact")
+    }
+  }
+
   test("DSIR importance resampling: target-language weights dominate, ranks dense") {
     val rows = CurationQueries.queries("q_curation_dsir")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))

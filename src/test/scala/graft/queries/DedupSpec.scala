@@ -71,4 +71,56 @@ class DedupSpec extends SparkSpec {
     val first = hosts.find(_._1 == firstHost).get
     assert(first._3 == 0, s"first host $firstHost must keep its boilerplate")
   }
+
+  test("banded SimHash equals the exhaustive Hamming scan (banding lossless)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val banded = DedupQueries.queries("q_dedup_simhash_banded")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force over the same signatures
+    val sig = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", graft.functions.PipelineFunctions
+        .simhashBands(split($"text", " ")).as("sh"))
+      .select($"doc_id", $"sh"(0).as("sh0"), $"sh"(1).as("sh1"),
+        $"sh"(2).as("sh2"), $"sh"(3).as("sh3"))
+    val dist = (bit_count($"a.sh0".bitwiseXOR($"b.sh0")) +
+      bit_count($"a.sh1".bitwiseXOR($"b.sh1")) +
+      bit_count($"a.sh2".bitwiseXOR($"b.sh2")) +
+      bit_count($"a.sh3".bitwiseXOR($"b.sh3"))).cast("long")
+    val brute = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), dist.as("dist"))
+      .filter($"dist" <= 3).orderBy($"d1", $"d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(brute.nonEmpty, "corpus has no near-dup signatures at dist <= 3")
+    assert(banded.toSeq == brute.toSeq)
+  }
+
+  test("hot-bucket sub-band refinement loses no pair (synthetic hot band)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 600 docs sharing ONE band-0 value (sig low band constant) but spread
+    // over the other 48 bits: a hot bucket well above the threshold, with
+    // only the crafted near pairs at dist <= 3
+    val rows = (0L until 600L).map { i =>
+      val rest = i * 2654435761L % (1L << 48)
+      (i, 42L, rest & 0xFFFFL, (rest >> 16) & 0xFFFFL, (rest >> 32) & 0xFFFFL)
+    } ++ Seq( // a planted near pair inside the hot bucket (dist 1)
+      (1000L, 42L, 7L, 7L, 7L),
+      (1001L, 42L, 7L, 7L, 6L))
+    val sig = rows.toDF("doc_id", "sh0", "sh1", "sh2", "sh3")
+    val refined = DedupQueries.simhashBandedPairs(sig, hotThreshold = 100L)
+      .orderBy($"d1", $"d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = (bit_count($"a.sh0".bitwiseXOR($"b.sh0")) +
+      bit_count($"a.sh1".bitwiseXOR($"b.sh1")) +
+      bit_count($"a.sh2".bitwiseXOR($"b.sh2")) +
+      bit_count($"a.sh3".bitwiseXOR($"b.sh3"))).cast("long")
+    val brute = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), dist.as("dist"))
+      .filter($"dist" <= 3).orderBy($"d1", $"d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(brute.exists(p => p._1 == 1000L && p._2 == 1001L),
+      "planted pair must be a true near-dup")
+    assert(refined.toSeq == brute.toSeq)
+  }
 }
