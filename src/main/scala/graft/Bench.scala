@@ -37,6 +37,9 @@ object Bench {
     "q_curation_token_budget", // per-lang quality-ordered token budget (window)
     "q_curation_token_budget_approx", // histogram-cutoff form (the 100 TB path)
     "q_curation_shard_scalable",      // sub-bucketed shard ranks, no global sort
+    "q_curation_topk_group_scalable", // bounded-heap top-k, no per-lang sort
+    "q_curation_dsir_scalable",       // DSIR w/ bounded-heap Gumbel resample
+    "q_dedup_simhash_banded",  // 64-bit SimHash bucketed band join (hot-guarded)
     "q_dedup_minhash_lsh_fast",// same pipeline on xxhash64 (production path)
     "q_dedup_simhash",         // SimHash signatures
     "q_lsh_signatures",        // hyperplane LSH signatures
@@ -117,6 +120,8 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
+    val contract =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","queries":$qjson,"sf":"$sfDir"}"""
     // Two lines, auxiliary first: the driver keeps only a ~2000-char tail of
     // stdout and json-parses the final line. With samples inlined the
     // headline line outgrows the tail window and loses its own head (r5
@@ -124,9 +129,23 @@ object Bench {
     // the LAST line is the compact contract JSON, printed after spark.stop()
     // so shutdown chatter lands before it, and explicitly flushed.
     println(s"""{"metric":"bench_samples","samples":$sjson}""")
+    // Belt-and-braces against stdout truncation/shutdown failure (the r5
+    // artifact lost its totals line to the tail window): the full result
+    // also lands in a file the driver (or a human) can always read.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+        (contract + "\n" + s"""{"metric":"bench_samples","samples":$sjson}""" + "\n")
+          .getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] artifact write: $e") }
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","queries":$qjson,"sf":"$sfDir"}""")
-    System.out.flush()
+    // spark.stop() can throw on executor shutdown races; the contract line
+    // must be emitted regardless or the whole run's result is lost
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop: $e") }
+    finally {
+      println(contract)
+      System.out.flush()
+    }
   }
 }

@@ -30,8 +30,10 @@ object ScaleProbe {
     // loop) must have their build time inside the clock too
     def time(plan: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      plan.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        plan.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.catalog.clearCache() // per-shape persists stay intra-probe
     }
 
     val lineitem = Tables.load(spark, sfDir, "lineitem")
@@ -279,6 +281,47 @@ object ScaleProbe {
           count($"lp").as("n_match"))
     }
 
+    // bounded-heap top-k per language (q_curation_topk_group_scalable's
+    // shape): TopKRowsAgg partial-aggregates to ≤ k rows per (partition,
+    // lang) before the shuffle — no per-language sort task anywhere; must
+    // stay ~linear (the row_number window form deepens one sort task per
+    // language by 10× here)
+    def topkScalableShape(df: DataFrame) =
+      graft.queries.CurationQueries.scoredDocsFrom(df)
+        .groupBy($"lang")
+        .agg(graft.operators.TopK.topkRows($"q", $"doc_id", $"q", 3).as("top"))
+        .select($"lang", posexplode($"top"))
+    // DSIR end-to-end with the bounded-heap resample (q_curation_dsir_
+    // scalable's shape): hashed n-gram histograms, broadcast log-ratios,
+    // then Gumbel top-20 per language via TopKRowsAgg
+    def dsirScalableShape(df: DataFrame) =
+      graft.queries.CurationQueries.dsirKeyedFrom(df)
+        .groupBy($"lang")
+        .agg(graft.operators.TopK.topkRows($"key", $"doc_id", $"w", 20).as("top"))
+        .select($"lang", posexplode($"top"))
+    // banded 64-bit SimHash near-dup (q_dedup_simhash_banded's shape):
+    // distinct-doc 10× so candidate growth measures the PLAN — band
+    // buckets at uniform occupancy n/65536 keep candidates ≈ n + true
+    // pairs, never the n² Hamming scan
+    def simhashBandedShape(df: DataFrame) = {
+      val sig = graft.queries.DedupQueries.simhashSig(df).persist()
+      graft.queries.DedupQueries.simhashBandedPairs(sig, hotThreshold = 1024L)
+    }
+    // ADVERSARIAL hot band: m synthetic sigs share ONE band-0 value but
+    // spread over the other 48 bits (no true near-dups beyond chance).
+    // t1x = WITH the 12-bit sub-band refinement, t10x = refinement
+    // disabled (threshold ∞) on the SAME corpus — the ratio is the factor
+    // the hot bucket's m² candidate join costs over the refined form, the
+    // regime the hot-bucket guard exists for (ratio >> 1 proves it).
+    def hotSigs(m: Long): DataFrame =
+      spark.range(m).select($"id".as("doc_id"), lit(42L).as("sh0"),
+        ($"id" * 2654435761L % 65536L).as("sh1"),
+        ($"id" * 40503L % 65536L).as("sh2"),
+        (($"id" * 65537L + 17L) % 65536L).as("sh3"))
+    def hotBandShape(sig: DataFrame, refine: Boolean) =
+      graft.queries.DedupQueries.simhashBandedPairs(sig.persist(),
+        hotThreshold = if (refine) 256L else Long.MaxValue)
+
     // 6-table Q9-shaped join (q_join_profit_by_nation's exact amount
     // expression): fact side grows 10×, dims stay fixed. Dims are
     // persisted and materialized OUTSIDE the timed region, and the
@@ -329,6 +372,15 @@ object ScaleProbe {
         (time(asofShape(events)), time(asofShape(x10Events(events)))),
       "perplexity_5k_vs_50k" ->
         (time(perplexityShape(docs)), time(perplexityShape(x10Distinct(docs)))),
+      "topk_group_scalable_5k_vs_50k" ->
+        (time(topkScalableShape(docs)), time(topkScalableShape(x10Distinct(docs)))),
+      "dsir_scalable_5k_vs_50k" ->
+        (time(dsirScalableShape(docs)), time(dsirScalableShape(x10Distinct(docs)))),
+      "simhash_banded_5k_vs_50k" ->
+        (time(simhashBandedShape(docs)), time(simhashBandedShape(x10Distinct(docs)))),
+      "simhash_hot_band_refined_vs_unrefined" ->
+        (time(hotBandShape(hotSigs(5000L), refine = true)),
+          time(hotBandShape(hotSigs(5000L), refine = false))),
       "profit_join_600k_vs_6m" ->
         (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
     // probes are strict (Seq, not view): all timing is done — release the

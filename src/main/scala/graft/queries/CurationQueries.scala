@@ -24,27 +24,34 @@ object CurationQueries extends QueryPack {
          6)"""
 
   /** (doc_id, lang, q) quality-scored corpus — shared by the exact and
-    * scale-safe top-k-per-language twins so score arithmetic cannot drift. */
-  private def scoredDocs(s: org.apache.spark.sql.SparkSession,
-                         dir: String): org.apache.spark.sql.DataFrame = {
+    * scale-safe top-k-per-language twins (and the ScaleProbe rows) so score
+    * arithmetic cannot drift. */
+  private[graft] def scoredDocsFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val w = tokens($"text")
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"))
+    docs.select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"))
   }
+
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    scoredDocsFrom(Tables.load(s, dir, "documents"))
 
   /** DSIR importance weights + deterministic Gumbel resample key
     * (doc_id, lang, w, key) — the whole pipeline up to the final per-
     * language top-20, shared by the exact (window) and scale-safe
-    * (bounded-heap) twins. See q_curation_dsir for the full design notes. */
-  private def dsirKeyed(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame = {
+    * (bounded-heap) twins and the ScaleProbe rows. See q_curation_dsir for
+    * the full design notes. */
+  private[graft] def dsirKeyedFrom(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs0.sparkSession
     import s.implicits._
     val bigrams = when(size($"w") >= 2,
       transform(sequence(lit(0), size($"w") - 2),
         i => concat_ws(" ", slice($"w", i + 1, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    val feats = Tables.load(s, dir, "documents")
+    val feats = docs0
       .select($"doc_id", $"lang", tokens($"text").as("w"))
       // the n-gram explode amplifies each doc ~2·tokens×; spread docs
       // before it (at 100 TB the scan's own splits do this — one small
@@ -78,6 +85,10 @@ object CurationQueries extends QueryPack {
       lit(1000000L)).cast("double") + 0.5) / 1e6
     weights.withColumn("key", $"w" + round(-log(-log(u)), 6))
   }
+
+  private def dsirKeyed(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    dsirKeyedFrom(Tables.load(s, dir, "documents"))
 
   override def queries: Map[String, Q] = Map(
     // Deterministic stratified sampling: keep a doc iff a stable hash of

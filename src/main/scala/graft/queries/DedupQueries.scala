@@ -333,14 +333,7 @@ object DedupQueries extends QueryPack {
     // provably lossless, so the hash must match exactly.
     "q_dedup_simhash_banded" -> ((s, dir) => {
       import s.implicits._
-      // ONE native pass computes all four bands (each word md5-digested
-      // once, not 4×); persist truncates the plan so the map-side sig
-      // compute runs once, not once per self-join branch
-      val sig = Tables.load(s, dir, "documents")
-        .select($"doc_id", simhashBands(split($"text", " ")).as("sh"))
-        .select($"doc_id", $"sh"(0).as("sh0"), $"sh"(1).as("sh1"),
-          $"sh"(2).as("sh2"), $"sh"(3).as("sh3"))
-        .persist()
+      val sig = simhashSig(Tables.load(s, dir, "documents")).persist()
       simhashBandedPairs(sig, hotThreshold = 1024L).orderBy($"d1", $"d2")
     }),
 
@@ -373,6 +366,18 @@ object DedupQueries extends QueryPack {
     // firsts relation is not materialized.
     "q_dedup_paragraph_salted" -> ((s, dir) => paragraphDedup(s, dir, salt = 8))
   )
+
+  /** 64-bit SimHash signature frame (doc_id, sh0..sh3) — ONE native pass
+    * computes all four bands (each word md5-digested once, not 4×; see
+    * VectorExpressions.SimHashBands). Callers persist before the
+    * self-join so the map-side sig compute runs once, not per branch. */
+  private[graft] def simhashSig(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", simhashBands(split($"text", " ")).as("sh"))
+      .select($"doc_id", $"sh"(0).as("sh0"), $"sh"(1).as("sh1"),
+        $"sh"(2).as("sh2"), $"sh"(3).as("sh3"))
+  }
 
   /** Banded 64-bit-SimHash near-dup pairs (d1, d2, dist ≤ 3) from a
     * signature frame (doc_id, sh0..sh3) — shared by q_dedup_simhash_banded
