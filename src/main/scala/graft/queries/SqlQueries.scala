@@ -32,10 +32,10 @@ object SqlQueries extends QueryPack {
                 AVG(l_quantity) AS av
          FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 10;""")),
 
-    // Unary math/trig through dialect text (UnaryOp.hs:34-358): the dialect
-    // has only unary ROUND, so 6-decimal pinning is spelled
-    // ROUND(f(x) * 1000000) — same rounded-integer compare as the Column
-    // API trig gate, robust to last-ulp libm differences.
+    // Unary math/trig through dialect text (UnaryOp.hs:34-358): 6-decimal
+    // pinning spelled ROUND(f(x) * 1000000) — same rounded-integer compare
+    // as the Column API trig gate, robust to last-ulp libm differences
+    // (predates the 2-arg ROUND extension; the integer form stays).
     "q_sql_math" -> ((s, dir) => run(s, dir,
       """SELECT event_id,
                 ROUND(SIN(value) * 1000000) AS sin6,
@@ -343,7 +343,25 @@ object SqlQueries extends QueryPack {
       """SELECT doc_id, lang, ARRAY_LENGTH(TOKENS(text)) AS n_tokens
          FROM documents
          WHERE BUCKET(TO_STR(doc_id), 100) < 10
-            OR (lang = 'en' AND BUCKET(TO_STR(doc_id), 100) < 30);"""))
+            OR (lang = 'en' AND BUCKET(TO_STR(doc_id), 100) < 30);""")),
+
+    // GROUP BY ROLLUP through the dialect (extension; q_corpus_rollup's
+    // plan and oracle): every grouping level in one shuffle, GROUPING_ID()
+    // disambiguating levels with the same LSB convention as DuckDB's
+    // grouping(). Base lang/source are never null, so IFNULL('<ALL>') is
+    // unambiguous and keeps ORDER BY engine-agnostic. AVG spells the
+    // oracle's sum::DOUBLE/count — the dialect has no division operator
+    // (SQL-v1.cf:201-203), and Spark's Average over longs is the same
+    // long-sum-then-double-divide.
+    "q_sql_rollup" -> ((s, dir) => run(s, dir,
+      """SELECT GROUPING_ID() AS gid,
+                IFNULL(lang, '<ALL>') AS lang2,
+                IFNULL(source, '<ALL>') AS source2,
+                COUNT(*) AS n_docs,
+                SUM(n_chars) AS total_chars,
+                ROUND(AVG(n_chars), 2) AS avg_chars
+         FROM documents GROUP BY ROLLUP (lang, source)
+         ORDER BY gid, lang2, source2;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -548,6 +566,7 @@ object SqlQueries extends QueryPack {
          FROM documents""",
     "q_sql_vocab" -> TextQueries.oracleSql("q_text_vocab"),
     "q_sql_sample" -> CurationQueries.oracleSql("q_curation_sample"),
+    "q_sql_rollup" -> TextQueries.oracleSql("q_corpus_rollup"),
     "q_sql_topk" ->
       """SELECT l_returnflag, price AS v FROM (
            SELECT l_returnflag, l_extendedprice AS price,

@@ -115,7 +115,11 @@ object Ast {
                     groupBy: Seq[ColRef], having: Option[Expr],
                     emitChanges: Boolean = false,
                     orderBy: Seq[OrderItem] = Nil,
-                    limit: Option[Long] = None) extends Query
+                    limit: Option[Long] = None,
+                    // GROUP BY ROLLUP (a, b) — dialect extension (SURVEY
+                    // §2.5: no production in SQL-v1.cf); multi-level
+                    // aggregation in one shuffle, batch/pull only
+                    rollup: Boolean = false) extends Query
 
   /** op ∈ union/intersect/except; column matching is positional (standard
     * SQL), output names come from the left operand. INTERSECT binds tighter

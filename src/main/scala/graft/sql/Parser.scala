@@ -84,7 +84,7 @@ object Parser {
 
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
     "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE",
-    "APPROX_PERCENTILE", "MEDIAN")
+    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
     "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",
@@ -278,14 +278,19 @@ object Parser {
       expect("FROM")
       val from = tableRef()
       val where = if (accept("WHERE")) Some(expr()) else None
-      val groupBy =
+      // GROUP BY [ROLLUP (] c1, c2 [)] — ROLLUP is the dialect's
+      // multi-level-aggregation extension (batch/pull only, Validate)
+      val (groupBy, rollup) =
         if (accept("GROUP")) { expect("BY")
+          val isRollup = accept("ROLLUP")
+          if (isRollup) expect("(")
           val cols = Seq.newBuilder[ColRef]
           do cols += colName() while (accept(","))
-          cols.result()
-        } else Nil
+          if (isRollup) expect(")")
+          (cols.result(), isRollup)
+        } else (Nil, false)
       val having = if (accept("HAVING")) Some(expr()) else None
-      Select(items.result(), from, where, groupBy, having)
+      Select(items.result(), from, where, groupBy, having, rollup = rollup)
     }
 
     /** Trailing clauses shared by select() and query(): ORDER BY / LIMIT
@@ -554,6 +559,8 @@ object Parser {
       if (aggNames.contains(kw) && toks(pos + 1) == TSym("(")) {
         next(); next()
         if (kw == "COUNT" && accept("*")) { expect(")"); return Agg("COUNT", Nil, star = true) }
+        // zero-arg: the ROLLUP level bitmask (last group col = LSB)
+        if (kw == "GROUPING_ID") { expect(")"); return Agg("GROUPING_ID", Nil, star = false) }
         val dist = accept("DISTINCT") // COUNT/SUM(DISTINCT e) extension
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))

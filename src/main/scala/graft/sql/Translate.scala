@@ -279,6 +279,11 @@ object Translate {
       case ("SHINGLES3", Seq(Fn("WORD_HASHES", Seq(w)))) =>
         Some(PipelineFunctions.shingles3(go(w)))
       case ("DATETOSTRING", Seq(d, StrLit(fmt))) => Some(date_format(go(d), fmt))
+      // ROUND(x, n): scale must be a literal (Spark's round takes an Int
+      // scale, and a silent fall-through to 1-arg round would truncate)
+      case ("ROUND", Seq(x, IntLit(n))) => Some(round(go(x), n.toInt))
+      case ("ROUND", Seq(_, bad)) => throw new IllegalArgumentException(
+        s"ROUND scale must be an integer literal, got $bad")
       // try_to_date: a malformed string yields NULL for that row — ANSI
       // to_date would abort the whole query on one bad record (see castTo)
       case ("STRINGTODATE", Seq(s, StrLit(fmt))) =>
@@ -363,6 +368,9 @@ object Translate {
     * from NULL not FlowInt 0). */
   def aggColumn(a: Agg, resolve: ColRef => Column): Column = a match {
     case Agg("COUNT", _, true, _) => count(lit(1))
+    // ROLLUP level bitmask (last group col = LSB — the same convention as
+    // DuckDB's grouping(), so shared oracles compare directly)
+    case Agg("GROUPING_ID", Nil, _, _) => grouping_id()
     // DISTINCT aggregates (extension; batch-only — Validate gates them):
     // Spark plans these as a partial-dedup expand + final agg, shuffle-safe
     case Agg("COUNT", Seq(e), _, true) => count_distinct(column(e, resolve))
@@ -769,7 +777,14 @@ object Translate {
         if (src.window.isDefined && filtered.isStreaming)
           filtered.withWatermark(tsCol(base0), grace)
         else filtered
-      val grouped = watermarked.groupBy(windowCol.toSeq ++ keyCols: _*)
+      // ROLLUP: one shuffle computes every grouping level (Validate gates
+      // it to batch/pull and TypeCheck-style rules below keep windows out)
+      if (sel.rollup && src.window.isDefined)
+        throw new IllegalArgumentException(
+          "GROUP BY ROLLUP cannot combine with TUMBLE/HOP/SESSION windows")
+      val grouped =
+        if (sel.rollup) watermarked.rollup(keyCols: _*)
+        else watermarked.groupBy(windowCol.toSeq ++ keyCols: _*)
       val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
 
       // HAVING over the aggregated relation (Planner.hs:380-382)

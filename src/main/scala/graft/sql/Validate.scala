@@ -124,7 +124,62 @@ object Validate {
     }
     sel.having.foreach(checkExpr(_, aggAllowed = true, where = "HAVING clause"))
     sel.groupBy.foreach(c => checkExpr(c, aggAllowed = false, where = "GROUP BY"))
+
+    // GROUP BY ROLLUP (extension): batch/pull only — rollup levels over an
+    // unbounded stream would need one state store per grouping level
+    if (sel.rollup && continuous)
+      fail("GROUP BY ROLLUP is not supported in continuous queries " +
+        "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
+        "use a batch/pull SELECT")
+    // under ROLLUP every non-aggregate column reference must be a grouping
+    // column: super-aggregate rows null the rolled-up keys, so a bare
+    // non-grouped column has no value on those rows — reject with the
+    // dialect's vocabulary, not a deep Catalyst grouping error
+    if (sel.rollup) {
+      val grouped = sel.groupBy.map(_.name.toLowerCase).toSet
+      // HAVING/ORDER BY bind standard-SQL style to projected output
+      // columns too, so aliases of computed items are legal references
+      val outAliases = sel.items.collect {
+        case ItemExpr(_, Some(a)) => a.toLowerCase }.toSet
+      val loose = (sel.items.collect { case ItemExpr(e, _) => e } ++
+        sel.having.toSeq ++ sel.orderBy.map(_.e))
+        .flatMap(nonAggColRefs)
+        .filter(c => !grouped.contains(c.name.toLowerCase) &&
+          !outAliases.contains(c.name.toLowerCase))
+      if (loose.nonEmpty)
+        fail(s"ROLLUP query references non-grouped column " +
+          s"'${loose.head.name}' outside an aggregate — add it to GROUP BY " +
+          "ROLLUP (…) or wrap it in an aggregate")
+    }
+    // GROUPING_ID() is the rollup level indicator — meaningless elsewhere
+    if (!sel.rollup) {
+      val gids = (sel.items.collect { case ItemExpr(e, _) => e } ++
+        sel.having.toSeq ++ sel.orderBy.map(_.e))
+        .flatMap(Translate.collectAggs).collect { case Agg("GROUPING_ID", _, _, _) => () }
+      if (gids.nonEmpty)
+        fail("GROUPING_ID() requires GROUP BY ROLLUP")
+    }
+
     checkFrom(sel.from, inJoin = false, continuous = continuous)
+  }
+
+  /** Bare column references NOT under an aggregate call — the refs a
+    * ROLLUP query must ground in its grouping columns. Aliases of computed
+    * aggregates rewrite to ColRefs only after Translate, so every ColRef
+    * seen here is a real input column. */
+  private def nonAggColRefs(e: Expr): Seq[ColRef] = e match {
+    case _: Agg => Nil
+    case c: ColRef => Seq(c)
+    case Bin(_, l, r) => nonAggColRefs(l) ++ nonAggColRefs(r)
+    case Not(x) => nonAggColRefs(x)
+    case Fn(_, args) => args.flatMap(nonAggColRefs)
+    case Cast(x, _) => nonAggColRefs(x)
+    case Between(x, lo, hi, _, _) =>
+      nonAggColRefs(x) ++ nonAggColRefs(lo) ++ nonAggColRefs(hi)
+    case ArrIndex(x, _) => nonAggColRefs(x)
+    case ArrSlice(x, _, _) => nonAggColRefs(x)
+    case ArrLit(items) => items.flatMap(nonAggColRefs)
+    case _ => Nil
   }
 
   private def checkFrom(ref: TableRef, inJoin: Boolean, continuous: Boolean): Unit = ref match {

@@ -222,6 +222,27 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT APPROX_PERCENTILE(v, 0.5, 4294967296) AS p FROM s;", "maximum")
   }
 
+  test("ROLLUP rules: non-grouped column, GROUPING_ID outside rollup, continuous") {
+    spark.range(1).selectExpr("id AS a", "id AS b", "id AS v")
+      .createOrReplaceTempView("rollup_t")
+    // non-grouped bare column on super-aggregate rows has no value
+    rejects("SELECT a, b, v FROM rollup_t GROUP BY ROLLUP (a, b);",
+      "non-grouped")
+    // the level bitmask is meaningless without rollup levels
+    rejects("SELECT a, GROUPING_ID() AS g, COUNT(*) AS c FROM rollup_t GROUP BY a;",
+      "rollup")
+    // batch/pull only: one state store per grouping level otherwise
+    rejects("SELECT a, COUNT(*) AS c FROM rollup_t GROUP BY ROLLUP (a) EMIT CHANGES;",
+      "rollup")
+    // the accepted shape works end-to-end
+    val ok = e.batch(
+      """SELECT GROUPING_ID() AS gid, IFNULL(TO_STR(a), '<ALL>') AS a2,
+                COUNT(*) AS c, SUM(v) AS sv
+         FROM rollup_t GROUP BY ROLLUP (a) ORDER BY gid, a2;""")
+    assert(ok.columns.toSeq == Seq("gid", "a2", "c", "sv"))
+    assert(ok.count() == 2) // one base row + the grand total
+  }
+
   test("LIMIT beyond Int.MaxValue is rejected (Dataset.limit is Int)") {
     rejects("SELECT a FROM s LIMIT 4294967296;", "maximum")
     rejects("SELECT a FROM s UNION SELECT b FROM t LIMIT 2147483648;", "maximum")
