@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns + typed metadata, with decode / feature-extract /
   * resize / frame-sample as distributed operators.
   *
-  * The actual codecs (JPEG/PNG decode, audio resample, video demux) are NOT
-  * in this container — every `*Stub` below is a clearly-marked deterministic
-  * fake. What is REAL and load-bearing for 100 TB is the Spark plumbing:
+  * IMAGE decode is REAL: [[pngFor]] synthesizes deterministic PNG bytes
+  * with `javax.imageio` (pure JDK, offline-safe) and [[extractFeatures]]
+  * decodes them back per partition — width/height/channels in the output
+  * come from the actual decoder, so the oracle match proves the encode →
+  * binary column → decode round-trip through the distributed plumbing.
+  * Audio resample and video demux codecs are NOT in this container — those
+  * `*Stub`s below remain clearly-marked deterministic fakes. What is REAL
+  * and load-bearing for 100 TB either way is the Spark plumbing:
   *   - schema: (id, kind, media: binary, meta: struct) — media bytes stay
   *     opaque and columnar; parquet stores them contiguously and scans can
   *     prune to metadata-only without touching bytes (column pruning).
@@ -24,8 +29,13 @@ object Multimodal {
 
   /** Typed media row (the Dataset[T] surface for partition-wise operators). */
   case class MediaRow(id: Long, kind: String, media: Array[Byte])
-  /** Extracted features: STUB content — real pipelines put embeddings here. */
-  case class MediaFeatures(id: Long, kind: String, n_bytes: Long, digest: String)
+  /** Extracted features. Image rows carry REAL decoded dimensions/channels
+    * (n_bytes/digest null — PNG container size is encoder-dependent and
+    * not oracle-predictable); audio/video rows carry byte count + digest
+    * with null image fields. */
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Option[Long],
+                           width: Option[Long], height: Option[Long],
+                           channels: Option[Long], digest: Option[String])
 
   /** Deterministic fake media table derived from `documents`: bytes are the
     * UTF-8 text (a stand-in for encoded image/audio/video), kind cycles by
@@ -65,20 +75,72 @@ object Multimodal {
     call_function("substring", media, (i * stride + 1).cast("int"), lit(frameBytes))
   }
 
+  /** Deterministic tiny RGB image for doc `id` as REAL PNG bytes
+    * (javax.imageio, pure JDK): width = id%64+1, height = id%48+1, pixel
+    * (x,y) a linear function of (id, x, y). Dimensions are pure functions
+    * of the id, so the DuckDB oracle predicts what only a real decode of
+    * the bytes can report back. */
+  def pngFor(id: Long): Array[Byte] = {
+    val w = (id % 64 + 1).toInt
+    val h = (id % 48 + 1).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id + x * 31L + y * 17L) % 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Media table with REAL encoded images: image rows carry PNG bytes
+    * ([[pngFor]]), audio/video rows keep the UTF-8 stand-in. Encoding runs
+    * partition-wise (the same batch shape as decode — one encoder context
+    * per partition, rows streamed through). */
+  def mediaWithRealImages(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val kind = Seq("image", "audio", "video")((id % 3).toInt)
+          val bytes =
+            if (kind == "image") pngFor(id) else text.getBytes("UTF-8")
+          MediaRow(id, kind, bytes)
+        }
+      }
+  }
+
   /** Partition-wise batch feature extraction — the real 100 TB shape:
-    * decoder state is created once per partition, rows stream through it.
-    * STUB: "features" are byte count + md5; a real extractor returns
-    * embeddings from a model loaded in the per-partition init. */
+    * decoder state is created once per partition, rows stream through it,
+    * never materializing a partition in memory. Image rows run a REAL
+    * javax.imageio PNG decode (width/height/channels from the decoder);
+    * audio/video rows remain the digest stub pending real codecs. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init: with a real codec this is the expensive
-      // library/model load — amortized across the whole partition
+      // per-partition init: the expensive codec/model load with real
+      // libraries — amortized across the whole partition
       val digestPool = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        digestPool.reset()
-        val d = digestPool.digest(r.media).map("%02x".format(_)).mkString
-        MediaFeatures(r.id, r.kind, r.media.length.toLong, d)
+        if (r.kind == "image") {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          require(img != null, s"undecodable image bytes for id ${r.id}")
+          MediaFeatures(r.id, r.kind, None,
+            Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+            Some(img.getRaster.getNumBands.toLong), None)
+        } else {
+          digestPool.reset()
+          val d = digestPool.digest(r.media).map("%02x".format(_)).mkString
+          MediaFeatures(r.id, r.kind, Some(r.media.length.toLong),
+            None, None, None, Some(d))
+        }
       }
     }
   }

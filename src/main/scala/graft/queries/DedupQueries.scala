@@ -241,27 +241,24 @@ object DedupQueries extends QueryPack {
     // over injectively-hashed shingle sets (family-independent).
     "q_dedup_minhash_lsh_fast" -> ((s, dir) => {
       import s.implicits._
-      val sig = Tables.load(s, dir, "documents")
-        .withColumn("wh", transform(tokens($"text"), w => pmod(xxhash64(w), lit(1L << 32))))
-        .withColumn("hs", combineShingles3($"wh"))
-        .select($"doc_id", $"hs",
-          array((0 until 4).map(b =>
-            concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
-            .as("bands"))
-        .persist()
-      // same degenerate-doc skew guard as the md5 twin (see above)
-      val banded = sig.filter(size($"hs") > 0)
-        .select($"doc_id", explode($"bands").as("band"))
-      val cand = banded.as("a").join(banded.as("b"),
-          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-      val hs = sig.select($"doc_id", $"hs")
-      cand
-        .join(hs.as("h1"), $"d1" === $"h1.doc_id")
-        .join(hs.as("h2"), $"d2" === $"h2.doc_id")
-        .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
-        .filter($"jac" >= 0.5)
+      fastLshPairs(s, dir).orderBy($"d1", $"d2")
+    }),
+
+    // The fast twin's GATE ROW: md5-verified pairs UNION ALL the symmetric
+    // difference of the two pipelines' verified pair sets. When the twins
+    // agree — the invariant DedupSpec pins in-Spark — the output IS the
+    // md5 pair set, so the md5 DuckDB oracle hash-checks it; any
+    // divergence (a pair either pipeline finds that the other doesn't, or
+    // a drifted Jaccard value) adds rows and turns the gate red. This
+    // makes the xxhash64 path rows+schema+hash-checkable without an
+    // xxhash64 in DuckDB.
+    "q_dedup_minhash_lsh_fast_check" -> ((s, dir) => {
+      import s.implicits._
+      val md5P = lshPairs(s, dir)
+      val fastP = fastLshPairs(s, dir)
+      md5P
+        .unionAll(fastP.exceptAll(md5P))
+        .unionAll(md5P.exceptAll(fastP))
         .orderBy($"d1", $"d2")
     }),
 
@@ -366,6 +363,37 @@ object DedupQueries extends QueryPack {
     // firsts relation is not materialized.
     "q_dedup_paragraph_salted" -> ((s, dir) => paragraphDedup(s, dir, salt = 8))
   )
+
+  /** The xxhash64 MinHash+LSH pipeline's verified pairs — the fast path
+    * you actually run at 100 TB (one 64-bit hash per word instead of an
+    * md5 digest). Same banding, same degenerate-doc skew guard, same
+    * exact-Jaccard verify over injectively-hashed shingle sets as
+    * [[lshPairs]]; shared by q_dedup_minhash_lsh_fast and its gate-row
+    * cross-check so the two can never drift apart silently. */
+  private def fastLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.load(s, dir, "documents")
+      .withColumn("wh", transform(tokens($"text"), w => pmod(xxhash64(w), lit(1L << 32))))
+      .withColumn("hs", combineShingles3($"wh"))
+      .select($"doc_id", $"hs",
+        array((0 until 4).map(b =>
+          concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+          .as("bands"))
+      .persist()
+    // same degenerate-doc skew guard as the md5 twin (see lshPairs)
+    val banded = sig.filter(size($"hs") > 0)
+      .select($"doc_id", explode($"bands").as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val hs = sig.select($"doc_id", $"hs")
+    cand
+      .join(hs.as("h1"), $"d1" === $"h1.doc_id")
+      .join(hs.as("h2"), $"d2" === $"h2.doc_id")
+      .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+      .filter($"jac" >= 0.5)
+  }
 
   /** 64-bit SimHash signature frame (doc_id, sh0..sh3) — ONE native pass
     * computes all four bands (each word md5-digested once, not 4×; see
@@ -599,7 +627,12 @@ object DedupQueries extends QueryPack {
     "q_dedup_clusters" -> clusterOracleSql,
     // q_dedup_minhash_lsh_fast deliberately absent (rows>0 gate only):
     // xxhash64 banding is not DuckDB-expressible and candidate recall is
-    // hash-family-dependent — DedupSpec pins it to the md5 twin in-Spark.
+    // hash-family-dependent — DedupSpec pins it to the md5 twin in-Spark,
+    // and the _check query below turns that pin into a full gate row.
+    // Its output equals the md5 pair set UNLESS the twins diverge (the
+    // symmetric difference unions in), so the md5 oracle hash-checks the
+    // xxhash64 pipeline end-to-end.
+    "q_dedup_minhash_lsh_fast_check" -> lshOracleSql,
     "q_dedup_minhash_lsh_sql" -> lshOracleSql, // same md5 formulas, SQL frontend
     "q_dedup_jaccard_exact" ->
       s"""$shCte

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
-import graft.operators.Multimodal.MediaRow
 
 /** Multimodal-column pipeline queries: binary media + typed metadata,
   * decode(stub) → resize(stub) → frame-sample → partition-wise feature
@@ -38,15 +37,18 @@ object MultimodalQueries extends QueryPack {
         .orderBy($"id")
     }),
 
-    // mapPartitions feature extraction (per-partition decoder init): digest
-    // equals DuckDB's md5 of the text, proving bytes survive the typed
-    // Dataset round-trip intact.
+    // mapPartitions feature extraction (per-partition decoder init).
+    // Image rows: REAL javax.imageio PNG encode → binary column → decode;
+    // the decoded width/height/channels match the oracle's id-derived
+    // prediction only if actual bytes round-tripped through an actual
+    // decoder. Audio/video rows: digest equals DuckDB's md5 of the text,
+    // proving bytes survive the typed Dataset round-trip intact.
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
-        .select($"id", $"kind", $"media").as[MediaRow]
+      val media = Multimodal.mediaWithRealImages(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
-        .select($"id", $"kind", $"n_bytes", $"digest")
+        .select($"id", $"kind", $"n_bytes", $"width", $"height",
+          $"channels", $"digest")
         .orderBy($"id")
     })
   )
@@ -67,11 +69,20 @@ object MultimodalQueries extends QueryPack {
          SELECT id, 4::BIGINT AS n_frames,
            md5(substring(text, 1, 16)) AS f0_md5
          FROM m ORDER BY id""",
+    // image rows: dimensions/channels the oracle derives from the id must
+    // equal what the real PNG decode reports; container size and a pixel
+    // digest are encoder-dependent → null (not oracle-predictable)
     "q_multimodal_features" ->
-      """SELECT doc_id AS id,
-           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-           octet_length(encode(text))::BIGINT AS n_bytes,
-           md5(text) AS digest
-         FROM documents ORDER BY doc_id"""
+      """WITH m AS (SELECT doc_id AS id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind, text
+         FROM documents)
+         SELECT id, kind,
+           CASE WHEN kind = 'image' THEN NULL
+                ELSE octet_length(encode(text))::BIGINT END AS n_bytes,
+           CASE WHEN kind = 'image' THEN (id % 64 + 1)::BIGINT END AS width,
+           CASE WHEN kind = 'image' THEN (id % 48 + 1)::BIGINT END AS height,
+           CASE WHEN kind = 'image' THEN 3::BIGINT END AS channels,
+           CASE WHEN kind = 'image' THEN NULL ELSE md5(text) END AS digest
+         FROM m ORDER BY id"""
   )
 }
