@@ -895,26 +895,41 @@ class Engine(val spark: SparkSession) {
     * predicate ([[ZoneMap]] — sound at chain granularity because every
     * resolved row is a stored chain row). Views with high key churn and
     * heavily value-filtered pulls may still prefer whole-bucket mode. */
-  /** The numeric output columns of a view — the zone-mapped set. */
-  private def zonedCols(s: StructType): Seq[String] =
-    s.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+  /** The zone-mapped output columns of a view: name → isString. Numeric
+    * columns prune with BigDecimal ranges, string columns with UTF-8
+    * binary ranges (Spark's own string order — see ZoneMap.utf8Cmp). */
+  private def zonedCols(s: StructType): Map[String, Boolean] =
+    s.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name -> false
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        f.name -> true
+    }.toMap
 
-  /** Per-bucket min/max of the numeric output columns of `df` (which must
+  /** Per-bucket min/max of the zoned output columns of `df` (which must
     * carry graft_bucket), keyed by the leaf path each bucket was written
     * to. One small agg over an already-persisted frame, O(affected
     * buckets) on the driver — same bound as the affected-set collect.
-    * NaN/±Inf extremes yield no zone for that column (unprunable, sound);
-    * min/max ignore nulls, so an all-null column likewise goes unzoned. */
-  private def collectZones(df: DataFrame, cols: Seq[String],
+    * NaN/±Inf numeric extremes yield no zone for that column (unprunable,
+    * sound); min/max ignore nulls, so an all-null column likewise goes
+    * unzoned; a string extreme the tab-separated sidecar cannot hold
+    * (embedded tab/newline) also goes unzoned rather than corrupt the
+    * persisted format. */
+  private def collectZones(df: DataFrame, cols: Map[String, Boolean],
                            pathOf: Int => String): ZoneMap.Zones =
     if (cols.isEmpty) Map.empty
     else {
-      val aggs = cols.flatMap(c =>
+      val names = cols.keys.toSeq
+      val aggs = names.flatMap(c =>
         Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      def sidecarSafe(s: String): Boolean = !s.exists(ch => ch == '\t' || ch == '\n' || ch == '\r')
       df.groupBy(col("graft_bucket")).agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
-          val colZones = cols.flatMap { c =>
+          val colZones = names.flatMap { c =>
             (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
+              case (Some(mn), Some(mx)) if cols(c) =>
+                val (s1, s2) = (mn.toString, mx.toString)
+                if (sidecarSafe(s1) && sidecarSafe(s2)) Some(c -> (s1, s2))
+                else None
               case (Some(mn), Some(mx)) => scala.util.Try(
                 c -> (BigDecimal(mn.toString).toString,
                       BigDecimal(mx.toString).toString)).toOption
@@ -928,7 +943,7 @@ class Engine(val spark: SparkSession) {
   /** The delta chains a pull with `where` must read, after bucket-level
     * zone pruning. Pulls with no prunable conjunct serve every chain. */
   private def servingChains(state: IncViewState, where: String): Seq[List[String]] = {
-    val bnds = ZoneMap.bounds(spark, where, zonedCols(state.schema).toSet)
+    val bnds = ZoneMap.bounds(spark, where, zonedCols(state.schema))
     if (bnds.isEmpty) state.manifest.values.toSeq
     else state.manifest.values.filter(ch =>
       ZoneMap.mayMatch(ch, bnds, state.zones)).toSeq

@@ -248,8 +248,22 @@ class IncrementalViewSpec extends SparkSpec {
       // …and the pruned pull returns exactly the right rows
       assert(e.pull("zmv", "total > 100").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("hot" -> 1000L))
-      // non-numeric / non-prunable predicates serve every chain
-      assert(e.viewServingPaths("zmv", "k = 'a'").size == all.size)
+      // STRING zone maps: equality/range predicates on string output
+      // columns prune chains too (UTF-8 binary order — Spark's own)
+      val bA = spark.range(1)
+        .select(pmod(hash(lit("a")), lit(buckets))).head().getInt(0)
+      val keptA = e.viewServingPaths("zmv", "k = 'a'")
+      assert(keptA.size < all.size, "string equality should prune chains")
+      assert(e.viewManifestPaths("zmv")(bA).toSet.subsetOf(keptA.toSet),
+        "the chain holding k='a' must survive string pruning")
+      assert(e.pull("zmv", "k = 'a'").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("a" -> 1L))
+      // a string value beyond every zone's max prunes everything
+      assert(e.viewServingPaths("zmv", "k = 'zzz'").isEmpty)
+      assert(e.pull("zmv", "k = 'zzz'").collect().isEmpty)
+      // truly non-prunable predicates (expression over the column) still
+      // serve every chain
+      assert(e.viewServingPaths("zmv", "length(k) = 1").size == all.size)
 
       // SOUNDNESS: the hot total drops below the threshold in a later
       // generation — the chain's union still passes the range test, so the
@@ -269,6 +283,9 @@ class IncrementalViewSpec extends SparkSpec {
       val kept2 = e2.viewServingPaths("zmv", "total > 100")
       assert(kept2.toSet == e2.viewManifestPaths("zmv")(bHot).toSet,
         "zone pruning lost after restart")
+      // string zones survive the sidecar round-trip too
+      assert(e2.viewServingPaths("zmv", "k = 'zzz'").isEmpty,
+        "string zone pruning lost after restart")
       e2.terminate("zmv")
     } finally {
       spark.conf.unset("spark.graft.checkpointRoot")
