@@ -34,6 +34,11 @@ import org.apache.spark.sql.functions._
   * ambiguous — pre-dedupe the right side for deterministic output (the
   * gate queries' corpus has no such ties; DuckDB's ASOF has the same
   * caveat).
+  *
+  * The STREAMING form — a live left stream enriched against a right
+  * stream's history with watermark-trimmed per-key state — is
+  * [[graft.streaming.StreamOps.asofEnrich]], twin-pinned to this
+  * operator's hash-verified rows in StreamingTwinSpec.
   */
 object AsofJoin {
 

@@ -80,6 +80,143 @@ object StreamOps {
       .select(keys.map(col) ++ others.map(c => col(s"_latest.$c")): _*)
   }
 
+  /** STREAMING as-of enrichment — the event-time superset of
+    * [[latestPerKey]]-based lookup joins and the streaming form of
+    * [[graft.operators.AsofJoin.backward]]: each left event is enriched
+    * with the most recent right row AT-OR-BEFORE its own event time (not
+    * merely the latest value when the micro-batch happens to run — the
+    * feature-store semantics the batch operator's doc names, now live).
+    * The reference's stream-table join (hstream-processing
+    * Stream.hs:314-356) is latest-value-only; this supersedes it.
+    *
+    * Built on flatMapGroupsWithState over the tagged union of both
+    * streams, keyed by the join key. Per-key state is (right-history,
+    * pending-lefts), both WATERMARK-TRIMMED: a left emits only once the
+    * watermark passes its timestamp (no earlier right row can then
+    * arrive — Spark's late-row filter drops sub-watermark input), and the
+    * history keeps rows at-or-above the watermark plus ONE carry row
+    * below it (any future left resolves to at most that row from the
+    * past), so state per key is O(rows within the watermark delay) + 1.
+    * Unmatched lefts emit null payloads (left-join, like the batch twin).
+    * Right rows sharing an exact (key, ts) are ambiguous — pre-dedupe for
+    * determinism (the batch operator's caveat, verbatim).
+    *
+    * Emission is delayed by the watermark delay — the inherent price of
+    * event-time correctness, identical to the stream-stream interval
+    * join's buffering. StreamingTwinSpec pins output equality against the
+    * DuckDB-hash-verified batch q_join_asof rows. */
+  def asofEnrich(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String,
+                 payload: Seq[String],
+                 grace: String = DefaultGrace): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val leftCols = left.columns.toIndexedSeq
+    require(payload.toSet.intersect(leftCols.toSet).isEmpty,
+      s"payload columns collide with left: ${payload.toSet.intersect(leftCols.toSet)}")
+    val lSchema = left.schema
+    val rSchema = right.schema
+    def nullAs(name: String, from: StructType) =
+      lit(null).cast(from(name).dataType).as(name)
+    // tagged union, each branch watermarked on its OWN ts first (the union
+    // stream's watermark is the min of the two) — the same frame shape as
+    // the batch union trick, one schema: __k, __t, __tag, leftCols…, payload…
+    // __t is the ONE event-time column; the passthrough copy of each ts
+    // must shed the watermark tag (two tagged columns in one stateful
+    // operator is an analyzer error), hence the Metadata.empty aliases.
+    val noMeta = org.apache.spark.sql.types.Metadata.empty
+    val lTagged = left.withWatermark(leftTs, grace).select(
+      Seq(col(leftKey).as("__k"), col(leftTs).as("__t"), lit(1).as("__tag")) ++
+        leftCols.map(c => col(c).as(c, noMeta)) ++ payload.map(nullAs(_, rSchema)): _*)
+    val rTagged = right.withWatermark(rightTs, grace).select(
+      Seq(col(rightKey).as("__k"), col(rightTs).as("__t"), lit(0).as("__tag")) ++
+        leftCols.map(nullAs(_, lSchema)) ++ payload.map(c => col(c).as(c, noMeta)): _*)
+    val unioned = lTagged.unionByName(rTagged)
+    val uSchema = unioned.schema
+    def idx(n: String): Int = uSchema.fieldIndex(n)
+    val leftIdx = leftCols.map(idx)
+    val payIdx = payload.map(idx).toIndexedSeq
+    val tIdx = idx("__t")
+    val tagIdx = idx("__tag")
+
+    val histStruct = StructType(StructField("t", TimestampType) +:
+      payload.map(p => rSchema(p)))
+    val pendStruct = StructType(StructField("t", TimestampType) +:
+      leftCols.map(c => lSchema(c)))
+    val stateSchema = StructType(Seq(
+      StructField("hist", ArrayType(histStruct)),
+      StructField("pend", ArrayType(pendStruct))))
+    val outSchema = StructType(leftCols.map(c => lSchema(c)) ++
+      payload.map { p =>
+        val f = rSchema(p)
+        f.copy(nullable = true) // unmatched lefts carry null payloads
+      })
+    val keyEnc = Encoders.row(StructType(Seq(uSchema(idx("__k")))))
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    // (getTime ms, getNanos sub-second) is a consistent total order — the
+    // nanos field repeats the ms fraction, so lexicographic compare works
+    val ordT: Ordering[java.sql.Timestamp] =
+      Ordering.by(t => (t.getTime, t.getNanos))
+
+    unioned.groupByKey((r: Row) => Row(r.get(idx("__k"))))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          val (hist0, pend0) = state.getOption match {
+            case Some(s) => (
+              Option(s.getSeq[Row](0)).getOrElse(Seq.empty).toVector,
+              Option(s.getSeq[Row](1)).getOrElse(Seq.empty).toVector)
+            case None => (Vector.empty[Row], Vector.empty[Row])
+          }
+          var hist = hist0
+          var pend = pend0
+          rows.foreach { r =>
+            val t = r.getAs[java.sql.Timestamp](tIdx)
+            if (r.getInt(tagIdx) == 0)
+              hist :+= Row.fromSeq(t +: payIdx.map(r.get))
+            else
+              pend :+= Row.fromSeq(t +: leftIdx.map(r.get))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // resolve every pending left strictly below the watermark: no
+          // not-late right row can precede it anymore (ms-floor compare is
+          // conservative at the boundary — such rows wait one more batch)
+          hist = hist.sortBy(_.getAs[java.sql.Timestamp](0))(ordT)
+          val (ready, waiting) =
+            pend.partition(_.getAs[java.sql.Timestamp](0).getTime < wm)
+          val out = ready.sortBy(_.getAs[java.sql.Timestamp](0))(ordT).map { p =>
+            val tl = p.getAs[java.sql.Timestamp](0)
+            val m = hist.filter(h =>
+              !ordT.gt(h.getAs[java.sql.Timestamp](0), tl)).lastOption
+            Row.fromSeq(p.toSeq.drop(1) ++
+              (m match {
+                case Some(h) => h.toSeq.drop(1)
+                case None => payload.map(_ => null)
+              }))
+          }
+          // trim history: everything at-or-above the watermark can still
+          // precede a future left; below it only the LATEST row can
+          val (live, past) =
+            hist.partition(_.getAs[java.sql.Timestamp](0).getTime >= wm)
+          hist = past.lastOption.toVector ++ live
+          pend = waiting
+          if (hist.isEmpty && pend.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(Row(hist, pend))
+            if (pend.nonEmpty) {
+              // wake when the watermark passes the oldest pending left
+              val oldest = pend.map(_.getAs[java.sql.Timestamp](0).getTime).min
+              state.setTimeoutTimestamp(math.max(oldest + 1, wm + 1))
+            }
+          }
+          out.iterator
+      }(stateEnc, outEnc)
+      .toDF((leftCols ++ payload): _*)
+  }
+
   /** One aggregate of a per-row-emission SELECT list: output column name,
     * kind (`count`|`sum`|`min`|`max`|`avg`), input column (`*` for
     * COUNT(*)). */

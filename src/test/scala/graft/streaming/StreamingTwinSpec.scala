@@ -231,6 +231,53 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming as-of enrichment twin == oracle'd q_join_asof") {
+    import spark.implicits._
+    val (dir, s) = staged("events")
+    val clicks = s.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts", round($"value", 4).as("click_value"))
+    val purchases = s.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", round($"value", 4).as("purchase_value"),
+        $"ts".as("purchase_ts"))
+    val plan = StreamOps.asofEnrich(clicks, purchases,
+      "user_id", "user_id", "ts", "ts",
+      Seq("purchase_value", "purchase_ts"), grace = "1 minute")
+    val q = drain(plan, "append", "twin_asof")
+    // far-future sentinels advance the watermark past every real event,
+    // flushing all pending lefts. One per event_type: each branch filters
+    // the union stream, and the global watermark is the MIN across both
+    // watermark operators — a single-type sentinel would advance only one.
+    locally {
+      import org.apache.spark.sql.types._
+      val cur = spark.read.parquet(dir.toString)
+      val sentinelTs = cur.schema("ts").dataType match {
+        case LongType => lit(4000000000000000000L) // ~2096 in nanos
+        case t => timestamp_micros(lit(4000000000000000L)).cast(t)
+      }
+      Seq("click", "purchase").foreach { et =>
+        cur.limit(1).withColumn("ts", sentinelTs)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit(et))
+          .write.mode("append").parquet(dir.toString)
+      }
+    }
+    q.processAllAvailable()
+    def key(id: Long, uid: Long, ts: java.sql.Timestamp, cv: Double,
+            pv: Any, pts: Any) = (id, uid, ts, cv, pv, pts)
+    val streaming = spark.table("twin_asof").collect()
+      .filter(_.getLong(1) != -1L) // drop the sentinel's own emission
+      .map(r => key(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.get(4), r.get(5))).toSet
+    val batchRows = batch("q_join_asof")
+      .map(r => key(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.get(4), r.get(5))).toSet
+    assert(batchRows.nonEmpty)
+    assert(streaming == batchRows,
+      s"asof twin diverged: ${((streaming diff batchRows) ++
+        (batchRows diff streaming)).take(3)}")
+    q.stop()
+  }
+
   test("streaming int8-quantization twin (stateless map path) == oracle'd q_embed_quantize") {
     val (_, s) = staged("embeddings")
     // the ONE shared quantize pipeline (SimilarityQueries.quantize) over a
