@@ -378,9 +378,15 @@ object ScaleProbe {
         (time(dsirScalableShape(docs)), time(dsirScalableShape(x10Distinct(docs)))),
       "simhash_banded_5k_vs_50k" ->
         (time(simhashBandedShape(docs)), time(simhashBandedShape(x10Distinct(docs)))),
+      // m = 50k: the unrefined hot bucket enumerates 1.25G candidate pairs
+      // in ONE join task (the dist filter pushes below the pair distinct,
+      // so the cost is single-task enumeration, not a shuffle — cheap per
+      // pair, quadratic in m and unsplittable). Refined stays ~linear, so
+      // the gap grows with m²: ~1× at 5k, measurable here, fatal at the
+      // 10M-doc hot buckets a 100 TB corpus produces.
       "simhash_hot_band_refined_vs_unrefined" ->
-        (time(hotBandShape(hotSigs(5000L), refine = true)),
-          time(hotBandShape(hotSigs(5000L), refine = false))),
+        (time(hotBandShape(hotSigs(50000L), refine = true)),
+          time(hotBandShape(hotSigs(50000L), refine = false))),
       "profit_join_600k_vs_6m" ->
         (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
     // probes are strict (Seq, not view): all timing is done — release the
