@@ -20,7 +20,8 @@ object SparkEntry {
     SimilarityQueries,
     SqlQueries,
     MultimodalQueries,
-    CurationQueries
+    CurationQueries,
+    CdcQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -29,7 +29,10 @@ class SqlEngine(spark: SparkSession) {
   case class Done(info: String) extends Result
 
   private def lookup(name: String): DataFrame =
-    if (engine.showStreams.contains(name)) engine.df(name)
+    // a CDC-maintained table wins over its schema-declaring stream: once a
+    // cdc connector materializes `name`, SELECTs serve the latest state
+    if (engine.isCdcTable(name)) engine.pull(name)
+    else if (engine.showStreams.contains(name)) engine.df(name)
     else engine.pull(name) // parquet-backed view snapshot, else session catalog
 
   /** Declared dialect column types per stream — the ones a Spark schema
@@ -232,6 +235,27 @@ class SqlEngine(spark: SparkSession) {
             if (kind == "SOURCE")
               engine.startSourceConnector(name, stream, host, port, transport)
             else engine.startSinkConnector(name, stream, host, port, transport)
+          connectors(name) = s"$kind->$target:RUNNING"
+          Started(q)
+        // `cdc`: in-engine CDC processing — change envelopes over the
+        // ledger transport maintain a materialized table (Engine.
+        // startCdcConnector). STREAM names a declared stream whose schema
+        // is the row schema; KEYS is the comma-separated primary key. The
+        // materialized state answers pull queries under the STREAM name.
+        case "cdc" =>
+          require(kind == "SOURCE", s"connector $name: cdc is a SOURCE type")
+          def opt(k: String): Option[String] = opts.get(k).collect {
+            case StrLit(v) => v; case IntLit(v) => v.toString }
+          def req(k: String): String = opt(k).getOrElse(throw
+            new IllegalArgumentException(s"connector $name: $k option required"))
+          val table = req("STREAM")
+          val keys = req("KEYS").split(",").map(_.trim).toSeq
+          val schema = engine.schemaOf(table)
+          keys.foreach(k => require(schema.fieldNames.contains(k),
+            s"connector $name: key $k not in ${table}'s schema"))
+          val q = engine.startCdcConnector(name, table,
+            opt("HOST").getOrElse("localhost"), req("PORT").toInt,
+            schema, keys)
           connectors(name) = s"$kind->$target:RUNNING"
           Started(q)
         case _ =>
