@@ -258,6 +258,65 @@ object SqlQueries extends QueryPack {
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3;""")),
 
+    // CASE (dialect EXTENSION — no CASE production anywhere in SQL-v1/v2
+    // .cf). Searched form with priority-ordered branches + simple form
+    // with no ELSE (NULL fall-through).
+    "q_sql_case" -> ((s, dir) => run(s, dir,
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 200000.0 THEN 'high'
+                     WHEN o_totalprice > 100000.0 THEN 'mid'
+                     ELSE 'low' END AS band,
+                CASE o_orderstatus WHEN 'F' THEN 'final'
+                                   WHEN 'O' THEN 'open' END AS st
+         FROM orders ORDER BY o_orderkey;""")),
+
+    // Conditional aggregation (the pivot idiom): CASE under SUM, both
+    // forms, mixed with plain aggregates in one Reduce.
+    "q_sql_case_agg" -> ((s, dir) => run(s, dir,
+      """SELECT l_returnflag,
+                SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS big,
+                SUM(CASE WHEN l_quantity > 25.0 THEN 0 ELSE 1 END) AS small,
+                ROUND(SUM(CASE l_linestatus WHEN 'O' THEN l_quantity
+                          ELSE 0.0 END), 2) AS open_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;""")),
+
+    // Window functions (dialect EXTENSION — SURVEY §2.8: the reference
+    // grammar has no OVER clause). Rank-then-filter through a FROM-
+    // subquery: top-3 customers by balance per nation. ROW_NUMBER's full
+    // ORDER BY (DESC balance, key tiebreak) makes the row set exact.
+    "q_sql_row_number" -> ((s, dir) => run(s, dir,
+      """SELECT c_nationkey, c_custkey, rn FROM
+           (SELECT c_nationkey, c_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer)
+         WHERE rn <= 3 ORDER BY c_nationkey, rn;""")),
+
+    // LAG with an explicit default + LEAD with the 1-row default offset,
+    // per-customer order sequence. o_orderkey is unique within a
+    // partition, so both engines see the identical neighbor rows.
+    "q_sql_lag_lead" -> ((s, dir) => run(s, dir,
+      """SELECT o_orderkey,
+                ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta,
+                LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+         FROM orders ORDER BY o_orderkey;""")),
+
+    // Running aggregates + RANK over the default frame (RANGE UNBOUNDED
+    // PRECEDING..CURRENT ROW on both engines; the unique ORDER BY key
+    // makes RANGE = ROWS, and the per-partition accumulation order —
+    // hence the FP sum — identical).
+    "q_sql_running_sum" -> ((s, dir) => run(s, dir,
+      """SELECT o_orderkey,
+                ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderkey), 2) AS run_sum,
+                COUNT(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey) AS run_cnt,
+                RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderpriority, o_orderkey) AS prio_rank
+         FROM orders ORDER BY o_orderkey;""")),
+
     // Set operations (dialect EXTENSION — SURVEY §2.7: no UNION/INTERSECT/
     // EXCEPT production exists in SQL-v1.cf; the reference's V1 codegen
     // throws on its internal Union node, Codegen/V1.hs:457-460). Distinct
@@ -537,6 +596,44 @@ object SqlQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2
          ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3""",
+    "q_sql_case" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 200000.0 THEN 'high'
+                     WHEN o_totalprice > 100000.0 THEN 'mid'
+                     ELSE 'low' END AS band,
+                CASE o_orderstatus WHEN 'F' THEN 'final'
+                                   WHEN 'O' THEN 'open' END AS st
+         FROM orders ORDER BY o_orderkey""",
+    "q_sql_case_agg" ->
+      """SELECT l_returnflag,
+                SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS big,
+                SUM(CASE WHEN l_quantity > 25.0 THEN 0 ELSE 1 END) AS small,
+                ROUND(SUM(CASE l_linestatus WHEN 'O' THEN l_quantity
+                          ELSE 0.0 END), 2) AS open_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sql_row_number" ->
+      """SELECT c_nationkey, c_custkey, rn FROM
+           (SELECT c_nationkey, c_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer)
+         WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+    "q_sql_lag_lead" ->
+      """SELECT o_orderkey,
+                ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta,
+                LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+         FROM orders ORDER BY o_orderkey""",
+    "q_sql_running_sum" ->
+      """SELECT o_orderkey,
+                ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderkey), 2) AS run_sum,
+                COUNT(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey) AS run_cnt,
+                RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderpriority, o_orderkey) AS prio_rank
+         FROM orders ORDER BY o_orderkey""",
     "q_sql_union" ->
       """SELECT c_nationkey AS k FROM customer
          UNION SELECT s_nationkey AS k FROM supplier""",

@@ -37,6 +37,18 @@ object Ast {
   case class Agg(name: String, args: Seq[Expr], star: Boolean = false,
                  distinct: Boolean = false) extends Expr
   case class Cast(e: Expr, dt: SqlType) extends Expr
+  /** CASE — searched (`operand` None: WHEN are boolean conditions) and
+    * simple (`operand` Some: WHEN are values compared `=` to the operand)
+    * forms, optional ELSE (missing → NULL). A dialect EXTENSION — no CASE
+    * production exists anywhere in SQL-v1.cf/SQL-v2.cf. */
+  case class CaseWhen(operand: Option[Expr], branches: Seq[(Expr, Expr)],
+                      elseE: Option[Expr]) extends Expr
+  /** `fn(args) OVER (PARTITION BY … ORDER BY …)` — analytic/ranking window
+    * functions, a dialect EXTENSION (SURVEY §2.8: the reference grammar has
+    * no OVER clause at all). Batch/pull-only: a per-partition total order
+    * is undefined over an unbounded stream (same rule as ORDER BY). */
+  case class WinFn(name: String, args: Seq[Expr], partitionBy: Seq[Expr],
+                   orderBy: Seq[OrderItem]) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** 0-based index / half-open slice (SQL-v1.cf:204-211). */
   case class ArrIndex(e: Expr, i: Long) extends Expr

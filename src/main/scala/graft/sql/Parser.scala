@@ -106,6 +106,12 @@ object Parser {
     "L2NORMALIZE", "DOT", "LSH16", "QUANTIZE_INT8", "SHIFTRIGHT")
   private val intervalUnits = Set("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
 
+  /** Ranking/analytic functions valid ONLY with an OVER clause (SURVEY
+    * §2.8 extension — the reference grammar has no OVER at all). Aggregate
+    * names also accept OVER, becoming running/windowed aggregates. */
+  private val winOnlyFns = Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE",
+    "LAG", "LEAD", "FIRST_VALUE", "LAST_VALUE")
+
   class Parser(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Tok = toks(pos)
@@ -554,17 +560,50 @@ object Parser {
           next(); expect("(")
           val e = expr(); expect("AS"); val dt = dataType(); expect(")")
           return Cast(e, dt)
+        case "CASE" =>
+          next()
+          // simple form carries an operand before the first WHEN
+          val operand = if (!isKw("WHEN")) Some(expr()) else None
+          val bs = Seq.newBuilder[(Expr, Expr)]
+          while (accept("WHEN")) {
+            val c = expr(); expect("THEN"); val r = expr(); bs += ((c, r))
+          }
+          val branches = bs.result()
+          if (branches.isEmpty) throw new IllegalArgumentException(
+            "CASE requires at least one WHEN … THEN … branch")
+          val els = if (accept("ELSE")) Some(expr()) else None
+          expect("END")
+          return CaseWhen(operand, branches, els)
         case _ =>
+      }
+      if (winOnlyFns.contains(kw) && toks(pos + 1) == TSym("(")) {
+        next(); next()
+        val args = Seq.newBuilder[Expr]
+        if (!isKw(")")) do args += expr() while (accept(","))
+        expect(")")
+        if (!isKw("OVER")) throw new IllegalArgumentException(
+          s"$kw requires an OVER (…) clause")
+        return overClause(kw, args.result())
       }
       if (aggNames.contains(kw) && toks(pos + 1) == TSym("(")) {
         next(); next()
-        if (kw == "COUNT" && accept("*")) { expect(")"); return Agg("COUNT", Nil, star = true) }
+        if (kw == "COUNT" && accept("*")) {
+          expect(")")
+          // COUNT(*) OVER (…) — running/windowed row count
+          if (isKw("OVER")) return overClause("COUNT", Seq(IntLit(1)))
+          return Agg("COUNT", Nil, star = true)
+        }
         // zero-arg: the ROLLUP level bitmask (last group col = LSB)
         if (kw == "GROUPING_ID") { expect(")"); return Agg("GROUPING_ID", Nil, star = false) }
         val dist = accept("DISTINCT") // COUNT/SUM(DISTINCT e) extension
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))
         expect(")")
+        if (isKw("OVER")) {
+          if (dist) throw new IllegalArgumentException(
+            s"$kw(DISTINCT …) OVER is not supported (no distinct window aggregates)")
+          return overClause(kw, args.result())
+        }
         return Agg(kw, args.result(), star = false, distinct = dist)
       }
       if ((unaryFns.contains(kw) || binaryFns.contains(kw) ||
@@ -580,6 +619,36 @@ object Parser {
       if (isKw(".") && toks(pos + 1).isInstanceOf[TIdent]) {
         next(); ColRef(Some(a), ident())
       } else ColRef(None, a)
+    }
+
+    /** `OVER ( [PARTITION BY e, …] [ORDER BY e [ASC|DESC], …] )` — frame
+      * clauses are not accepted: the default frame (RANGE UNBOUNDED
+      * PRECEDING .. CURRENT ROW when ordered) matches DuckDB/standard SQL,
+      * and one shared default keeps Spark and the oracle in agreement. */
+    private def overClause(name: String, args: Seq[Expr]): Expr = {
+      expect("OVER"); expect("(")
+      val parts =
+        if (accept("PARTITION")) { expect("BY")
+          val b = Seq.newBuilder[Expr]
+          do b += expr() while (accept(","))
+          b.result()
+        } else Nil
+      val ord =
+        if (accept("ORDER")) { expect("BY")
+          val b = Seq.newBuilder[OrderItem]
+          do {
+            val e = expr()
+            val desc = if (accept("DESC")) true else { accept("ASC"); false }
+            b += OrderItem(e, desc)
+          } while (accept(","))
+          b.result()
+        } else Nil
+      if (isKw("ROWS") || isKw("RANGE") || isKw("GROUPS"))
+        throw new IllegalArgumentException(
+          s"window frame clauses are not supported (${kwPeek} …); " +
+            "the default frame applies")
+      expect(")")
+      WinFn(name, args, parts, ord)
     }
 
     private def dataType(): SqlType = {

@@ -66,11 +66,81 @@ object Translate {
       s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
     case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
+    case WinFn(n, args, _, _) =>
+      s"${n}(${args.map(exprName).mkString(",")})_over".toLowerCase
+    case _: CaseWhen => "case"
     case Bin(op, l, r) => s"(${exprName(l)}$op${exprName(r)})"
     case IntLit(v) => v.toString
     case NumLit(v) => v.toString
     case StrLit(v) => v
     case _ => "expr"
+  }
+
+  /** Analytic/ranking window functions (SURVEY §2.8 extension — no OVER in
+    * the reference grammar). Default frame only, which both Spark and
+    * DuckDB define as RANGE UNBOUNDED PRECEDING..CURRENT ROW when ORDER BY
+    * is present and the whole partition otherwise — so running aggregates
+    * agree with the oracle including peer-row (tie) semantics.
+    *
+    * Scale: a window function IS a per-partition sort — the declared
+    * PARTITION BY is the unit of parallelism. An empty PARTITION BY moves
+    * the relation to one task (Spark plans exactly that and warns); that is
+    * inherent to the semantic, not a planning defect, and the scalable
+    * per-group top-k path for the common rank-then-filter shape is the
+    * TopK Aggregator (operators/TopK.scala). */
+  private def winFnCol(w: WinFn, go: Expr => Column): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 =
+      if (w.partitionBy.nonEmpty) Window.partitionBy(w.partitionBy.map(go): _*)
+      else Window.partitionBy()
+    val spec =
+      if (w.orderBy.nonEmpty)
+        w0.orderBy(w.orderBy.map(o => if (o.desc) go(o.e).desc else go(o.e).asc): _*)
+      else w0
+    def lagLead(f: (Column, Int, Any) => Column): Column = w.args match {
+      case Seq(e) => f(go(e), 1, null)
+      case Seq(e, IntLit(n)) => f(go(e), n.toInt, null)
+      case Seq(e, IntLit(n), d) =>
+        val dv = d match {
+          case IntLit(v) => v
+          case NumLit(v) => v
+          case StrLit(v) => v
+          case BoolLit(v) => v
+          case NullLit => null
+          case other => throw new IllegalArgumentException(
+            s"${w.name} default must be a literal, got $other")
+        }
+        f(go(e), n.toInt, dv)
+      case _ => throw new IllegalArgumentException(
+        s"${w.name} requires (expr[, offset[, default]])")
+    }
+    def one(fn: Column => Column): Column = w.args match {
+      case Seq(e) => fn(go(e))
+      case _ => throw new IllegalArgumentException(
+        s"${w.name} requires exactly one argument")
+    }
+    val f = w.name match {
+      case "ROW_NUMBER" => row_number()
+      case "RANK" => rank()
+      case "DENSE_RANK" => dense_rank()
+      case "NTILE" => w.args match {
+        case Seq(IntLit(n)) => ntile(n.toInt)
+        case _ => throw new IllegalArgumentException(
+          "NTILE requires one integer literal argument")
+      }
+      case "LAG" => lagLead(lag(_, _, _))
+      case "LEAD" => lagLead(lead(_, _, _))
+      case "FIRST_VALUE" => one(first(_))
+      case "LAST_VALUE" => one(last(_))
+      case "SUM" => one(sum(_))
+      case "COUNT" => one(count(_))
+      case "AVG" => one(avg(_))
+      case "MIN" => one(min(_))
+      case "MAX" => one(max(_))
+      case other => throw new IllegalArgumentException(
+        s"unknown window function $other")
+    }
+    f.over(spec)
   }
 
   def column(e: Expr, resolve: ColRef => Column,
@@ -91,6 +161,18 @@ object Translate {
       case Bin(op, l, r) => binOp(op, l, r, go, env)
       case Fn(name, args) =>
         fnCallLit(name, args, go).getOrElse(fnCall(name, args.map(go)))
+      case w: WinFn => winFnCol(w, go)
+      case CaseWhen(operand, branches, elseE) =>
+        // searched: WHEN is the condition; simple: `=` against the operand
+        // (null-unsafe equality, standard SQL — a NULL operand matches no
+        // branch and falls to ELSE)
+        val conds = branches.map { case (c, r) =>
+          (operand.map(o => go(o) === go(c)).getOrElse(go(c)), go(r))
+        }
+        val chained = conds.tail.foldLeft(when(conds.head._1, conds.head._2)) {
+          case (acc, (c, r)) => acc.when(c, r)
+        }
+        elseE.map(e2 => chained.otherwise(go(e2))).getOrElse(chained)
       case Cast(x, dt) => castTo(go(x), dt)
       case Between(x, lo, hi, not, sym) =>
         val b = if (sym) HFunctions.hBetweenSymmetric(go(x), go(lo), go(hi))
@@ -345,6 +427,9 @@ object Translate {
     case ArrIndex(x, _) => collectAggs(x)
     case ArrSlice(x, _, _) => collectAggs(x)
     case ArrLit(items) => items.flatMap(collectAggs).distinct
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(collectAggs).distinct
     case _ => Nil
   }
 
@@ -360,6 +445,10 @@ object Translate {
     case ArrIndex(x, i) => ArrIndex(rewriteAggs(x, names), i)
     case ArrSlice(x, f, t) => ArrSlice(rewriteAggs(x, names), f, t)
     case ArrLit(items) => ArrLit(items.map(rewriteAggs(_, names)))
+    case CaseWhen(op0, bs, el) =>
+      CaseWhen(op0.map(rewriteAggs(_, names)),
+        bs.map { case (c, r) => (rewriteAggs(c, names), rewriteAggs(r, names)) },
+        el.map(rewriteAggs(_, names)))
     case other => other
   }
 

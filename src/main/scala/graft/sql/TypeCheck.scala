@@ -148,6 +148,42 @@ object TypeCheck {
     case Agg(name, args, star, _) => aggType(name, args, star, env)
 
     case Fn(name, args) => fnType(name, args, env)
+
+    case CaseWhen(operand, branches, elseE) =>
+      operand match {
+        case Some(o) =>
+          // simple form: operand and WHEN values compare with `=` — same
+          // family required when both sides are provable
+          val ot = infer(o, env)
+          branches.foreach { case (c, _) =>
+            val ct = infer(c, env)
+            for (a <- ot; b <- ct)
+              if (!sameFamily(a, b))
+                fail(s"CASE operand/WHEN type mismatch: ${show(a)} vs ${show(b)}")
+          }
+        case None =>
+          branches.foreach { case (c, _) => requireBool(c, env, "CASE WHEN") }
+      }
+      val rts = (branches.map(_._2) ++ elseE.toSeq).map(infer(_, env))
+      for (Some(a) <- rts; Some(b) <- rts)
+        if (!sameFamily(a, b))
+          fail(s"CASE branches mix ${show(a)} and ${show(b)} results")
+      rts.flatten.headOption
+
+    case WinFn(name, args, parts, ord) =>
+      parts.foreach(infer(_, env))
+      ord.foreach(o => requireOrd(o.e, env, "OVER (ORDER BY …)"))
+      name match {
+        case "ROW_NUMBER" | "RANK" | "DENSE_RANK" | "NTILE" | "COUNT" =>
+          args.foreach(infer(_, env)); Some(TInt)
+        case "LAG" | "LEAD" | "FIRST_VALUE" | "LAST_VALUE" | "MIN" | "MAX" =>
+          args.headOption.flatMap(infer(_, env))
+        case "SUM" =>
+          args.headOption.flatMap(a => requireNum(a, env, name))
+        case "AVG" =>
+          args.headOption.foreach(a => requireNum(a, env, name)); Some(TFloat)
+        case _ => args.foreach(infer(_, env)); None
+      }
   }
 
   private def binType(op: String, l: Expr, r: Expr, env: Env): Option[SqlType] = op match {

@@ -160,7 +160,42 @@ object Validate {
         fail("GROUPING_ID() requires GROUP BY ROLLUP")
     }
 
+    // window functions (OVER — §2.8 extension): batch/pull only (a
+    // per-partition total order is undefined over an unbounded stream, the
+    // ORDER BY rule), and not combinable with GROUP BY (the dialect's
+    // window functions read the pre-aggregation relation)
+    val winFns = (sel.items.collect { case ItemExpr(e, _) => e } ++
+      sel.orderBy.map(_.e)).flatMap(collectWinFns)
+    if (winFns.nonEmpty) {
+      if (continuous)
+        fail(s"window function ${winFns.head.name} OVER (…) is not " +
+          "supported in continuous queries (EMIT CHANGES / CREATE STREAM " +
+          "AS / CREATE VIEW / INSERT-SELECT); use a batch/pull SELECT")
+      if (sel.groupBy.nonEmpty || sel.rollup)
+        fail(s"window function ${winFns.head.name} OVER (…) cannot " +
+          "combine with GROUP BY — window it over the grouped result " +
+          "via a FROM-subquery")
+    }
+
     checkFrom(sel.from, inJoin = false, continuous = continuous)
+  }
+
+  /** All OVER-clause window calls in an expression tree. */
+  private def collectWinFns(e: Expr): Seq[WinFn] = e match {
+    case w: WinFn => Seq(w)
+    case Bin(_, l, r) => collectWinFns(l) ++ collectWinFns(r)
+    case Not(x) => collectWinFns(x)
+    case Fn(_, args) => args.flatMap(collectWinFns)
+    case Agg(_, args, _, _) => args.flatMap(collectWinFns)
+    case Cast(x, _) => collectWinFns(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectWinFns)
+    case ArrIndex(x, _) => collectWinFns(x)
+    case ArrSlice(x, _, _) => collectWinFns(x)
+    case ArrLit(items) => items.flatMap(collectWinFns)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(collectWinFns)
+    case _ => Nil
   }
 
   /** Bare column references NOT under an aggregate call — the refs a
@@ -179,6 +214,9 @@ object Validate {
     case ArrIndex(x, _) => nonAggColRefs(x)
     case ArrSlice(x, _, _) => nonAggColRefs(x)
     case ArrLit(items) => items.flatMap(nonAggColRefs)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(nonAggColRefs)
     case _ => Nil
   }
 
@@ -255,6 +293,9 @@ object Validate {
     case ArrIndex(x, _) => collectDistinctAggs(x)
     case ArrSlice(x, _, _) => collectDistinctAggs(x)
     case ArrLit(items) => items.flatMap(collectDistinctAggs)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(collectDistinctAggs)
     case _ => Nil
   }
 
@@ -334,6 +375,19 @@ object Validate {
             try { java.time.LocalDateTime.parse(s); true }
             catch { case _: Exception => false } } }
       if (!ok) fail(s"invalid TIMESTAMP literal: $s")
+    case WinFn(name, args, parts, ord) =>
+      // window functions are SELECT-list/ORDER-BY expressions only; their
+      // value is undefined pre-projection (standard SQL), and nesting one
+      // inside an aggregate has no meaning either
+      if (insideAgg) fail(s"window function $name cannot appear inside an aggregate")
+      if (where != "SELECT list" && where != "ORDER BY")
+        fail(s"window function $name is not allowed in $where")
+      if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE").contains(name) &&
+          ord.isEmpty)
+        fail(s"$name requires ORDER BY in its OVER clause")
+      // no aggregates (and no nested window fns) inside any part
+      (args ++ parts ++ ord.map(_.e))
+        .foreach(checkExpr(_, aggAllowed = false, where = s"$name's OVER clause"))
     case Bin(_, l, r) =>
       checkExpr(l, aggAllowed, where, insideAgg); checkExpr(r, aggAllowed, where, insideAgg)
     case Not(x) => checkExpr(x, aggAllowed, where, insideAgg)
@@ -344,6 +398,9 @@ object Validate {
     case ArrIndex(x, _) => checkExpr(x, aggAllowed, where, insideAgg)
     case ArrSlice(x, _, _) => checkExpr(x, aggAllowed, where, insideAgg)
     case ArrLit(items) => items.foreach(checkExpr(_, aggAllowed, where, insideAgg))
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .foreach(checkExpr(_, aggAllowed, where, insideAgg))
     case _ => ()
   }
 }

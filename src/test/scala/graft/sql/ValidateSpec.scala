@@ -247,4 +247,62 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT a FROM s LIMIT 4294967296;", "maximum")
     rejects("SELECT a FROM s UNION SELECT b FROM t LIMIT 2147483648;", "maximum")
   }
+
+  test("CASE: branch type mixing and non-bool searched conditions reject; NULL fall-through works") {
+    spark.range(4).selectExpr("id AS a", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("case_t")
+    // searched-form WHEN must be boolean
+    rejects("SELECT CASE WHEN a THEN 1 ELSE 0 END AS x FROM case_t;", "bool")
+    // branches must agree in family
+    rejects("SELECT CASE WHEN a > 1 THEN 'x' ELSE 2 END AS x FROM case_t;",
+      "branches mix")
+    // simple-form operand vs WHEN family
+    rejects("SELECT CASE a WHEN 'one' THEN 1 END AS x FROM case_t;",
+      "mismatch")
+    // no branches
+    rejects("SELECT CASE END AS x FROM case_t;", "when")
+    // missing ELSE → NULL; simple + searched forms end-to-end
+    val ok = e.batch(
+      """SELECT a,
+                CASE a WHEN 0 THEN 'zero' WHEN 1 THEN 'one' END AS named,
+                CASE WHEN v > 2.0 THEN 'big' ELSE 'small' END AS size
+         FROM case_t ORDER BY a;""")
+    assert(ok.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((0L, "zero", "small"), (1L, "one", "small"),
+        (2L, null, "small"), (3L, null, "big")))
+  }
+
+  test("window functions (OVER): batch-only, no GROUP BY mix, ranking needs ORDER BY") {
+    spark.range(5).selectExpr("id AS a", "id * 2 AS v")
+      .createOrReplaceTempView("win_t")
+    // continuous rejection (the ORDER-BY-over-a-stream rule)
+    rejects("SELECT ROW_NUMBER() OVER (ORDER BY a) AS rn FROM win_t EMIT CHANGES;",
+      "continuous")
+    // GROUP BY mix rejection
+    rejects("SELECT SUM(v) OVER (ORDER BY a) AS s FROM win_t GROUP BY a;",
+      "group by")
+    // ranking without ORDER BY
+    rejects("SELECT RANK() OVER (PARTITION BY a) AS r FROM win_t;",
+      "order by")
+    // window fn in WHERE
+    rejects("SELECT a FROM win_t WHERE ROW_NUMBER() OVER (ORDER BY a) = 1;",
+      "not allowed")
+    // aggregates inside an OVER clause's args
+    rejects("SELECT SUM(SUM(v)) OVER (ORDER BY a) AS s FROM win_t;",
+      "over clause")
+    // bare ranking call without OVER
+    rejects("SELECT ROW_NUMBER() AS rn FROM win_t;", "over")
+    // frame clauses are refused, not mis-parsed
+    rejects("SELECT SUM(v) OVER (ORDER BY a ROWS 2 PRECEDING) AS s FROM win_t;",
+      "frame")
+    // the accepted shape works end-to-end (running sum + rank + lag)
+    val ok = e.batch(
+      """SELECT a, SUM(v) OVER (ORDER BY a) AS rs,
+                RANK() OVER (ORDER BY a DESC) AS rk,
+                LAG(v, 1, -1) OVER (ORDER BY a) AS pv
+         FROM win_t ORDER BY a;""")
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq == Seq((0L, 0L, 5, -1L), (1L, 2L, 4, 0L), (2L, 6L, 3, 2L),
+        (3L, 12L, 2, 4L), (4L, 20L, 1, 6L)))
+  }
 }
