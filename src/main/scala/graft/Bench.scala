@@ -52,6 +52,7 @@ object Bench {
     "q_join_asof_bucketed",    // point-in-time join, (key, bucket) sort groups
     "q_quality_perplexity",    // char-trigram LM scoring (broadcast LM)
     "q_corpus_rollup",         // multi-level stats, one shuffle
+    "q_cdc_apply",             // CDC envelope decode + max_by materialization
     // q_embed_neardup is NOT here: O(n²) pairwise cosine is a correctness
     // anchor (like q_dedup_jaccard_exact); its scale path is q_ann_lsh_bucketed
     "q_dedup_paragraph",       // sub-document dedup (hash window + regroup)

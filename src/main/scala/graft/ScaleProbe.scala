@@ -322,6 +322,18 @@ object ScaleProbe {
       graft.queries.DedupQueries.simhashBandedPairs(sig.persist(),
         hotThreshold = if (refine) 256L else Long.MaxValue)
 
+    // CDC materialization (q_cdc_apply's shape): JSON envelope encode →
+    // map-side decode → one partial-agg max_by shuffle. 10× with DISTINCT
+    // keys, so the final-state group count grows 10× too — the probe
+    // measures the shuffle/agg, not same-key combining luck.
+    def x10Orders(df: DataFrame): DataFrame = (0 until 10).map(i =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * 1000000000L)))
+      .reduce(_ unionAll _)
+    def cdcApplyShape(o: DataFrame) =
+      graft.operators.Cdc.applyLatest(
+        graft.queries.CdcQueries.decodedFrom(o), Seq("o_orderkey"))
+    val ordersCdc = Tables.load(spark, sfDir, "orders")
+
     // 6-table Q9-shaped join (q_join_profit_by_nation's exact amount
     // expression): fact side grows 10×, dims stay fixed. Dims are
     // persisted and materialized OUTSIDE the timed region, and the
@@ -387,6 +399,8 @@ object ScaleProbe {
       "simhash_hot_band_refined_vs_unrefined" ->
         (time(hotBandShape(hotSigs(50000L), refine = true)),
           time(hotBandShape(hotSigs(50000L), refine = false))),
+      "cdc_apply_150k_vs_1m5" ->
+        (time(cdcApplyShape(ordersCdc)), time(cdcApplyShape(x10Orders(ordersCdc)))),
       "profit_join_600k_vs_6m" ->
         (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
     // probes are strict (Seq, not view): all timing is done — release the

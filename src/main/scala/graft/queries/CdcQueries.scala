@@ -38,8 +38,13 @@ object CdcQueries extends QueryPack {
     * ts = orderkey*10 + {0 insert, 1 update, 2 delete} gives every change a
     * distinct total-order position; seq carries the same order so either
     * component alone would suffice (both are exercised). */
-  private def changelog(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
+  private def changelog(s: SparkSession, dir: String): DataFrame =
+    changelogFrom(Tables.load(s, dir, "orders"))
+
+  /** Frame-based changelog build — shared with ScaleProbe, which feeds a
+    * 10× orders frame through the identical encode path. */
+  private[graft] def changelogFrom(o0: DataFrame): DataFrame = {
+    val o = o0
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
     val inserts = o
@@ -60,6 +65,9 @@ object CdcQueries extends QueryPack {
 
   private def decoded(s: SparkSession, dir: String): DataFrame =
     Cdc.decode(changelog(s, dir), rowSchema)
+
+  private[graft] def decodedFrom(o: DataFrame): DataFrame =
+    Cdc.decode(changelogFrom(o), rowSchema)
 
   override def queries: Map[String, Q] = Map(
     // Full materialized state after the changelog replays — every surviving

@@ -420,7 +420,109 @@ object SqlQueries extends QueryPack {
                 SUM(n_chars) AS total_chars,
                 ROUND(AVG(n_chars), 2) AS avg_chars
          FROM documents GROUP BY ROLLUP (lang, source)
-         ORDER BY gid, lang2, source2;"""))
+         ORDER BY gid, lang2, source2;""")),
+
+    // ---- expression subqueries (extension — the reference grammar parses
+    // subqueries but rejects them, AST.hs:593). The SQL below is standard,
+    // so the oracle text is IDENTICAL: DuckDB plans the same semantics its
+    // own way, making these true cross-engine checks of the semi/anti/
+    // broadcast-join rewrites.
+
+    // IN (SELECT …) → left-semi join; IN value list → null-unsafe isin.
+    "q_sql_in_subquery" -> ((s, dir) => run(s, dir,
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+           AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           AND c_acctbal > 5000.0
+         ORDER BY c_custkey;""")),
+
+    // NOT IN → the null-aware anti join ((l = r) OR isnull(l = r) — the
+    // exact shape Spark's ExtractSingleColumnNullAwareAntiJoin broadcasts).
+    "q_sql_not_in" -> ((s, dir) => run(s, dir,
+      """SELECT n_nationkey, n_name FROM nation
+         WHERE n_nationkey NOT IN
+           (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900.0)
+         ORDER BY n_nationkey;""")),
+
+    // correlated EXISTS → left-semi join on the correlation; the local
+    // conjunct (s_acctbal) filters the subquery side below the join.
+    "q_sql_exists" -> ((s, dir) => run(s, dir,
+      """SELECT n_nationkey, n_name FROM nation AS n
+         WHERE EXISTS (SELECT 1 FROM supplier AS s
+                       WHERE s.s_nationkey = n.n_nationkey
+                         AND s.s_acctbal > 8000.0)
+         ORDER BY n_nationkey;""")),
+
+    // correlated NOT EXISTS → left-anti join, mixed with a plain pushdown
+    // conjunct that filters BEFORE the join.
+    "q_sql_not_exists" -> ((s, dir) => run(s, dir,
+      """SELECT c_custkey, c_name FROM customer AS c
+         WHERE c_acctbal > 9500.0 AND NOT EXISTS
+           (SELECT 1 FROM orders AS o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+         ORDER BY c_custkey;""")),
+
+    // scalar subqueries in both positions (WHERE + SELECT list), planned
+    // as broadcast 1-row cross-joins — the value never leaves the plan.
+    // MIN/MAX are exact (no float-sum ordering), so the cut and the
+    // subtraction are bit-deterministic across engines.
+    "q_sql_scalar_sub" -> ((s, dir) => run(s, dir,
+      """SELECT o_orderkey,
+                o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
+         FROM orders
+         WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)
+         ORDER BY o_orderkey;""")),
+
+    // ROWS window frames (extension): moving-window aggregates. Every
+    // aggregate here is EXACT under reassociation (integral-double sum,
+    // min/max/count/first), and the ORDER BY is total (ts, event_id) — so
+    // DuckDB's segment-tree windowing and Spark's running evaluation must
+    // agree bitwise.
+    "q_sql_moving" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mv_cents,
+                MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS mn5,
+                MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_run,
+                FIRST_VALUE(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv3,
+                COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
+         FROM events ORDER BY event_id;""")),
+
+    // ASOF LEFT JOIN through the dialect (DuckDB-compatible syntax —
+    // q_join_asof's plan and oracle verbatim): each click picks the user's
+    // single latest purchase at-or-before its ts; union-trick single
+    // shuffle, no range self-join. Payload columns renamed disjoint in the
+    // FROM-subquery, as the operator's contract asks.
+    "q_sql_asof" -> ((s, dir) => run(s, dir,
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+                c.click_value AS click_value, purchase_value, purchase_ts
+         FROM (SELECT event_id, user_id, ts, ROUND(value, 4) AS click_value
+               FROM events WHERE event_type = 'click') AS c
+         ASOF LEFT JOIN
+              (SELECT user_id AS p_user, ts AS pts,
+                      ROUND(value, 4) AS purchase_value, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase') AS p
+         ON c.user_id = p.p_user AND c.ts >= p.pts
+         ORDER BY event_id;""")),
+
+    // inner ASOF: unmatched clicks drop (the marker-payload path).
+    "q_sql_asof_inner" -> ((s, dir) => run(s, dir,
+      """SELECT c.event_id AS event_id, c.user_id AS user_id,
+                c.click_value AS click_value, purchase_value
+         FROM (SELECT event_id, user_id, ts, ROUND(value, 4) AS click_value
+               FROM events WHERE event_type = 'click') AS c
+         ASOF JOIN
+              (SELECT user_id AS p_user, ts AS pts,
+                      ROUND(value, 4) AS purchase_value
+               FROM events WHERE event_type = 'purchase') AS p
+         ON c.user_id = p.p_user AND c.ts >= p.pts
+         ORDER BY event_id;"""))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -605,9 +707,11 @@ object SqlQueries extends QueryPack {
                                    WHEN 'O' THEN 'open' END AS st
          FROM orders ORDER BY o_orderkey""",
     "q_sql_case_agg" ->
+      // ::BIGINT — DuckDB's sum over int CASE arms is HUGEINT (float in
+      // pandas); Spark's is LongType. Same dtype fix as q_sql_count_distinct.
       """SELECT l_returnflag,
-                SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS big,
-                SUM(CASE WHEN l_quantity > 25.0 THEN 0 ELSE 1 END) AS small,
+                SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END)::BIGINT AS big,
+                SUM(CASE WHEN l_quantity > 25.0 THEN 0 ELSE 1 END)::BIGINT AS small,
                 ROUND(SUM(CASE l_linestatus WHEN 'O' THEN l_quantity
                           ELSE 0.0 END), 2) AS open_qty,
                 COUNT(*) AS cnt
@@ -677,6 +781,58 @@ object SqlQueries extends QueryPack {
              row_number() OVER (PARTITION BY l_linestatus
                                 ORDER BY q DESC) AS rnk
            FROM (SELECT DISTINCT l_linestatus, l_quantity AS q FROM lineitem))
-         WHERE rnk <= 10 ORDER BY l_linestatus, v"""
+         WHERE rnk <= 10 ORDER BY l_linestatus, v""",
+    // expression subqueries: standard SQL — oracle text identical to the
+    // dialect text, so DuckDB independently re-plans the same semantics
+    "q_sql_in_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+           AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           AND c_acctbal > 5000.0""",
+    "q_sql_not_in" ->
+      """SELECT n_nationkey, n_name FROM nation
+         WHERE n_nationkey NOT IN
+           (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900.0)""",
+    "q_sql_exists" ->
+      """SELECT n_nationkey, n_name FROM nation AS n
+         WHERE EXISTS (SELECT 1 FROM supplier AS s
+                       WHERE s.s_nationkey = n.n_nationkey
+                         AND s.s_acctbal > 8000.0)""",
+    "q_sql_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer AS c
+         WHERE c_acctbal > 9500.0 AND NOT EXISTS
+           (SELECT 1 FROM orders AS o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""",
+    "q_sql_scalar_sub" ->
+      """SELECT o_orderkey,
+                o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
+         FROM orders
+         WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_sql_moving" ->
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mv_cents,
+                MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS mn5,
+                MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_run,
+                FIRST_VALUE(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv3,
+                COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
+         FROM events""",
+    "q_sql_asof" -> CoreQueries.oracleSql("q_join_asof"),
+    "q_sql_asof_inner" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         c AS (SELECT event_id, user_id, ts, round(value,4) AS click_value
+               FROM ev WHERE event_type='click'),
+         p AS (SELECT user_id, ts AS pts, round(value,4) AS purchase_value
+               FROM ev WHERE event_type='purchase')
+         SELECT c.event_id, c.user_id, c.click_value, p.purchase_value
+         FROM c ASOF JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.pts
+         ORDER BY c.event_id"""
   )
 }

@@ -43,13 +43,37 @@ object Ast {
     * production exists anywhere in SQL-v1.cf/SQL-v2.cf. */
   case class CaseWhen(operand: Option[Expr], branches: Seq[(Expr, Expr)],
                       elseE: Option[Expr]) extends Expr
-  /** `fn(args) OVER (PARTITION BY … ORDER BY …)` — analytic/ranking window
-    * functions, a dialect EXTENSION (SURVEY §2.8: the reference grammar has
-    * no OVER clause at all). Batch/pull-only: a per-partition total order
-    * is undefined over an unbounded stream (same rule as ORDER BY). */
+  /** `fn(args) OVER (PARTITION BY … ORDER BY … [ROWS BETWEEN …])` —
+    * analytic/ranking window functions, a dialect EXTENSION (SURVEY §2.8:
+    * the reference grammar has no OVER clause at all). Batch/pull-only: a
+    * per-partition total order is undefined over an unbounded stream (same
+    * rule as ORDER BY). `frame` is a ROWS frame in Spark's encoding
+    * (Long.MinValue = UNBOUNDED PRECEDING, negative = n PRECEDING,
+    * 0 = CURRENT ROW, positive = n FOLLOWING, Long.MaxValue = UNBOUNDED
+    * FOLLOWING); None = the default frame, which Spark and DuckDB agree on. */
   case class WinFn(name: String, args: Seq[Expr], partitionBy: Seq[Expr],
-                   orderBy: Seq[OrderItem]) extends Expr
+                   orderBy: Seq[OrderItem],
+                   frame: Option[(Long, Long)] = None) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
+  /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
+    * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL
+    * semantics (NULL operand → UNKNOWN), matching DuckDB. */
+  case class InList(e: Expr, items: Seq[Expr], not: Boolean) extends Expr
+  /** `e [NOT] IN (SELECT …)` — uncorrelated subquery membership (dialect
+    * EXTENSION: the reference parses subqueries but rejects them,
+    * AST.hs:593). Planned as a left-semi / null-aware left-anti join;
+    * batch/pull only. */
+  case class InSub(e: Expr, q: Query, not: Boolean) extends Expr
+  /** `[NOT] EXISTS (SELECT …)` — planned as a left-semi/anti join; the
+    * subquery may correlate to the outer query through alias-qualified
+    * column refs (or bare names the subquery's own relation lacks).
+    * Batch/pull only. */
+  case class ExistsSub(q: Query) extends Expr
+  /** `(SELECT …)` in expression position — a scalar subquery (dialect
+    * EXTENSION). Must be provably one-row (a global aggregate or LIMIT 1);
+    * planned as a broadcast cross-join, so the value never collects through
+    * the driver inside the plan. Batch/pull only. */
+  case class ScalarSub(q: Query) extends Expr
   /** 0-based index / half-open slice (SQL-v1.cf:204-211). */
   case class ArrIndex(e: Expr, i: Long) extends Expr
   case class ArrSlice(e: Expr, from: Option[Long], to: Option[Long]) extends Expr

@@ -343,6 +343,16 @@ object Parser {
     private def tableRef(): TableRef = {
       var left = tableRefUnit()
       while (isJoinStart) {
+        // ASOF [LEFT] JOIN — point-in-time join (extension; DuckDB-style
+        // syntax). ON must be equalities plus ONE `left_ts >= right_ts`
+        // inequality; batch/pull only (Validate).
+        if (accept("ASOF")) {
+          val jt = if (accept("LEFT")) { accept("OUTER"); "asof_left" } else "asof"
+          expect("JOIN")
+          val right = tableRefUnit()
+          expect("ON")
+          left = TRJoin(left, right, jt, On(expr()), None)
+        } else {
         var joinType = "inner"; var natural = false; var cross = false
         if (accept("NATURAL")) natural = true
         kwPeek match {
@@ -375,12 +385,14 @@ object Parser {
           Some(w)
         } else None
         left = TRJoin(left, right, joinType, cond, within)
+        }
       }
       left
     }
 
     private def isJoinStart: Boolean =
-      Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL").contains(kwPeek)
+      Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "ASOF")
+        .contains(kwPeek)
 
     private def tableRefUnit(): TableRef = {
       val base = kwPeek match {
@@ -457,11 +469,25 @@ object Parser {
 
     private def betweenExpr(): Expr = {
       val e = addExpr()
-      val not = isKw("NOT") && toks(pos + 1).text.equalsIgnoreCase("BETWEEN") && { next(); true }
+      val not = isKw("NOT") &&
+        (toks(pos + 1).text.equalsIgnoreCase("BETWEEN") ||
+          toks(pos + 1).text.equalsIgnoreCase("IN")) && { next(); true }
       if (accept("BETWEEN")) {
         val sym = accept("SYMMETRIC")
         val lo = addExpr(); expect("AND"); val hi = addExpr()
         Between(e, lo, hi, not, sym)
+      } else if (accept("IN")) {
+        // [NOT] IN — subquery or value-list membership (extension;
+        // SQL-v1.cf has no IN production)
+        expect("(")
+        if (isKw("SELECT")) {
+          val q = query(); expect(")"); InSub(e, q, not)
+        } else {
+          val items = Seq.newBuilder[Expr]
+          do items += expr() while (accept(","))
+          expect(")")
+          InList(e, items.result(), not)
+        }
       } else { require(!not, "dangling NOT"); e }
     }
 
@@ -524,7 +550,12 @@ object Parser {
       case TNum(t) =>
         next(); if (t.contains('.')) NumLit(t.toDouble) else IntLit(t.toLong)
       case TStr(s) => next(); StrLit(s)
-      case TSym("(") => next(); val e = expr(); expect(")"); e
+      case TSym("(") =>
+        next()
+        // `(SELECT …)` in expression position is a scalar subquery
+        // (extension — the reference comments these out, AST.hs:339)
+        if (isKw("SELECT")) { val q = query(); expect(")"); ScalarSub(q) }
+        else { val e = expr(); expect(")"); e }
       case TSym("{") =>
         next()
         val items = Seq.newBuilder[Expr]
@@ -560,6 +591,10 @@ object Parser {
           next(); expect("(")
           val e = expr(); expect("AS"); val dt = dataType(); expect(")")
           return Cast(e, dt)
+        case "EXISTS" if toks(pos + 1) == TSym("(") =>
+          next(); next()
+          val q = query(); expect(")")
+          return ExistsSub(q)
         case "CASE" =>
           next()
           // simple form carries an operand before the first WHEN
@@ -643,12 +678,33 @@ object Parser {
           } while (accept(","))
           b.result()
         } else Nil
-      if (isKw("ROWS") || isKw("RANGE") || isKw("GROUPS"))
-        throw new IllegalArgumentException(
-          s"window frame clauses are not supported (${kwPeek} …); " +
-            "the default frame applies")
+      // ROWS frames (extension): moving-window aggregates. RANGE/GROUPS
+      // stay rejected — RANGE with offsets is value-typed (peer semantics
+      // differ across engines); the default frame already covers
+      // RANGE UNBOUNDED PRECEDING..CURRENT ROW.
+      val frame: Option[(Long, Long)] =
+        if (accept("ROWS")) {
+          def bound(): Long =
+            if (accept("UNBOUNDED")) {
+              if (accept("PRECEDING")) Long.MinValue
+              else { expect("FOLLOWING"); Long.MaxValue }
+            } else if (accept("CURRENT")) { expect("ROW"); 0L }
+            else {
+              val n = intTok()
+              if (accept("PRECEDING")) -n
+              else { expect("FOLLOWING"); n }
+            }
+          if (accept("BETWEEN")) {
+            val lo = bound(); expect("AND"); val hi = bound()
+            Some((lo, hi))
+          } else Some((bound(), 0L)) // `ROWS n PRECEDING` = BETWEEN … AND CURRENT ROW
+        } else if (isKw("RANGE") || isKw("GROUPS"))
+          throw new IllegalArgumentException(
+            s"only ROWS window frames are supported, not ${kwPeek}; " +
+              "the default frame applies when no frame is given")
+        else None
       expect(")")
-      WinFn(name, args, parts, ord)
+      WinFn(name, args, parts, ord, frame)
     }
 
     private def dataType(): SqlType = {

@@ -66,9 +66,12 @@ object Translate {
       s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
     case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
-    case WinFn(n, args, _, _) =>
+    case WinFn(n, args, _, _, _) =>
       s"${n}(${args.map(exprName).mkString(",")})_over".toLowerCase
     case _: CaseWhen => "case"
+    case _: InList | _: InSub => "in"
+    case _: ExistsSub => "exists"
+    case _: ScalarSub => "scalar"
     case Bin(op, l, r) => s"(${exprName(l)}$op${exprName(r)})"
     case IntLit(v) => v.toString
     case NumLit(v) => v.toString
@@ -93,10 +96,16 @@ object Translate {
     val w0 =
       if (w.partitionBy.nonEmpty) Window.partitionBy(w.partitionBy.map(go): _*)
       else Window.partitionBy()
-    val spec =
+    val ordered =
       if (w.orderBy.nonEmpty)
         w0.orderBy(w.orderBy.map(o => if (o.desc) go(o.e).desc else go(o.e).asc): _*)
       else w0
+    // explicit ROWS frame (already in Spark's bound encoding); absent →
+    // the shared default frame (see the scaladoc above)
+    val spec = w.frame match {
+      case Some((lo, hi)) => ordered.rowsBetween(lo, hi)
+      case None => ordered
+    }
     def lagLead(f: (Column, Int, Any) => Column): Column = w.args match {
       case Seq(e) => f(go(e), 1, null)
       case Seq(e, IntLit(n)) => f(go(e), n.toInt, null)
@@ -186,6 +195,17 @@ object Translate {
           case Some(t) => slice(go(a), f.toInt + 1, math.max((t - f).toInt, 0))
           case None => slice(go(a), lit(f.toInt + 1), size(go(a)))
         }
+      // standard SQL null-unsafe membership (NULL operand → UNKNOWN →
+      // filtered), matching DuckDB — unlike the dialect's null-safe `=`
+      case InList(x, items, not) =>
+        val c = go(x).isin(items.map(go): _*)
+        if (not) !c else c
+      case _: InSub | _: ExistsSub => throw new IllegalArgumentException(
+        "IN (SELECT …) / EXISTS (…) must be top-level AND conjuncts of the " +
+          "WHERE clause (they plan as semi/anti joins, which OR/NOT nesting " +
+          "cannot express)")
+      case _: ScalarSub => throw new IllegalArgumentException(
+        "scalar subquery is not supported in this position")
       case a: Agg => throw new IllegalArgumentException(
         s"aggregate ${a.name} in a non-aggregate context")
     }
@@ -419,6 +439,8 @@ object Translate {
   /** Collect distinct aggregates from an expression tree. */
   def collectAggs(e: Expr): Seq[Agg] = e match {
     case a: Agg => Seq(a)
+    case InList(x, items, _) => (x +: items).flatMap(collectAggs).distinct
+    case InSub(x, _, _) => collectAggs(x) // sub body is its own scope
     case Bin(_, l, r) => (collectAggs(l) ++ collectAggs(r)).distinct
     case Not(x) => collectAggs(x)
     case Fn(_, args) => args.flatMap(collectAggs).distinct
@@ -436,6 +458,9 @@ object Translate {
   /** Rewrite aggregates to their assigned output aliases. */
   def rewriteAggs(e: Expr, names: Map[Agg, String]): Expr = e match {
     case a: Agg => ColRef(None, names(a))
+    case InList(x, items, n) =>
+      InList(rewriteAggs(x, names), items.map(rewriteAggs(_, names)), n)
+    case InSub(x, q, n) => InSub(rewriteAggs(x, names), q, n)
     case Bin(op, l, r) => Bin(op, rewriteAggs(l, names), rewriteAggs(r, names))
     case Not(x) => Not(rewriteAggs(x, names))
     case Fn(n, args) => Fn(n, args.map(rewriteAggs(_, names)))
@@ -544,6 +569,8 @@ object Translate {
 
   private def planJoin(j: TRJoin, lookup: Lookup,
                        declared: DeclaredTypes): DataFrame = {
+    if (j.joinType == "asof" || j.joinType == "asof_left")
+      return planAsofJoin(j, lookup, declared)
     val left = planFrom(j.l, lookup, declared)
     val right = planFrom(j.r, lookup, declared)
     require(left.window.isEmpty && right.window.isEmpty,
@@ -627,6 +654,115 @@ object Translate {
         require(shared.nonEmpty, "NATURAL JOIN with no shared columns")
         usingJoin(ldf, rdf, j, range, shared.toSeq.sorted)
     }
+  }
+
+  /** ASOF [LEFT] JOIN (extension; DuckDB-compatible syntax): for each left
+    * row, the single most recent right row with equal keys at-or-before the
+    * left row's timestamp. Plans through [[graft.operators.AsofJoin.backward]]
+    * — the union-trick single-shuffle shape: no range self-join, no row
+    * explosion, sort groups bounded per key. The inner form drops unmatched
+    * left rows via a constant marker payload; colliding right column names
+    * take the reference's `stream.field` output naming, like the equi-join
+    * path. Right-side key columns are not in the output (they equal the
+    * left keys on every matched row). */
+  private def planAsofJoin(j: TRJoin, lookup: Lookup,
+                           declared: DeclaredTypes): DataFrame = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    val left = planFrom(j.l, lookup, declared)
+    val right = planFrom(j.r, lookup, declared)
+    require(left.window.isEmpty && right.window.isEmpty,
+      "joining time-windowed streams is not supported (Codegen/V1.hs:295-300)")
+    val (ldf, rdf) = (left.df, right.df)
+    require(!ldf.isStreaming && !rdf.isStreaming,
+      "ASOF JOIN is batch/pull only — for a live stream use the as-of " +
+        "enrichment (StreamOps.asofEnrich)")
+    require(!ldf.columns.exists(_.contains(".")),
+      "ASOF JOIN over a left side with collision-renamed columns is not " +
+        "supported — project/alias them in a FROM-subquery first")
+    val e = j.cond match {
+      case On(x) => x
+      case _ => bad("ASOF JOIN requires an ON condition")
+    }
+    val la = refAlias(j.l); val ra = refAlias(j.r)
+    val lenv = TypeCheck.envOf(ldf) ++ dialectTypes(j.l, declared)
+    val renv = TypeCheck.envOf(rdf) ++ dialectTypes(j.r, declared)
+    val env: TypeCheck.Env = lenv ++ renv ++
+      lenv.map { case (k, v) => s"${la.toLowerCase}.$k" -> v } ++
+      renv.map { case (k, v) => s"${ra.toLowerCase}.$k" -> v }
+    TypeCheck.check(e, env)
+
+    // resolve a ColRef to a concrete column name of one side
+    def nameOn(df: DataFrame, alias: String, c: ColRef): Option[String] = c match {
+      case ColRef(Some(q), n) if q.equalsIgnoreCase(alias) =>
+        df.columns.find(_.equalsIgnoreCase(n))
+      case ColRef(Some(_), _) => None
+      case ColRef(None, n) => df.columns.find(_.equalsIgnoreCase(n))
+    }
+    val eqsB = Vector.newBuilder[(String, String)]
+    var ineq: Option[(String, String)] = None
+    def addIneq(lRef: ColRef, rRef: ColRef): Unit = {
+      if (ineq.nonEmpty) bad("ASOF JOIN takes exactly one timestamp inequality")
+      (nameOn(ldf, la, lRef), nameOn(rdf, ra, rRef)) match {
+        case (Some(lt), Some(rt)) => ineq = Some((lt, rt))
+        case _ => bad("ASOF JOIN inequality must compare a left timestamp " +
+          s"with a right timestamp, got $lRef vs $rRef")
+      }
+    }
+    conjunctsOf(e).foreach {
+      case Bin("=", a: ColRef, b: ColRef) =>
+        (nameOn(ldf, la, a), nameOn(rdf, ra, b)) match {
+          case (Some(lc), Some(rc)) => eqsB += ((lc, rc))
+          case _ => (nameOn(ldf, la, b), nameOn(rdf, ra, a)) match {
+            case (Some(lc), Some(rc)) => eqsB += ((lc, rc))
+            case _ => bad("ASOF JOIN equality must pair a left column " +
+              s"with a right column, got $a = $b")
+          }
+        }
+      case Bin(">=", a: ColRef, b: ColRef) => addIneq(a, b)
+      case Bin("<=", a: ColRef, b: ColRef) => addIneq(b, a)
+      case other => bad("ASOF JOIN ON must be column equalities plus one " +
+        s"'left_ts >= right_ts' inequality, got $other")
+    }
+    val keys = eqsB.result()
+    val (lts, rts0) = ineq.getOrElse(
+      bad("ASOF JOIN requires a 'left_ts >= right_ts' inequality"))
+    if (keys.isEmpty) bad("ASOF JOIN requires at least one equality key")
+
+    // SQL null semantics: a right row with a NULL key or NULL timestamp can
+    // never match; filter them out BEFORE the shuffle (the union-trick
+    // window would otherwise group/order NULLs together and match them)
+    val rFiltered = (keys.map(_._2) :+ rts0)
+      .foldLeft(rdf)((d, c) => d.filter(col(c).isNotNull))
+    // colliding names: rename dot-free for the operator, restore the
+    // reference's `stream.field` naming after the join
+    val collisions = ldf.columns.toSet.intersect(rdf.columns.toSet)
+    val renamedR = collisions.foldLeft(rFiltered)(
+      (d, c) => d.withColumnRenamed(c, s"__graft_r_$c"))
+    def rn(c: String): String = if (collisions.contains(c)) s"__graft_r_$c" else c
+    val rts = rn(rts0)
+    val rKeys = keys.map(k => rn(k._2))
+    val marker = "__graft_asof_m" // never-null payload → matched-row flag
+    val withMarker = renamedR.withColumn(marker, lit(1))
+    val payload = withMarker.columns.toSeq.filterNot(rKeys.contains)
+    // multiple equality keys combine into one hidden struct key per side
+    val (l2, r2, lk, rk) =
+      if (keys.size == 1) (ldf, withMarker, keys.head._1, rKeys.head)
+      else {
+        // positional field names: the union-trick unions by NAME, so both
+        // sides' struct keys must agree field-for-field
+        val kk = "__graft_asof_k"
+        (ldf.withColumn(kk,
+          struct(keys.zipWithIndex.map { case ((lc, _), i) => col(lc).as(s"_$i") }: _*)),
+          withMarker.withColumn(kk,
+            struct(rKeys.zipWithIndex.map { case (rc, i) => col(rc).as(s"_$i") }: _*)),
+          kk, kk)
+      }
+    val joined = graft.operators.AsofJoin.backward(l2, r2, lk, rk, lts, rts, payload)
+    val unkeyed = if (keys.size == 1) joined else joined.drop("__graft_asof_k")
+    val matched =
+      if (j.joinType == "asof") unkeyed.filter(col(marker).isNotNull) else unkeyed
+    collisions.foldLeft(matched.drop(marker))(
+      (d, c) => d.withColumnRenamed(s"__graft_r_$c", s"$ra.$c"))
   }
 
   /** After an ON/CROSS join, colliding field names become `stream.field` in
@@ -789,10 +925,14 @@ object Translate {
       lim.foldLeft(sorted)((d, n) => d.limit(n.toInt))
   }
 
-  private def planSelect(sel: Select, lookup: Lookup, grace: String,
+  private def planSelect(sel00: Select, lookup: Lookup, grace: String,
                          declared: DeclaredTypes): DataFrame = {
-    val src = planFrom(sel.from, lookup, declared)
-    val base0 = src.df
+    val src = planFrom(sel00.from, lookup, declared)
+    // scalar subqueries (extension) rewrite to broadcast 1-row cross-join
+    // columns BEFORE anything else, so every later clause sees a plain
+    // column ref and the value itself never leaves the distributed plan
+    val (sel, base0, scalarsAttached) =
+      attachScalarSubs(sel00, src.df, lookup, grace, declared)
 
     // Schema-aware type validation (the type-compatibility rules of
     // Validate.hs, now with the resolved relation's schema in hand — see
@@ -813,8 +953,23 @@ object Translate {
       case ColRef(None, n) => col(n)
     }
 
-    // WHERE → Filter (Planner.hs:343-345)
-    val filtered = sel.where.map(w => base0.filter(column(w, resolve, env))).getOrElse(base0)
+    // WHERE → Filter (Planner.hs:343-345). Top-level AND conjuncts that
+    // are IN/EXISTS subquery predicates (extension) peel off into semi/
+    // anti joins; the remaining conjuncts filter first, so pushdown-able
+    // predicates reach the scan below the joins.
+    val whereConjs = sel.where.toSeq.flatMap(conjunctsOf)
+    val (subPreds, plainPreds) = whereConjs.partition(isSubqueryPred)
+    plainPreds.filter(containsJoinSub).foreach { p =>
+      throw new IllegalArgumentException(
+        "IN (SELECT …) / EXISTS (…) must be top-level AND conjuncts of " +
+          s"the WHERE clause — found one nested inside: $p")
+    }
+    val plainFiltered =
+      plainPreds.foldLeft(base0)((d, p) => d.filter(column(p, resolve, env)))
+    val filtered = subPreds.zipWithIndex.foldLeft(plainFiltered) {
+      case (d, (p, i)) =>
+        applySubqueryPred(d, p, i, resolve, env, lookup, grace, declared)
+    }
 
     // aggregates from SELECT + HAVING (Planner.hs:390-432) + ORDER BY
     // (extension: `ORDER BY SUM(x)` with the agg absent from the SELECT
@@ -824,11 +979,16 @@ object Translate {
       sel.orderBy.flatMap(o => collectAggs(o.e))).distinct
 
     if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty) {
-      // plain Filter/Project pipeline
-      val cols = sel.items.map {
-        case ItemWildcard(None) => col("*")
-        case ItemWildcard(Some(q)) => col(s"$q.*")
-        case ItemExpr(e, alias) => column(e, resolve, env).as(alias.getOrElse(exprName(e)))
+      // plain Filter/Project pipeline. With scalar-subquery columns
+      // attached, `*` expands to the ORIGINAL relation's columns so the
+      // hidden __graft_scalar* helpers never leak into the output.
+      val cols = sel.items.flatMap {
+        case ItemWildcard(None) if scalarsAttached =>
+          src.df.columns.toSeq.map(c => col(s"`$c`"))
+        case ItemWildcard(None) => Seq(col("*"))
+        case ItemWildcard(Some(q)) => Seq(col(s"$q.*"))
+        case ItemExpr(e, alias) =>
+          Seq(column(e, resolve, env).as(alias.getOrElse(exprName(e))))
       }
       finishSelect(filtered, cols, Nil, sel, e => column(e, resolve, env))
     } else {
@@ -930,6 +1090,312 @@ object Translate {
     val limited = sel.limit.foldLeft(sorted)((d, n) => d.limit(n.toInt))
     keys.collect { case (c, _, Some(_)) => c }
       .foldLeft(limited)((d, c) => d.drop(c))
+  }
+
+  // ---- expression subqueries (extension; the reference parses subqueries
+  // but rejects them — AST.hs:593, scalar forms commented out AST.hs:339).
+  // Batch/pull only (Validate). Planning is Spark-first: IN → left-semi /
+  // null-aware left-anti join, EXISTS → semi/anti join with correlated
+  // conjuncts as the join condition, scalar → broadcast 1-row cross-join.
+
+  /** Top-level AND conjuncts of a predicate. */
+  private def conjunctsOf(e: Expr): Seq[Expr] = e match {
+    case Bin("AND", l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** A conjunct this planner turns into a semi/anti join. */
+  private def isSubqueryPred(e: Expr): Boolean = e match {
+    case _: InSub | _: ExistsSub => true
+    case Not(x) => isSubqueryPred(x)
+    case _ => false
+  }
+
+  private def containsJoinSub(e: Expr): Boolean = e match {
+    case _: InSub | _: ExistsSub => true
+    case Bin(_, l, r) => containsJoinSub(l) || containsJoinSub(r)
+    case Not(x) => containsJoinSub(x)
+    case Fn(_, args) => args.exists(containsJoinSub)
+    case Cast(x, _) => containsJoinSub(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).exists(containsJoinSub)
+    case ArrIndex(x, _) => containsJoinSub(x)
+    case ArrSlice(x, _, _) => containsJoinSub(x)
+    case ArrLit(items) => items.exists(containsJoinSub)
+    case InList(x, items, _) => (x +: items).exists(containsJoinSub)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .exists(containsJoinSub)
+    case _ => false
+  }
+
+  private def colRefsOf(e: Expr): Seq[ColRef] = e match {
+    case c: ColRef => Seq(c)
+    case Bin(_, l, r) => colRefsOf(l) ++ colRefsOf(r)
+    case Not(x) => colRefsOf(x)
+    case Fn(_, args) => args.flatMap(colRefsOf)
+    case Agg(_, args, _, _) => args.flatMap(colRefsOf)
+    case Cast(x, _) => colRefsOf(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(colRefsOf)
+    case ArrIndex(x, _) => colRefsOf(x)
+    case ArrSlice(x, _, _) => colRefsOf(x)
+    case ArrLit(items) => items.flatMap(colRefsOf)
+    case InList(x, items, _) => (x +: items).flatMap(colRefsOf)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(colRefsOf)
+    case _ => Nil
+  }
+
+  private def applySubqueryPred(cur: DataFrame, p: Expr, idx: Int,
+                                resolve: ColRef => Column, env: TypeCheck.Env,
+                                lookup: Lookup, grace: String,
+                                declared: DeclaredTypes): DataFrame = {
+    def unwrap(e: Expr, neg: Boolean): (Expr, Boolean) = e match {
+      case Not(x) => unwrap(x, !neg)
+      case other => (other, neg)
+    }
+    unwrap(p, neg = false) match {
+      case (ExistsSub(q), neg) =>
+        existsJoin(cur, q, neg, lookup, grace, declared)
+      case (InSub(x, q, not), neg) =>
+        inJoin(cur, x, q, not ^ neg, idx, resolve, env, lookup, grace, declared)
+      case (other, _) =>
+        throw new IllegalStateException(s"not a subquery predicate: $other")
+    }
+  }
+
+  /** `e [NOT] IN (SELECT …)` — uncorrelated; one column. IN plans as a
+    * left-semi join (WHERE filters UNKNOWN rows anyway, so null-unsafe
+    * equality is exactly the membership filter). NOT IN uses the
+    * `(l = r) OR isnull(l = r)` condition — the exact shape Spark's
+    * ExtractSingleColumnNullAwareAntiJoin recognizes, so the physical plan
+    * is a broadcast null-aware anti join rather than a nested loop — which
+    * also gives the standard three-valued semantics: any NULL on either
+    * side suppresses the row. */
+  private def inJoin(cur: DataFrame, x: Expr, q: Query, not: Boolean,
+                     idx: Int, resolve: ColRef => Column, env: TypeCheck.Env,
+                     lookup: Lookup, grace: String,
+                     declared: DeclaredTypes): DataFrame = {
+    val sub = plan(q, lookup, grace, declared)
+    require(!sub.isStreaming,
+      "IN (SELECT …) requires a batch/pull subquery relation")
+    require(sub.columns.length == 1,
+      s"IN subquery must return exactly one column, got ${sub.columns.length}")
+    val nm = s"__graft_in$idx"
+    val rhs = sub.select(col(sub.columns.head).as(nm))
+    val l = column(x, resolve, env)
+    if (!not) cur.join(rhs, l === rhs(nm), "left_semi")
+    else {
+      val eq = l === rhs(nm)
+      cur.join(rhs, eq || eq.isNull, "left_anti")
+    }
+  }
+
+  /** `[NOT] EXISTS (SELECT …)`. Correlated conjuncts of the subquery's
+    * WHERE (refs the subquery's own relation lacks but the outer one has)
+    * become the semi/anti join condition; purely-local conjuncts filter
+    * the subquery side first, below the join. Column refs bind to their
+    * owning DataFrame (dataset-bound), so EXISTS over the outer query's
+    * own table — a self-join — stays unambiguous. */
+  private def existsJoin(cur: DataFrame, q: Query, negate: Boolean,
+                         lookup: Lookup, grace: String,
+                         declared: DeclaredTypes): DataFrame = {
+    val joinType = if (negate) "left_anti" else "left_semi"
+    def uncorrelated(): DataFrame = {
+      val sub = plan(q, lookup, grace, declared)
+      require(!sub.isStreaming,
+        "EXISTS (…) requires a batch/pull subquery relation")
+      // row-existence only: limit(1) caps the broadcast side at one row
+      cur.join(broadcast(sub.limit(1)), lit(true), joinType)
+    }
+    q match {
+      case s: Select if s.where.isDefined =>
+        val subSrc = planFrom(s.from, lookup, declared)
+        val subDf = subSrc.df
+        require(!subDf.isStreaming,
+          "EXISTS (…) requires a batch/pull subquery relation")
+        def resolvable(df: DataFrame, name: String): Boolean =
+          try { df(name); true } catch { case _: Throwable => false }
+        def subHas(c: ColRef): Boolean = c match {
+          case ColRef(Some(qual), n) =>
+            subDf.columns.contains(s"$qual.$n") || resolvable(subDf, s"$qual.$n")
+          case ColRef(None, n) => subDf.columns.exists(_.equalsIgnoreCase(n))
+        }
+        def outerHas(c: ColRef): Boolean = c match {
+          case ColRef(Some(qual), n) =>
+            cur.columns.contains(s"$qual.$n") || resolvable(cur, s"$qual.$n")
+          case ColRef(None, n) => cur.columns.exists(_.equalsIgnoreCase(n))
+        }
+        val cs = conjunctsOf(s.where.get)
+        val (corr, local) =
+          cs.partition(c => colRefsOf(c).exists(r => !subHas(r) && outerHas(r)))
+        if (corr.isEmpty) uncorrelated()
+        else {
+          require(subSrc.window.isEmpty,
+            "correlated EXISTS subquery cannot be windowed")
+          require(s.groupBy.isEmpty && !s.rollup && s.having.isEmpty,
+            "correlated EXISTS subquery must be a plain SELECT " +
+              "(no GROUP BY / HAVING)")
+          require(s.items.forall {
+            case ItemExpr(e, _) => collectAggs(e).isEmpty
+            case _ => true },
+            "correlated EXISTS subquery must not aggregate (a global " +
+              "aggregate always yields one row, making EXISTS vacuously true)")
+          val subEnv = TypeCheck.envOf(subDf)
+          // local filters resolve unbound (only the sub frame is in scope)
+          def subResolveUnbound(c: ColRef): Column = c match {
+            case ColRef(Some(qual), n) if subDf.columns.contains(s"$qual.$n") =>
+              col(s"`$qual.$n`")
+            case ColRef(Some(qual), n) => col(s"$qual.$n")
+            case ColRef(None, n) => col(n)
+          }
+          local.foreach(TypeCheck.check(_, subEnv))
+          val filteredSub = local.foldLeft(subDf)(
+            (d, c) => d.filter(column(c, subResolveUnbound, subEnv)))
+          // join-condition refs resolve UNBOUND by alias qualifier —
+          // Spark's documented self-join pattern ($"a.id" > $"b.id"):
+          // dataset-bound columns do not survive the dedup rewrite when
+          // the subquery reads the outer query's own table. Bare local
+          // refs get the sub's anchor alias, so a name both sides share
+          // still resolves to the subquery side.
+          val subAlias = scala.util.Try(refAlias(s.from)).toOption
+          def subResolve(c: ColRef): Column = c match {
+            case ColRef(Some(qual), n) if subDf.columns.contains(s"$qual.$n") =>
+              col(s"`$qual.$n`")
+            case ColRef(Some(qual), n) => col(s"$qual.$n")
+            case ColRef(None, n) =>
+              subAlias.map(a => col(s"$a.$n")).getOrElse(col(n))
+          }
+          def outerResolve(c: ColRef): Column = c match {
+            case ColRef(Some(qual), n) if cur.columns.contains(s"$qual.$n") =>
+              col(s"`$qual.$n`")
+            case ColRef(Some(qual), n) => col(s"$qual.$n")
+            case ColRef(None, n) => col(n)
+          }
+          def mixedResolve(c: ColRef): Column =
+            if (subHas(c)) subResolve(c) else outerResolve(c)
+          val cond = corr.map(c => column(c, mixedResolve)).reduce(_ && _)
+          cur.join(filteredSub, cond, joinType)
+        }
+      case _ => uncorrelated()
+    }
+  }
+
+  // ---- scalar subqueries ---------------------------------------------------
+
+  private def collectScalars(e: Expr): Seq[ScalarSub] = e match {
+    case s: ScalarSub => Seq(s)
+    case Bin(_, l, r) => (collectScalars(l) ++ collectScalars(r)).distinct
+    case Not(x) => collectScalars(x)
+    case Fn(_, args) => args.flatMap(collectScalars).distinct
+    case Agg(_, args, _, _) => args.flatMap(collectScalars).distinct
+    case Cast(x, _) => collectScalars(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectScalars).distinct
+    case ArrIndex(x, _) => collectScalars(x)
+    case ArrSlice(x, _, _) => collectScalars(x)
+    case ArrLit(items) => items.flatMap(collectScalars).distinct
+    case InList(x, items, _) => (x +: items).flatMap(collectScalars).distinct
+    case InSub(x, _, _) => collectScalars(x)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(collectScalars).distinct
+    case WinFn(_, args, parts, ord, _) =>
+      (args ++ parts ++ ord.map(_.e)).flatMap(collectScalars).distinct
+    case _ => Nil
+  }
+
+  private def replaceScalars(e: Expr, names: Map[ScalarSub, String]): Expr = e match {
+    case s: ScalarSub => ColRef(None, names(s))
+    case Bin(op, l, r) => Bin(op, replaceScalars(l, names), replaceScalars(r, names))
+    case Not(x) => Not(replaceScalars(x, names))
+    case Fn(n, args) => Fn(n, args.map(replaceScalars(_, names)))
+    case Agg(n, args, st, d) => Agg(n, args.map(replaceScalars(_, names)), st, d)
+    case Cast(x, dt) => Cast(replaceScalars(x, names), dt)
+    case Between(x, lo, hi, n, sy) =>
+      Between(replaceScalars(x, names), replaceScalars(lo, names),
+        replaceScalars(hi, names), n, sy)
+    case ArrIndex(x, i) => ArrIndex(replaceScalars(x, names), i)
+    case ArrSlice(x, f, t) => ArrSlice(replaceScalars(x, names), f, t)
+    case ArrLit(items) => ArrLit(items.map(replaceScalars(_, names)))
+    case InList(x, items, n) =>
+      InList(replaceScalars(x, names), items.map(replaceScalars(_, names)), n)
+    case InSub(x, q, n) => InSub(replaceScalars(x, names), q, n)
+    case CaseWhen(op0, bs, el) =>
+      CaseWhen(op0.map(replaceScalars(_, names)),
+        bs.map { case (c, r) => (replaceScalars(c, names), replaceScalars(r, names)) },
+        el.map(replaceScalars(_, names)))
+    case WinFn(n, args, parts, ord, fr) =>
+      WinFn(n, args.map(replaceScalars(_, names)),
+        parts.map(replaceScalars(_, names)),
+        ord.map(o => o.copy(e = replaceScalars(o.e, names))), fr)
+    case other => other
+  }
+
+  private def hasWindowedFrom(r: TableRef): Boolean = r match {
+    case _: TRWindowed => true
+    case TRAlias(i, _) => hasWindowedFrom(i)
+    case TRFlatten(i, _, _) => hasWindowedFrom(i)
+    case TRJoin(l, rr, _, _, _) => hasWindowedFrom(l) || hasWindowedFrom(rr)
+    case _ => false
+  }
+
+  /** A scalar subquery must be PROVABLY one-row — a global aggregate (no
+    * GROUP BY, no FROM-window) or an explicit LIMIT 1 — as a static rule,
+    * instead of Spark's runtime "more than one row" error. */
+  private def provablyOneRow(q: Query): Boolean = q match {
+    case s: Select =>
+      s.limit.contains(1L) ||
+        (s.groupBy.isEmpty && !s.rollup && !hasWindowedFrom(s.from) &&
+          s.items.nonEmpty &&
+          s.items.forall { case ItemExpr(_, _) => true; case _ => false } &&
+          s.items.exists {
+            case ItemExpr(e, _) => collectAggs(e).nonEmpty; case _ => false })
+    case so: SetOp => so.limit.contains(1L)
+  }
+
+  /** Rewrite every scalar subquery in `sel` to a hidden column attached to
+    * the source relation by a broadcast 1-row cross-join. The value stays
+    * in the distributed plan — no driver-side collect — and Catalyst folds
+    * the broadcast into every partition. */
+  private def attachScalarSubs(sel: Select, df0: DataFrame, lookup: Lookup,
+                               grace: String, declared: DeclaredTypes)
+      : (Select, DataFrame, Boolean) = {
+    val whereSubs = sel.where.toSeq.flatMap(collectScalars)
+    val postExprs = sel.items.collect { case ItemExpr(e, _) => e } ++
+      sel.having.toSeq ++ sel.orderBy.map(_.e)
+    val postSubs = postExprs.flatMap(collectScalars)
+    val subs = (whereSubs ++ postSubs).distinct
+    if (subs.isEmpty) return (sel, df0, false)
+    // post-aggregation positions can't see a pre-aggregation helper column:
+    // aggregate queries may use scalar subqueries in WHERE only
+    val aggregates = sel.groupBy.nonEmpty || sel.rollup ||
+      postExprs.exists(collectAggs(_).nonEmpty)
+    if (aggregates && postSubs.nonEmpty)
+      throw new IllegalArgumentException(
+        "scalar subqueries in the SELECT list / HAVING / ORDER BY of an " +
+          "aggregate query are not supported — aggregate in a " +
+          "FROM-subquery and compare outside, or move the test to WHERE")
+    val names = subs.zipWithIndex.map { case (s, i) => s -> s"__graft_scalar$i" }.toMap
+    val base = subs.foldLeft(df0) { (d, s) =>
+      if (!provablyOneRow(s.q))
+        throw new IllegalArgumentException(
+          "scalar subquery must be provably one-row: a global aggregate " +
+            "(no GROUP BY) or LIMIT 1")
+      val sub = plan(s.q, lookup, grace, declared)
+      require(!sub.isStreaming, "scalar subquery must be a batch/pull relation")
+      require(sub.columns.length == 1,
+        s"scalar subquery must return exactly one column, got ${sub.columns.length}")
+      d.crossJoin(broadcast(sub.select(col(sub.columns.head).as(names(s)))))
+    }
+    def rw(e: Expr): Expr = replaceScalars(e, names)
+    val sel2 = sel.copy(
+      items = sel.items.map {
+        case ItemExpr(e, a) => ItemExpr(rw(e), a)
+        case w => w },
+      where = sel.where.map(rw),
+      having = sel.having.map(rw),
+      orderBy = sel.orderBy.map(o => o.copy(e = rw(o.e))))
+    (sel2, base, true)
   }
 
   /** Full fn translation including literal-arg special cases. */

@@ -170,7 +170,23 @@ object TypeCheck {
           fail(s"CASE branches mix ${show(a)} and ${show(b)} results")
       rts.flatten.headOption
 
-    case WinFn(name, args, parts, ord) =>
+    case InList(x, items, _) =>
+      val et = infer(x, env)
+      items.foreach { i =>
+        val it = infer(i, env)
+        for (a <- et; b <- it)
+          if (!sameFamily(a, b))
+            fail(s"IN list mixes ${show(a)} and ${show(b)} operands")
+      }
+      Some(TBool)
+    // subquery sides type-check against their OWN relation inside
+    // Translate.plan (the sub's schema isn't in this env); the predicate
+    // itself is boolean
+    case InSub(x, _, _) => infer(x, env); Some(TBool)
+    case _: ExistsSub => Some(TBool)
+    case _: ScalarSub => None // rewritten to a column ref before planning
+
+    case WinFn(name, args, parts, ord, _) =>
       parts.foreach(infer(_, env))
       ord.foreach(o => requireOrd(o.e, env, "OVER (ORDER BY …)"))
       name match {

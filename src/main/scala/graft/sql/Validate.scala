@@ -113,6 +113,20 @@ object Validate {
           "HyperLogLog state) or a batch/pull SELECT")
     }
 
+    // subqueries in expressions (IN/EXISTS/scalar — extension, AST.hs:593
+    // parses-but-rejects) are batch/pull only: their semi/anti/cross-join
+    // plans need the full subquery result, which an unbounded stream never
+    // finalizes
+    if (continuous) {
+      val withSubs = (sel.items.collect { case ItemExpr(e, _) => e } ++
+        sel.where.toSeq ++ sel.having.toSeq ++ sel.orderBy.map(_.e))
+        .filter(hasSubquery)
+      if (withSubs.nonEmpty)
+        fail("subqueries in expressions (IN / EXISTS / scalar) are not " +
+          "supported in continuous queries (EMIT CHANGES / CREATE STREAM " +
+          "AS / CREATE VIEW / INSERT-SELECT); use a batch/pull SELECT")
+    }
+
     // aggregates are not allowed in WHERE (Validate.hs:521: "Aggregate
     // functions are not allowed in WHERE clause, HAVING clause and JOIN
     // condition" — HAVING over aggregates is standard SQL and the planner
@@ -180,9 +194,33 @@ object Validate {
     checkFrom(sel.from, inJoin = false, continuous = continuous)
   }
 
+  /** Any subquery node in an expression tree (sub bodies not entered —
+    * they are separate scopes, validated via checkExpr's recursion). */
+  private def hasSubquery(e: Expr): Boolean = e match {
+    case _: InSub | _: ExistsSub | _: ScalarSub => true
+    case InList(x, items, _) => (x +: items).exists(hasSubquery)
+    case Bin(_, l, r) => hasSubquery(l) || hasSubquery(r)
+    case Not(x) => hasSubquery(x)
+    case Fn(_, args) => args.exists(hasSubquery)
+    case Agg(_, args, _, _) => args.exists(hasSubquery)
+    case Cast(x, _) => hasSubquery(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).exists(hasSubquery)
+    case ArrIndex(x, _) => hasSubquery(x)
+    case ArrSlice(x, _, _) => hasSubquery(x)
+    case ArrLit(items) => items.exists(hasSubquery)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .exists(hasSubquery)
+    case WinFn(_, args, parts, ord, _) =>
+      (args ++ parts ++ ord.map(_.e)).exists(hasSubquery)
+    case _ => false
+  }
+
   /** All OVER-clause window calls in an expression tree. */
   private def collectWinFns(e: Expr): Seq[WinFn] = e match {
     case w: WinFn => Seq(w)
+    case InList(x, items, _) => (x +: items).flatMap(collectWinFns)
+    case InSub(x, _, _) => collectWinFns(x)
     case Bin(_, l, r) => collectWinFns(l) ++ collectWinFns(r)
     case Not(x) => collectWinFns(x)
     case Fn(_, args) => args.flatMap(collectWinFns)
@@ -205,6 +243,8 @@ object Validate {
   private def nonAggColRefs(e: Expr): Seq[ColRef] = e match {
     case _: Agg => Nil
     case c: ColRef => Seq(c)
+    case InList(x, items, _) => (x +: items).flatMap(nonAggColRefs)
+    case InSub(x, _, _) => nonAggColRefs(x) // sub body is its own scope
     case Bin(_, l, r) => nonAggColRefs(l) ++ nonAggColRefs(r)
     case Not(x) => nonAggColRefs(x)
     case Fn(_, args) => args.flatMap(nonAggColRefs)
@@ -234,7 +274,13 @@ object Validate {
       if (inJoin) fail("joining time-windowed streams is not supported (window the join's result instead)")
       checkWindow(win)
       checkFrom(inner, inJoin, continuous)
-    case TRJoin(l, r, _, cond, within) =>
+    case TRJoin(l, r, jt, cond, within) =>
+      // ASOF JOIN (extension): one-shuffle union-trick plan needs the full
+      // right history — batch/pull only; streams get StreamOps.asofEnrich
+      if ((jt == "asof" || jt == "asof_left") && continuous)
+        fail("ASOF JOIN is not supported in continuous queries " +
+          "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT) " +
+          "— use the streaming as-of enrichment, or a batch/pull SELECT")
       within.foreach { w =>
         if (w.n <= 0)
           fail(s"WITHIN interval must be positive, got ${w.n} ${w.unit}")
@@ -285,6 +331,8 @@ object Validate {
 
   private def collectDistinctAggs(e: Expr): Seq[Agg] = e match {
     case a: Agg if a.distinct => Seq(a)
+    case InList(x, items, _) => (x +: items).flatMap(collectDistinctAggs)
+    case InSub(x, _, _) => collectDistinctAggs(x)
     case Bin(_, l, r) => collectDistinctAggs(l) ++ collectDistinctAggs(r)
     case Not(x) => collectDistinctAggs(x)
     case Fn(_, args) => args.flatMap(collectDistinctAggs)
@@ -375,7 +423,7 @@ object Validate {
             try { java.time.LocalDateTime.parse(s); true }
             catch { case _: Exception => false } } }
       if (!ok) fail(s"invalid TIMESTAMP literal: $s")
-    case WinFn(name, args, parts, ord) =>
+    case WinFn(name, args, parts, ord, frame) =>
       // window functions are SELECT-list/ORDER-BY expressions only; their
       // value is undefined pre-projection (standard SQL), and nesting one
       // inside an aggregate has no meaning either
@@ -385,9 +433,37 @@ object Validate {
       if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE").contains(name) &&
           ord.isEmpty)
         fail(s"$name requires ORDER BY in its OVER clause")
+      // ROWS frames (extension): aggregates and FIRST/LAST_VALUE only —
+      // ranking functions and LAG/LEAD define their own row scope
+      frame.foreach { case (lo, hi) =>
+        if (ord.isEmpty)
+          fail(s"$name: a ROWS frame requires ORDER BY in the OVER clause")
+        if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD")
+            .contains(name))
+          fail(s"$name does not accept a window frame")
+        if (lo > hi)
+          fail(s"$name: ROWS frame lower bound exceeds upper bound")
+      }
       // no aggregates (and no nested window fns) inside any part
       (args ++ parts ++ ord.map(_.e))
         .foreach(checkExpr(_, aggAllowed = false, where = s"$name's OVER clause"))
+    case InList(x, items, _) =>
+      (x +: items).foreach(checkExpr(_, aggAllowed, where, insideAgg))
+    case InSub(x, q, _) =>
+      // semi/anti-join plans exist only at the WHERE level (same rule as
+      // Spark's own analyzer for predicate subqueries)
+      if (where != "WHERE clause")
+        fail(s"IN (SELECT …) is only allowed in the WHERE clause, not in $where")
+      checkExpr(x, aggAllowed, where, insideAgg)
+      checkQuery(q, continuous = false, top = false)
+    case ExistsSub(q) =>
+      if (where != "WHERE clause")
+        fail(s"EXISTS (…) is only allowed in the WHERE clause, not in $where")
+      checkQuery(q, continuous = false, top = false)
+    case ScalarSub(q) =>
+      if (insideAgg)
+        fail("a scalar subquery cannot appear inside an aggregate")
+      checkQuery(q, continuous = false, top = false)
     case Bin(_, l, r) =>
       checkExpr(l, aggAllowed, where, insideAgg); checkExpr(r, aggAllowed, where, insideAgg)
     case Not(x) => checkExpr(x, aggAllowed, where, insideAgg)

@@ -1,0 +1,62 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** ROWS window frames in the dialect's OVER clause (extension). */
+class WindowFrameSpec extends SparkSpec {
+
+  private lazy val e = new SqlEngine(spark)
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("a", 4L, 40L),
+      ("b", 1L, 5L)).toDF("k", "i", "v").createOrReplaceTempView("wf_t")
+  }
+
+  test("moving SUM over ROWS BETWEEN n PRECEDING AND CURRENT ROW") {
+    setup()
+    val got = e.batch(
+      """SELECT k, i, SUM(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS mv
+         FROM wf_t ORDER BY k, i;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 50L),
+      ("a", 4L, 70L), ("b", 1L, 5L)))
+  }
+
+  test("single-bound shorthand and FOLLOWING bounds") {
+    setup()
+    val got = e.batch(
+      """SELECT i,
+                COUNT(v) OVER (PARTITION BY k ORDER BY i ROWS 1 PRECEDING) AS c2,
+                SUM(v) OVER (PARTITION BY k ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS nxt,
+                MAX(v) OVER (PARTITION BY k ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mx
+         FROM wf_t WHERE k = 'a' ORDER BY i;""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 30L, 40L), (2L, 2L, 50L, 40L),
+      (3L, 2L, 70L, 40L), (4L, 2L, 40L, 40L)))
+  }
+
+  test("frame rejections carry dialect vocabulary") {
+    setup()
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.batch(sql).collect())
+      assert(ex.getMessage != null && ex.getMessage.contains(frag),
+        s"message for [$sql] was: ${ex.getMessage}")
+    }
+    rejects("""SELECT SUM(v) OVER (PARTITION BY k
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+               FROM wf_t;""", "requires ORDER BY")
+    rejects("""SELECT ROW_NUMBER() OVER (ORDER BY i
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn
+               FROM wf_t;""", "does not accept a window frame")
+    rejects("""SELECT SUM(v) OVER (ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 1 PRECEDING) AS s
+               FROM wf_t;""", "lower bound exceeds upper bound")
+    rejects("""SELECT SUM(v) OVER (ORDER BY i
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+               FROM wf_t;""", "only ROWS window frames")
+  }
+}
