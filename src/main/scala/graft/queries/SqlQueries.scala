@@ -473,6 +473,29 @@ object SqlQueries extends QueryPack {
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)
          ORDER BY o_orderkey;""")),
 
+    // GROUP BY CUBE: every subset of the grouping columns in ONE shuffle
+    // (4 levels here). Same GROUPING_ID()/coalesce conventions as the
+    // ROLLUP gate; the CUBE-only level (source alone) is the new coverage.
+    "q_sql_cube" -> ((s, dir) => run(s, dir,
+      """SELECT GROUPING_ID() AS gid,
+                IFNULL(lang, '<ALL>') AS lang2,
+                IFNULL(source, '<ALL>') AS source2,
+                COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         FROM documents GROUP BY CUBE (lang, source)
+         ORDER BY gid, lang2, source2;""")),
+
+    // GROUP BY GROUPING SETS: explicit level list — (lang, source) detail,
+    // lang subtotals, source subtotals (skipping the grand total, which a
+    // ROLLUP/CUBE could not express without also emitting other levels).
+    "q_sql_grouping_sets" -> ((s, dir) => run(s, dir,
+      """SELECT GROUPING_ID() AS gid,
+                IFNULL(lang, '<ALL>') AS lang2,
+                IFNULL(source, '<ALL>') AS source2,
+                COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+         ORDER BY gid, lang2, source2;""")),
+
     // ROWS window frames (extension): moving-window aggregates. Every
     // aggregate here is EXACT under reassociation (integral-double sum,
     // min/max/count/first), and the ORDER BY is total (ts, event_id) — so
@@ -808,6 +831,21 @@ object SqlQueries extends QueryPack {
                 o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
          FROM orders
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_sql_cube" ->
+      """SELECT grouping(lang, source)::BIGINT AS gid,
+         coalesce(lang, '<ALL>') AS lang2,
+         coalesce(source, '<ALL>') AS source2,
+         count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY CUBE (lang, source)
+         ORDER BY gid, lang2, source2""",
+    "q_sql_grouping_sets" ->
+      """SELECT grouping(lang, source)::BIGINT AS gid,
+         coalesce(lang, '<ALL>') AS lang2,
+         coalesce(source, '<ALL>') AS source2,
+         count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+         ORDER BY gid, lang2, source2""",
     "q_sql_moving" ->
       """SELECT event_id, user_id,
                 SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id

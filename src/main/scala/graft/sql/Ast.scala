@@ -152,10 +152,18 @@ object Ast {
                     emitChanges: Boolean = false,
                     orderBy: Seq[OrderItem] = Nil,
                     limit: Option[Long] = None,
-                    // GROUP BY ROLLUP (a, b) — dialect extension (SURVEY
-                    // §2.5: no production in SQL-v1.cf); multi-level
-                    // aggregation in one shuffle, batch/pull only
-                    rollup: Boolean = false) extends Query
+                    // GROUP BY ROLLUP/CUBE/GROUPING SETS — dialect
+                    // extension (SURVEY §2.5: no production in SQL-v1.cf);
+                    // multi-level aggregation in one shuffle, batch/pull
+                    // only. groupMode ∈ plain|rollup|cube|sets; for `sets`,
+                    // groupBy is the ordered union of all set columns and
+                    // groupSets holds the explicit sets.
+                    groupMode: String = "plain",
+                    groupSets: Seq[Seq[ColRef]] = Nil) extends Query {
+    /** Any multi-level grouping (ROLLUP / CUBE / GROUPING SETS). */
+    def multiLevel: Boolean = groupMode != "plain"
+    def rollup: Boolean = groupMode == "rollup"
+  }
 
   /** op ∈ union/intersect/except; column matching is positional (standard
     * SQL), output names come from the left operand. INTERSECT binds tighter

@@ -284,19 +284,46 @@ object Parser {
       expect("FROM")
       val from = tableRef()
       val where = if (accept("WHERE")) Some(expr()) else None
-      // GROUP BY [ROLLUP (] c1, c2 [)] — ROLLUP is the dialect's
-      // multi-level-aggregation extension (batch/pull only, Validate)
-      val (groupBy, rollup) =
+      // GROUP BY [ROLLUP|CUBE (c1, c2) | GROUPING SETS ((…), …) | c1, c2]
+      // — the multi-level-aggregation extensions (batch/pull only,
+      // Validate). For GROUPING SETS, groupBy is the ordered union of all
+      // set columns (standard SQL output shape).
+      val (groupBy, groupMode, groupSets) =
         if (accept("GROUP")) { expect("BY")
-          val isRollup = accept("ROLLUP")
-          if (isRollup) expect("(")
-          val cols = Seq.newBuilder[ColRef]
-          do cols += colName() while (accept(","))
-          if (isRollup) expect(")")
-          (cols.result(), isRollup)
-        } else (Nil, false)
+          def parenCols(): Seq[ColRef] = {
+            expect("(")
+            val cols = Seq.newBuilder[ColRef]
+            do cols += colName() while (accept(","))
+            expect(")")
+            cols.result()
+          }
+          kwPeek match {
+            case "ROLLUP" => next(); (parenCols(), "rollup", Nil)
+            case "CUBE" => next(); (parenCols(), "cube", Nil)
+            case "GROUPING" =>
+              next(); expect("SETS"); expect("(")
+              val sets = Seq.newBuilder[Seq[ColRef]]
+              do {
+                expect("(")
+                val cs = Seq.newBuilder[ColRef]
+                if (!isKw(")")) do cs += colName() while (accept(","))
+                expect(")")
+                sets += cs.result()
+              } while (accept(","))
+              expect(")")
+              val ss = sets.result()
+              val union = ss.flatten.foldLeft(Vector.empty[ColRef])(
+                (acc, c) => if (acc.contains(c)) acc else acc :+ c)
+              (union.toSeq, "sets", ss)
+            case _ =>
+              val cols = Seq.newBuilder[ColRef]
+              do cols += colName() while (accept(","))
+              (cols.result(), "plain", Nil)
+          }
+        } else (Nil, "plain", Nil)
       val having = if (accept("HAVING")) Some(expr()) else None
-      Select(items.result(), from, where, groupBy, having, rollup = rollup)
+      Select(items.result(), from, where, groupBy, having,
+        groupMode = groupMode, groupSets = groupSets)
     }
 
     /** Trailing clauses shared by select() and query(): ORDER BY / LIMIT

@@ -978,7 +978,8 @@ object Translate {
     val aggs = (itemAggs ++ sel.having.toSeq.flatMap(collectAggs) ++
       sel.orderBy.flatMap(o => collectAggs(o.e))).distinct
 
-    if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty) {
+    if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty &&
+        !sel.multiLevel) {
       // plain Filter/Project pipeline. With scalar-subquery columns
       // attached, `*` expands to the ORIGINAL relation's columns so the
       // hidden __graft_scalar* helpers never leak into the output.
@@ -1026,15 +1027,29 @@ object Translate {
         if (src.window.isDefined && filtered.isStreaming)
           filtered.withWatermark(tsCol(base0), grace)
         else filtered
-      // ROLLUP: one shuffle computes every grouping level (Validate gates
-      // it to batch/pull and TypeCheck-style rules below keep windows out)
-      if (sel.rollup && src.window.isDefined)
+      // ROLLUP/CUBE/GROUPING SETS: one shuffle computes every grouping
+      // level (Validate gates them to batch/pull; windows stay out)
+      if (sel.multiLevel && src.window.isDefined)
         throw new IllegalArgumentException(
-          "GROUP BY ROLLUP cannot combine with TUMBLE/HOP/SESSION windows")
-      val grouped =
-        if (sel.rollup) watermarked.rollup(keyCols: _*)
-        else watermarked.groupBy(windowCol.toSeq ++ keyCols: _*)
-      val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
+          "GROUP BY ROLLUP/CUBE/GROUPING SETS cannot combine with " +
+            "TUMBLE/HOP/SESSION windows")
+      val grouped = sel.groupMode match {
+        case "rollup" => watermarked.rollup(keyCols: _*)
+        case "cube" => watermarked.cube(keyCols: _*)
+        case "sets" =>
+          // UNALIASED on both sides: an Alias carries a fresh exprId, so
+          // aliased set exprs would not match the grouping columns and
+          // Spark would union them in as extra (always-null) group bits
+          watermarked.groupingSets(
+            sel.groupSets.map(_.map(resolve)), sel.groupBy.map(resolve): _*)
+        case _ => watermarked.groupBy(windowCol.toSeq ++ keyCols: _*)
+      }
+      // aggregate-less GROUP BY (`SELECT k FROM t GROUP BY k`) is a
+      // distinct-on-keys — a dummy count materializes the grouping
+      val agged =
+        if (aggCols.isEmpty)
+          grouped.agg(count(lit(1)).as("__graft_dummy")).drop("__graft_dummy")
+        else grouped.agg(aggCols.head, aggCols.tail: _*)
 
       // HAVING over the aggregated relation (Planner.hs:380-382)
       def postResolve(c: ColRef): Column = col(c.name)
@@ -1233,7 +1248,7 @@ object Translate {
         else {
           require(subSrc.window.isEmpty,
             "correlated EXISTS subquery cannot be windowed")
-          require(s.groupBy.isEmpty && !s.rollup && s.having.isEmpty,
+          require(s.groupBy.isEmpty && !s.multiLevel && s.having.isEmpty,
             "correlated EXISTS subquery must be a plain SELECT " +
               "(no GROUP BY / HAVING)")
           require(s.items.forall {
@@ -1345,7 +1360,7 @@ object Translate {
   private def provablyOneRow(q: Query): Boolean = q match {
     case s: Select =>
       s.limit.contains(1L) ||
-        (s.groupBy.isEmpty && !s.rollup && !hasWindowedFrom(s.from) &&
+        (s.groupBy.isEmpty && !s.multiLevel && !hasWindowedFrom(s.from) &&
           s.items.nonEmpty &&
           s.items.forall { case ItemExpr(_, _) => true; case _ => false } &&
           s.items.exists {
@@ -1368,7 +1383,7 @@ object Translate {
     if (subs.isEmpty) return (sel, df0, false)
     // post-aggregation positions can't see a pre-aggregation helper column:
     // aggregate queries may use scalar subqueries in WHERE only
-    val aggregates = sel.groupBy.nonEmpty || sel.rollup ||
+    val aggregates = sel.groupBy.nonEmpty || sel.multiLevel ||
       postExprs.exists(collectAggs(_).nonEmpty)
     if (aggregates && postSubs.nonEmpty)
       throw new IllegalArgumentException(

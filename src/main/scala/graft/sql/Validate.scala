@@ -141,15 +141,15 @@ object Validate {
 
     // GROUP BY ROLLUP (extension): batch/pull only — rollup levels over an
     // unbounded stream would need one state store per grouping level
-    if (sel.rollup && continuous)
-      fail("GROUP BY ROLLUP is not supported in continuous queries " +
+    if (sel.multiLevel && continuous)
+      fail("GROUP BY ROLLUP/CUBE/GROUPING SETS is not supported in continuous queries " +
         "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
         "use a batch/pull SELECT")
     // under ROLLUP every non-aggregate column reference must be a grouping
     // column: super-aggregate rows null the rolled-up keys, so a bare
     // non-grouped column has no value on those rows — reject with the
     // dialect's vocabulary, not a deep Catalyst grouping error
-    if (sel.rollup) {
+    if (sel.multiLevel) {
       val grouped = sel.groupBy.map(_.name.toLowerCase).toSet
       // HAVING/ORDER BY bind standard-SQL style to projected output
       // columns too, so aliases of computed items are legal references
@@ -166,12 +166,12 @@ object Validate {
           "ROLLUP (…) or wrap it in an aggregate")
     }
     // GROUPING_ID() is the rollup level indicator — meaningless elsewhere
-    if (!sel.rollup) {
+    if (!sel.multiLevel) {
       val gids = (sel.items.collect { case ItemExpr(e, _) => e } ++
         sel.having.toSeq ++ sel.orderBy.map(_.e))
         .flatMap(Translate.collectAggs).collect { case Agg("GROUPING_ID", _, _, _) => () }
       if (gids.nonEmpty)
-        fail("GROUPING_ID() requires GROUP BY ROLLUP")
+        fail("GROUPING_ID() requires GROUP BY ROLLUP/CUBE/GROUPING SETS")
     }
 
     // window functions (OVER — §2.8 extension): batch/pull only (a
@@ -185,7 +185,7 @@ object Validate {
         fail(s"window function ${winFns.head.name} OVER (…) is not " +
           "supported in continuous queries (EMIT CHANGES / CREATE STREAM " +
           "AS / CREATE VIEW / INSERT-SELECT); use a batch/pull SELECT")
-      if (sel.groupBy.nonEmpty || sel.rollup)
+      if (sel.groupBy.nonEmpty || sel.multiLevel)
         fail(s"window function ${winFns.head.name} OVER (…) cannot " +
           "combine with GROUP BY — window it over the grouped result " +
           "via a FROM-subquery")

@@ -1,0 +1,57 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** GROUP BY CUBE / GROUPING SETS (extension, §2.5 family) and the
+  * aggregate-less GROUP BY distinct form. */
+class GroupingSpec extends SparkSpec {
+
+  private lazy val e = new SqlEngine(spark)
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq(("en", "web", 10L), ("en", "book", 20L), ("de", "web", 30L))
+      .toDF("lang", "src", "n").createOrReplaceTempView("gs_t")
+  }
+
+  test("CUBE emits every subset level with GROUPING_ID disambiguation") {
+    setup()
+    val got = e.batch(
+      """SELECT GROUPING_ID() AS gid, IFNULL(lang, '*') AS l,
+                IFNULL(src, '*') AS s, SUM(n) AS t
+         FROM gs_t GROUP BY CUBE (lang, src) ORDER BY gid, l, s;""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "de", "web", 30L), (0L, "en", "book", 20L), (0L, "en", "web", 10L),
+      (1L, "de", "*", 30L), (1L, "en", "*", 30L),
+      (2L, "*", "book", 20L), (2L, "*", "web", 40L),
+      (3L, "*", "*", 60L)))
+  }
+
+  test("GROUPING SETS emits exactly the requested levels") {
+    setup()
+    val got = e.batch(
+      """SELECT GROUPING_ID() AS gid, IFNULL(lang, '*') AS l,
+                IFNULL(src, '*') AS s, SUM(n) AS t
+         FROM gs_t GROUP BY GROUPING SETS ((lang), (src)) ORDER BY gid, l, s;""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // only the two subtotal levels — no detail rows, no grand total
+    assert(got.toSeq == Seq(
+      (1L, "de", "*", 30L), (1L, "en", "*", 30L),
+      (2L, "*", "book", 20L), (2L, "*", "web", 40L)))
+  }
+
+  test("aggregate-less GROUP BY is distinct-on-keys") {
+    setup()
+    val got = e.batch("SELECT lang FROM gs_t GROUP BY lang ORDER BY lang;")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("de", "en"))
+  }
+
+  test("CUBE/GROUPING SETS rejected in continuous queries") {
+    setup()
+    val ex = intercept[Exception](e.sql(
+      "SELECT lang, COUNT(*) AS c FROM gs_t GROUP BY CUBE (lang) EMIT CHANGES;"))
+    assert(ex.getMessage.contains("not supported in continuous queries"))
+  }
+}
