@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   * decodes them back per partition — width/height/channels in the output
   * come from the actual decoder, so the oracle match proves the encode →
   * binary column → decode round-trip through the distributed plumbing.
-  * Audio resample and video demux codecs are NOT in this container — those
+  * AUDIO decode is REAL too: [[wavFor]] synthesizes deterministic 16-bit
+  * PCM WAV bytes and [[extractAudioFeatures]] decodes them back with
+  * `javax.sound.sampled` (pure JDK, offline-safe) — sample rate, channel
+  * count, frame count, and sample statistics all come from the decoded
+  * stream, while the oracle predicts them from the id-derived synthesis
+  * formula. Video demux codecs are NOT in this container — the video
   * `*Stub`s below remain clearly-marked deterministic fakes. What is REAL
   * and load-bearing for 100 TB either way is the Spark plumbing:
   *   - schema: (id, kind, media: binary, meta: struct) — media bytes stay
@@ -114,6 +119,77 @@ object Multimodal {
           MediaRow(id, kind, bytes)
         }
       }
+  }
+
+  /** Decoded-audio features: every field reproducible from the decoded
+    * PCM stream alone. peak/sum_abs are exact integers, so the oracle
+    * match is bit-exact (no float rounding convention in play). */
+  case class AudioFeatures(id: Long, sample_rate: Long, channels: Long,
+                           n_frames: Long, peak: Long, sum_abs: Long)
+
+  /** Deterministic mono 8 kHz 16-bit PCM clip for doc `id` as REAL WAV
+    * bytes (javax.sound.sampled, pure JDK): n = id%400+50 frames, sample
+    * i = (id·131 + i·31) mod 2001 − 1000. Frame count and sample values
+    * are pure functions of the id, so the DuckDB oracle predicts what only
+    * a real decode of the container bytes can report back. */
+  def wavFor(id: Long): Array[Byte] = {
+    val n = (id % 400 + 50).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 131L + i * 31L) % 2001L - 1000L).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Audio rows of the media table with REAL WAV bytes, encoded
+    * partition-wise (same batch shape as images). */
+  def mediaWithRealAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 1) // the 'audio' slot of the kind cycle
+      .mapPartitions(_.map(id => MediaRow(id, "audio", wavFor(id))))
+  }
+
+  /** Partition-wise REAL audio decode: `javax.sound.sampled` parses the
+    * WAV container per row (decoder init amortized per partition), and the
+    * features are computed from the DECODED sample stream — rate/channels
+    * from the parsed format header, frame count and sample stats from the
+    * PCM payload. Exact-integer stats keep the oracle comparison
+    * float-free. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format for id ${r.id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val nf = bytes.length / 2
+        var peak = 0L; var sumAbs = 0L; var i = 0
+        while (i < nf) {
+          val s = (((bytes(2 * i + 1).toInt << 8) |
+            (bytes(2 * i) & 0xFF)).toShort).toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 1
+        }
+        AudioFeatures(r.id, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, nf.toLong, peak, sumAbs)
+      }
+    }
   }
 
   /** Partition-wise batch feature extraction — the real 100 TB shape:

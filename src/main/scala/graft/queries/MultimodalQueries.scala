@@ -50,6 +50,21 @@ object MultimodalQueries extends QueryPack {
         .select($"id", $"kind", $"n_bytes", $"width", $"height",
           $"channels", $"digest")
         .orderBy($"id")
+    }),
+
+    // REAL WAV audio round-trip: synthesize deterministic PCM → encode to
+    // WAV container bytes (javax.sound.sampled) → binary column → decode
+    // per partition → report format fields + exact-integer sample stats.
+    // The oracle re-derives every field from the synthesis formula alone,
+    // so a hash match proves actual container bytes flowed through an
+    // actual decoder on the executors.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaWithRealAudio(Tables.load(s, dir, "documents"))
+      Multimodal.extractAudioFeatures(media).toDF()
+        .select($"id", $"sample_rate", $"channels", $"n_frames",
+          $"peak", $"sum_abs")
+        .orderBy($"id")
     })
   )
 
@@ -83,6 +98,17 @@ object MultimodalQueries extends QueryPack {
            CASE WHEN kind = 'image' THEN (id % 48 + 1)::BIGINT END AS height,
            CASE WHEN kind = 'image' THEN 3::BIGINT END AS channels,
            CASE WHEN kind = 'image' THEN NULL ELSE md5(text) END AS digest
-         FROM m ORDER BY id"""
+         FROM m ORDER BY id""",
+    // every field predicted from the id-derived synthesis formula; the
+    // Spark side may only produce them by decoding the WAV bytes
+    "q_multimodal_audio" ->
+      """WITH a AS (SELECT doc_id AS id, (doc_id % 400 + 50) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT id, n, unnest(range(0, n)) AS i FROM a),
+         v AS (SELECT id, n, ((id * 131 + i * 31) % 2001 - 1000) AS smp FROM s)
+         SELECT id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+           n::BIGINT AS n_frames, max(abs(smp))::BIGINT AS peak,
+           sum(abs(smp))::BIGINT AS sum_abs
+         FROM v GROUP BY id, n ORDER BY id"""
   )
 }

@@ -282,6 +282,57 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Multinomial Naive Bayes language classifier — the fastText-LID /
+    // CCNet-filter shape, picked BECAUSE its training is closed-form:
+    // the model IS a pair of mergeable count aggregations, so a 100 TB
+    // corpus trains in one shuffle keyed by (lang, bucket) — no gradient
+    // loop, no driver-side iteration. Features are unigrams hashed into
+    // 256 buckets (the pipeline's md5-derived hash32); the 80/20
+    // train/held-out split is an independent deterministic hash stream
+    // ("nb" prefix). The emitted model is DENSE — every lang × bucket
+    // carries an add-1-smoothed log-likelihood — so scoring is a plain
+    // inner broadcast join with no unseen-bucket special case.
+    "q_quality_nb_model" -> ((s, dir) => {
+      import s.implicits._
+      nbModelFrom(Tables.load(s, dir, "documents")).orderBy($"lang", $"b")
+    }),
+
+    // NB scoring of the held-out 20%: per-(doc, bucket) counts partial-
+    // aggregate map-side, the |langs|·256-row model broadcasts, per-
+    // (doc, lang) scores are DECIMAL-exact sums of round(7) terms (agg
+    // order can never perturb them — the q_curation_dsir discipline), and
+    // the argmax is a mergeable max(struct(score, lang)) — no per-doc
+    // window, no sort; two shuffles total at any corpus size.
+    "q_quality_nb_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val model = nbModelFrom(docs)
+        .select($"lang".as("mlang"), $"b",
+          $"llk".cast("decimal(20,7)").as("llk"))
+      val wAll = Window.partitionBy()
+      val priors = docs.filter(nbSplit < 80)
+        .groupBy($"lang").agg(count(lit(1)).as("nd"))
+        .withColumn("ntot", sum($"nd").over(wAll))
+        .select($"lang".as("mlang"),
+          round(log($"nd".cast("double") / $"ntot"), 7)
+            .cast("decimal(20,7)").as("lprior"))
+      val held = docs.filter(nbSplit >= 80)
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("f"))
+        .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
+      held.join(broadcast(model), Seq("b"))
+        .groupBy($"doc_id", $"lang", $"mlang")
+        .agg(sum($"cnt".cast("decimal(12,0)") * $"llk").as("sdec"))
+        .join(broadcast(priors), Seq("mlang"))
+        .select($"doc_id", $"lang", $"mlang", ($"sdec" + $"lprior").as("sc"))
+        .groupBy($"doc_id", $"lang")
+        .agg(max(struct($"sc", $"mlang")).as("best"))
+        .select($"doc_id", $"lang", $"best.mlang".as("pred"),
+          round($"best.sc".cast("double"), 6).as("score"),
+          ($"best.mlang" === $"lang").as("correct"))
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction — the scrub step of a pretraining pipeline. The
     // synthetic corpus has no natural PII, so deterministic fake PII
     // (derived from doc_id: one email, doc_id%3 IPs, one phone) is
@@ -376,6 +427,36 @@ object TextQueries extends QueryPack {
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
       .withColumn("n_tok", size(split($"chunk", " ")))
+  }
+
+  /** Deterministic 0-99 train/held-out split draw — an independent hash
+    * stream ("nb" prefix) so it never correlates with feature buckets. */
+  private def nbSplit: org.apache.spark.sql.Column =
+    pmod(hash32Chain(concat(lit("nb"), col("doc_id").cast("string"))),
+      lit(100L))
+
+  /** Dense multinomial-NB model (lang, b, llk): add-1-smoothed hashed-
+    * unigram log-likelihoods trained on the deterministic 80% split.
+    * Training is ONE mergeable count aggregation keyed by (lang, bucket);
+    * densification + smoothing run on the ≤ |langs|·256-row count table
+    * (a window over a bounded frame, the q_curation_mix pattern). */
+  private[graft] def nbModelFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val train = docs.filter(nbSplit < 80)
+    val counts = train
+      .select($"lang", explode(tokens($"text")).as("f"))
+      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      .groupBy($"lang", $"b").agg(count(lit(1)).as("cnt"))
+    val wLang = Window.partitionBy($"lang")
+    train.select($"lang").distinct()
+      .select($"lang", explode(sequence(lit(0L), lit(255L))).as("b"))
+      .join(counts, Seq("lang", "b"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+      .withColumn("tot", sum($"cnt").over(wLang))
+      .select($"lang", $"b",
+        round(log(($"cnt" + 1).cast("double") / ($"tot" + 256)), 7).as("llk"))
   }
 
   override def oracleSql: Map[String, String] = Map(
@@ -597,6 +678,54 @@ object TextQueries extends QueryPack {
                                          ORDER BY score DESC, tok) AS rk
                     FROM scored)
          SELECT doc_id, tok, score, rk FROM ranked
-         WHERE rk <= 3 ORDER BY doc_id, rk"""
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q_quality_nb_model" -> s"""$nbOracleCtes
+         SELECT lang, b::BIGINT AS b, llk FROM model ORDER BY lang, b""",
+    "q_quality_nb_score" -> s"""$nbOracleCtes,
+         modeld AS (SELECT lang AS mlang, b, llk::DECIMAL(20,7) AS llk
+                    FROM model),
+         priors AS (SELECT lang AS mlang,
+                      round(ln(nd::DOUBLE / ntot), 7)::DECIMAL(20,7) AS lprior
+                    FROM (SELECT lang, count(*) AS nd,
+                            sum(count(*)) OVER () AS ntot
+                          FROM d WHERE sp < 80 GROUP BY lang)),
+         db AS (SELECT doc_id, lang, b, count(*) AS cnt
+                FROM fb WHERE sp >= 80 GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, db.lang AS lang, m.mlang AS mlang,
+                  sum(db.cnt::DECIMAL(12,0) * m.llk) AS sdec
+                FROM db JOIN modeld m USING (b) GROUP BY 1, 2, 3),
+         sc2 AS (SELECT doc_id, lang, sc.mlang AS mlang,
+                  sdec + pr.lprior AS score
+                 FROM sc JOIN priors pr ON pr.mlang = sc.mlang),
+         best AS (SELECT doc_id, lang, mlang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, mlang DESC) AS rk
+                  FROM sc2)
+         SELECT doc_id, lang, mlang AS pred, round(score::DOUBLE, 6) AS score,
+           (mlang = lang) AS correct
+         FROM best WHERE rk = 1 ORDER BY doc_id"""
   )
+
+  /** Shared NB oracle pipeline: split draw, hashed-unigram buckets, and
+    * the dense add-1-smoothed model — the same formulas as nbModelFrom,
+    * re-derived in DuckDB SQL. */
+  private val nbOracleCtes: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+             ('0x' || substr(md5('nb' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+               AS sp
+           FROM documents),
+         f AS (SELECT doc_id, lang, sp, unnest(w) AS f FROM d),
+         fb AS (SELECT doc_id, lang, sp,
+                  ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b FROM f),
+         cnts AS (SELECT lang, b, count(*) AS cnt
+                  FROM fb WHERE sp < 80 GROUP BY 1, 2),
+         langs AS (SELECT DISTINCT lang FROM d WHERE sp < 80),
+         dense AS (SELECT l.lang, r.range AS b, coalesce(c.cnt, 0) AS cnt
+                   FROM langs l CROSS JOIN range(0, 256) r
+                   LEFT JOIN cnts c ON c.lang = l.lang AND c.b = r.range),
+         model AS (SELECT lang, b,
+                     round(ln((cnt + 1)::DOUBLE / (tot + 256)), 7) AS llk
+                   FROM (SELECT lang, b, cnt,
+                           sum(cnt) OVER (PARTITION BY lang) AS tot
+                         FROM dense))"""
 }

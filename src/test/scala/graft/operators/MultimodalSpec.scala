@@ -42,4 +42,35 @@ class MultimodalSpec extends SparkSpec {
       assert(f.width.isEmpty && f.height.isEmpty && f.channels.isEmpty)
     }
   }
+
+  test("wavFor round-trips format and every PCM sample losslessly") {
+    for (id <- Seq(1L, 4L, 7L, 397L, 4999L)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.wavFor(id)))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1)
+      assert(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      val bytes = ais.readAllBytes()
+      val n = (id % 400 + 50).toInt
+      assert(bytes.length == n * 2, s"frame count of clip $id")
+      // WAV PCM is lossless: every sample must equal the synthesis formula
+      for (i <- 0 until n) {
+        val s = (((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)).toShort).toLong
+        assert(s == (id * 131L + i * 31L) % 2001L - 1000L,
+          s"sample $i of clip $id corrupted")
+      }
+    }
+  }
+
+  test("extractAudioFeatures decodes real WAVs distributed") {
+    val media = Multimodal.mediaWithRealAudio(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000L && f.channels == 1L)
+      assert(f.n_frames == f.id % 400 + 50)
+      assert(f.peak <= 1000L && f.sum_abs > 0L)
+    }
+  }
 }
