@@ -517,6 +517,44 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events ORDER BY event_id;""")),
 
+    // QUALIFY (DuckDB-compatible extension): rank-then-filter WITHOUT a
+    // FROM-subquery — the predicate references the window by its select
+    // alias; the window computes as a hidden column below the filter
+    // (window fns are illegal in a bare WHERE), and rank<=k is the shape
+    // Spark's InferWindowGroupLimit turns into a partial+final per-group
+    // top-k, so no per-language total sort survives in the plan.
+    "q_sql_qualify" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents QUALIFY rk <= 2 ORDER BY lang, rk;""")),
+
+    // RANGE frames (value-typed offsets on the single numeric ORDER BY
+    // key): Spark's rangeBetween and DuckDB agree on offset arithmetic
+    // and peer (tie) inclusion, so identical text gates both engines.
+    "q_sql_range_frame" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS rsum,
+                COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
+                    RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
+         FROM events ORDER BY event_id;""")),
+
+    // DISTINCT ON (DuckDB-compatible): latest/best-per-key in one clause —
+    // first row per lang in ORDER BY order (ORDER BY is required: the
+    // deterministic pick is the engine's reproducibility contract). Plans
+    // as rank=1 → InferWindowGroupLimit's map-side per-group top-1.
+    "q_sql_distinct_on" -> ((s, dir) => run(s, dir,
+      """SELECT DISTINCT ON (lang) doc_id, lang, n_chars
+         FROM documents ORDER BY lang, n_chars DESC, doc_id;""")),
+
+    // SELECT DISTINCT (extension): projection-then-dedup, one shuffle on
+    // the output columns.
+    "q_sql_distinct" -> ((s, dir) => run(s, dir,
+      """SELECT DISTINCT lang, source FROM documents
+         ORDER BY lang, source;""")),
+
     // ASOF LEFT JOIN through the dialect (DuckDB-compatible syntax —
     // q_join_asof's plan and oracle verbatim): each click picks the user's
     // single latest purchase at-or-before its ts; union-trick single
@@ -861,6 +899,27 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events""",
+    // oracle text identical to the dialect text — DuckDB re-plans the
+    // same QUALIFY / RANGE / DISTINCT ON semantics independently
+    "q_sql_qualify" ->
+      """SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents QUALIFY rk <= 2 ORDER BY lang, rk""",
+    "q_sql_range_frame" ->
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS rsum,
+                COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
+                    RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
+         FROM events ORDER BY event_id""",
+    "q_sql_distinct_on" ->
+      """SELECT DISTINCT ON (lang) doc_id, lang, n_chars
+         FROM documents ORDER BY lang, n_chars DESC, doc_id""",
+    "q_sql_distinct" ->
+      """SELECT DISTINCT lang, source FROM documents
+         ORDER BY lang, source""",
     "q_sql_asof" -> CoreQueries.oracleSql("q_join_asof"),
     "q_sql_asof_inner" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),

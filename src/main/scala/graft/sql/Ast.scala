@@ -50,10 +50,15 @@ object Ast {
     * rule as ORDER BY). `frame` is a ROWS frame in Spark's encoding
     * (Long.MinValue = UNBOUNDED PRECEDING, negative = n PRECEDING,
     * 0 = CURRENT ROW, positive = n FOLLOWING, Long.MaxValue = UNBOUNDED
-    * FOLLOWING); None = the default frame, which Spark and DuckDB agree on. */
+    * FOLLOWING); None = the default frame, which Spark and DuckDB agree on.
+    * `rangeFrame` = the bounds are RANGE (value-typed offsets against the
+    * single numeric ORDER BY key) rather than ROWS — Spark's rangeBetween
+    * and DuckDB's RANGE agree on the offset arithmetic and on peer-row
+    * (tie) inclusion. */
   case class WinFn(name: String, args: Seq[Expr], partitionBy: Seq[Expr],
                    orderBy: Seq[OrderItem],
-                   frame: Option[(Long, Long)] = None) extends Expr
+                   frame: Option[(Long, Long)] = None,
+                   rangeFrame: Boolean = false) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL
@@ -159,7 +164,19 @@ object Ast {
                     // groupBy is the ordered union of all set columns and
                     // groupSets holds the explicit sets.
                     groupMode: String = "plain",
-                    groupSets: Seq[Seq[ColRef]] = Nil) extends Query {
+                    groupSets: Seq[Seq[ColRef]] = Nil,
+                    // QUALIFY — dialect extension (DuckDB-compatible):
+                    // filter on window-function results, evaluated after
+                    // the windows; refs may be inline OVER exprs or select
+                    // aliases. Batch/pull only (window rule).
+                    qualify: Option[Expr] = None,
+                    // SELECT DISTINCT / DISTINCT ON (keys) — dialect
+                    // extension (DuckDB-compatible). DISTINCT ON keeps the
+                    // first row per key group in ORDER BY order (ORDER BY
+                    // required — an unordered pick would be
+                    // nondeterministic). Batch/pull only.
+                    distinct: Boolean = false,
+                    distinctOn: Seq[ColRef] = Nil) extends Query {
     /** Any multi-level grouping (ROLLUP / CUBE / GROUPING SETS). */
     def multiLevel: Boolean = groupMode != "plain"
     def rollup: Boolean = groupMode == "rollup"

@@ -279,6 +279,19 @@ object Parser {
 
     private def selectCore(): Select = {
       expect("SELECT")
+      // SELECT DISTINCT / DISTINCT ON (k1, …) — DuckDB-compatible
+      // extensions (batch/pull only, Validate). DISTINCT ON keeps the
+      // first row per key group in ORDER BY order.
+      val (distinct, distinctOn) =
+        if (accept("DISTINCT")) {
+          if (accept("ON")) {
+            expect("(")
+            val ks = Seq.newBuilder[ColRef]
+            do ks += colName() while (accept(","))
+            expect(")")
+            (false, ks.result())
+          } else (true, Nil)
+        } else (false, Nil)
       val items = Seq.newBuilder[SelectItem]
       do items += selectItem() while (accept(","))
       expect("FROM")
@@ -322,8 +335,12 @@ object Parser {
           }
         } else (Nil, "plain", Nil)
       val having = if (accept("HAVING")) Some(expr()) else None
+      // QUALIFY — filter on window-function results (DuckDB-compatible
+      // extension; batch/pull only, Validate)
+      val qualify = if (accept("QUALIFY")) Some(expr()) else None
       Select(items.result(), from, where, groupBy, having,
-        groupMode = groupMode, groupSets = groupSets)
+        groupMode = groupMode, groupSets = groupSets,
+        qualify = qualify, distinct = distinct, distinctOn = distinctOn)
     }
 
     /** Trailing clauses shared by select() and query(): ORDER BY / LIMIT
@@ -705,12 +722,14 @@ object Parser {
           } while (accept(","))
           b.result()
         } else Nil
-      // ROWS frames (extension): moving-window aggregates. RANGE/GROUPS
-      // stay rejected — RANGE with offsets is value-typed (peer semantics
-      // differ across engines); the default frame already covers
-      // RANGE UNBOUNDED PRECEDING..CURRENT ROW.
+      // ROWS and RANGE frames (extension): moving-window aggregates.
+      // RANGE bounds are value-typed offsets against the single numeric
+      // ORDER BY key (TypeCheck enforces the key); Spark's rangeBetween
+      // and DuckDB agree on offset arithmetic and peer (tie) inclusion.
+      // GROUPS stays rejected — Spark has no groupsBetween.
+      val isRange = isKw("RANGE")
       val frame: Option[(Long, Long)] =
-        if (accept("ROWS")) {
+        if (accept("ROWS") || accept("RANGE")) {
           def bound(): Long =
             if (accept("UNBOUNDED")) {
               if (accept("PRECEDING")) Long.MinValue
@@ -724,14 +743,14 @@ object Parser {
           if (accept("BETWEEN")) {
             val lo = bound(); expect("AND"); val hi = bound()
             Some((lo, hi))
-          } else Some((bound(), 0L)) // `ROWS n PRECEDING` = BETWEEN … AND CURRENT ROW
-        } else if (isKw("RANGE") || isKw("GROUPS"))
+          } else Some((bound(), 0L)) // `n PRECEDING` = BETWEEN … AND CURRENT ROW
+        } else if (isKw("GROUPS"))
           throw new IllegalArgumentException(
-            s"only ROWS window frames are supported, not ${kwPeek}; " +
+            "only ROWS and RANGE window frames are supported, not GROUPS; " +
               "the default frame applies when no frame is given")
         else None
       expect(")")
-      WinFn(name, args, parts, ord, frame)
+      WinFn(name, args, parts, ord, frame, rangeFrame = isRange)
     }
 
     private def dataType(): SqlType = {

@@ -66,7 +66,7 @@ object Translate {
       s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
     case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
-    case WinFn(n, args, _, _, _) =>
+    case WinFn(n, args, _, _, _, _) =>
       s"${n}(${args.map(exprName).mkString(",")})_over".toLowerCase
     case _: CaseWhen => "case"
     case _: InList | _: InSub => "in"
@@ -100,9 +100,19 @@ object Translate {
       if (w.orderBy.nonEmpty)
         w0.orderBy(w.orderBy.map(o => if (o.desc) go(o.e).desc else go(o.e).asc): _*)
       else w0
-    // explicit ROWS frame (already in Spark's bound encoding); absent →
-    // the shared default frame (see the scaladoc above)
+    // explicit ROWS/RANGE frame (already in Spark's bound encoding);
+    // absent → the shared default frame (see the scaladoc above). RANGE
+    // with a finite offset is value-typed: it needs exactly one ORDER BY
+    // key (numeric — TypeCheck enforces the type; Spark would otherwise
+    // raise a deep analysis error here).
     val spec = w.frame match {
+      case Some((lo, hi)) if w.rangeFrame =>
+        if ((lo != Long.MinValue && lo != 0L) ||
+            (hi != Long.MaxValue && hi != 0L))
+          require(w.orderBy.size == 1,
+            "RANGE frames with numeric offsets require exactly one " +
+              s"ORDER BY key, got ${w.orderBy.size}")
+        ordered.rangeBetween(lo, hi)
       case Some((lo, hi)) => ordered.rowsBetween(lo, hi)
       case None => ordered
     }
@@ -980,6 +990,41 @@ object Translate {
 
     if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty &&
         !sel.multiLevel) {
+      // QUALIFY (extension): window functions are illegal in a bare
+      // filter, so the predicate computes as a hidden column, filters,
+      // and drops — it never leaks through `*`. Select aliases substitute
+      // into the predicate (DuckDB-compatible) when the base relation has
+      // no column of that name.
+      val qualified = sel.qualify match {
+        case None => filtered
+        case Some(q0) =>
+          val aliasExprs: Map[String, Expr] = sel.items.collect {
+            case ItemExpr(e, Some(a)) => a.toLowerCase -> e }.toMap
+          def hasBase(n: String): Boolean =
+            filtered.columns.exists(_.equalsIgnoreCase(n))
+          val resolveQ: ColRef => Column = {
+            case ColRef(None, n)
+                if !hasBase(n) && aliasExprs.contains(n.toLowerCase) =>
+              column(aliasExprs(n.toLowerCase), resolve, env)
+            case c => resolve(c)
+          }
+          filtered.withColumn("__graft_qual", column(q0, resolveQ, env))
+            .filter(col("__graft_qual")).drop("__graft_qual")
+      }
+      // DISTINCT ON (extension): first row per key group in ORDER BY
+      // order, picked pre-projection so order keys may use base columns.
+      // rank<=1 over (keys | ORDER BY) is the one shape Spark's
+      // InferWindowGroupLimit rewrites to a partial+final per-group
+      // top-1 — a map-side bounded pick, not a per-group sort.
+      val donBase = if (sel.distinctOn.isEmpty) qualified else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sel.distinctOn.map(resolve): _*)
+          .orderBy(sel.orderBy.map(o =>
+            if (o.desc) column(o.e, resolve, env).desc
+            else column(o.e, resolve, env).asc): _*)
+        qualified.withColumn("__graft_don", row_number().over(w))
+          .filter(col("__graft_don") === 1).drop("__graft_don")
+      }
       // plain Filter/Project pipeline. With scalar-subquery columns
       // attached, `*` expands to the ORIGINAL relation's columns so the
       // hidden __graft_scalar* helpers never leak into the output.
@@ -991,8 +1036,13 @@ object Translate {
         case ItemExpr(e, alias) =>
           Seq(column(e, resolve, env).as(alias.getOrElse(exprName(e))))
       }
-      finishSelect(filtered, cols, Nil, sel, e => column(e, resolve, env))
+      finishSelect(donBase, cols, Nil, sel, e => column(e, resolve, env))
     } else {
+      // Validate rejects these with full dialect explanations; backstop
+      // for direct Translate callers
+      require(sel.qualify.isEmpty && !sel.distinct && sel.distinctOn.isEmpty,
+        "QUALIFY / SELECT DISTINCT / DISTINCT ON do not combine with " +
+          "aggregation")
       // Reduce (Codegen/V1.hs:382-456)
       // GROUP BY on a column the relation doesn't have: reject with the
       // dialect's vocabulary, not a deep Catalyst resolution error. Match
@@ -1084,8 +1134,13 @@ object Translate {
   private def finishSelect(pre: DataFrame, outCols: Seq[Column],
                            extraOutNames: Seq[String], sel: Select,
                            translate: Expr => Column): DataFrame = {
+    // SELECT DISTINCT (extension): dedup AFTER projection (standard SQL —
+    // DuckDB computes the select list, then DISTINCT over its results).
+    // Validate restricts ORDER BY to output columns here, so the sort
+    // never needs a hidden key that would re-introduce duplicates.
+    def dedup(d: DataFrame): DataFrame = if (sel.distinct) d.distinct() else d
     if (sel.orderBy.isEmpty)
-      return sel.limit.foldLeft(pre.select(outCols: _*))((d, n) => d.limit(n.toInt))
+      return sel.limit.foldLeft(dedup(pre.select(outCols: _*)))((d, n) => d.limit(n.toInt))
     val outNames: Seq[String] = sel.items.flatMap {
       case ItemExpr(e, alias) => Seq(alias.getOrElse(exprName(e)))
       case ItemWildcard(None) => pre.columns.toSeq
@@ -1100,7 +1155,7 @@ object Translate {
     }
     val hidden = keys.collect { case (_, _, Some(c)) => c }
     val sortCols = keys.map { case (c, desc, _) => if (desc) c.desc else c.asc }
-    val sorted = pre.select(outCols ++ hidden: _*).orderBy(sortCols: _*)
+    val sorted = dedup(pre.select(outCols ++ hidden: _*)).orderBy(sortCols: _*)
     // limit BEFORE dropping the hidden keys, so the cut respects the sort
     val limited = sel.limit.foldLeft(sorted)((d, n) => d.limit(n.toInt))
     keys.collect { case (c, _, Some(_)) => c }
@@ -1314,7 +1369,7 @@ object Translate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .flatMap(collectScalars).distinct
-    case WinFn(_, args, parts, ord, _) =>
+    case WinFn(_, args, parts, ord, _, _) =>
       (args ++ parts ++ ord.map(_.e)).flatMap(collectScalars).distinct
     case _ => Nil
   }
@@ -1339,10 +1394,10 @@ object Translate {
       CaseWhen(op0.map(replaceScalars(_, names)),
         bs.map { case (c, r) => (replaceScalars(c, names), replaceScalars(r, names)) },
         el.map(replaceScalars(_, names)))
-    case WinFn(n, args, parts, ord, fr) =>
+    case WinFn(n, args, parts, ord, fr, rf) =>
       WinFn(n, args.map(replaceScalars(_, names)),
         parts.map(replaceScalars(_, names)),
-        ord.map(o => o.copy(e = replaceScalars(o.e, names))), fr)
+        ord.map(o => o.copy(e = replaceScalars(o.e, names))), fr, rf)
     case other => other
   }
 

@@ -186,9 +186,18 @@ object TypeCheck {
     case _: ExistsSub => Some(TBool)
     case _: ScalarSub => None // rewritten to a column ref before planning
 
-    case WinFn(name, args, parts, ord, _) =>
+    case WinFn(name, args, parts, ord, frame, rangeFrame) =>
       parts.foreach(infer(_, env))
       ord.foreach(o => requireOrd(o.e, env, "OVER (ORDER BY …)"))
+      // RANGE offsets are added to the ORDER BY key, so a finite-offset
+      // frame needs a numeric key (Validate already pinned it to one key)
+      frame.foreach { case (lo, hi) =>
+        val finite = (lo != Long.MinValue && lo != 0L) ||
+          (hi != Long.MaxValue && hi != 0L)
+        if (rangeFrame && finite)
+          ord.foreach(o => requireNum(o.e, env,
+            s"$name's RANGE frame ORDER BY key"))
+      }
       name match {
         case "ROW_NUMBER" | "RANK" | "DENSE_RANK" | "NTILE" | "COUNT" =>
           args.foreach(infer(_, env)); Some(TInt)

@@ -191,6 +191,79 @@ object Validate {
           "via a FROM-subquery")
     }
 
+    // QUALIFY (extension, DuckDB-compatible): a filter over window-
+    // function results — batch/pull only (window rule), non-aggregated
+    // selects only (the dialect's window functions already exclude
+    // GROUP BY), and it must actually involve a window function: inline
+    // OVER (…) or a select alias of one. Row predicates belong in WHERE.
+    sel.qualify.foreach { q =>
+      if (continuous)
+        fail("QUALIFY is not supported in continuous queries " +
+          "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
+          "use a batch/pull SELECT")
+      if (sel.groupBy.nonEmpty || sel.multiLevel)
+        fail("QUALIFY cannot combine with GROUP BY — QUALIFY filters " +
+          "window-function results; use HAVING for aggregate conditions")
+      checkExpr(q, aggAllowed = false, where = "QUALIFY")
+      val winAliases = sel.items.collect {
+        case ItemExpr(e, Some(a)) if collectWinFns(e).nonEmpty =>
+          a.toLowerCase }.toSet
+      val refsWinAlias =
+        nonAggColRefs(q).exists(c => winAliases.contains(c.name.toLowerCase))
+      if (collectWinFns(q).isEmpty && !refsWinAlias)
+        fail("QUALIFY must reference a window function — inline " +
+          "fn(…) OVER (…) or a select alias of one; use WHERE for plain " +
+          "row predicates")
+    }
+
+    // SELECT DISTINCT / DISTINCT ON (extension, DuckDB-compatible):
+    // batch/pull only — exact deduplication over an unbounded stream needs
+    // unbounded state (same rule as distinct UNION / DISTINCT aggregates)
+    if ((sel.distinct || sel.distinctOn.nonEmpty) && continuous)
+      fail("SELECT DISTINCT is not supported in continuous queries " +
+        "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
+        "use a batch/pull SELECT")
+    if (sel.distinctOn.nonEmpty) {
+      // the pick is "first row per key in ORDER BY order": without ORDER
+      // BY it would be nondeterministic (DuckDB leaves it arbitrary; we
+      // reject — reproducibility is this engine's contract)
+      if (sel.orderBy.isEmpty)
+        fail("DISTINCT ON requires ORDER BY: the first row per key group " +
+          "is picked in ORDER BY order; an unordered pick would be " +
+          "nondeterministic")
+      if (sel.groupBy.nonEmpty || sel.multiLevel)
+        fail("DISTINCT ON cannot combine with GROUP BY — GROUP BY already " +
+          "produces one row per key; use aggregates to pick values")
+      val itemExprs = sel.items.collect { case ItemExpr(e, _) => e }
+      if (itemExprs.flatMap(Translate.collectAggs).nonEmpty)
+        fail("DISTINCT ON cannot combine with aggregates")
+      if (itemExprs.flatMap(collectWinFns).nonEmpty ||
+          sel.qualify.exists(q => collectWinFns(q).nonEmpty))
+        fail("DISTINCT ON cannot combine with window functions in the " +
+          "same SELECT — window the picked rows via a FROM-subquery " +
+          "(the evaluation order would otherwise be ambiguous)")
+      sel.distinctOn.foreach(
+        checkExpr(_, aggAllowed = false, where = "DISTINCT ON"))
+    }
+    if (sel.distinct) {
+      if (sel.groupBy.nonEmpty || sel.multiLevel ||
+          sel.items.collect { case ItemExpr(e, _) => e }
+            .flatMap(Translate.collectAggs).nonEmpty)
+        fail("SELECT DISTINCT cannot combine with GROUP BY or " +
+          "aggregates — grouped output is already one row per key")
+      // standard SQL: with DISTINCT, ORDER BY may only use output columns
+      // (a hidden sort key would re-introduce the duplicates it needs)
+      val outNames = sel.items.collect {
+        case ItemExpr(e, a) => a.getOrElse(Translate.exprName(e)).toLowerCase
+      }.toSet
+      sel.orderBy.foreach {
+        case OrderItem(ColRef(None, n), _) if outNames.contains(n.toLowerCase) => ()
+        case OrderItem(e, _) =>
+          fail(s"with SELECT DISTINCT, ORDER BY must reference output " +
+            s"columns of the select list; '$e' is not one")
+      }
+    }
+
     checkFrom(sel.from, inJoin = false, continuous = continuous)
   }
 
@@ -211,7 +284,7 @@ object Validate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .exists(hasSubquery)
-    case WinFn(_, args, parts, ord, _) =>
+    case WinFn(_, args, parts, ord, _, _) =>
       (args ++ parts ++ ord.map(_.e)).exists(hasSubquery)
     case _ => false
   }
@@ -423,26 +496,34 @@ object Validate {
             try { java.time.LocalDateTime.parse(s); true }
             catch { case _: Exception => false } } }
       if (!ok) fail(s"invalid TIMESTAMP literal: $s")
-    case WinFn(name, args, parts, ord, frame) =>
-      // window functions are SELECT-list/ORDER-BY expressions only; their
-      // value is undefined pre-projection (standard SQL), and nesting one
-      // inside an aggregate has no meaning either
+    case WinFn(name, args, parts, ord, frame, rangeFrame) =>
+      // window functions are SELECT-list/ORDER-BY/QUALIFY expressions
+      // only; their value is undefined pre-projection (standard SQL), and
+      // nesting one inside an aggregate has no meaning either
       if (insideAgg) fail(s"window function $name cannot appear inside an aggregate")
-      if (where != "SELECT list" && where != "ORDER BY")
+      if (where != "SELECT list" && where != "ORDER BY" && where != "QUALIFY")
         fail(s"window function $name is not allowed in $where")
       if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE").contains(name) &&
           ord.isEmpty)
         fail(s"$name requires ORDER BY in its OVER clause")
-      // ROWS frames (extension): aggregates and FIRST/LAST_VALUE only —
-      // ranking functions and LAG/LEAD define their own row scope
+      // ROWS/RANGE frames (extension): aggregates and FIRST/LAST_VALUE
+      // only — ranking functions and LAG/LEAD define their own row scope
       frame.foreach { case (lo, hi) =>
+        val kind = if (rangeFrame) "RANGE" else "ROWS"
         if (ord.isEmpty)
-          fail(s"$name: a ROWS frame requires ORDER BY in the OVER clause")
+          fail(s"$name: a $kind frame requires ORDER BY in the OVER clause")
         if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD")
             .contains(name))
           fail(s"$name does not accept a window frame")
         if (lo > hi)
-          fail(s"$name: ROWS frame lower bound exceeds upper bound")
+          fail(s"$name: $kind frame lower bound exceeds upper bound")
+        // RANGE offsets are values added to the single ORDER BY key;
+        // multiple keys make the offset arithmetic undefined
+        val finite = (lo != Long.MinValue && lo != 0L) ||
+          (hi != Long.MaxValue && hi != 0L)
+        if (rangeFrame && finite && ord.size != 1)
+          fail(s"$name: a RANGE frame with numeric offsets requires " +
+            s"exactly one ORDER BY key in the OVER clause, got ${ord.size}")
       }
       // no aggregates (and no nested window fns) inside any part
       (args ++ parts ++ ord.map(_.e))

@@ -292,10 +292,10 @@ class ValidateSpec extends SparkSpec {
       "over clause")
     // bare ranking call without OVER
     rejects("SELECT ROW_NUMBER() AS rn FROM win_t;", "over")
-    // ROWS frames are supported (WindowFrameSpec); RANGE/GROUPS frames are
-    // refused, not mis-parsed
-    rejects("SELECT SUM(v) OVER (ORDER BY a RANGE 2 PRECEDING) AS s FROM win_t;",
-      "only rows window frames")
+    // ROWS and RANGE frames are supported (WindowFrameSpec,
+    // QualifyDistinctSpec); GROUPS frames are refused, not mis-parsed
+    rejects("SELECT SUM(v) OVER (ORDER BY a GROUPS 2 PRECEDING) AS s FROM win_t;",
+      "groups")
     // the accepted shape works end-to-end (running sum + rank + lag)
     val ok = e.batch(
       """SELECT a, SUM(v) OVER (ORDER BY a) AS rs,

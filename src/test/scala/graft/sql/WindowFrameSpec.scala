@@ -56,7 +56,7 @@ class WindowFrameSpec extends SparkSpec {
                  ROWS BETWEEN CURRENT ROW AND 1 PRECEDING) AS s
                FROM wf_t;""", "lower bound exceeds upper bound")
     rejects("""SELECT SUM(v) OVER (ORDER BY i
-                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
-               FROM wf_t;""", "only ROWS window frames")
+                 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+               FROM wf_t;""", "GROUPS")
   }
 }
