@@ -51,6 +51,7 @@ object Bench {
     "q_curation_dsir",         // DSIR importance resampling (hashed n-grams)
     "q_join_asof_bucketed",    // point-in-time join, (key, bucket) sort groups
     "q_quality_perplexity",    // char-trigram LM scoring (broadcast LM)
+    "q_quality_nb_score",      // NB train (1 shuffle) + broadcast scoring
     "q_corpus_rollup",         // multi-level stats, one shuffle
     "q_cdc_apply",             // CDC envelope decode + max_by materialization
     // q_embed_neardup is NOT here: O(n²) pairwise cosine is a correctness

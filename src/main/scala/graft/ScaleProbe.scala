@@ -399,6 +399,12 @@ object ScaleProbe {
       "simhash_hot_band_refined_vs_unrefined" ->
         (time(hotBandShape(hotSigs(50000L), refine = true)),
           time(hotBandShape(hotSigs(50000L), refine = false))),
+      // closed-form NB train (one count shuffle) + broadcast scoring:
+      // both passes are ~linear in tokens; the model stays |langs|·256
+      // rows at ANY corpus size, so the broadcast never grows
+      "nb_train_score_5k_vs_50k" ->
+        (time(graft.queries.TextQueries.nbScoreFrom(docs)),
+          time(graft.queries.TextQueries.nbScoreFrom(x10Distinct(docs)))),
       "cdc_apply_150k_vs_1m5" ->
         (time(cdcApplyShape(ordersCdc)), time(cdcApplyShape(x10Orders(ordersCdc)))),
       "profit_join_600k_vs_6m" ->

@@ -303,35 +303,21 @@ object TextQueries extends QueryPack {
     // order can never perturb them — the q_curation_dsir discipline), and
     // the argmax is a mergeable max(struct(score, lang)) — no per-doc
     // window, no sort; two shuffles total at any corpus size.
-    "q_quality_nb_score" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val model = nbModelFrom(docs)
-        .select($"lang".as("mlang"), $"b",
-          $"llk".cast("decimal(20,7)").as("llk"))
-      val wAll = Window.partitionBy()
-      val priors = docs.filter(nbSplit < 80)
-        .groupBy($"lang").agg(count(lit(1)).as("nd"))
-        .withColumn("ntot", sum($"nd").over(wAll))
-        .select($"lang".as("mlang"),
-          round(log($"nd".cast("double") / $"ntot"), 7)
-            .cast("decimal(20,7)").as("lprior"))
-      val held = docs.filter(nbSplit >= 80)
-        .select($"doc_id", $"lang", explode(tokens($"text")).as("f"))
-        .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
-        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
-      held.join(broadcast(model), Seq("b"))
-        .groupBy($"doc_id", $"lang", $"mlang")
-        .agg(sum($"cnt".cast("decimal(12,0)") * $"llk").as("sdec"))
-        .join(broadcast(priors), Seq("mlang"))
-        .select($"doc_id", $"lang", $"mlang", ($"sdec" + $"lprior").as("sc"))
-        .groupBy($"doc_id", $"lang")
-        .agg(max(struct($"sc", $"mlang")).as("best"))
-        .select($"doc_id", $"lang", $"best.mlang".as("pred"),
-          round($"best.sc".cast("double"), 6).as("score"),
-          ($"best.mlang" === $"lang").as("correct"))
-        .orderBy($"doc_id")
-    }),
+    "q_quality_nb_score" -> ((s, dir) =>
+      nbScoreFrom(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // The SERVING twin of q_quality_nb_score (same oracle): the trained
+    // model is bounded (|langs|·256 rows) at ANY corpus size, so it
+    // collects once and embeds as literal arrays — scoring becomes a pure
+    // map-side expression (a per-token decimal fold per language + a
+    // greatest(struct) argmax), ZERO shuffles, streaming-safe. Decimal
+    // addition is exact and order-independent, so the fold reproduces the
+    // batch form's sum(cnt·llk) bit-for-bit — "train batch, serve
+    // anywhere" with a hash-proof the two paths agree.
+    "q_quality_nb_score_served" -> ((s, dir) =>
+      nbServedFrom(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
 
     // PII redaction — the scrub step of a pretraining pipeline. The
     // synthetic corpus has no natural PII, so deterministic fake PII
@@ -457,6 +443,93 @@ object TextQueries extends QueryPack {
       .withColumn("tot", sum($"cnt").over(wLang))
       .select($"lang", $"b",
         round(log(($"cnt" + 1).cast("double") / ($"tot" + 256)), 7).as("llk"))
+  }
+
+  /** Train-on-80% + score-the-held-out-20% NB pipeline (shared by the
+    * gate query and the ScaleProbe row). Per-(doc, bucket) counts
+    * partial-aggregate map-side, the |langs|·256-row model broadcasts,
+    * per-(doc, lang) scores are DECIMAL-exact sums of round(7) terms (agg
+    * order can never perturb them — the q_curation_dsir discipline), and
+    * the argmax is a mergeable max(struct(score, lang)) — no per-doc
+    * window, no sort; two shuffles total at any corpus size. */
+  private[graft] def nbScoreFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val model = nbModelFrom(docs)
+      .select($"lang".as("mlang"), $"b",
+        $"llk".cast("decimal(20,7)").as("llk"))
+    val wAll = Window.partitionBy()
+    val priors = docs.filter(nbSplit < 80)
+      .groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .withColumn("ntot", sum($"nd").over(wAll))
+      .select($"lang".as("mlang"),
+        round(log($"nd".cast("double") / $"ntot"), 7)
+          .cast("decimal(20,7)").as("lprior"))
+    val held = docs.filter(nbSplit >= 80)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("f"))
+      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
+    held.join(broadcast(model), Seq("b"))
+      .groupBy($"doc_id", $"lang", $"mlang")
+      .agg(sum($"cnt".cast("decimal(12,0)") * $"llk").as("sdec"))
+      .join(broadcast(priors), Seq("mlang"))
+      .select($"doc_id", $"lang", $"mlang", ($"sdec" + $"lprior").as("sc"))
+      .groupBy($"doc_id", $"lang")
+      .agg(max(struct($"sc", $"mlang")).as("best"))
+      .select($"doc_id", $"lang", $"best.mlang".as("pred"),
+        round($"best.sc".cast("double"), 6).as("score"),
+        ($"best.mlang" === $"lang").as("correct"))
+  }
+
+  /** Map-side NB scoring: the trained model (bounded — |langs|·256 llk
+    * rows + |langs| priors at any corpus size) collects to the driver once
+    * and embeds as array literals; each held-out doc scores with a
+    * per-token decimal fold per language and a greatest(struct) argmax.
+    * No join, no aggregation, no shuffle — the plan is scan→project→
+    * filter, which also makes it legal inside a streaming map stage.
+    * Exactness: llk literals are the same round(7) doubles cast to
+    * DECIMAL(20,7) as the batch form, and decimal addition is exact and
+    * order-independent, so the fold equals sum(cnt·llk) exactly. */
+  private[graft] def nbServedFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val modelRows = nbModelFrom(docs).collect()
+    val llkByLang: Map[String, Seq[Double]] = modelRows
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq }
+    val wAll = Window.partitionBy()
+    val priorRows = docs.filter(nbSplit < 80)
+      .groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .withColumn("ntot", sum($"nd").over(wAll))
+      .select($"lang",
+        round(log($"nd".cast("double") / $"ntot"), 7).as("lprior"))
+      .collect()
+    val priorByLang: Map[String, Double] =
+      priorRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val langs = llkByLang.keys.toSeq.sorted
+    val toks = tokens($"text")
+    def scoreFor(lang: String) = {
+      val arr = typedLit(llkByLang(lang))
+      // acc precision 30: a (30,7)+(20,7) add yields (31,7) — inside
+      // Spark's 38-digit cap, so NO minimal-precision-loss scale cut ever
+      // fires and every intermediate stays exact at 7 dp (a (38,7) acc
+      // would overflow to (38,6) per add and drift off the batch sums)
+      val fold = aggregate(toks, lit(0).cast("decimal(30,7)"),
+        (acc, t) => (acc + element_at(arr,
+          (pmod(hash32Chain(t), lit(256L)) + 1).cast("int"))
+          .cast("decimal(20,7)")).cast("decimal(30,7)"))
+      fold + lit(priorByLang(lang)).cast("decimal(20,7)")
+    }
+    val best = greatest(langs.map(l =>
+      struct(scoreFor(l).as("sc"), lit(l).as("mlang"))): _*)
+    docs.filter(nbSplit >= 80)
+      .select($"doc_id", $"lang", best.as("best"))
+      .select($"doc_id", $"lang", $"best.mlang".as("pred"),
+        round($"best.sc".cast("double"), 6).as("score"),
+        ($"best.mlang" === $"lang").as("correct"))
   }
 
   override def oracleSql: Map[String, String] = Map(
@@ -681,7 +754,13 @@ object TextQueries extends QueryPack {
          WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q_quality_nb_model" -> s"""$nbOracleCtes
          SELECT lang, b::BIGINT AS b, llk FROM model ORDER BY lang, b""",
-    "q_quality_nb_score" -> s"""$nbOracleCtes,
+    "q_quality_nb_score" -> nbScoreOracleSql,
+    // the map-side serving twin must reproduce the batch scores exactly —
+    // same oracle
+    "q_quality_nb_score_served" -> nbScoreOracleSql
+  )
+
+  private lazy val nbScoreOracleSql: String = s"""$nbOracleCtes,
          modeld AS (SELECT lang AS mlang, b, llk::DECIMAL(20,7) AS llk
                     FROM model),
          priors AS (SELECT lang AS mlang,
@@ -704,7 +783,6 @@ object TextQueries extends QueryPack {
          SELECT doc_id, lang, mlang AS pred, round(score::DOUBLE, 6) AS score,
            (mlang = lang) AS correct
          FROM best WHERE rk = 1 ORDER BY doc_id"""
-  )
 
   /** Shared NB oracle pipeline: split draw, hashed-unigram buckets, and
     * the dense add-1-smoothed model — the same formulas as nbModelFrom,
