@@ -492,6 +492,13 @@ object TextQueries extends QueryPack {
     * DECIMAL(20,7) as the batch form, and decimal addition is exact and
     * order-independent, so the fold equals sum(cnt·llk) exactly. */
   private[graft] def nbServedFrom(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = nbServeOn(docs, docs)
+
+  /** Train on `docs`' 80% split, score `target`'s held-out rows. `target`
+    * may be a STREAMING frame: the scorer is stateless map-side work, so
+    * the same expressions serve batch and live streams unchanged. */
+  private[graft] def nbServeOn(docs: org.apache.spark.sql.DataFrame,
+                               target: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -525,7 +532,7 @@ object TextQueries extends QueryPack {
     }
     val best = greatest(langs.map(l =>
       struct(scoreFor(l).as("sc"), lit(l).as("mlang"))): _*)
-    docs.filter(nbSplit >= 80)
+    target.filter(nbSplit >= 80)
       .select($"doc_id", $"lang", best.as("best"))
       .select($"doc_id", $"lang", $"best.mlang".as("pred"),
         round($"best.sc".cast("double"), 6).as("score"),

@@ -159,6 +159,22 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming NB model-serving twin (map-side scorer) == oracle'd q_quality_nb_score") {
+    // "train batch, serve streaming": the model trains from the batch
+    // table, the scorer is pure map-side expressions — applying it to a
+    // LIVE stream needs no state, no watermark, no output-mode caveats
+    val (_, s) = staged("documents")
+    val batchDocs = graft.Tables.load(spark, sf, "documents")
+    val q = drain(graft.queries.TextQueries.nbServeOn(batchDocs, s),
+      "append", "tw_nb")
+    val got = spark.table("tw_nb").orderBy("doc_id").collect().toSeq
+    val batchRows = graft.queries.TextQueries
+      .queries("q_quality_nb_score")(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == batchRows,
+      "streaming NB serving != hash-verified batch scores")
+    q.stop()
+  }
+
   test("streaming vocabulary twin (tokenize-explode path) == oracle'd q_text_vocab tf") {
     import spark.implicits._
     import graft.functions.PipelineFunctions
