@@ -48,6 +48,7 @@ object Bench {
     "q_ann_ivf",               // IVF inverted-list ANN scale path
     "q_ann_ivf_train",         // 2 Lloyd rounds of IVF centroid training
     "q_ann_pq",                // PQ/ADC shortlist + exact re-rank
+    "q_ann_ivfpq",             // IVF lists + residual-PQ codes (FAISS shape)
     "q_curation_dsir",         // DSIR importance resampling (hashed n-grams)
     "q_join_asof_bucketed",    // point-in-time join, (key, bucket) sort groups
     "q_quality_perplexity",    // char-trigram LM scoring (broadcast LM)

@@ -338,6 +338,80 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"qid", $"rnk")
     }),
 
+    // IVF-PQ — the billion-scale composite (Jégou et al. 2011 §V, public;
+    // the index family behind FAISS's IVFx,PQy): a coarse quantizer
+    // partitions the corpus into inverted lists AND each vector stores
+    // only the PQ codes of its RESIDUAL (v − centroid) — residuals
+    // concentrate near 0, so the same 8×16 codebook quantizes them far
+    // more precisely than raw vectors. A query probes its 2 nearest
+    // lists; per probed list it builds the ADC distance table of its OWN
+    // residual against the codebook (the per-list query residual is what
+    // distinguishes IVF-PQ from flat PQ), shortlists top-50 by
+    // DECIMAL-exact ADC sums, and exact-re-ranks the shortlist. At
+    // 100 TB: codes are 8 bytes/vector scanned only within probed lists
+    // (probes/nlist of the corpus), the codebook and distance tables
+    // broadcast, raw vectors are fetched only for |shortlist| rows.
+    // Determinism: residual subtraction is the same IEEE double op in
+    // both engines; per-cell round(9), rank-1 cid tie-breaks.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val all = normVecs(s, dir).persist()
+      val centroids = broadcast(all.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv")))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      val assigned = all.join(centroids)
+        .select($"vec_id", $"v", $"cid", $"cv",
+          round(dot($"v", $"cv"), 6).as("cdot"))
+        .withColumn("r", row_number().over(wAssign)).filter($"r" === 1)
+        .select($"vec_id", $"cid",
+          zip_with($"v", $"cv", (x, y) => x - y).as("rv"))
+        .persist()
+      val subs = assigned.select($"vec_id", $"cid", posexplode(
+          transform(sequence(lit(0), lit(7)), j => slice($"rv", j * 8 + 1, lit(8))))
+          .as(Seq("j", "sv")))
+      // residual codebook: the first 16 vectors' residual subvectors
+      val codebook = broadcast(subs.filter($"vec_id" < 16)
+        .select($"vec_id".as("ccid"), $"j".as("cj"), $"sv".as("cv8")))
+      val wEnc = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"ccid")
+      val codes = subs.join(codebook, $"j" === $"cj")
+        .select($"vec_id", $"cid", $"j", $"ccid",
+          round(aggregate(zip_with($"sv", $"cv8", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 9).as("d2"))
+        .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
+        .select($"vec_id", $"cid", $"j", $"ccid".as("code"))
+      val wProbe = Window.partitionBy($"qid").orderBy($"cdot".desc, $"cid")
+      val probes = all.filter($"vec_id" < 10).join(centroids)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"cid", $"cv",
+          round(dot($"v", $"cv"), 6).as("cdot"))
+        .withColumn("r", row_number().over(wProbe)).filter($"r" <= 2)
+        .select($"qid", $"cid",
+          zip_with($"qv", $"cv", (x, y) => x - y).as("qrv"))
+      val qsubs = probes.select($"qid", $"cid", posexplode(
+          transform(sequence(lit(0), lit(7)), j => slice($"qrv", j * 8 + 1, lit(8))))
+          .as(Seq("j", "qsv")))
+      val dtab = broadcast(qsubs.join(codebook, $"j" === $"cj")
+        .select($"qid", $"cid", $"j", $"ccid",
+          round(aggregate(zip_with($"qsv", $"cv8", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 9).cast("decimal(20,9)").as("pd")))
+      val wShort = Window.partitionBy($"qid").orderBy($"adist", $"vec_id")
+      val shortlist = codes.as("co").join(dtab.as("dt"),
+          col("co.cid") === col("dt.cid") && col("co.j") === col("dt.j") &&
+            col("co.code") === col("dt.ccid"))
+        .filter(col("co.vec_id") =!= col("dt.qid"))
+        .groupBy(col("dt.qid").as("qid"), col("co.vec_id").as("vec_id"))
+        .agg(sum($"pd").as("adist"))
+        .withColumn("r", row_number().over(wShort)).filter($"r" <= 50)
+        .select($"qid", $"vec_id")
+      val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      shortlist.join(all, "vec_id")
+        .join(broadcast(all.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid2"), $"v".as("qv2"))), $"qid" === $"qid2")
+        .select($"qid", $"vec_id", round(dot($"qv2", $"v"), 6).as("sim"))
+        .withColumn("rnk", row_number().over(wTop)).filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // int8 quantization through dialect text — QUANTIZE_INT8 is the same
     // single-rounding-site codec as SimilarityQueries.quantize. The codes
     // array is pinned scalar-wise (FLATTEN + per-vector sum/min/max/count —
@@ -606,6 +680,72 @@ object SimilarityQueries extends QueryPack {
                       row_number() OVER (PARTITION BY qid
                         ORDER BY sim DESC, vec_id) rnk
                     FROM rr)
+         SELECT qid, rnk, vec_id, sim
+         FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // IVF-PQ: coarse assign → residuals → residual-codebook PQ codes →
+    // probe 2 lists → per-list query-residual ADC → top-50 → exact re-rank
+    "q_ann_ivfpq" ->
+      s"""$normCte,
+         c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+         asg0 AS (SELECT e.vec_id, e.nv, c.cid, c.cv,
+             ${dotSql("e.nv", "c.cv")} AS cdot
+           FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id,
+             list_transform(range(1, 65), i -> nv[i] - cv[i]) AS rv, cid
+           FROM (SELECT vec_id, nv, cid, cv,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cdot DESC, cid) r
+             FROM asg0) WHERE r = 1),
+         subs AS (SELECT vec_id, cid, rj.range AS j,
+             rv[rj.range * 8 + 1 : rj.range * 8 + 8] AS sv
+           FROM asg CROSS JOIN range(0, 8) rj),
+         cb AS (SELECT vec_id ccid, j cj, sv cv8 FROM subs WHERE vec_id < 16),
+         enc0 AS (SELECT s.vec_id, s.cid, s.j, cb.ccid,
+             round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+               i -> (s.sv[i] - cb.cv8[i]) * (s.sv[i] - cb.cv8[i]))),
+               (a, x) -> a + x), 9) AS d2
+           FROM subs s JOIN cb ON s.j = cb.cj),
+         codes AS (SELECT vec_id, cid, j, ccid AS code
+           FROM (SELECT vec_id, cid, j, ccid,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d2, ccid) r
+             FROM enc0) WHERE r = 1),
+         pr0 AS (SELECT e.vec_id qid, e.nv qv, c.cid, c.cv,
+             ${dotSql("e.nv", "c.cv")} AS cdot
+           FROM e CROSS JOIN c WHERE e.vec_id < 10),
+         pr AS (SELECT qid,
+             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv, cid
+           FROM (SELECT qid, qv, cid, cv,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cdot DESC, cid) r
+             FROM pr0) WHERE r <= 2),
+         qsubs AS (SELECT qid, cid, rj.range AS j,
+             qrv[rj.range * 8 + 1 : rj.range * 8 + 8] AS qsv
+           FROM pr CROSS JOIN range(0, 8) rj),
+         dtab AS (SELECT q.qid, q.cid, q.j, cb.ccid,
+             round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+               i -> (q.qsv[i] - cb.cv8[i]) * (q.qsv[i] - cb.cv8[i]))),
+               (a, x) -> a + x), 9)::DECIMAL(20,9) AS pd
+           FROM qsubs q JOIN cb ON q.j = cb.cj),
+         adc AS (SELECT d.qid, co.vec_id, sum(d.pd) AS adist
+           FROM codes co JOIN dtab d
+             ON co.cid = d.cid AND co.j = d.j AND co.code = d.ccid
+           WHERE co.vec_id <> d.qid
+           GROUP BY d.qid, co.vec_id),
+         short AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adist, vec_id) r
+             FROM adc) WHERE r <= 50),
+         rr AS (SELECT short.qid, short.vec_id,
+             ${dotSql("q.nv", "x.nv")} AS sim
+           FROM short
+           JOIN e x ON x.vec_id = short.vec_id
+           JOIN e q ON q.vec_id = short.qid),
+         ranked AS (SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, vec_id) rnk
+           FROM rr)
          SELECT qid, rnk, vec_id, sim
          FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q_sql_quantize" ->

@@ -41,4 +41,19 @@ class AnnSpec extends SparkSpec {
     // (≈5/n) would read ~0. Require a solid majority overlap on average.
     assert(mean >= 0.5, s"mean PQ recall@5 too low: $mean ($recalls)")
   }
+
+  test("IVF-PQ top-5 recalls most of the IVF top-5 (same probed lists)") {
+    // IVF-PQ reads only the probed inverted lists, so its ceiling is IVF's
+    // candidate set (not the global brute-force truth): measure against
+    // q_ann_ivf, which probes the same 2 lists with exact distances. The
+    // residual codes + exact re-rank should recover most of that ranking.
+    val ivf = topIds("q_ann_ivf")
+    val ivfpq = topIds("q_ann_ivfpq")
+    assert(ivfpq.keySet == ivf.keySet, "same query set")
+    val recalls = ivf.keys.toSeq.map { q =>
+      ivf(q).toSet.intersect(ivfpq(q).toSet).size / math.max(ivf(q).size, 1).toDouble
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"mean IVF-PQ recall@5 vs IVF too low: $mean ($recalls)")
+  }
 }
