@@ -165,6 +165,33 @@ object CoreQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // FUNNEL analysis — the flagship event-analytics shape the reference's
+    // user base runs on streams: who progressed view → click → purchase,
+    // each step within 24 hours of the previous step's FIRST occurrence.
+    // Sequential dependence planned as chained per-step min aggregations
+    // (each is a partial-agg shuffle keyed by user_id; the step relations
+    // shrink monotonically as users drop out) — no per-user event sort,
+    // no collect_list of a user's history anywhere, so a power user with
+    // 10M events costs the same as anyone else.
+    "q_events_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select($"user_id", $"t1", $"t2", $"t3",
+          when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+            .otherwise(1L).as("reached"))
+        .orderBy($"user_id")
+    }),
+
     // §2.4 LEFT interval join honoring the declared join type (the reference
     // V1 engine drops it — Codegen/V1.hs:301; we match V2/diffflow semantics,
     // DiffFlow/Types.hs:323-328).
@@ -336,6 +363,25 @@ object CoreQueries extends QueryPack {
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
          GROUP BY 1 ORDER BY 1""",
+    "q_events_funnel" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > t1
+                  AND e.ts <= t1 + INTERVAL '24 hours'
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > t2
+                  AND e.ts <= t2 + INTERVAL '24 hours'
+                GROUP BY e.user_id)
+         SELECT s1.user_id, t1, t2, t3,
+           (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END)::BIGINT AS reached
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     "q_interval_join_left" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT a.event_id AS a_id, count(b.event_id) AS purchases_within_10m

@@ -138,6 +138,53 @@ object DedupQueries extends QueryPack {
         .orderBy($"ndocs".desc, $"h")
     }),
 
+    // Cross-document DUPLICATED-SPAN REMOVAL — the acting half of Lee et
+    // al.'s substring dedup (q_dedup_hot_ngrams detects, this REMOVES):
+    // every token covered by a 5-gram that recurs in >= 3 distinct docs is
+    // cut from the document. Two shared boilerplate spans are injected
+    // deterministically (head on doc_id%5, tail on doc_id%3 — the same
+    // inject-then-operate pattern as PII/paragraph dedup) so the operator
+    // has real cross-doc targets, and the output fingerprints the cleaned
+    // token stream. Scale shape: the occurrence→hot join keys on gram
+    // hash (the hot side shrinks to the >= 3 survivors — broadcastable);
+    // covered positions aggregate per doc with collect_set bounded by doc
+    // length; the final cut is a per-row indexed filter, map-side.
+    "q_dedup_span_removal" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat(
+        when(pmod($"doc_id", lit(5L)) === 0,
+          lit("click here to accept cookies ")).otherwise(lit("")),
+        $"text",
+        when(pmod($"doc_id", lit(3L)) === 0,
+          lit(" subscribe to our newsletter for daily updates now"))
+          .otherwise(lit("")))
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens(aug).as("w"))
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .persist()
+      val gramArr = when(size($"w") >= 5,
+        transform(sequence(lit(0), size($"w") - 5),
+          i => struct(i.as("i"),
+            hash32Chain(concat_ws(" ", slice($"w", i + 1, lit(5)))).as("gh"))))
+        .otherwise(array().cast("array<struct<i:int,gh:bigint>>"))
+      val occ = docs.select($"doc_id", explode(gramArr).as("g"))
+        .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))
+      val hot = occ.groupBy($"gh")
+        .agg(count_distinct($"doc_id").as("nd"))
+        .filter($"nd" >= 3).select($"gh")
+      val covered = occ.join(broadcast(hot), "gh")
+        .select($"doc_id", explode(sequence($"i", $"i" + 4)).as("p"))
+        .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
+      docs.join(covered, Seq("doc_id"), "left")
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
+          md5(concat_ws(" ", filter($"w",
+            (t, i) => !coalesce(array_contains($"cov", i), lit(false)))))
+            .as("kept_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-doc BOILERPLATE ratio: how much of each doc is corpus-hot
     // shingles (the actionable per-doc form of q_dedup_hot_ngrams — docs
     // dominated by repeated spans are template/boilerplate candidates).
@@ -601,6 +648,34 @@ object DedupQueries extends QueryPack {
          hot AS (SELECT hh, count(*)::BIGINT AS ndocs FROM ex
                  GROUP BY hh HAVING count(*) >= 3)
          SELECT hh AS h, ndocs FROM hot ORDER BY ndocs DESC, hh""",
+    "q_dedup_span_removal" ->
+      """WITH d0 AS (SELECT doc_id, string_split(
+             CASE WHEN doc_id % 5 = 0 THEN 'click here to accept cookies '
+                  ELSE '' END || text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' subscribe to our newsletter for daily updates now'
+                  ELSE '' END, ' ') AS w
+           FROM documents),
+         gi AS (SELECT doc_id, w,
+             unnest(range(0, greatest(len(w) - 4, 0))) AS i FROM d0),
+         g AS (SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(w[i+1 : i+5], ' ')), 1, 8))
+               ::BIGINT AS gh
+           FROM gi),
+         hot AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) nd
+                                 FROM g GROUP BY gh) WHERE nd >= 3),
+         covp AS (SELECT doc_id, unnest(range(i, i + 5)) AS p
+                  FROM g JOIN hot USING (gh)),
+         cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+                 FROM covp GROUP BY doc_id)
+         SELECT d0.doc_id, len(w)::BIGINT AS n_tokens,
+           coalesce(len(cov), 0)::BIGINT AS n_removed,
+           md5(coalesce(array_to_string(list_filter(
+             list_transform(range(1, len(w) + 1),
+               i -> CASE WHEN cov IS NULL OR NOT list_contains(cov, i - 1)
+                         THEN w[i] END),
+             x -> x IS NOT NULL), ' '), '')) AS kept_fp
+         FROM d0 LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
     "q_dedup_boilerplate_ratio" ->
       s"""$shCte,
          ex AS (SELECT doc_id, unnest(hs) AS hh FROM h),

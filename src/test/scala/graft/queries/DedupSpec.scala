@@ -123,4 +123,20 @@ class DedupSpec extends SparkSpec {
       "planted pair must be a true near-dup")
     assert(refined.toSeq == brute.toSeq)
   }
+
+  test("span removal cuts every injected boilerplate token, leaves clean docs intact") {
+    val rows = DedupQueries.queries("q_dedup_span_removal")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nRem) =>
+      assert(nRem <= nTok)
+      // the injected 8-token tail (doc_id%3) / 5-token head (doc_id%5)
+      // recur corpus-wide, so their 5-grams are hot and fully covered
+      if (id % 3 == 0) assert(nRem >= 8, s"doc $id tail not removed ($nRem)")
+      if (id % 5 == 0) assert(nRem >= 5, s"doc $id head not removed ($nRem)")
+    }
+    val clean = rows.filter(r => r._1 % 3 != 0 && r._1 % 5 != 0)
+    assert(clean.count(_._3 == 0) > clean.length / 2,
+      "most non-injected docs should survive untouched")
+  }
 }
