@@ -405,6 +405,23 @@ object ScaleProbe {
       "nb_train_score_5k_vs_50k" ->
         (time(graft.queries.TextQueries.nbScoreFrom(docs)),
           time(graft.queries.TextQueries.nbScoreFrom(x10Distinct(docs)))),
+      // chained per-step min aggs: user set fixed, history 10× deeper —
+      // funnels must stay ~linear (no per-user sort/history collection)
+      "funnel_100k_vs_1m" ->
+        (time(graft.queries.CoreQueries.funnelFrom(events)),
+          time(graft.queries.CoreQueries.funnelFrom(x10Events(events)))),
+      // duplicated-span removal: hot-gram join + per-doc position sets —
+      // ~linear in tokens (hot side stays the injected spans' grams)
+      "span_removal_5k_vs_50k" ->
+        (time(graft.queries.DedupQueries.spanRemovalFrom(docs)),
+          time(graft.queries.DedupQueries.spanRemovalFrom(x10Distinct(docs)))),
+      // IVF-PQ: codes 10×, probed lists 10× deeper, shortlist re-rank
+      // fixed per query — candidate work scales with list depth only
+      "ivfpq_4k_vs_40k" ->
+        (time(graft.queries.SimilarityQueries.ivfpqFrom(
+          graft.queries.SimilarityQueries.normVecsFrom(embeds))),
+          time(graft.queries.SimilarityQueries.ivfpqFrom(
+            graft.queries.SimilarityQueries.normVecsFrom(x10Vecs(embeds))))),
       "cdc_apply_150k_vs_1m5" ->
         (time(cdcApplyShape(ordersCdc)), time(cdcApplyShape(x10Orders(ordersCdc)))),
       "profit_join_600k_vs_6m" ->

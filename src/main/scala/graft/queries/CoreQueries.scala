@@ -173,24 +173,8 @@ object CoreQueries extends QueryPack {
     // shrink monotonically as users drop out) — no per-user event sort,
     // no collect_list of a user's history anywhere, so a power user with
     // 10M events costs the same as anyone else.
-    "q_events_funnel" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.load(s, dir, "events")
-        .select($"user_id", $"event_type", $"ts")
-      val s1 = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
-        .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
-        .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
-      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
-        .select($"user_id", $"t1", $"t2", $"t3",
-          when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
-            .otherwise(1L).as("reached"))
-        .orderBy($"user_id")
-    }),
+    "q_events_funnel" -> ((s, dir) =>
+      funnelFrom(Tables.load(s, dir, "events"))),
 
     // §2.4 LEFT interval join honoring the declared join type (the reference
     // V1 engine drops it — Codegen/V1.hs:301; we match V2/diffflow semantics,
@@ -286,6 +270,28 @@ object CoreQueries extends QueryPack {
       clicks.union(views).distinct().orderBy($"user_id")
     })
   )
+
+  /** The batch funnel pipeline (shared by the q_events_funnel gate and the
+    * ScaleProbe row): chained per-step min aggregations — see the gate
+    * entry's design notes. */
+  private[graft] def funnelFrom(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events.select($"user_id", $"event_type", $"ts")
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select($"user_id", $"t1", $"t2", $"t3",
+          when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+            .otherwise(1L).as("reached"))
+        .orderBy($"user_id")
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->

@@ -149,41 +149,8 @@ object DedupQueries extends QueryPack {
     // hash (the hot side shrinks to the >= 3 survivors — broadcastable);
     // covered positions aggregate per doc with collect_set bounded by doc
     // length; the final cut is a per-row indexed filter, map-side.
-    "q_dedup_span_removal" -> ((s, dir) => {
-      import s.implicits._
-      val aug = concat(
-        when(pmod($"doc_id", lit(5L)) === 0,
-          lit("click here to accept cookies ")).otherwise(lit("")),
-        $"text",
-        when(pmod($"doc_id", lit(3L)) === 0,
-          lit(" subscribe to our newsletter for daily updates now"))
-          .otherwise(lit("")))
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", tokens(aug).as("w"))
-        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-        .persist()
-      val gramArr = when(size($"w") >= 5,
-        transform(sequence(lit(0), size($"w") - 5),
-          i => struct(i.as("i"),
-            hash32Chain(concat_ws(" ", slice($"w", i + 1, lit(5)))).as("gh"))))
-        .otherwise(array().cast("array<struct<i:int,gh:bigint>>"))
-      val occ = docs.select($"doc_id", explode(gramArr).as("g"))
-        .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))
-      val hot = occ.groupBy($"gh")
-        .agg(count_distinct($"doc_id").as("nd"))
-        .filter($"nd" >= 3).select($"gh")
-      val covered = occ.join(broadcast(hot), "gh")
-        .select($"doc_id", explode(sequence($"i", $"i" + 4)).as("p"))
-        .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
-      docs.join(covered, Seq("doc_id"), "left")
-        .select($"doc_id",
-          size($"w").cast("long").as("n_tokens"),
-          coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
-          md5(concat_ws(" ", filter($"w",
-            (t, i) => !coalesce(array_contains($"cov", i), lit(false)))))
-            .as("kept_fp"))
-        .orderBy($"doc_id")
-    }),
+    "q_dedup_span_removal" -> ((s, dir) =>
+      spanRemovalFrom(Tables.load(s, dir, "documents"))),
 
     // Per-doc BOILERPLATE ratio: how much of each doc is corpus-hot
     // shingles (the actionable per-doc form of q_dedup_hot_ngrams — docs
@@ -619,6 +586,45 @@ object DedupQueries extends QueryPack {
        SELECT doc_id, canonical_id,
               count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        FROM cc ORDER BY doc_id"""
+
+  /** The duplicated-span-removal pipeline (shared by the gate and the
+    * ScaleProbe row) — see the q_dedup_span_removal entry's design notes. */
+  private[graft] def spanRemovalFrom(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+      val aug = concat(
+        when(pmod($"doc_id", lit(5L)) === 0,
+          lit("click here to accept cookies ")).otherwise(lit("")),
+        $"text",
+        when(pmod($"doc_id", lit(3L)) === 0,
+          lit(" subscribe to our newsletter for daily updates now"))
+          .otherwise(lit("")))
+      val docs = docs0
+        .select($"doc_id", tokens(aug).as("w"))
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .persist()
+      val gramArr = when(size($"w") >= 5,
+        transform(sequence(lit(0), size($"w") - 5),
+          i => struct(i.as("i"),
+            hash32Chain(concat_ws(" ", slice($"w", i + 1, lit(5)))).as("gh"))))
+        .otherwise(array().cast("array<struct<i:int,gh:bigint>>"))
+      val occ = docs.select($"doc_id", explode(gramArr).as("g"))
+        .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))
+      val hot = occ.groupBy($"gh")
+        .agg(count_distinct($"doc_id").as("nd"))
+        .filter($"nd" >= 3).select($"gh")
+      val covered = occ.join(broadcast(hot), "gh")
+        .select($"doc_id", explode(sequence($"i", $"i" + 4)).as("p"))
+        .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
+      docs.join(covered, Seq("doc_id"), "left")
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
+          md5(concat_ws(" ", filter($"w",
+            (t, i) => !coalesce(array_contains($"cov", i), lit(false)))))
+            .as("kept_fp"))
+        .orderBy($"doc_id")
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->

@@ -26,9 +26,12 @@ object SimilarityQueries extends QueryPack {
 
   /** vec_id + L2-normalized double vector (normalization happens once here,
     * never inside a pairwise stage). */
-  private def normVecs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.load(s, dir, "embeddings")
+  private def normVecs(s: SparkSession, dir: String): DataFrame =
+    normVecsFrom(Tables.load(s, dir, "embeddings"))
+
+  private[graft] def normVecsFrom(embeds: DataFrame): DataFrame = {
+    import embeds.sparkSession.implicits._
+    embeds
       .select($"vec_id", vecD($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
       .select($"vec_id", transform($"v", x => x / $"nrm").as("v"))
@@ -353,11 +356,32 @@ object SimilarityQueries extends QueryPack {
     // broadcast, raw vectors are fetched only for |shortlist| rows.
     // Determinism: residual subtraction is the same IEEE double op in
     // both engines; per-cell round(9), rank-1 cid tie-breaks.
-    "q_ann_ivfpq" -> ((s, dir) => {
-      import s.implicits._
-      val all = normVecs(s, dir).persist()
-      val centroids = broadcast(all.filter($"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"v".as("cv")))
+    "q_ann_ivfpq" -> ((s, dir) => ivfpqFrom(normVecs(s, dir))),
+
+    // int8 quantization through dialect text — QUANTIZE_INT8 is the same
+    // single-rounding-site codec as SimilarityQueries.quantize. The codes
+    // array is pinned scalar-wise (FLATTEN + per-vector sum/min/max/count —
+    // the driver's compare sorts rows by every column, so raw array columns
+    // can't be gated directly).
+    "q_sql_quantize" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      new graft.sql.SqlEngine(s).batch(
+        """SELECT vec_id, SUM(c) AS code_sum, MIN(c) AS code_min,
+                  MAX(c) AS code_max, COUNT(*) AS n
+           FROM FLATTEN((SELECT vec_id, QUANTIZE_INT8(embedding) AS codes
+                         FROM embeddings) AS t, codes AS c)
+           GROUP BY vec_id ORDER BY vec_id;""")
+    })
+  )
+
+  /** The IVF-PQ search pipeline over normalized (vec_id, v) rows — ONE
+    * definition shared by the q_ann_ivfpq gate and the ScaleProbe row.
+    * See the q_ann_ivfpq entry for the design notes. */
+  private[graft] def ivfpqFrom(all0: DataFrame): DataFrame = {
+    import all0.sparkSession.implicits._
+    val all = all0.persist()
+    val centroids = broadcast(all.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv")))
       val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
       val assigned = all.join(centroids)
         .select($"vec_id", $"v", $"cid", $"cv",
@@ -410,23 +434,7 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rnk", row_number().over(wTop)).filter($"rnk" <= 5)
         .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
         .orderBy($"qid", $"rnk")
-    }),
-
-    // int8 quantization through dialect text — QUANTIZE_INT8 is the same
-    // single-rounding-site codec as SimilarityQueries.quantize. The codes
-    // array is pinned scalar-wise (FLATTEN + per-vector sum/min/max/count —
-    // the driver's compare sorts rows by every column, so raw array columns
-    // can't be gated directly).
-    "q_sql_quantize" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      new graft.sql.SqlEngine(s).batch(
-        """SELECT vec_id, SUM(c) AS code_sum, MIN(c) AS code_min,
-                  MAX(c) AS code_max, COUNT(*) AS n
-           FROM FLATTEN((SELECT vec_id, QUANTIZE_INT8(embedding) AS codes
-                         FROM embeddings) AS t, codes AS c)
-           GROUP BY vec_id ORDER BY vec_id;""")
-    })
-  )
+  }
 
   /** The int8 min/max quantization pipeline over (vec_id, embedding) rows —
     * ONE definition shared by the q_embed_quantize gate and the streaming

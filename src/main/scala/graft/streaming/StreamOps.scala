@@ -741,4 +741,117 @@ object StreamOps {
       }
       .toDF("doc_id", "owner_id", "band")
   }
+
+  /** Streaming FUNNEL: per key, the first occurrence of step 1, then the
+    * first step-2 event within `stepWindow` after it, then step 3 after
+    * that — the event-time form of the batch q_events_funnel (chained
+    * per-step mins). Incremental correctness under out-of-order arrival:
+    *   - t1 = min step-1 ts is commutative, so late-but-not-dropped step-1
+    *     rows can only LOWER it, and the watermark finalizes it (a row
+    *     that would lower a watermark-passed t1 is by definition late).
+    *   - later-step candidates buffer only while they could still qualify:
+    *     a step-k event later than t1 + k·window can never enter a window
+    *     that only moves EARLIER as t1 decreases → pruned. Per-key state
+    *     is therefore bounded by k·window of events, the asofEnrich class.
+    *   - a key's row is emitted exactly once per FUNNEL ENTRY, when the
+    *     watermark passes every window that could still change it
+    *     (t1 + steps·window). A step-1 event arriving after a key's funnel
+    *     finalized starts a NEW funnel (standard re-entry semantics); the
+    *     batch twin corresponds to streams where each key enters once.
+    * Output: (key, t1..tN nullable, reached). */
+  def funnel(events: DataFrame, key: String, typeCol: String, ts: String,
+             steps: Seq[String], stepWindow: String = DefaultGrace,
+             grace: String = DefaultGrace): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val winMicros = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(stepWindow))
+      require(iv.months == 0, "funnel stepWindow must be a fixed duration")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val n = steps.length
+    val keyField = events.schema(key)
+    val tsType = events.schema(ts).dataType
+    // state: one buffered (step, ts) list — step-1 rows collapse to the
+    // running min (kept as the single step-1 entry), later steps prune to
+    // the still-qualifiable horizon t1 + step·window
+    val stateSchema = StructType(Seq(
+      StructField("evs", ArrayType(StructType(Seq(
+        StructField("step", IntegerType), StructField("t", TimestampType)))))))
+    val outSchema = StructType(keyField +:
+      steps.indices.map(i => StructField(s"t${i + 1}", tsType, nullable = true)) :+
+      StructField("reached", LongType, nullable = false))
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .withWatermark(ts, grace)
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(key).as("__k"), col(typeCol).as("__e"), col(ts).as("__t"))
+    val uSchema = typed.schema
+    val keyEnc = Encoders.row(StructType(Seq(uSchema(0))))
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    val ordT: Ordering[java.sql.Timestamp] =
+      Ordering.by(t => (t.getTime, t.getNanos))
+
+    typed.groupByKey((r: Row) => Row(r.get(0)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          var evs: Vector[(Int, java.sql.Timestamp)] = state.getOption match {
+            case Some(s) => Option(s.getSeq[Row](0)).getOrElse(Seq.empty)
+              .map(r => (r.getInt(0), r.getAs[java.sql.Timestamp](1))).toVector
+            case None => Vector.empty
+          }
+          rows.foreach { r =>
+            evs :+= ((stepIdx(r.getString(1)), r.getAs[java.sql.Timestamp](2)))
+          }
+          def chain(es: Vector[(Int, java.sql.Timestamp)])
+              : Seq[Option[java.sql.Timestamp]] = {
+            var prev: Option[java.sql.Timestamp] = None
+            (0 until n).map { s =>
+              val cand = es.filter(_._1 == s).map(_._2)
+              val hit = s match {
+                case 0 => cand.sorted(ordT).headOption
+                case _ => prev.flatMap { p =>
+                  cand.filter(t => ordT.gt(t, p) &&
+                    micros(t) <= micros(p) + winMicros)
+                    .sorted(ordT).headOption
+                }
+              }
+              prev = hit
+              hit
+            }
+          }
+          val t1 = evs.filter(_._1 == 0).map(_._2).sorted(ordT).headOption
+          if (state.hasTimedOut || evs.isEmpty) {
+            // finalize: every window that could change the row is closed
+            val res = chain(evs)
+            state.remove()
+            if (res.head.isEmpty) Iterator.empty
+            else Iterator.single(Row.fromSeq(
+              k.get(0) +: res.map(_.orNull) :+
+                res.takeWhile(_.isDefined).length.toLong))
+          } else {
+            // prune: step-1 keeps only its min; step-k keeps rows that can
+            // still enter a window anchored at (a future, LOWER) t1
+            evs = t1.toVector.map(t => (0, t)) ++ evs.filter { case (s, t) =>
+              s > 0 && t1.forall(a => micros(t) <= micros(a) + s * winMicros)
+            }
+            state.update(Row(evs.map(e => Row(e._1, e._2))))
+            // the row is final once the watermark passes t1 + n·window
+            // (no qualifiable event for ANY step can arrive after that);
+            // without a step-1 event yet, wait out the buffered horizon
+            val anchor = t1.orElse(evs.map(_._2).sorted(ordT).headOption)
+            val deadline = anchor.map(_.getTime + n * (winMicros / 1000) + 1)
+              .getOrElse(state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(
+              math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }(stateEnc, outEnc)
+      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
 }

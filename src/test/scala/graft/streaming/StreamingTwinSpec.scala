@@ -159,6 +159,63 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming funnel twin (event-time state + timeouts) == oracle'd q_events_funnel") {
+    val (dir, s) = staged("events")
+    val q = drain(StreamOps.funnel(s, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), stepWindow = "24 hours"),
+      "append", "tw_funnel")
+    // the far-future sentinel advances the watermark past every real
+    // event + deadline, firing all per-user finalization timeouts
+    appendSentinel(dir)
+    q.processAllAvailable()
+    val got = spark.table("tw_funnel").filter(col("user_id") =!= -1L)
+      .orderBy("user_id").collect().toSeq
+    val batchRows = batch("q_events_funnel")
+    assert(got.nonEmpty && got == batchRows,
+      s"streaming funnel != batch twin (got ${got.size}, want ${batchRows.size})")
+    assert(got.exists(_.getLong(4) == 3L), "no user completed the funnel")
+    q.stop()
+  }
+
+  test("streaming funnel: cross-batch out-of-order step events still chain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_funnel_ooo")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(hours: Double) =
+      new java.sql.Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    // batch 1: u1's view, plus a click OUTSIDE the 24h window (t0+30h) —
+    // it also drags the watermark to t0+30h-24h = t0+6h
+    Seq((1L, "view", ts(0)), (1L, "click", ts(30)))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("append").parquet(dir.toString)
+    val s = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = drain(StreamOps.funnel(s, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), stepWindow = "24 hours"),
+      "append", "tw_funnel_ooo")
+    // batch 2: an OUT-OF-ORDER click at t0+7h — earlier than batch 1's
+    // click, above the current watermark (t0+6h), inside the window: the
+    // buffered state must accept it as t2
+    Seq((1L, "click", ts(7)))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    // batch 3: sentinel advances the watermark past every deadline
+    Seq((-1L, "view", ts(100000)))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    val rows = spark.table("tw_funnel_ooo").filter($"user_id" === 1L).collect()
+    assert(rows.length == 1, s"expected one funnel row, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getTimestamp(1) == ts(0), "t1 must be the view")
+    assert(r.getTimestamp(2) == ts(7),
+      s"t2 must be the out-of-order in-window click, got ${r.getTimestamp(2)}")
+    assert(r.isNullAt(3) && r.getLong(4) == 2L)
+    q.stop()
+  }
+
   test("streaming NB model-serving twin (map-side scorer) == oracle'd q_quality_nb_score") {
     // "train batch, serve streaming": the model trains from the batch
     // table, the scorer is pure map-side expressions — applying it to a
