@@ -517,6 +517,42 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events ORDER BY event_id;""")),
 
+    // FUNNEL through the dialect — q_events_funnel's chained per-step min
+    // aggregations composed from FROM-subqueries, JOIN USING, timestamp
+    // MIN, ts + INTERVAL arithmetic, LEFT JOIN, CASE, and the new
+    // IS [NOT] NULL — one query exercising most of the relational
+    // frontend at once. Same plan family as the DataFrame form: partial-
+    // agg shuffles on user_id, no per-user sort.
+    "q_sql_funnel" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, t1, t2, t3,
+                CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+         FROM (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id) AS s1
+         LEFT JOIN (SELECT user_id, MIN(e.ts) AS t2
+                    FROM events AS e
+                    JOIN (SELECT user_id, MIN(ts) AS t1 FROM events
+                          WHERE event_type = 'view' GROUP BY user_id) AS v
+                      USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t1
+                      AND e.ts <= v.t1 + INTERVAL 24 HOUR
+                    GROUP BY user_id) AS s2 USING (user_id)
+         LEFT JOIN (SELECT user_id, MIN(e2.ts) AS t3
+                    FROM events AS e2
+                    JOIN (SELECT user_id, MIN(e.ts) AS t2
+                          FROM events AS e
+                          JOIN (SELECT user_id, MIN(ts) AS t1 FROM events
+                                WHERE event_type = 'view'
+                                GROUP BY user_id) AS v
+                            USING (user_id)
+                          WHERE e.event_type = 'click' AND e.ts > v.t1
+                            AND e.ts <= v.t1 + INTERVAL 24 HOUR
+                          GROUP BY user_id) AS c USING (user_id)
+                    WHERE e2.event_type = 'purchase' AND e2.ts > c.t2
+                      AND e2.ts <= c.t2 + INTERVAL 24 HOUR
+                    GROUP BY user_id) AS s3 USING (user_id)
+         ORDER BY user_id;""")),
+
     // QUALIFY (DuckDB-compatible extension): rank-then-filter WITHOUT a
     // FROM-subquery — the predicate references the window by its select
     // alias; the window computes as a hidden column below the filter
@@ -899,6 +935,36 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events""",
+    "q_sql_funnel" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+         SELECT user_id, t1, t2, t3,
+                CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+         FROM (SELECT user_id, MIN(ts) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY user_id) AS s1
+         LEFT JOIN (SELECT user_id, MIN(e.ts) AS t2
+                    FROM ev AS e
+                    JOIN (SELECT user_id, MIN(ts) AS t1 FROM ev
+                          WHERE event_type = 'view' GROUP BY user_id) AS v
+                      USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t1
+                      AND e.ts <= v.t1 + INTERVAL 24 HOUR
+                    GROUP BY user_id) AS s2 USING (user_id)
+         LEFT JOIN (SELECT user_id, MIN(e2.ts) AS t3
+                    FROM ev AS e2
+                    JOIN (SELECT user_id, MIN(e.ts) AS t2
+                          FROM ev AS e
+                          JOIN (SELECT user_id, MIN(ts) AS t1 FROM ev
+                                WHERE event_type = 'view'
+                                GROUP BY user_id) AS v
+                            USING (user_id)
+                          WHERE e.event_type = 'click' AND e.ts > v.t1
+                            AND e.ts <= v.t1 + INTERVAL 24 HOUR
+                          GROUP BY user_id) AS c USING (user_id)
+                    WHERE e2.event_type = 'purchase' AND e2.ts > c.t2
+                      AND e2.ts <= c.t2 + INTERVAL 24 HOUR
+                    GROUP BY user_id) AS s3 USING (user_id)
+         ORDER BY user_id""",
     // oracle text identical to the dialect text — DuckDB re-plans the
     // same QUALIFY / RANGE / DISTINCT ON semantics independently
     "q_sql_qualify" ->

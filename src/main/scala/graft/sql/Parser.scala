@@ -532,6 +532,14 @@ object Parser {
           expect(")")
           InList(e, items.result(), not)
         }
+      } else if (isKw("IS") && !not) {
+        // `e IS [NOT] NULL` (extension — essential next to the dialect's
+        // LEFT/FULL joins; SQL-v1.cf has no IS NULL production, only the
+        // dynamic IS_* type predicates)
+        next()
+        val neg = accept("NOT")
+        expect("NULL")
+        if (neg) Not(Fn("IS_NULL", Seq(e))) else Fn("IS_NULL", Seq(e))
       } else { require(!not, "dangling NOT"); e }
     }
 

@@ -313,6 +313,7 @@ object Translate {
     case "SIGN" => signum(a(0)); case "SQRT" => sqrt(a(0))
     case "LOG" => log(a(0));     case "LOG2" => log2(a(0))
     case "LOG10" => log10(a(0)); case "EXP" => exp(a(0))
+    case "IS_NULL" => a(0).isNull // `e IS [NOT] NULL` (parser-desugared)
     case "IS_INT" => a(0).try_cast("long").isNotNull
     case "IS_FLOAT" | "IS_NUM" => a(0).try_cast("double").isNotNull
     case "IS_BOOL" => a(0).try_cast("boolean").isNotNull

@@ -310,7 +310,7 @@ object TypeCheck {
       case "DATETOSTRING" | "ARRAY_JOIN" => args.foreach(infer(_, env)); Some(TString)
       case "STRINGTODATE" => requireString(args.head, env, name); Some(TDate)
       case "IS_INT" | "IS_FLOAT" | "IS_NUM" | "IS_BOOL" | "IS_STR" |
-           "IS_ARRAY" | "IS_DATE" | "IS_TIME" =>
+           "IS_ARRAY" | "IS_DATE" | "IS_TIME" | "IS_NULL" =>
         infer(args.head, env); Some(TBool) // dynamic predicates take anything
       // LLM-pipeline primitives (SURVEY §6)
       case "TOKENS" =>

@@ -87,6 +87,16 @@ class QualifyDistinctSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 30L), (2L, 40L), (3L, 70L), (4L, 60L)))
   }
 
+  test("IS [NOT] NULL postfix (extension) evaluates three-valued") {
+    import spark.implicits._
+    Seq((1L, Some(5L)), (2L, None)).toDF("id", "v")
+      .createOrReplaceTempView("isn_t")
+    val got = e.batch(
+      "SELECT id, v IS NULL AS a, v IS NOT NULL AS b FROM isn_t ORDER BY id;")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, false, true), (2L, true, false)))
+  }
+
   test("rejections carry dialect vocabulary") {
     setup()
     rejects("SELECT k, i FROM qd_t QUALIFY i > 1;", "QUALIFY must reference a window function")
