@@ -47,6 +47,7 @@ object Bench {
     "q_ann_lsh_bucketed",      // bucketed ANN scale path
     "q_ann_ivf",               // IVF inverted-list ANN scale path
     "q_ann_ivf_train",         // 2 Lloyd rounds of IVF centroid training
+    "q_ann_pq_train",          // per-subspace PQ codebook Lloyd rounds
     "q_ann_pq",                // PQ/ADC shortlist + exact re-rank
     "q_ann_ivfpq",             // IVF lists + residual-PQ codes (FAISS shape)
     "q_curation_dsir",         // DSIR importance resampling (hashed n-grams)

@@ -264,9 +264,8 @@ object SimilarityQueries extends QueryPack {
     // third ANN family next to IVF (coarse partition) and LSH (bucketing)
     // — compress each 64-dim vector to 8 centroid ids, one per 8-dim
     // subspace, against per-subspace codebooks (here: the sub-vectors of
-    // the 16 deterministic seed vectors, the same seeds IVF uses; a
-    // trained variant would run q_ann_ivf_train's Lloyd rounds per
-    // subspace). Encoding is rank-1 nearest-centroid by rounded L2² with
+    // the 16 deterministic seed vectors, the same seeds IVF uses;
+    // q_ann_pq_train refines them with per-subspace Lloyd rounds). Encoding is rank-1 nearest-centroid by rounded L2² with
     // cid tie-break — deterministic, exact DuckDB oracle. At 100 TB the
     // codebook is 16×8 tiny rows broadcast everywhere and encoding is one
     // scan; the 8n×16 candidate frame never leaves its partition before
@@ -357,6 +356,46 @@ object SimilarityQueries extends QueryPack {
     // Determinism: residual subtraction is the same IEEE double op in
     // both engines; per-cell round(9), rank-1 cid tie-breaks.
     "q_ann_ivfpq" -> ((s, dir) => ivfpqFrom(normVecs(s, dir))),
+
+    // PQ codebook TRAINING: 2 Lloyd rounds per 8-dim subspace, refining
+    // the 16 seed sub-vectors — the trained form the q_ann_pq_codes
+    // comment promises. Same determinism discipline as q_ann_ivf_train:
+    // rank-1 assignment by round(9) L2² with cid tie-break, element-wise
+    // means as DECIMAL(38,18)-exact sums (partial-agg order can never
+    // perturb them), ascending repack. Scale: every round shuffles
+    // (j, cid, dim, partial-sum) triples — 8×16×8 keys regardless of
+    // corpus size — and the ≤128-row codebook broadcasts back for the
+    // next assignment; the corpus itself is only scanned.
+    "q_ann_pq_train" -> ((s, dir) => {
+      import s.implicits._
+      val subs = normVecs(s, dir).select($"vec_id", posexplode(
+          transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
+          .as(Seq("j", "sv"))).persist()
+      var cb = subs.filter($"vec_id" < 16)
+        .select($"j", $"vec_id".as("cid"), $"sv".as("cv"))
+      for (_ <- 1 to 2) {
+        val wA = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")
+        val assigned = subs.join(broadcast(cb), Seq("j"))
+          .select($"vec_id", $"j", $"cid", $"sv",
+            round(aggregate(zip_with($"sv", $"cv", (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, x) => a + x), 9).as("d2"))
+          .withColumn("r", row_number().over(wA)).filter($"r" === 1)
+          .select($"j", $"cid", $"sv")
+        val byDim = assigned
+          .select($"j", $"cid", posexplode($"sv").as(Seq("i", "x")))
+          .groupBy($"j", $"cid", $"i")
+          .agg((sum($"x".cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("m"))
+        cb = byDim.groupBy($"j", $"cid")
+          .agg(array_sort(collect_list(struct($"i", $"m"))).as("im"))
+          .select($"j", $"cid", transform($"im", e => e("m")).as("cv"))
+          .persist()
+      }
+      cb.select($"j", $"cid", posexplode($"cv").as(Seq("i", "x")))
+        .select($"j".cast("long").as("j"), $"cid".cast("long").as("cid"),
+          $"i".cast("long").as("i"), round($"x", 6).as("val"))
+        .orderBy($"j", $"cid", $"i")
+    }),
 
     // int8 quantization through dialect text — QUANTIZE_INT8 is the same
     // single-rounding-site codec as SimilarityQueries.quantize. The codes
@@ -477,6 +516,26 @@ object SimilarityQueries extends QueryPack {
   private def dotSql(a: String, b: String): String =
     s"""round(list_reduce(list_prepend(0.0,
         list_transform(range(1, 65), i -> $a[i] * $b[i])), (s, t) -> s + t), 6)"""
+
+  /** One DuckDB Lloyd round per PQ SUBSPACE over codebook relation `prev`
+    * (requires the `sub` CTE of per-(vec_id, j) sub-vectors): rank-1
+    * assignment by round(9) L2² (cid tiebreak) → DECIMAL(38,18)-exact
+    * per-dim means → ascending repack, keyed by (j, cid). */
+  private def pqLloydCte(r: Int, prev: String): String =
+    s"""a$r AS (SELECT s.vec_id, s.j, s.sv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 9),
+                 i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+               (a, x) -> a + x), 9), c.cid) rk
+         FROM sub s JOIN $prev c USING (j)),
+       m$r AS (SELECT j, cid, i, sum(CAST(x AS DECIMAL(38,18)))::DOUBLE
+             / count(*) AS m
+         FROM (SELECT j, cid, unnest(sv) AS x, unnest(range(1, 9)) AS i
+               FROM a$r WHERE rk = 1)
+         GROUP BY j, cid, i),
+       c$r AS (SELECT j, cid, list(m ORDER BY i) AS cv FROM m$r
+               GROUP BY j, cid)"""
 
   /** One DuckDB Lloyd round over centroid relation `prev`: rank-1
     * assignment by rounded dot (cid tiebreak) → DECIMAL(38,18)-exact
@@ -690,6 +749,21 @@ object SimilarityQueries extends QueryPack {
                     FROM rr)
          SELECT qid, rnk, vec_id, sim
          FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // PQ codebook training: 2 Lloyd rounds per subspace (same exactness
+    // discipline as the IVF trainer's oracle, keyed by (j, cid))
+    "q_ann_pq_train" ->
+      s"""$normCte,
+         sub AS (SELECT vec_id, rj.range AS j,
+             nv[rj.range * 8 + 1 : rj.range * 8 + 8] AS sv
+           FROM e CROSS JOIN range(0, 8) rj),
+         c0 AS (SELECT j, vec_id cid, sv cv FROM sub WHERE vec_id < 16),
+         ${pqLloydCte(1, "c0")},
+         ${pqLloydCte(2, "c1")}
+         SELECT j::BIGINT AS j, cid::BIGINT AS cid, (i - 1)::BIGINT AS i,
+           round(x, 6) AS val
+         FROM (SELECT j, cid, unnest(cv) AS x, unnest(range(1, 9)) AS i
+               FROM c2)
+         ORDER BY j, cid, i""",
     // IVF-PQ: coarse assign → residuals → residual-codebook PQ codes →
     // probe 2 lists → per-list query-residual ADC → top-50 → exact re-rank
     "q_ann_ivfpq" ->
