@@ -176,6 +176,25 @@ object CoreQueries extends QueryPack {
     "q_events_funnel" -> ((s, dir) =>
       funnelFrom(Tables.load(s, dir, "events"))),
 
+    // COHORT RETENTION — funnel's sibling flagship: users grouped by the
+    // day they first appeared (cohort), counted again for each later day
+    // they returned. Shape: per-user first-day is a partial-agg min; per-(user,
+    // day) activity is a distinct projection; the join back keys on
+    // user_id and the final count groups by (cohort_day, day_offset) —
+    // three key-partitioned shuffles, no windows, no per-user history.
+    "q_events_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("d"))
+      val cohort = ev.groupBy($"user_id").agg(min($"d").as("c0"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy($"c0".as("cohort_day"),
+          datediff($"d", $"c0").cast("long").as("day_offset"))
+        .agg(count_distinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    }),
+
     // §2.4 LEFT interval join honoring the declared join type (the reference
     // V1 engine drops it — Codegen/V1.hs:301; we match V2/diffflow semantics,
     // DiffFlow/Types.hs:323-328).
@@ -369,6 +388,14 @@ object CoreQueries extends QueryPack {
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
          GROUP BY 1 ORDER BY 1""",
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, (ts::TIMESTAMP)::DATE AS d FROM events),
+         cohort AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, d FROM ev)
+         SELECT c0 AS cohort_day, (d - c0)::BIGINT AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM active JOIN cohort USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_events_funnel" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
          s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
