@@ -57,6 +57,7 @@ object Bench {
     "q_corpus_rollup",         // multi-level stats, one shuffle
     "q_cdc_apply",             // CDC envelope decode + max_by materialization
     "q_events_funnel",         // chained per-step min aggs (no per-user sort)
+    "q_events_retention",      // cohort matrix: 3 key-partitioned shuffles
     "q_dedup_span_removal",    // hot-gram join + map-side indexed cut
     // q_embed_neardup is NOT here: O(n²) pairwise cosine is a correctness
     // anchor (like q_dedup_jaccard_exact); its scale path is q_ann_lsh_bucketed
