@@ -195,6 +195,47 @@ object CoreQueries extends QueryPack {
         .orderBy($"cohort_day", $"day_offset")
     }),
 
+    // A/B EXPERIMENT analysis — the third member of the event-analytics
+    // pack (funnel, retention, experiment): users assign to variants by a
+    // deterministic hash (reproducible bucketing — the same reason
+    // q_curation_sample refuses rand()), conversion = a purchase within
+    // 24 h of the user's first view, and every reported number is an
+    // exact integer or a single terminal round — counts and DECIMAL-free
+    // cent sums survive any partial-agg order. Shapes: per-user min,
+    // one semi-join-like distinct, two tiny groupBys keyed by variant.
+    "q_events_experiment" -> ((s, dir) => {
+      import s.implicits._
+      val variant = when(pmod(graft.functions.PipelineFunctions.hash32Chain(
+        concat(lit("exp1"), $"user_id".cast("string"))), lit(2L)) === 0,
+        "control").otherwise("treatment")
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts", $"value",
+          variant.as("variant"))
+      val entered = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"variant").agg(min($"ts").as("t1"))
+      val converted = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts")
+        .join(entered, Seq("user_id"))
+        .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+        .select($"user_id", $"variant").distinct()
+      val conv = converted.groupBy($"variant")
+        .agg(count(lit(1)).as("n_converted"))
+      val spend = ev.filter($"event_type" === "purchase")
+        .groupBy($"variant")
+        .agg(sum(round($"value" * 100)).cast("long").as("purchase_cents"),
+          count(lit(1)).as("n_purchases"))
+      entered.groupBy($"variant").agg(count(lit(1)).as("n_users"))
+        .join(conv, Seq("variant"), "left")
+        .join(spend, Seq("variant"), "left")
+        .select($"variant", $"n_users",
+          coalesce($"n_converted", lit(0L)).as("n_converted"),
+          round(coalesce($"n_converted", lit(0L)).cast("double") / $"n_users", 6)
+            .as("conv_rate"),
+          coalesce($"purchase_cents", lit(0L)).as("purchase_cents"),
+          coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+        .orderBy($"variant")
+    }),
+
     // §2.4 LEFT interval join honoring the declared join type (the reference
     // V1 engine drops it — Codegen/V1.hs:301; we match V2/diffflow semantics,
     // DiffFlow/Types.hs:323-328).
@@ -388,6 +429,34 @@ object CoreQueries extends QueryPack {
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
          GROUP BY 1 ORDER BY 1""",
+    "q_events_experiment" ->
+      """WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, value,
+             CASE WHEN ('0x' || substr(md5('exp1' || user_id::VARCHAR), 1, 8))
+                       ::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         entered AS (SELECT user_id, variant, min(ts) AS t1 FROM ev
+                     WHERE event_type = 'view' GROUP BY user_id, variant),
+         converted AS (SELECT DISTINCT e.user_id, en.variant
+                       FROM ev e JOIN entered en USING (user_id)
+                       WHERE e.event_type = 'purchase' AND e.ts > en.t1
+                         AND e.ts <= en.t1 + INTERVAL '24 hours'),
+         conv AS (SELECT variant, count(*) AS n_converted
+                  FROM converted GROUP BY variant),
+         spend AS (SELECT variant,
+                     sum(round(value * 100))::BIGINT AS purchase_cents,
+                     count(*) AS n_purchases
+                   FROM ev WHERE event_type = 'purchase' GROUP BY variant),
+         users AS (SELECT variant, count(*) AS n_users
+                   FROM entered GROUP BY variant)
+         SELECT u.variant, n_users,
+           coalesce(n_converted, 0) AS n_converted,
+           round(coalesce(n_converted, 0)::DOUBLE / n_users, 6) AS conv_rate,
+           coalesce(purchase_cents, 0) AS purchase_cents,
+           coalesce(n_purchases, 0) AS n_purchases
+         FROM users u LEFT JOIN conv USING (variant)
+         LEFT JOIN spend USING (variant)
+         ORDER BY variant""",
     "q_events_retention" ->
       """WITH ev AS (SELECT user_id, (ts::TIMESTAMP)::DATE AS d FROM events),
          cohort AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY user_id),
