@@ -517,6 +517,23 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events ORDER BY event_id;""")),
 
+    // RETENTION through the dialect: DISTINCT projection + MIN-date cohort
+    // + DATEDIFF (extension) composed in a FROM-subquery so the computed
+    // cohort/offset become groupable columns. COUNT(*) equals the
+    // DataFrame form's count_distinct because the inner relation is
+    // already distinct per (user, day).
+    "q_sql_retention" -> ((s, dir) => run(s, dir,
+      """SELECT cohort_day, day_offset, COUNT(*) AS n_users
+         FROM (SELECT user_id, c0 AS cohort_day,
+                      DATEDIFF(d, c0) AS day_offset
+               FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events) AS a
+               JOIN (SELECT user_id, MIN(CAST(ts AS DATE)) AS c0
+                     FROM events GROUP BY user_id) AS cd
+                 USING (user_id)) AS x
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset;""")),
+
     // FUNNEL through the dialect — q_events_funnel's chained per-step min
     // aggregations composed from FROM-subqueries, JOIN USING, timestamp
     // MIN, ts + INTERVAL arithmetic, LEFT JOIN, CASE, and the new
@@ -935,6 +952,7 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events""",
+    "q_sql_retention" -> CoreQueries.oracleSql("q_events_retention"),
     "q_sql_funnel" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT user_id, t1, t2, t3,

@@ -95,7 +95,7 @@ object Parser {
   private val binaryFns = Set("IFNULL", "NULLIF", "DATETOSTRING",
     "STRINGTODATE", "SPLIT", "CHUNKSOF", "TAKE", "TAKEEND", "DROP", "DROPEND",
     "ARRAY_CONTAIN", "ARRAY_EXCEPT", "ARRAY_INTERSECT", "ARRAY_REMOVE",
-    "ARRAY_UNION", "ARRAY_JOIN", "LEVENSHTEIN")
+    "ARRAY_UNION", "ARRAY_JOIN", "LEVENSHTEIN", "DATEDIFF")
   /** LLM-pipeline primitives (SURVEY §6) surfaced in the dialect — same
     * formulas as the Column API / SQL-UDF frontends (PipelineFunctions /
     * SqlFunctions), so the shared DuckDB oracles apply. */

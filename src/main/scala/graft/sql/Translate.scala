@@ -355,6 +355,9 @@ object Translate {
       if (a.size == 1) array_join(a(0), "")
       else call_function("array_join", a(0), a(1))
     case "LEVENSHTEIN" => levenshtein(a(0), a(1))
+    // DATEDIFF(end, start) → whole days (extension; the reference's only
+    // date fns are DATETOSTRING/STRINGTODATE)
+    case "DATEDIFF" => datediff(a(0), a(1)).cast("long")
     case "ARRAY_MAX" => array_max(a(0)); case "ARRAY_MIN" => array_min(a(0))
     case "ARRAY_SORT" => array_sort(a(0))
     // LLM-pipeline primitives (SURVEY §6) — same formulas as the Column

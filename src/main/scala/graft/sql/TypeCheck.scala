@@ -301,6 +301,8 @@ object TypeCheck {
         requireString(args.head, env, name); Some(TArray(TString))
       case "LEVENSHTEIN" => // edit distance over two strings
         args.foreach(a => requireString(a, env, name)); Some(TInt)
+      case "DATEDIFF" => // DATEDIFF(end, start) → whole days (extension)
+        args.foreach(infer(_, env)); Some(TInt)
       case "CHUNKSOF" => // CHUNKSOF(n, s) — chunk size FIRST (SQL-v1.cf)
         requireNum(args.head, env, name)
         requireString(args.last, env, name); Some(TArray(TString))
