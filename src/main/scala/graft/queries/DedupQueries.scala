@@ -616,13 +616,20 @@ object DedupQueries extends QueryPack {
       val covered = occ.join(broadcast(hot), "gh")
         .select($"doc_id", explode(sequence($"i", $"i" + 4)).as("p"))
         .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
+      // kept positions via array_except (hash-set based, O(len + |cov|))
+      // rather than a per-token array_contains probe (O(len·|cov|) — a
+      // fully-boilerplate 100k-token doc would pay 1e10 comparisons);
+      // sequence() is ascending and array_except preserves first-arg
+      // order, so document order survives without a sort
       docs.join(covered, Seq("doc_id"), "left")
+        .withColumn("kept", array_except(
+          sequence(lit(0), size($"w") - 1),
+          coalesce($"cov", array().cast("array<int>"))))
         .select($"doc_id",
           size($"w").cast("long").as("n_tokens"),
           coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
-          md5(concat_ws(" ", filter($"w",
-            (t, i) => !coalesce(array_contains($"cov", i), lit(false)))))
-            .as("kept_fp"))
+          md5(concat_ws(" ",
+            transform($"kept", i => element_at($"w", i + 1)))).as("kept_fp"))
         .orderBy($"doc_id")
   }
 
