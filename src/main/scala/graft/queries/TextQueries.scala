@@ -319,6 +319,32 @@ object TextQueries extends QueryPack {
       nbServedFrom(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // HASHING-TRICK text embeddings (random-projection/feature-hashing,
+    // public classic): each token contributes a deterministic 64-dim
+    // integer weight vector (hash-derived, ∈ [-1000, 1000]); the document
+    // embedding is their sum, computed in ONE map-side fold per doc —
+    // zero shuffle, no model. This bridges the text pack to the ANN pack:
+    // the output vectors are exactly what q_ann_lsh_bucketed/IVF consume
+    // when no learned embedding exists yet. Integer sums are exact and
+    // order-independent, so the long-form output hash-gates directly.
+    // Scale note: the fold computes 64 hash32 draws per token; a native
+    // expression hashing once per token and bit-mixing 64 ways (the
+    // Shingles3 treatment) is the next step if this enters a hot path.
+    "q_text_embed_hash" -> ((s, dir) => {
+      import s.implicits._
+      val wv = (f: org.apache.spark.sql.Column) =>
+        transform(sequence(lit(0), lit(63)), j =>
+          pmod(hash32Chain(concat(lit("e"), j.cast("string"), lit(" "), f)),
+            lit(2001L)) - 1000L)
+      val zero = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+      val emb = aggregate(tokens($"text"), zero,
+        (acc, t) => zip_with(acc, wv(t), (a, b) => a + b))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", posexplode(emb).as(Seq("j", "s")))
+        .select($"doc_id", $"j".cast("long").as("j"), $"s")
+        .orderBy($"doc_id", $"j")
+    }),
+
     // PII redaction — the scrub step of a pretraining pipeline. The
     // synthetic corpus has no natural PII, so deterministic fake PII
     // (derived from doc_id: one email, doc_id%3 IPs, one phone) is
@@ -759,6 +785,15 @@ object TextQueries extends QueryPack {
                     FROM scored)
          SELECT doc_id, tok, score, rk FROM ranked
          WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q_text_embed_hash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         t AS (SELECT doc_id, unnest(w) AS f FROM d),
+         tj AS (SELECT doc_id, f, unnest(range(0, 64)) AS j FROM t),
+         s AS (SELECT doc_id, j,
+             sum(('0x' || substr(md5('e' || j::VARCHAR || ' ' || f), 1, 8))
+               ::BIGINT % 2001 - 1000)::BIGINT AS s
+           FROM tj GROUP BY doc_id, j)
+         SELECT doc_id, j::BIGINT AS j, s FROM s ORDER BY doc_id, j""",
     "q_quality_nb_model" -> s"""$nbOracleCtes
          SELECT lang, b::BIGINT AS b, llk FROM model ORDER BY lang, b""",
     "q_quality_nb_score" -> nbScoreOracleSql,
