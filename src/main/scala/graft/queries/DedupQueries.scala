@@ -42,6 +42,14 @@ object DedupQueries extends QueryPack {
     * compares int arrays, not strings. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lshCandJaccards(s, dir).filter($"jac" >= 0.5)
+  }
+
+  /** Candidate pairs + exact Jaccard BEFORE the 0.5 keep-threshold — the
+    * threshold-tuning surface (q_dedup_jaccard_hist) and the verified-pair
+    * input (lshPairs) share one pipeline. */
+  private def lshCandJaccards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // the signature relation feeds three plan branches (banding + both
     // sides of the verify join); persist it so the md5 shingling runs
     // once — the batch analogue of materializing a signature table
@@ -68,7 +76,6 @@ object DedupQueries extends QueryPack {
       .join(hs.as("h1"), $"d1" === $"h1.doc_id")
       .join(hs.as("h2"), $"d2" === $"h2.doc_id")
       .select($"d1", $"d2", round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
-      .filter($"jac" >= 0.5)
   }
 
   override def queries: Map[String, Q] = Map(
@@ -101,6 +108,19 @@ object DedupQueries extends QueryPack {
     // (d1, d2) tuples — shingle-hash arrays are re-joined only for the few
     // surviving candidates, and Jaccard compares int arrays, not strings.
     "q_dedup_minhash_lsh" -> ((s, dir) => lshPairs(s, dir).orderBy("d1", "d2")),
+
+    // Jaccard HISTOGRAM over the LSH candidate pairs (pre-threshold) —
+    // the threshold-tuning diagnostic: how many candidate pairs land in
+    // each 0.1-wide similarity bin, i.e. what a 0.4 vs 0.5 vs 0.6 cutoff
+    // would keep. Same pipeline as the verified pairs, one extra tiny
+    // aggregation — candidates only, never all pairs.
+    "q_dedup_jaccard_hist" -> ((s, dir) => {
+      import s.implicits._
+      lshCandJaccards(s, dir)
+        .groupBy(floor($"jac" * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"bin")
+    }),
 
     // Benchmark DECONTAMINATION: find training docs whose 3-shingle sets
     // overlap a held-out test set (every 50th doc here) above 20% — the
@@ -549,7 +569,9 @@ object DedupQueries extends QueryPack {
     * probabilistic per hash family — so if a corpus change ever fails only
     * the fast twin's gate row, check DedupSpec first: a twin-equality pass
     * with a red gate means band-collision luck diverged, not a plan bug. */
-  private val lshVerifiedCte: String =
+  /** Candidate pairs + pre-threshold Jaccard (cj) — shared by the verified
+    * pair set and the threshold histogram. */
+  private val lshCandJacCte: String =
     s"""$shCte,
        sig AS (SELECT doc_id, hs,
          [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
@@ -558,12 +580,14 @@ object DedupQueries extends QueryPack {
                   WHERE len(hs) > 0),
        cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
-       vp AS (SELECT d1, d2, jac FROM (
-         SELECT d1, d2,
+       cj AS (SELECT d1, d2,
            round(len(list_intersect(a.hs, b.hs))::DOUBLE
              / len(list_distinct(a.hs || b.hs)), 6) AS jac
-         FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)
-         WHERE jac >= 0.5)"""
+         FROM cand JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2)"""
+
+  private val lshVerifiedCte: String =
+    s"""$lshCandJacCte,
+       vp AS (SELECT d1, d2, jac FROM cj WHERE jac >= 0.5)"""
 
   private val lshOracleSql: String =
     s"$lshVerifiedCte SELECT d1, d2, jac FROM vp ORDER BY d1, d2"
@@ -645,6 +669,10 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, ${MinhashPerms.indices.map(i => s"${mh(i)} AS m$i").mkString(", ")}
          FROM h ORDER BY doc_id""",
     "q_dedup_minhash_lsh" -> lshOracleSql,
+    "q_dedup_jaccard_hist" ->
+      s"""$lshCandJacCte
+         SELECT CAST(floor(jac * 10) AS BIGINT) AS bin, count(*) AS n_pairs
+         FROM cj GROUP BY 1 ORDER BY 1""",
     "q_dedup_contamination" ->
       s"""$shCte,
          test AS (SELECT doc_id AS test_id, hs FROM h WHERE doc_id % 50 = 0),

@@ -216,6 +216,29 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming hashed-embedding twin (stateless fold) == oracle'd q_text_embed_hash") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions.{tokens, hash32Chain}
+    val (_, s) = staged("documents")
+    val wv = (f: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(63)), j =>
+        pmod(hash32Chain(concat(lit("e"), j.cast("string"), lit(" "), f)),
+          lit(2001L)) - 1000L)
+    val zero = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+    val emb = aggregate(tokens($"text"), zero,
+      (acc, t) => zip_with(acc, wv(t), (a, b) => a + b))
+    val q = drain(
+      s.select($"doc_id", posexplode(emb).as(Seq("j", "s")))
+        .select($"doc_id", $"j".cast("long").as("j"), $"s"),
+      "append", "tw_embed")
+    val got = spark.table("tw_embed").orderBy("doc_id", "j").collect().toSeq
+    val batchRows = graft.queries.TextQueries
+      .queries("q_text_embed_hash")(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == batchRows,
+      "streaming embed fold != hash-verified batch embeddings")
+    q.stop()
+  }
+
   test("streaming NB model-serving twin (map-side scorer) == oracle'd q_quality_nb_score") {
     // "train batch, serve streaming": the model trains from the batch
     // table, the scorer is pure map-side expressions — applying it to a
