@@ -339,6 +339,25 @@ object CurationQueries extends QueryPack {
         .orderBy($"shard", $"pos")
     }),
 
+    // KEEP-BEST-IN-CLUSTER — the production dedup DECISION: near-dup
+    // clusters (the same CC + election pipeline as q_dedup_clusters) keep
+    // their highest-QUALITY member, not the lowest id — "of these N
+    // near-copies, train on the best one". Argmax is a mergeable
+    // min(struct(-q, doc_id)) (best quality, then smallest id) — no
+    // per-cluster sort; clusters are tiny, the shuffle is per-cluster keys.
+    "q_curation_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val members = DedupQueries.clusterMembers(s, dir)
+      val q = scoredDocs(s, dir).select($"doc_id", $"q")
+      members.join(q, "doc_id")
+        .groupBy($"canonical_id")
+        .agg(min(struct((-$"q").as("nq"), $"doc_id")).as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select($"canonical_id", $"best.doc_id".as("keep_id"),
+          round(-$"best.nq", 6).as("q"), $"cluster_size")
+        .orderBy($"canonical_id")
+    }),
+
     // DSIR-shape importance resampling (Xie et al. 2023, public): select
     // raw docs whose hashed-n-gram profile looks like a target domain.
     // Features are the unigram+bigram MULTISET hashed into 256 buckets
@@ -392,6 +411,18 @@ object CurationQueries extends QueryPack {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
                < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
          ORDER BY doc_id""",
+    // reuses DedupQueries' recursive cluster CTE (cc + the shCte `d` frame
+    // the quality formula reads)
+    "q_curation_keep_best" ->
+      s"""${DedupQueries.clusterCte},
+         qd AS (SELECT doc_id, $qExpr AS q FROM d),
+         best AS (SELECT canonical_id, doc_id, q,
+             row_number() OVER (PARTITION BY canonical_id
+               ORDER BY q DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+           FROM cc JOIN qd USING (doc_id))
+         SELECT canonical_id, doc_id AS keep_id, q, cluster_size
+         FROM best WHERE rk = 1 ORDER BY canonical_id""",
     "q_curation_topk_group" -> topkGroupOracleSql,
     // the bounded-heap twin selects the identical rows/ranks — same oracle
     "q_curation_topk_group_scalable" -> topkGroupOracleSql,

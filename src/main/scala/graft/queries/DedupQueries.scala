@@ -233,23 +233,8 @@ object DedupQueries extends QueryPack {
     // iteration it shuffles ONLY the dup-pair node set (a tiny fraction of
     // the corpus), for at most graph-diameter rounds (near-dup clusters are
     // near-cliques — 2-3 rounds in practice, hard cap 20).
-    "q_dedup_clusters" -> ((s, dir) => {
-      import s.implicits._
-      // both edge directions in ONE pass over the (expensive) LSH pipeline
-      // — a union of two selects would execute the pipeline twice
-      val edges = lshPairs(s, dir)
-        .select(explode(array(
-          struct($"d1".as("u"), $"d2".as("v")),
-          struct($"d2".as("u"), $"d1".as("v")))).as("e"))
-        .select($"e.u", $"e.v")
-      val labels = graft.operators.Graph.connectedComponents(edges)
-      val members = labels.select($"u".as("doc_id"), $"lbl".as("canonical_id"))
-      val sizes = members.groupBy($"canonical_id")
-        .agg(count(lit(1)).as("cluster_size"))
-      members.join(sizes, "canonical_id")
-        .select($"doc_id", $"canonical_id", $"cluster_size")
-        .orderBy($"doc_id")
-    }),
+    "q_dedup_clusters" -> ((s, dir) =>
+      clusterMembers(s, dir).orderBy(col("doc_id"))),
 
     // Exact n-gram Jaccard ground truth (brute-force pairwise — correctness
     // anchor for the LSH path; at scale you only ever run the LSH variant).
@@ -569,6 +554,26 @@ object DedupQueries extends QueryPack {
     * probabilistic per hash family — so if a corpus change ever fails only
     * the fast twin's gate row, check DedupSpec first: a twin-equality pass
     * with a red gate means band-collision luck diverged, not a plan bug. */
+  /** Near-dup cluster membership (doc_id, canonical_id, cluster_size) —
+    * connected components + min-canonical election over the verified LSH
+    * pairs; shared by q_dedup_clusters and the keep-best curation policy.
+    * Both edge directions come from ONE pass over the (expensive) LSH
+    * pipeline — a union of two selects would execute it twice. */
+  private[graft] def clusterMembers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = lshPairs(s, dir)
+      .select(explode(array(
+        struct($"d1".as("u"), $"d2".as("v")),
+        struct($"d2".as("u"), $"d1".as("v")))).as("e"))
+      .select($"e.u", $"e.v")
+    val labels = graft.operators.Graph.connectedComponents(edges)
+    val members = labels.select($"u".as("doc_id"), $"lbl".as("canonical_id"))
+    val sizes = members.groupBy($"canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    members.join(sizes, "canonical_id")
+      .select($"doc_id", $"canonical_id", $"cluster_size")
+  }
+
   /** Candidate pairs + pre-threshold Jaccard (cj) — shared by the verified
     * pair set and the threshold histogram. */
   private val lshCandJacCte: String =
@@ -597,7 +602,7 @@ object DedupQueries extends QueryPack {
     * put each node in its own reachable set — so min per node is the exact
     * component minimum, the same fixpoint the Spark label propagation
     * converges to. */
-  private val clusterOracleSql: String =
+  private[graft] val clusterCte: String =
     s"""${lshVerifiedCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        edges AS (SELECT d1 AS u, d2 AS v FROM vp
                  UNION SELECT d2, d1 FROM vp),
@@ -606,7 +611,10 @@ object DedupQueries extends QueryPack {
          UNION
          SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v),
        cc AS (SELECT node AS doc_id, least(node, min(lbl)) AS canonical_id
-              FROM walk GROUP BY node)
+              FROM walk GROUP BY node)"""
+
+  private val clusterOracleSql: String =
+    s"""$clusterCte
        SELECT doc_id, canonical_id,
               count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        FROM cc ORDER BY doc_id"""

@@ -332,17 +332,33 @@ object TextQueries extends QueryPack {
     // Shingles3 treatment) is the next step if this enters a hot path.
     "q_text_embed_hash" -> ((s, dir) => {
       import s.implicits._
-      val wv = (f: org.apache.spark.sql.Column) =>
-        transform(sequence(lit(0), lit(63)), j =>
-          pmod(hash32Chain(concat(lit("e"), j.cast("string"), lit(" "), f)),
-            lit(2001L)) - 1000L)
-      val zero = transform(sequence(lit(0), lit(63)), _ => lit(0L))
-      val emb = aggregate(tokens($"text"), zero,
-        (acc, t) => zip_with(acc, wv(t), (a, b) => a + b))
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", posexplode(emb).as(Seq("j", "s")))
+      hashedEmbeddings(Tables.load(s, dir, "documents"))
+        .select($"doc_id", posexplode($"e").as(Seq("j", "s")))
         .select($"doc_id", $"j".cast("long").as("j"), $"s")
         .orderBy($"doc_id", $"j")
+    }),
+
+    // TEXT ANN end-to-end over the hashed embeddings: top-5 nearest docs
+    // per query doc by INTEGER dot product — the whole text→vector→search
+    // path with zero models and zero floats (integer dots are exact, so
+    // ranks are unconditionally deterministic). Shape: embeddings fold
+    // map-side; the 10-query side broadcasts; per-pair dot is one
+    // zip_with fold; top-5 via the rank window Spark turns into a
+    // partial+final group limit.
+    "q_text_embed_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = hashedEmbeddings(Tables.load(s, dir, "documents")).persist()
+      val q = emb.filter($"doc_id" < 10)
+        .select($"doc_id".as("qid"), $"e".as("qe"))
+      val scored = emb.join(broadcast(q), $"doc_id" =!= $"qid")
+        .select($"qid", $"doc_id".as("did"),
+          aggregate(zip_with($"qe", $"e", (a, b) => a * b), lit(0L),
+            (acc, x) => acc + x).as("dot"))
+      val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"did")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"did", $"dot")
+        .orderBy($"qid", $"rnk")
     }),
 
     // PII redaction — the scrub step of a pretraining pipeline. The
@@ -439,6 +455,21 @@ object TextQueries extends QueryPack {
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
       .withColumn("n_tok", size(split($"chunk", " ")))
+  }
+
+  /** (doc_id, e: 64 exact-integer dims) — the hashing-trick embedding
+    * fold shared by the long-form gate query, the text-ANN query, and the
+    * streaming twin's expression. */
+  private[graft] def hashedEmbeddings(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val wv = (f: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(63)), j =>
+        pmod(hash32Chain(concat(lit("e"), j.cast("string"), lit(" "), f)),
+          lit(2001L)) - 1000L)
+    val zero = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+    docs.select($"doc_id", aggregate(tokens($"text"), zero,
+      (acc, t) => zip_with(acc, wv(t), (a, b) => a + b)).as("e"))
   }
 
   /** Deterministic 0-99 train/held-out split draw — an independent hash
@@ -794,6 +825,24 @@ object TextQueries extends QueryPack {
                ::BIGINT % 2001 - 1000)::BIGINT AS s
            FROM tj GROUP BY doc_id, j)
          SELECT doc_id, j::BIGINT AS j, s FROM s ORDER BY doc_id, j""",
+    "q_text_embed_ann" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         t AS (SELECT doc_id, unnest(w) AS f FROM d),
+         tj AS (SELECT doc_id, f, unnest(range(0, 64)) AS j FROM t),
+         s AS (SELECT doc_id, j,
+             sum(('0x' || substr(md5('e' || j::VARCHAR || ' ' || f), 1, 8))
+               ::BIGINT % 2001 - 1000)::BIGINT AS s
+           FROM tj GROUP BY doc_id, j),
+         q AS (SELECT doc_id AS qid, j, s AS qs FROM s WHERE doc_id < 10),
+         dots AS (SELECT q.qid, s.doc_id AS did, sum(q.qs * s.s)::BIGINT AS dot
+           FROM q JOIN s ON q.j = s.j AND s.doc_id <> q.qid
+           GROUP BY 1, 2),
+         r AS (SELECT qid, did, dot,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY dot DESC, did) AS rnk
+           FROM dots)
+         SELECT qid, rnk::BIGINT AS rnk, did, dot FROM r
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q_quality_nb_model" -> s"""$nbOracleCtes
          SELECT lang, b::BIGINT AS b, llk FROM model ORDER BY lang, b""",
     "q_quality_nb_score" -> nbScoreOracleSql,
