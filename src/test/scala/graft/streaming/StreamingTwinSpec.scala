@@ -239,6 +239,31 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming NB TRAINING twin: update-mode counts == the batch model's counts") {
+    // closed-form training is a mergeable count aggregation — which means
+    // the classifier trains INCREMENTALLY on a live stream with no change
+    // to the formula; the final state equals the batch training counts
+    // that the hash-verified model derives from
+    import spark.implicits._
+    import graft.functions.PipelineFunctions.{tokens, hash32Chain}
+    val (_, s) = staged("documents")
+    val split = pmod(hash32Chain(concat(lit("nb"), $"doc_id".cast("string"))),
+      lit(100L))
+    def counts(df: org.apache.spark.sql.DataFrame) = df.filter(split < 80)
+      .select($"lang", explode(tokens($"text")).as("f"))
+      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      .groupBy($"lang", $"b").agg(count(lit(1)).as("cnt"))
+    val q = drain(counts(s), "update", "tw_nb_train")
+    val streaming = spark.table("tw_nb_train").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val batchCounts = counts(
+      graft.Tables.load(spark, sf, "documents")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streaming.nonEmpty && streaming == batchCounts,
+      "incrementally trained counts != batch training counts")
+    q.stop()
+  }
+
   test("streaming NB model-serving twin (map-side scorer) == oracle'd q_quality_nb_score") {
     // "train batch, serve streaming": the model trains from the batch
     // table, the scorer is pure map-side expressions — applying it to a
