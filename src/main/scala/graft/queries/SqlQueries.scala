@@ -517,6 +517,13 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events ORDER BY event_id;""")),
 
+    // LIMIT + OFFSET pagination (extension): deterministic because the
+    // ORDER BY's unique tiebreaker totally orders the relation — the page
+    // boundary can't wobble between engines.
+    "q_sql_offset" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id, lang, n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 20;""")),
+
     // RETENTION through the dialect: DISTINCT projection + MIN-date cohort
     // + DATEDIFF (extension) composed in a FROM-subquery so the computed
     // cohort/offset become groupable columns. COUNT(*) equals the
@@ -952,6 +959,9 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c2
          FROM events""",
+    "q_sql_offset" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 20""",
     "q_sql_retention" -> CoreQueries.oracleSql("q_events_retention"),
     "q_sql_funnel" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)

@@ -150,6 +150,7 @@ object Ast {
     def emitChanges: Boolean
     def orderBy: Seq[OrderItem]
     def limit: Option[Long]
+    def offset: Option[Long]
   }
 
   case class Select(items: Seq[SelectItem], from: TableRef, where: Option[Expr],
@@ -176,7 +177,10 @@ object Ast {
                     // required — an unordered pick would be
                     // nondeterministic). Batch/pull only.
                     distinct: Boolean = false,
-                    distinctOn: Seq[ColRef] = Nil) extends Query {
+                    distinctOn: Seq[ColRef] = Nil,
+                    // LIMIT n OFFSET m (extension; batch/pull only like
+                    // LIMIT) — skip m rows of the ordered result
+                    offset: Option[Long] = None) extends Query {
     /** Any multi-level grouping (ROLLUP / CUBE / GROUPING SETS). */
     def multiLevel: Boolean = groupMode != "plain"
     def rollup: Boolean = groupMode == "rollup"
@@ -189,7 +193,8 @@ object Ast {
   case class SetOp(op: String, all: Boolean, l: Query, r: Query,
                    orderBy: Seq[OrderItem] = Nil,
                    limit: Option[Long] = None,
-                   emitChanges: Boolean = false) extends Query
+                   emitChanges: Boolean = false,
+                   offset: Option[Long] = None) extends Query
 
   sealed trait Stmt
   case class SelectStmt(sel: Query) extends Stmt

@@ -244,20 +244,23 @@ object Parser {
           l = SetOp(op.toLowerCase, all, l, intersectChain())
         case _ => done = true
       }
-      val (ob, lim, emit) = trailing()
+      val (ob, lim, off, emit) = trailing()
       // a solely-parenthesized query keeps its own trailing clauses; outer
       // clauses may not REPLACE inner ones (standard SQL would apply them
       // over the inner result — direct users through a FROM-subquery
       // rather than silently dropping either set)
-      if (ob.isEmpty && lim.isEmpty && !emit) l
+      if (ob.isEmpty && lim.isEmpty && off.isEmpty && !emit) l
       else {
-        require(l.orderBy.isEmpty && l.limit.isEmpty && !l.emitChanges,
+        require(l.orderBy.isEmpty && l.limit.isEmpty && l.offset.isEmpty &&
+          !l.emitChanges,
           "both the parenthesized query and the outer query carry " +
             "ORDER BY/LIMIT/EMIT CHANGES; put the inner query in a " +
             "FROM-subquery instead")
         l match {
-          case s: Select => s.copy(orderBy = ob, limit = lim, emitChanges = emit)
-          case so: SetOp => so.copy(orderBy = ob, limit = lim, emitChanges = emit)
+          case s: Select =>
+            s.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
+          case so: SetOp =>
+            so.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
         }
       }
     }
@@ -347,7 +350,7 @@ object Parser {
       * (dialect extension — no production in SQL-v1.cf, SURVEY §2.7;
       * batch/pull only, Validate rejects continuous forms) and
       * EMIT CHANGES. */
-    private def trailing(): (Seq[OrderItem], Option[Long], Boolean) = {
+    private def trailing(): (Seq[OrderItem], Option[Long], Option[Long], Boolean) = {
       val orderBy =
         if (accept("ORDER")) { expect("BY")
           val os = Seq.newBuilder[OrderItem]
@@ -359,8 +362,10 @@ object Parser {
           os.result()
         } else Nil
       val limitN = if (accept("LIMIT")) Some(intTok()) else None
+      // LIMIT n OFFSET m, or a standalone OFFSET m (both standard forms)
+      val offsetN = if (accept("OFFSET")) Some(intTok()) else None
       val emit = accept("EMIT") && { expect("CHANGES"); true }
-      (orderBy, limitN, emit)
+      (orderBy, limitN, offsetN, emit)
     }
 
     private def selectItem(): SelectItem =

@@ -401,7 +401,7 @@ class SqlEngine(spark: SparkSession) {
     }
     def qStreamsOf(q: Query): Seq[String] = q match {
       case s: Select => streamsOf(s.from)
-      case SetOp(_, _, l, r, _, _, _) => qStreamsOf(l) ++ qStreamsOf(r)
+      case SetOp(_, _, l, r, _, _, _, _) => qStreamsOf(l) ++ qStreamsOf(r)
     }
     val durations = qStreamsOf(q).distinct
       .flatMap(s => engine.streamOptions(s).get("DURATION"))
@@ -436,7 +436,7 @@ class SqlEngine(spark: SparkSession) {
 
   private def qHasWindow(q: Query): Boolean = q match {
     case s: Select => hasWindow(s.from)
-    case SetOp(_, _, l, r, _, _, _) => qHasWindow(l) || qHasWindow(r)
+    case SetOp(_, _, l, r, _, _, _, _) => qHasWindow(l) || qHasWindow(r)
   }
 
   private def needsAppendMode(ref: TableRef): Boolean = ref match {
@@ -453,7 +453,7 @@ class SqlEngine(spark: SparkSession) {
     * whatever cadence its inputs can support). */
   private def qNeedsAppendMode(q: Query): Boolean = q match {
     case s: Select => needsAppendMode(s.from)
-    case SetOp(_, _, l, r, _, _, _) => qNeedsAppendMode(l) || qNeedsAppendMode(r)
+    case SetOp(_, _, l, r, _, _, _, _) => qNeedsAppendMode(l) || qNeedsAppendMode(r)
   }
 
   /** Run a batch/pull SELECT and return its DataFrame (throws on non-SELECT). */

@@ -863,7 +863,7 @@ object Translate {
     * operand's names (standard SQL), so its types come from the left. */
   private def qTypes(q: Query, declared: DeclaredTypes): TypeCheck.Env = q match {
     case s: Select => selTypes(s, declared)
-    case SetOp(_, _, l, _, _, _, _) => qTypes(l, declared)
+    case SetOp(_, _, l, _, _, _, _, _) => qTypes(l, declared)
   }
 
   private def selTypes(sel: Select, declared: DeclaredTypes): TypeCheck.Env = {
@@ -908,7 +908,7 @@ object Translate {
   def plan(q: Query, lookup: Lookup, grace: String = "24 hours",
            declared: DeclaredTypes = _ => Map.empty): DataFrame = q match {
     case s: Select => planSelect(s, lookup, grace, declared)
-    case SetOp(op, all, l, r, ob, lim, _) =>
+    case SetOp(op, all, l, r, ob, lim, _, off) =>
       val ld = plan(l, lookup, grace, declared)
       val rd = plan(r, lookup, grace, declared)
       require(ld.columns.length == rd.columns.length,
@@ -936,7 +936,8 @@ object Translate {
         else combined.orderBy(ob.map(o =>
           if (o.desc) column(o.e, resolve, env).desc
           else column(o.e, resolve, env).asc): _*)
-      lim.foldLeft(sorted)((d, n) => d.limit(n.toInt))
+      lim.foldLeft(off.foldLeft(sorted)((d, m) => d.offset(m.toInt)))(
+        (d, n) => d.limit(n.toInt))
   }
 
   private def planSelect(sel00: Select, lookup: Lookup, grace: String,
@@ -1143,8 +1144,11 @@ object Translate {
     // Validate restricts ORDER BY to output columns here, so the sort
     // never needs a hidden key that would re-introduce duplicates.
     def dedup(d: DataFrame): DataFrame = if (sel.distinct) d.distinct() else d
+    def page(d: DataFrame): DataFrame =
+      sel.limit.foldLeft(sel.offset.foldLeft(d)((x, m) => x.offset(m.toInt)))(
+        (x, n) => x.limit(n.toInt))
     if (sel.orderBy.isEmpty)
-      return sel.limit.foldLeft(dedup(pre.select(outCols: _*)))((d, n) => d.limit(n.toInt))
+      return page(dedup(pre.select(outCols: _*)))
     val outNames: Seq[String] = sel.items.flatMap {
       case ItemExpr(e, alias) => Seq(alias.getOrElse(exprName(e)))
       case ItemWildcard(None) => pre.columns.toSeq
@@ -1160,8 +1164,9 @@ object Translate {
     val hidden = keys.collect { case (_, _, Some(c)) => c }
     val sortCols = keys.map { case (c, desc, _) => if (desc) c.desc else c.asc }
     val sorted = dedup(pre.select(outCols ++ hidden: _*)).orderBy(sortCols: _*)
-    // limit BEFORE dropping the hidden keys, so the cut respects the sort
-    val limited = sel.limit.foldLeft(sorted)((d, n) => d.limit(n.toInt))
+    // offset+limit BEFORE dropping the hidden keys, so the cut respects
+    // the sort
+    val limited = page(sorted)
     keys.collect { case (c, _, Some(_)) => c }
       .foldLeft(limited)((d, c) => d.drop(c))
   }

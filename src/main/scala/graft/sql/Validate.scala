@@ -61,7 +61,7 @@ object Validate {
       if (!top && s.emitChanges)
         fail("EMIT CHANGES is only allowed at the top level of a query")
       checkSelect(s, continuous)
-    case SetOp(op, all, l, r, ob, lim, emit) =>
+    case SetOp(op, all, l, r, ob, lim, emit, off) =>
       if (!top && emit)
         fail("EMIT CHANGES is only allowed at the top level of a query")
       val cont = continuous || emit
@@ -70,14 +70,14 @@ object Validate {
           s"${op.toUpperCase}${if (all) " ALL" else ""} — " +
           "INTERSECT/EXCEPT/distinct UNION need unbounded state; " +
           "use a batch/pull SELECT")
-      if (cont && (ob.nonEmpty || lim.nonEmpty))
-        fail("ORDER BY / LIMIT are not supported in continuous queries " +
+      if (cont && (ob.nonEmpty || lim.nonEmpty || off.nonEmpty))
+        fail("ORDER BY / LIMIT / OFFSET are not supported in continuous queries " +
           "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
           "use a batch/pull SELECT")
       // set-op output rows carry no aggregation context: keys are plain
       // expressions over the combined relation's columns
       ob.foreach(o => checkExpr(o.e, aggAllowed = false, where = "ORDER BY"))
-      checkLimit(lim)
+      checkLimit(lim); checkLimit(off)
       checkQuery(l, cont, top = false)
       checkQuery(r, cont, top = false)
   }
@@ -94,12 +94,13 @@ object Validate {
     // total order over an unbounded stream is undefined, and Spark rejects
     // sorting on streaming plans — surface that as a dialect rule, not a
     // deep Catalyst error
-    if (continuous && (sel.orderBy.nonEmpty || sel.limit.nonEmpty))
-      fail("ORDER BY / LIMIT are not supported in continuous queries " +
+    if (continuous && (sel.orderBy.nonEmpty || sel.limit.nonEmpty ||
+        sel.offset.nonEmpty))
+      fail("ORDER BY / LIMIT / OFFSET are not supported in continuous queries " +
         "(EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / INSERT-SELECT); " +
         "use a batch/pull SELECT")
     sel.orderBy.foreach(o => checkExpr(o.e, aggAllowed = true, where = "ORDER BY"))
-    checkLimit(sel.limit)
+    checkLimit(sel.limit); checkLimit(sel.offset)
 
     // exact DISTINCT aggregates cannot run incrementally over a stream
     // (Spark refuses distinct aggregation on streaming plans); the
@@ -399,7 +400,7 @@ object Validate {
     * silently truncate (2^32 → 0 rows). Reject at parse time. */
   private def checkLimit(limit: Option[Long]): Unit = limit.foreach { n =>
     if (n > Int.MaxValue)
-      fail(s"LIMIT $n exceeds the supported maximum (${Int.MaxValue})")
+      fail(s"LIMIT/OFFSET $n exceeds the supported maximum (${Int.MaxValue})")
   }
 
   private def collectDistinctAggs(e: Expr): Seq[Agg] = e match {
