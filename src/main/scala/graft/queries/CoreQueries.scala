@@ -205,7 +205,7 @@ object CoreQueries extends QueryPack {
     // one semi-join-like distinct, two tiny groupBys keyed by variant.
     "q_events_experiment" -> ((s, dir) => {
       import s.implicits._
-      val variant = when(pmod(graft.functions.PipelineFunctions.hash32Chain(
+      val variant = when(pmod(graft.functions.PipelineFunctions.hash32(
         concat(lit("exp1"), $"user_id".cast("string"))), lit(2L)) === 0,
         "control").otherwise("treatment")
       val ev = Tables.load(s, dir, "events")

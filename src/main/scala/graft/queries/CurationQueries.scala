@@ -58,7 +58,7 @@ object CurationQueries extends QueryPack {
       // local parquet file would serialize the pass into one task)
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", $"lang", explode(concat($"w", bigrams)).as("f"))
-      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      .withColumn("b", pmod(hash32($"f"), lit(256L)))
     val docBuckets = feats.groupBy($"doc_id", $"lang", $"b")
       .agg(count(lit(1)).as("cnt"))
     val hist = docBuckets.groupBy($"b")
@@ -81,7 +81,7 @@ object CurationQueries extends QueryPack {
         round($"wdec".cast("double"), 6).as("w"))
     // deterministic Gumbel draw g = -ln(-ln(u)) from an independent hash
     // stream ("dsir" prefix), u offset to (0,1) open interval
-    val u = (pmod(hash32Chain(concat(lit("dsir"), $"doc_id".cast("string"))),
+    val u = (pmod(hash32(concat(lit("dsir"), $"doc_id".cast("string"))),
       lit(1000000L)).cast("double") + 0.5) / 1e6
     weights.withColumn("key", $"w" + round(-log(-log(u)), 6))
   }
@@ -99,7 +99,7 @@ object CurationQueries extends QueryPack {
     // hash-verify — determinism IS the operator here.
     "q_curation_sample" -> ((s, dir) => {
       import s.implicits._
-      val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(100L))
+      val bucket = pmod(hash32($"doc_id".cast("string")), lit(100L))
       val rate = when($"lang" === "en", 30L).otherwise(10L)
       Tables.load(s, dir, "documents")
         .filter(bucket < rate)
@@ -202,7 +202,7 @@ object CurationQueries extends QueryPack {
     "q_curation_weighted_sample" -> ((s, dir) => {
       import s.implicits._
       val w = tokens($"text")
-      val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(1000L))
+      val bucket = pmod(hash32($"doc_id".cast("string")), lit(1000L))
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang", round(qualityScore(w), 6).as("q"),
           bucket.as("bucket"))
@@ -233,7 +233,7 @@ object CurationQueries extends QueryPack {
         .withColumn("t", min($"n_avail" / $"w").over(Window.partitionBy()))
         .withColumn("p", least(lit(1.0), $"w" * $"t" / $"n_avail"))
         .select($"lang", $"n_avail", $"p")
-      val bucket = pmod(hash32Chain($"doc_id".cast("string")), lit(1000000L))
+      val bucket = pmod(hash32($"doc_id".cast("string")), lit(1000000L))
       docs.join(broadcast(rated), "lang")
         .filter(bucket < floor($"p" * 1e6).cast("long"))
         .groupBy($"lang").agg(count(lit(1)).as("n_kept"),
@@ -251,7 +251,7 @@ object CurationQueries extends QueryPack {
     // shuffle.
     "q_curation_split" -> ((s, dir) => {
       import s.implicits._
-      val b = pmod(hash32Chain(concat(lit("split"), $"doc_id".cast("string"))),
+      val b = pmod(hash32(concat(lit("split"), $"doc_id".cast("string"))),
         lit(100L))
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang",
@@ -296,8 +296,8 @@ object CurationQueries extends QueryPack {
     // anywhere. This is exactly repartition-by-key + sortWithinPartitions.
     "q_curation_shard" -> ((s, dir) => {
       import s.implicits._
-      val shard = pmod(hash32Chain($"doc_id".cast("string")), lit(16L))
-      val ord = hash32Chain(concat(lit("ord"), $"doc_id".cast("string")))
+      val shard = pmod(hash32($"doc_id".cast("string")), lit(16L))
+      val ord = hash32(concat(lit("ord"), $"doc_id".cast("string")))
       val win = Window.partitionBy($"shard").orderBy($"ord", $"doc_id")
       Tables.load(s, dir, "documents")
         .select($"doc_id", shard.as("shard"), ord.as("ord"))
@@ -321,10 +321,10 @@ object CurationQueries extends QueryPack {
       val SUBS = 8L
       val rows = Tables.load(s, dir, "documents")
         .select($"doc_id",
-          pmod(hash32Chain($"doc_id".cast("string")), lit(16L)).as("shard"),
-          pmod(hash32Chain(concat(lit("sub"), $"doc_id".cast("string"))),
+          pmod(hash32($"doc_id".cast("string")), lit(16L)).as("shard"),
+          pmod(hash32(concat(lit("sub"), $"doc_id".cast("string"))),
             lit(SUBS)).as("sub"),
-          hash32Chain(concat(lit("ord"), $"doc_id".cast("string"))).as("ord"))
+          hash32(concat(lit("ord"), $"doc_id".cast("string"))).as("ord"))
       val counts = rows.groupBy($"shard", $"sub").agg(count(lit(1)).as("n"))
       val perShard = Window.partitionBy($"shard").orderBy($"sub")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -638,7 +638,7 @@ object DedupQueries extends QueryPack {
       val gramArr = when(size($"w") >= 5,
         transform(sequence(lit(0), size($"w") - 5),
           i => struct(i.as("i"),
-            hash32Chain(concat_ws(" ", slice($"w", i + 1, lit(5)))).as("gh"))))
+            hash32(concat_ws(" ", slice($"w", i + 1, lit(5)))).as("gh"))))
         .otherwise(array().cast("array<struct<i:int,gh:bigint>>"))
       val occ = docs.select($"doc_id", explode(gramArr).as("g"))
         .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))

@@ -465,7 +465,7 @@ object TextQueries extends QueryPack {
     import docs.sparkSession.implicits._
     val wv = (f: org.apache.spark.sql.Column) =>
       transform(sequence(lit(0), lit(63)), j =>
-        pmod(hash32Chain(concat(lit("e"), j.cast("string"), lit(" "), f)),
+        pmod(hash32(concat(lit("e"), j.cast("string"), lit(" "), f)),
           lit(2001L)) - 1000L)
     val zero = transform(sequence(lit(0), lit(63)), _ => lit(0L))
     docs.select($"doc_id", aggregate(tokens($"text"), zero,
@@ -475,7 +475,7 @@ object TextQueries extends QueryPack {
   /** Deterministic 0-99 train/held-out split draw — an independent hash
     * stream ("nb" prefix) so it never correlates with feature buckets. */
   private def nbSplit: org.apache.spark.sql.Column =
-    pmod(hash32Chain(concat(lit("nb"), col("doc_id").cast("string"))),
+    pmod(hash32(concat(lit("nb"), col("doc_id").cast("string"))),
       lit(100L))
 
   /** Dense multinomial-NB model (lang, b, llk): add-1-smoothed hashed-
@@ -490,7 +490,7 @@ object TextQueries extends QueryPack {
     val train = docs.filter(nbSplit < 80)
     val counts = train
       .select($"lang", explode(tokens($"text")).as("f"))
-      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      .withColumn("b", pmod(hash32($"f"), lit(256L)))
       .groupBy($"lang", $"b").agg(count(lit(1)).as("cnt"))
     val wLang = Window.partitionBy($"lang")
     train.select($"lang").distinct()
@@ -525,7 +525,7 @@ object TextQueries extends QueryPack {
           .cast("decimal(20,7)").as("lprior"))
     val held = docs.filter(nbSplit >= 80)
       .select($"doc_id", $"lang", explode(tokens($"text")).as("f"))
-      .withColumn("b", pmod(hash32Chain($"f"), lit(256L)))
+      .withColumn("b", pmod(hash32($"f"), lit(256L)))
       .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
     held.join(broadcast(model), Seq("b"))
       .groupBy($"doc_id", $"lang", $"mlang")
@@ -583,7 +583,7 @@ object TextQueries extends QueryPack {
       // would overflow to (38,6) per add and drift off the batch sums)
       val fold = aggregate(toks, lit(0).cast("decimal(30,7)"),
         (acc, t) => (acc + element_at(arr,
-          (pmod(hash32Chain(t), lit(256L)) + 1).cast("int"))
+          (pmod(hash32(t), lit(256L)) + 1).cast("int"))
           .cast("decimal(20,7)")).cast("decimal(30,7)"))
       fold + lit(priorByLang(lang)).cast("decimal(20,7)")
     }
