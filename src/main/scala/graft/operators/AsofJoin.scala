@@ -63,6 +63,31 @@ object AsofJoin {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Exact FORWARD as-of join (inclusive): for each left row, the single
+    * EARLIEST right row with the same key at-or-after the left row's
+    * timestamp — time-to-next-event enrichment ("when is this click's
+    * next purchase"), the mirror of [[backward]] (pandas merge_asof
+    * direction='forward'; DuckDB expresses it as ASOF ON l.ts <= r.ts).
+    * Same union-trick shape: one shuffle on the key, per-key ordered
+    * running `first(payload, ignoreNulls)` over the FOLLOWING frame; left
+    * rows sort before right rows at equal ts so an exactly-simultaneous
+    * right row matches. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTs: String, rightTs: String,
+              payload: Seq[String]): DataFrame = {
+    val (unioned, leftCols) = tagAndUnion(left, right, leftKey, rightKey,
+      leftTs, rightTs, payload)
+    // left (__tag 1) sorts before right (__tag 0) at equal ts → inclusive
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
   /** Scale-safe backward as-of join: identical output to [[backward]],
     * but no per-key total-order sort. `bucket` is the time-bucket width in
     * seconds; pick it so one key's rows per bucket fit a sort task (e.g.

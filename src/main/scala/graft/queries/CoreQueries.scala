@@ -300,6 +300,25 @@ object CoreQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // FORWARD as-of: each click picks the user's NEXT purchase at-or-after
+    // its ts — time-to-next-conversion enrichment, the mirror direction
+    // (pandas merge_asof direction='forward'); same union-trick single
+    // shuffle, FOLLOWING frame instead of PRECEDING.
+    "q_join_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts",
+          round($"value", 4).as("click_value"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts",
+          round($"value", 4).as("purchase_value"), $"ts".as("purchase_ts"))
+      graft.operators.AsofJoin.forward(clicks, purchases,
+          "user_id", "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_ts"))
+        .orderBy($"event_id")
+    }),
+
     // Skew-safe form of q_join_asof (same oracle — identical results):
     // time cut into 1-day buckets, so the sort granularity is (user, day)
     // instead of one user's ENTIRE history. At 100 TB a power-law user is
@@ -508,6 +527,17 @@ object CoreQueries extends QueryPack {
            p.purchase_value, p.pts AS purchase_ts
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.pts
+         ORDER BY c.event_id""",
+    "q_join_asof_forward" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         c AS (SELECT event_id, user_id, ts, round(value,4) AS click_value
+               FROM ev WHERE event_type='click'),
+         p AS (SELECT user_id, ts AS pts, round(value,4) AS purchase_value
+               FROM ev WHERE event_type='purchase')
+         SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           p.purchase_value, p.pts AS purchase_ts
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts <= p.pts
          ORDER BY c.event_id""",
     // identical result contract as the exact as-of join — that's the point
     "q_join_asof_bucketed" ->

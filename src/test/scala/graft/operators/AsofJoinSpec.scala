@@ -38,6 +38,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("forward: earliest at-or-after match, inclusive tie, null otherwise") {
+    val (left, right) = mkFrames
+    val out = AsofJoin.forward(left, right, "k", "k", "t", "t", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "v"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // id 1 (00:00:30) → next right is r2 (00:01:00); id 2 exactly AT r2 →
+    // inclusive; id 3 is after every right row of key 10 → null; id 4 is
+    // before key 20's only row → r3; id 5's key is absent → null
+    assert(got == Map(1L -> "r2", 2L -> "r2", 3L -> null, 4L -> "r3",
+      5L -> null), s"got $got")
+  }
+
   test("backwardBucketed: identical results when matches cross bucket boundaries") {
     val (left, right) = mkFrames
     // 1-minute buckets: row 3's match is ~3 days of empty buckets earlier,
