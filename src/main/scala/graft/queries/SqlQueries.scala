@@ -632,6 +632,21 @@ object SqlQueries extends QueryPack {
          ON c.user_id = p.p_user AND c.ts >= p.pts
          ORDER BY event_id;""")),
 
+    // FORWARD ASOF through the dialect: the `<=` inequality flips the
+    // pick to earliest-at-or-after (DuckDB's other ASOF form) — same
+    // union-trick plan, FOLLOWING frame.
+    "q_sql_asof_fwd" -> ((s, dir) => run(s, dir,
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+                c.click_value AS click_value, purchase_value, purchase_ts
+         FROM (SELECT event_id, user_id, ts, ROUND(value, 4) AS click_value
+               FROM events WHERE event_type = 'click') AS c
+         ASOF LEFT JOIN
+              (SELECT user_id AS p_user, ts AS pts,
+                      ROUND(value, 4) AS purchase_value, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase') AS p
+         ON c.user_id = p.p_user AND c.ts <= p.pts
+         ORDER BY event_id;""")),
+
     // inner ASOF: unmatched clicks drop (the marker-payload path).
     "q_sql_asof_inner" -> ((s, dir) => run(s, dir,
       """SELECT c.event_id AS event_id, c.user_id AS user_id,
@@ -1015,6 +1030,7 @@ object SqlQueries extends QueryPack {
       """SELECT DISTINCT lang, source FROM documents
          ORDER BY lang, source""",
     "q_sql_asof" -> CoreQueries.oracleSql("q_join_asof"),
+    "q_sql_asof_fwd" -> CoreQueries.oracleSql("q_join_asof_forward"),
     "q_sql_asof_inner" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
          c AS (SELECT event_id, user_id, ts, round(value,4) AS click_value

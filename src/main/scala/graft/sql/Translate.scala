@@ -713,13 +713,19 @@ object Translate {
       case ColRef(None, n) => df.columns.find(_.equalsIgnoreCase(n))
     }
     val eqsB = Vector.newBuilder[(String, String)]
-    var ineq: Option[(String, String)] = None
-    def addIneq(lRef: ColRef, rRef: ColRef): Unit = {
+    // direction: (left_ts, right_ts, forward?) — `l >= r` (or `r <= l`)
+    // is the backward pick (latest at-or-before), `l <= r` (or `r >= l`)
+    // the FORWARD pick (earliest at-or-after, DuckDB's other ASOF form)
+    var ineq: Option[(String, String, Boolean)] = None
+    def addIneq(aRef: ColRef, bRef: ColRef, fwdIfLeftFirst: Boolean): Unit = {
       if (ineq.nonEmpty) bad("ASOF JOIN takes exactly one timestamp inequality")
-      (nameOn(ldf, la, lRef), nameOn(rdf, ra, rRef)) match {
-        case (Some(lt), Some(rt)) => ineq = Some((lt, rt))
-        case _ => bad("ASOF JOIN inequality must compare a left timestamp " +
-          s"with a right timestamp, got $lRef vs $rRef")
+      (nameOn(ldf, la, aRef), nameOn(rdf, ra, bRef)) match {
+        case (Some(lt), Some(rt)) => ineq = Some((lt, rt, fwdIfLeftFirst))
+        case _ => (nameOn(ldf, la, bRef), nameOn(rdf, ra, aRef)) match {
+          case (Some(lt), Some(rt)) => ineq = Some((lt, rt, !fwdIfLeftFirst))
+          case _ => bad("ASOF JOIN inequality must compare a left timestamp " +
+            s"with a right timestamp, got $aRef vs $bRef")
+        }
       }
     }
     conjunctsOf(e).foreach {
@@ -732,14 +738,16 @@ object Translate {
               s"with a right column, got $a = $b")
           }
         }
-      case Bin(">=", a: ColRef, b: ColRef) => addIneq(a, b)
-      case Bin("<=", a: ColRef, b: ColRef) => addIneq(b, a)
+      case Bin(">=", a: ColRef, b: ColRef) => addIneq(a, b, fwdIfLeftFirst = false)
+      case Bin("<=", a: ColRef, b: ColRef) => addIneq(a, b, fwdIfLeftFirst = true)
       case other => bad("ASOF JOIN ON must be column equalities plus one " +
-        s"'left_ts >= right_ts' inequality, got $other")
+        s"'left_ts >= right_ts' (backward) or 'left_ts <= right_ts' " +
+        s"(forward) inequality, got $other")
     }
     val keys = eqsB.result()
-    val (lts, rts0) = ineq.getOrElse(
-      bad("ASOF JOIN requires a 'left_ts >= right_ts' inequality"))
+    val (lts, rts0, fwd) = ineq.getOrElse(
+      bad("ASOF JOIN requires a timestamp inequality " +
+        "(left_ts >= right_ts for backward, left_ts <= right_ts for forward)"))
     if (keys.isEmpty) bad("ASOF JOIN requires at least one equality key")
 
     // SQL null semantics: a right row with a NULL key or NULL timestamp can
@@ -771,7 +779,9 @@ object Translate {
             struct(rKeys.zipWithIndex.map { case (rc, i) => col(rc).as(s"_$i") }: _*)),
           kk, kk)
       }
-    val joined = graft.operators.AsofJoin.backward(l2, r2, lk, rk, lts, rts, payload)
+    val joined =
+      if (fwd) graft.operators.AsofJoin.forward(l2, r2, lk, rk, lts, rts, payload)
+      else graft.operators.AsofJoin.backward(l2, r2, lk, rk, lts, rts, payload)
     val unkeyed = if (keys.size == 1) joined else joined.drop("__graft_asof_k")
     val matched =
       if (j.joinType == "asof") unkeyed.filter(col(marker).isNotNull) else unkeyed

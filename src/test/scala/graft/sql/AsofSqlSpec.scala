@@ -95,7 +95,7 @@ class AsofSqlSpec extends SparkSpec {
         s"message for [$sql] was: ${ex.getMessage}")
     }
     rejects("""SELECT id FROM asof_l AS l ASOF JOIN asof_r AS r
-               ON l.k = r.k;""", "requires a 'left_ts >= right_ts'")
+               ON l.k = r.k;""", "requires a timestamp inequality")
     rejects("""SELECT id FROM asof_l AS l ASOF JOIN asof_r AS r
                ON l.ts >= r.ts;""", "at least one equality key")
     rejects("""SELECT id FROM asof_l AS l ASOF JOIN asof_r AS r
