@@ -319,6 +319,42 @@ object CoreQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // NEAREST as-of — the third merge_asof direction: each click picks
+    // whichever purchase is closer in time, before or after (backward
+    // wins ties, the pandas convention). Composed from the two directed
+    // picks joined on the left key — each is one shuffle, the final
+    // choice is a per-row CASE; no new operator machinery needed, which
+    // is the point of having both directions.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts",
+          round($"value", 4).as("click_value"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts",
+          round($"value", 4).as("purchase_value"), $"ts".as("purchase_ts"))
+      val back = graft.operators.AsofJoin.backward(clicks, purchases,
+          "user_id", "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_ts"))
+        .select($"event_id", $"user_id", $"ts", $"click_value",
+          $"purchase_value".as("bv"), $"purchase_ts".as("bts"))
+      val fwd = graft.operators.AsofJoin.forward(clicks, purchases,
+          "user_id", "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_ts"))
+        .select($"event_id", $"purchase_value".as("fv"),
+          $"purchase_ts".as("fts"))
+      val backWins = $"fts".isNull ||
+        ($"bts".isNotNull &&
+          unix_micros($"ts") - unix_micros($"bts") <=
+            unix_micros($"fts") - unix_micros($"ts"))
+      back.join(fwd, "event_id")
+        .select($"event_id", $"user_id", $"ts", $"click_value",
+          when(backWins, $"bv").otherwise($"fv").as("purchase_value"),
+          when(backWins, $"bts").otherwise($"fts").as("purchase_ts"))
+        .orderBy($"event_id")
+    }),
+
     // Skew-safe form of q_join_asof (same oracle — identical results):
     // time cut into 1-day buckets, so the sort granularity is (user, day)
     // instead of one user's ENTIRE history. At 100 TB a power-law user is
@@ -539,6 +575,27 @@ object CoreQueries extends QueryPack {
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts <= p.pts
          ORDER BY c.event_id""",
+    "q_join_asof_nearest" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         c AS (SELECT event_id, user_id, ts, round(value,4) AS click_value
+               FROM ev WHERE event_type='click'),
+         p AS (SELECT user_id, ts AS pts, round(value,4) AS purchase_value
+               FROM ev WHERE event_type='purchase'),
+         b AS (SELECT c.event_id, c.user_id, c.ts, c.click_value,
+                 p.purchase_value AS bv, p.pts AS bts
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts >= p.pts),
+         f AS (SELECT c.event_id, p.purchase_value AS fv, p.pts AS fts
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts <= p.pts)
+         SELECT b.event_id, b.user_id, b.ts, b.click_value,
+           CASE WHEN fts IS NULL
+                  OR (bts IS NOT NULL AND (b.ts - bts) <= (fts - b.ts))
+                THEN bv ELSE fv END AS purchase_value,
+           CASE WHEN fts IS NULL
+                  OR (bts IS NOT NULL AND (b.ts - bts) <= (fts - b.ts))
+                THEN bts ELSE fts END AS purchase_ts
+         FROM b JOIN f USING (event_id) ORDER BY event_id""",
     // identical result contract as the exact as-of join — that's the point
     "q_join_asof_bucketed" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
