@@ -42,6 +42,30 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** SQL NULL semantics for the timestamps (DuckDB ASOF agrees): a NULL
+    * ts compares UNKNOWN to everything, so a NULL-ts RIGHT row can never
+    * be anyone's match (dropped before the window — otherwise NULLS FIRST
+    * ordering would slot it below every frame), and a NULL-ts LEFT row
+    * matches nothing: it bypasses the window entirely and re-emits with
+    * null payloads (the planner's inner-asof marker filter then drops it,
+    * mirroring DuckDB's inner ASOF). Without the bypass, asc NULLS-FIRST
+    * ordering plus a FOLLOWING frame would hand a NULL-ts left row the
+    * key's EARLIEST right row in [[forward]]; [[backward]] was safe only
+    * by accident (empty PRECEDING frame). */
+  private def nullTsBypass(left: DataFrame, right: DataFrame,
+                           leftTs: String, rightTs: String,
+                           payload: Seq[String])
+                          (core: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val collide = payload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with left: $collide")
+    val rSchema = right.schema
+    val lNull = left.filter(col(leftTs).isNull)
+    val core0 = core(left.filter(col(leftTs).isNotNull),
+      right.filter(col(rightTs).isNotNull))
+    core0.unionByName(lNull.select(left.columns.toSeq.map(col) ++
+      payload.map(p => lit(null).cast(rSchema(p).dataType).as(p)): _*))
+  }
+
   /** Exact backward as-of join (inclusive: a right row AT the left row's
     * timestamp matches). `right` must carry exactly `rightKey`, `rightTs`,
     * and `payload` columns, with payload names disjoint from `left`'s
@@ -50,7 +74,15 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String]): DataFrame =
+    nullTsBypass(left, right, leftTs, rightTs, payload) { (l, r) =>
+      backwardCore(l, r, leftKey, rightKey, leftTs, rightTs, payload)
+    }
+
+  private def backwardCore(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTs: String, rightTs: String,
+                           payload: Seq[String]): DataFrame = {
     val (unioned, leftCols) = tagAndUnion(left, right, leftKey, rightKey,
       leftTs, rightTs, payload)
     // right (__tag 0) sorts before left (__tag 1) at equal ts → inclusive
@@ -75,7 +107,15 @@ object AsofJoin {
   def forward(left: DataFrame, right: DataFrame,
               leftKey: String, rightKey: String,
               leftTs: String, rightTs: String,
-              payload: Seq[String]): DataFrame = {
+              payload: Seq[String]): DataFrame =
+    nullTsBypass(left, right, leftTs, rightTs, payload) { (l, r) =>
+      forwardCore(l, r, leftKey, rightKey, leftTs, rightTs, payload)
+    }
+
+  private def forwardCore(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          payload: Seq[String]): DataFrame = {
     val (unioned, leftCols) = tagAndUnion(left, right, leftKey, rightKey,
       leftTs, rightTs, payload)
     // left (__tag 1) sorts before right (__tag 0) at equal ts → inclusive
@@ -108,6 +148,17 @@ object AsofJoin {
                        leftTs: String, rightTs: String,
                        payload: Seq[String], bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket width must be positive seconds, got $bucket")
+    nullTsBypass(left, right, leftTs, rightTs, payload) { (l, r) =>
+      backwardBucketedCore(l, r, leftKey, rightKey, leftTs, rightTs,
+        payload, bucket)
+    }
+  }
+
+  private def backwardBucketedCore(left: DataFrame, right: DataFrame,
+                                   leftKey: String, rightKey: String,
+                                   leftTs: String, rightTs: String,
+                                   payload: Seq[String],
+                                   bucket: Long): DataFrame = {
     def bucketOf(ts: String): Column =
       floor(unix_micros(col(ts)) / lit(bucket * 1000000L)).cast("long")
     val rightB = right.withColumn("__b", bucketOf(rightTs))

@@ -589,6 +589,19 @@ object SqlQueries extends QueryPack {
                     ORDER BY n_chars DESC, doc_id) AS rk
          FROM documents QUALIFY rk <= 2 ORDER BY lang, rk;""")),
 
+    // QUALIFY evaluation ORDER (ADVICE r7): windows compute FIRST over the
+    // whole post-WHERE relation, THEN the filter — so the select-list SUM
+    // aggregates the full language partition (not the survivors) and
+    // rk = 2 keeps the true second-ranked doc (a filter-first evaluation
+    // would re-rank survivors to rk=1 and return nothing). Identical text
+    // on both engines.
+    "q_sql_qualify_order" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id, lang, n_chars,
+                SUM(n_chars * 1.0) OVER (PARTITION BY lang) AS lang_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents QUALIFY rk = 2 ORDER BY lang;""")),
+
     // RANGE frames (value-typed offsets on the single numeric ORDER BY
     // key): Spark's rangeBetween and DuckDB agree on offset arithmetic
     // and peer (tie) inclusion, so identical text gates both engines.
@@ -599,6 +612,21 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS rsum,
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
+         FROM events ORDER BY event_id;""")),
+
+    // GROUPS frames (extension; DuckDB supports them natively): bounds
+    // count peer groups — tie classes of the ORDER BY keys. ORDER BY
+    // event_type makes each user's peer groups big (ties everywhere), so
+    // GROUPS visibly diverges from ROWS/RANGE; Spark has no GROUPS mode,
+    // so the planner rewrites to RANGE over a hidden dense_rank ordinal
+    // (the literal definition of a peer-group frame).
+    "q_sql_groups_frame" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id, event_type,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_type
+                    GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS gsum,
+                COUNT(value) OVER (PARTITION BY user_id ORDER BY event_type
+                    GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS gcnt
          FROM events ORDER BY event_id;""")),
 
     // DISTINCT ON (DuckDB-compatible): latest/best-per-key in one clause —
@@ -1015,6 +1043,12 @@ object SqlQueries extends QueryPack {
                 ROW_NUMBER() OVER (PARTITION BY lang
                     ORDER BY n_chars DESC, doc_id) AS rk
          FROM documents QUALIFY rk <= 2 ORDER BY lang, rk""",
+    "q_sql_qualify_order" ->
+      """SELECT doc_id, lang, n_chars,
+                SUM(n_chars * 1.0) OVER (PARTITION BY lang) AS lang_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents QUALIFY rk = 2 ORDER BY lang""",
     "q_sql_range_frame" ->
       """SELECT event_id, user_id,
                 SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
@@ -1023,6 +1057,21 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id""",
+    // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
+    // oracle is the DEFINITIONAL expansion — a RANGE frame over the
+    // dense_rank peer-group ordinal — which DuckDB plans independently;
+    // matching it pins exactly the rewrite's claimed semantics.
+    "q_sql_groups_frame" ->
+      """SELECT event_id, user_id, event_type,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS gsum,
+                COUNT(value) OVER (PARTITION BY user_id ORDER BY dr
+                    RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS gcnt
+         FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY user_id
+                   ORDER BY event_type) AS dr
+               FROM events) t
+         ORDER BY event_id""",
     "q_sql_distinct_on" ->
       """SELECT DISTINCT ON (lang) doc_id, lang, n_chars
          FROM documents ORDER BY lang, n_chars DESC, doc_id""",

@@ -54,11 +54,15 @@ object Ast {
     * `rangeFrame` = the bounds are RANGE (value-typed offsets against the
     * single numeric ORDER BY key) rather than ROWS — Spark's rangeBetween
     * and DuckDB's RANGE agree on the offset arithmetic and on peer-row
-    * (tie) inclusion. */
+    * (tie) inclusion. `groupsFrame` = the bounds count peer GROUPS (tie
+    * classes of the ORDER BY keys); Spark has no native GROUPS mode, so
+    * the planner rewrites it to a RANGE frame over a hidden
+    * `dense_rank()` peer-group ordinal — exactly the GROUPS definition. */
   case class WinFn(name: String, args: Seq[Expr], partitionBy: Seq[Expr],
                    orderBy: Seq[OrderItem],
                    frame: Option[(Long, Long)] = None,
-                   rangeFrame: Boolean = false) extends Expr
+                   rangeFrame: Boolean = false,
+                   groupsFrame: Boolean = false) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL

@@ -739,10 +739,13 @@ object Parser {
       // RANGE bounds are value-typed offsets against the single numeric
       // ORDER BY key (TypeCheck enforces the key); Spark's rangeBetween
       // and DuckDB agree on offset arithmetic and peer (tie) inclusion.
-      // GROUPS stays rejected — Spark has no groupsBetween.
+      // GROUPS frames (extension): bounds count peer groups (tie classes
+      // of the ORDER BY keys). Spark has no groupsBetween, so Translate
+      // rewrites to a RANGE frame over a hidden dense_rank() ordinal.
       val isRange = isKw("RANGE")
+      val isGroups = isKw("GROUPS")
       val frame: Option[(Long, Long)] =
-        if (accept("ROWS") || accept("RANGE")) {
+        if (accept("ROWS") || accept("RANGE") || accept("GROUPS")) {
           def bound(): Long =
             if (accept("UNBOUNDED")) {
               if (accept("PRECEDING")) Long.MinValue
@@ -757,13 +760,10 @@ object Parser {
             val lo = bound(); expect("AND"); val hi = bound()
             Some((lo, hi))
           } else Some((bound(), 0L)) // `n PRECEDING` = BETWEEN … AND CURRENT ROW
-        } else if (isKw("GROUPS"))
-          throw new IllegalArgumentException(
-            "only ROWS and RANGE window frames are supported, not GROUPS; " +
-              "the default frame applies when no frame is given")
-        else None
+        } else None
       expect(")")
-      WinFn(name, args, parts, ord, frame, rangeFrame = isRange)
+      WinFn(name, args, parts, ord, frame, rangeFrame = isRange,
+        groupsFrame = isGroups)
     }
 
     private def dataType(): SqlType = {

@@ -66,7 +66,7 @@ object Translate {
       s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
     case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
-    case WinFn(n, args, _, _, _, _) =>
+    case WinFn(n, args, _, _, _, _, _) =>
       s"${n}(${args.map(exprName).mkString(",")})_over".toLowerCase
     case _: CaseWhen => "case"
     case _: InList | _: InSub => "in"
@@ -93,6 +93,8 @@ object Translate {
     * TopK Aggregator (operators/TopK.scala). */
   private def winFnCol(w: WinFn, go: Expr => Column): Column = {
     import org.apache.spark.sql.expressions.Window
+    require(!w.groupsFrame, "internal: GROUPS frames must be rewritten to " +
+      "RANGE-over-dense_rank before translation (planSelect)")
     val w0 =
       if (w.partitionBy.nonEmpty) Window.partitionBy(w.partitionBy.map(go): _*)
       else Window.partitionBy()
@@ -466,6 +468,59 @@ object Translate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .flatMap(collectAggs).distinct
+    case _ => Nil
+  }
+
+  /** Top-down partial rewrite: where `pf` is defined the replacement is
+    * taken verbatim (no recursion into it); elsewhere the node is rebuilt
+    * with rewritten children. Subquery bodies are their own scope and are
+    * not entered (mirrors collectAggs). */
+  def rewriteExpr(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr =
+    if (pf.isDefinedAt(e)) pf(e)
+    else e match {
+      case Bin(op, l, r) => Bin(op, rewriteExpr(l)(pf), rewriteExpr(r)(pf))
+      case Not(x) => Not(rewriteExpr(x)(pf))
+      case Fn(n, args) => Fn(n, args.map(rewriteExpr(_)(pf)))
+      case Agg(n, args, s, d) => Agg(n, args.map(rewriteExpr(_)(pf)), s, d)
+      case Cast(x, dt) => Cast(rewriteExpr(x)(pf), dt)
+      case WinFn(n, args, pb, ob, fr, rf, gf) =>
+        WinFn(n, args.map(rewriteExpr(_)(pf)), pb.map(rewriteExpr(_)(pf)),
+          ob.map(o => o.copy(e = rewriteExpr(o.e)(pf))), fr, rf, gf)
+      case Between(x, lo, hi, n, s) =>
+        Between(rewriteExpr(x)(pf), rewriteExpr(lo)(pf),
+          rewriteExpr(hi)(pf), n, s)
+      case InList(x, items, n) =>
+        InList(rewriteExpr(x)(pf), items.map(rewriteExpr(_)(pf)), n)
+      case InSub(x, q, n) => InSub(rewriteExpr(x)(pf), q, n)
+      case ArrIndex(x, i) => ArrIndex(rewriteExpr(x)(pf), i)
+      case ArrSlice(x, f, t) => ArrSlice(rewriteExpr(x)(pf), f, t)
+      case ArrLit(items) => ArrLit(items.map(rewriteExpr(_)(pf)))
+      case CaseWhen(op0, bs, el) =>
+        CaseWhen(op0.map(rewriteExpr(_)(pf)),
+          bs.map { case (c, r) => (rewriteExpr(c)(pf), rewriteExpr(r)(pf)) },
+          el.map(rewriteExpr(_)(pf)))
+      case other => other
+    }
+
+  /** All window-function calls in an expression (not entering subqueries).
+    * WinFns cannot nest in this dialect, so a found node is a whole unit. */
+  def collectWins(e: Expr): Seq[WinFn] = e match {
+    case w: WinFn => Seq(w)
+    case Bin(_, l, r) => (collectWins(l) ++ collectWins(r)).distinct
+    case Not(x) => collectWins(x)
+    case Fn(_, args) => args.flatMap(collectWins).distinct
+    case Agg(_, args, _, _) => args.flatMap(collectWins).distinct
+    case Cast(x, _) => collectWins(x)
+    case Between(x, lo, hi, _, _) =>
+      (collectWins(x) ++ collectWins(lo) ++ collectWins(hi)).distinct
+    case InList(x, items, _) => (x +: items).flatMap(collectWins).distinct
+    case InSub(x, _, _) => collectWins(x)
+    case ArrIndex(x, _) => collectWins(x)
+    case ArrSlice(x, _, _) => collectWins(x)
+    case ArrLit(items) => items.flatMap(collectWins).distinct
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .flatMap(collectWins).distinct
     case _ => Nil
   }
 
@@ -1005,36 +1060,93 @@ object Translate {
 
     if (aggs.isEmpty && sel.groupBy.isEmpty && src.window.isEmpty &&
         !sel.multiLevel) {
-      // QUALIFY (extension): window functions are illegal in a bare
-      // filter, so the predicate computes as a hidden column, filters,
-      // and drops — it never leaks through `*`. Select aliases substitute
-      // into the predicate (DuckDB-compatible) when the base relation has
-      // no column of that name.
-      val qualified = sel.qualify match {
-        case None => filtered
+      // GROUPS frames (extension): Spark has no GROUPS mode — but a
+      // GROUPS frame is BY DEFINITION a RANGE frame over the peer-group
+      // ordinal, dense_rank() over the same (PARTITION BY, ORDER BY). So
+      // the ordinal materializes as a hidden column and each GROUPS
+      // window rewrites to RANGE over it (ascending — dense_rank is
+      // order-preserving, and CURRENT ROW then spans the full tie class,
+      // exactly the GROUPS peer semantics).
+      val grpSpecs = (sel.items.collect { case ItemExpr(e, _) => e } ++
+        sel.orderBy.map(_.e) ++ sel.qualify.toSeq)
+        .flatMap(collectWins).filter(_.groupsFrame)
+        .map(w => (w.partitionBy, w.orderBy)).distinct
+      val grpNames = grpSpecs.zipWithIndex
+        .map { case (sp, i) => sp -> s"__graft_grp$i" }.toMap
+      val filteredG = grpSpecs.foldLeft(filtered)((d, sp) =>
+        d.withColumn(grpNames(sp),
+          column(WinFn("DENSE_RANK", Nil, sp._1, sp._2), resolve, env)))
+      def subGroups(e: Expr): Expr = rewriteExpr(e) {
+        case w: WinFn if w.groupsFrame =>
+          w.copy(orderBy = Seq(OrderItem(
+            ColRef(None, grpNames((w.partitionBy, w.orderBy))), desc = false)),
+            rangeFrame = true, groupsFrame = false)
+      }
+      val selG = if (grpSpecs.isEmpty) sel else sel.copy(
+        items = sel.items.map {
+          case ItemExpr(e, a) =>
+            ItemExpr(subGroups(e), Some(a.getOrElse(exprName(e))))
+          case other => other
+        },
+        orderBy = sel.orderBy.map(o => o.copy(e = subGroups(o.e))),
+        qualify = sel.qualify.map(subGroups))
+
+      // QUALIFY (extension): standard/DuckDB order is windows FIRST over
+      // the whole post-WHERE relation, THEN the qualify filter. So every
+      // window expression anywhere in the query (the predicate itself,
+      // the select list, ORDER BY) materializes as a hidden column on
+      // `filtered` BEFORE the filter, and the later clauses project from
+      // those columns — a select-list SUM(...) OVER beside a QUALIFY rank
+      // filter aggregates ALL rows, and `QUALIFY rk = 2` sees rk computed
+      // over the unfiltered partition. Select aliases substitute into the
+      // predicate (DuckDB-compatible) when the base relation has no
+      // column of that name.
+      val (qualified, selQ, winsAttached) = selG.qualify match {
+        case None => (filteredG, selG, grpSpecs.nonEmpty)
         case Some(q0) =>
-          val aliasExprs: Map[String, Expr] = sel.items.collect {
+          val aliasExprs: Map[String, Expr] = selG.items.collect {
             case ItemExpr(e, Some(a)) => a.toLowerCase -> e }.toMap
           def hasBase(n: String): Boolean =
             filtered.columns.exists(_.equalsIgnoreCase(n))
-          val resolveQ: ColRef => Column = {
+          val qSub = rewriteExpr(q0) {
             case ColRef(None, n)
                 if !hasBase(n) && aliasExprs.contains(n.toLowerCase) =>
-              column(aliasExprs(n.toLowerCase), resolve, env)
-            case c => resolve(c)
+              aliasExprs(n.toLowerCase)
           }
-          filtered.withColumn("__graft_qual", column(q0, resolveQ, env))
+          val wins: Seq[WinFn] =
+            (qSub +: (selG.items.collect { case ItemExpr(e, _) => e } ++
+              selG.orderBy.map(_.e))).flatMap(collectWins).distinct
+          val winNames: Map[WinFn, String] =
+            wins.zipWithIndex.map { case (w, i) => w -> s"__graft_win$i" }.toMap
+          def subWins(e: Expr): Expr = rewriteExpr(e) {
+            case w: WinFn if winNames.contains(w) => ColRef(None, winNames(w))
+          }
+          val withWins = wins.foldLeft(filteredG)((d, w) =>
+            d.withColumn(winNames(w), column(w, resolve, env)))
+          val flt = withWins
+            .withColumn("__graft_qual", column(subWins(qSub), resolve, env))
             .filter(col("__graft_qual")).drop("__graft_qual")
+          // rewrite the later clauses to read the pre-filter columns;
+          // pin each item's output name to the ORIGINAL expression's
+          // (substitution must not rename `rn() over` → `__graft_win0`)
+          val items2 = selG.items.map {
+            case ItemExpr(e, alias) =>
+              ItemExpr(subWins(e), Some(alias.getOrElse(exprName(e))))
+            case other => other
+          }
+          val ob2 = selG.orderBy.map(o => o.copy(e = subWins(o.e)))
+          (flt, selG.copy(items = items2, orderBy = ob2, qualify = None),
+            wins.nonEmpty || grpSpecs.nonEmpty)
       }
       // DISTINCT ON (extension): first row per key group in ORDER BY
       // order, picked pre-projection so order keys may use base columns.
       // rank<=1 over (keys | ORDER BY) is the one shape Spark's
       // InferWindowGroupLimit rewrites to a partial+final per-group
       // top-1 — a map-side bounded pick, not a per-group sort.
-      val donBase = if (sel.distinctOn.isEmpty) qualified else {
+      val donBase = if (selQ.distinctOn.isEmpty) qualified else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(sel.distinctOn.map(resolve): _*)
-          .orderBy(sel.orderBy.map(o =>
+          .partitionBy(selQ.distinctOn.map(resolve): _*)
+          .orderBy(selQ.orderBy.map(o =>
             if (o.desc) column(o.e, resolve, env).desc
             else column(o.e, resolve, env).asc): _*)
         qualified.withColumn("__graft_don", row_number().over(w))
@@ -1042,16 +1154,19 @@ object Translate {
       }
       // plain Filter/Project pipeline. With scalar-subquery columns
       // attached, `*` expands to the ORIGINAL relation's columns so the
-      // hidden __graft_scalar* helpers never leak into the output.
-      val cols = sel.items.flatMap {
+      // hidden __graft_scalar* (and __graft_win*) helpers never leak into
+      // the output.
+      val cols = selQ.items.flatMap {
         case ItemWildcard(None) if scalarsAttached =>
           src.df.columns.toSeq.map(c => col(s"`$c`"))
+        case ItemWildcard(None) if winsAttached =>
+          filtered.columns.toSeq.map(c => col(s"`$c`"))
         case ItemWildcard(None) => Seq(col("*"))
         case ItemWildcard(Some(q)) => Seq(col(s"$q.*"))
         case ItemExpr(e, alias) =>
           Seq(column(e, resolve, env).as(alias.getOrElse(exprName(e))))
       }
-      finishSelect(donBase, cols, Nil, sel, e => column(e, resolve, env))
+      finishSelect(donBase, cols, Nil, selQ, e => column(e, resolve, env))
     } else {
       // Validate rejects these with full dialect explanations; backstop
       // for direct Translate callers
@@ -1388,7 +1503,7 @@ object Translate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .flatMap(collectScalars).distinct
-    case WinFn(_, args, parts, ord, _, _) =>
+    case WinFn(_, args, parts, ord, _, _, _) =>
       (args ++ parts ++ ord.map(_.e)).flatMap(collectScalars).distinct
     case _ => Nil
   }
@@ -1413,10 +1528,10 @@ object Translate {
       CaseWhen(op0.map(replaceScalars(_, names)),
         bs.map { case (c, r) => (replaceScalars(c, names), replaceScalars(r, names)) },
         el.map(replaceScalars(_, names)))
-    case WinFn(n, args, parts, ord, fr, rf) =>
+    case WinFn(n, args, parts, ord, fr, rf, gf) =>
       WinFn(n, args.map(replaceScalars(_, names)),
         parts.map(replaceScalars(_, names)),
-        ord.map(o => o.copy(e = replaceScalars(o.e, names))), fr, rf)
+        ord.map(o => o.copy(e = replaceScalars(o.e, names))), fr, rf, gf)
     case other => other
   }
 

@@ -186,15 +186,17 @@ object TypeCheck {
     case _: ExistsSub => Some(TBool)
     case _: ScalarSub => None // rewritten to a column ref before planning
 
-    case WinFn(name, args, parts, ord, frame, rangeFrame) =>
+    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame) =>
       parts.foreach(infer(_, env))
       ord.foreach(o => requireOrd(o.e, env, "OVER (ORDER BY …)"))
       // RANGE offsets are added to the ORDER BY key, so a finite-offset
-      // frame needs a numeric key (Validate already pinned it to one key)
+      // frame needs a numeric key (Validate already pinned it to one key).
+      // GROUPS offsets count peer groups — any orderable key type works
+      // (the rewrite's dense_rank ordinal is always numeric).
       frame.foreach { case (lo, hi) =>
         val finite = (lo != Long.MinValue && lo != 0L) ||
           (hi != Long.MaxValue && hi != 0L)
-        if (rangeFrame && finite)
+        if (rangeFrame && !groupsFrame && finite)
           ord.foreach(o => requireNum(o.e, env,
             s"$name's RANGE frame ORDER BY key"))
       }
@@ -301,8 +303,12 @@ object TypeCheck {
         requireString(args.head, env, name); Some(TArray(TString))
       case "LEVENSHTEIN" => // edit distance over two strings
         args.foreach(a => requireString(a, env, name)); Some(TInt)
-      case "DATEDIFF" => // DATEDIFF(end, start) → whole days (extension)
-        args.foreach(infer(_, env)); Some(TInt)
+      case "DATEDIFF" => // DATEDIFF(end, start) → whole days (extension);
+        // args must be date-compatible (DATE/TIMESTAMP, or a string that
+        // parses as one) — the STRINGTODATE/DATETOSTRING discipline, so
+        // DATEDIFF(1, 'x') is a dialect-vocabulary rejection here, not a
+        // deep Spark cast error (or silent nulls) later
+        args.foreach(a => requireDateLike(a, env, name)); Some(TInt)
       case "CHUNKSOF" => // CHUNKSOF(n, s) — chunk size FIRST (SQL-v1.cf)
         requireNum(args.head, env, name)
         requireString(args.last, env, name); Some(TArray(TString))
@@ -384,6 +390,14 @@ object TypeCheck {
     else {
       args.headOption.foreach(a => requireArray(a, env, name))
       args.drop(1).foreach(a => requireNum(a, env, name))
+    }
+
+  /** DATE or TIMESTAMP, or a string/JSON value that can parse as one. */
+  private def requireDateLike(e: Expr, env: Env, where: String): Unit =
+    infer(e, env).foreach {
+      case TDate | TTimestamp | TString | TJson => ()
+      case x => fail(s"Expected a date-compatible expression (DATE, " +
+        s"TIMESTAMP, or a date string) in $where but got ${show(x)}")
     }
 
   private def requireArray(e: Expr, env: Env, where: String): Unit =

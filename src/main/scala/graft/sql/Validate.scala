@@ -285,7 +285,7 @@ object Validate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .exists(hasSubquery)
-    case WinFn(_, args, parts, ord, _, _) =>
+    case WinFn(_, args, parts, ord, _, _, _) =>
       (args ++ parts ++ ord.map(_.e)).exists(hasSubquery)
     case _ => false
   }
@@ -497,7 +497,7 @@ object Validate {
             try { java.time.LocalDateTime.parse(s); true }
             catch { case _: Exception => false } } }
       if (!ok) fail(s"invalid TIMESTAMP literal: $s")
-    case WinFn(name, args, parts, ord, frame, rangeFrame) =>
+    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame) =>
       // window functions are SELECT-list/ORDER-BY/QUALIFY expressions
       // only; their value is undefined pre-projection (standard SQL), and
       // nesting one inside an aggregate has no meaning either
@@ -507,10 +507,12 @@ object Validate {
       if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE").contains(name) &&
           ord.isEmpty)
         fail(s"$name requires ORDER BY in its OVER clause")
-      // ROWS/RANGE frames (extension): aggregates and FIRST/LAST_VALUE
-      // only — ranking functions and LAG/LEAD define their own row scope
+      // ROWS/RANGE/GROUPS frames (extension): aggregates and FIRST/
+      // LAST_VALUE only — ranking functions and LAG/LEAD define their own
+      // row scope
       frame.foreach { case (lo, hi) =>
-        val kind = if (rangeFrame) "RANGE" else "ROWS"
+        val kind = if (groupsFrame) "GROUPS" else if (rangeFrame) "RANGE"
+          else "ROWS"
         if (ord.isEmpty)
           fail(s"$name: a $kind frame requires ORDER BY in the OVER clause")
         if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD")

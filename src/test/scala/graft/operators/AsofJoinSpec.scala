@@ -79,6 +79,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(plan.contains("__b"), plan.take(2000))
   }
 
+  test("NULL timestamps: left NULL-ts rows match nothing; right NULL-ts rows are never matches") {
+    import spark.implicits._
+    // key 10 has real right rows plus a NULL-ts right row; a NULL-ts left
+    // row must NOT pick the key's earliest (forward) / any (backward) row,
+    // and the NULL-ts right row must never be anyone's match — SQL
+    // comparisons with NULL are UNKNOWN (DuckDB's ASOF behaves the same)
+    val left = Seq(
+      (1L, 10L, Some(ts("2024-01-01 00:00:30"))),
+      (2L, 10L, None: Option[java.sql.Timestamp])
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, Some(ts("2024-01-01 00:00:00")), "r1"),
+      (10L, Some(ts("2024-01-01 00:01:00")), "r2"),
+      (10L, None: Option[java.sql.Timestamp], "rNull")
+    ).toDF("k", "t", "v")
+    for ((name, out) <- Seq(
+        "backward" -> AsofJoin.backward(left, right, "k", "k", "t", "t", Seq("v")),
+        "forward" -> AsofJoin.forward(left, right, "k", "k", "t", "t", Seq("v")),
+        "bucketed" -> AsofJoin.backwardBucketed(left, right, "k", "k", "t", "t",
+          Seq("v"), bucket = 60L))) {
+      val got = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val want = if (name == "forward") Map(1L -> "r2", 2L -> null)
+                 else Map(1L -> "r1", 2L -> null)
+      assert(got == want, s"$name: got $got")
+      assert(out.count() == 2, s"$name emits every left row exactly once")
+    }
+  }
+
   test("payload name collision with a left column is rejected loudly") {
     val (left, right) = mkFrames
     val bad = right.withColumnRenamed("v", "t")

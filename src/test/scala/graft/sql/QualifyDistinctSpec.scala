@@ -42,6 +42,56 @@ class QualifyDistinctSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1L), ("a", 3L), ("b", 6L)))
   }
 
+  test("QUALIFY filters AFTER windows compute (rk = 2 keeps the true rank-2 row)") {
+    setup()
+    // wrong (filter-first) order would re-rank survivors and output rk=1
+    // or nothing; standard order computes ranks over ALL rows, then keeps
+    // exactly the rank-2 row of each partition
+    val got = e.batch(
+      """SELECT k, i, ROW_NUMBER() OVER (PARTITION BY k
+           ORDER BY v DESC, i) AS rk
+         FROM qd_t QUALIFY rk = 2 ORDER BY k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("a", 3L, 2), ("b", 5L, 2)))
+  }
+
+  test("select-list windows beside a QUALIFY filter aggregate the PRE-filter partition") {
+    setup()
+    // SUM over partition a = 30+10+30+20 = 90 even though QUALIFY keeps
+    // one row; a post-filter evaluation would output 30 (the kept row)
+    val got = e.batch(
+      """SELECT k, i, SUM(v) OVER (PARTITION BY k) AS tot,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC, i) AS rk
+         FROM qd_t QUALIFY rk <= 1 ORDER BY k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(got.toSeq == Seq(("a", 1L, 90L, 1), ("b", 6L, 16L, 1)))
+  }
+
+  test("ORDER BY window expression under QUALIFY reads the pre-filter value") {
+    setup()
+    // order the survivors by each partition's PRE-filter total (a=90 > b=16
+    // descending puts a first; a post-filter SUM would give a=30 < b=16...
+    // no: 30>16 still — so also project it to pin the value itself)
+    val got = e.batch(
+      """SELECT k, SUM(v) OVER (PARTITION BY k) AS tot
+         FROM qd_t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY i) = 1
+         ORDER BY SUM(v) OVER (PARTITION BY k) DESC;""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 90L), ("b", 16L)))
+  }
+
+  test("QUALIFY with wildcard projection does not leak hidden window columns") {
+    setup()
+    val df = e.batch(
+      """SELECT * FROM qd_t
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC, i) = 1
+         ORDER BY k;""")
+    assert(df.columns.toSeq == Seq("k", "i", "v"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 30L), ("b", 6L, 9L)))
+  }
+
   test("rank<=k under QUALIFY plans as a window group limit, not a full sort-and-filter") {
     setup()
     val plan = e.batch(
@@ -118,8 +168,35 @@ class QualifyDistinctSpec extends SparkSpec {
     rejects("""SELECT SUM(v) OVER (PARTITION BY k ORDER BY k
                  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s
                FROM qd_t;""", "RANGE")
-    rejects("""SELECT SUM(v) OVER (PARTITION BY k ORDER BY i
+    rejects("""SELECT SUM(v) OVER (PARTITION BY k
                  GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s
-               FROM qd_t;""", "GROUPS")
+               FROM qd_t;""", "requires ORDER BY")
+  }
+
+  test("GROUPS frame counts peer groups (distinct from RANGE and ROWS)") {
+    setup()
+    // group a, ORDER BY v: peer groups {10},{20},{30,30}. 1 PRECEDING in
+    // GROUPS units: v=10→10, v=20→10+20=30, v=30 rows→20+30+30=80.
+    // (RANGE 1 PRECEDING would give 10/20/60; ROWS would split the tie.)
+    val got = e.batch(
+      """SELECT i, SUM(v) OVER (PARTITION BY k ORDER BY v
+           GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+         FROM qd_t WHERE k = 'a' ORDER BY i;""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 80L), (2L, 10L), (3L, 80L), (4L, 30L)))
+  }
+
+  test("GROUPS frame with wildcard/no-qualify does not leak the hidden ordinal") {
+    setup()
+    val df = e.batch(
+      """SELECT k, i, COUNT(v) OVER (PARTITION BY k ORDER BY v
+           GROUPS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c
+         FROM qd_t ORDER BY k, i;""")
+    assert(df.columns.toSeq == Seq("k", "i", "c"))
+    // group a descending-from-peer counts: v=30 rows see the {30,30} tail
+    // (2), v=20 sees {20,30,30} (3), v=10 sees all 4
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 2L),
+      ("a", 4L, 3L), ("b", 5L, 2L), ("b", 6L, 1L)))
   }
 }

@@ -92,6 +92,19 @@ class TypeCheckSpec extends SparkSpec {
   test("array index over a scalar column is rejected") {
     rejects("SELECT n[0] AS x FROM tc;", "array")
   }
+  test("DATEDIFF over non-date args is rejected with dialect vocabulary") {
+    // ADVICE r7: DATEDIFF(1, 'x') used to pass validation and die later as
+    // a deep Spark cast error / silent nulls
+    rejects("SELECT DATEDIFF(n, ts) AS x FROM tc;", "date-compatible")
+    rejects("SELECT DATEDIFF(b, b) AS x FROM tc;", "date-compatible")
+  }
+  test("DATEDIFF accepts DATE/TIMESTAMP/string args") {
+    typed
+    val out = e.sql(
+      "SELECT DATEDIFF('2024-01-03', ts :: DATE) AS d FROM tc;")
+      .asInstanceOf[SqlEngine#Rows].df.head()
+    assert(out.getLong(0) == 2L)
+  }
 
   test("ill-typed JOIN condition is rejected (qualified refs resolve)") {
     import spark.implicits._

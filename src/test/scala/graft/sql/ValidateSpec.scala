@@ -292,10 +292,11 @@ class ValidateSpec extends SparkSpec {
       "over clause")
     // bare ranking call without OVER
     rejects("SELECT ROW_NUMBER() AS rn FROM win_t;", "over")
-    // ROWS and RANGE frames are supported (WindowFrameSpec,
-    // QualifyDistinctSpec); GROUPS frames are refused, not mis-parsed
-    rejects("SELECT SUM(v) OVER (ORDER BY a GROUPS 2 PRECEDING) AS s FROM win_t;",
-      "groups")
+    // ROWS, RANGE, and (r8) GROUPS frames are all supported — the
+    // shorthand `GROUPS 2 PRECEDING` parses as BETWEEN … AND CURRENT ROW
+    assert(e.batch(
+      "SELECT SUM(v) OVER (ORDER BY a GROUPS 2 PRECEDING) AS s FROM win_t;")
+      .collect().nonEmpty)
     // the accepted shape works end-to-end (running sum + rank + lag)
     val ok = e.batch(
       """SELECT a, SUM(v) OVER (ORDER BY a) AS rs,

@@ -55,8 +55,11 @@ class WindowFrameSpec extends SparkSpec {
     rejects("""SELECT SUM(v) OVER (ORDER BY i
                  ROWS BETWEEN CURRENT ROW AND 1 PRECEDING) AS s
                FROM wf_t;""", "lower bound exceeds upper bound")
-    rejects("""SELECT SUM(v) OVER (ORDER BY i
-                 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
-               FROM wf_t;""", "GROUPS")
+    // GROUPS frames are now supported (r8) — peer-group units, planned
+    // as RANGE over a hidden dense_rank ordinal (QualifyDistinctSpec has
+    // the tie-class semantics; here: it parses, plans, and runs)
+    assert(e.batch("""SELECT SUM(v) OVER (ORDER BY i
+        GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+      FROM wf_t;""").collect().nonEmpty)
   }
 }
