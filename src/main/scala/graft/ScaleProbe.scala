@@ -357,6 +357,35 @@ object ScaleProbe {
         * (lit(1.0) - $"l_discount") - $"p_retailprice" * $"l_quantity" * 0.1,
         4).cast("decimal(38,6)")).cast("double"), 2).as("profit"))
 
+    // CDC hot-key skew: same 1.5M envelopes, but 90% of all changes land
+    // on ONE key. applyLatest's claim (Cdc.scala): the combine row is
+    // constant-size and max_by partial-aggregates map-side, so a hot key
+    // costs the same as a uniform spread — ratio ≈ 1 proves it.
+    def hotOrders(df: DataFrame): DataFrame = x10Orders(df)
+      .withColumn("o_orderkey",
+        when(pmod($"o_orderkey", lit(10L)) =!= 0L, lit(1L))
+          .otherwise($"o_orderkey"))
+
+    // second-decade scale: ×100 — one 10× point cannot tell linear from
+    // n·log n from quadratic-with-small-constant; two decades can
+    def x100(df: DataFrame): DataFrame =
+      (1 to 100).map(_ => df).reduce(_ unionAll _)
+    def x100Distinct(df: DataFrame): DataFrame = (0 until 100).map(i =>
+      df.withColumn("doc_id", $"doc_id" + lit(i * 10000000L))
+        .withColumn("text", concat($"text", lit(s" probe$i"))))
+      .reduce(_ unionAll _)
+    def x100Orders(df: DataFrame): DataFrame = (0 until 100).map(i =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * 1000000000L)))
+      .reduce(_ unionAll _)
+
+    // connected components on the adversarial CHAIN shape: a 50k-node
+    // path has diameter 50k — min-label propagation needs 50k rounds (we
+    // time its capped 20-round run; a full run would take days), while
+    // the alternating-star algorithm closes it in ~log₂ n rounds. This
+    // row is the direct evidence for the r7 "missing #1" fix.
+    def chainEdges(n: Long): DataFrame =
+      spark.range(n - 1).select($"id".as("u"), ($"id" + lit(1L)).as("v"))
+
     // warmup
     time(aggShape(lineitem))
     val probes = Seq(
@@ -424,15 +453,67 @@ object ScaleProbe {
             graft.queries.SimilarityQueries.normVecsFrom(x10Vecs(embeds))))),
       "cdc_apply_150k_vs_1m5" ->
         (time(cdcApplyShape(ordersCdc)), time(cdcApplyShape(x10Orders(ordersCdc)))),
+      // hot-vs-uniform at the SAME 1.5M envelopes — skew costs nothing
+      // when the combine row is constant-size (ratio ≈ 1)
+      "cdc_apply_hot_key_vs_uniform_1m5" ->
+        (time(cdcApplyShape(x10Orders(ordersCdc))),
+          time(cdcApplyShape(hotOrders(ordersCdc)))),
       "profit_join_600k_vs_6m" ->
         (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
+
+    // ×100 second-decade rows for the five load-bearing shapes: both
+    // per-decade ratios should stay ≤ ~linear (10× with fixed parallelism)
+    val probes100 = Seq(
+      ("agg_600k_6m_60m",
+        time(aggShape(lineitem)), time(aggShape(x10(lineitem))),
+        time(aggShape(x100(lineitem)))),
+      ("minhash_5k_50k_500k",
+        time(minhashShape(docs)), time(minhashShape(x10Distinct(docs))),
+        time(minhashShape(x100Distinct(docs)))),
+      ("simhash_banded_5k_50k_500k",
+        time(simhashBandedShape(docs)),
+        time(simhashBandedShape(x10Distinct(docs))),
+        time(simhashBandedShape(x100Distinct(docs)))),
+      ("cdc_apply_150k_1m5_15m",
+        time(cdcApplyShape(ordersCdc)), time(cdcApplyShape(x10Orders(ordersCdc))),
+        time(cdcApplyShape(x100Orders(ordersCdc)))),
+      ("profit_join_600k_6m_60m",
+        time(profitShape(lineitem)), time(profitShape(x10(lineitem))),
+        time(profitShape(x100(lineitem)))))
+
+    // chain-shaped connected components: rounds + seconds, both algorithms
+    val ccN = 50000L
+    val tTp0 = System.nanoTime()
+    val (tpLabels, tpRounds, tpConv) =
+      graft.operators.Graph.connectedComponentsWithRounds(chainEdges(ccN), 60)
+    val tpSecs = (System.nanoTime() - tTp0) / 1e9
+    val tpOk = tpLabels.filter(tpLabels("lbl") =!= 0L).isEmpty
+    tpLabels.unpersist()
+    val chainSym = chainEdges(ccN)
+    val tMl0 = System.nanoTime()
+    val (mlLabels, mlRounds, mlConv) = graft.operators.Graph
+      .minLabelPropagation(chainSym.unionAll(
+        chainSym.select($"v".as("u"), $"u".as("v"))), maxIter = 20)
+    val mlSecs = (System.nanoTime() - tMl0) / 1e9
+    mlLabels.unpersist()
+
     // probes are strict (Seq, not view): all timing is done — release the
     // persisted profit-join relations before emitting
     Seq(partAll, suppGeoAll, ordersAll).foreach(_.unpersist())
     val qjson = probes.map { case (name, (t1, t10)) =>
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","probes":$qjson,"sf":"$sfDir"}""")
+    val qjson100 = probes100.map { case (name, t1, t10, t100) =>
+      f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"t100x":$t100%.3f,""" +
+        f""""ratio10":${t10 / t1}%.2f,"ratio100":${t100 / t10}%.2f}"""
+    }.mkString("{", ",", "}")
+    val ccjson =
+      f"""{"nodes":$ccN,"twophase_rounds":$tpRounds,""" +
+        f""""twophase_converged":$tpConv,"twophase_correct":$tpOk,""" +
+        f""""twophase_secs":$tpSecs%.3f,"minlabel_rounds":$mlRounds,""" +
+        f""""minlabel_converged":$mlConv,"minlabel_secs":$mlSecs%.3f}"""
+    println(s"""{"metric":"scaleprobe","probes":$qjson,""" +
+      s""""probes100":$qjson100,"cc_chain":$ccjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,4 +23,46 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet == Set(1L, 2L, 3L)) // every node labelled, loop bounded
   }
+
+  test("4096-node chain converges in O(log n) rounds where min-label hits any sane cap") {
+    import spark.implicits._
+    // the adversarial shape (VERDICT r7 missing #1): a template-drift
+    // chain has diameter O(n) — min-label propagation needs n rounds,
+    // alternating stars need ~log n
+    val n = 4096
+    val chain = spark.range(n - 1)
+      .selectExpr("id AS u", "id + 1 AS v")
+    val (labels, rounds, converged) =
+      Graph.connectedComponentsWithRounds(chain, maxIter = 50)
+    assert(converged, s"two-phase did not converge in 50 rounds")
+    assert(rounds <= 16, s"expected ~log2(4096)=12 rounds, got $rounds")
+    val bad = labels.filter(labels("lbl") =!= 0L).count()
+    assert(bad == 0, s"$bad nodes not labelled with the component min (0)")
+    assert(labels.count() == n.toLong)
+    labels.unpersist()
+    // the baseline really does degenerate: 20 rounds cannot close a
+    // 4096-diameter chain
+    val (mlLabels, _, mlConverged) = Graph.minLabelPropagation(chain
+      .union(chain.selectExpr("v AS u", "u AS v")), maxIter = 20)
+    assert(!mlConverged, "min-label should hit the cap on this chain")
+    mlLabels.unpersist()
+  }
+
+  test("two-phase and min-label agree on a random mixed-shape graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: cliques + chains + singleton keys
+    val edges = (0 until 400).flatMap { i =>
+      val a = (i * 2654435761L) % 1000
+      val b = (i * 40503L + 7) % 1000
+      Seq((a, b), (b, a))
+    }.toDF("u", "v")
+    val two = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ml, _, conv) = Graph.minLabelPropagation(edges, maxIter = 200)
+    assert(conv)
+    val mlm = ml.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ml.unpersist()
+    assert(two == mlm,
+      s"disagreement on ${two.toSet.diff(mlm.toSet).take(5)} …")
+  }
 }
