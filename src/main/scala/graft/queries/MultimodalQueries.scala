@@ -12,28 +12,44 @@ import graft.operators.Multimodal
 object MultimodalQueries extends QueryPack {
 
   override def queries: Map[String, Q] = Map(
-    // Schema + stub-decode metadata + resize prefix digest: all Catalyst
-    // builtins over binary (octet_length/substring), codegen'd.
+    // Container-header metadata, REAL for all three kinds (r8 — the last
+    // stub retired): image dims from the PNG decode plus an ACTUAL 2×
+    // nearest-neighbor downscale (dims reported from the resized object),
+    // audio frame count / rate from the WAV header, video frame count /
+    // dims from the GIF demux. The oracle predicts every field from the
+    // id-derived synthesis formulas — producible only by real parses of
+    // real container bytes on the executors.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
-      media.select(
-        $"id", $"kind",
-        octet_length($"media").cast("long").as("n_bytes"),
-        $"meta.width".as("width"), $"meta.height".as("height"),
-        md5(Multimodal.resizeStub($"media", 64)).as("prefix_md5"))
+      val media = Multimodal.mediaAllReal(Tables.load(s, dir, "documents"))
+      Multimodal.extractMeta(media).toDF()
+        .select($"id", $"kind", $"width", $"height", $"frames",
+          $"sample_rate", $"rs_width", $"rs_height")
         .orderBy($"id")
     }),
 
-    // Frame sampling: n byte windows per video; count + first-frame digest.
+    // REAL frame sampling (r8): demux the GIF container, pick 2 evenly-
+    // spaced frames (0 and n/2), report each sampled frame's exact
+    // gray-pixel sum — the keyframe-picking shape of a training pipeline,
+    // with a per-partition demuxer init.
     "q_multimodal_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
-        .filter($"kind" === "video")
-      media.select(
-        $"id",
-        size(Multimodal.frameSample($"media", 4, 16)).cast("long").as("n_frames"),
-        md5(element_at(Multimodal.frameSample($"media", 4, 16), 1)).as("f0_md5"))
+      val media = Multimodal.mediaWithRealVideo(Tables.load(s, dir, "documents"))
+      Multimodal.sampleVideoFrames(media).toDF()
+        .select($"id", $"n_frames", $"s0_pix", $"s1_pix")
+        .orderBy($"id")
+    }),
+
+    // REAL video demux end-to-end (r8): animated-GIF bytes → binary
+    // column → per-partition javax.imageio demux → frame count, dims,
+    // per-frame delay metadata sum, exact all-frame pixel sum. The
+    // oracle re-derives every field from the synthesis formula alone.
+    "q_multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaWithRealVideo(Tables.load(s, dir, "documents"))
+      Multimodal.extractVideoFeatures(media).toDF()
+        .select($"id", $"n_frames", $"width", $"height",
+          $"sum_delay_cs", $"pix_sum")
         .orderBy($"id")
     }),
 
@@ -69,21 +85,46 @@ object MultimodalQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // every field predicted from the id-derived synthesis formulas; the
+    // Spark side may only produce them by parsing real container headers
+    // (PNG dims + resized dims, WAV frames/rate, GIF frames/dims)
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS id,
-           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-           encode(text) AS media, text FROM documents)
-         SELECT id, kind, octet_length(media)::BIGINT AS n_bytes,
-           (octet_length(media) % 640 + 1)::BIGINT AS width,
-           (octet_length(media) % 480 + 1)::BIGINT AS height,
-           md5(left(text, 64)) AS prefix_md5
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind
+         FROM documents)
+         SELECT id, kind,
+           (CASE WHEN kind = 'image' THEN id % 64 + 1
+                 WHEN kind = 'video' THEN id % 32 + 1 END)::BIGINT AS width,
+           (CASE WHEN kind = 'image' THEN id % 48 + 1
+                 WHEN kind = 'video' THEN id % 24 + 1 END)::BIGINT AS height,
+           (CASE WHEN kind = 'audio' THEN id % 400 + 50
+                 WHEN kind = 'video' THEN id % 8 + 2 END)::BIGINT AS frames,
+           (CASE WHEN kind = 'audio' THEN 8000 END)::BIGINT AS sample_rate,
+           (CASE WHEN kind = 'image' THEN (id % 64 + 2) // 2 END)::BIGINT AS rs_width,
+           (CASE WHEN kind = 'image' THEN (id % 48 + 2) // 2 END)::BIGINT AS rs_height
          FROM m ORDER BY id""",
+    // sampled frames 0 and n/2: pixel sum of frame f is
+    // w·h·((id + f·31) mod 256) — integer-exact through the gray palette
     "q_multimodal_frames" ->
-      """WITH m AS (SELECT doc_id AS id, text, octet_length(encode(text)) AS len
-           FROM documents WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video')
-         SELECT id, 4::BIGINT AS n_frames,
-           md5(substring(text, 1, 16)) AS f0_md5
-         FROM m ORDER BY id""",
+      """WITH v AS (SELECT doc_id AS id, doc_id % 8 + 2 AS n,
+           doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
+         FROM documents WHERE doc_id % 3 = 2)
+         SELECT id, n::BIGINT AS n_frames,
+           (w * h * ((id + 0 * 31) % 256))::BIGINT AS s0_pix,
+           (w * h * ((id + (n // 2) * 31) % 256))::BIGINT AS s1_pix
+         FROM v ORDER BY id""",
+    "q_multimodal_video" ->
+      """WITH v AS (SELECT doc_id AS id, doc_id % 8 + 2 AS n,
+           doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h,
+           doc_id % 10 + 1 AS d
+         FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT id, n, w, h, d, unnest(range(0, n)) AS fr FROM v),
+         p AS (SELECT id, n, w, h, d,
+                 w * h * ((id + fr * 31) % 256) AS fs FROM f)
+         SELECT id, n::BIGINT AS n_frames, w::BIGINT AS width,
+           h::BIGINT AS height, (n * d)::BIGINT AS sum_delay_cs,
+           sum(fs)::BIGINT AS pix_sum
+         FROM p GROUP BY id, n, w, h, d ORDER BY id""",
     // image rows: dimensions/channels the oracle derives from the id must
     // equal what the real PNG decode reports; container size and a pixel
     // digest are encoder-dependent → null (not oracle-predictable)

@@ -62,6 +62,71 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gifFor round-trips frame count, dims, per-frame delays, and every pixel") {
+    for (id <- Seq(2L, 5L, 8L, 255L, 4997L)) {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.gifFor(id)))
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      assert(n == (id % 8 + 2).toInt, s"frame count of gif $id")
+      for (f <- 0 until n) {
+        val img = reader.read(f)
+        assert(img.getWidth == (id % 32 + 1).toInt)
+        assert(img.getHeight == (id % 24 + 1).toInt)
+        val v = ((id + f * 31L) % 256L).toInt
+        // indexed gray palette → zero quantization: every pixel exact
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert((img.getRGB(x, y) & 0xFFFFFF) == (v << 16 | v << 8 | v),
+            s"pixel ($x,$y) of frame $f, gif $id corrupted")
+        val root = reader.getImageMetadata(f)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = root.getElementsByTagName("GraphicControlExtension")
+        assert(gce.getLength == 1, s"missing GCE on frame $f of gif $id")
+        assert(gce.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .getAttribute("delayTime").toLong == id % 10 + 1,
+          s"delay of frame $f, gif $id")
+      }
+      iis.close()
+    }
+  }
+
+  test("extractVideoFeatures demuxes real GIFs distributed") {
+    val media = Multimodal.mediaWithRealVideo(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val feats = Multimodal.extractVideoFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val n = f.id % 8 + 2
+      assert(f.n_frames == n)
+      assert(f.width == f.id % 32 + 1 && f.height == f.id % 24 + 1)
+      assert(f.sum_delay_cs == n * (f.id % 10 + 1))
+      val expPix = (0L until n).map(fr =>
+        f.width * f.height * ((f.id + fr * 31L) % 256L)).sum
+      assert(f.pix_sum == expPix, s"pixel sum of video ${f.id}")
+    }
+  }
+
+  test("resizeHalf is a real nearest-neighbor downscale (dims + subsampled pixels)") {
+    val id = 129L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.pngFor(id)))
+    val out = Multimodal.resizeHalf(img)
+    assert(out.getWidth == (img.getWidth + 1) / 2)
+    assert(out.getHeight == (img.getHeight + 1) / 2)
+    // nearest-neighbor: every output pixel is SOME source pixel (no
+    // interpolation blending) — check membership per output row
+    for (y <- 0 until out.getHeight; x <- 0 until out.getWidth) {
+      val px = out.getRGB(x, y) & 0xFFFFFF
+      val srcCandidates = for {
+        sy <- 0 until img.getHeight
+        sx <- 0 until img.getWidth
+      } yield img.getRGB(sx, sy) & 0xFFFFFF
+      assert(srcCandidates.contains(px), s"resized pixel ($x,$y) not from source")
+    }
+  }
+
   test("extractAudioFeatures decodes real WAVs distributed") {
     val media = Multimodal.mediaWithRealAudio(
       graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
