@@ -36,4 +36,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
+
+  /** Bench-headline-only queries, deliberately outside the gate; each has
+    * a hash-checked semantic pin among `queries` (see QueryPack.benchOnly). */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.benchOnly).toMap
 }

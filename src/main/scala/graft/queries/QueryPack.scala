@@ -18,4 +18,10 @@ trait QueryPack {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracleSql: Map[String, String]
+  /** Headline/bench-only queries that deliberately stay OUT of the
+    * correctness gate — each must have a hash-checked semantic pin in
+    * `queries` instead (e.g. the xxhash64 LSH twin, whose pair-set
+    * equality to the md5 pipeline is itself a gate row). Keeping them out
+    * of `queries` keeps the gate free of rows-only entries. */
+  def benchOnly: Map[String, Q] = Map.empty
 }

@@ -589,6 +589,27 @@ object SqlQueries extends QueryPack {
                     ORDER BY n_chars DESC, doc_id) AS rk
          FROM documents QUALIFY rk <= 2 ORDER BY lang, rk;""")),
 
+    // WITH / common table expressions (r8 extension; DuckDB-compatible):
+    // desugared at parse time into aliased FROM-subqueries — chained CTEs
+    // (later referencing earlier) and the full Catalyst pipeline below
+    // them. Identical text on both engines.
+    "q_sql_cte" -> ((s, dir) => run(s, dir,
+      """WITH big AS (SELECT l_orderkey, l_quantity, l_extendedprice
+                      FROM lineitem WHERE l_quantity >= 30),
+              agg AS (SELECT l_orderkey, COUNT(*) AS n,
+                             ROUND(SUM(l_extendedprice), 2) AS rev
+                      FROM big GROUP BY l_orderkey)
+         SELECT l_orderkey, n, rev FROM agg WHERE n >= 3
+         ORDER BY l_orderkey;""")),
+
+    // one CTE referenced TWICE — in the FROM clause and inside a scalar
+    // subquery (each reference expands to its own subtree; Catalyst's
+    // subquery/exchange reuse dedups the work where profitable)
+    "q_sql_cte_twice" -> ((s, dir) => run(s, dir,
+      """WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+         SELECT lang, n FROM s WHERE n < (SELECT MAX(n) FROM s)
+         ORDER BY lang;""")),
+
     // QUALIFY evaluation ORDER (ADVICE r7): windows compute FIRST over the
     // whole post-WHERE relation, THEN the filter — so the select-list SUM
     // aggregates the full language partition (not the survivors) and
@@ -1043,6 +1064,18 @@ object SqlQueries extends QueryPack {
                 ROW_NUMBER() OVER (PARTITION BY lang
                     ORDER BY n_chars DESC, doc_id) AS rk
          FROM documents QUALIFY rk <= 2 ORDER BY lang, rk""",
+    "q_sql_cte" ->
+      """WITH big AS (SELECT l_orderkey, l_quantity, l_extendedprice
+                      FROM lineitem WHERE l_quantity >= 30),
+              agg AS (SELECT l_orderkey, COUNT(*) AS n,
+                             ROUND(SUM(l_extendedprice), 2) AS rev
+                      FROM big GROUP BY l_orderkey)
+         SELECT l_orderkey, n, rev FROM agg WHERE n >= 3
+         ORDER BY l_orderkey""",
+    "q_sql_cte_twice" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+         SELECT lang, n FROM s WHERE n < (SELECT MAX(n) FROM s)
+         ORDER BY lang""",
     "q_sql_qualify_order" ->
       """SELECT doc_id, lang, n_chars,
                 SUM(n_chars * 1.0) OVER (PARTITION BY lang) AS lang_chars,

@@ -20,6 +20,49 @@ object Parser {
 
   def parseExpr(s: String): Expr = new Parser(Lexer.tokenize(s)).fullExpr()
 
+  // ---- CTE desugaring (WITH name AS (…)) -----------------------------------
+  // Each CTE reference becomes an aliased FROM-subquery; references inside
+  // expression subqueries (IN/EXISTS/scalar) substitute too. Names compare
+  // case-insensitively (the resolver's default), CTEs shadow real tables.
+
+  private[sql] def substCtes(q: Query, m: Map[String, Query]): Query =
+    if (m.isEmpty) q else q match {
+      case s: Select => s.copy(
+        items = s.items.map {
+          case ItemExpr(e, a) => ItemExpr(substCteExpr(e, m), a)
+          case other => other
+        },
+        from = substCteRef(s.from, m),
+        where = s.where.map(substCteExpr(_, m)),
+        having = s.having.map(substCteExpr(_, m)),
+        qualify = s.qualify.map(substCteExpr(_, m)),
+        orderBy = s.orderBy.map(o => o.copy(e = substCteExpr(o.e, m))))
+      case so: SetOp => so.copy(l = substCtes(so.l, m), r = substCtes(so.r, m))
+    }
+
+  private def substCteRef(r: TableRef, m: Map[String, Query]): TableRef = r match {
+    case TRStream(n) if m.contains(n.toLowerCase) =>
+      TRAlias(TRSubquery(m(n.toLowerCase)), n)
+    case TRAlias(i, a) => TRAlias(substCteRef(i, m), a)
+    case TRWindowed(i, w) => TRWindowed(substCteRef(i, m), w)
+    case TRFlatten(i, e, a) => TRFlatten(substCteRef(i, m), substCteExpr(e, m), a)
+    case TRJoin(l, rr, jt, c, w) =>
+      val c2 = c match {
+        case On(e) => On(substCteExpr(e, m))
+        case other => other
+      }
+      TRJoin(substCteRef(l, m), substCteRef(rr, m), jt, c2, w)
+    case TRSubquery(q) => TRSubquery(substCtes(q, m))
+    case other => other
+  }
+
+  private def substCteExpr(e: Expr, m: Map[String, Query]): Expr =
+    Translate.rewriteExpr(e) {
+      case InSub(x, q, n) => InSub(substCteExpr(x, m), substCtes(q, m), n)
+      case ExistsSub(q) => ExistsSub(substCtes(q, m))
+      case ScalarSub(q) => ScalarSub(substCtes(q, m))
+    }
+
   // ---- lexer ---------------------------------------------------------------
 
   sealed trait Tok { def text: String }
@@ -135,7 +178,7 @@ object Parser {
 
     def statement(): Stmt = {
       val s = kwPeek match {
-        case "SELECT" | "(" => SelectStmt(query())
+        case "SELECT" | "(" | "WITH" => SelectStmt(query())
         case "CREATE" => create()
         case "INSERT" => insert()
         case "SHOW" => next(); val w = kwPeek; next(); Show(w)
@@ -161,7 +204,7 @@ object Parser {
     }
 
     private def statementNoSemi(): Stmt = kwPeek match {
-      case "SELECT" | "(" => SelectStmt(query())
+      case "SELECT" | "(" | "WITH" => SelectStmt(query())
       case "CREATE" => create()
       case k => throw new IllegalArgumentException(s"EXPLAIN does not support: $k")
     }
@@ -236,6 +279,24 @@ object Parser {
       * (standard precedence); trailing ORDER BY / LIMIT / EMIT CHANGES
       * bind to the WHOLE tree, not the last branch. */
     def query(): Query = {
+      // WITH name AS (query) [, …] — common table expressions (dialect
+      // EXTENSION; DuckDB-compatible). Pure sugar: each reference expands
+      // to a FROM-subquery at parse time, so Validate/TypeCheck/Translate
+      // see the already-desugared tree (Catalyst dedups the repeated
+      // subtrees via exchange/subquery reuse where profitable). A CTE may
+      // reference earlier CTEs; inner queries' own WITH clauses resolve
+      // first (natural shadowing), and CTE names shadow real tables.
+      val ctes: Seq[(String, Query)] =
+        if (isKw("WITH")) {
+          next()
+          val b = Seq.newBuilder[(String, Query)]
+          do {
+            val n = ident(); expect("AS"); expect("(")
+            val cq = query(); expect(")")
+            b += ((n, cq))
+          } while (accept(","))
+          b.result()
+        } else Nil
       var l = intersectChain()
       var done = false
       while (!done) kwPeek match {
@@ -249,19 +310,29 @@ object Parser {
       // clauses may not REPLACE inner ones (standard SQL would apply them
       // over the inner result — direct users through a FROM-subquery
       // rather than silently dropping either set)
-      if (ob.isEmpty && lim.isEmpty && off.isEmpty && !emit) l
-      else {
-        require(l.orderBy.isEmpty && l.limit.isEmpty && l.offset.isEmpty &&
-          !l.emitChanges,
-          "both the parenthesized query and the outer query carry " +
-            "ORDER BY/LIMIT/EMIT CHANGES; put the inner query in a " +
-            "FROM-subquery instead")
-        l match {
-          case s: Select =>
-            s.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
-          case so: SetOp =>
-            so.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
+      val q0 =
+        if (ob.isEmpty && lim.isEmpty && off.isEmpty && !emit) l
+        else {
+          require(l.orderBy.isEmpty && l.limit.isEmpty && l.offset.isEmpty &&
+            !l.emitChanges,
+            "both the parenthesized query and the outer query carry " +
+              "ORDER BY/LIMIT/EMIT CHANGES; put the inner query in a " +
+              "FROM-subquery instead")
+          l match {
+            case s: Select =>
+              s.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
+            case so: SetOp =>
+              so.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
+          }
         }
+      if (ctes.isEmpty) q0
+      else {
+        // earlier CTEs substitute into later CTE bodies, then all into the
+        // main query — left-to-right scope, standard SQL
+        val resolved = ctes.foldLeft(Map.empty[String, Query]) {
+          case (acc, (n, cq)) => acc + (n.toLowerCase -> Parser.substCtes(cq, acc))
+        }
+        Parser.substCtes(q0, resolved)
       }
     }
 

@@ -742,6 +742,93 @@ object StreamOps {
       .toDF("doc_id", "owner_id", "band")
   }
 
+  /** Streaming cohort RETENTION: the event-time form of the batch
+    * q_events_retention — per key, cohort day = the day of its FIRST
+    * event, and one (key, cohort_day, day_offset) row per distinct
+    * (key, active day), emitted exactly once; `count(1)` per
+    * (cohort_day, day_offset) downstream is then exactly the batch
+    * count_distinct. Incremental correctness under out-of-order arrival:
+    *   - the cohort day is tentative (min of days seen) until the
+    *     WATERMARK passes its day start — after that any event with an
+    *     earlier day is late by definition, so the cohort is final and
+    *     held-back rows flush (via input or event-time TIMEOUT);
+    *   - once the cohort is final, later active days emit immediately on
+    *     first sight; per-(key, day) dedup entries are TRIMMED as soon as
+    *     the watermark passes the day's end (a duplicate of that day can
+    *     no longer arrive), so live state per key is the cohort day plus
+    *     only the days still inside the watermark horizon — bounded, the
+    *     asofEnrich class. The cohort day itself persists for the
+    *     analysis horizon (offsets of future days need it) — a real
+    *     deployment bounds that with stream retention (DURATION), same as
+    *     the reference's stream-retention knob.
+    * Output: (key, cohort_day DATE, day_offset). */
+  def retention(events: DataFrame, key: String, ts: String,
+                grace: String = DefaultGrace): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dayMicros = 86400000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def epochDay(t: java.sql.Timestamp): Long =
+      Math.floorDiv(micros(t), dayMicros)
+    val keyField = events.schema(key)
+    val stateSchema = StructType(Seq(
+      StructField("cohort", LongType),          // epoch day, final or tentative
+      StructField("pending", ArrayType(LongType)), // days held for finality
+      StructField("emitted", ArrayType(LongType)))) // dedup, watermark-trimmed
+    val outSchema = StructType(Seq(keyField,
+      StructField("cohort_day", DateType, nullable = false),
+      StructField("day_offset", LongType, nullable = false)))
+    val typed = events
+      .withWatermark(ts, grace)
+      .select(col(key).as("__k"), col(ts).as("__t"))
+    val keyEnc = Encoders.row(StructType(Seq(typed.schema(0))))
+    typed.groupByKey((r: Row) => Row(r.get(0)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          var (cohort, pending, emitted) = state.getOption match {
+            case Some(s) => (Option(s.get(0)).map(_ => s.getLong(0)),
+              Option(s.getSeq[Long](1)).getOrElse(Seq.empty).toSet,
+              Option(s.getSeq[Long](2)).getOrElse(Seq.empty).toSet)
+            case None => (None: Option[Long], Set.empty[Long], Set.empty[Long])
+          }
+          rows.foreach { r =>
+            val d = epochDay(r.getAs[java.sql.Timestamp](1))
+            if (!emitted.contains(d)) pending += d
+            cohort = Some(cohort.fold(d)(math.min(_, d)))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val out = Vector.newBuilder[Row]
+          cohort.foreach { c =>
+            if (wmMs >= c * 86400000L) {
+              // final: nothing earlier than day c can still arrive
+              pending.toSeq.sorted.foreach { d =>
+                if (!emitted.contains(d)) {
+                  // valueOf(LocalDate) and Catalyst's fromJavaDate use the
+                  // same default zone — inverse ops, day value exact
+                  out += Row(k.get(0),
+                    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(c)),
+                    d - c)
+                  emitted += d
+                }
+              }
+              pending = Set.empty
+            } else
+              // hold until the watermark finalizes the cohort day
+              state.setTimeoutTimestamp(
+                math.max(c * 86400000L, wmMs + 1))
+          }
+          // trim dedup entries the watermark has sealed (no duplicate of
+          // that day can arrive any more)
+          emitted = emitted.filter(d => (d + 1) * 86400000L >= wmMs)
+          state.update(Row(cohort.map(Long.box).orNull,
+            pending.toSeq.sorted, emitted.toSeq.sorted))
+          out.result().iterator
+      }(Encoders.row(stateSchema), Encoders.row(outSchema))
+      .toDF(key, "cohort_day", "day_offset")
+  }
+
   /** Streaming FUNNEL: per key, the first occurrence of step 1, then the
     * first step-2 event within `stepWindow` after it, then step 3 after
     * that — the event-time form of the batch q_events_funnel (chained

@@ -1,0 +1,68 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** WITH (common table expressions) — r8 dialect extension, desugared at
+  * parse time into aliased FROM-subqueries (CTE references inside
+  * expression subqueries substitute too; left-to-right CTE scope). */
+class CteSpec extends SparkSpec {
+
+  private lazy val e = new SqlEngine(spark)
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L), ("b", 4L, 7L),
+      ("c", 5L, 50L)).toDF("k", "i", "v")
+      .createOrReplaceTempView("cte_t")
+  }
+
+  test("single CTE feeds the main query") {
+    setup()
+    val got = e.batch(
+      """WITH big AS (SELECT k, v FROM cte_t WHERE v >= 10)
+         SELECT k, COUNT(*) AS n FROM big GROUP BY k ORDER BY k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 2L), ("c", 1L)))
+  }
+
+  test("later CTE references an earlier one; main query references the last") {
+    setup()
+    val got = e.batch(
+      """WITH big AS (SELECT k, v FROM cte_t WHERE v >= 10),
+              agg AS (SELECT k, SUM(v) AS s FROM big GROUP BY k)
+         SELECT k, s FROM agg WHERE s > 20 ORDER BY k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 30L), ("c", 50L)))
+  }
+
+  test("a CTE referenced twice (join + scalar subquery)") {
+    setup()
+    val got = e.batch(
+      """WITH s AS (SELECT k, COUNT(*) AS n FROM cte_t GROUP BY k)
+         SELECT k, n FROM s WHERE n < (SELECT MAX(n) FROM s) ORDER BY k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("c", 1L))) // a and b have the max (2)
+  }
+
+  test("CTE name shadows the real table; its own body still sees the table") {
+    setup()
+    // non-recursive scope: inside the CTE body, cte_t is the REAL table
+    // (only earlier CTEs substitute); outside, the CTE shadows it
+    val got = e.batch(
+      """WITH cte_t AS (SELECT k, i + 100 AS i FROM cte_t WHERE k = 'a')
+         SELECT k, i FROM cte_t ORDER BY i;""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 101L), ("a", 102L)))
+  }
+
+  test("CTE works under EXISTS and in a view-style CSAS parse") {
+    setup()
+    val got = e.batch(
+      """WITH buyers AS (SELECT k FROM cte_t WHERE v >= 20)
+         SELECT k, i FROM cte_t AS o
+         WHERE EXISTS (SELECT 1 FROM buyers WHERE buyers.k = o.k)
+         ORDER BY i;""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 1L), ("a", 2L), ("c", 5L)))
+  }
+}

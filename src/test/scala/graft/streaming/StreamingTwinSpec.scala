@@ -159,6 +159,38 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming retention twin (first-seen cohort state) == oracle'd q_events_retention") {
+    import spark.implicits._
+    val (dir, s) = staged("events")
+    // Spark's conservative global-watermark check flags ANY stateful agg
+    // downstream of flatMapGroupsWithState (cohort rows finalize exactly
+    // when the watermark passes them, so they are "late" by construction).
+    // The downstream agg here is UNWATERMARKED update-mode — it never
+    // discards late rows, so the flagged risk cannot occur; disabling the
+    // check is the documented escape hatch for exactly this shape.
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // retention emits one row per distinct (user, day), exactly once, so
+    // count(1) downstream IS the batch count_distinct(user)
+    val q = try drain(
+      StreamOps.retention(s, "user_id", "ts")
+        .filter($"user_id" =!= -1L) // sentinel user never reaches the agg
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users")),
+      "update", "tw_retention")
+    finally spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    appendSentinel(dir) // watermark past every real day → cohorts finalize
+    q.processAllAvailable()
+    val got = spark.table("tw_retention")
+      .orderBy("cohort_day", "day_offset").collect().toSeq
+    val batchRows = batch("q_events_retention")
+    assert(got == batchRows,
+      s"streaming retention != batch twin (got ${got.size}, want ${batchRows.size})")
+    assert(got.exists(_.getLong(1) > 0L), "no cohort re-activated on a later day")
+    q.stop()
+  }
+
   test("streaming funnel twin (event-time state + timeouts) == oracle'd q_events_funnel") {
     val (dir, s) = staged("events")
     val q = drain(StreamOps.funnel(s, "user_id", "event_type", "ts",
