@@ -320,6 +320,43 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, "video", gifFor(id))))
   }
 
+  /** Exact gray-pixel sum of a decoded frame. Indexed frames (every GIF)
+    * read raw palette indices from the raster and map through the color
+    * table — one array lookup per pixel instead of a per-pixel getRGB
+    * colormodel conversion (≈5-10× on the demux hot path); non-indexed
+    * frames fall back to getRGB. */
+  private def frameGraySum(img: java.awt.image.BufferedImage): Long = {
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val reds = new Array[Byte](icm.getMapSize)
+        icm.getReds(reds)
+        val raster = img.getRaster
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += reds(raster.getSample(x, y, 0)) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        s
+      case _ =>
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += (img.getRGB(x, y) >> 16) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        s
+    }
+  }
+
   /** Demuxed-video features: every field reproducible from the decoded
     * container alone — frame count from the demux, dims from frame 0,
     * delay sum from the per-frame GraphicControlExtension metadata, and
@@ -349,15 +386,7 @@ object Multimodal {
         while (i < n) {
           val img = reader.read(i)
           w = img.getWidth.toLong; h = img.getHeight.toLong
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              pix += (img.getRGB(x, y) >> 16) & 0xFF // red = the gray value
-              x += 1
-            }
-            y += 1
-          }
+          pix += frameGraySum(img)
           val meta = reader.getImageMetadata(i)
           val root = meta.getAsTree("javax_imageio_gif_image_1.0")
             .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
@@ -383,24 +412,13 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      def frameSum(img: java.awt.image.BufferedImage): Long = {
-        var s = 0L; var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            s += (img.getRGB(x, y) >> 16) & 0xFF; x += 1
-          }
-          y += 1
-        }
-        s
-      }
       rows.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
         val out = FrameSamples(r.id, n.toLong,
-          frameSum(reader.read(0)), frameSum(reader.read(n / 2)))
+          frameGraySum(reader.read(0)), frameGraySum(reader.read(n / 2)))
         iis.close()
         out
       }

@@ -602,6 +602,31 @@ object SqlQueries extends QueryPack {
          SELECT l_orderkey, n, rev FROM agg WHERE n >= 3
          ORDER BY l_orderkey;""")),
 
+    // WITH RECURSIVE (r8 extension): iterative fixpoint tables, planned
+    // as a driver-orchestrated loop of distributed steps with semi-naive
+    // evaluation (the recursive reference is the previous round's DELTA
+    // under UNION) and per-round lineage truncation — the same shape as
+    // Graph.connectedComponents. Identical text on both engines.
+    "q_sql_recursive_series" -> ((s, dir) => run(s, dir,
+      """WITH RECURSIVE t AS (
+           SELECT 0 AS i FROM region WHERE r_regionkey = 0
+           UNION ALL
+           SELECT i + 1 AS i FROM t WHERE i < 10)
+         SELECT i FROM t ORDER BY i;""")),
+
+    // transitive closure over a derived 13-node chain, UNION (set)
+    // semantics: the seen-set dedup is what guarantees termination
+    "q_sql_recursive_paths" -> ((s, dir) => run(s, dir,
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, n_nationkey + 1 AS dst
+           FROM nation WHERE n_nationkey < 12),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src AS src, e2.dst AS dst
+           FROM reach AS r JOIN e AS e2 ON r.dst = e2.src)
+         SELECT src, dst FROM reach ORDER BY src, dst;""")),
+
     // one CTE referenced TWICE — in the FROM clause and inside a scalar
     // subquery (each reference expands to its own subtree; Catalyst's
     // subquery/exchange reuse dedups the work where profitable)
@@ -1076,6 +1101,22 @@ object SqlQueries extends QueryPack {
       """WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
          SELECT lang, n FROM s WHERE n < (SELECT MAX(n) FROM s)
          ORDER BY lang""",
+    "q_sql_recursive_series" ->
+      """WITH RECURSIVE t AS (
+           SELECT 0 AS i FROM region WHERE r_regionkey = 0
+           UNION ALL
+           SELECT i + 1 AS i FROM t WHERE i < 10)
+         SELECT i FROM t ORDER BY i""",
+    "q_sql_recursive_paths" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, n_nationkey + 1 AS dst
+           FROM nation WHERE n_nationkey < 12),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src AS src, e2.dst AS dst
+           FROM reach AS r JOIN e AS e2 ON r.dst = e2.src)
+         SELECT src, dst FROM reach ORDER BY src, dst""",
     "q_sql_qualify_order" ->
       """SELECT doc_id, lang, n_chars,
                 SUM(n_chars * 1.0) OVER (PARTITION BY lang) AS lang_chars,

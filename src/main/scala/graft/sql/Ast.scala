@@ -120,6 +120,16 @@ object Ast {
     * alongside the input row; the dialect form of explode/UNNEST. Works
     * on streams too (a continuous tokenizer). */
   case class TRFlatten(inner: TableRef, e: Expr, alias: String) extends TableRef
+  /** WITH RECURSIVE name AS (base UNION [ALL] step) — iterative fixpoint
+    * table (dialect EXTENSION; batch/pull only). `step` references `name`
+    * as the previous round's FRONTIER (UNION: rows not seen before;
+    * UNION ALL: all of the previous round's rows) — the standard
+    * semi-naive evaluation. Planned as a driver-orchestrated loop of
+    * distributed steps with per-round lineage truncation (the Graph
+    * connected-components shape). */
+  case class TRRecursive(name: String, base: Query, step: Query,
+                         unionAll: Boolean) extends TableRef
+
   sealed trait JoinCond
   case class On(expr: Expr) extends JoinCond
   case class Using(cols: Seq[String]) extends JoinCond

@@ -25,7 +25,7 @@ object Parser {
   // expression subqueries (IN/EXISTS/scalar) substitute too. Names compare
   // case-insensitively (the resolver's default), CTEs shadow real tables.
 
-  private[sql] def substCtes(q: Query, m: Map[String, Query]): Query =
+  private[sql] def substCtes(q: Query, m: Map[String, TableRef]): Query =
     if (m.isEmpty) q else q match {
       case s: Select => s.copy(
         items = s.items.map {
@@ -40,9 +40,11 @@ object Parser {
       case so: SetOp => so.copy(l = substCtes(so.l, m), r = substCtes(so.r, m))
     }
 
-  private def substCteRef(r: TableRef, m: Map[String, Query]): TableRef = r match {
+  private def substCteRef(r: TableRef, m: Map[String, TableRef]): TableRef = r match {
+    // replacement is VERBATIM — never re-walked, so a CTE body resolved
+    // against its (earlier-names-only) scope can't capture later names
     case TRStream(n) if m.contains(n.toLowerCase) =>
-      TRAlias(TRSubquery(m(n.toLowerCase)), n)
+      TRAlias(m(n.toLowerCase), n)
     case TRAlias(i, a) => TRAlias(substCteRef(i, m), a)
     case TRWindowed(i, w) => TRWindowed(substCteRef(i, m), w)
     case TRFlatten(i, e, a) => TRFlatten(substCteRef(i, m), substCteExpr(e, m), a)
@@ -53,15 +55,37 @@ object Parser {
       }
       TRJoin(substCteRef(l, m), substCteRef(rr, m), jt, c2, w)
     case TRSubquery(q) => TRSubquery(substCtes(q, m))
+    // an inner query's recursive table: outer names are in scope inside
+    // its base/step, EXCEPT the table's own name (the self-reference)
+    case TRRecursive(n, b, st, all) =>
+      val m2 = m - n.toLowerCase
+      TRRecursive(n, substCtes(b, m2), substCtes(st, m2), all)
     case other => other
   }
 
-  private def substCteExpr(e: Expr, m: Map[String, Query]): Expr =
+  private def substCteExpr(e: Expr, m: Map[String, TableRef]): Expr =
     Translate.rewriteExpr(e) {
       case InSub(x, q, n) => InSub(substCteExpr(x, m), substCtes(q, m), n)
       case ExistsSub(q) => ExistsSub(substCtes(q, m))
       case ScalarSub(q) => ScalarSub(substCtes(q, m))
     }
+
+  /** Does this query's FROM tree reference `name` (the recursion probe)? */
+  private def refsName(q: Query, name: String): Boolean = {
+    def refR(r: TableRef): Boolean = r match {
+      case TRStream(n) => n.equalsIgnoreCase(name)
+      case TRAlias(i, _) => refR(i)
+      case TRWindowed(i, _) => refR(i)
+      case TRFlatten(i, _, _) => refR(i)
+      case TRJoin(l, rr, _, _, _) => refR(l) || refR(rr)
+      case TRSubquery(sub) => refsName(sub, name)
+      case TRRecursive(_, b, st, _) => refsName(b, name) || refsName(st, name)
+    }
+    q match {
+      case s: Select => refR(s.from)
+      case so: SetOp => refsName(so.l, name) || refsName(so.r, name)
+    }
+  }
 
   // ---- lexer ---------------------------------------------------------------
 
@@ -286,17 +310,21 @@ object Parser {
       // subtrees via exchange/subquery reuse where profitable). A CTE may
       // reference earlier CTEs; inner queries' own WITH clauses resolve
       // first (natural shadowing), and CTE names shadow real tables.
-      val ctes: Seq[(String, Query)] =
+      val (recursive, ctes: Seq[(String, Query)]) =
         if (isKw("WITH")) {
           next()
+          // WITH RECURSIVE (extension): the keyword marks the clause;
+          // a CTE whose body is `base UNION [ALL] step-referencing-self`
+          // becomes an iterative fixpoint table (TRRecursive)
+          val rec = accept("RECURSIVE")
           val b = Seq.newBuilder[(String, Query)]
           do {
             val n = ident(); expect("AS"); expect("(")
             val cq = query(); expect(")")
             b += ((n, cq))
           } while (accept(","))
-          b.result()
-        } else Nil
+          (rec, b.result())
+        } else (false, Nil)
       var l = intersectChain()
       var done = false
       while (!done) kwPeek match {
@@ -329,8 +357,24 @@ object Parser {
       else {
         // earlier CTEs substitute into later CTE bodies, then all into the
         // main query — left-to-right scope, standard SQL
-        val resolved = ctes.foldLeft(Map.empty[String, Query]) {
-          case (acc, (n, cq)) => acc + (n.toLowerCase -> Parser.substCtes(cq, acc))
+        val resolved = ctes.foldLeft(Map.empty[String, TableRef]) {
+          case (acc, (n, cq)) =>
+            val body = Parser.substCtes(cq, acc)
+            val ref: TableRef = body match {
+              case SetOp("union", all, lq, rq, Nil, None, false, None)
+                  if recursive && Parser.refsName(rq, n) =>
+                require(!Parser.refsName(lq, n),
+                  s"WITH RECURSIVE $n: the recursive reference must be in " +
+                    "the SECOND union branch (base UNION [ALL] step)")
+                TRRecursive(n, lq, rq, all)
+              case other =>
+                require(!recursive || !Parser.refsName(other, n),
+                  s"WITH RECURSIVE $n: a self-referencing CTE body must " +
+                    "be exactly `base UNION [ALL] step` with no trailing " +
+                    "ORDER BY/LIMIT")
+                TRSubquery(other)
+            }
+            acc + (n.toLowerCase -> ref)
         }
         Parser.substCtes(q0, resolved)
       }

@@ -398,6 +398,7 @@ class SqlEngine(spark: SparkSession) {
       case TRFlatten(i, _, _) => streamsOf(i)
       case TRJoin(l, r, _, _, _) => streamsOf(l) ++ streamsOf(r)
       case TRSubquery(s) => qStreamsOf(s)
+      case TRRecursive(_, b, st, _) => qStreamsOf(b) ++ qStreamsOf(st)
     }
     def qStreamsOf(q: Query): Seq[String] = q match {
       case s: Select => streamsOf(s.from)

@@ -634,6 +634,55 @@ object Translate {
       }
       Source(s.df.withColumn(alias, explode(column(e, res))), s.window)
     case j: TRJoin => Source(planJoin(j, lookup, declared), None)
+    case r: TRRecursive => Source(planRecursive(r, lookup, declared), None)
+  }
+
+  /** WITH RECURSIVE fixpoint loop — semi-naive evaluation: the recursive
+    * reference inside `step` resolves to the previous round's FRONTIER
+    * (UNION: only rows never seen before, the delta; UNION ALL: the full
+    * previous round), each round is pure distributed joins/aggs, and the
+    * driver only orchestrates (the Graph.connectedComponents shape,
+    * including the per-round localCheckpoint that keeps the iterative
+    * logical plan from growing without bound). Batch/pull only.
+    *
+    * Termination: frontier empty. UNION queries terminate on any finite
+    * domain (the accumulated set grows monotonically); UNION ALL loops
+    * are the standard footgun — both are capped at `maxRecursionRounds`
+    * and FAIL LOUDLY at the cap (silent truncation would be a wrong
+    * answer, not a slow one). */
+  private val maxRecursionRounds = 200
+
+  private def planRecursive(r: TRRecursive, lookup: Lookup,
+                            declared: DeclaredTypes): DataFrame = {
+    val baseDf = plan(r.base, lookup, declared = declared)
+    require(!baseDf.isStreaming,
+      "WITH RECURSIVE is batch/pull only (a fixpoint over an unbounded " +
+        "stream is undefined)")
+    var acc = (if (r.unionAll) baseDf else baseDf.distinct())
+      .localCheckpoint(true)
+    var frontier = acc
+    var iter = 0
+    while (!frontier.isEmpty && iter < maxRecursionRounds) {
+      val stepLookup: Lookup = nm =>
+        if (nm.equalsIgnoreCase(r.name)) frontier else lookup(nm)
+      val next0 = plan(r.step, stepLookup, declared = declared)
+      require(next0.columns.length == acc.columns.length,
+        s"WITH RECURSIVE ${r.name}: step produces ${next0.columns.length} " +
+          s"columns, base produced ${acc.columns.length}")
+      // positional union (standard SQL) — align step names to base names
+      val next = next0.toDF(acc.columns.toIndexedSeq: _*)
+      frontier =
+        (if (r.unionAll) next else next.distinct().exceptAll(acc))
+          .localCheckpoint(true)
+      if (!frontier.isEmpty)
+        acc = acc.unionAll(frontier).localCheckpoint(true)
+      iter += 1
+    }
+    require(frontier.isEmpty,
+      s"WITH RECURSIVE ${r.name}: no fixpoint after $maxRecursionRounds " +
+        "rounds" + (if (r.unionAll) " — UNION ALL recursions must " +
+        "terminate by construction; use UNION for set semantics" else ""))
+    acc
   }
 
   private def planJoin(j: TRJoin, lookup: Lookup,
@@ -921,6 +970,7 @@ object Translate {
       case TRFlatten(inner, _, _) => dialectTypes(inner, declared)
       case TRJoin(l, r, _, _, _) =>
         dialectTypes(l, declared) ++ dialectTypes(r, declared)
+      case TRRecursive(_, base, _, _) => qTypes(base, declared) // base names win
       case TRStream(n) => declared(n)
     }
 
@@ -947,6 +997,7 @@ object Translate {
   private def refAlias(r: TableRef): String = r match {
     case TRStream(n) => n
     case TRAlias(_, a) => a
+    case TRRecursive(n, _, _, _) => n
     case TRWindowed(i, _) => refAlias(i)
     case TRFlatten(i, _, _) => refAlias(i)
     case j: TRJoin => refAlias(j.l)

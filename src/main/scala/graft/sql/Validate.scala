@@ -337,6 +337,15 @@ object Validate {
   private def checkFrom(ref: TableRef, inJoin: Boolean, continuous: Boolean): Unit = ref match {
     case TRStream(_) => ()
     case TRSubquery(s) => checkQuery(s, continuous, top = false)
+    case TRRecursive(name, base, step, _) =>
+      // a fixpoint over an unbounded stream is undefined — same gate as
+      // ORDER BY; base and step are ordinary batch queries
+      if (continuous)
+        fail(s"WITH RECURSIVE ($name) is not supported in continuous " +
+          "queries (EMIT CHANGES / CREATE STREAM AS / CREATE VIEW / " +
+          "INSERT-SELECT) — use a batch/pull SELECT")
+      checkQuery(base, continuous = false, top = false)
+      checkQuery(step, continuous = false, top = false)
     case TRAlias(inner, _) => checkFrom(inner, inJoin, continuous)
     case TRFlatten(inner, e, _) =>
       checkExpr(e, aggAllowed = false, where = "FLATTEN")

@@ -55,6 +55,52 @@ class CteSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 101L), ("a", 102L)))
   }
 
+  test("WITH RECURSIVE (UNION ALL): bounded series generation") {
+    setup()
+    val got = e.batch(
+      """WITH RECURSIVE nums AS (
+           SELECT 1 AS n FROM cte_t WHERE i = 1
+           UNION ALL
+           SELECT n + 1 AS n FROM nums WHERE n < 5)
+         SELECT n FROM nums ORDER BY n;""")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("WITH RECURSIVE (UNION): transitive closure terminates on a CYCLE") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .createOrReplaceTempView("cyc_edges")
+    // 1→2→3→1: UNION's seen-set dedup reaches the fixpoint {1,2,3}
+    // despite the cycle (UNION ALL would loop forever — capped + loud)
+    val got = e.batch(
+      """WITH RECURSIVE reach AS (
+           SELECT dst FROM cyc_edges WHERE src = 1
+           UNION
+           SELECT e.dst AS dst FROM reach AS r
+           JOIN cyc_edges AS e ON r.dst = e.src)
+         SELECT dst FROM reach ORDER BY dst;""")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("WITH RECURSIVE rejections: continuous queries; self-ref outside union step") {
+    setup()
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.sql(sql) match { case r: Object => r })
+      assert(ex.getMessage != null && ex.getMessage.toLowerCase
+        .contains(frag.toLowerCase), s"message for [$sql]: ${ex.getMessage}")
+    }
+    rejects(
+      """WITH RECURSIVE nums AS (
+           SELECT 1 AS n FROM cte_t UNION ALL
+           SELECT n + 1 AS n FROM nums WHERE n < 5)
+         SELECT n FROM nums EMIT CHANGES;""", "continuous")
+    rejects(
+      """WITH RECURSIVE nums AS (SELECT i FROM nums)
+         SELECT i FROM nums;""", "base UNION")
+  }
+
   test("CTE works under EXISTS and in a view-style CSAS parse") {
     setup()
     val got = e.batch(
