@@ -473,6 +473,23 @@ object SqlQueries extends QueryPack {
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)
          ORDER BY o_orderkey;""")),
 
+    // CORRELATED scalar subqueries (r8 extension): decorrelated into ONE
+    // per-key aggregation + a left join — never per-row re-execution.
+    // COUNT over an empty group is 0 (the naive-decorrelation bug, fixed
+    // by coalesce); MAX keeps NULL for unmatched keys. Identical text.
+    "q_sql_corr_scalar" -> ((s, dir) => run(s, dir,
+      """SELECT c_custkey,
+                (SELECT COUNT(*) FROM orders AS o
+                 WHERE o.o_custkey = c_custkey) AS n_orders
+         FROM customer ORDER BY c_custkey;""")),
+
+    "q_sql_corr_scalar_max" -> ((s, dir) => run(s, dir,
+      """SELECT c_custkey,
+                (SELECT MAX(o_totalprice) FROM orders AS o
+                 WHERE o.o_custkey = c_custkey
+                   AND o.o_totalprice > 100000.0) AS max_big
+         FROM customer ORDER BY c_custkey;""")),
+
     // GROUP BY CUBE: every subset of the grouping columns in ONE shuffle
     // (4 levels here). Same GROUPING_ID()/coalesce conventions as the
     // ROLLUP gate; the CUBE-only level (source alone) is the new coverage.
@@ -1018,6 +1035,17 @@ object SqlQueries extends QueryPack {
                 o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
          FROM orders
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_sql_corr_scalar" ->
+      """SELECT c_custkey,
+                (SELECT COUNT(*) FROM orders AS o
+                 WHERE o.o_custkey = c_custkey) AS n_orders
+         FROM customer ORDER BY c_custkey""",
+    "q_sql_corr_scalar_max" ->
+      """SELECT c_custkey,
+                (SELECT MAX(o_totalprice) FROM orders AS o
+                 WHERE o.o_custkey = c_custkey
+                   AND o.o_totalprice > 100000.0) AS max_big
+         FROM customer ORDER BY c_custkey""",
     "q_sql_cube" ->
       """SELECT grouping(lang, source)::BIGINT AS gid,
          coalesce(lang, '<ALL>') AS lang2,

@@ -1632,15 +1632,7 @@ object Translate {
           "FROM-subquery and compare outside, or move the test to WHERE")
     val names = subs.zipWithIndex.map { case (s, i) => s -> s"__graft_scalar$i" }.toMap
     val base = subs.foldLeft(df0) { (d, s) =>
-      if (!provablyOneRow(s.q))
-        throw new IllegalArgumentException(
-          "scalar subquery must be provably one-row: a global aggregate " +
-            "(no GROUP BY) or LIMIT 1")
-      val sub = plan(s.q, lookup, grace, declared)
-      require(!sub.isStreaming, "scalar subquery must be a batch/pull relation")
-      require(sub.columns.length == 1,
-        s"scalar subquery must return exactly one column, got ${sub.columns.length}")
-      d.crossJoin(broadcast(sub.select(col(sub.columns.head).as(names(s)))))
+      attachOneScalar(d, s, names(s), lookup, grace, declared)
     }
     def rw(e: Expr): Expr = replaceScalars(e, names)
     val sel2 = sel.copy(
@@ -1651,6 +1643,114 @@ object Translate {
       having = sel.having.map(rw),
       orderBy = sel.orderBy.map(o => o.copy(e = rw(o.e))))
     (sel2, base, true)
+  }
+
+
+  /** Attach one scalar subquery's value as a hidden column.
+    *
+    * Uncorrelated: must be PROVABLY one-row (global aggregate or LIMIT 1,
+    * statically checked); planned as a broadcast 1-row cross-join.
+    *
+    * Correlated (r8 extension): `(SELECT agg(x) FROM t2 WHERE t2.k =
+    * outer.k [AND local…])` — decorrelated the classic way: the sub
+    * relation filters by its LOCAL conjuncts, groups ONCE by the
+    * correlation keys, aggregates, and LEFT-joins that per-key aggregate
+    * to the outer relation. No per-outer-row re-execution anywhere: one
+    * aggregation shuffle plus one join at any scale. Empty groups yield
+    * NULL per SQL — except COUNT, which coalesces to 0 (the COUNT bug of
+    * naive decorrelation). Restricted to equality correlation and a
+    * single bare aggregate select item, rejected with vocabulary
+    * otherwise. */
+  private def attachOneScalar(cur: DataFrame, s: ScalarSub, outName: String,
+                              lookup: Lookup, grace: String,
+                              declared: DeclaredTypes): DataFrame = {
+    def uncorrelated(): DataFrame = {
+      if (!provablyOneRow(s.q))
+        throw new IllegalArgumentException(
+          "scalar subquery must be provably one-row: a global aggregate " +
+            "(no GROUP BY) or LIMIT 1")
+      val sub = plan(s.q, lookup, grace, declared)
+      require(!sub.isStreaming, "scalar subquery must be a batch/pull relation")
+      require(sub.columns.length == 1,
+        s"scalar subquery must return exactly one column, got ${sub.columns.length}")
+      cur.crossJoin(broadcast(sub.select(col(sub.columns.head).as(outName))))
+    }
+    s.q match {
+      case q: Select if q.where.isDefined =>
+        val subSrc = planFrom(q.from, lookup, declared)
+        val subDf = subSrc.df
+        def resolvable(df: DataFrame, name: String): Boolean =
+          try { df(name); true } catch { case _: Throwable => false }
+        def subHas(c: ColRef): Boolean = c match {
+          case ColRef(Some(qual), n) =>
+            subDf.columns.contains(s"$qual.$n") || resolvable(subDf, s"$qual.$n")
+          case ColRef(None, n) => subDf.columns.exists(_.equalsIgnoreCase(n))
+        }
+        def outerHas(c: ColRef): Boolean = c match {
+          case ColRef(Some(qual), n) =>
+            cur.columns.contains(s"$qual.$n") || resolvable(cur, s"$qual.$n")
+          case ColRef(None, n) => cur.columns.exists(_.equalsIgnoreCase(n))
+        }
+        val cs = conjunctsOf(q.where.get)
+        val (corr, local) =
+          cs.partition(c => colRefsOf(c).exists(r => !subHas(r) && outerHas(r)))
+        if (corr.isEmpty) uncorrelated()
+        else {
+          require(!subDf.isStreaming,
+            "scalar subquery must be a batch/pull relation")
+          require(subSrc.window.isEmpty,
+            "correlated scalar subquery cannot be windowed")
+          require(q.groupBy.isEmpty && !q.multiLevel && q.having.isEmpty &&
+            q.orderBy.isEmpty && q.limit.isEmpty && q.offset.isEmpty,
+            "correlated scalar subquery must be a single global aggregate " +
+              "over its own relation (no GROUP BY/HAVING/ORDER BY/LIMIT)")
+          val aggItem = q.items match {
+            case Seq(ItemExpr(a: Agg, _)) => a
+            case _ => throw new IllegalArgumentException(
+              "correlated scalar subquery must SELECT exactly one bare " +
+                "aggregate call, e.g. (SELECT MAX(x) FROM t WHERE t.k = o.k)")
+          }
+          // correlation must be equalities: sub column = outer column
+          val keyPairs: Seq[(ColRef, ColRef)] = corr.map {
+            case Bin("=", l: ColRef, r: ColRef)
+                if subHas(l) && !subHas(r) && outerHas(r) => (l, r)
+            case Bin("=", l: ColRef, r: ColRef)
+                if subHas(r) && !subHas(l) && outerHas(l) => (r, l)
+            case other => throw new IllegalArgumentException(
+              "correlated scalar subquery supports equality correlation " +
+                s"(sub_col = outer_col) only, got: $other")
+          }
+          val subEnv = TypeCheck.envOf(subDf)
+          def subResolve(c: ColRef): Column = c match {
+            case ColRef(Some(qual), n) if subDf.columns.contains(s"$qual.$n") =>
+              col(s"`$qual.$n`")
+            case ColRef(Some(qual), n) => col(s"$qual.$n")
+            case ColRef(None, n) => col(n)
+          }
+          local.foreach(TypeCheck.check(_, subEnv))
+          val filteredSub = local.foldLeft(subDf)(
+            (d, c) => d.filter(column(c, subResolve, subEnv)))
+          val keyCols = keyPairs.zipWithIndex.map { case ((sk, _), i) =>
+            subResolve(sk).as(s"__graft_sk$i") }
+          val agged = filteredSub.groupBy(keyCols: _*)
+            .agg(aggColumn(aggItem, subResolve).as(outName))
+          def outerResolve(c: ColRef): Column = c match {
+            case ColRef(Some(qual), n) if cur.columns.contains(s"$qual.$n") =>
+              col(s"`$qual.$n`")
+            case ColRef(Some(qual), n) => col(s"$qual.$n")
+            case ColRef(None, n) => col(n)
+          }
+          val cond = keyPairs.zipWithIndex.map { case ((_, ok), i) =>
+            outerResolve(ok) === col(s"__graft_sk$i") }.reduce(_ && _)
+          val joined = cur.join(agged, cond, "left")
+          val fixed = // COUNT over an empty group is 0, not NULL
+            if (aggItem.name == "COUNT")
+              joined.withColumn(outName, coalesce(col(outName), lit(0L)))
+            else joined
+          keyPairs.indices.foldLeft(fixed)((d, i) => d.drop(s"__graft_sk$i"))
+        }
+      case _ => uncorrelated()
+    }
   }
 
   /** Full fn translation including literal-arg special cases. */

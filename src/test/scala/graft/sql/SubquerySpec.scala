@@ -147,6 +147,51 @@ class SubquerySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"scalar sub must broadcast:\n$plan")
   }
 
+  test("correlated scalar subquery: per-key aggregate via decorrelated left join") {
+    setup()
+    // COUNT per cat: a→2, b→1, c→1, d→0 via subq_cats? — count of
+    // subq_cats rows matching each outer cat: a→1, b→1, c→0, d→0
+    val got = e.batch(
+      """SELECT id, (SELECT COUNT(*) FROM subq_cats AS c
+                     WHERE c.cat = subq_t.cat) AS n
+         FROM subq_t ORDER BY id;""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 0L)),
+      s"got ${got.toSeq}") // COUNT over an empty group is 0, not NULL
+    // MAX: unmatched outer rows keep NULL per SQL
+    val mx = e.batch(
+      """SELECT id, (SELECT MAX(rank) FROM subq_cats AS c
+                     WHERE c.cat = subq_t.cat) AS r
+         FROM subq_t ORDER BY id;""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(mx.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, -1L), (5L, -1L)))
+    // correlated scalar in WHERE, with a LOCAL conjunct alongside
+    val w = e.batch(
+      """SELECT id FROM subq_t
+         WHERE v > (SELECT SUM(rank) FROM subq_cats AS c
+                    WHERE c.cat = subq_t.cat AND c.rank > 0)
+         ORDER BY id;""")
+      .collect().map(_.getLong(0))
+    assert(w.toSeq == Seq(1L, 2L, 3L)) // d/c: NULL sum → comparison UNKNOWN
+  }
+
+  test("correlated scalar rejections carry dialect vocabulary") {
+    setup()
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.sql(sql) match { case r: Object => r })
+      assert(ex.getMessage != null && ex.getMessage.toLowerCase
+        .contains(frag.toLowerCase), s"message for [$sql]: ${ex.getMessage}")
+    }
+    rejects( // non-equality correlation
+      """SELECT id, (SELECT COUNT(*) FROM subq_cats AS c
+                     WHERE c.rank < subq_t.v) AS n FROM subq_t;""",
+      "equality correlation")
+    rejects( // correlated but not a bare aggregate
+      """SELECT id, (SELECT rank FROM subq_cats AS c
+                     WHERE c.cat = subq_t.cat) AS r FROM subq_t;""",
+      "aggregate")
+  }
+
   test("rejections carry dialect vocabulary") {
     setup()
     def rejects(sql: String, frag: String): Unit = {

@@ -191,6 +191,51 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming A/B experiment twin (funnel-state conversion + live spend aggs) == oracle'd q_events_experiment") {
+    import spark.implicits._
+    val (dir, s) = staged("events")
+    val variant = when(pmod(graft.functions.PipelineFunctions.hash32(
+      concat(lit("exp1"), $"user_id".cast("string"))), lit(2L)) === 0,
+      "control").otherwise("treatment")
+    // conversion = the 2-step funnel (first view → purchase within 24 h):
+    // the same event-time state machine the funnel twin pins, aggregated
+    // per variant in COMPLETE mode so the sink holds only final counts
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q1 = try drain(
+      StreamOps.funnel(s, "user_id", "event_type", "ts",
+          Seq("view", "purchase"), stepWindow = "24 hours")
+        .filter($"user_id" =!= -1L)
+        .withColumn("variant", variant)
+        .groupBy($"variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"reached" === 2L, 1L).otherwise(0L)).as("n_converted")),
+      "complete", "tw_exp_conv")
+    finally spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    val q2 = drain(
+      s.filter($"event_type" === "purchase" && $"user_id" =!= -1L)
+        .withColumn("variant", variant)
+        .groupBy($"variant")
+        .agg(sum(round($"value" * 100)).cast("long").as("purchase_cents"),
+          count(lit(1)).as("n_purchases")),
+      "complete", "tw_exp_spend")
+    appendSentinel(dir)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    // stitch the two live aggregates exactly like the batch final project
+    val got = spark.table("tw_exp_conv")
+      .join(spark.table("tw_exp_spend"), Seq("variant"), "left")
+      .select($"variant", $"n_users", $"n_converted",
+        round($"n_converted".cast("double") / $"n_users", 6).as("conv_rate"),
+        coalesce($"purchase_cents", lit(0L)).as("purchase_cents"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+      .orderBy($"variant").collect().toSeq
+    val batchRows = batch("q_events_experiment")
+    assert(got == batchRows,
+      s"streaming experiment != batch twin\n got=$got\nwant=$batchRows")
+    q1.stop(); q2.stop()
+  }
+
   test("streaming funnel twin (event-time state + timeouts) == oracle'd q_events_funnel") {
     val (dir, s) = staged("events")
     val q = drain(StreamOps.funnel(s, "user_id", "event_type", "ts",
