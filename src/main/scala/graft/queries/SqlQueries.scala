@@ -473,6 +473,18 @@ object SqlQueries extends QueryPack {
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)
          ORDER BY o_orderkey;""")),
 
+    // aggregate FILTER clauses (r8 extension; DuckDB-compatible):
+    // `agg(...) FILTER (WHERE cond)` desugars at parse time to a CASE
+    // wrap (exact for null-skipping aggregates); DuckDB plans its native
+    // FILTER independently — identical text both engines.
+    "q_sql_filter_agg" -> ((s, dir) => run(s, dir,
+      """SELECT lang,
+                COUNT(*) AS n,
+                COUNT(*) FILTER (WHERE n_chars > 500) AS n_big,
+                MAX(n_chars) FILTER (WHERE source = 'web') AS max_web,
+                MIN(n_chars) FILTER (WHERE source = 'web') AS min_web
+         FROM documents GROUP BY lang ORDER BY lang;""")),
+
     // CORRELATED scalar subqueries (r8 extension): decorrelated into ONE
     // per-key aggregation + a left join — never per-row re-execution.
     // COUNT over an empty group is 0 (the naive-decorrelation bug, fixed
@@ -1035,6 +1047,13 @@ object SqlQueries extends QueryPack {
                 o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
          FROM orders
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_sql_filter_agg" ->
+      """SELECT lang,
+                COUNT(*) AS n,
+                COUNT(*) FILTER (WHERE n_chars > 500) AS n_big,
+                MAX(n_chars) FILTER (WHERE source = 'web') AS max_web,
+                MIN(n_chars) FILTER (WHERE source = 'web') AS min_web
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_sql_corr_scalar" ->
       """SELECT c_custkey,
                 (SELECT COUNT(*) FROM orders AS o

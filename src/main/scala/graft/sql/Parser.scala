@@ -794,11 +794,28 @@ object Parser {
       }
       if (aggNames.contains(kw) && toks(pos + 1) == TSym("(")) {
         next(); next()
+        // `agg(…) FILTER (WHERE cond)` (extension; DuckDB-compatible):
+        // desugared at parse time — the aggregated expression wraps in
+        // CASE WHEN cond THEN e END, exact for null-skipping aggregates
+        // (COUNT/SUM/MIN/MAX/AVG/TOPK/percentiles all skip NULLs), incl.
+        // under DISTINCT and OVER. COUNT(*) FILTER counts matching rows.
+        def filterClause(): Option[Expr] =
+          if (accept("FILTER")) {
+            expect("("); expect("WHERE"); val c = expr(); expect(")"); Some(c)
+          } else None
+        def wrap(e: Expr, f: Option[Expr]): Expr = f match {
+          case Some(c) => CaseWhen(None, Seq((c, e)), None)
+          case None => e
+        }
         if (kw == "COUNT" && accept("*")) {
           expect(")")
+          val f = filterClause()
           // COUNT(*) OVER (…) — running/windowed row count
-          if (isKw("OVER")) return overClause("COUNT", Seq(IntLit(1)))
-          return Agg("COUNT", Nil, star = true)
+          if (isKw("OVER")) return overClause("COUNT", Seq(wrap(IntLit(1), f)))
+          return f match {
+            case Some(_) => Agg("COUNT", Seq(wrap(IntLit(1), f)), star = false)
+            case None => Agg("COUNT", Nil, star = true)
+          }
         }
         // zero-arg: the ROLLUP level bitmask (last group col = LSB)
         if (kw == "GROUPING_ID") { expect(")"); return Agg("GROUPING_ID", Nil, star = false) }
@@ -806,12 +823,17 @@ object Parser {
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))
         expect(")")
+        val f = filterClause()
+        val wrapped = args.result() match {
+          case head +: rest => wrap(head, f) +: rest // TOPK(x, k): wrap x only
+          case Nil => Nil
+        }
         if (isKw("OVER")) {
           if (dist) throw new IllegalArgumentException(
             s"$kw(DISTINCT …) OVER is not supported (no distinct window aggregates)")
-          return overClause(kw, args.result())
+          return overClause(kw, wrapped)
         }
-        return Agg(kw, args.result(), star = false, distinct = dist)
+        return Agg(kw, wrapped, star = false, distinct = dist)
       }
       if ((unaryFns.contains(kw) || binaryFns.contains(kw) ||
            pipelineFns.contains(kw)) && toks(pos + 1) == TSym("(")) {

@@ -28,6 +28,35 @@ class GroupingSpec extends SparkSpec {
       (3L, "*", "*", 60L)))
   }
 
+  test("aggregate FILTER clause: counts/sums/distinct/windowed, empty-filter semantics") {
+    setup()
+    val got = e.batch(
+      """SELECT lang,
+                COUNT(*) AS n,
+                COUNT(*) FILTER (WHERE src = 'web') AS n_web,
+                SUM(n) FILTER (WHERE n > 15) AS big,
+                SUM(DISTINCT n) FILTER (WHERE src = 'web') AS dweb,
+                MAX(n) FILTER (WHERE src = 'paper') AS none_match
+         FROM gs_t GROUP BY lang ORDER BY lang;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    // de: 1 row (web 30); en: web 10 + book 20. SUM over an all-filtered
+    // group is NULL (standard), COUNT is 0.
+    assert(got.toSeq == Seq(
+      ("de", 1L, 1L, 30L, 30L, -1L),
+      ("en", 2L, 1L, 20L, 10L, -1L)), s"got ${got.toSeq}")
+    // windowed form: running filtered count
+    val w = e.batch(
+      """SELECT lang, src,
+                COUNT(*) FILTER (WHERE n > 15) OVER (PARTITION BY lang) AS c
+         FROM gs_t ORDER BY lang, src;""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(w.toSeq == Seq(("de", "web", 1L), ("en", "book", 1L),
+      ("en", "web", 1L)))
+  }
+
   test("GROUPING SETS emits exactly the requested levels") {
     setup()
     val got = e.batch(
