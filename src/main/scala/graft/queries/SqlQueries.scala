@@ -473,6 +473,13 @@ object SqlQueries extends QueryPack {
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)
          ORDER BY o_orderkey;""")),
 
+    // GROUP BY ALL + ORDER BY ALL (r8 extensions; DuckDB-isms): keys
+    // inferred from the non-aggregate select items, ordering over every
+    // output column left-to-right — both desugared at parse time.
+    "q_sql_group_by_all" -> ((s, dir) => run(s, dir,
+      """SELECT lang, source, COUNT(*) AS n, MAX(n_chars) AS mx
+         FROM documents GROUP BY ALL ORDER BY ALL;""")),
+
     // aggregate FILTER clauses (r8 extension; DuckDB-compatible):
     // `agg(...) FILTER (WHERE cond)` desugars at parse time to a CASE
     // wrap (exact for null-skipping aggregates); DuckDB plans its native
@@ -1047,6 +1054,9 @@ object SqlQueries extends QueryPack {
                 o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
          FROM orders
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_sql_group_by_all" ->
+      """SELECT lang, source, COUNT(*) AS n, MAX(n_chars) AS mx
+         FROM documents GROUP BY ALL ORDER BY ALL""",
     "q_sql_filter_agg" ->
       """SELECT lang,
                 COUNT(*) AS n,

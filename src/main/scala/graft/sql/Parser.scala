@@ -353,7 +353,8 @@ object Parser {
               so.copy(orderBy = ob, limit = lim, offset = off, emitChanges = emit)
           }
         }
-      if (ctes.isEmpty) q0
+      val q1 = expandOrderAll(q0)
+      if (ctes.isEmpty) q1
       else {
         // earlier CTEs substitute into later CTE bodies, then all into the
         // main query — left-to-right scope, standard SQL
@@ -376,7 +377,31 @@ object Parser {
             }
             acc + (n.toLowerCase -> ref)
         }
-        Parser.substCtes(q0, resolved)
+        Parser.substCtes(q1, resolved)
+      }
+    }
+
+    /** Expand the ORDER BY ALL sentinel into the query's output columns
+      * (left operand's names for set ops, standard SQL). */
+    private def expandOrderAll(q: Query): Query = {
+      def outNames(q: Query): Seq[String] = q match {
+        case s: Select => s.items.map {
+          case ItemExpr(e, a) => a.getOrElse(Translate.exprName(e))
+          case ItemWildcard(_) => throw new IllegalArgumentException(
+            "ORDER BY ALL cannot be combined with * (the column list is " +
+              "not statically known) — list the columns")
+        }
+        case so: SetOp => outNames(so.l)
+      }
+      def isAll(ob: Seq[OrderItem]): Option[Boolean] = ob match {
+        case Seq(OrderItem(ColRef(None, "__graft_order_all"), d)) => Some(d)
+        case _ => None
+      }
+      q match {
+        case s: Select => isAll(s.orderBy).fold(q)(d => s.copy(
+          orderBy = outNames(s).map(n => OrderItem(ColRef(None, n), d))))
+        case so: SetOp => isAll(so.orderBy).fold(q)(d => so.copy(
+          orderBy = outNames(so).map(n => OrderItem(ColRef(None, n), d))))
       }
     }
 
@@ -412,6 +437,7 @@ object Parser {
         } else (false, Nil)
       val items = Seq.newBuilder[SelectItem]
       do items += selectItem() while (accept(","))
+      val itemList = items.result()
       expect("FROM")
       val from = tableRef()
       val where = if (accept("WHERE")) Some(expr()) else None
@@ -429,6 +455,26 @@ object Parser {
             cols.result()
           }
           kwPeek match {
+            // GROUP BY ALL (extension; DuckDB-compatible): every select
+            // item that is not an aggregate becomes a grouping key.
+            // Restricted to bare column items — group a computed
+            // expression through a FROM-subquery alias instead.
+            case "ALL" =>
+              next()
+              val keys = itemList.map {
+                case ItemExpr(c: ColRef, _) => Some(c)
+                case ItemExpr(e, _) if Translate.collectAggs(e).nonEmpty =>
+                  None // aggregate item — not a key
+                case ItemExpr(e, _) => throw new IllegalArgumentException(
+                  "GROUP BY ALL requires non-aggregate select items to be " +
+                    s"bare column refs; alias '${Translate.exprName(e)}' in " +
+                    "a FROM-subquery and group the alias")
+                case ItemWildcard(_) => throw new IllegalArgumentException(
+                  "GROUP BY ALL cannot be combined with * — list the columns")
+              }.flatten
+              require(keys.nonEmpty,
+                "GROUP BY ALL found no non-aggregate select items to group by")
+              (keys, "plain", Nil)
             case "ROLLUP" => next(); (parenCols(), "rollup", Nil)
             case "CUBE" => next(); (parenCols(), "cube", Nil)
             case "GROUPING" =>
@@ -456,7 +502,7 @@ object Parser {
       // QUALIFY — filter on window-function results (DuckDB-compatible
       // extension; batch/pull only, Validate)
       val qualify = if (accept("QUALIFY")) Some(expr()) else None
-      Select(items.result(), from, where, groupBy, having,
+      Select(itemList, from, where, groupBy, having,
         groupMode = groupMode, groupSets = groupSets,
         qualify = qualify, distinct = distinct, distinctOn = distinctOn)
     }
@@ -468,6 +514,13 @@ object Parser {
     private def trailing(): (Seq[OrderItem], Option[Long], Option[Long], Boolean) = {
       val orderBy =
         if (accept("ORDER")) { expect("BY")
+          // ORDER BY ALL [DESC] (extension; DuckDB-compatible): order by
+          // every output column left-to-right — a sentinel here, expanded
+          // in query() where the select items are known
+          if (accept("ALL")) {
+            val desc = if (accept("DESC")) true else { accept("ASC"); false }
+            Seq(OrderItem(ColRef(None, "__graft_order_all"), desc))
+          } else {
           val os = Seq.newBuilder[OrderItem]
           do {
             val e = expr()
@@ -475,6 +528,7 @@ object Parser {
             os += OrderItem(e, desc)
           } while (accept(","))
           os.result()
+          }
         } else Nil
       val limitN = if (accept("LIMIT")) Some(intTok()) else None
       // LIMIT n OFFSET m, or a standalone OFFSET m (both standard forms)

@@ -57,6 +57,29 @@ class GroupingSpec extends SparkSpec {
       ("en", "web", 1L)))
   }
 
+  test("GROUP BY ALL infers keys; ORDER BY ALL orders all output columns") {
+    setup()
+    val got = e.batch(
+      """SELECT lang, src, COUNT(*) AS n, SUM(n) AS t
+         FROM gs_t GROUP BY ALL ORDER BY ALL;""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("de", "web", 1L, 30L), ("en", "book", 1L, 20L),
+      ("en", "web", 1L, 10L)))
+    val desc = e.batch("SELECT lang, n FROM gs_t ORDER BY ALL DESC;")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(desc.toSeq == Seq(("en", 20L), ("en", 10L), ("de", 30L)))
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.sql(sql) match { case r: Object => r })
+      assert(ex.getMessage != null &&
+        ex.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"message for [$sql]: ${ex.getMessage}")
+    }
+    rejects("SELECT STRLEN(lang) AS l2, COUNT(*) AS n FROM gs_t GROUP BY ALL;",
+      "bare column refs")
+    rejects("SELECT * FROM gs_t GROUP BY ALL;", "cannot be combined with *")
+    rejects("SELECT * FROM gs_t ORDER BY ALL;", "list the columns")
+  }
+
   test("GROUPING SETS emits exactly the requested levels") {
     setup()
     val got = e.batch(
