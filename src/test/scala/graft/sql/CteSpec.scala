@@ -101,6 +101,36 @@ class CteSpec extends SparkSpec {
          SELECT i FROM nums;""", "base UNION")
   }
 
+  test("WITH RECURSIVE reachability == Graph.connectedComponents on a random graph") {
+    import spark.implicits._
+    // two INDEPENDENT iterative engines must agree: undirected reachability
+    // from a component's minimum node (recursive CTE fixpoint) is exactly
+    // that node's component (alternating-star contraction)
+    val edges = (0 until 300).flatMap { i =>
+      val a = (i * 2654435761L) % 400
+      val b = (i * 40503L + 13) % 400
+      if (a == b) Nil else Seq((a, b), (b, a))
+    }
+    val edf = edges.toDF("u", "v")
+    edf.createOrReplaceTempView("rg_edges")
+    val labels = graft.operators.Graph.connectedComponents(edf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val roots = labels.values.toSet.toSeq.sorted.take(3) // 3 components
+    for (root <- roots) {
+      val expect = labels.collect { case (u, l) if l == root => u }.toSet
+      val got = e.batch(
+        s"""WITH RECURSIVE reach AS (
+              SELECT v AS node FROM rg_edges WHERE u = $root
+              UNION
+              SELECT e.v AS node FROM reach AS r
+              JOIN rg_edges AS e ON e.u = r.node)
+            SELECT node FROM reach ORDER BY node;""")
+        .collect().map(_.getLong(0)).toSet + root
+      assert(got == expect,
+        s"component of $root: CC ${expect.size} nodes, recursive ${got.size}")
+    }
+  }
+
   test("CTE works under EXISTS and in a view-style CSAS parse") {
     setup()
     val got = e.batch(
