@@ -77,9 +77,13 @@ object Graph {
         s"$maxIter alternating-star rounds (log₂ of the largest component " +
         "exceeds the cap) — labels may split components; raise maxIter")
     // at the fixpoint the edge set is a star forest: (node → component
-    // min) for every non-root node; roots label themselves
+    // min) for every non-root node; roots label themselves. The min-agg
+    // guarantees ONE row per node even when the maxIter cap left a
+    // half-contracted forest (a capped node may still hold several
+    // outgoing edges — a bare left join would duplicate it); at the
+    // fixpoint each node has ≤ 1 edge, so the agg is free.
     val labels = nodes.join(e.withColumnRenamed("v", "lbl"), Seq("u"), "left")
-      .select($"u", coalesce($"lbl", $"u").as("lbl"))
+      .groupBy($"u").agg(min(coalesce($"lbl", $"u")).as("lbl"))
       .persist()
     labels.count() // materialize before releasing the lineage's cache
     nodes.unpersist()

@@ -204,8 +204,7 @@ object Multimodal {
     * partition-wise (same batch shape as images). */
   def mediaWithRealAudio(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .filter((id: Long) => id % 3 == 1) // the 'audio' slot of the kind cycle
+    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "audio", wavFor(id))))
   }
 
@@ -315,8 +314,7 @@ object Multimodal {
     * partition-wise (same batch shape as images/audio). */
   def mediaWithRealVideo(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long]
-      .filter((id: Long) => id % 3 == 2) // the 'video' slot of the kind cycle
+    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "video", gifFor(id))))
   }
 

@@ -70,21 +70,54 @@ object Parser {
       case ScalarSub(q) => ScalarSub(substCtes(q, m))
     }
 
-  /** Does this query's FROM tree reference `name` (the recursion probe)? */
-  private def refsName(q: Query, name: String): Boolean = {
-    def refR(r: TableRef): Boolean = r match {
-      case TRStream(n) => n.equalsIgnoreCase(name)
+  /** TOTAL references to `name` anywhere in the query — FROM trees,
+    * nested FROM-subqueries, and expression subqueries (IN/EXISTS/scalar).
+    * A nested recursive table of the same name shadows it (scope ends). */
+  private[sql] def totalSelfRefs(q: Query, name: String): Int = {
+    def refR(r: TableRef): Int = r match {
+      case TRStream(n) => if (n.equalsIgnoreCase(name)) 1 else 0
+      case TRAlias(i, _) => refR(i)
+      case TRWindowed(i, _) => refR(i)
+      case TRFlatten(i, e, _) => refR(i) + refE(e)
+      case TRJoin(l, rr, _, c, _) =>
+        refR(l) + refR(rr) + (c match { case On(e) => refE(e); case _ => 0 })
+      case TRSubquery(sub) => totalSelfRefs(sub, name)
+      case TRRecursive(n2, b, st, _) =>
+        if (n2.equalsIgnoreCase(name)) 0 // shadowed scope
+        else totalSelfRefs(b, name) + totalSelfRefs(st, name)
+    }
+    def refE(e: Expr): Int = {
+      var n = 0
+      Translate.rewriteExpr(e) {
+        case is @ InSub(x, sub, _) =>
+          n += totalSelfRefs(sub, name) + refE(x); is
+        case ex @ ExistsSub(sub) => n += totalSelfRefs(sub, name); ex
+        case sc @ ScalarSub(sub) => n += totalSelfRefs(sub, name); sc
+      }
+      n
+    }
+    q match {
+      case s: Select =>
+        refR(s.from) +
+          (s.items.collect { case ItemExpr(e, _) => refE(e) } ++
+            s.where.map(refE) ++ s.having.map(refE) ++
+            s.qualify.map(refE) ++ s.orderBy.map(o => refE(o.e))).sum
+      case so: SetOp => totalSelfRefs(so.l, name) + totalSelfRefs(so.r, name)
+    }
+  }
+
+  /** References to `name` DIRECTLY in a select's FROM tree (join chains,
+    * aliases, windows — but not inside any subquery). */
+  private def fromSelfRefs(s: Select, name: String): Int = {
+    def refR(r: TableRef): Int = r match {
+      case TRStream(n) => if (n.equalsIgnoreCase(name)) 1 else 0
       case TRAlias(i, _) => refR(i)
       case TRWindowed(i, _) => refR(i)
       case TRFlatten(i, _, _) => refR(i)
-      case TRJoin(l, rr, _, _, _) => refR(l) || refR(rr)
-      case TRSubquery(sub) => refsName(sub, name)
-      case TRRecursive(_, b, st, _) => refsName(b, name) || refsName(st, name)
+      case TRJoin(l, rr, _, _, _) => refR(l) + refR(rr)
+      case _ => 0
     }
-    q match {
-      case s: Select => refR(s.from)
-      case so: SetOp => refsName(so.l, name) || refsName(so.r, name)
-    }
+    refR(s.from)
   }
 
   // ---- lexer ---------------------------------------------------------------
@@ -363,13 +396,39 @@ object Parser {
             val body = Parser.substCtes(cq, acc)
             val ref: TableRef = body match {
               case SetOp("union", all, lq, rq, Nil, None, false, None)
-                  if recursive && Parser.refsName(rq, n) =>
-                require(!Parser.refsName(lq, n),
+                  if recursive && Parser.totalSelfRefs(rq, n) > 0 =>
+                require(Parser.totalSelfRefs(lq, n) == 0,
                   s"WITH RECURSIVE $n: the recursive reference must be in " +
                     "the SECOND union branch (base UNION [ALL] step)")
-                TRRecursive(n, lq, rq, all)
+                // semi-naive evaluation binds the self-reference to the
+                // previous round's frontier. Multiple references, or one
+                // hidden inside a subquery, or an aggregate over the
+                // frontier would all be SILENTLY WRONG under that binding
+                // (non-linear / non-monotone recursion) — reject loudly,
+                // the Postgres rule.
+                val step = rq match {
+                  case sel: Select => sel
+                  case _ => throw new IllegalArgumentException(
+                    s"WITH RECURSIVE $n: the step must be a plain SELECT " +
+                      "(no nested set operations around the self-reference)")
+                }
+                require(Parser.totalSelfRefs(step, n) == 1 &&
+                  Parser.fromSelfRefs(step, n) == 1,
+                  s"WITH RECURSIVE $n: the step must reference $n exactly " +
+                    "once, directly in its FROM clause (not inside a " +
+                    "subquery) — linear recursion only")
+                require(step.groupBy.isEmpty && !step.multiLevel &&
+                  step.having.isEmpty &&
+                  step.items.forall {
+                    case ItemExpr(e, _) => Translate.collectAggs(e).isEmpty
+                    case _ => true
+                  },
+                  s"WITH RECURSIVE $n: the step must not aggregate — an " +
+                    "aggregate over the frontier is non-monotone and would " +
+                    "be silently wrong under semi-naive evaluation")
+                TRRecursive(n, lq, step, all)
               case other =>
-                require(!recursive || !Parser.refsName(other, n),
+                require(!recursive || Parser.totalSelfRefs(other, n) == 0,
                   s"WITH RECURSIVE $n: a self-referencing CTE body must " +
                     "be exactly `base UNION [ALL] step` with no trailing " +
                     "ORDER BY/LIMIT")

@@ -658,24 +658,29 @@ object Translate {
     require(!baseDf.isStreaming,
       "WITH RECURSIVE is batch/pull only (a fixpoint over an unbounded " +
         "stream is undefined)")
-    var acc = (if (r.unionAll) baseDf else baseDf.distinct())
+    // only each round's FRONTIER is checkpointed; the accumulated result
+    // is a lazy union of those flat checkpointed leaves — plan size and
+    // materialized bytes stay LINEAR in rounds (checkpointing the whole
+    // accumulation each round would rewrite O(rounds²) data)
+    val base = (if (r.unionAll) baseDf else baseDf.distinct())
       .localCheckpoint(true)
-    var frontier = acc
+    var parts = Vector(base)
+    def acc: DataFrame = parts.reduce(_ unionAll _)
+    var frontier = base
     var iter = 0
     while (!frontier.isEmpty && iter < maxRecursionRounds) {
       val stepLookup: Lookup = nm =>
         if (nm.equalsIgnoreCase(r.name)) frontier else lookup(nm)
       val next0 = plan(r.step, stepLookup, declared = declared)
-      require(next0.columns.length == acc.columns.length,
+      require(next0.columns.length == base.columns.length,
         s"WITH RECURSIVE ${r.name}: step produces ${next0.columns.length} " +
-          s"columns, base produced ${acc.columns.length}")
+          s"columns, base produced ${base.columns.length}")
       // positional union (standard SQL) — align step names to base names
-      val next = next0.toDF(acc.columns.toIndexedSeq: _*)
+      val next = next0.toDF(base.columns.toIndexedSeq: _*)
       frontier =
         (if (r.unionAll) next else next.distinct().exceptAll(acc))
           .localCheckpoint(true)
-      if (!frontier.isEmpty)
-        acc = acc.unionAll(frontier).localCheckpoint(true)
+      if (!frontier.isEmpty) parts :+= frontier
       iter += 1
     }
     require(frontier.isEmpty,

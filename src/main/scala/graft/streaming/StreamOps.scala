@@ -798,10 +798,15 @@ object StreamOps {
             if (!emitted.contains(d)) pending += d
             cohort = Some(cohort.fold(d)(math.min(_, d)))
           }
+          // getCurrentWatermarkMs() is 0 BEFORE any watermark exists —
+          // treat that sentinel as "not ready", else epoch-1970 cohorts
+          // (day ≤ 0) would finalize in the very first micro-batch and a
+          // still-in-grace earlier event could later contradict them
           val wmMs = state.getCurrentWatermarkMs()
+          val wmReady = wmMs > 0
           val out = Vector.newBuilder[Row]
           cohort.foreach { c =>
-            if (wmMs >= c * 86400000L) {
+            if (wmReady && wmMs >= c * 86400000L) {
               // final: nothing earlier than day c can still arrive
               pending.toSeq.sorted.foreach { d =>
                 if (!emitted.contains(d)) {

@@ -16,12 +16,22 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L), s"got $labels")
   }
 
-  test("maxIter cap returns (possibly partial) labels instead of hanging") {
+  test("maxIter cap returns (possibly partial) labels instead of hanging, ONE row per node") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
-    val labels = Graph.connectedComponents(edges, maxIter = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.keySet == Set(1L, 2L, 3L)) // every node labelled, loop bounded
+    val rows = Graph.connectedComponents(edges, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // shape contract even when capped mid-contraction: EXACTLY one row
+    // per node (a half-contracted node can hold several edges — the
+    // label pick must still aggregate, never duplicate)
+    assert(rows.length == 3, s"duplicate node labels: ${rows.toSeq}")
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L))
+    // a larger capped run on a chain: still one row per node
+    val chain = spark.range(199).selectExpr("id AS u", "id + 1 AS v")
+    val capped = Graph.connectedComponents(chain, maxIter = 2)
+    assert(capped.count() == 200L)
+    assert(capped.select("u").distinct().count() == 200L)
+    capped.unpersist()
   }
 
   test("4096-node chain converges in O(log n) rounds where min-label hits any sane cap") {

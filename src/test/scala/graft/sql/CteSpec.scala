@@ -99,6 +99,30 @@ class CteSpec extends SparkSpec {
     rejects(
       """WITH RECURSIVE nums AS (SELECT i FROM nums)
          SELECT i FROM nums;""", "base UNION")
+    // NON-LINEAR recursion: two self-references would both bind to the
+    // frontier (delta-joins-delta — silently missing rows); rejected loud
+    rejects(
+      """WITH RECURSIVE r AS (
+           SELECT i AS a, v AS b FROM cte_t
+           UNION
+           SELECT x.a AS a, y.b AS b FROM r AS x JOIN r AS y ON x.b = y.a)
+         SELECT a, b FROM r;""", "exactly once")
+    // self-reference hidden inside a subquery: must not silently bind to
+    // a real table of the same name (or to the frontier either)
+    rejects(
+      """WITH RECURSIVE r AS (
+           SELECT i FROM cte_t
+           UNION
+           SELECT i + 1 AS i FROM cte_t
+           WHERE i IN (SELECT i FROM r))
+         SELECT i FROM r;""", "directly in its FROM clause")
+    // aggregate over the frontier is non-monotone under semi-naive eval
+    rejects(
+      """WITH RECURSIVE r AS (
+           SELECT i FROM cte_t
+           UNION
+           SELECT MAX(i) + 1 AS i FROM r)
+         SELECT i FROM r;""", "must not aggregate")
   }
 
   test("WITH RECURSIVE reachability == Graph.connectedComponents on a random graph") {
