@@ -295,9 +295,14 @@ class SqlEngine(spark: SparkSession) {
     case Terminate(n) => engine.terminate(n); Done(s"terminated $n")
     case PauseStmt(n) => engine.pause(n); Done(s"paused $n")
     case ResumeStmt(n) => engine.resume(n); Done(s"resumed $n")
-    case Explain(SelectStmt(sel)) => Done(engine.explain(planOf(sel)))
-    case Explain(CreateStreamAs(_, sel, _)) => Done(engine.explain(planOf(sel)))
-    case Explain(CreateView(_, sel)) => Done(engine.explain(planOf(sel)))
+    // explainMode: EXPLAIN of a WITH RECURSIVE query renders base ∪ one
+    // symbolic step round instead of EXECUTING the fixpoint loop
+    case Explain(SelectStmt(sel)) =>
+      Done(Translate.explainMode.withValue(true)(engine.explain(planOf(sel))))
+    case Explain(CreateStreamAs(_, sel, _)) =>
+      Done(Translate.explainMode.withValue(true)(engine.explain(planOf(sel))))
+    case Explain(CreateView(_, sel)) =>
+      Done(Translate.explainMode.withValue(true)(engine.explain(planOf(sel))))
     case Explain(other) => Done(other.toString)
     case other => throw new IllegalArgumentException(s"unsupported: $other")
   }

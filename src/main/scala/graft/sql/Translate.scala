@@ -652,12 +652,25 @@ object Translate {
     * answer, not a slow one). */
   private val maxRecursionRounds = 200
 
+  /** EXPLAIN mode: an iterative fixpoint has no single static physical
+    * plan, and EXPLAIN must never EXECUTE the recursion — with this set,
+    * [[planRecursive]] renders base ∪ one SYMBOLIC step round (frontier
+    * bound to the base relation, fully lazy) instead of running the
+    * loop. */
+  private[sql] val explainMode = new scala.util.DynamicVariable[Boolean](false)
+
   private def planRecursive(r: TRRecursive, lookup: Lookup,
                             declared: DeclaredTypes): DataFrame = {
     val baseDf = plan(r.base, lookup, declared = declared)
     require(!baseDf.isStreaming,
       "WITH RECURSIVE is batch/pull only (a fixpoint over an unbounded " +
         "stream is undefined)")
+    if (explainMode.value) {
+      val stepLookup: Lookup = nm =>
+        if (nm.equalsIgnoreCase(r.name)) baseDf else lookup(nm)
+      return baseDf.unionAll(plan(r.step, stepLookup, declared = declared)
+        .toDF(baseDf.columns.toIndexedSeq: _*))
+    }
     // only each round's FRONTIER is checkpointed; the accumulated result
     // is a lazy union of those flat checkpointed leaves — plan size and
     // materialized bytes stay LINEAR in rounds (checkpointing the whole

@@ -155,6 +155,22 @@ class CteSpec extends SparkSpec {
     }
   }
 
+  test("EXPLAIN of a recursive query does NOT execute the fixpoint") {
+    setup()
+    // a recursion that would FAIL at the 200-round cap if executed —
+    // EXPLAIN must render base ∪ one symbolic step round instead
+    val out = e.sql(
+      """EXPLAIN WITH RECURSIVE nums AS (
+           SELECT 1 AS n FROM cte_t WHERE i = 1
+           UNION ALL
+           SELECT n + 1 AS n FROM nums)
+         SELECT n FROM nums;""")
+    val text = out.getClass.getDeclaredMethods
+      .find(_.getName == "text").map(_.invoke(out).toString)
+      .getOrElse(out.toString)
+    assert(text.toLowerCase.contains("union"), s"plan text: ${text.take(300)}")
+  }
+
   test("CTE works under EXISTS and in a view-style CSAS parse") {
     setup()
     val got = e.batch(
