@@ -34,6 +34,7 @@ object Bench {
     "q_minhash_signatures",    // MinHash map-side primitive
     "q_dedup_minhash_lsh",     // full LSH near-dup pipeline (md5, verifiable)
     "q_dedup_clusters",        // near-dup connected components + canonical
+    "q_dedup_incremental",     // new-batch-vs-corpus cross dedup (r8)
     "q_curation_token_budget", // per-lang quality-ordered token budget (window)
     "q_curation_token_budget_approx", // histogram-cutoff form (the 100 TB path)
     "q_curation_shard_scalable",      // sub-bucketed shard ranks, no global sort

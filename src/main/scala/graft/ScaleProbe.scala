@@ -378,6 +378,18 @@ object ScaleProbe {
       df.withColumn("o_orderkey", $"o_orderkey" + lit(i * 1000000000L)))
       .reduce(_ unionAll _)
 
+    // incremental cross-corpus dedup: the new batch is every 4th doc of
+    // the BASE corpus both times; only the EXISTING side grows (10×
+    // distinct docs appended as old-side ids) — time must scale with the
+    // increment × band occupancy, never with old×old pairs
+    def incrementalShape(df: DataFrame) =
+      graft.queries.DedupQueries.incrementalDedupFrom(df)
+    def x10OldSide(df: DataFrame): DataFrame = df.unionAll(
+      (1 until 10).map(i =>
+        df.withColumn("doc_id", $"doc_id" * 4L + 1L + lit(i * 40000000L))
+          .withColumn("text", concat($"text", lit(s" probe$i"))))
+        .reduce(_ unionAll _))
+
     // connected components on the adversarial CHAIN shape: a 50k-node
     // path has diameter 50k — min-label propagation needs 50k rounds (we
     // time its capped 20-round run; a full run would take days), while
@@ -459,7 +471,9 @@ object ScaleProbe {
         (time(cdcApplyShape(x10Orders(ordersCdc))),
           time(cdcApplyShape(hotOrders(ordersCdc)))),
       "profit_join_600k_vs_6m" ->
-        (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))))
+        (time(profitShape(lineitem)), time(profitShape(x10(lineitem)))),
+      "incremental_dedup_fixed_batch_10x_corpus" ->
+        (time(incrementalShape(docs)), time(incrementalShape(x10OldSide(docs)))))
 
     // ×100 second-decade rows for the five load-bearing shapes: both
     // per-decade ratios should stay ≤ ~linear (10× with fixed parallelism)

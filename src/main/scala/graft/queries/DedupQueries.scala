@@ -249,6 +249,20 @@ object DedupQueries extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // INCREMENTAL (cross-corpus) dedup — the daily-crawl shape: dedupe a
+    // NEW batch (every 4th doc here) against the EXISTING corpus without
+    // ever re-pairing existing×existing. Candidates come from banding the
+    // new side against the existing side's band table ONLY, so candidate
+    // work scales with the increment (× band occupancy), not the corpus;
+    // the existing side's signatures are the precomputable signature
+    // store a production pipeline would persist between crawls. Verdict
+    // per new doc in ONE mergeable aggregation (min_by picks the
+    // earliest matching existing doc and its Jaccard together — no
+    // join-back, no per-group sort): dup_of + jac, or keep.
+    "q_dedup_incremental" -> ((s, dir) =>
+      incrementalDedupFrom(Tables.load(s, dir, "documents"))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
+
     // The fast twin's GATE ROW: md5-verified pairs UNION ALL the symmetric
     // difference of the two pipelines' verified pair sets. When the twins
     // agree — the invariant DedupSpec pins in-Spark — the output IS the
@@ -605,6 +619,43 @@ object DedupQueries extends QueryPack {
               count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        FROM cc ORDER BY doc_id"""
 
+
+  /** The incremental cross-corpus dedup pipeline (shared by the gate query
+    * and ScaleProbe) — see the q_dedup_incremental entry's design notes.
+    * New batch = every 4th doc; existing corpus = the rest. */
+  private[graft] def incrementalDedupFrom(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val sig = docs0
+      .withColumn("hs", shingles3(tokens($"text")))
+      .select($"doc_id", $"hs",
+        array((0 until 4).map(b =>
+          concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+          .as("bands"))
+      .persist()
+    val banded = sig.filter(size($"hs") > 0)
+      .select($"doc_id", explode($"bands").as("band"))
+    val bandedNew = banded.filter(pmod($"doc_id", lit(4L)) === 0)
+    val bandedOld = banded.filter(pmod($"doc_id", lit(4L)) =!= 0)
+    val cand = bandedNew.as("a").join(bandedOld.as("b"), $"a.band" === $"b.band")
+      .select($"a.doc_id".as("new_id"), $"b.doc_id".as("old_id"))
+      .distinct()
+    val hs = sig.select($"doc_id", $"hs")
+    val verified = cand
+      .join(hs.as("h1"), $"new_id" === $"h1.doc_id")
+      .join(hs.as("h2"), $"old_id" === $"h2.doc_id")
+      .select($"new_id", $"old_id",
+        round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+      .filter($"jac" >= 0.5)
+    val bj = verified.groupBy($"new_id")
+      .agg(min_by(struct($"old_id", $"jac"), $"old_id").as("m"))
+      .select($"new_id", $"m.old_id".as("dup_of"), $"m.jac".as("jac"))
+    docs0.filter(pmod($"doc_id", lit(4L)) === 0)
+      .select($"doc_id")
+      .join(bj, $"doc_id" === $"new_id", "left")
+      .select($"doc_id", $"dup_of", $"jac", $"dup_of".isNull.as("keep"))
+  }
+
   /** The duplicated-span-removal pipeline (shared by the gate and the
     * ScaleProbe row) — see the q_dedup_span_removal entry's design notes. */
   private[graft] def spanRemovalFrom(docs0: DataFrame): DataFrame = {
@@ -755,6 +806,24 @@ object DedupQueries extends QueryPack {
     // difference unions in), so the md5 oracle hash-checks the xxhash64
     // pipeline end-to-end.
     "q_dedup_minhash_lsh_fast_check" -> lshOracleSql,
+    // cross pairs = vp restricted to one-new-one-old sides (band equality
+    // is symmetric, so the restricted self-join candidate set equals the
+    // new×old band join's); verdict = min existing match per new doc
+    "q_dedup_incremental" ->
+      s"""$lshVerifiedCte,
+         cross_pairs AS (
+           SELECT CASE WHEN d1 % 4 = 0 THEN d1 ELSE d2 END AS new_id,
+                  CASE WHEN d1 % 4 = 0 THEN d2 ELSE d1 END AS old_id, jac
+           FROM vp WHERE (d1 % 4 = 0) <> (d2 % 4 = 0)),
+         best AS (SELECT new_id, min(old_id) AS dup_of
+                  FROM cross_pairs GROUP BY new_id),
+         bj AS (SELECT b.new_id, b.dup_of, cp.jac
+                FROM best b JOIN cross_pairs cp
+                  ON cp.new_id = b.new_id AND cp.old_id = b.dup_of)
+         SELECT d.doc_id, bj.dup_of, bj.jac, (bj.dup_of IS NULL) AS keep
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN bj ON bj.new_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_dedup_minhash_lsh_sql" -> lshOracleSql, // same md5 formulas, SQL frontend
     "q_dedup_jaccard_exact" ->
       s"""$shCte
