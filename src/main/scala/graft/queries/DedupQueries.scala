@@ -623,15 +623,25 @@ object DedupQueries extends QueryPack {
   /** The incremental cross-corpus dedup pipeline (shared by the gate query
     * and ScaleProbe) — see the q_dedup_incremental entry's design notes.
     * New batch = every 4th doc; existing corpus = the rest. */
+  /** (doc_id, hs, bands) — the md5 MinHash signature + band keys of a
+    * document relation; pure map-side expressions, so it applies to a
+    * STREAM as-is (the streaming incremental-dedup twin uses it on live
+    * rows against a static store built by the same function). */
+  private[graft] def sigWithBands(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.withColumn("hs", shingles3(tokens($"text")))
+      .select(docs.columns.map(col).toIndexedSeq :+ $"hs" :+
+        array((0 until 4).map(b =>
+          concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+          .as("bands"): _*)
+  }
+
   private[graft] def incrementalDedupFrom(docs0: DataFrame): DataFrame = {
     val s = docs0.sparkSession
     import s.implicits._
-    val sig = docs0
-      .withColumn("hs", shingles3(tokens($"text")))
-      .select($"doc_id", $"hs",
-        array((0 until 4).map(b =>
-          concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
-          .as("bands"))
+    val sig = sigWithBands(docs0.select($"doc_id", $"text"))
+      .select($"doc_id", $"hs", $"bands")
       .persist()
     val banded = sig.filter(size($"hs") > 0)
       .select($"doc_id", explode($"bands").as("band"))

@@ -191,6 +191,52 @@ class StreamingTwinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming incremental dedup twin: live new docs vs a STATIC signature store") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions._
+    // the production crawl-ingest pattern: the existing corpus's band/
+    // signature table is STATIC (persisted between crawls, built by the
+    // same sigWithBands the batch op uses); new docs stream in, band
+    // map-side, stream-static join against the store, verify Jaccard,
+    // verdict per new doc via one min_by aggregation. Band multiplicity
+    // (one pair via several bands) needs NO dedup: min_by picks the same
+    // (old_id, jac) regardless — one stateful op in the whole topology.
+    val allDocs = graft.Tables.load(spark, sf, "documents")
+    val oldBanded = graft.queries.DedupQueries
+      .sigWithBands(allDocs.filter($"doc_id" % 4 =!= 0).select($"doc_id", $"text"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id".as("old_id"), $"hs".as("old_hs"),
+        explode($"bands").as("band"))
+      .persist()
+    val (dir, s0) = staged("documents")
+    val newBanded = graft.queries.DedupQueries
+      .sigWithBands(s0.filter($"doc_id" % 4 === 0).select($"doc_id", $"text"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id".as("new_id"), $"hs".as("new_hs"),
+        explode($"bands").as("band"))
+    val q = drain(
+      newBanded.join(oldBanded, "band")
+        .select($"new_id", $"old_id",
+          round(jaccard($"new_hs", $"old_hs"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+        .groupBy($"new_id")
+        .agg(min_by(struct($"old_id", $"jac"), $"old_id").as("m"))
+        .select($"new_id".as("doc_id"), $"m.old_id".as("dup_of"),
+          $"m.jac".as("jac")),
+      "complete", "tw_incdedup")
+    val got = spark.table("tw_incdedup")
+      .orderBy("doc_id").collect().toSeq
+    val batchRows = graft.queries.DedupQueries
+      .queries("q_dedup_incremental")(spark, sf)
+      .filter($"dup_of".isNotNull).select($"doc_id", $"dup_of", $"jac")
+      .collect().toSeq
+    assert(got == batchRows,
+      s"streaming incremental dedup != batch twin\n got=${got.take(5)}…\nwant=${batchRows.take(5)}…")
+    assert(got.nonEmpty, "no cross-corpus duplicates found at all")
+    q.stop()
+    oldBanded.unpersist()
+  }
+
   test("streaming A/B experiment twin (funnel-state conversion + live spend aggs) == oracle'd q_events_experiment") {
     import spark.implicits._
     val (dir, s) = staged("events")
