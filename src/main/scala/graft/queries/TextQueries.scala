@@ -282,6 +282,38 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style LINE repetition signals (Rae et al. 2021 §A1.1's
+    // duplicate-line fraction / duplicate-line CHARACTER fraction — the
+    // two §A1.1 signals q_quality_gopher doesn't carry). The corpus has
+    // no natural line structure, so "lines" are deterministic 8-word
+    // chunks of the token stream (same convention both engines). Scale
+    // shape: per-line counts are computed RELATIONALLY (explode → two
+    // groupBys with map-side partial aggregation) — a per-row HOF
+    // occurrence count would be O(lines²) per doc, fatal on a 100k-word
+    // doc; the explode path is the word-count shape Spark already scales.
+    "q_quality_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val w = tokens($"text")
+      val lines = docs
+        .select($"doc_id", w.as("w"))
+        .filter(size($"w") > 0)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0), ceil(size($"w") / lit(8.0)).cast("int") - 1),
+          i => concat_ws(" ", slice($"w", i * 8 + 1, lit(8))))).as("line"))
+      lines.groupBy($"doc_id", $"line")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cl", length($"line").cast("long"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"c").cast("long").as("n_lines"),
+          round(lit(1.0) - count(lit(1)).cast("double") / sum($"c"), 6)
+            .as("dup_line_frac"),
+          round(sum(when($"c" > 1, $"cl" * $"c").otherwise(0L)).cast("double")
+            / sum($"cl" * $"c"), 6).as("dup_line_char_frac"))
+        .orderBy($"doc_id")
+    }),
+
     // Multinomial Naive Bayes language classifier — the fastText-LID /
     // CCNet-filter shape, picked BECAUSE its training is closed-form:
     // the model IS a pair of mergeable count aggregations, so a 100 TB
@@ -597,6 +629,21 @@ object TextQueries extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q_quality_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         l AS (SELECT doc_id,
+                 unnest(list_transform(range(0, (len(w) + 7) // 8),
+                   i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' '))) AS line
+               FROM d),
+         g AS (SELECT doc_id, line, count(*) AS c, strlen(line) AS cl
+               FROM l GROUP BY doc_id, line)
+         SELECT doc_id,
+           sum(c)::BIGINT AS n_lines,
+           round(1 - count(*)::DOUBLE / sum(c), 6) AS dup_line_frac,
+           round(sum(CASE WHEN c > 1 THEN cl * c ELSE 0 END)::DOUBLE
+                 / sum(cl * c), 6) AS dup_line_char_frac
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
     "q_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
          SELECT doc_id,
