@@ -54,6 +54,24 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"qid", $"rnk")
     }),
 
+    // ANN RECALL diagnostic — "measure, don't guess" for the approximate
+    // index: recall@5 of the IVF path against the brute-force ground
+    // truth, per query. Composed from the two oracle-green pipelines at
+    // the query level (any drift in either side moves this row), and the
+    // oracle composes the same two oracle texts — DuckDB re-derives both
+    // sides and the intersection independently.
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val bf = queries("q_ann_bruteforce")(s, dir).select($"qid", $"vec_id")
+      val ivf = queries("q_ann_ivf")(s, dir).select($"qid", $"vec_id")
+        .withColumn("hit", lit(1L))
+      bf.join(ivf, Seq("qid", "vec_id"), "left")
+        .groupBy($"qid")
+        .agg(round(sum(coalesce($"hit", lit(0L))).cast("double") / 5.0, 6)
+          .as("recall5"))
+        .orderBy($"qid")
+    }),
+
     // Embedding-cosine near-duplicate pairs (sim ≥ 0.4). Brute force here as
     // ground truth; q_ann_lsh_bucketed is the O(n) candidate path.
     "q_embed_neardup" -> ((s, dir) => {
@@ -555,17 +573,42 @@ object SimilarityQueries extends QueryPack {
            (s, t) -> s + t))) AS cv
          FROM p$r)"""
 
+  private lazy val bruteOracleSql: String =
+    s"""$normCte,
+       q AS (SELECT vec_id qid, nv qv FROM e WHERE vec_id < 10),
+       scored AS (SELECT qid, vec_id, ${dotSql("qv", "nv")} AS sim
+         FROM e CROSS JOIN q WHERE vec_id <> qid),
+       ranked AS (SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+         FROM scored)
+       SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+       ORDER BY qid, rnk"""
+
+  private lazy val ivfOracleSql: String =
+    s"""$normCte,
+       c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+       asg0 AS (SELECT e.vec_id, e.nv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
+         FROM e CROSS JOIN c),
+       asg AS (SELECT vec_id, nv, cid FROM (
+         SELECT vec_id, nv, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) r
+         FROM asg0) WHERE r = 1),
+       pr0 AS (SELECT e.vec_id qid, e.nv qv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
+         FROM e CROSS JOIN c WHERE e.vec_id < 10),
+       pr AS (SELECT qid, qv, cid FROM (
+         SELECT qid, qv, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cdot DESC, cid) r
+         FROM pr0) WHERE r <= 2),
+       scored AS (SELECT pr.qid, asg.vec_id, ${dotSql("pr.qv", "asg.nv")} AS sim
+         FROM pr JOIN asg USING (cid) WHERE asg.vec_id <> pr.qid),
+       ranked AS (SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+         FROM scored)
+       SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+       ORDER BY qid, rnk"""
+
   override def oracleSql: Map[String, String] = Map(
-    "q_ann_bruteforce" ->
-      s"""$normCte,
-         q AS (SELECT vec_id qid, nv qv FROM e WHERE vec_id < 10),
-         scored AS (SELECT qid, vec_id, ${dotSql("qv", "nv")} AS sim
-           FROM e CROSS JOIN q WHERE vec_id <> qid),
-         ranked AS (SELECT qid, vec_id, sim,
-           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
-           FROM scored)
-         SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
-         ORDER BY qid, rnk""",
+    "q_ann_bruteforce" -> bruteOracleSql,
     "q_embed_neardup" ->
       s"""$normCte
          SELECT d1, d2, sim FROM (
@@ -616,28 +659,13 @@ object SimilarityQueries extends QueryPack {
          FROM embeddings ORDER BY vec_id""",
     // IVF replica: same 16 deterministic centroids, same rank-1 assignment
     // (round(6) cdot, cid tie-break), same 2-probe, same exact re-rank.
-    "q_ann_ivf" ->
-      s"""$normCte,
-         c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
-         asg0 AS (SELECT e.vec_id, e.nv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
-           FROM e CROSS JOIN c),
-         asg AS (SELECT vec_id, nv, cid FROM (
-           SELECT vec_id, nv, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) r
-           FROM asg0) WHERE r = 1),
-         pr0 AS (SELECT e.vec_id qid, e.nv qv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
-           FROM e CROSS JOIN c WHERE e.vec_id < 10),
-         pr AS (SELECT qid, qv, cid FROM (
-           SELECT qid, qv, cid,
-             row_number() OVER (PARTITION BY qid ORDER BY cdot DESC, cid) r
-           FROM pr0) WHERE r <= 2),
-         scored AS (SELECT pr.qid, asg.vec_id, ${dotSql("pr.qv", "asg.nv")} AS sim
-           FROM pr JOIN asg USING (cid) WHERE asg.vec_id <> pr.qid),
-         ranked AS (SELECT qid, vec_id, sim,
-           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
-           FROM scored)
-         SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
-         ORDER BY qid, rnk""",
+    "q_ann_ivf" -> ivfOracleSql,
+    "q_ann_recall" ->
+      s"""WITH bf AS ($bruteOracleSql),
+         iv AS ($ivfOracleSql)
+         SELECT bf.qid, round(count(iv.vec_id)::DOUBLE / 5, 6) AS recall5
+         FROM bf LEFT JOIN iv ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
+         GROUP BY bf.qid ORDER BY bf.qid""",
     // Lloyd-training replica: identical assignment, the same
     // DECIMAL(38,18)-exact per-dimension sums (one double division), same
     // ascending repack + renormalization fold — unrolled two rounds.
