@@ -314,6 +314,33 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Gopher top-n-gram fractions (§A1.1's remaining signals: the
+    // fraction of words inside the single most frequent 2-/3-/4-gram) —
+    // same relational shape as q_quality_gopher's bigram: n-grams build
+    // map-side, counts partial-aggregate, one max per (doc, n). Output is
+    // a doc × n matrix — the filter thresholds (0.20/0.18/0.16 in Rae et
+    // al.) apply downstream.
+    "q_quality_ngram_frac" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val w = tokens($"text")
+      val base = docs.select($"doc_id", w.as("w"), size(w).as("nw"))
+      val grams = base
+        .select($"doc_id", $"w", $"nw",
+          explode(array((2 to 4).map(n => lit(n)): _*)).as("n"))
+        .filter($"nw" >= $"n")
+        .select($"doc_id", $"n", $"nw", explode(transform(
+          sequence(lit(0), $"nw" - $"n"),
+          i => concat_ws(" ", slice($"w", i + 1, $"n")))).as("g"))
+      grams.groupBy($"doc_id", $"n", $"nw", $"g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"n", $"nw")
+        .agg(max($"c").as("top"))
+        .select($"doc_id", $"n".cast("long").as("n"),
+          round($"top" * $"n" / $"nw".cast("double"), 6).as("top_gram_frac"))
+        .orderBy($"doc_id", $"n")
+    }),
+
     // Multinomial Naive Bayes language classifier — the fastText-LID /
     // CCNet-filter shape, picked BECAUSE its training is closed-form:
     // the model IS a pair of mergeable count aggregations, so a 100 TB
@@ -629,6 +656,21 @@ object TextQueries extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q_quality_ngram_frac" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+           len(string_split(text, ' ')) AS nw FROM documents),
+         g AS (SELECT doc_id, n, nw,
+                 unnest(list_transform(range(0, nw - n + 1),
+                   i -> array_to_string(w[i + 1 : i + n], ' '))) AS g
+               FROM d CROSS JOIN (SELECT unnest([2, 3, 4]) AS n)
+               WHERE nw >= n),
+         cnt AS (SELECT doc_id, n, nw, g, count(*) AS c
+                 FROM g GROUP BY doc_id, n, nw, g),
+         top AS (SELECT doc_id, n, nw, max(c) AS top
+                 FROM cnt GROUP BY doc_id, n, nw)
+         SELECT doc_id, n::BIGINT AS n,
+           round(top * n / nw::DOUBLE, 6) AS top_gram_frac
+         FROM top ORDER BY doc_id, n""",
     "q_quality_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE len(string_split(text, ' ')) > 0),
