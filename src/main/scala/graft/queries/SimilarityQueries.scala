@@ -72,6 +72,29 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"qid")
     }),
 
+    // The full RECALL MATRIX: recall@5 per (method, query) for every
+    // approximate variant against the brute-force ground truth — the
+    // index-selection table a pipeline owner reads before picking a
+    // method/probe budget. Same composition rule as q_ann_recall, one
+    // row per (method, qid).
+    "q_ann_recall_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val bf = queries("q_ann_bruteforce")(s, dir).select($"qid", $"vec_id")
+        .persist()
+      val methods = Seq("ivf" -> "q_ann_ivf", "lsh" -> "q_ann_lsh_bucketed",
+        "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq")
+      methods.map { case (label, qname) =>
+        val approx = queries(qname)(s, dir).select($"qid", $"vec_id")
+          .withColumn("hit", lit(1L))
+        bf.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy($"qid")
+          .agg(round(sum(coalesce($"hit", lit(0L))).cast("double") / 5.0, 6)
+            .as("recall5"))
+          .select(lit(label).as("method"), $"qid", $"recall5")
+      }.reduce(_ unionAll _)
+        .orderBy($"method", $"qid")
+    }),
+
     // Embedding-cosine near-duplicate pairs (sim ≥ 0.4). Brute force here as
     // ground truth; q_ann_lsh_bucketed is the O(n) candidate path.
     "q_embed_neardup" -> ((s, dir) => {
@@ -607,6 +630,129 @@ object SimilarityQueries extends QueryPack {
        SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
        ORDER BY qid, rnk"""
 
+  private lazy val lshBucketedOracleSql: String =
+    s"""$normCte,
+       sg AS (SELECT vec_id, nv, (list_sum(list_transform(range(0, 16), p ->
+           CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
+               ((('0x' || substr(md5(concat('h', p::VARCHAR, '_', d::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)
+                 * nv[d + 1])), (s, x) -> s + x) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END)))::BIGINT AS sig
+         FROM e),
+       b AS (SELECT vec_id, nv, sig >> 8 AS bucket FROM sg),
+       pairs AS (SELECT a.vec_id qid, b2.vec_id vec_id,
+           ${dotSql("a.nv", "b2.nv")} AS sim
+         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       ranked AS (SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+         FROM pairs)
+       SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+       ORDER BY qid, rnk"""
+
+  private lazy val pqOracleSql: String =
+    s"""$normCte,
+       sub AS (SELECT vec_id, j, list_slice(nv, j*8+1, j*8+8) AS sv
+               FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+       cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
+       enc0 AS (SELECT s.vec_id, s.j, c.cid,
+                  round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                    (a, x) -> a + x), 9) AS d2
+                FROM sub s JOIN cb c ON s.j = c.j),
+       codes AS (SELECT vec_id, j, cid AS code FROM (
+                   SELECT vec_id, j, cid,
+                     row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) r
+                   FROM enc0) WHERE r = 1),
+       dt AS (SELECT s.vec_id AS qid, s.j, c.cid,
+                round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+                  (a, x) -> a + x), 9)::DECIMAL(20,9) AS pd
+              FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
+       sc AS (SELECT dt.qid, codes.vec_id, sum(pd) AS adist
+              FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.cid
+              WHERE codes.vec_id <> dt.qid
+              GROUP BY dt.qid, codes.vec_id),
+       short AS (SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adist, vec_id) r
+                   FROM sc) WHERE r <= 50),
+       rr AS (SELECT short.qid, short.vec_id,
+                ${dotSql("q.nv", "x.nv")} AS sim
+              FROM short
+              JOIN e x ON x.vec_id = short.vec_id
+              JOIN e q ON q.vec_id = short.qid),
+       ranked AS (SELECT qid, vec_id, sim,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) rnk
+                  FROM rr)
+       SELECT qid, rnk, vec_id, sim
+       FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  private lazy val ivfpqOracleSql: String =
+    s"""$normCte,
+       c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+       asg0 AS (SELECT e.vec_id, e.nv, c.cid, c.cv,
+           ${dotSql("e.nv", "c.cv")} AS cdot
+         FROM e CROSS JOIN c),
+       asg AS (SELECT vec_id,
+           list_transform(range(1, 65), i -> nv[i] - cv[i]) AS rv, cid
+         FROM (SELECT vec_id, nv, cid, cv,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cdot DESC, cid) r
+           FROM asg0) WHERE r = 1),
+       subs AS (SELECT vec_id, cid, rj.range AS j,
+           rv[rj.range * 8 + 1 : rj.range * 8 + 8] AS sv
+         FROM asg CROSS JOIN range(0, 8) rj),
+       cb AS (SELECT vec_id ccid, j cj, sv cv8 FROM subs WHERE vec_id < 16),
+       enc0 AS (SELECT s.vec_id, s.cid, s.j, cb.ccid,
+           round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             i -> (s.sv[i] - cb.cv8[i]) * (s.sv[i] - cb.cv8[i]))),
+             (a, x) -> a + x), 9) AS d2
+         FROM subs s JOIN cb ON s.j = cb.cj),
+       codes AS (SELECT vec_id, cid, j, ccid AS code
+         FROM (SELECT vec_id, cid, j, ccid,
+             row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d2, ccid) r
+           FROM enc0) WHERE r = 1),
+       pr0 AS (SELECT e.vec_id qid, e.nv qv, c.cid, c.cv,
+           ${dotSql("e.nv", "c.cv")} AS cdot
+         FROM e CROSS JOIN c WHERE e.vec_id < 10),
+       pr AS (SELECT qid,
+           list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv, cid
+         FROM (SELECT qid, qv, cid, cv,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cdot DESC, cid) r
+           FROM pr0) WHERE r <= 2),
+       qsubs AS (SELECT qid, cid, rj.range AS j,
+           qrv[rj.range * 8 + 1 : rj.range * 8 + 8] AS qsv
+         FROM pr CROSS JOIN range(0, 8) rj),
+       dtab AS (SELECT q.qid, q.cid, q.j, cb.ccid,
+           round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             i -> (q.qsv[i] - cb.cv8[i]) * (q.qsv[i] - cb.cv8[i]))),
+             (a, x) -> a + x), 9)::DECIMAL(20,9) AS pd
+         FROM qsubs q JOIN cb ON q.j = cb.cj),
+       adc AS (SELECT d.qid, co.vec_id, sum(d.pd) AS adist
+         FROM codes co JOIN dtab d
+           ON co.cid = d.cid AND co.j = d.j AND co.code = d.ccid
+         WHERE co.vec_id <> d.qid
+         GROUP BY d.qid, co.vec_id),
+       short AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY adist, vec_id) r
+           FROM adc) WHERE r <= 50),
+       rr AS (SELECT short.qid, short.vec_id,
+           ${dotSql("q.nv", "x.nv")} AS sim
+         FROM short
+         JOIN e x ON x.vec_id = short.vec_id
+         JOIN e q ON q.vec_id = short.qid),
+       ranked AS (SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, vec_id) rnk
+         FROM rr)
+       SELECT qid, rnk, vec_id, sim
+       FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+
   override def oracleSql: Map[String, String] = Map(
     "q_ann_bruteforce" -> bruteOracleSql,
     "q_embed_neardup" ->
@@ -660,6 +806,24 @@ object SimilarityQueries extends QueryPack {
     // IVF replica: same 16 deterministic centroids, same rank-1 assignment
     // (round(6) cdot, cid tie-break), same 2-probe, same exact re-rank.
     "q_ann_ivf" -> ivfOracleSql,
+    "q_ann_recall_matrix" ->
+      s"""WITH bf AS ($bruteOracleSql),
+         m_ivf AS ($ivfOracleSql),
+         m_lsh AS ($lshBucketedOracleSql),
+         m_pq AS ($pqOracleSql),
+         m_ivfpq AS ($ivfpqOracleSql),
+         u AS (
+           SELECT 'ivf' AS method, qid, vec_id FROM m_ivf
+           UNION ALL SELECT 'lsh', qid, vec_id FROM m_lsh
+           UNION ALL SELECT 'pq', qid, vec_id FROM m_pq
+           UNION ALL SELECT 'ivfpq', qid, vec_id FROM m_ivfpq),
+         names AS (SELECT unnest(['ivf', 'lsh', 'pq', 'ivfpq']) AS method)
+         SELECT n.method, bf.qid,
+           round(count(u.vec_id)::DOUBLE / 5, 6) AS recall5
+         FROM names n CROSS JOIN bf
+         LEFT JOIN u ON u.method = n.method AND u.qid = bf.qid
+           AND u.vec_id = bf.vec_id
+         GROUP BY n.method, bf.qid ORDER BY n.method, bf.qid""",
     "q_ann_recall" ->
       s"""WITH bf AS ($bruteOracleSql),
          iv AS ($ivfOracleSql)
@@ -679,23 +843,7 @@ object SimilarityQueries extends QueryPack {
     // LSH-bucketed replica: signatures over the NORMALIZED vectors (unlike
     // q_lsh_signatures, which signs the raw embedding), same ascending-d
     // left fold as graft_lsh16, bucket = sig >> 8.
-    "q_ann_lsh_bucketed" ->
-      s"""$normCte,
-         sg AS (SELECT vec_id, nv, (list_sum(list_transform(range(0, 16), p ->
-             CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
-                 ((('0x' || substr(md5(concat('h', p::VARCHAR, '_', d::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)
-                   * nv[d + 1])), (s, x) -> s + x) >= 0
-               THEN (1::BIGINT << p) ELSE 0 END)))::BIGINT AS sig
-           FROM e),
-         b AS (SELECT vec_id, nv, sig >> 8 AS bucket FROM sg),
-         pairs AS (SELECT a.vec_id qid, b2.vec_id vec_id,
-             ${dotSql("a.nv", "b2.nv")} AS sim
-           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
-         ranked AS (SELECT qid, vec_id, sim,
-           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
-           FROM pairs)
-         SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
-         ORDER BY qid, rnk""",
+    "q_ann_lsh_bucketed" -> lshBucketedOracleSql,
     // Same sg/b CTEs as q_ann_lsh_bucketed; sim is round(rawdot·1e6) —
     // mirroring the dialect's unary-ROUND pinning (NOT round(dot,6)·1e6,
     // which could differ at half-ulp boundaries) — and only the VALUE
@@ -738,45 +886,7 @@ object SimilarityQueries extends QueryPack {
              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) r
            FROM enc0) WHERE r = 1
          ORDER BY vec_id, j""",
-    "q_ann_pq" ->
-      s"""$normCte,
-         sub AS (SELECT vec_id, j, list_slice(nv, j*8+1, j*8+8) AS sv
-                 FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-         cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
-         enc0 AS (SELECT s.vec_id, s.j, c.cid,
-                    round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-                      (a, x) -> a + x), 9) AS d2
-                  FROM sub s JOIN cb c ON s.j = c.j),
-         codes AS (SELECT vec_id, j, cid AS code FROM (
-                     SELECT vec_id, j, cid,
-                       row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) r
-                     FROM enc0) WHERE r = 1),
-         dt AS (SELECT s.vec_id AS qid, s.j, c.cid,
-                  round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-                    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-                    (a, x) -> a + x), 9)::DECIMAL(20,9) AS pd
-                FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
-         sc AS (SELECT dt.qid, codes.vec_id, sum(pd) AS adist
-                FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.cid
-                WHERE codes.vec_id <> dt.qid
-                GROUP BY dt.qid, codes.vec_id),
-         short AS (SELECT qid, vec_id FROM (
-                     SELECT qid, vec_id,
-                       row_number() OVER (PARTITION BY qid
-                         ORDER BY adist, vec_id) r
-                     FROM sc) WHERE r <= 50),
-         rr AS (SELECT short.qid, short.vec_id,
-                  ${dotSql("q.nv", "x.nv")} AS sim
-                FROM short
-                JOIN e x ON x.vec_id = short.vec_id
-                JOIN e q ON q.vec_id = short.qid),
-         ranked AS (SELECT qid, vec_id, sim,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY sim DESC, vec_id) rnk
-                    FROM rr)
-         SELECT qid, rnk, vec_id, sim
-         FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_ann_pq" -> pqOracleSql,
     // PQ codebook training: 2 Lloyd rounds per subspace (same exactness
     // discipline as the IVF trainer's oracle, keyed by (j, cid))
     "q_ann_pq_train" ->
@@ -794,70 +904,7 @@ object SimilarityQueries extends QueryPack {
          ORDER BY j, cid, i""",
     // IVF-PQ: coarse assign → residuals → residual-codebook PQ codes →
     // probe 2 lists → per-list query-residual ADC → top-50 → exact re-rank
-    "q_ann_ivfpq" ->
-      s"""$normCte,
-         c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
-         asg0 AS (SELECT e.vec_id, e.nv, c.cid, c.cv,
-             ${dotSql("e.nv", "c.cv")} AS cdot
-           FROM e CROSS JOIN c),
-         asg AS (SELECT vec_id,
-             list_transform(range(1, 65), i -> nv[i] - cv[i]) AS rv, cid
-           FROM (SELECT vec_id, nv, cid, cv,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY cdot DESC, cid) r
-             FROM asg0) WHERE r = 1),
-         subs AS (SELECT vec_id, cid, rj.range AS j,
-             rv[rj.range * 8 + 1 : rj.range * 8 + 8] AS sv
-           FROM asg CROSS JOIN range(0, 8) rj),
-         cb AS (SELECT vec_id ccid, j cj, sv cv8 FROM subs WHERE vec_id < 16),
-         enc0 AS (SELECT s.vec_id, s.cid, s.j, cb.ccid,
-             round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-               i -> (s.sv[i] - cb.cv8[i]) * (s.sv[i] - cb.cv8[i]))),
-               (a, x) -> a + x), 9) AS d2
-           FROM subs s JOIN cb ON s.j = cb.cj),
-         codes AS (SELECT vec_id, cid, j, ccid AS code
-           FROM (SELECT vec_id, cid, j, ccid,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d2, ccid) r
-             FROM enc0) WHERE r = 1),
-         pr0 AS (SELECT e.vec_id qid, e.nv qv, c.cid, c.cv,
-             ${dotSql("e.nv", "c.cv")} AS cdot
-           FROM e CROSS JOIN c WHERE e.vec_id < 10),
-         pr AS (SELECT qid,
-             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv, cid
-           FROM (SELECT qid, qv, cid, cv,
-               row_number() OVER (PARTITION BY qid
-                 ORDER BY cdot DESC, cid) r
-             FROM pr0) WHERE r <= 2),
-         qsubs AS (SELECT qid, cid, rj.range AS j,
-             qrv[rj.range * 8 + 1 : rj.range * 8 + 8] AS qsv
-           FROM pr CROSS JOIN range(0, 8) rj),
-         dtab AS (SELECT q.qid, q.cid, q.j, cb.ccid,
-             round(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-               i -> (q.qsv[i] - cb.cv8[i]) * (q.qsv[i] - cb.cv8[i]))),
-               (a, x) -> a + x), 9)::DECIMAL(20,9) AS pd
-           FROM qsubs q JOIN cb ON q.j = cb.cj),
-         adc AS (SELECT d.qid, co.vec_id, sum(d.pd) AS adist
-           FROM codes co JOIN dtab d
-             ON co.cid = d.cid AND co.j = d.j AND co.code = d.ccid
-           WHERE co.vec_id <> d.qid
-           GROUP BY d.qid, co.vec_id),
-         short AS (SELECT qid, vec_id FROM (
-             SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid
-                 ORDER BY adist, vec_id) r
-             FROM adc) WHERE r <= 50),
-         rr AS (SELECT short.qid, short.vec_id,
-             ${dotSql("q.nv", "x.nv")} AS sim
-           FROM short
-           JOIN e x ON x.vec_id = short.vec_id
-           JOIN e q ON q.vec_id = short.qid),
-         ranked AS (SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY sim DESC, vec_id) rnk
-           FROM rr)
-         SELECT qid, rnk, vec_id, sim
-         FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_ann_ivfpq" -> ivfpqOracleSql,
     "q_sql_quantize" ->
       """WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v
