@@ -82,6 +82,7 @@ object SimilarityQueries extends QueryPack {
       val bf = queries("q_ann_bruteforce")(s, dir).select($"qid", $"vec_id")
         .persist()
       val methods = Seq("ivf" -> "q_ann_ivf", "lsh" -> "q_ann_lsh_bucketed",
+        "lsh_mp" -> "q_ann_lsh_multiprobe",
         "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq")
       methods.map { case (label, qname) =>
         val approx = queries(qname)(s, dir).select($"qid", $"vec_id")
@@ -257,6 +258,32 @@ object SimilarityQueries extends QueryPack {
           $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("qid"), $"b.vec_id".as("vec_id"),
           round(dot($"a.v", $"b.v"), 6).as("sim"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // MULTI-PROBE LSH (Lv et al., "Multi-Probe LSH", VLDB 2007 — public):
+    // each query probes its own 8-bit bucket PLUS the 8 buckets at
+    // Hamming distance 1 (a fixed perturbation set) — the classic recall
+    // repair for bucketed LSH at ~9× the candidate work, no extra hash
+    // tables. The recall matrix quantifies exactly what that buys over
+    // the single-bucket form. Probe buckets are distinct values, so no
+    // candidate pair can duplicate — no dedup stage needed.
+    "q_ann_lsh_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val sig = normVecs(s, dir)
+        .withColumn("bucket", shiftright(lshSignatureFast($"v"), 8))
+        .persist()
+      val probes = sig.select($"vec_id".as("qid"), $"v".as("qv"),
+        explode(concat(array($"bucket"),
+          expr("transform(sequence(0, 7), j -> bucket ^ shiftleft(1L, j))")))
+          .as("bucket"))
+      val pairs = probes.join(sig, "bucket")
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", round(dot($"qv", $"v"), 6).as("sim"))
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
       pairs.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 5)
@@ -630,7 +657,9 @@ object SimilarityQueries extends QueryPack {
        SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
        ORDER BY qid, rnk"""
 
-  private lazy val lshBucketedOracleSql: String =
+  /** normalized vectors + 16-bit hyperplane signature + 8-bit bucket —
+    * the shared front of both LSH ANN oracles. */
+  private lazy val lshSigCte: String =
     s"""$normCte,
        sg AS (SELECT vec_id, nv, (list_sum(list_transform(range(0, 16), p ->
            CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), d ->
@@ -638,10 +667,27 @@ object SimilarityQueries extends QueryPack {
                  * nv[d + 1])), (s, x) -> s + x) >= 0
              THEN (1::BIGINT << p) ELSE 0 END)))::BIGINT AS sig
          FROM e),
-       b AS (SELECT vec_id, nv, sig >> 8 AS bucket FROM sg),
+       b AS (SELECT vec_id, nv, sig >> 8 AS bucket FROM sg)"""
+
+  private lazy val lshBucketedOracleSql: String =
+    s"""$lshSigCte,
        pairs AS (SELECT a.vec_id qid, b2.vec_id vec_id,
            ${dotSql("a.nv", "b2.nv")} AS sim
          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       ranked AS (SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
+         FROM pairs)
+       SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
+       ORDER BY qid, rnk"""
+
+  private lazy val lshMultiprobeOracleSql: String =
+    s"""$lshSigCte,
+       pr AS (SELECT vec_id AS qid, nv AS qv,
+                unnest(list_prepend(bucket,
+                  list_transform(range(0, 8), j -> xor(bucket, 1 << j)))) AS bucket
+              FROM b),
+       pairs AS (SELECT pr.qid, b2.vec_id, ${dotSql("pr.qv", "b2.nv")} AS sim
+         FROM pr JOIN b b2 ON pr.bucket = b2.bucket AND b2.vec_id <> pr.qid),
        ranked AS (SELECT qid, vec_id, sim,
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
          FROM pairs)
@@ -810,14 +856,16 @@ object SimilarityQueries extends QueryPack {
       s"""WITH bf AS ($bruteOracleSql),
          m_ivf AS ($ivfOracleSql),
          m_lsh AS ($lshBucketedOracleSql),
+         m_lshmp AS ($lshMultiprobeOracleSql),
          m_pq AS ($pqOracleSql),
          m_ivfpq AS ($ivfpqOracleSql),
          u AS (
            SELECT 'ivf' AS method, qid, vec_id FROM m_ivf
            UNION ALL SELECT 'lsh', qid, vec_id FROM m_lsh
+           UNION ALL SELECT 'lsh_mp', qid, vec_id FROM m_lshmp
            UNION ALL SELECT 'pq', qid, vec_id FROM m_pq
            UNION ALL SELECT 'ivfpq', qid, vec_id FROM m_ivfpq),
-         names AS (SELECT unnest(['ivf', 'lsh', 'pq', 'ivfpq']) AS method)
+         names AS (SELECT unnest(['ivf', 'lsh', 'lsh_mp', 'pq', 'ivfpq']) AS method)
          SELECT n.method, bf.qid,
            round(count(u.vec_id)::DOUBLE / 5, 6) AS recall5
          FROM names n CROSS JOIN bf
@@ -844,6 +892,7 @@ object SimilarityQueries extends QueryPack {
     // q_lsh_signatures, which signs the raw embedding), same ascending-d
     // left fold as graft_lsh16, bucket = sig >> 8.
     "q_ann_lsh_bucketed" -> lshBucketedOracleSql,
+    "q_ann_lsh_multiprobe" -> lshMultiprobeOracleSql,
     // Same sg/b CTEs as q_ann_lsh_bucketed; sim is round(rawdot·1e6) —
     // mirroring the dialect's unary-ROUND pinning (NOT round(dot,6)·1e6,
     // which could differ at half-ulp boundaries) — and only the VALUE
