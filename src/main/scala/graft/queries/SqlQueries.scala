@@ -473,6 +473,13 @@ object SqlQueries extends QueryPack {
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)
          ORDER BY o_orderkey;""")),
 
+    // star modifiers (r8 extension; DuckDB-style): * EXCLUDE drops
+    // columns, * REPLACE substitutes a value in place (name/position
+    // preserved) — identical text both engines.
+    "q_sql_star_modifiers" -> ((s, dir) => run(s, dir,
+      """SELECT * EXCLUDE (text) REPLACE (n_chars * 2 AS n_chars)
+         FROM documents ORDER BY doc_id;""")),
+
     // GROUP BY ALL + ORDER BY ALL (r8 extensions; DuckDB-isms): keys
     // inferred from the non-aggregate select items, ordering over every
     // output column left-to-right — both desugared at parse time.
@@ -1054,6 +1061,9 @@ object SqlQueries extends QueryPack {
                 o_totalprice - (SELECT MIN(o_totalprice) FROM orders) AS over_min
          FROM orders
          WHERE o_totalprice * 2.0 > (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_sql_star_modifiers" ->
+      """SELECT * EXCLUDE (text) REPLACE (n_chars * 2 AS n_chars)
+         FROM documents ORDER BY doc_id""",
     "q_sql_group_by_all" ->
       """SELECT lang, source, COUNT(*) AS n, MAX(n_chars) AS mx
          FROM documents GROUP BY ALL ORDER BY ALL""",

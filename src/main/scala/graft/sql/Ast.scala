@@ -147,7 +147,13 @@ object Ast {
 
   sealed trait SelectItem
   case class ItemExpr(e: Expr, alias: Option[String]) extends SelectItem
-  case class ItemWildcard(stream: Option[String]) extends SelectItem
+  /** `*` with optional DuckDB-style modifiers (r8 extension):
+    * `* EXCLUDE (c1, …)` drops listed columns, `* REPLACE (expr AS c)`
+    * substitutes a column's value in place (position/name preserved).
+    * Plain-star only — a qualified `q.*` takes no modifiers. */
+  case class ItemWildcard(stream: Option[String],
+                          exclude: Seq[String] = Nil,
+                          replace: Seq[(Expr, String)] = Nil) extends SelectItem
 
   /** ORDER BY item — dialect EXTENSION: the reference grammar has no
     * ORDER BY/LIMIT production at all (SURVEY §2.7; no production in

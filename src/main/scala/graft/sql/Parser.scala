@@ -446,7 +446,7 @@ object Parser {
       def outNames(q: Query): Seq[String] = q match {
         case s: Select => s.items.map {
           case ItemExpr(e, a) => a.getOrElse(Translate.exprName(e))
-          case ItemWildcard(_) => throw new IllegalArgumentException(
+          case _: ItemWildcard => throw new IllegalArgumentException(
             "ORDER BY ALL cannot be combined with * (the column list is " +
               "not statically known) — list the columns")
         }
@@ -528,7 +528,7 @@ object Parser {
                   "GROUP BY ALL requires non-aggregate select items to be " +
                     s"bare column refs; alias '${Translate.exprName(e)}' in " +
                     "a FROM-subquery and group the alias")
-                case ItemWildcard(_) => throw new IllegalArgumentException(
+                case _: ItemWildcard => throw new IllegalArgumentException(
                   "GROUP BY ALL cannot be combined with * — list the columns")
               }.flatten
               require(keys.nonEmpty,
@@ -597,7 +597,29 @@ object Parser {
     }
 
     private def selectItem(): SelectItem =
-      if (accept("*")) ItemWildcard(None)
+      if (accept("*")) {
+        // * EXCLUDE (c1, …) / * REPLACE (expr AS c, …) — DuckDB-style
+        // star modifiers, either order, at most once each
+        var ex: Seq[String] = Nil
+        var rep: Seq[(Expr, String)] = Nil
+        var go = true
+        while (go) kwPeek match {
+          case "EXCLUDE" if ex.isEmpty =>
+            next(); expect("(")
+            val b = Seq.newBuilder[String]
+            do b += ident() while (accept(","))
+            expect(")"); ex = b.result()
+          case "REPLACE" if rep.isEmpty =>
+            next(); expect("(")
+            val b = Seq.newBuilder[(Expr, String)]
+            do {
+              val e = expr(); expect("AS"); b += ((e, ident()))
+            } while (accept(","))
+            expect(")"); rep = b.result()
+          case _ => go = false
+        }
+        ItemWildcard(None, ex, rep)
+      }
       else {
         // `s.*` qualified wildcard vs expression
         val save = pos

@@ -1008,7 +1008,8 @@ object Translate {
         TypeCheck.infer(e, inner)
           .filter(t => t == TTime || t == TJson).map(name -> _)
       // wildcards pass the inner relation's dialect types through unchanged
-      case ItemWildcard(_) => inner.filterNot(_._1.contains('.'))
+      case ItemWildcard(_, ex, _) => inner.filterNot(_._1.contains('.'))
+        .filterNot { case (k, _) => ex.exists(_.equalsIgnoreCase(k)) }
     }.toMap
   }
 
@@ -1224,14 +1225,39 @@ object Translate {
       // plain Filter/Project pipeline. With scalar-subquery columns
       // attached, `*` expands to the ORIGINAL relation's columns so the
       // hidden __graft_scalar* (and __graft_win*) helpers never leak into
-      // the output.
+      // the output. EXCLUDE drops listed columns, REPLACE substitutes a
+      // column's value in place (name/position preserved) — DuckDB star
+      // modifiers; both verified against the base column set so a typo is
+      // a vocabulary rejection, not a silent no-op.
+      def expandStar(baseCols: Seq[String], ex: Seq[String],
+                     rep: Seq[(Expr, String)]): Seq[Column] = {
+        (ex ++ rep.map(_._2)).foreach { c =>
+          if (!baseCols.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"* EXCLUDE/REPLACE references unknown column '$c' " +
+                s"(available: ${baseCols.mkString(", ")})")
+        }
+        val repMap = rep.map { case (e, n) => n.toLowerCase -> e }.toMap
+        baseCols.filterNot(c => ex.exists(_.equalsIgnoreCase(c))).map { c =>
+          repMap.get(c.toLowerCase) match {
+            case Some(e) => column(e, resolve, env).as(c)
+            case None => col(s"`$c`")
+          }
+        }
+      }
       val cols = selQ.items.flatMap {
-        case ItemWildcard(None) if scalarsAttached =>
-          src.df.columns.toSeq.map(c => col(s"`$c`"))
-        case ItemWildcard(None) if winsAttached =>
-          filtered.columns.toSeq.map(c => col(s"`$c`"))
-        case ItemWildcard(None) => Seq(col("*"))
-        case ItemWildcard(Some(q)) => Seq(col(s"$q.*"))
+        case ItemWildcard(None, ex, rep) =>
+          val baseCols =
+            if (scalarsAttached) src.df.columns.toSeq
+            else if (winsAttached) filtered.columns.toSeq
+            else donBase.columns.toSeq
+          if (ex.isEmpty && rep.isEmpty && !scalarsAttached && !winsAttached)
+            Seq(col("*"))
+          else expandStar(baseCols, ex, rep)
+        case ItemWildcard(Some(q), Nil, Nil) => Seq(col(s"$q.*"))
+        case ItemWildcard(Some(q), _, _) =>
+          throw new IllegalArgumentException(
+            s"$q.* does not take EXCLUDE/REPLACE — apply them to a bare *")
         case ItemExpr(e, alias) =>
           Seq(column(e, resolve, env).as(alias.getOrElse(exprName(e))))
       }
@@ -1308,7 +1334,10 @@ object Translate {
 
       // final Project; window bounds appended (Codegen/V1.hs:422-425)
       val itemCols = sel.items.map {
-        case ItemWildcard(_) => col("*")
+        case ItemWildcard(_, Nil, Nil) => col("*")
+        case _: ItemWildcard => throw new IllegalArgumentException(
+          "* EXCLUDE/REPLACE does not combine with aggregation — project " +
+            "in a FROM-subquery first")
         case ItemExpr(e, alias) =>
           column(rewriteAggs(e, aggNames), postResolve, env).as(alias.getOrElse(exprName(e)))
       }
@@ -1345,8 +1374,9 @@ object Translate {
       return page(dedup(pre.select(outCols: _*)))
     val outNames: Seq[String] = sel.items.flatMap {
       case ItemExpr(e, alias) => Seq(alias.getOrElse(exprName(e)))
-      case ItemWildcard(None) => pre.columns.toSeq
-      case ItemWildcard(Some(_)) => Nil // qualified subset — hidden-column path
+      case ItemWildcard(None, ex, _) =>
+        pre.columns.toSeq.filterNot(c => ex.exists(_.equalsIgnoreCase(c)))
+      case ItemWildcard(Some(_), _, _) => Nil // qualified subset — hidden-column path
     } ++ extraOutNames
     val keys = sel.orderBy.zipWithIndex.map {
       case (OrderItem(ColRef(None, n), desc), _)

@@ -147,6 +147,29 @@ class QualifyDistinctSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, false, true), (2L, true, false)))
   }
 
+  test("* EXCLUDE / * REPLACE star modifiers (DuckDB-style)") {
+    setup()
+    val ex = e.batch("SELECT * EXCLUDE (v) FROM qd_t ORDER BY i;")
+    assert(ex.columns.toSeq == Seq("k", "i"))
+    val rep = e.batch(
+      "SELECT * REPLACE (v + 1 AS v) FROM qd_t WHERE k = 'b' ORDER BY i;")
+    assert(rep.columns.toSeq == Seq("k", "i", "v")) // position + name kept
+    assert(rep.collect().map(_.getLong(2)).toSeq == Seq(8L, 10L))
+    val both = e.batch(
+      "SELECT * EXCLUDE (i) REPLACE (v + 1 AS v) FROM qd_t WHERE k = 'b' ORDER BY v;")
+    assert(both.columns.toSeq == Seq("k", "v"))
+    assert(both.collect().map(_.getLong(1)).toSeq == Seq(8L, 10L))
+    def rejects2(sql: String, frag: String): Unit = {
+      val ex0 = intercept[Exception](e.sql(sql) match { case r: Object => r })
+      assert(ex0.getMessage != null && ex0.getMessage.toLowerCase
+        .contains(frag.toLowerCase), s"message for [$sql]: ${ex0.getMessage}")
+    }
+    rejects2("SELECT * EXCLUDE (nope) FROM qd_t;", "unknown column")
+    rejects2("SELECT * REPLACE (v + 1 AS nope) FROM qd_t;", "unknown column")
+    rejects2("SELECT * EXCLUDE (v), COUNT(*) AS c FROM qd_t GROUP BY k;",
+      "does not combine with aggregation")
+  }
+
   test("rejections carry dialect vocabulary") {
     setup()
     rejects("SELECT k, i FROM qd_t QUALIFY i > 1;", "QUALIFY must reference a window function")
