@@ -336,8 +336,12 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("c"))
         .groupBy($"doc_id", $"n", $"nw")
         .agg(max($"c").as("top"))
+        // occurrences OVERLAP, so count·n can exceed the word count on
+        // degenerate docs ('a a a a'); the signal is a FRACTION and the
+        // published thresholds assume [0,1] — cap at 1 (both engines)
         .select($"doc_id", $"n".cast("long").as("n"),
-          round($"top" * $"n" / $"nw".cast("double"), 6).as("top_gram_frac"))
+          round(least(lit(1.0), $"top" * $"n" / $"nw".cast("double")), 6)
+            .as("top_gram_frac"))
         .orderBy($"doc_id", $"n")
     }),
 
@@ -669,7 +673,7 @@ object TextQueries extends QueryPack {
          top AS (SELECT doc_id, n, nw, max(c) AS top
                  FROM cnt GROUP BY doc_id, n, nw)
          SELECT doc_id, n::BIGINT AS n,
-           round(top * n / nw::DOUBLE, 6) AS top_gram_frac
+           round(least(1.0, top * n / nw::DOUBLE), 6) AS top_gram_frac
          FROM top ORDER BY doc_id, n""",
     "q_quality_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -678,7 +682,7 @@ object TextQueries extends QueryPack {
                  unnest(list_transform(range(0, (len(w) + 7) // 8),
                    i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' '))) AS line
                FROM d),
-         g AS (SELECT doc_id, line, count(*) AS c, strlen(line) AS cl
+         g AS (SELECT doc_id, line, count(*) AS c, length(line) AS cl
                FROM l GROUP BY doc_id, line)
          SELECT doc_id,
            sum(c)::BIGINT AS n_lines,

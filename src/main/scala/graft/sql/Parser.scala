@@ -30,7 +30,8 @@ object Parser {
       case s: Select => s.copy(
         items = s.items.map {
           case ItemExpr(e, a) => ItemExpr(substCteExpr(e, m), a)
-          case other => other
+          case w @ ItemWildcard(_, _, rep) =>
+            w.copy(replace = rep.map { case (e, n) => (substCteExpr(e, m), n) })
         },
         from = substCteRef(s.from, m),
         where = s.where.map(substCteExpr(_, m)),
@@ -99,7 +100,10 @@ object Parser {
     q match {
       case s: Select =>
         refR(s.from) +
-          (s.items.collect { case ItemExpr(e, _) => refE(e) } ++
+          (s.items.flatMap {
+            case ItemExpr(e, _) => Seq(refE(e))
+            case ItemWildcard(_, _, rep) => rep.map(p => refE(p._1))
+          } ++
             s.where.map(refE) ++ s.having.map(refE) ++
             s.qualify.map(refE) ++ s.orderBy.map(o => refE(o.e))).sum
       case so: SetOp => totalSelfRefs(so.l, name) + totalSelfRefs(so.r, name)

@@ -1008,8 +1008,13 @@ object Translate {
         TypeCheck.infer(e, inner)
           .filter(t => t == TTime || t == TJson).map(name -> _)
       // wildcards pass the inner relation's dialect types through unchanged
-      case ItemWildcard(_, ex, _) => inner.filterNot(_._1.contains('.'))
-        .filterNot { case (k, _) => ex.exists(_.equalsIgnoreCase(k)) }
+      case ItemWildcard(_, ex, rep) => inner.filterNot(_._1.contains('.'))
+        // EXCLUDE drops the column; REPLACE changes its value, so the
+        // inner relation's TIME/JSON tag no longer applies (unknown
+        // types never reject — conservative)
+        .filterNot { case (k, _) =>
+          ex.exists(_.equalsIgnoreCase(k)) ||
+            rep.exists(_._2.equalsIgnoreCase(k)) }
     }.toMap
   }
 
@@ -1091,7 +1096,11 @@ object Translate {
     // flowing through a subquery alias keeps wraparound arithmetic.
     val env: TypeCheck.Env = TypeCheck.envOf(base0) ++ dialectTypes(sel.from, declared)
     sel.where.foreach(TypeCheck.check(_, env))
-    sel.items.foreach { case ItemExpr(e, _) => TypeCheck.check(e, env); case _ => () }
+    sel.items.foreach {
+      case ItemExpr(e, _) => TypeCheck.check(e, env)
+      case ItemWildcard(_, _, rep) =>
+        rep.foreach { case (e, _) => TypeCheck.check(e, env) }
+    }
     sel.having.foreach(TypeCheck.check(_, env))
     sel.orderBy.foreach(o => TypeCheck.check(o.e, env))
 
@@ -1137,7 +1146,11 @@ object Translate {
       // window rewrites to RANGE over it (ascending — dense_rank is
       // order-preserving, and CURRENT ROW then spans the full tie class,
       // exactly the GROUPS peer semantics).
-      val grpSpecs = (sel.items.collect { case ItemExpr(e, _) => e } ++
+      def itemExprs(items: Seq[SelectItem]): Seq[Expr] = items.flatMap {
+        case ItemExpr(e, _) => Seq(e)
+        case ItemWildcard(_, _, rep) => rep.map(_._1) // REPLACE exprs too
+      }
+      val grpSpecs = (itemExprs(sel.items) ++
         sel.orderBy.map(_.e) ++ sel.qualify.toSeq)
         .flatMap(collectWins).filter(_.groupsFrame)
         .map(w => (w.partitionBy, w.orderBy)).distinct
@@ -1156,7 +1169,8 @@ object Translate {
         items = sel.items.map {
           case ItemExpr(e, a) =>
             ItemExpr(subGroups(e), Some(a.getOrElse(exprName(e))))
-          case other => other
+          case w @ ItemWildcard(_, _, rep) =>
+            w.copy(replace = rep.map { case (e, n) => (subGroups(e), n) })
         },
         orderBy = sel.orderBy.map(o => o.copy(e = subGroups(o.e))),
         qualify = sel.qualify.map(subGroups))
@@ -1184,7 +1198,7 @@ object Translate {
               aliasExprs(n.toLowerCase)
           }
           val wins: Seq[WinFn] =
-            (qSub +: (selG.items.collect { case ItemExpr(e, _) => e } ++
+            (qSub +: (itemExprs(selG.items) ++
               selG.orderBy.map(_.e))).flatMap(collectWins).distinct
           val winNames: Map[WinFn, String] =
             wins.zipWithIndex.map { case (w, i) => w -> s"__graft_win$i" }.toMap
@@ -1202,7 +1216,8 @@ object Translate {
           val items2 = selG.items.map {
             case ItemExpr(e, alias) =>
               ItemExpr(subWins(e), Some(alias.getOrElse(exprName(e))))
-            case other => other
+            case w @ ItemWildcard(_, _, rep) =>
+              w.copy(replace = rep.map { case (e, n) => (subWins(e), n) })
           }
           val ob2 = selG.orderBy.map(o => o.copy(e = subWins(o.e)))
           (flt, selG.copy(items = items2, orderBy = ob2, qualify = None),
@@ -1236,6 +1251,15 @@ object Translate {
             throw new IllegalArgumentException(
               s"* EXCLUDE/REPLACE references unknown column '$c' " +
                 s"(available: ${baseCols.mkString(", ")})")
+        }
+        rep.map(_._2).foreach { c =>
+          if (ex.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"column '$c' cannot appear in both EXCLUDE and REPLACE")
+        }
+        rep.map(_._2.toLowerCase).groupBy(identity).foreach { case (c, v) =>
+          if (v.length > 1) throw new IllegalArgumentException(
+            s"column '$c' appears more than once in REPLACE")
         }
         val repMap = rep.map { case (e, n) => n.toLowerCase -> e }.toMap
         baseCols.filterNot(c => ex.exists(_.equalsIgnoreCase(c))).map { c =>
@@ -1664,8 +1688,10 @@ object Translate {
                                grace: String, declared: DeclaredTypes)
       : (Select, DataFrame, Boolean) = {
     val whereSubs = sel.where.toSeq.flatMap(collectScalars)
-    val postExprs = sel.items.collect { case ItemExpr(e, _) => e } ++
-      sel.having.toSeq ++ sel.orderBy.map(_.e)
+    val postExprs = sel.items.flatMap {
+      case ItemExpr(e, _) => Seq(e)
+      case ItemWildcard(_, _, rep) => rep.map(_._1)
+    } ++ sel.having.toSeq ++ sel.orderBy.map(_.e)
     val postSubs = postExprs.flatMap(collectScalars)
     val subs = (whereSubs ++ postSubs).distinct
     if (subs.isEmpty) return (sel, df0, false)
@@ -1686,7 +1712,8 @@ object Translate {
     val sel2 = sel.copy(
       items = sel.items.map {
         case ItemExpr(e, a) => ItemExpr(rw(e), a)
-        case w => w },
+        case w @ ItemWildcard(_, _, rep) =>
+          w.copy(replace = rep.map { case (e, n) => (rw(e), n) }) },
       where = sel.where.map(rw),
       having = sel.having.map(rw),
       orderBy = sel.orderBy.map(o => o.copy(e = rw(o.e))))

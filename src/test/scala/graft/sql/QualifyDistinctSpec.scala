@@ -165,9 +165,33 @@ class QualifyDistinctSpec extends SparkSpec {
         .contains(frag.toLowerCase), s"message for [$sql]: ${ex0.getMessage}")
     }
     rejects2("SELECT * EXCLUDE (nope) FROM qd_t;", "unknown column")
+    rejects2("SELECT * EXCLUDE (v) REPLACE (v + 1 AS v) FROM qd_t;",
+      "both EXCLUDE and REPLACE")
+    rejects2("SELECT * REPLACE (v + 1 AS v, v + 2 AS v) FROM qd_t;",
+      "more than once in REPLACE")
     rejects2("SELECT * REPLACE (v + 1 AS nope) FROM qd_t;", "unknown column")
     rejects2("SELECT * EXCLUDE (v), COUNT(*) AS c FROM qd_t GROUP BY k;",
       "does not combine with aggregation")
+  }
+
+  test("a window function inside * REPLACE under QUALIFY computes PRE-filter") {
+    setup()
+    // rank over the FULL group-a partition (4 rows): the kept row (i=1,
+    // v=30 ties → rank by v desc, i: i=1 first) must report its rank
+    // among ALL rows, not among survivors
+    val got = e.batch(
+      """SELECT * EXCLUDE (k) REPLACE (
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC, i) AS v)
+         FROM qd_t
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY i DESC) = 1
+         ORDER BY i;""")
+    assert(got.columns.toSeq == Seq("i", "v"))
+    // survivors: per k, the max-i row: (a, i=4, v=20) and (b, i=6, v=9).
+    // Pre-filter ranks by (v DESC, i): a = [i1(30), i3(30), i4(20),
+    // i2(10)] → i=4 ranks 3rd; b's i=6 (v=9) ranks 1st of {9,7}. A
+    // post-filter evaluation would rank both survivors 1st.
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((4L, 3), (6L, 1)), s"got ${rows.toSeq}")
   }
 
   test("rejections carry dialect vocabulary") {
