@@ -174,6 +174,19 @@ class QualifyDistinctSpec extends SparkSpec {
       "does not combine with aggregation")
   }
 
+  test("* EXCLUDE prunes the excluded column from the parquet scan") {
+    // the 100 TB payoff: EXCLUDE (text) must reach the reader as column
+    // pruning — a scan that still reads the heavy text column would make
+    // the modifier cosmetic
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("sm_docs")
+    val plan = e.batch("SELECT * EXCLUDE (text) FROM sm_docs ORDER BY doc_id;")
+      .queryExecution.executedPlan.toString
+    val read = plan.split("ReadSchema").lift(1).getOrElse("")
+    assert(read.nonEmpty && !read.contains("text"),
+      s"text not pruned from scan: ${plan.take(1500)}")
+  }
+
   test("a window function inside * REPLACE under QUALIFY computes PRE-filter") {
     setup()
     // rank over the FULL group-a partition (4 rows): the kept row (i=1,
