@@ -254,14 +254,21 @@ object DedupQueries extends QueryPack {
     // ever re-pairing existing×existing. Candidates come from banding the
     // new side against the existing side's band table ONLY, so candidate
     // work scales with the increment (× band occupancy), not the corpus;
-    // the existing side's signatures are the precomputable signature
-    // store a production pipeline would persist between crawls. Verdict
-    // per new doc in ONE mergeable aggregation (min_by picks the
+    // the existing side's signatures come from the PERSISTED
+    // SignatureStore (built-if-absent, reused across runs) — the new
+    // batch is the only text that gets tokenized/shingled/minhashed.
+    // Verdict per new doc in ONE mergeable aggregation (min_by picks the
     // earliest matching existing doc and its Jaccard together — no
     // join-back, no per-group sort): dup_of + jac, or keep.
-    "q_dedup_incremental" -> ((s, dir) =>
-      incrementalDedupFrom(Tables.load(s, dir, "documents"))
-        .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
+    "q_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val store = storeFor(s, dir)
+      incrementalDedupStored(s, store,
+        Tables.load(s, dir, "documents")
+          .filter(pmod($"doc_id", lit(4L)) === 0)
+          .select($"doc_id", $"text"))
+        .orderBy($"doc_id")
+    }),
 
     // The fast twin's GATE ROW: md5-verified pairs UNION ALL the symmetric
     // difference of the two pipelines' verified pair sets. When the twins
@@ -635,6 +642,65 @@ object DedupQueries extends QueryPack {
         array((0 until 4).map(b =>
           concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
           .as("bands"): _*)
+  }
+
+  /** TRUE incremental dedup: probe a NEW batch against the PERSISTED
+    * [[graft.operators.SignatureStore]] of everything crawled before —
+    * signatures are computed for the batch ONLY; the existing corpus
+    * contributes a columnar scan of its thin band table plus candidate-only
+    * reads of its signature arrays. Same verdict semantics as
+    * [[incrementalDedupFrom]] (min_by earliest existing match, NULL = keep),
+    * so the same DuckDB oracle hash-checks both paths. The store side of
+    * the candidate join is new-batch-bands × store-bands — work scales
+    * with the increment × band occupancy, never with corpus × corpus. */
+  private[graft] def incrementalDedupStored(s: SparkSession, storeDir: String,
+                                            newDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.operators.SignatureStore
+    val newSig = sigWithBands(newDocs.select($"doc_id", $"text"))
+      .select($"doc_id", $"hs", $"bands")
+      .persist()
+    val bandedNew = newSig.filter(size($"hs") > 0)
+      .select($"doc_id", explode($"bands").as("band"))
+    val cand = bandedNew.as("a")
+      .join(SignatureStore.bands(s, storeDir).as("b"), $"a.band" === $"b.band")
+      .select($"a.doc_id".as("new_id"), $"b.doc_id".as("old_id"))
+      .distinct()
+    val oldHs = SignatureStore.sigs(s, storeDir)
+      .getOrElse(newSig.select($"doc_id", $"hs").limit(0))
+    val verified = cand
+      .join(newSig.select($"doc_id", $"hs").as("h1"), $"new_id" === $"h1.doc_id")
+      .join(oldHs.as("h2"), $"old_id" === $"h2.doc_id")
+      .select($"new_id", $"old_id",
+        round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+      .filter($"jac" >= 0.5)
+    val bj = verified.groupBy($"new_id")
+      .agg(min_by(struct($"old_id", $"jac"), $"old_id").as("m"))
+      .select($"new_id", $"m.old_id".as("dup_of"), $"m.jac".as("jac"))
+    newDocs.select($"doc_id")
+      .join(bj, $"doc_id" === $"new_id", "left")
+      .select($"doc_id", $"dup_of", $"jac", $"dup_of".isNull.as("keep"))
+  }
+
+  /** Build-if-absent the signature store for a source dir's existing
+    * corpus (doc_id % 4 != 0), keyed by an order-insensitive content
+    * fingerprint so a changed source can never serve a stale store. The
+    * fingerprint pass reads the text once but runs NO tokenize/shingle/
+    * minhash — it exists only because the gate has no crawl ledger; a
+    * production pipeline keys batches by crawl id and skips it. */
+  private[graft] def storeFor(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val old = Tables.load(s, dir, "documents")
+      .filter(pmod($"doc_id", lit(4L)) =!= 0)
+      .select($"doc_id", $"text")
+    // bit_xor: order-insensitive, ANSI-overflow-free; (doc_id, text) rows
+    // are unique per doc_id so xor pair-cancellation cannot collide runs
+    val fp = old.agg(expr("bit_xor(xxhash64(doc_id, text))")).first().getLong(0)
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore/corpus_" +
+      java.lang.Long.toHexString(fp)
+    graft.operators.SignatureStore.append(s, store, "corpus",
+      sigWithBands(old).select($"doc_id", $"hs", $"bands"))
+    store
   }
 
   private[graft] def incrementalDedupFrom(docs0: DataFrame): DataFrame = {

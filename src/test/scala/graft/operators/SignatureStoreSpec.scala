@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted signature store behind TRUE incremental dedup: commit
+  * protocol (idempotent append, orphan data invisible), read-back
+  * fidelity, and store-path ≡ in-memory-path result equality. */
+class SignatureStoreSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("sigstore_spec").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def sigOf(df: org.apache.spark.sql.DataFrame) =
+    graft.queries.DedupQueries.sigWithBands(df)
+      .select(col("doc_id"), col("hs"), col("bands"))
+
+  test("append is idempotent per batchId; read-back = written") {
+    val dir = tmpDir()
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "one two three four five")
+    assert(SignatureStore.append(spark, dir, "b1", sigOf(d)))
+    val n1 = SignatureStore.bands(spark, dir).count()
+    // replay of an already-committed batch: no-op, no double count
+    assert(!SignatureStore.append(spark, dir, "b1", sigOf(d)))
+    assert(SignatureStore.bands(spark, dir).count() == n1)
+    assert(SignatureStore.committed(spark, dir).keySet == Set("b1"))
+    // signatures round-trip exactly
+    val back = SignatureStore.sigs(spark, dir).get
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Any](1)))
+    val exp = sigOf(d).select(col("doc_id"), col("hs"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Any](1)))
+    assert(back.toSeq == exp.toSeq)
+  }
+
+  test("orphan data dir (crash before manifest rename) is invisible") {
+    val dir = tmpDir()
+    val d = docs(1L -> "alpha beta gamma delta")
+    assert(SignatureStore.append(spark, dir, "b1", sigOf(d)))
+    // simulate a crash AFTER the data write, BEFORE the manifest commit:
+    // data lands under a nonce dir no manifest references
+    sigOf(docs(9L -> "orphan words never seen here"))
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+      .write.parquet(s"$dir/borphan-dead00/bands")
+    assert(!SignatureStore.bands(spark, dir).collect().map(_.getLong(0)).contains(9L))
+    // the retried append (fresh nonce) commits and becomes visible
+    assert(SignatureStore.append(spark, dir, "b2",
+      sigOf(docs(9L -> "orphan words never seen here"))))
+    assert(SignatureStore.bands(spark, dir).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 9L))
+  }
+
+  test("multi-batch append accumulates; degenerate docs never band") {
+    val dir = tmpDir()
+    SignatureStore.append(spark, dir, "b1", sigOf(docs(1L -> "a b c d e")))
+    SignatureStore.append(spark, dir, "b2", sigOf(docs(2L -> "f g h i j")))
+    // a 2-word doc has an empty shingle set → sigs row, zero band rows
+    SignatureStore.append(spark, dir, "b3", sigOf(docs(3L -> "ab cd")))
+    assert(SignatureStore.committed(spark, dir).keySet == Set("b1", "b2", "b3"))
+    assert(SignatureStore.bands(spark, dir).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(SignatureStore.sigs(spark, dir).get.count() == 3)
+  }
+
+  test("store-backed incremental dedup = in-memory path on same corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val all = docs(
+      0L -> base, 1L -> base, // 0 is new (id%4==0) and dups 1 (existing)
+      2L -> "completely different words in this document body here",
+      3L -> (base + " extra"), 4L -> "unique new content nothing matches this",
+      5L -> "another existing doc with its own content entirely",
+      8L -> (base + " extra")) // new, dups 3
+    val dir = tmpDir()
+    SignatureStore.append(spark, dir, "corpus",
+      sigOf(all.filter($"doc_id" % 4 =!= 0)))
+    val stored = graft.queries.DedupQueries
+      .incrementalDedupStored(spark, dir, all.filter($"doc_id" % 4 === 0))
+      .orderBy("doc_id").collect()
+    val mem = graft.queries.DedupQueries.incrementalDedupFrom(all)
+      .orderBy("doc_id").collect()
+    assert(stored.toSeq == mem.toSeq)
+    // and the dup verdicts are the expected ones
+    val verdicts = stored.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(verdicts(0L) == Some(1L))
+    assert(verdicts(8L) == Some(1L)) // "base extra" near-dups base too; min_by → earliest
+    assert(verdicts(4L) == None)
+  }
+}
