@@ -377,6 +377,14 @@ object ScaleProbe {
     def x100Orders(df: DataFrame): DataFrame = (0 until 100).map(i =>
       df.withColumn("o_orderkey", $"o_orderkey" + lit(i * 1000000000L)))
       .reduce(_ unionAll _)
+    // content-DECORRELATED replication: every token suffixed with the
+    // replica index, so copies share no content and near-dup structure
+    // does not grow quadratically with the replication factor
+    def xUnrelated(df: DataFrame, n: Int): DataFrame = (0 until n).map(i =>
+      df.withColumn("doc_id", $"doc_id" + lit(i * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split($"text", " "), w => concat(w, lit(s"_u$i"))))))
+      .reduce(_ unionAll _)
 
     // incremental cross-corpus dedup: the new batch is every 4th doc of
     // the BASE corpus both times; only the EXISTING side grows (10×
@@ -511,6 +519,17 @@ object ScaleProbe {
         time(simhashBandedShape(docs)),
         time(simhashBandedShape(x10Distinct(docs))),
         time(simhashBandedShape(x100Distinct(docs)))),
+      // r8's ratio100 = 12.02 diagnosed (SimhashDiag, NOTES_r9): the
+      // xNDistinct replicas differ by ONE token, so SimHash moves ≤ a few
+      // bits and every doc's N replicas are GENUINE near-dups — output
+      // pairs grow ~N² (299 → 181k → 20.0M measured), which any correct
+      // detector must pay. This row decorrelates the copies (every token
+      // suffixed per replica → no shared content): candidate growth is
+      // ~linear and the PLAN's ratio100 should sit ≤ ~10.
+      ("simhash_banded_unrelated_5k_50k_500k",
+        time(simhashBandedShape(docs)),
+        time(simhashBandedShape(xUnrelated(docs, 10))),
+        time(simhashBandedShape(xUnrelated(docs, 100)))),
       ("cdc_apply_150k_1m5_15m",
         time(cdcApplyShape(ordersCdc)), time(cdcApplyShape(x10Orders(ordersCdc))),
         time(cdcApplyShape(x100Orders(ordersCdc)))),

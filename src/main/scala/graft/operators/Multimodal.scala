@@ -61,8 +61,8 @@ object Multimodal {
     })
   }
 
-  /** Container-header metadata, REAL for every kind — what decodeStub used
-    * to fake is now parsed from the actual bytes per partition: image
+  /** Container-header metadata, REAL for every kind — parsed from the
+    * actual bytes per partition: image
     * dims from the PNG decode (plus an actual 2× nearest-neighbor
     * DOWNSCALE, dims reported from the resized object — the resize op a
     * training pipeline runs before feature extraction), audio frame count

@@ -5,9 +5,10 @@ import graft.Tables
 import graft.operators.Multimodal
 
 /** Multimodal-column pipeline queries: binary media + typed metadata,
-  * decode(stub) → resize(stub) → frame-sample → partition-wise feature
-  * extraction. Media bytes are deterministic (UTF-8 of `documents.text`), so
-  * byte lengths, prefixes, and digests oracle-check in DuckDB.
+  * REAL container decode (PNG / WAV / animated GIF, pure-JDK codecs) →
+  * real 2× resize → frame-sample → partition-wise feature extraction.
+  * Media bytes are deterministic id-derived syntheses, so dimensions,
+  * frame counts, byte lengths, and digests oracle-check in DuckDB.
   */
 object MultimodalQueries extends QueryPack {
 

@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("extractFeatures decodes real PNGs distributed, stubs audio/video") {
+  test("extractFeatures decodes real PNGs distributed; byte-level features for audio/video") {
     import spark.implicits._
     val media = Multimodal.mediaWithRealImages(
       graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))

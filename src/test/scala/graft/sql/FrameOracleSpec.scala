@@ -1,0 +1,155 @@
+package graft.sql
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** INDEPENDENT window-frame semantics pin: a brute-force row-at-a-time
+  * evaluator (sort each partition as a Scala Vector, compute every frame
+  * LITERALLY from the SQL-standard definition — row offsets for ROWS,
+  * value intervals with peer inclusion for RANGE, peer-group indices for
+  * GROUPS) checked against the engine on randomized tables and randomized
+  * frame bounds. Unlike the DuckDB gate oracles, nothing here shares the
+  * engine's rewrite (the GROUPS → RANGE-over-dense_rank expansion): the
+  * evaluator never builds a frame translation at all, so agreement pins
+  * the semantics, not the rewrite. */
+class FrameOracleSpec extends SparkSpec {
+
+  private lazy val e = new SqlEngine(spark)
+
+  // ---- brute-force evaluator -------------------------------------------
+  private case class R(i: Long, k: String, o: Long, v: Long)
+
+  private sealed trait B
+  private case object UP extends B
+  private case class P(n: Long) extends B
+  private case object CR extends B
+  private case class F(n: Long) extends B
+  private case object UF extends B
+
+  private def sqlOf(b: B): String = b match {
+    case UP => "UNBOUNDED PRECEDING"
+    case P(n) => s"$n PRECEDING"
+    case CR => "CURRENT ROW"
+    case F(n) => s"$n FOLLOWING"
+    case UF => "UNBOUNDED FOLLOWING"
+  }
+
+  /** The frame's rows for `part(idx)`, straight from the standard:
+    * ROWS = physical offsets; RANGE = order-value interval (CURRENT ROW
+    * means the peer value itself, so ties join the frame from either
+    * bound); GROUPS = peer-group (distinct order value) index offsets. */
+  private def frameRows(mode: String, part: Vector[R], idx: Int,
+                        lo: B, hi: B): Vector[R] = mode match {
+    case "ROWS" =>
+      val s = lo match { case UP => 0
+        case P(n) => idx - n.toInt; case CR => idx
+        case F(n) => idx + n.toInt; case UF => part.size - 1 }
+      val t = hi match { case UP => 0
+        case P(n) => idx - n.toInt; case CR => idx
+        case F(n) => idx + n.toInt; case UF => part.size - 1 }
+      if (s > t) Vector.empty
+      else part.slice(math.max(s, 0), math.min(t, part.size - 1) + 1)
+    case "RANGE" =>
+      val cur = part(idx).o
+      val loV = lo match { case UP => Long.MinValue
+        case P(n) => cur - n; case CR => cur; case F(n) => cur + n
+        case UF => Long.MaxValue }
+      val hiV = hi match { case UP => Long.MinValue
+        case P(n) => cur - n; case CR => cur; case F(n) => cur + n
+        case UF => Long.MaxValue }
+      part.filter(r => r.o >= loV && r.o <= hiV)
+    case "GROUPS" =>
+      val groups = part.map(_.o).distinct.sorted
+      val gOf = groups.zipWithIndex.toMap
+      val g = gOf(part(idx).o)
+      val s = lo match { case UP => 0
+        case P(n) => g - n.toInt; case CR => g
+        case F(n) => g + n.toInt; case UF => groups.size - 1 }
+      val t = hi match { case UP => 0
+        case P(n) => g - n.toInt; case CR => g
+        case F(n) => g + n.toInt; case UF => groups.size - 1 }
+      part.filter(r => gOf(r.o) >= s && gOf(r.o) <= t)
+  }
+
+  /** (sum, count, min, max) with SQL null semantics over an empty frame. */
+  private def bruteAggs(rows: Seq[R], orderCol: R => Long, mode: String,
+                        lo: B, hi: B): Map[Long, (Option[Long], Long, Option[Long], Option[Long])] =
+    rows.groupBy(_.k).flatMap { case (_, ps) =>
+      val part = ps.sortBy(r => (orderCol(r), r.i)).toVector
+      part.zipWithIndex.map { case (r, idx) =>
+        val fr = frameRows(mode, part, idx, lo, hi)
+        r.i -> (if (fr.isEmpty) (None, 0L, None, None)
+                else (Some(fr.map(_.v).sum), fr.size.toLong,
+                  Some(fr.map(_.v).min), Some(fr.map(_.v).max)))
+      }
+    }
+
+  // ---- randomized data + frames ----------------------------------------
+  private def samples[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(seed + i)))
+
+  private val tableGen = for {
+    n <- Gen.chooseNum(3, 40)
+    ks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    os <- Gen.listOfN(n, Gen.chooseNum(0L, 9L)) // deliberate ties
+    vs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+  } yield ks.lazyZip(os).lazyZip(vs).toList.zipWithIndex
+    .map { case ((k, o, v), i) => R(i.toLong, k, o, v) }
+
+  private val boundPair: Gen[(B, B)] = Gen.oneOf(
+    Gen.const((UP: B, CR: B)),
+    Gen.const((UP: B, UF: B)),
+    Gen.chooseNum(0L, 4L).map(n => (P(n): B, CR: B)),
+    for (a <- Gen.chooseNum(0L, 4L); b <- Gen.chooseNum(0L, 4L))
+      yield (P(a): B, F(b): B),
+    Gen.chooseNum(0L, 4L).map(n => (CR: B, F(n): B)),
+    Gen.const((CR: B, UF: B)),
+    // empty-capable shapes: a trailing / leading frame can miss every row
+    for (a <- Gen.chooseNum(1L, 4L); b <- Gen.chooseNum(0L, 4L)) yield
+      if (a >= b) (P(a): B, P(b): B) else (P(b): B, P(a): B),
+    for (a <- Gen.chooseNum(0L, 4L); b <- Gen.chooseNum(1L, 4L)) yield
+      if (a <= b) (F(a): B, F(b): B) else (F(b): B, F(a): B))
+
+  private def check(mode: String, seed: Long): Unit = {
+    import spark.implicits._
+    // ROWS over tied order keys is nondeterministic by definition — order
+    // by the unique i there; RANGE/GROUPS get tied keys (the interesting
+    // case: peers enter frames together)
+    val orderSql = if (mode == "ROWS") "i" else "o"
+    val orderCol: R => Long = if (mode == "ROWS") _.i else _.o
+    samples(tableGen, 5, seed).zipWithIndex.foreach { case (data, ti) =>
+      data.map(r => (r.i, r.k, r.o, r.v)).toDF("i", "k", "o", "v")
+        .createOrReplaceTempView("fo_t")
+      samples(boundPair, 4, seed * 31 + ti).foreach { case (lo, hi) =>
+        val fr = s"$mode BETWEEN ${sqlOf(lo)} AND ${sqlOf(hi)}"
+        val got = e.batch(
+          s"""SELECT i,
+                     SUM(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS s,
+                     COUNT(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS c,
+                     MIN(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS mn,
+                     MAX(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS mx
+              FROM fo_t ORDER BY i;""").collect()
+          .map(r => r.getLong(0) -> (
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        val want = bruteAggs(data, orderCol, mode, lo, hi)
+        assert(got == want,
+          s"$fr over ORDER BY $orderSql mismatch\n table=${data.take(10)}…\n" +
+            s" got=${got.toSeq.sortBy(_._1).take(8)}\n want=${want.toSeq.sortBy(_._1).take(8)}")
+      }
+    }
+  }
+
+  test("ROWS frames match the literal evaluator on randomized tables") {
+    check("ROWS", 1001L)
+  }
+  test("RANGE frames (tied keys) match the literal evaluator") {
+    check("RANGE", 2002L)
+  }
+  test("GROUPS frames (tied keys) match the literal evaluator") {
+    check("GROUPS", 3003L)
+  }
+}
