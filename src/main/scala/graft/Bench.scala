@@ -65,7 +65,8 @@ object Bench {
     "q_dedup_paragraph",       // sub-document dedup (hash window + regroup)
     "q_embed_quantize",        // int8 vector codec (pure map-side)
     "q_multimodal_features",   // mapPartitions feature extraction
-    "q_multimodal_video",      // real GIF demux per partition (r8)
+    "q_multimodal_video",      // GIF demux over STORED bytes (decode-only, r9)
+    "q_multimodal_video_encode", // GIF synthesis + LZW encode (the other half)
     "q_sql_agg_having",        // dialect frontend end-to-end
     "q_sql_interval_join"
   )

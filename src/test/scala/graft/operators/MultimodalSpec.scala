@@ -127,6 +127,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bench decode-over-stored-bytes row == gate encode+demux row") {
+    // the r9 bench split: q_multimodal_video (benchOnly) demuxes a
+    // PERSISTED binary column; same bytes, same demux → identical output
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.queries.MultimodalQueries
+      .queries("q_multimodal_video")(spark, sf).collect().toSeq
+    val stored = graft.queries.MultimodalQueries
+      .benchOnly("q_multimodal_video")(spark, sf).collect().toSeq
+    assert(gate.nonEmpty && stored == gate)
+    // the encode row produces real container bytes for every video doc
+    val enc = graft.queries.MultimodalQueries
+      .benchOnly("q_multimodal_video_encode")(spark, sf)
+    assert(enc.count() == gate.size)
+  }
+
   test("extractAudioFeatures decodes real WAVs distributed") {
     val media = Multimodal.mediaWithRealAudio(
       graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
