@@ -24,6 +24,45 @@ import graft.functions.PipelineFunctions._
   */
 object SimilarityQueries extends QueryPack {
 
+  /** The IVF probe pipeline at a given probe budget: 16 seed centroids,
+    * rank-1 assignment, queries probe their `nprobe` nearest inverted
+    * lists, exact dot re-rank of list members. Returns
+    * (top-5 per query, candidate count per query) — the candidate count
+    * is the COST side of the recall-vs-cost curve (vectors actually
+    * scored; each corpus vector lives in exactly one list, so no dedup).
+    * Scale shape: centroids broadcast; candidate work per query =
+    * probed-list depth, never the corpus. */
+  private def ivfAt(s: SparkSession, dir: String,
+                    nprobe: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val all = normVecs(s, dir)
+    val centroids = broadcast(all.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv")))
+    // assignment: nearest centroid by dot product (rank 1)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+    val assigned = all.join(centroids)
+      .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" === 1).select($"vec_id", $"v", $"cid")
+      .persist()
+    val probes = all.filter($"vec_id" < 10).join(centroids)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cid",
+        round(dot($"v", $"cv"), 6).as("cdot"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cdot".desc, $"cid")))
+      .filter($"r" <= nprobe).select($"qid", $"qv", $"cid")
+    val members = probes.join(assigned, "cid")
+      .filter($"vec_id" =!= $"qid")
+    val scored = members
+      .select($"qid", $"vec_id", round(dot($"qv", $"v"), 6).as("sim"))
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    val top5 = scored.withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
+    val nCand = members.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    (top5, nCand)
+  }
+
   /** vec_id + L2-normalized double vector (normalization happens once here,
     * never inside a pairwise stage). */
   private def normVecs(s: SparkSession, dir: String): DataFrame =
@@ -81,18 +120,32 @@ object SimilarityQueries extends QueryPack {
       import s.implicits._
       val bf = queries("q_ann_bruteforce")(s, dir).select($"qid", $"vec_id")
         .persist()
-      val methods = Seq("ivf" -> "q_ann_ivf", "lsh" -> "q_ann_lsh_bucketed",
-        "lsh_mp" -> "q_ann_lsh_multiprobe",
-        "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq")
-      methods.map { case (label, qname) =>
-        val approx = queries(qname)(s, dir).select($"qid", $"vec_id")
-          .withColumn("hit", lit(1L))
-        bf.join(approx, Seq("qid", "vec_id"), "left")
+      def recallOf(top: DataFrame): DataFrame =
+        bf.join(top.select($"qid", $"vec_id").withColumn("hit", lit(1L)),
+            Seq("qid", "vec_id"), "left")
           .groupBy($"qid")
           .agg(round(sum(coalesce($"hit", lit(0L))).cast("double") / 5.0, 6)
             .as("recall5"))
-          .select(lit(label).as("method"), $"qid", $"recall5")
-      }.reduce(_ unionAll _)
+      val methods = Seq("ivf" -> "q_ann_ivf", "lsh" -> "q_ann_lsh_bucketed",
+        "lsh_mp" -> "q_ann_lsh_multiprobe",
+        "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq")
+      val fixed = methods.map { case (label, qname) =>
+        recallOf(queries(qname)(s, dir))
+          .select(lit(label).as("method"), $"qid", $"recall5",
+            lit(null).cast("long").as("n_cand"))
+      }
+      // the IVF nprobe SWEEP (r8 VERDICT #6): recall@5 AND candidate
+      // count per probe budget — the recall-vs-cost curve an index owner
+      // reads to pick the serving default empirically. n_cand is the
+      // vectors actually scored (the probe's real cost); 0 when the
+      // probed lists hold nothing but the query itself.
+      val swept = Seq(1, 2, 4, 8).map { np =>
+        val (top, cand) = ivfAt(s, dir, np)
+        recallOf(top).join(cand, Seq("qid"), "left")
+          .select(lit(s"ivf_np$np").as("method"), $"qid", $"recall5",
+            coalesce($"n_cand", lit(0L)).as("n_cand"))
+      }
+      (fixed ++ swept).reduce(_ unionAll _)
         .orderBy($"method", $"qid")
     }),
 
@@ -179,34 +232,8 @@ object SimilarityQueries extends QueryPack {
     // centroid id once at ingest; a query touches probes/nlist of the data.
     // Fully deterministic (round(6) ranking, cid/vec_id tie-breaks) — exact
     // DuckDB oracle below.
-    "q_ann_ivf" -> ((s, dir) => {
-      import s.implicits._
-      val all = normVecs(s, dir)
-      val centroids = broadcast(all.filter($"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"v".as("cv")))
-      // assignment: nearest centroid by dot product (rank 1)
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-      val assigned = all.join(centroids)
-        .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
-        .withColumn("r", row_number().over(wAssign))
-        .filter($"r" === 1).select($"vec_id", $"v", $"cid")
-        .persist()
-      // queries probe their 2 nearest inverted lists
-      val probes = all.filter($"vec_id" < 10).join(centroids)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"cid",
-          round(dot($"v", $"cv"), 6).as("cdot"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy($"qid").orderBy($"cdot".desc, $"cid")))
-        .filter($"r" <= 2).select($"qid", $"qv", $"cid")
-      val scored = probes.join(assigned, "cid")
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id", round(dot($"qv", $"v"), 6).as("sim"))
-      val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-      scored.withColumn("rnk", row_number().over(wTop))
-        .filter($"rnk" <= 5)
-        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"sim")
-        .orderBy($"qid", $"rnk")
-    }),
+    "q_ann_ivf" -> ((s, dir) => ivfAt(s, dir, nprobe = 2)._1
+      .orderBy(col("qid"), col("rnk"))),
 
     // IVF index TRAINING: 2 Lloyd (k-means) rounds refining the 16 seed
     // centroids — assignment by rounded dot (rank-1, cid tiebreak), then
@@ -634,7 +661,9 @@ object SimilarityQueries extends QueryPack {
        SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
        ORDER BY qid, rnk"""
 
-  private lazy val ivfOracleSql: String =
+  /** The shared CTE chain of the IVF oracle down to the probed-list
+    * members, parameterized on the probe budget. */
+  private def ivfMembersCte(np: Int): String =
     s"""$normCte,
        c AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
        asg0 AS (SELECT e.vec_id, e.nv, c.cid, ${dotSql("e.nv", "c.cv")} AS cdot
@@ -648,14 +677,25 @@ object SimilarityQueries extends QueryPack {
        pr AS (SELECT qid, qv, cid FROM (
          SELECT qid, qv, cid,
            row_number() OVER (PARTITION BY qid ORDER BY cdot DESC, cid) r
-         FROM pr0) WHERE r <= 2),
-       scored AS (SELECT pr.qid, asg.vec_id, ${dotSql("pr.qv", "asg.nv")} AS sim
-         FROM pr JOIN asg USING (cid) WHERE asg.vec_id <> pr.qid),
+         FROM pr0) WHERE r <= $np),
+       mem AS (SELECT pr.qid, pr.qv, asg.vec_id, asg.nv
+         FROM pr JOIN asg USING (cid) WHERE asg.vec_id <> pr.qid)"""
+
+  private def ivfOracleSqlAt(np: Int): String =
+    s"""${ivfMembersCte(np)},
+       scored AS (SELECT qid, vec_id, ${dotSql("qv", "nv")} AS sim FROM mem),
        ranked AS (SELECT qid, vec_id, sim,
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rnk
          FROM scored)
        SELECT qid, rnk, vec_id, sim FROM ranked WHERE rnk <= 5
        ORDER BY qid, rnk"""
+
+  /** (qid, n_cand) — how many vectors an nprobe-budget probe scores. */
+  private def ivfCandOracleSqlAt(np: Int): String =
+    s"""${ivfMembersCte(np)}
+       SELECT qid, count(*)::BIGINT AS n_cand FROM mem GROUP BY qid"""
+
+  private lazy val ivfOracleSql: String = ivfOracleSqlAt(2)
 
   /** normalized vectors + 16-bit hyperplane signature + 8-bit bucket —
     * the shared front of both LSH ANN oracles. */
@@ -859,18 +899,32 @@ object SimilarityQueries extends QueryPack {
          m_lshmp AS ($lshMultiprobeOracleSql),
          m_pq AS ($pqOracleSql),
          m_ivfpq AS ($ivfpqOracleSql),
+         ${Seq(1, 2, 4, 8).map(np =>
+           s"np$np AS (${ivfOracleSqlAt(np)}), " +
+           s"cn$np AS (${ivfCandOracleSqlAt(np)})").mkString(",\n         ")},
          u AS (
            SELECT 'ivf' AS method, qid, vec_id FROM m_ivf
            UNION ALL SELECT 'lsh', qid, vec_id FROM m_lsh
            UNION ALL SELECT 'lsh_mp', qid, vec_id FROM m_lshmp
            UNION ALL SELECT 'pq', qid, vec_id FROM m_pq
-           UNION ALL SELECT 'ivfpq', qid, vec_id FROM m_ivfpq),
-         names AS (SELECT unnest(['ivf', 'lsh', 'lsh_mp', 'pq', 'ivfpq']) AS method)
+           UNION ALL SELECT 'ivfpq', qid, vec_id FROM m_ivfpq
+           ${Seq(1, 2, 4, 8).map(np =>
+             s"UNION ALL SELECT 'ivf_np$np', qid, vec_id FROM np$np")
+             .mkString("\n           ")}),
+         cands AS (
+           ${Seq(1, 2, 4, 8).map(np =>
+             s"SELECT 'ivf_np$np' AS method, qid, n_cand FROM cn$np")
+             .mkString("\n           UNION ALL ")}),
+         names AS (SELECT unnest(['ivf', 'lsh', 'lsh_mp', 'pq', 'ivfpq',
+           'ivf_np1', 'ivf_np2', 'ivf_np4', 'ivf_np8']) AS method)
          SELECT n.method, bf.qid,
-           round(count(u.vec_id)::DOUBLE / 5, 6) AS recall5
+           round(count(u.vec_id)::DOUBLE / 5, 6) AS recall5,
+           CASE WHEN n.method LIKE 'ivf_np%'
+             THEN COALESCE(any_value(c.n_cand), 0) END::BIGINT AS n_cand
          FROM names n CROSS JOIN bf
          LEFT JOIN u ON u.method = n.method AND u.qid = bf.qid
            AND u.vec_id = bf.vec_id
+         LEFT JOIN cands c ON c.method = n.method AND c.qid = bf.qid
          GROUP BY n.method, bf.qid ORDER BY n.method, bf.qid""",
     "q_ann_recall" ->
       s"""WITH bf AS ($bruteOracleSql),
