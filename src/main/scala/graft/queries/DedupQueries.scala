@@ -270,6 +270,41 @@ object DedupQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // MULTI-GENERATION incremental dedup — two crawls through the SAME
+    // persisted store: batch1 (doc_id ≡ 0 mod 8) dedups against the
+    // corpus store, its signatures are APPENDED, then batch2 (≡ 4 mod 8)
+    // dedups against corpus ∪ batch1 — the accumulate-and-resume cycle a
+    // daily pipeline runs. Built in a FRESH store each run (generation
+    // content differs from q_dedup_incremental's), committed batch by
+    // batch through the same manifest protocol. The oracle derives both
+    // generations' verdicts from the one verified-pair set, so the
+    // append path (not just the single-store read) is hash-checked.
+    "q_dedup_incremental_multi" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_sigstore_multi").toString
+      graft.operators.SignatureStore.append(s, store, "corpus",
+        sigWithBands(docs.filter(pmod($"doc_id", lit(4L)) =!= 0))
+          .select($"doc_id", $"hs", $"bands"))
+      val out1 = incrementalDedupStored(s, store,
+        docs.filter(pmod($"doc_id", lit(8L)) === 0))
+        .withColumn("batch", lit(1L))
+      // materialize batch1's verdicts BEFORE the store grows: the lazy
+      // plan would otherwise see batch1's own signatures as "existing"
+      val out1Rows = out1.persist()
+      out1Rows.count()
+      graft.operators.SignatureStore.append(s, store, "batch1",
+        sigWithBands(docs.filter(pmod($"doc_id", lit(8L)) === 0))
+          .select($"doc_id", $"hs", $"bands"))
+      val out2 = incrementalDedupStored(s, store,
+        docs.filter(pmod($"doc_id", lit(8L)) === 4))
+        .withColumn("batch", lit(2L))
+      out1Rows.unionAll(out2)
+        .select($"batch", $"doc_id", $"dup_of", $"jac", $"keep")
+        .orderBy($"batch", $"doc_id")
+    }),
+
     // The fast twin's GATE ROW: md5-verified pairs UNION ALL the symmetric
     // difference of the two pipelines' verified pair sets. When the twins
     // agree — the invariant DedupSpec pins in-Spark — the output IS the
@@ -900,6 +935,36 @@ object DedupQueries extends QueryPack {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
          LEFT JOIN bj ON bj.new_id = d.doc_id
          ORDER BY d.doc_id""",
+    // generation 1: new ≡ 0 (mod 8) vs corpus (%4 ≠ 0) only; generation
+    // 2: new ≡ 4 (mod 8) vs everything else (corpus ∪ batch1 — exactly
+    // what the store holds after the append). Both derived from the one
+    // verified-pair set vp.
+    "q_dedup_incremental_multi" ->
+      s"""$lshVerifiedCte,
+         g1 AS (SELECT CASE WHEN d1 % 8 = 0 THEN d1 ELSE d2 END AS new_id,
+                       CASE WHEN d1 % 8 = 0 THEN d2 ELSE d1 END AS old_id, jac
+                FROM vp WHERE (d1 % 8 = 0) <> (d2 % 8 = 0)
+                  AND (CASE WHEN d1 % 8 = 0 THEN d2 ELSE d1 END) % 4 <> 0),
+         b1 AS (SELECT new_id, min(old_id) AS dup_of FROM g1 GROUP BY new_id),
+         j1 AS (SELECT b.new_id, b.dup_of, g.jac FROM b1 b
+                JOIN g1 g ON g.new_id = b.new_id AND g.old_id = b.dup_of),
+         r1 AS (SELECT 1 AS batch, d.doc_id, j1.dup_of, j1.jac,
+                  (j1.dup_of IS NULL) AS keep
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 0) d
+                LEFT JOIN j1 ON j1.new_id = d.doc_id),
+         g2 AS (SELECT CASE WHEN d1 % 8 = 4 THEN d1 ELSE d2 END AS new_id,
+                       CASE WHEN d1 % 8 = 4 THEN d2 ELSE d1 END AS old_id, jac
+                FROM vp WHERE (d1 % 8 = 4) <> (d2 % 8 = 4)),
+         b2 AS (SELECT new_id, min(old_id) AS dup_of FROM g2 GROUP BY new_id),
+         j2 AS (SELECT b.new_id, b.dup_of, g.jac FROM b2 b
+                JOIN g2 g ON g.new_id = b.new_id AND g.old_id = b.dup_of),
+         r2 AS (SELECT 2 AS batch, d.doc_id, j2.dup_of, j2.jac,
+                  (j2.dup_of IS NULL) AS keep
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 4) d
+                LEFT JOIN j2 ON j2.new_id = d.doc_id)
+         SELECT batch::BIGINT AS batch, doc_id, dup_of, jac, keep
+         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         ORDER BY batch, doc_id""",
     "q_dedup_minhash_lsh_sql" -> lshOracleSql, // same md5 formulas, SQL frontend
     "q_dedup_jaccard_exact" ->
       s"""$shCte

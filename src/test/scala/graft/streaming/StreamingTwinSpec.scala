@@ -237,6 +237,50 @@ class StreamingTwinSpec extends SparkSpec {
     oldBanded.unpersist()
   }
 
+  test("streaming incremental dedup twin over the PERSISTED SignatureStore") {
+    import spark.implicits._
+    import graft.functions.PipelineFunctions._
+    // same topology as the static-store twin above, but the existing
+    // corpus's band table is read from the on-disk SignatureStore the
+    // batch pipeline commits — live stream × persisted store, the exact
+    // crawl-ingest deployment shape (store written by one run, probed by
+    // the next)
+    val allDocs = graft.Tables.load(spark, sf, "documents")
+    val storeDir = Files.createTempDirectory("graft_twin_store").toString
+    graft.operators.SignatureStore.append(spark, storeDir, "corpus",
+      graft.queries.DedupQueries
+        .sigWithBands(allDocs.filter($"doc_id" % 4 =!= 0).select($"doc_id", $"text"))
+        .select($"doc_id", $"hs", $"bands"))
+    val oldBanded = graft.operators.SignatureStore.bands(spark, storeDir)
+      .withColumnRenamed("doc_id", "old_id")
+      .join(graft.operators.SignatureStore.sigs(spark, storeDir).get
+        .select($"doc_id".as("old_id"), $"hs".as("old_hs")), "old_id")
+    val (_, s0) = staged("documents")
+    val newBanded = graft.queries.DedupQueries
+      .sigWithBands(s0.filter($"doc_id" % 4 === 0).select($"doc_id", $"text"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id".as("new_id"), $"hs".as("new_hs"),
+        explode($"bands").as("band"))
+    val q = drain(
+      newBanded.join(oldBanded, "band")
+        .select($"new_id", $"old_id",
+          round(jaccard($"new_hs", $"old_hs"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+        .groupBy($"new_id")
+        .agg(min_by(struct($"old_id", $"jac"), $"old_id").as("m"))
+        .select($"new_id".as("doc_id"), $"m.old_id".as("dup_of"),
+          $"m.jac".as("jac")),
+      "complete", "tw_incdedup_store")
+    val got = spark.table("tw_incdedup_store").orderBy("doc_id").collect().toSeq
+    val batchRows = graft.queries.DedupQueries
+      .queries("q_dedup_incremental")(spark, sf)
+      .filter($"dup_of".isNotNull).select($"doc_id", $"dup_of", $"jac")
+      .collect().toSeq
+    assert(got == batchRows,
+      s"store-backed streaming twin != batch\n got=${got.take(5)}…\nwant=${batchRows.take(5)}…")
+    q.stop()
+  }
+
   test("streaming A/B experiment twin (funnel-state conversion + live spend aggs) == oracle'd q_events_experiment") {
     import spark.implicits._
     val (dir, s) = staged("events")
