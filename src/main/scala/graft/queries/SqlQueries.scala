@@ -703,6 +703,31 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id;""")),
 
+    // Frame EXCLUDE (extension, r9; DuckDB supports it natively so the
+    // oracle is fully independent): the excluded set sits at order
+    // distance 0, so whether it intersects the frame is statically
+    // decidable; the planner subtracts the excluded set's aggregate from
+    // the frame aggregate (one extra peers window for GROUP/TIES), with
+    // empty-after-exclusion mapped to SQL's empty-set values. ORDER BY
+    // event_id % 7 manufactures heavy ties so GROUP/TIES visibly differ
+    // from CURRENT ROW. FrameOracleSpec pins the same semantics against
+    // a brute-force row-at-a-time evaluator on randomized tables.
+    "q_sql_frame_exclude" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS s_excur,
+                COUNT(value) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE GROUP) AS c_exgrp,
+                ROUND(AVG(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE TIES), 6) AS a_exties
+         FROM events ORDER BY event_id;""")),
+
     // GROUPS frames (extension; DuckDB supports them natively): bounds
     // count peer groups — tie classes of the ORDER BY keys. ORDER BY
     // event_type makes each user's peer groups big (ties everywhere), so
@@ -1197,6 +1222,23 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS rsum,
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
+         FROM events ORDER BY event_id""",
+    // DuckDB plans EXCLUDE natively — nothing of the engine's subtraction
+    // rewrite is shared with the oracle
+    "q_sql_frame_exclude" ->
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS s_excur,
+                COUNT(value) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE GROUP) AS c_exgrp,
+                ROUND(AVG(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE TIES), 6) AS a_exties
          FROM events ORDER BY event_id""",
     // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
     // oracle is the DEFINITIONAL expansion — a RANGE frame over the

@@ -62,7 +62,13 @@ object Ast {
                    orderBy: Seq[OrderItem],
                    frame: Option[(Long, Long)] = None,
                    rangeFrame: Boolean = false,
-                   groupsFrame: Boolean = false) extends Expr
+                   groupsFrame: Boolean = false,
+                   // frame EXCLUDE clause (standard SQL; dialect
+                   // extension): "NO OTHERS" | "CURRENT ROW" | "GROUP" |
+                   // "TIES". Planned by frame-aggregate subtraction for
+                   // the subtractable aggregates (SUM/COUNT/AVG);
+                   // Validate rejects the rest loudly.
+                   exclude: String = "NO OTHERS") extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL

@@ -1037,9 +1037,20 @@ object Parser {
             Some((lo, hi))
           } else Some((bound(), 0L)) // `n PRECEDING` = BETWEEN … AND CURRENT ROW
         } else None
+      // frame EXCLUDE clause (standard SQL, extension): removes the
+      // current row / its peer group / its ties from an in-frame set
+      val exclude =
+        if (accept("EXCLUDE")) {
+          if (frame.isEmpty) throw new IllegalArgumentException(
+            "EXCLUDE requires an explicit ROWS/RANGE/GROUPS frame")
+          if (accept("CURRENT")) { expect("ROW"); "CURRENT ROW" }
+          else if (accept("GROUP")) "GROUP"
+          else if (accept("TIES")) "TIES"
+          else { expect("NO"); expect("OTHERS"); "NO OTHERS" }
+        } else "NO OTHERS"
       expect(")")
       WinFn(name, args, parts, ord, frame, rangeFrame = isRange,
-        groupsFrame = isGroups)
+        groupsFrame = isGroups, exclude = exclude)
     }
 
     private def dataType(): SqlType = {

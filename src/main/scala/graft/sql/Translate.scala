@@ -66,7 +66,7 @@ object Translate {
       s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
     case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
-    case WinFn(n, args, _, _, _, _, _) =>
+    case WinFn(n, args, _, _, _, _, _, _) =>
       s"${n}(${args.map(exprName).mkString(",")})_over".toLowerCase
     case _: CaseWhen => "case"
     case _: InList | _: InSub => "in"
@@ -161,7 +161,51 @@ object Translate {
       case other => throw new IllegalArgumentException(
         s"unknown window function $other")
     }
-    f.over(spec)
+    // Frame EXCLUDE planning (extension; Validate pinned name ∈ SUM/COUNT/
+    // AVG and GROUP/TIES ⇒ RANGE|GROUPS). The excluded set lies at order
+    // distance 0, so whether it intersects the frame is STATICALLY
+    // decidable from the literal bounds: 0 ∉ [lo, hi] ⇒ the exclusion is
+    // a no-op. When it does intersect, the result is frame-aggregate
+    // SUBTRACTION: agg(frame) − agg(excluded), with the empty-after-
+    // exclusion case mapped to SQL's empty-set values (SUM/AVG → NULL,
+    // COUNT → 0). Peer-set aggregates come from ONE extra window over
+    // (partition keys ++ order keys) — peers of the current row are
+    // exactly that partition (under the GROUPS rewrite the order key is
+    // the dense_rank ordinal, so peers survive the rewrite unchanged).
+    val exclActive = w.exclude != "NO OTHERS" &&
+      w.frame.exists { case (lo, hi) => lo <= 0L && 0L <= hi }
+    if (!exclActive) f.over(spec)
+    else {
+      val x = w.args match {
+        case Seq(e) => go(e)
+        case _ => throw new IllegalArgumentException(
+          s"${w.name} with EXCLUDE requires exactly one argument")
+      }
+      val sumF = sum(x).over(spec)
+      val cntF = count(x).over(spec)
+      val curSum = when(x.isNotNull, x).otherwise(lit(0))
+      val curCnt = when(x.isNotNull, lit(1L)).otherwise(lit(0L))
+      lazy val peersSpec = Window.partitionBy(
+        (w.partitionBy.map(go) ++ w.orderBy.map(o => go(o.e))): _*)
+      val (sumE, cntE) = w.exclude match {
+        case "CURRENT ROW" => (curSum, curCnt)
+        case "GROUP" => (sum(x).over(peersSpec), count(x).over(peersSpec))
+        case "TIES" =>
+          (sum(x).over(peersSpec) - curSum, count(x).over(peersSpec) - curCnt)
+        case other => throw new IllegalArgumentException(
+          s"internal: unknown EXCLUDE mode $other")
+      }
+      val cnt = cntF - cntE
+      w.name match {
+        case "COUNT" => cnt
+        case "SUM" => when(cnt === 0L, lit(null)).otherwise(sumF - sumE)
+        case "AVG" =>
+          when(cnt === 0L, lit(null))
+            .otherwise((sumF - sumE).cast("double") / cnt)
+        case other => throw new IllegalArgumentException(
+          s"internal: $other must have been rejected by Validate")
+      }
+    }
   }
 
   def column(e: Expr, resolve: ColRef => Column,
@@ -483,9 +527,10 @@ object Translate {
       case Fn(n, args) => Fn(n, args.map(rewriteExpr(_)(pf)))
       case Agg(n, args, s, d) => Agg(n, args.map(rewriteExpr(_)(pf)), s, d)
       case Cast(x, dt) => Cast(rewriteExpr(x)(pf), dt)
-      case WinFn(n, args, pb, ob, fr, rf, gf) =>
-        WinFn(n, args.map(rewriteExpr(_)(pf)), pb.map(rewriteExpr(_)(pf)),
-          ob.map(o => o.copy(e = rewriteExpr(o.e)(pf))), fr, rf, gf)
+      case w @ WinFn(_, args, pb, ob, _, _, _, _) =>
+        w.copy(args = args.map(rewriteExpr(_)(pf)),
+          partitionBy = pb.map(rewriteExpr(_)(pf)),
+          orderBy = ob.map(o => o.copy(e = rewriteExpr(o.e)(pf))))
       case Between(x, lo, hi, n, s) =>
         Between(rewriteExpr(x)(pf), rewriteExpr(lo)(pf),
           rewriteExpr(hi)(pf), n, s)
@@ -1626,7 +1671,7 @@ object Translate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .flatMap(collectScalars).distinct
-    case WinFn(_, args, parts, ord, _, _, _) =>
+    case WinFn(_, args, parts, ord, _, _, _, _) =>
       (args ++ parts ++ ord.map(_.e)).flatMap(collectScalars).distinct
     case _ => Nil
   }
@@ -1651,10 +1696,10 @@ object Translate {
       CaseWhen(op0.map(replaceScalars(_, names)),
         bs.map { case (c, r) => (replaceScalars(c, names), replaceScalars(r, names)) },
         el.map(replaceScalars(_, names)))
-    case WinFn(n, args, parts, ord, fr, rf, gf) =>
-      WinFn(n, args.map(replaceScalars(_, names)),
-        parts.map(replaceScalars(_, names)),
-        ord.map(o => o.copy(e = replaceScalars(o.e, names))), fr, rf, gf)
+    case w @ WinFn(_, args, parts, ord, _, _, _, _) =>
+      w.copy(args = args.map(replaceScalars(_, names)),
+        partitionBy = parts.map(replaceScalars(_, names)),
+        orderBy = ord.map(o => o.copy(e = replaceScalars(o.e, names))))
     case other => other
   }
 

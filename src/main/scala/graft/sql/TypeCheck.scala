@@ -186,7 +186,7 @@ object TypeCheck {
     case _: ExistsSub => Some(TBool)
     case _: ScalarSub => None // rewritten to a column ref before planning
 
-    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame) =>
+    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame, _) =>
       parts.foreach(infer(_, env))
       ord.foreach(o => requireOrd(o.e, env, "OVER (ORDER BY …)"))
       // RANGE offsets are added to the ORDER BY key, so a finite-offset

@@ -285,7 +285,7 @@ object Validate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .exists(hasSubquery)
-    case WinFn(_, args, parts, ord, _, _, _) =>
+    case WinFn(_, args, parts, ord, _, _, _, _) =>
       (args ++ parts ++ ord.map(_.e)).exists(hasSubquery)
     case _ => false
   }
@@ -506,7 +506,7 @@ object Validate {
             try { java.time.LocalDateTime.parse(s); true }
             catch { case _: Exception => false } } }
       if (!ok) fail(s"invalid TIMESTAMP literal: $s")
-    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame) =>
+    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame, exclude) =>
       // window functions are SELECT-list/ORDER-BY/QUALIFY expressions
       // only; their value is undefined pre-projection (standard SQL), and
       // nesting one inside an aggregate has no meaning either
@@ -536,6 +536,20 @@ object Validate {
         if (rangeFrame && finite && ord.size != 1)
           fail(s"$name: a RANGE frame with numeric offsets requires " +
             s"exactly one ORDER BY key in the OVER clause, got ${ord.size}")
+      }
+      // frame EXCLUDE (extension): planned by frame-aggregate SUBTRACTION
+      // (frame agg minus excluded-set agg), which is sound only for the
+      // subtractable aggregates. GROUP/TIES exclusion removes the whole
+      // ORDER-BY peer group — well-defined only when peers enter and
+      // leave the frame TOGETHER, i.e. RANGE or GROUPS frames (a ROWS
+      // frame boundary can cut through a peer group).
+      if (exclude != "NO OTHERS") {
+        if (!Set("SUM", "COUNT", "AVG").contains(name))
+          fail(s"$name does not support frame EXCLUDE (only the " +
+            "subtractable aggregates SUM/COUNT/AVG do)")
+        if (exclude != "CURRENT ROW" && !rangeFrame && !groupsFrame)
+          fail(s"$name: EXCLUDE $exclude requires a RANGE or GROUPS " +
+            "frame — a ROWS frame boundary can cut through a peer group")
       }
       // no aggregates (and no nested window fns) inside any part
       (args ++ parts ++ ord.map(_.e))

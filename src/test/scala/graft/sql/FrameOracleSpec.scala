@@ -152,4 +152,74 @@ class FrameOracleSpec extends SparkSpec {
   test("GROUPS frames (tied keys) match the literal evaluator") {
     check("GROUPS", 3003L)
   }
+
+  // ---- frame EXCLUDE (r9 extension) ------------------------------------
+  /** Literal exclusion: drop the excluded rows FROM the frame set. The
+    * current row is identified by its unique i; peers by order value. */
+  private def applyExclude(fr: Vector[R], cur: R, excl: String,
+                           peerKey: R => Long): Vector[R] = excl match {
+    case "NO OTHERS" => fr
+    case "CURRENT ROW" => fr.filterNot(_.i == cur.i)
+    case "GROUP" => fr.filterNot(r => peerKey(r) == peerKey(cur))
+    case "TIES" =>
+      fr.filterNot(r => peerKey(r) == peerKey(cur) && r.i != cur.i)
+  }
+
+  private def checkExclude(mode: String, excl: String, seed: Long): Unit = {
+    import spark.implicits._
+    val orderSql = if (mode == "ROWS") "i" else "o"
+    val orderCol: R => Long = if (mode == "ROWS") _.i else _.o
+    samples(tableGen, 4, seed).zipWithIndex.foreach { case (data, ti) =>
+      data.map(r => (r.i, r.k, r.o, r.v)).toDF("i", "k", "o", "v")
+        .createOrReplaceTempView("fo_t")
+      samples(boundPair, 3, seed * 17 + ti).foreach { case (lo, hi) =>
+        val fr = s"$mode BETWEEN ${sqlOf(lo)} AND ${sqlOf(hi)} EXCLUDE $excl"
+        val got = e.batch(
+          s"""SELECT i,
+                     SUM(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS s,
+                     COUNT(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS c,
+                     AVG(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS a
+              FROM fo_t ORDER BY i;""").collect()
+          .map(r => r.getLong(0) -> (
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+        val want = data.groupBy(_.k).flatMap { case (_, ps) =>
+          val part = ps.sortBy(r => (orderCol(r), r.i)).toVector
+          part.zipWithIndex.map { case (r, idx) =>
+            val fr0 = frameRows(mode, part, idx, lo, hi)
+            val ex = applyExclude(fr0, r, excl, orderCol)
+            r.i -> (if (ex.isEmpty) (None, 0L, None)
+                    else (Some(ex.map(_.v).sum), ex.size.toLong,
+                      Some(ex.map(_.v).sum.toDouble / ex.size)))
+          }
+        }
+        val close = got.keySet == want.keySet && got.keySet.forall { i =>
+          val (gs, gc, ga) = got(i); val (ws, wc, wa) = want(i)
+          gs == ws && gc == wc && ((ga, wa) match {
+            case (None, None) => true
+            case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+            case _ => false
+          })
+        }
+        assert(close,
+          s"$fr over ORDER BY $orderSql mismatch\n table=${data.take(10)}…\n" +
+            s" got=${got.toSeq.sortBy(_._1).take(8)}\n want=${want.toSeq.sortBy(_._1).take(8)}")
+      }
+    }
+  }
+
+  test("ROWS EXCLUDE CURRENT ROW matches the literal evaluator") {
+    checkExclude("ROWS", "CURRENT ROW", 4004L)
+  }
+  test("RANGE EXCLUDE CURRENT ROW / GROUP / TIES match the literal evaluator") {
+    checkExclude("RANGE", "CURRENT ROW", 5005L)
+    checkExclude("RANGE", "GROUP", 6006L)
+    checkExclude("RANGE", "TIES", 7007L)
+  }
+  test("GROUPS EXCLUDE CURRENT ROW / GROUP / TIES match the literal evaluator") {
+    checkExclude("GROUPS", "CURRENT ROW", 8008L)
+    checkExclude("GROUPS", "GROUP", 9009L)
+    checkExclude("GROUPS", "TIES", 10010L)
+  }
 }

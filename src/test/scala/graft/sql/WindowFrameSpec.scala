@@ -62,4 +62,38 @@ class WindowFrameSpec extends SparkSpec {
         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
       FROM wf_t;""").collect().nonEmpty)
   }
+
+  test("frame EXCLUDE: semantics on a hand-checked table + loud rejections") {
+    setup()
+    // k='a' rows: i=1..4, v=10,20,30,40. ROWS 1 PRECEDING..1 FOLLOWING
+    // EXCLUDE CURRENT ROW at i=2 → {10, 30} → sum 40
+    val got = e.batch(
+      """SELECT i, SUM(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+           EXCLUDE CURRENT ROW) AS s
+         FROM wf_t WHERE k = 'a' ORDER BY i;""")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 20L), (2L, 40L), (3L, 60L), (4L, 30L)))
+    // single-row partition minus current = empty frame → SUM NULL
+    val lone = e.batch(
+      """SELECT SUM(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING
+           EXCLUDE CURRENT ROW) AS s
+         FROM wf_t WHERE k = 'b';""").collect()
+    assert(lone.length == 1 && lone(0).isNullAt(0))
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.batch(sql).collect())
+      assert(ex.getMessage != null && ex.getMessage.contains(frag),
+        s"message for [$sql] was: ${ex.getMessage}")
+    }
+    rejects("""SELECT MIN(v) OVER (ORDER BY i
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM wf_t;""", "does not support frame EXCLUDE")
+    rejects("""SELECT SUM(v) OVER (ORDER BY i
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s
+       FROM wf_t;""", "requires a RANGE or GROUPS frame")
+    rejects("""SELECT SUM(v) OVER (ORDER BY i EXCLUDE CURRENT ROW) AS s
+       FROM wf_t;""", "EXCLUDE requires an explicit")
+  }
 }
