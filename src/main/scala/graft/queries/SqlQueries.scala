@@ -703,6 +703,35 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id;""")),
 
+    // `/` and `%` arithmetic (extensions, r9 — the reference grammar has
+    // only + - *; division there exists solely inside builtins): `/` is
+    // real division (integer ÷ integer = FLOAT, DuckDB's rule), `%` keeps
+    // the dividend's sign. The negative-operand row pins the sign rule.
+    "q_sql_div_mod" -> ((s, dir) => run(s, dir,
+      """SELECT event_id,
+                ROUND(value / 7.0, 6) AS dv,
+                event_id % 7 AS m_int,
+                ROUND(value % 3.5, 6) AS m_f,
+                event_id / 4 AS int_div,
+                (0 - event_id) % 7 AS m_neg
+         FROM events ORDER BY event_id;""")),
+
+    // Named WINDOW clause (standard SQL; extension, r9; DuckDB supports
+    // it natively): one spec, referenced by several window functions —
+    // resolution is parse-time and per-SELECT (subqueries own their
+    // clause). The shared spec also means Spark plans ONE window
+    // partition/sort for all three functions.
+    "q_sql_window_clause" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER w AS ws,
+                COUNT(value) OVER w AS wc,
+                ROW_NUMBER() OVER w2 AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                w2 AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY event_id;""")),
+
     // Frame EXCLUDE (extension, r9; DuckDB supports it natively so the
     // oracle is fully independent): the excluded set sits at order
     // distance 0, so whether it intersects the frame is statically
@@ -1223,6 +1252,24 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id""",
+    "q_sql_div_mod" ->
+      """SELECT event_id,
+                ROUND(value / 7.0, 6) AS dv,
+                event_id % 7 AS m_int,
+                ROUND(value % 3.5, 6) AS m_f,
+                event_id / 4 AS int_div,
+                (0 - event_id) % 7 AS m_neg
+         FROM events ORDER BY event_id""",
+    "q_sql_window_clause" ->
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER w AS ws,
+                COUNT(value) OVER w AS wc,
+                ROW_NUMBER() OVER w2 AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                w2 AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY event_id""",
     // DuckDB plans EXCLUDE natively — nothing of the engine's subtraction
     // rewrite is shared with the oracle
     "q_sql_frame_exclude" ->

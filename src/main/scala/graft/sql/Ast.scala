@@ -68,7 +68,12 @@ object Ast {
                    // "TIES". Planned by frame-aggregate subtraction for
                    // the subtractable aggregates (SUM/COUNT/AVG);
                    // Validate rejects the rest loudly.
-                   exclude: String = "NO OTHERS") extends Expr
+                   exclude: String = "NO OTHERS",
+                   // `OVER name` — reference to a named WINDOW clause
+                   // (standard SQL; extension). Resolved at parse time
+                   // within the owning SELECT; a WinFn carrying an
+                   // unresolved ref past the parser is rejected loudly.
+                   windowRef: Option[String] = None) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL

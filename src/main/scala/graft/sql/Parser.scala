@@ -7,8 +7,9 @@ import Ast._
   * Grammar: /root/reference/hstream-sql/etc/SQL-v1.cf. Expression precedence
   * mirrors the grammar's ValueExpr .. ValueExpr10 ladder (SQL-v1.cf:176-255):
   * OR < AND < NOT < comparisons < BETWEEN < JSON-access < add/sub < mul <
-  * array-access < cast < atoms. Notable dialect facts preserved: no division
-  * operator (SQL-v1.cf:201-203), every join requires WITHIN (SQL-v1.cf:121),
+  * array-access < cast < atoms. Notable dialect facts preserved: every join
+  * requires WITHIN (SQL-v1.cf:121); `/` and `%` are documented EXTENSIONS
+  * (the reference grammar stops at OpAdd|OpSub|OpMul, SQL-v1.cf:201-203),
   * 0-based array indexing (Codegen/Common.hs:72-86), `{…}` array literals.
   * Keywords are matched case-insensitively (friendlier than the reference's
   * uppercase-only lexer); identifiers keep their case, `"…"` quoting allowed.
@@ -136,7 +137,7 @@ object Parser {
   object Lexer {
     private val symbols = List("->>", "#>>", "<=", ">=", "<>", "->", "#>",
       "::", "(", ")", "{", "}", "[", "]", ",", ";", ".", "*", "+", "-", "=",
-      "<", ">", ":")
+      "<", ">", ":", "/", "%")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -562,12 +563,52 @@ object Parser {
           }
         } else (Nil, "plain", Nil)
       val having = if (accept("HAVING")) Some(expr()) else None
+      // WINDOW clause (standard SQL; extension): named window specs,
+      // referenced as `fn(...) OVER name` in this SELECT's list/QUALIFY.
+      // Resolution happens HERE, at parse time, so scoping is per-SELECT
+      // for free (each subquery parses and resolves its own clause).
+      // Bare references only — `OVER (name ORDER BY …)` refinement and
+      // window-to-window references are not supported.
+      val winDefs: Map[String, WinFn] =
+        if (accept("WINDOW")) {
+          val b = Seq.newBuilder[(String, WinFn)]
+          do {
+            val n = ident().toLowerCase
+            expect("AS"); expect("(")
+            val spec = windowSpecBody()
+            expect(")")
+            b += n -> spec
+          } while (accept(","))
+          val defs = b.result()
+          val dups = defs.map(_._1).groupBy(identity)
+            .collect { case (n, vs) if vs.size > 1 => n }
+          if (dups.nonEmpty) throw new IllegalArgumentException(
+            s"duplicate WINDOW name ${dups.mkString(", ")}")
+          defs.toMap
+        } else Map.empty
       // QUALIFY — filter on window-function results (DuckDB-compatible
       // extension; batch/pull only, Validate)
       val qualify = if (accept("QUALIFY")) Some(expr()) else None
-      Select(itemList, from, where, groupBy, having,
+      def resolveW(e: Expr): Expr = Translate.rewriteExpr(e) {
+        case w: WinFn if w.windowRef.isDefined =>
+          val n = w.windowRef.get
+          val d = winDefs.getOrElse(n, throw new IllegalArgumentException(
+            s"unknown window name '$n' — define it in this SELECT's " +
+              "WINDOW clause"))
+          w.copy(partitionBy = d.partitionBy, orderBy = d.orderBy,
+            frame = d.frame, rangeFrame = d.rangeFrame,
+            groupsFrame = d.groupsFrame, exclude = d.exclude,
+            windowRef = None)
+      }
+      val itemsR = itemList.map {
+        case ItemExpr(e, a) => ItemExpr(resolveW(e), a)
+        case w @ ItemWildcard(_, _, rep) =>
+          w.copy(replace = rep.map { case (e, n) => (resolveW(e), n) })
+      }
+      Select(itemsR, from, where, groupBy, having,
         groupMode = groupMode, groupSets = groupSets,
-        qualify = qualify, distinct = distinct, distinctOn = distinctOn)
+        qualify = qualify.map(resolveW), distinct = distinct,
+        distinctOn = distinctOn)
     }
 
     /** Trailing clauses shared by select() and query(): ORDER BY / LIMIT
@@ -813,7 +854,15 @@ object Parser {
     }
     private def mulExpr(): Expr = {
       var l = jsonExpr()
-      while (accept("*")) l = Bin("*", l, jsonExpr())
+      var done = false
+      // `/` and `%` are dialect EXTENSIONS: the reference grammar stops
+      // at OpAdd|OpSub|OpMul (AST.hs:239) — division/modulo exist there
+      // only inside builtin functions. Standard left associativity, same
+      // tier as `*`.
+      while (!done) kwPeek match {
+        case op @ ("*" | "/" | "%") => next(); l = Bin(op, l, jsonExpr())
+        case _ => done = true
+      }
       l
     }
 
@@ -994,7 +1043,23 @@ object Parser {
       * PRECEDING .. CURRENT ROW when ordered) matches DuckDB/standard SQL,
       * and one shared default keeps Spark and the oracle in agreement. */
     private def overClause(name: String, args: Seq[Expr]): Expr = {
-      expect("OVER"); expect("(")
+      expect("OVER")
+      // `OVER name` — named-window reference; resolved by select()
+      // against this SELECT's WINDOW clause
+      if (!isKw("(")) {
+        val ref = ident().toLowerCase
+        return WinFn(name, args, Nil, Nil, windowRef = Some(ref))
+      }
+      expect("(")
+      val spec = windowSpecBody()
+      expect(")")
+      spec.copy(name = name, args = args)
+    }
+
+    /** The inside of a parenthesized window spec — shared by inline OVER
+      * clauses and named WINDOW definitions. Returned as a template WinFn
+      * (empty name/args). */
+    private def windowSpecBody(): WinFn = {
       val parts =
         if (accept("PARTITION")) { expect("BY")
           val b = Seq.newBuilder[Expr]
@@ -1048,8 +1113,7 @@ object Parser {
           else if (accept("TIES")) "TIES"
           else { expect("NO"); expect("OTHERS"); "NO OTHERS" }
         } else "NO OTHERS"
-      expect(")")
-      WinFn(name, args, parts, ord, frame, rangeFrame = isRange,
+      WinFn("", Nil, parts, ord, frame, rangeFrame = isRange,
         groupsFrame = isGroups, exclude = exclude)
     }
 

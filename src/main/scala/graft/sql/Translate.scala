@@ -66,8 +66,8 @@ object Translate {
       s"${n}(distinct ${args.map(exprName).mkString(",")})".toLowerCase
     case Agg(n, args, _, _) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
     case Fn(n, args) => s"${n}(${args.map(exprName).mkString(",")})".toLowerCase
-    case WinFn(n, args, _, _, _, _, _, _) =>
-      s"${n}(${args.map(exprName).mkString(",")})_over".toLowerCase
+    case w: WinFn =>
+      s"${w.name}(${w.args.map(exprName).mkString(",")})_over".toLowerCase
     case _: CaseWhen => "case"
     case _: InList | _: InSub => "in"
     case _: ExistsSub => "exists"
@@ -287,6 +287,11 @@ object Translate {
         HFunctions.timeSub(go(l), go(r))
       else go(l) - go(r)
     case "*" => go(l) * go(r)
+    // `/` and `%` (extensions): real division — integer ÷ integer is
+    // DOUBLE, matching DuckDB's `/` — and modulo with the dividend's sign
+    // (Spark pmod differs; `%` matches DuckDB/Java semantics)
+    case "/" => go(l).cast("double") / go(r)
+    case "%" => go(l) % go(r)
     // JSON access (JsonOp.hs:33-84); key is a string literal or int index.
     // `->` / `#>` return the TYPED JSON value (a VARIANT — JOpArrow yields
     // FlowValue, JsonOp.hs:40-44); `->>` / `#>>` return text (JsonOp.hs:46).
@@ -527,10 +532,10 @@ object Translate {
       case Fn(n, args) => Fn(n, args.map(rewriteExpr(_)(pf)))
       case Agg(n, args, s, d) => Agg(n, args.map(rewriteExpr(_)(pf)), s, d)
       case Cast(x, dt) => Cast(rewriteExpr(x)(pf), dt)
-      case w @ WinFn(_, args, pb, ob, _, _, _, _) =>
-        w.copy(args = args.map(rewriteExpr(_)(pf)),
-          partitionBy = pb.map(rewriteExpr(_)(pf)),
-          orderBy = ob.map(o => o.copy(e = rewriteExpr(o.e)(pf))))
+      case w: WinFn =>
+        w.copy(args = w.args.map(rewriteExpr(_)(pf)),
+          partitionBy = w.partitionBy.map(rewriteExpr(_)(pf)),
+          orderBy = w.orderBy.map(o => o.copy(e = rewriteExpr(o.e)(pf))))
       case Between(x, lo, hi, n, s) =>
         Between(rewriteExpr(x)(pf), rewriteExpr(lo)(pf),
           rewriteExpr(hi)(pf), n, s)
@@ -1671,8 +1676,9 @@ object Translate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .flatMap(collectScalars).distinct
-    case WinFn(_, args, parts, ord, _, _, _, _) =>
-      (args ++ parts ++ ord.map(_.e)).flatMap(collectScalars).distinct
+    case w: WinFn =>
+      (w.args ++ w.partitionBy ++ w.orderBy.map(_.e))
+        .flatMap(collectScalars).distinct
     case _ => Nil
   }
 
@@ -1696,10 +1702,10 @@ object Translate {
       CaseWhen(op0.map(replaceScalars(_, names)),
         bs.map { case (c, r) => (replaceScalars(c, names), replaceScalars(r, names)) },
         el.map(replaceScalars(_, names)))
-    case w @ WinFn(_, args, parts, ord, _, _, _, _) =>
-      w.copy(args = args.map(replaceScalars(_, names)),
-        partitionBy = parts.map(replaceScalars(_, names)),
-        orderBy = ord.map(o => o.copy(e = replaceScalars(o.e, names))))
+    case w: WinFn =>
+      w.copy(args = w.args.map(replaceScalars(_, names)),
+        partitionBy = w.partitionBy.map(replaceScalars(_, names)),
+        orderBy = w.orderBy.map(o => o.copy(e = replaceScalars(o.e, names))))
     case other => other
   }
 

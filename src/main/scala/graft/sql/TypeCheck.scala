@@ -186,7 +186,9 @@ object TypeCheck {
     case _: ExistsSub => Some(TBool)
     case _: ScalarSub => None // rewritten to a column ref before planning
 
-    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame, _) =>
+    case wf: WinFn =>
+      import wf.{name, args, partitionBy => parts, orderBy => ord, frame,
+        rangeFrame, groupsFrame}
       parts.foreach(infer(_, env))
       ord.foreach(o => requireOrd(o.e, env, "OVER (ORDER BY …)"))
       // RANGE offsets are added to the ORDER BY key, so a finite-offset
@@ -248,6 +250,18 @@ object TypeCheck {
     case "*" =>
       val a = infer(l, env); val b = infer(r, env)
       requireNumT(a, "'*'"); requireNumT(b, "'*'")
+      if (a.contains(TFloat) || b.contains(TFloat)) Some(TFloat)
+      else if (a.contains(TInt) && b.contains(TInt)) Some(TInt) else None
+
+    // `/` and `%` (extensions; the reference grammar has only + - *):
+    // `/` is REAL division — integer ÷ integer is FLOAT, like DuckDB —
+    // `%` keeps the operand type (sign of the dividend)
+    case "/" =>
+      requireNumT(infer(l, env), "'/'"); requireNumT(infer(r, env), "'/'")
+      Some(TFloat)
+    case "%" =>
+      val a = infer(l, env); val b = infer(r, env)
+      requireNumT(a, "'%'"); requireNumT(b, "'%'")
       if (a.contains(TFloat) || b.contains(TFloat)) Some(TFloat)
       else if (a.contains(TInt) && b.contains(TInt)) Some(TInt) else None
 

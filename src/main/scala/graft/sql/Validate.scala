@@ -285,8 +285,8 @@ object Validate {
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .exists(hasSubquery)
-    case WinFn(_, args, parts, ord, _, _, _, _) =>
-      (args ++ parts ++ ord.map(_.e)).exists(hasSubquery)
+    case w: WinFn =>
+      (w.args ++ w.partitionBy ++ w.orderBy.map(_.e)).exists(hasSubquery)
     case _ => false
   }
 
@@ -506,7 +506,14 @@ object Validate {
             try { java.time.LocalDateTime.parse(s); true }
             catch { case _: Exception => false } } }
       if (!ok) fail(s"invalid TIMESTAMP literal: $s")
-    case WinFn(name, args, parts, ord, frame, rangeFrame, groupsFrame, exclude) =>
+    case wf: WinFn =>
+      import wf.{name, args, partitionBy => parts, orderBy => ord, frame,
+        rangeFrame, groupsFrame, exclude}
+      // a named-window reference that survived parsing was used outside
+      // the defining SELECT's resolution scope (e.g. a trailing ORDER BY)
+      wf.windowRef.foreach(r => fail(s"window reference '$r' was not " +
+        "resolved — named windows (WINDOW clause) are usable in the " +
+        "SELECT list and QUALIFY of the defining SELECT"))
       // window functions are SELECT-list/ORDER-BY/QUALIFY expressions
       // only; their value is undefined pre-projection (standard SQL), and
       // nesting one inside an aggregate has no meaning either

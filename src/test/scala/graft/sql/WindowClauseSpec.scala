@@ -1,0 +1,71 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** Named WINDOW clause (standard SQL; extension): parse-time, per-SELECT
+  * resolution of `OVER name` references. */
+class WindowClauseSpec extends SparkSpec {
+
+  private lazy val e = new SqlEngine(spark)
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("b", 1L, 5L))
+      .toDF("k", "i", "v").createOrReplaceTempView("wc_t")
+  }
+
+  test("named window == the same spec written inline") {
+    setup()
+    val named = e.batch(
+      """SELECT i, SUM(v) OVER w AS s, COUNT(v) OVER w AS c
+         FROM wc_t
+         WINDOW w AS (PARTITION BY k ORDER BY i
+                      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+         ORDER BY k, i;""").collect().map(_.toString).toSeq
+    val inline = e.batch(
+      """SELECT i, SUM(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s,
+                COUNT(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c
+         FROM wc_t ORDER BY k, i;""").collect().map(_.toString).toSeq
+    assert(named == inline && named.nonEmpty)
+  }
+
+  test("named window carries EXCLUDE; QUALIFY may reference one; unknown name rejected") {
+    setup()
+    val ex = intercept[Exception](e.batch(
+      """SELECT i, SUM(v) OVER w2 AS s
+         FROM wc_t WINDOW w AS (PARTITION BY k ORDER BY i);""").collect())
+    assert(ex.getMessage.contains("unknown window name 'w2'"), ex.getMessage)
+    // EXCLUDE CURRENT ROW travels with the named spec; QUALIFY's
+    // COUNT(v) OVER w = 0 filters the lone row of partition b (frame
+    // minus current = empty)
+    val ok = e.batch(
+      """SELECT i, SUM(v) OVER w AS s
+         FROM wc_t
+         WINDOW w AS (PARTITION BY k ORDER BY i
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                      EXCLUDE CURRENT ROW)
+         QUALIFY COUNT(v) OVER w > 0
+         ORDER BY i;""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.toSeq == Seq((1L, 20L), (2L, 40L), (3L, 20L)))
+  }
+
+  test("scoping: a subquery's WINDOW clause is invisible outside") {
+    setup()
+    val ex = intercept[Exception](e.batch(
+      """SELECT SUM(v) OVER w AS s
+         FROM (SELECT k, i, v FROM wc_t WINDOW w AS (PARTITION BY k)) t;""")
+      .collect())
+    assert(ex.getMessage.contains("unknown window name 'w'"), ex.getMessage)
+  }
+
+  test("duplicate window names are rejected") {
+    setup()
+    val ex = intercept[Exception](e.batch(
+      """SELECT SUM(v) OVER w AS s FROM wc_t
+         WINDOW w AS (PARTITION BY k), w AS (ORDER BY i);""").collect())
+    assert(ex.getMessage.contains("duplicate WINDOW name"), ex.getMessage)
+  }
+}
