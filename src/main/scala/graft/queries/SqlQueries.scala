@@ -703,6 +703,34 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id;""")),
 
+    // STRING_AGG (ordered aggregate; extension, r9): ORDER BY inside the
+    // call is MANDATORY (unordered concatenation is nondeterministic —
+    // the same reproducibility rule as DISTINCT ON). Multi-key + DESC
+    // exercised; non-string values cast to string. DuckDB's native
+    // string_agg(... ORDER BY ...) is the oracle.
+    "q_sql_string_agg" -> ((s, dir) => run(s, dir,
+      """SELECT lang,
+                STRING_AGG(doc_id, ',' ORDER BY doc_id) AS ids,
+                STRING_AGG(source, '|' ORDER BY n_chars DESC, doc_id) AS srcs
+         FROM documents WHERE doc_id % 7 = 0
+         GROUP BY lang ORDER BY lang;""")),
+
+    // PERCENT_RANK / CUME_DIST / NTH_VALUE (extensions, r9; all native in
+    // Spark AND DuckDB, so the oracle re-plans them independently). The
+    // rank pair runs over a TIED order key (ROUND(value * 0.01)) to pin
+    // tie semantics; NTH_VALUE orders on the unique event_id (a tied
+    // ORDER BY would make its frame nondeterministic).
+    "q_sql_window_rank_dist" -> ((s, dir) => run(s, dir,
+      """SELECT event_id,
+                ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)), 6) AS pr,
+                ROUND(CUME_DIST() OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)), 6) AS cd,
+                NTH_VALUE(ROUND(value * 100.0), 2) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv2
+         FROM events ORDER BY event_id;""")),
+
     // `/` and `%` arithmetic (extensions, r9 — the reference grammar has
     // only + - *; division there exists solely inside builtins): `/` is
     // real division (integer ÷ integer = FLOAT, DuckDB's rule), `%` keeps
@@ -1251,6 +1279,22 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS rsum,
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
+         FROM events ORDER BY event_id""",
+    "q_sql_string_agg" ->
+      """SELECT lang,
+                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS ids,
+                string_agg(source, '|' ORDER BY n_chars DESC, doc_id) AS srcs
+         FROM documents WHERE doc_id % 7 = 0
+         GROUP BY lang ORDER BY lang""",
+    "q_sql_window_rank_dist" ->
+      """SELECT event_id,
+                ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)), 6) AS pr,
+                ROUND(CUME_DIST() OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)), 6) AS cd,
+                NTH_VALUE(ROUND(value * 100.0), 2) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv2
          FROM events ORDER BY event_id""",
     "q_sql_div_mod" ->
       """SELECT event_id,

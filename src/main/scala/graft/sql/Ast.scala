@@ -74,6 +74,10 @@ object Ast {
                    // within the owning SELECT; a WinFn carrying an
                    // unresolved ref past the parser is rejected loudly.
                    windowRef: Option[String] = None) extends Expr
+  /** INTERNAL marker: one ORDER BY key of an ordered aggregate
+    * (STRING_AGG). Lives only inside Agg.args, appended after the value
+    * and separator; the aggregate translator consumes it. */
+  case class OrdKey(e: Expr, desc: Boolean) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL

@@ -189,7 +189,7 @@ object Parser {
 
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
     "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE",
-    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID")
+    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID", "STRING_AGG")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
     "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",
@@ -215,7 +215,8 @@ object Parser {
     * §2.8 extension — the reference grammar has no OVER at all). Aggregate
     * names also accept OVER, becoming running/windowed aggregates. */
   private val winOnlyFns = Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE",
-    "LAG", "LEAD", "FIRST_VALUE", "LAST_VALUE")
+    "LAG", "LEAD", "FIRST_VALUE", "LAST_VALUE",
+    "NTH_VALUE", "PERCENT_RANK", "CUME_DIST")
 
   class Parser(toks: Vector[Tok]) {
     private var pos = 0
@@ -1010,6 +1011,23 @@ object Parser {
         val dist = accept("DISTINCT") // COUNT/SUM(DISTINCT e) extension
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))
+        // STRING_AGG(e, sep ORDER BY k [DESC], ...) — ordered aggregate
+        // (extension). ORDER BY is MANDATORY: unordered concatenation is
+        // nondeterministic, and determinism is the engine's
+        // reproducibility contract (same rule as DISTINCT ON).
+        if (kw == "STRING_AGG") {
+          if (dist) throw new IllegalArgumentException(
+            "STRING_AGG(DISTINCT ...) is not supported")
+          if (!accept("ORDER")) throw new IllegalArgumentException(
+            "STRING_AGG requires ORDER BY inside the call - unordered " +
+              "concatenation is nondeterministic")
+          expect("BY")
+          do {
+            val k = expr()
+            val desc = if (accept("DESC")) true else { accept("ASC"); false }
+            args += OrdKey(k, desc)
+          } while (accept(","))
+        }
         expect(")")
         val f = filterClause()
         val wrapped = args.result() match {

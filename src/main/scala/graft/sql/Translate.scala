@@ -152,6 +152,13 @@ object Translate {
       case "LAG" => lagLead(lag(_, _, _))
       case "LEAD" => lagLead(lead(_, _, _))
       case "FIRST_VALUE" => one(first(_))
+      case "NTH_VALUE" => w.args match {
+        case Seq(e, IntLit(n)) => nth_value(go(e), n.toInt)
+        case _ => throw new IllegalArgumentException(
+          "NTH_VALUE requires (expr, integer literal)")
+      }
+      case "PERCENT_RANK" => percent_rank()
+      case "CUME_DIST" => cume_dist()
       case "LAST_VALUE" => one(last(_))
       case "SUM" => one(sum(_))
       case "COUNT" => one(count(_))
@@ -531,6 +538,7 @@ object Translate {
       case Not(x) => Not(rewriteExpr(x)(pf))
       case Fn(n, args) => Fn(n, args.map(rewriteExpr(_)(pf)))
       case Agg(n, args, s, d) => Agg(n, args.map(rewriteExpr(_)(pf)), s, d)
+      case OrdKey(x, d) => OrdKey(rewriteExpr(x)(pf), d)
       case Cast(x, dt) => Cast(rewriteExpr(x)(pf), dt)
       case w: WinFn =>
         w.copy(args = w.args.map(rewriteExpr(_)(pf)),
@@ -645,6 +653,32 @@ object Translate {
           s"APPROX_PERCENTILE accuracy must be an int literal, got $other")
       }
       percentile_approx(column(e, resolve), lit(frac), lit(acc))
+    // STRING_AGG (ordered aggregate, extension): collect (keys..., value)
+    // structs, sort with an explicit comparator (first differing key
+    // decides; DESC keys flip), join. The collect+sort runs per GROUP on
+    // the agg side - at scale the state is the group's values, the price
+    // any ordered concatenation costs; NULL values are skipped
+    // (array_join), matching DuckDB's string_agg.
+    case Agg("STRING_AGG", vArg +: sepArg +: ordKeys, _, _) =>
+      val sep = sepArg match {
+        case StrLit(x) => x
+        case other => throw new IllegalArgumentException(
+          "STRING_AGG separator must be a string literal")
+      }
+      val keys = ordKeys.collect { case OrdKey(e, d) => (e, d) }
+      require(keys.size == ordKeys.size,
+        s"internal: unexpected STRING_AGG argument shape $ordKeys")
+      val fields = keys.zipWithIndex.map { case ((e, _), i) =>
+        column(e, resolve).as(s"k$i") } :+
+        column(vArg, resolve).cast("string").as("v")
+      val sorted = array_sort(collect_list(struct(fields: _*)),
+        (l, r) => keys.zipWithIndex.foldRight(lit(0)) {
+          case (((_, desc), i), acc) =>
+            val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
+            val (lt, gt) = if (desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
+            when(lt, -1).when(gt, 1).otherwise(acc)
+        })
+      array_join(transform(sorted, x => x.getField("v")), sep)
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
     case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _, _) =>
@@ -1511,6 +1545,7 @@ object Translate {
     case Not(x) => colRefsOf(x)
     case Fn(_, args) => args.flatMap(colRefsOf)
     case Agg(_, args, _, _) => args.flatMap(colRefsOf)
+    case OrdKey(x, _) => colRefsOf(x)
     case Cast(x, _) => colRefsOf(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(colRefsOf)
     case ArrIndex(x, _) => colRefsOf(x)
@@ -1666,6 +1701,7 @@ object Translate {
     case Not(x) => collectScalars(x)
     case Fn(_, args) => args.flatMap(collectScalars).distinct
     case Agg(_, args, _, _) => args.flatMap(collectScalars).distinct
+    case OrdKey(x, _) => collectScalars(x)
     case Cast(x, _) => collectScalars(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectScalars).distinct
     case ArrIndex(x, _) => collectScalars(x)
@@ -1688,6 +1724,7 @@ object Translate {
     case Not(x) => Not(replaceScalars(x, names))
     case Fn(n, args) => Fn(n, args.map(replaceScalars(_, names)))
     case Agg(n, args, st, d) => Agg(n, args.map(replaceScalars(_, names)), st, d)
+    case OrdKey(x, d) => OrdKey(replaceScalars(x, names), d)
     case Cast(x, dt) => Cast(replaceScalars(x, names), dt)
     case Between(x, lo, hi, n, sy) =>
       Between(replaceScalars(x, names), replaceScalars(lo, names),

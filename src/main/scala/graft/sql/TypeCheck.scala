@@ -146,6 +146,7 @@ object TypeCheck {
       }
 
     case Agg(name, args, star, _) => aggType(name, args, star, env)
+    case OrdKey(x, _) => infer(x, env)
 
     case Fn(name, args) => fnType(name, args, env)
 
@@ -205,7 +206,10 @@ object TypeCheck {
       name match {
         case "ROW_NUMBER" | "RANK" | "DENSE_RANK" | "NTILE" | "COUNT" =>
           args.foreach(infer(_, env)); Some(TInt)
-        case "LAG" | "LEAD" | "FIRST_VALUE" | "LAST_VALUE" | "MIN" | "MAX" =>
+        case "PERCENT_RANK" | "CUME_DIST" =>
+          args.foreach(infer(_, env)); Some(TFloat)
+        case "LAG" | "LEAD" | "FIRST_VALUE" | "LAST_VALUE" | "MIN" | "MAX" |
+             "NTH_VALUE" =>
           args.headOption.flatMap(infer(_, env))
         case "SUM" =>
           args.headOption.flatMap(a => requireNum(a, env, name))
@@ -285,6 +289,12 @@ object TypeCheck {
         args.foreach(a => requireNum(a, env, name))
         Some(TArray(TFloat))
       case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
+      case "STRING_AGG" =>
+        args.headOption.foreach(infer(_, env)) // value: any (cast to string)
+        args.drop(1).headOption.foreach(a => requireString(a, env, name))
+        args.collect { case OrdKey(k, _) =>
+          requireOrd(k, env, "STRING_AGG ORDER BY") }
+        Some(TString)
       case "PERCENTILE" | "MEDIAN" => // numeric input, continuous output
         args.foreach(a => requireNum(a, env, name)); Some(TFloat)
       case "APPROX_PERCENTILE" => // sketch returns a value from the data

@@ -414,6 +414,7 @@ object Validate {
 
   private def collectDistinctAggs(e: Expr): Seq[Agg] = e match {
     case a: Agg if a.distinct => Seq(a)
+    case OrdKey(x, _) => collectDistinctAggs(x)
     case InList(x, items, _) => (x +: items).flatMap(collectDistinctAggs)
     case InSub(x, _, _) => collectDistinctAggs(x)
     case Bin(_, l, r) => collectDistinctAggs(l) ++ collectDistinctAggs(r)
@@ -520,8 +521,8 @@ object Validate {
       if (insideAgg) fail(s"window function $name cannot appear inside an aggregate")
       if (where != "SELECT list" && where != "ORDER BY" && where != "QUALIFY")
         fail(s"window function $name is not allowed in $where")
-      if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE").contains(name) &&
-          ord.isEmpty)
+      if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE",
+          "PERCENT_RANK", "CUME_DIST").contains(name) && ord.isEmpty)
         fail(s"$name requires ORDER BY in its OVER clause")
       // ROWS/RANGE/GROUPS frames (extension): aggregates and FIRST/
       // LAST_VALUE only — ranking functions and LAG/LEAD define their own
@@ -531,8 +532,8 @@ object Validate {
           else "ROWS"
         if (ord.isEmpty)
           fail(s"$name: a $kind frame requires ORDER BY in the OVER clause")
-        if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD")
-            .contains(name))
+        if (Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
+            "PERCENT_RANK", "CUME_DIST").contains(name))
           fail(s"$name does not accept a window frame")
         if (lo > hi)
           fail(s"$name: $kind frame lower bound exceeds upper bound")

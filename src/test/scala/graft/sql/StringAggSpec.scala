@@ -1,0 +1,78 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** STRING_AGG ordered aggregate + the r9 arithmetic/window-fn extensions. */
+class StringAggSpec extends SparkSpec {
+
+  private lazy val e = new SqlEngine(spark)
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq((1L, "a", "x", 3L), (2L, "a", "y", 1L), (3L, "a", "z", 2L),
+      (4L, "b", "q", 9L)).toDF("i", "k", "s", "n")
+      .createOrReplaceTempView("sa_t")
+  }
+
+  test("STRING_AGG orders by its keys (asc, desc, multi-key) and casts values") {
+    setup()
+    val got = e.batch(
+      """SELECT k,
+                STRING_AGG(s, ',' ORDER BY i) AS asc_s,
+                STRING_AGG(s, ',' ORDER BY n DESC, i) AS by_n_desc,
+                STRING_AGG(i, '-' ORDER BY i DESC) AS ids_desc
+         FROM sa_t GROUP BY k ORDER BY k;""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("a", "x,y,z", "x,z,y", "3-2-1"),
+      ("b", "q", "q", "4")))
+  }
+
+  test("STRING_AGG rejections: missing ORDER BY, DISTINCT, non-literal sep") {
+    setup()
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.batch(sql).collect())
+      assert(ex.getMessage != null && ex.getMessage.contains(frag),
+        s"message for [$sql] was: ${ex.getMessage}")
+    }
+    rejects("SELECT STRING_AGG(s, ',') AS x FROM sa_t;",
+      "requires ORDER BY inside the call")
+    rejects("SELECT STRING_AGG(DISTINCT s, ',' ORDER BY s) AS x FROM sa_t;",
+      "DISTINCT")
+    rejects("SELECT STRING_AGG(s, s ORDER BY i) AS x FROM sa_t;",
+      "separator must be a string literal")
+  }
+
+  test("/ and % operators: precedence, types, negative dividends") {
+    setup()
+    val got = e.batch(
+      """SELECT 7 / 2 AS d, 7 % 3 AS m, 0 - 7 % 3 AS mn,
+                1 + 6 / 4 AS prec, 7.5 % 2.0 AS fm
+         FROM sa_t WHERE i = 1;""").collect()(0)
+    assert(got.getDouble(0) == 3.5)
+    assert(got.getLong(1) == 1L)
+    assert(got.getLong(2) == -1L)   // % binds tighter than -
+    assert(got.getDouble(3) == 2.5) // / binds tighter than +
+    assert(math.abs(got.getDouble(4) - 1.5) < 1e-12)
+  }
+
+  test("PERCENT_RANK / CUME_DIST / NTH_VALUE semantics and rejections") {
+    setup()
+    val got = e.batch(
+      """SELECT i,
+                PERCENT_RANK() OVER (PARTITION BY k ORDER BY i) AS pr,
+                CUME_DIST() OVER (PARTITION BY k ORDER BY i) AS cd,
+                NTH_VALUE(s, 2) OVER (PARTITION BY k ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+         FROM sa_t WHERE k = 'a' ORDER BY i;""").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0.0, 1.0 / 3, null), (2L, 0.5, 2.0 / 3, "y"), (3L, 1.0, 1.0, "y")))
+    val ex = intercept[Exception](e.batch(
+      """SELECT PERCENT_RANK() OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS p FROM sa_t;""")
+      .collect())
+    assert(ex.getMessage.contains("does not accept a window frame"), ex.getMessage)
+  }
+}
