@@ -68,6 +68,26 @@ class SignatureStoreSpec extends SparkSpec {
     assert(SignatureStore.sigs(spark, dir).get.count() == 3)
   }
 
+  test("plan pin: the candidate join scans ONLY the store's thin band table") {
+    import org.apache.spark.sql.functions.{col, explode, size}
+    val dir = tmpDir()
+    SignatureStore.append(spark, dir, "corpus",
+      sigOf(docs(1L -> "alpha beta gamma delta", 2L -> "one two three four")))
+    // the probe's candidate stage: new-batch bands x store bands — the
+    // store side must read (doc_id, band) ONLY, never the fat hs arrays
+    val newBanded = sigOf(docs(9L -> "alpha beta gamma delta"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id").as("new_id"), explode(col("bands")).as("band"))
+    val cand = newBanded.join(SignatureStore.bands(spark, dir), "band")
+    val scans = cand.queryExecution.executedPlan.toString
+      .split("Scan parquet").toSeq.tail
+    val storeScan = scans.find(_.contains("/bands"))
+    assert(storeScan.isDefined, scans.mkString("\n---\n").take(2000))
+    val read = storeScan.get.split("ReadSchema").lift(1).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("band") &&
+      !read.contains("hs"), read.take(500))
+  }
+
   test("store-backed incremental dedup = in-memory path on same corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
