@@ -106,12 +106,19 @@ object Validate {
     // (Spark refuses distinct aggregation on streaming plans); the
     // mergeable-sketch form can — point users at it
     if (continuous) {
-      val distinctAggs = (sel.items.collect { case ItemExpr(e, _) => e } ++
-        sel.having.toSeq).flatMap(collectDistinctAggs)
+      val aggs = (sel.items.collect { case ItemExpr(e, _) => e } ++
+        sel.having.toSeq)
+      val distinctAggs = aggs.flatMap(collectDistinctAggs)
       if (distinctAggs.nonEmpty)
         fail(s"${distinctAggs.head.name}(DISTINCT …) is not supported in " +
           "continuous queries — use APPROX_COUNT_DISTINCT (mergeable " +
           "HyperLogLog state) or a batch/pull SELECT")
+      // ordered concatenation over a stream = unbounded per-group value
+      // state AND an order that is never final — batch/pull only
+      if (aggs.flatMap(collectNamedAggs("STRING_AGG")).nonEmpty)
+        fail("STRING_AGG is not supported in continuous queries — " +
+          "per-group concatenation state is unbounded and its order is " +
+          "never final over a stream; use a batch/pull SELECT")
     }
 
     // subqueries in expressions (IN/EXISTS/scalar — extension, AST.hs:593
@@ -412,22 +419,29 @@ object Validate {
       fail(s"LIMIT/OFFSET $n exceeds the supported maximum (${Int.MaxValue})")
   }
 
-  private def collectDistinctAggs(e: Expr): Seq[Agg] = e match {
-    case a: Agg if a.distinct => Seq(a)
-    case OrdKey(x, _) => collectDistinctAggs(x)
-    case InList(x, items, _) => (x +: items).flatMap(collectDistinctAggs)
-    case InSub(x, _, _) => collectDistinctAggs(x)
-    case Bin(_, l, r) => collectDistinctAggs(l) ++ collectDistinctAggs(r)
-    case Not(x) => collectDistinctAggs(x)
-    case Fn(_, args) => args.flatMap(collectDistinctAggs)
-    case Cast(x, _) => collectDistinctAggs(x)
-    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectDistinctAggs)
-    case ArrIndex(x, _) => collectDistinctAggs(x)
-    case ArrSlice(x, _, _) => collectDistinctAggs(x)
-    case ArrLit(items) => items.flatMap(collectDistinctAggs)
+  private def collectNamedAggs(name: String)(e: Expr): Seq[Agg] =
+    collectDistinctAggs(e, _.name == name)
+
+  private def collectDistinctAggs(e: Expr): Seq[Agg] =
+    collectDistinctAggs(e, _.distinct)
+
+  private def collectDistinctAggs(e: Expr, p: Agg => Boolean): Seq[Agg] = e match {
+    case a: Agg if p(a) => Seq(a) ++ a.args.flatMap(collectDistinctAggs(_, p))
+    case a: Agg => a.args.flatMap(collectDistinctAggs(_, p))
+    case OrdKey(x, _) => collectDistinctAggs(x, p)
+    case InList(x, items, _) => (x +: items).flatMap(collectDistinctAggs(_, p))
+    case InSub(x, _, _) => collectDistinctAggs(x, p)
+    case Bin(_, l, r) => collectDistinctAggs(l, p) ++ collectDistinctAggs(r, p)
+    case Not(x) => collectDistinctAggs(x, p)
+    case Fn(_, args) => args.flatMap(collectDistinctAggs(_, p))
+    case Cast(x, _) => collectDistinctAggs(x, p)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectDistinctAggs(_, p))
+    case ArrIndex(x, _) => collectDistinctAggs(x, p)
+    case ArrSlice(x, _, _) => collectDistinctAggs(x, p)
+    case ArrLit(items) => items.flatMap(collectDistinctAggs(_, p))
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
-        .flatMap(collectDistinctAggs)
+        .flatMap(collectDistinctAggs(_, p))
     case _ => Nil
   }
 

@@ -77,8 +77,12 @@ class ParserSpec extends AnyFunSuite {
         Bin("=", Bin("+", ColRef(None, "a"), Bin("*", ColRef(None, "b"), IntLit(2))),
           ColRef(None, "c")),
         ColRef(None, "d")))
-    // no division operator in the dialect (SQL-v1.cf:201-203)
-    assertThrows[IllegalArgumentException] { Parser.parseExpr("a / b") }
+    // `/` and `%` are EXTENSIONS (the reference grammar stops at
+    // OpAdd|OpSub|OpMul, SQL-v1.cf:201-203) — same tier as `*`
+    assert(Parser.parseExpr("a + b / 2") ==
+      Bin("+", ColRef(None, "a"), Bin("/", ColRef(None, "b"), IntLit(2))))
+    assert(Parser.parseExpr("a % 2 = 0") ==
+      Bin("=", Bin("%", ColRef(None, "a"), IntLit(2)), IntLit(0)))
   }
 
   test("BETWEEN family, cast, array literal/access, JSON ops") {

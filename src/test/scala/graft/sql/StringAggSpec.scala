@@ -41,6 +41,9 @@ class StringAggSpec extends SparkSpec {
       "DISTINCT")
     rejects("SELECT STRING_AGG(s, s ORDER BY i) AS x FROM sa_t;",
       "separator must be a string literal")
+    rejects("""SELECT k, STRING_AGG(s, ',' ORDER BY i) AS x
+               FROM sa_t GROUP BY k EMIT CHANGES;""",
+      "STRING_AGG is not supported in continuous queries")
   }
 
   test("/ and % operators: precedence, types, negative dividends") {
