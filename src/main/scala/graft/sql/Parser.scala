@@ -147,6 +147,10 @@ object Parser {
         if (c.isWhitespace) i += 1
         else if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
           while (i < s.length && s(i) != '\n') i += 1
+        } else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+          // standard SQL line comment (extension; the reference lexer has
+          // only //-style). `--` is never subtraction-of-negation in SQL.
+          while (i < s.length && s(i) != '\n') i += 1
         } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
           i = s.indexOf("*/", i) match { case -1 => s.length; case j => j + 2 }
         } else if (c == '\'') {

@@ -85,6 +85,17 @@ class ParserSpec extends AnyFunSuite {
       Bin("=", Bin("%", ColRef(None, "a"), IntLit(2)), IntLit(0)))
   }
 
+  test("comment forms: // (reference style), -- (standard, extension), /* */") {
+    assert(Parser.parseExpr("a + // rest of line\n b") ==
+      Bin("+", ColRef(None, "a"), ColRef(None, "b")))
+    assert(Parser.parseExpr("a + -- rest of line\n b") ==
+      Bin("+", ColRef(None, "a"), ColRef(None, "b")))
+    assert(Parser.parseExpr("a /* block\n comment */ + b") ==
+      Bin("+", ColRef(None, "a"), ColRef(None, "b")))
+    // `--` is a comment, never subtraction-of-negation (standard SQL)
+    assert(Parser.parseExpr("a --1\n") == ColRef(None, "a"))
+  }
+
   test("BETWEEN family, cast, array literal/access, JSON ops") {
     assert(Parser.parseExpr("v NOT BETWEEN SYMMETRIC 5 AND 1") ==
       Between(ColRef(None, "v"), IntLit(5), IntLit(1), not = true, symmetric = true))
