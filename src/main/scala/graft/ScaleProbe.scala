@@ -414,8 +414,22 @@ object ScaleProbe {
     }
     val probeBatch = docs.filter(pmod($"doc_id", lit(4L)) === 0)
       .select($"doc_id", $"text")
-    val store1x = buildStore(docs.filter(pmod($"doc_id", lit(4L)) =!= 0))
+    val oldSide = docs.filter(pmod($"doc_id", lit(4L)) =!= 0)
+    val store1x = buildStore(oldSide)
     val store10x = buildStore(x10OldSide(docs).filter(pmod($"doc_id", lit(4L)) =!= 0))
+    // x10OldSide's extra copies are " probeN"-perturbed NEAR-DUPS of the
+    // batch's neighbors, so the candidate set (and verify work) grows
+    // ~10× WITH the corpus — a data-shape effect, like the simhash
+    // replica corpus. This store grows the corpus with UNRELATED docs
+    // (every token replica-suffixed): candidates stay fixed and the only
+    // corpus-dependent cost left is the thin band-table scan — the
+    // cleanest measurement of "10× corpus ≈ 1× per-crawl cost".
+    val store10u = buildStore(oldSide.unionAll(
+      (1 until 10).map(i => oldSide
+        .withColumn("doc_id", $"doc_id" + lit(i * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split($"text", " "), w => concat(w, lit(s"_u$i"))))))
+        .reduce(_ unionAll _)))
     def storedShape(store: String) =
       graft.queries.DedupQueries.incrementalDedupStored(spark, store, probeBatch)
 
@@ -504,7 +518,9 @@ object ScaleProbe {
       "incremental_dedup_fixed_batch_10x_corpus" ->
         (time(incrementalShape(docs)), time(incrementalShape(x10OldSide(docs)))),
       "incremental_dedup_prebuilt_store_10x_corpus" ->
-        (time(storedShape(store1x)), time(storedShape(store10x))))
+        (time(storedShape(store1x)), time(storedShape(store10x))),
+      "incremental_dedup_prebuilt_store_10x_unrelated" ->
+        (time(storedShape(store1x)), time(storedShape(store10u))))
 
     // ×100 second-decade rows for the five load-bearing shapes: both
     // per-decade ratios should stay ≤ ~linear (10× with fixed parallelism)

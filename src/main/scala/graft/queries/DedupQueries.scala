@@ -697,17 +697,29 @@ object DedupQueries extends QueryPack {
       .persist()
     val bandedNew = newSig.filter(size($"hs") > 0)
       .select($"doc_id", explode($"bands").as("band"))
-    val cand = bandedNew.as("a")
+    // The batch side is SMALL BY DEFINITION (a crawl increment vs the
+    // whole corpus), and it comes out of a compute (no scan statistics),
+    // so Catalyst would shuffle-join by default — broadcast it
+    // explicitly: the candidate stage becomes ONE map-side hash probe
+    // over the store's thin band scan, no shuffle of the corpus-sized
+    // side at all. (A pipeline whose increments outgrow broadcast drops
+    // the hint and pre-buckets the store on band instead.)
+    val cand = broadcast(bandedNew.as("a"))
       .join(SignatureStore.bands(s, storeDir).as("b"), $"a.band" === $"b.band")
       .select($"a.doc_id".as("new_id"), $"b.doc_id".as("old_id"))
       .distinct()
     val oldHs = SignatureStore.sigs(s, storeDir)
       .getOrElse(newSig.select($"doc_id", $"hs").limit(0))
-    val verified = cand
+    // same asymmetry for verification: (candidates × batch signatures)
+    // is small — broadcast it so the store's fat hs column is read in
+    // ONE unshuffled pass that probes a hash table of candidates
+    val candSigs = broadcast(cand
       .join(newSig.select($"doc_id", $"hs").as("h1"), $"new_id" === $"h1.doc_id")
+      .select($"new_id", $"old_id", $"h1.hs".as("new_hs")))
+    val verified = candSigs
       .join(oldHs.as("h2"), $"old_id" === $"h2.doc_id")
       .select($"new_id", $"old_id",
-        round(jaccard($"h1.hs", $"h2.hs"), 6).as("jac"))
+        round(jaccard($"new_hs", $"h2.hs"), 6).as("jac"))
       .filter($"jac" >= 0.5)
     val bj = verified.groupBy($"new_id")
       .agg(min_by(struct($"old_id", $"jac"), $"old_id").as("m"))
