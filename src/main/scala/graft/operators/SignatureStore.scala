@@ -73,7 +73,15 @@ object SignatureStore {
   /** Append one batch's signatures. `sig` must carry (doc_id, hs, bands)
     * — the exact shape `DedupQueries.sigWithBands` emits. Returns true if
     * this call committed the batch, false if it was already committed
-    * (idempotent replay). */
+    * (idempotent replay).
+    *
+    * SINGLE WRITER: like a crawl pipeline's ingest step, appends are
+    * serialized by the caller (one crawl at a time) — the manifest
+    * generation is read-modify-write. Two UNserialized appends racing to
+    * the same generation would last-writer-win on filesystems whose
+    * rename overwrites (POSIX), dropping the loser's line; on HDFS the
+    * loser's rename fails the require instead. Crash-safety (the
+    * documented guarantee) is orthogonal and holds either way. */
   def append(spark: SparkSession, dir: String, batchId: String,
              sig: DataFrame): Boolean = {
     require(batchId.matches("[A-Za-z0-9_.-]+"),

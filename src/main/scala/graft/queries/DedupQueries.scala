@@ -741,8 +741,11 @@ object DedupQueries extends QueryPack {
       .filter(pmod($"doc_id", lit(4L)) =!= 0)
       .select($"doc_id", $"text")
     // bit_xor: order-insensitive, ANSI-overflow-free; (doc_id, text) rows
-    // are unique per doc_id so xor pair-cancellation cannot collide runs
-    val fp = old.agg(expr("bit_xor(xxhash64(doc_id, text))")).first().getLong(0)
+    // are unique per doc_id so xor pair-cancellation cannot collide runs.
+    // An empty corpus xors to the 0L sentinel (bit_xor over zero rows is
+    // NULL) — a valid, stable store key.
+    val fpRow = old.agg(expr("bit_xor(xxhash64(doc_id, text))")).first()
+    val fp = if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)
     val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore/corpus_" +
       java.lang.Long.toHexString(fp)
     graft.operators.SignatureStore.append(s, store, "corpus",

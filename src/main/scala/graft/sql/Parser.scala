@@ -1039,6 +1039,8 @@ object Parser {
           case Nil => Nil
         }
         if (isKw("OVER")) {
+          if (kw == "STRING_AGG") throw new IllegalArgumentException(
+            "STRING_AGG is not supported as a window function")
           if (dist) throw new IllegalArgumentException(
             s"$kw(DISTINCT …) OVER is not supported (no distinct window aggregates)")
           return overClause(kw, wrapped)
