@@ -56,17 +56,28 @@ for name in sorted(oracle):
     if len(exp) != len(got):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); fail += 1
         results[name] = {"match": False, "err": f"rows exp={len(exp)} got={len(got)}"}; continue
-    exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-    got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    exp_s, got_s = exp, got  # normalized below BEFORE sorting (array cells
+    # must become tuples first, or sort_values can't factorize them)
     # Mimic the driver's hash: integer widths are normalized (int32 == int64)
     # but int-vs-float is a mismatch (DuckDB sum(BIGINT) -> HUGEINT -> pandas
     # float64 must FAIL here, as it fails the driver's hash compare).
     def norm_ints(df):
+        import numpy as np
+        def tup(v):
+            if isinstance(v, (list, np.ndarray)):
+                return tuple(tup(x) for x in v)
+            if isinstance(v, np.integer): return int(v)
+            return v
         for c in df.columns:
             if df[c].dtype.kind in "iu":
                 df[c] = df[c].astype("int64")
+            elif df[c].dtype == object:
+                # array cells -> tuples: hashable + comparable, so mixed
+                # scalar/array frames sort and compare uniformly
+                df[c] = df[c].map(tup)
         return df
-    exp_s, got_s = norm_ints(exp_s), norm_ints(got_s)
+    exp_s = norm_ints(exp_s).sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got_s = norm_ints(got_s).sort_values(by=list(got.columns)).reset_index(drop=True)
     try:
         pd.testing.assert_frame_equal(exp_s, got_s, check_dtype=True,
                                       check_exact=False, rtol=1e-9, atol=1e-9)

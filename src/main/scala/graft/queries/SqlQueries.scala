@@ -715,6 +715,16 @@ object SqlQueries extends QueryPack {
          FROM documents WHERE doc_id % 7 = 0
          GROUP BY lang ORDER BY lang;""")),
 
+    // ARRAY_AGG (ordered aggregate; extension, r9): same mandatory
+    // in-call ORDER BY as STRING_AGG, values keep their type. DuckDB's
+    // native array_agg(... ORDER BY ...) is the oracle.
+    "q_sql_array_agg" -> ((s, dir) => run(s, dir,
+      """SELECT lang,
+                ARRAY_AGG(source ORDER BY n_chars DESC, doc_id) AS srcs,
+                ARRAY_AGG(doc_id ORDER BY doc_id) AS ids
+         FROM documents WHERE doc_id % 13 = 0
+         GROUP BY lang ORDER BY lang;""")),
+
     // PERCENT_RANK / CUME_DIST / NTH_VALUE (extensions, r9; all native in
     // Spark AND DuckDB, so the oracle re-plans them independently). The
     // rank pair runs over a TIED order key (ROUND(value * 0.01)) to pin
@@ -1280,6 +1290,12 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id""",
+    "q_sql_array_agg" ->
+      """SELECT lang,
+                array_agg(source ORDER BY n_chars DESC, doc_id) AS srcs,
+                array_agg(doc_id ORDER BY doc_id) AS ids
+         FROM documents WHERE doc_id % 13 = 0
+         GROUP BY lang ORDER BY lang""",
     "q_sql_string_agg" ->
       """SELECT lang,
                 string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS ids,

@@ -193,7 +193,8 @@ object Parser {
 
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
     "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE",
-    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID", "STRING_AGG")
+    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID", "STRING_AGG",
+    "ARRAY_AGG")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
     "ROUND", "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_INT",
@@ -1015,16 +1016,17 @@ object Parser {
         val dist = accept("DISTINCT") // COUNT/SUM(DISTINCT e) extension
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))
-        // STRING_AGG(e, sep ORDER BY k [DESC], ...) — ordered aggregate
-        // (extension). ORDER BY is MANDATORY: unordered concatenation is
-        // nondeterministic, and determinism is the engine's
-        // reproducibility contract (same rule as DISTINCT ON).
-        if (kw == "STRING_AGG") {
+        // STRING_AGG(e, sep ORDER BY k [DESC], ...) / ARRAY_AGG(e ORDER
+        // BY k [DESC], ...) — ordered aggregates (extension). ORDER BY is
+        // MANDATORY: unordered collection is nondeterministic, and
+        // determinism is the engine's reproducibility contract (same
+        // rule as DISTINCT ON).
+        if (kw == "STRING_AGG" || kw == "ARRAY_AGG") {
           if (dist) throw new IllegalArgumentException(
-            "STRING_AGG(DISTINCT ...) is not supported")
+            s"$kw(DISTINCT ...) is not supported")
           if (!accept("ORDER")) throw new IllegalArgumentException(
-            "STRING_AGG requires ORDER BY inside the call - unordered " +
-              "concatenation is nondeterministic")
+            s"$kw requires ORDER BY inside the call - unordered " +
+              "collection is nondeterministic")
           expect("BY")
           do {
             val k = expr()
@@ -1039,8 +1041,9 @@ object Parser {
           case Nil => Nil
         }
         if (isKw("OVER")) {
-          if (kw == "STRING_AGG") throw new IllegalArgumentException(
-            "STRING_AGG is not supported as a window function")
+          if (kw == "STRING_AGG" || kw == "ARRAY_AGG")
+            throw new IllegalArgumentException(
+              s"$kw is not supported as a window function")
           if (dist) throw new IllegalArgumentException(
             s"$kw(DISTINCT …) OVER is not supported (no distinct window aggregates)")
           return overClause(kw, wrapped)

@@ -679,6 +679,24 @@ object Translate {
             when(lt, -1).when(gt, 1).otherwise(acc)
         })
       array_join(transform(sorted, x => x.getField("v")), sep)
+    // ARRAY_AGG (ordered aggregate, extension): same comparator-sorted
+    // collect as STRING_AGG, but the values keep their type and land in
+    // an array instead of a joined string. NULL values are kept (DuckDB
+    // array_agg keeps them too).
+    case Agg("ARRAY_AGG", vArg +: ordKeys, _, _) if ordKeys.nonEmpty =>
+      val keys = ordKeys.collect { case OrdKey(e, d) => (e, d) }
+      require(keys.size == ordKeys.size,
+        s"internal: unexpected ARRAY_AGG argument shape $ordKeys")
+      val fields = keys.zipWithIndex.map { case ((e, _), i) =>
+        column(e, resolve).as(s"k$i") } :+ column(vArg, resolve).as("v")
+      val sorted = array_sort(collect_list(struct(fields: _*)),
+        (l, r) => keys.zipWithIndex.foldRight(lit(0)) {
+          case (((_, desc), i), acc) =>
+            val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
+            val (lt, gt) = if (desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
+            when(lt, -1).when(gt, 1).otherwise(acc)
+        })
+      transform(sorted, x => x.getField("v"))
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
     case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _, _) =>

@@ -289,6 +289,10 @@ object TypeCheck {
         args.foreach(a => requireNum(a, env, name))
         Some(TArray(TFloat))
       case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
+      case "ARRAY_AGG" =>
+        args.collect { case OrdKey(k, _) =>
+          requireOrd(k, env, "ARRAY_AGG ORDER BY") }
+        args.headOption.flatMap(infer(_, env)).map(TArray)
       case "STRING_AGG" =>
         args.headOption.foreach(infer(_, env)) // value: any (cast to string)
         args.drop(1).headOption.foreach(a => requireString(a, env, name))

@@ -115,9 +115,11 @@ object Validate {
           "HyperLogLog state) or a batch/pull SELECT")
       // ordered concatenation over a stream = unbounded per-group value
       // state AND an order that is never final — batch/pull only
-      if (aggs.flatMap(collectNamedAggs("STRING_AGG")).nonEmpty)
-        fail("STRING_AGG is not supported in continuous queries — " +
-          "per-group concatenation state is unbounded and its order is " +
+      val ordered = Seq("STRING_AGG", "ARRAY_AGG")
+        .filter(n => aggs.flatMap(collectNamedAggs(n)).nonEmpty)
+      if (ordered.nonEmpty)
+        fail(s"${ordered.head} is not supported in continuous queries — " +
+          "per-group collection state is unbounded and its order is " +
           "never final over a stream; use a batch/pull SELECT")
     }
 

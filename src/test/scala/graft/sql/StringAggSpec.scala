@@ -46,6 +46,23 @@ class StringAggSpec extends SparkSpec {
       "STRING_AGG is not supported in continuous queries")
   }
 
+  test("ARRAY_AGG orders by its keys and keeps value types") {
+    setup()
+    val got = e.batch(
+      """SELECT k,
+                ARRAY_AGG(s ORDER BY n DESC, i) AS by_n,
+                ARRAY_AGG(i ORDER BY i DESC) AS ids
+         FROM sa_t GROUP BY k ORDER BY k;""").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getSeq[Long](2)))
+    assert(got.toSeq == Seq(
+      ("a", Seq("x", "z", "y"), Seq(3L, 2L, 1L)),
+      ("b", Seq("q"), Seq(4L))))
+    val ex = intercept[Exception](e.batch(
+      "SELECT ARRAY_AGG(s) AS x FROM sa_t;").collect())
+    assert(ex.getMessage.contains("requires ORDER BY inside the call"),
+      ex.getMessage)
+  }
+
   test("/ and % operators: precedence, types, negative dividends") {
     setup()
     val got = e.batch(
