@@ -715,6 +715,18 @@ object SqlQueries extends QueryPack {
          FROM documents WHERE doc_id % 7 = 0
          GROUP BY lang ORDER BY lang;""")),
 
+    // GROUPING(col) — per-column rollup indicator (standard SQL;
+    // extension, r9): 1 on output rows that aggregate the column away.
+    // CUBE exercises every indicator combination.
+    "q_sql_grouping" -> ((s, dir) => run(s, dir,
+      """SELECT IFNULL(lang, '<ALL>') AS lang2,
+                IFNULL(source, '<ALL>') AS source2,
+                GROUPING(lang) AS g_lang,
+                GROUPING(source) AS g_source,
+                COUNT(*) AS n_docs
+         FROM documents GROUP BY CUBE (lang, source)
+         ORDER BY g_lang, g_source, lang2, source2;""")),
+
     // ARRAY_AGG (ordered aggregate; extension, r9): same mandatory
     // in-call ORDER BY as STRING_AGG, values keep their type. DuckDB's
     // native array_agg(... ORDER BY ...) is the oracle.
@@ -1290,6 +1302,14 @@ object SqlQueries extends QueryPack {
                 COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS rcnt
          FROM events ORDER BY event_id""",
+    "q_sql_grouping" ->
+      """SELECT IFNULL(lang, '<ALL>') AS lang2,
+                IFNULL(source, '<ALL>') AS source2,
+                GROUPING(lang)::BIGINT AS g_lang,
+                GROUPING(source)::BIGINT AS g_source,
+                COUNT(*) AS n_docs
+         FROM documents GROUP BY CUBE (lang, source)
+         ORDER BY g_lang, g_source, lang2, source2""",
     "q_sql_array_agg" ->
       """SELECT lang,
                 array_agg(source ORDER BY n_chars DESC, doc_id) AS srcs,

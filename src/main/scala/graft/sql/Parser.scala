@@ -193,7 +193,7 @@ object Parser {
 
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK",
     "TOPKDISTINCT", "APPROX_COUNT_DISTINCT", "PERCENTILE",
-    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID", "STRING_AGG",
+    "APPROX_PERCENTILE", "MEDIAN", "GROUPING_ID", "GROUPING", "STRING_AGG",
     "ARRAY_AGG")
   private val unaryFns = Set("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH",
     "ACOS", "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",

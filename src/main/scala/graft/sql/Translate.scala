@@ -612,6 +612,12 @@ object Translate {
     // ROLLUP level bitmask (last group col = LSB — the same convention as
     // DuckDB's grouping(), so shared oracles compare directly)
     case Agg("GROUPING_ID", Nil, _, _) => grouping_id()
+    // GROUPING(col) — the per-column rollup indicator (standard SQL;
+    // 1 = this output row aggregates over col). Spark's grouping() and
+    // DuckDB's GROUPING agree; cast to long so gid-style arithmetic types
+    // line up across engines.
+    case Agg("GROUPING", Seq(e), _, _) =>
+      grouping(column(e, resolve)).cast("long")
     // DISTINCT aggregates (extension; batch-only — Validate gates them):
     // Spark plans these as a partial-dedup expand + final agg, shuffle-safe
     case Agg("COUNT", Seq(e), _, true) => count_distinct(column(e, resolve))
@@ -1413,7 +1419,13 @@ object Translate {
       }
       val aggNames = aggs.zipWithIndex.map { case (a, i) => a -> s"_agg$i" }.toMap
       val aggCols = aggs.map(a => aggColumn(a, resolve).as(aggNames(a)))
-      val keyCols = sel.groupBy.map(c => resolve(c).as(c.name))
+      // Bare refs stay UNALIASED: `.as` is a naming no-op for them, but
+      // the Alias node would defeat Spark's semantic match between
+      // GROUPING(col) and its grouping column (GROUPING_COLUMN_MISMATCH).
+      // Qualified refs keep the alias (output-name normalization);
+      // GROUPING over a qualified key is therefore unsupported.
+      val keyCols = sel.groupBy.map(c =>
+        if (c.stream.isEmpty) resolve(c) else resolve(c).as(c.name))
 
       val (windowCol, windowName) = src.window match {
         case Some(Tumble(i)) =>

@@ -289,6 +289,7 @@ object TypeCheck {
         args.foreach(a => requireNum(a, env, name))
         Some(TArray(TFloat))
       case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
+      case "GROUPING" => args.foreach(infer(_, env)); Some(TInt)
       case "ARRAY_AGG" =>
         args.collect { case OrdKey(k, _) =>
           requireOrd(k, env, "ARRAY_AGG ORDER BY") }

@@ -179,9 +179,10 @@ object Validate {
     if (!sel.multiLevel) {
       val gids = (sel.items.collect { case ItemExpr(e, _) => e } ++
         sel.having.toSeq ++ sel.orderBy.map(_.e))
-        .flatMap(Translate.collectAggs).collect { case Agg("GROUPING_ID", _, _, _) => () }
+        .flatMap(Translate.collectAggs)
+        .collect { case Agg("GROUPING_ID" | "GROUPING", _, _, _) => () }
       if (gids.nonEmpty)
-        fail("GROUPING_ID() requires GROUP BY ROLLUP/CUBE/GROUPING SETS")
+        fail("GROUPING_ID()/GROUPING(col) requires GROUP BY ROLLUP/CUBE/GROUPING SETS")
     }
 
     // window functions (OVER — §2.8 extension): batch/pull only (a
