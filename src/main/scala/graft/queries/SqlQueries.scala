@@ -729,11 +729,15 @@ object SqlQueries extends QueryPack {
 
     // ARRAY_AGG (ordered aggregate; extension, r9): same mandatory
     // in-call ORDER BY as STRING_AGG, values keep their type. DuckDB's
-    // native array_agg(... ORDER BY ...) is the oracle.
+    // native array_agg(... ORDER BY ...) is the oracle. Cells are
+    // serialized via ARRAY_JOIN so the compare harness sorts scalars
+    // (raw array cells are unsortable there; same convention as
+    // q_array_funcs) — the ordered ARRAY_AGG plan still runs end-to-end,
+    // and the typed-array semantics stay pinned in StringAggSpec.
     "q_sql_array_agg" -> ((s, dir) => run(s, dir,
       """SELECT lang,
-                ARRAY_AGG(source ORDER BY n_chars DESC, doc_id) AS srcs,
-                ARRAY_AGG(doc_id ORDER BY doc_id) AS ids
+                ARRAY_JOIN(ARRAY_AGG(source ORDER BY n_chars DESC, doc_id), '|') AS srcs,
+                ARRAY_JOIN(ARRAY_AGG(doc_id::STRING ORDER BY doc_id), ',') AS ids
          FROM documents WHERE doc_id % 13 = 0
          GROUP BY lang ORDER BY lang;""")),
 
@@ -805,6 +809,28 @@ object SqlQueries extends QueryPack {
                     ORDER BY ROUND(value * 0.01)
                     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
                     EXCLUDE TIES), 6) AS a_exties
+         FROM events ORDER BY event_id;""")),
+
+    // MIN/MAX with frame EXCLUDE (extension, r10): not subtractable, so
+    // the planner decomposes EXCLUDE CURRENT ROW on a ROWS frame into the
+    // aggregate over the prefix [lo,-1] combined with the suffix [+1,hi]
+    // (exact; DuckDB plans its native EXCLUDE independently). The three
+    // frames exercise both-sided, prefix-only (empty at partition start)
+    // and suffix-only (empty at partition end) shapes.
+    "q_sql_frame_exclude_minmax" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mn_both,
+                MAX(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                    EXCLUDE CURRENT ROW) AS mx_pre,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mn_suf
          FROM events ORDER BY event_id;""")),
 
     // GROUPS frames (extension; DuckDB supports them natively): bounds
@@ -1311,9 +1337,11 @@ object SqlQueries extends QueryPack {
          FROM documents GROUP BY CUBE (lang, source)
          ORDER BY g_lang, g_source, lang2, source2""",
     "q_sql_array_agg" ->
+      // array_to_string serializes the cells (the harness can't sort raw
+      // arrays); DuckDB still plans its native ordered array_agg inside.
       """SELECT lang,
-                array_agg(source ORDER BY n_chars DESC, doc_id) AS srcs,
-                array_agg(doc_id ORDER BY doc_id) AS ids
+                array_to_string(array_agg(source ORDER BY n_chars DESC, doc_id), '|') AS srcs,
+                array_to_string(array_agg(doc_id::VARCHAR ORDER BY doc_id), ',') AS ids
          FROM documents WHERE doc_id % 13 = 0
          GROUP BY lang ORDER BY lang""",
     "q_sql_string_agg" ->
@@ -1366,6 +1394,21 @@ object SqlQueries extends QueryPack {
                     ORDER BY ROUND(value * 0.01)
                     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
                     EXCLUDE TIES), 6) AS a_exties
+         FROM events ORDER BY event_id""",
+    "q_sql_frame_exclude_minmax" ->
+      """SELECT event_id, user_id,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mn_both,
+                MAX(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                    EXCLUDE CURRENT ROW) AS mx_pre,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mn_suf
          FROM events ORDER BY event_id""",
     // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
     // oracle is the DEFINITIONAL expansion — a RANGE frame over the

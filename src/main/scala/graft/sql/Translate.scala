@@ -188,17 +188,44 @@ object Translate {
         case _ => throw new IllegalArgumentException(
           s"${w.name} with EXCLUDE requires exactly one argument")
       }
+      if (w.name == "MIN" || w.name == "MAX") {
+        // MIN/MAX aren't subtractable — Validate pins them to ROWS +
+        // EXCLUDE CURRENT ROW, where the exclusion is EXACT as two extra
+        // windows: agg over the prefix [lo, -1] combined with agg over
+        // the suffix [+1, hi] (least/greatest skip NULLs, so an empty
+        // side degrades to the other; both empty → NULL, the SQL
+        // empty-frame value). No subtraction, no inversion needed.
+        val (lo, hi) = w.frame.get
+        val agg: Column => Column = if (w.name == "MIN") min else max
+        val pre =
+          if (lo <= -1L) Some(agg(x).over(ordered.rowsBetween(lo, -1L)))
+          else None
+        val suf =
+          if (hi >= 1L) Some(agg(x).over(ordered.rowsBetween(1L, hi)))
+          else None
+        (pre, suf) match {
+          case (Some(p), Some(s)) =>
+            if (w.name == "MIN") least(p, s) else greatest(p, s)
+          case (Some(p), None) => p
+          case (None, Some(s)) => s
+          case (None, None) => lit(null)
+        }
+      } else {
       val sumF = sum(x).over(spec)
       val cntF = count(x).over(spec)
       val curSum = when(x.isNotNull, x).otherwise(lit(0))
       val curCnt = when(x.isNotNull, lit(1L)).otherwise(lit(0L))
       lazy val peersSpec = Window.partitionBy(
         (w.partitionBy.map(go) ++ w.orderBy.map(o => go(o.e))): _*)
+      // Peer-set SUM is NULL when every peer value is NULL (count is 0,
+      // never NULL) — coalesce to 0 so subtraction degrades to the frame
+      // aggregate instead of propagating NULL (mirrors the curSum guard).
+      lazy val peerSum = coalesce(sum(x).over(peersSpec), lit(0))
       val (sumE, cntE) = w.exclude match {
         case "CURRENT ROW" => (curSum, curCnt)
-        case "GROUP" => (sum(x).over(peersSpec), count(x).over(peersSpec))
+        case "GROUP" => (peerSum, count(x).over(peersSpec))
         case "TIES" =>
-          (sum(x).over(peersSpec) - curSum, count(x).over(peersSpec) - curCnt)
+          (peerSum - curSum, count(x).over(peersSpec) - curCnt)
         case other => throw new IllegalArgumentException(
           s"internal: unknown EXCLUDE mode $other")
       }
@@ -211,6 +238,7 @@ object Translate {
             .otherwise((sumF - sumE).cast("double") / cnt)
         case other => throw new IllegalArgumentException(
           s"internal: $other must have been rejected by Validate")
+      }
       }
     }
   }
@@ -604,6 +632,22 @@ object Translate {
     case other => other
   }
 
+  /** Struct comparator for the ordered aggregates (STRING_AGG/ARRAY_AGG):
+    * compares fields k0..kn-1 in order, first differing key decides, DESC
+    * keys flip. NULL keys sort LAST regardless of direction — DuckDB's
+    * default null order — and two NULLs fall through to the next key, so
+    * a NULL never makes a row "equal to everything" (a raw `<` on a NULL
+    * key is NULL → silently false → nondeterministic placement). */
+  private def orderedAggComparator(descs: Seq[Boolean])
+      : (Column, Column) => Column = (l, r) =>
+    descs.zipWithIndex.foldRight(lit(0)) { case ((desc, i), acc) =>
+      val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
+      val (lt, gt) = if (desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
+      when(lk.isNull && rk.isNull, acc)
+        .when(lk.isNull, 1).when(rk.isNull, -1)
+        .when(lt, -1).when(gt, 1).otherwise(acc)
+    }
+
   /** Translate one aggregate call (AggOp.hs:38-162; SURVEY §2.5 divergences:
     * COUNT(e) skips NULLs per standard SQL, AVG is supported, MIN/MAX start
     * from NULL not FlowInt 0). */
@@ -678,12 +722,7 @@ object Translate {
         column(e, resolve).as(s"k$i") } :+
         column(vArg, resolve).cast("string").as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)),
-        (l, r) => keys.zipWithIndex.foldRight(lit(0)) {
-          case (((_, desc), i), acc) =>
-            val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
-            val (lt, gt) = if (desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
-            when(lt, -1).when(gt, 1).otherwise(acc)
-        })
+        orderedAggComparator(keys.map(_._2)))
       array_join(transform(sorted, x => x.getField("v")), sep)
     // ARRAY_AGG (ordered aggregate, extension): same comparator-sorted
     // collect as STRING_AGG, but the values keep their type and land in
@@ -696,12 +735,7 @@ object Translate {
       val fields = keys.zipWithIndex.map { case ((e, _), i) =>
         column(e, resolve).as(s"k$i") } :+ column(vArg, resolve).as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)),
-        (l, r) => keys.zipWithIndex.foldRight(lit(0)) {
-          case (((_, desc), i), acc) =>
-            val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
-            val (lt, gt) = if (desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
-            when(lt, -1).when(gt, 1).otherwise(acc)
-        })
+        orderedAggComparator(keys.map(_._2)))
       transform(sorted, x => x.getField("v"))
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)

@@ -569,9 +569,19 @@ object Validate {
       // leave the frame TOGETHER, i.e. RANGE or GROUPS frames (a ROWS
       // frame boundary can cut through a peer group).
       if (exclude != "NO OTHERS") {
-        if (!Set("SUM", "COUNT", "AVG").contains(name))
-          fail(s"$name does not support frame EXCLUDE (only the " +
-            "subtractable aggregates SUM/COUNT/AVG do)")
+        val minmax = name == "MIN" || name == "MAX"
+        if (!minmax && !Set("SUM", "COUNT", "AVG").contains(name))
+          fail(s"$name does not support frame EXCLUDE (the subtractable " +
+            "aggregates SUM/COUNT/AVG do, plus MIN/MAX on ROWS frames " +
+            "with EXCLUDE CURRENT ROW)")
+        // MIN/MAX aren't subtractable; on a ROWS frame EXCLUDE CURRENT
+        // ROW is exact via a prefix/suffix two-window decomposition, but
+        // a RANGE/GROUPS frame has no fixed row offset for the excluded
+        // row, so the decomposition doesn't exist there.
+        if (minmax && (rangeFrame || groupsFrame))
+          fail(s"$name: frame EXCLUDE on a RANGE or GROUPS frame is not " +
+            "supported (MIN/MAX aren't subtractable) — use a ROWS frame, " +
+            "where EXCLUDE CURRENT ROW is planned exactly")
         if (exclude != "CURRENT ROW" && !rangeFrame && !groupsFrame)
           fail(s"$name: EXCLUDE $exclude requires a RANGE or GROUPS " +
             "frame — a ROWS frame boundary can cut through a peer group")

@@ -18,7 +18,11 @@ class FrameOracleSpec extends SparkSpec {
   private lazy val e = new SqlEngine(spark)
 
   // ---- brute-force evaluator -------------------------------------------
-  private case class R(i: Long, k: String, o: Long, v: Long)
+  // v is nullable (Option): SUM/MIN/MAX skip NULLs and return NULL when a
+  // frame holds none; COUNT(v) counts non-nulls. The NULL rows pin the
+  // EXCLUDE planner's peer-sum coalesce (an all-NULL peer group must not
+  // NULL the whole subtraction).
+  private case class R(i: Long, k: String, o: Long, v: Option[Long])
 
   private sealed trait B
   private case object UP extends B
@@ -78,10 +82,10 @@ class FrameOracleSpec extends SparkSpec {
     rows.groupBy(_.k).flatMap { case (_, ps) =>
       val part = ps.sortBy(r => (orderCol(r), r.i)).toVector
       part.zipWithIndex.map { case (r, idx) =>
-        val fr = frameRows(mode, part, idx, lo, hi)
-        r.i -> (if (fr.isEmpty) (None, 0L, None, None)
-                else (Some(fr.map(_.v).sum), fr.size.toLong,
-                  Some(fr.map(_.v).min), Some(fr.map(_.v).max)))
+        val vals = frameRows(mode, part, idx, lo, hi).flatMap(_.v)
+        r.i -> (if (vals.isEmpty) (None, 0L, None, None)
+                else (Some(vals.sum), vals.size.toLong,
+                  Some(vals.min), Some(vals.max)))
       }
     }
 
@@ -93,7 +97,9 @@ class FrameOracleSpec extends SparkSpec {
     n <- Gen.chooseNum(3, 40)
     ks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
     os <- Gen.listOfN(n, Gen.chooseNum(0L, 9L)) // deliberate ties
-    vs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+    vs <- Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.chooseNum(-50L, 50L).map(Some(_): Option[Long]),
+      1 -> Gen.const(None: Option[Long])))
   } yield ks.lazyZip(os).lazyZip(vs).toList.zipWithIndex
     .map { case ((k, o, v), i) => R(i.toLong, k, o, v) }
 
@@ -169,38 +175,52 @@ class FrameOracleSpec extends SparkSpec {
     import spark.implicits._
     val orderSql = if (mode == "ROWS") "i" else "o"
     val orderCol: R => Long = if (mode == "ROWS") _.i else _.o
+    // MIN/MAX with EXCLUDE exist only on ROWS + CURRENT ROW (the
+    // prefix/suffix decomposition); elsewhere Validate rejects them.
+    val withMinMax = mode == "ROWS" && excl == "CURRENT ROW"
     samples(tableGen, 4, seed).zipWithIndex.foreach { case (data, ti) =>
       data.map(r => (r.i, r.k, r.o, r.v)).toDF("i", "k", "o", "v")
         .createOrReplaceTempView("fo_t")
       samples(boundPair, 3, seed * 17 + ti).foreach { case (lo, hi) =>
         val fr = s"$mode BETWEEN ${sqlOf(lo)} AND ${sqlOf(hi)} EXCLUDE $excl"
+        val mmSql = if (withMinMax)
+          s""", MIN(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS mn,
+               MAX(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS mx"""
+          else ""
         val got = e.batch(
           s"""SELECT i,
                      SUM(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS s,
                      COUNT(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS c,
                      AVG(v) OVER (PARTITION BY k ORDER BY $orderSql $fr) AS a
+                     $mmSql
               FROM fo_t ORDER BY i;""").collect()
           .map(r => r.getLong(0) -> (
             if (r.isNullAt(1)) None else Some(r.getLong(1)),
             r.getLong(2),
-            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (!withMinMax || r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (!withMinMax || r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
         val want = data.groupBy(_.k).flatMap { case (_, ps) =>
           val part = ps.sortBy(r => (orderCol(r), r.i)).toVector
           part.zipWithIndex.map { case (r, idx) =>
             val fr0 = frameRows(mode, part, idx, lo, hi)
-            val ex = applyExclude(fr0, r, excl, orderCol)
-            r.i -> (if (ex.isEmpty) (None, 0L, None)
-                    else (Some(ex.map(_.v).sum), ex.size.toLong,
-                      Some(ex.map(_.v).sum.toDouble / ex.size)))
+            val vals = applyExclude(fr0, r, excl, orderCol).flatMap(_.v)
+            r.i -> (if (vals.isEmpty) (None, 0L, None, None, None)
+                    else (Some(vals.sum), vals.size.toLong,
+                      Some(vals.sum.toDouble / vals.size),
+                      if (withMinMax) Some(vals.min) else None,
+                      if (withMinMax) Some(vals.max) else None))
           }
         }
         val close = got.keySet == want.keySet && got.keySet.forall { i =>
-          val (gs, gc, ga) = got(i); val (ws, wc, wa) = want(i)
-          gs == ws && gc == wc && ((ga, wa) match {
-            case (None, None) => true
-            case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
-            case _ => false
-          })
+          val (gs, gc, ga, gmn, gmx) = got(i)
+          val (ws, wc, wa, wmn, wmx) = want(i)
+          gs == ws && gc == wc && gmn == wmn && gmx == wmx &&
+            ((ga, wa) match {
+              case (None, None) => true
+              case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+              case _ => false
+            })
         }
         assert(close,
           s"$fr over ORDER BY $orderSql mismatch\n table=${data.take(10)}…\n" +
@@ -209,7 +229,7 @@ class FrameOracleSpec extends SparkSpec {
     }
   }
 
-  test("ROWS EXCLUDE CURRENT ROW matches the literal evaluator") {
+  test("ROWS EXCLUDE CURRENT ROW (incl. MIN/MAX) matches the literal evaluator") {
     checkExclude("ROWS", "CURRENT ROW", 4004L)
   }
   test("RANGE EXCLUDE CURRENT ROW / GROUP / TIES match the literal evaluator") {

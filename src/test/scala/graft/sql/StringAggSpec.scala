@@ -28,6 +28,26 @@ class StringAggSpec extends SparkSpec {
       ("b", "q", "q", "4")))
   }
 
+  test("STRING_AGG/ARRAY_AGG NULL order keys sort last (DuckDB default)") {
+    import spark.implicits._
+    // n is NULL for two rows; a raw `<` comparator would make them compare
+    // equal to everything (NULL → false both ways) — placement would be
+    // nondeterministic. The contract: nulls last regardless of direction,
+    // further keys break ties among the nulls.
+    Seq((1L, "a", "w", Some(3L)), (2L, "a", "x", None),
+      (3L, "a", "y", Some(1L)), (4L, "a", "z", None))
+      .toDF("i", "k", "s", "n").createOrReplaceTempView("sa_n")
+    val got = e.batch(
+      """SELECT k,
+                STRING_AGG(s, ',' ORDER BY n, i) AS asc_s,
+                STRING_AGG(s, ',' ORDER BY n DESC, i) AS desc_s,
+                ARRAY_AGG(s ORDER BY n, i) AS arr
+         FROM sa_n GROUP BY k;""").collect()(0)
+    assert(got.getString(1) == "y,w,x,z", got.getString(1))
+    assert(got.getString(2) == "w,y,x,z", got.getString(2))
+    assert(got.getSeq[String](3) == Seq("y", "w", "x", "z"))
+  }
+
   test("STRING_AGG rejections: missing ORDER BY, DISTINCT, non-literal sep") {
     setup()
     def rejects(sql: String, frag: String): Unit = {

@@ -87,7 +87,25 @@ class WindowFrameSpec extends SparkSpec {
       assert(ex.getMessage != null && ex.getMessage.contains(frag),
         s"message for [$sql] was: ${ex.getMessage}")
     }
+    // MIN/MAX + EXCLUDE CURRENT ROW on ROWS frames (r10): planned as the
+    // prefix/suffix two-window decomposition. k='a': v=10,20,30,40.
+    val mm = e.batch(
+      """SELECT i, MIN(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+           EXCLUDE CURRENT ROW) AS mn,
+                MAX(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           EXCLUDE CURRENT ROW) AS mx
+         FROM wf_t WHERE k = 'a' ORDER BY i;""")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(mm.toSeq == Seq((1L, 20L, -1L), (2L, 10L, 10L),
+      (3L, 20L, 20L), (4L, 30L, 30L)), mm.toSeq)
     rejects("""SELECT MIN(v) OVER (ORDER BY i
+         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM wf_t;""", "RANGE or GROUPS frame is not supported")
+    rejects("""SELECT FIRST_VALUE(v) OVER (ORDER BY i
          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
        FROM wf_t;""", "does not support frame EXCLUDE")
     rejects("""SELECT SUM(v) OVER (ORDER BY i
