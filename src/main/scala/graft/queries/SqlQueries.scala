@@ -786,6 +786,26 @@ object SqlQueries extends QueryPack {
                 w2 AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY event_id;""")),
 
+    // Window refinement + chaining (standard SQL; extension, r10; DuckDB
+    // native): `OVER (w …)` extends a named base (inherits PARTITION BY,
+    // and ORDER BY unless the base lacks one; base must be frameless),
+    // and a WINDOW definition may itself refine an earlier one
+    // (wo = wp + ORDER BY). Three use sites: frame added at the use
+    // site over the chained window, ORDER BY added at the use site over
+    // the partition-only base, and a bare reference to the chained
+    // window (default frame).
+    "q_sql_window_refine" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (wo ROWS BETWEEN 2 PRECEDING
+                    AND CURRENT ROW) AS s_frame,
+                COUNT(value) OVER (wp ORDER BY event_id
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c_ord,
+                ROW_NUMBER() OVER wo AS rn
+         FROM events
+         WINDOW wp AS (PARTITION BY user_id),
+                wo AS (wp ORDER BY event_id)
+         ORDER BY event_id;""")),
+
     // Frame EXCLUDE (extension, r9; DuckDB supports it natively so the
     // oracle is fully independent): the excluded set sits at order
     // distance 0, so whether it intersects the frame is statically
@@ -1377,6 +1397,23 @@ object SqlQueries extends QueryPack {
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                 w2 AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY event_id""",
+    // DuckDB plans use-site refinement `OVER (w …)` natively, but its
+    // 1.0.0 resolver DROPS the base's PARTITION BY in a CHAINED
+    // definition (`wo AS (wp ORDER BY …)` ≡ no partition — verified:
+    // chained == partition-less on this data), diverging from the
+    // standard. So only the chain is hand-resolved here (wo written in
+    // full); the refinement surface stays independently planned.
+    "q_sql_window_refine" ->
+      """SELECT event_id, user_id,
+                SUM(ROUND(value * 100.0)) OVER (wo ROWS BETWEEN 2 PRECEDING
+                    AND CURRENT ROW) AS s_frame,
+                COUNT(value) OVER (wp ORDER BY event_id
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c_ord,
+                ROW_NUMBER() OVER wo AS rn
+         FROM events
+         WINDOW wp AS (PARTITION BY user_id),
+                wo AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY event_id""",
     // DuckDB plans EXCLUDE natively — nothing of the engine's subtraction
     // rewrite is shared with the oracle

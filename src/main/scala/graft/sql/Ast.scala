@@ -73,7 +73,15 @@ object Ast {
                    // (standard SQL; extension). Resolved at parse time
                    // within the owning SELECT; a WinFn carrying an
                    // unresolved ref past the parser is rejected loudly.
-                   windowRef: Option[String] = None) extends Expr
+                   windowRef: Option[String] = None,
+                   // `OVER (name …)` / `WINDOW w2 AS (w1 …)` — window
+                   // REFINEMENT (standard SQL; extension): this spec's
+                   // clauses extend the named base window. Distinct from
+                   // a bare `OVER name` (full copy, frame allowed on the
+                   // base): refinement inherits PARTITION BY (must not
+                   // be respecified), inherits ORDER BY unless the base
+                   // lacks one, and requires a FRAMELESS base.
+                   refines: Boolean = false) extends Expr
   /** INTERNAL marker: one ORDER BY key of an ordered aggregate
     * (STRING_AGG). Lives only inside Agg.args, appended after the value
     * and separator; the aggregate translator consumes it. */

@@ -570,27 +570,35 @@ object Parser {
         } else (Nil, "plain", Nil)
       val having = if (accept("HAVING")) Some(expr()) else None
       // WINDOW clause (standard SQL; extension): named window specs,
-      // referenced as `fn(...) OVER name` in this SELECT's list/QUALIFY.
+      // referenced as `fn(...) OVER name` (bare, full copy) or refined
+      // as `fn(...) OVER (name …)` in this SELECT's list/QUALIFY.
       // Resolution happens HERE, at parse time, so scoping is per-SELECT
       // for free (each subquery parses and resolves its own clause).
-      // Bare references only — `OVER (name ORDER BY …)` refinement and
-      // window-to-window references are not supported.
+      // Chaining `WINDOW w2 AS (w1 …)` resolves in definition order: a
+      // definition may only reference a window defined EARLIER in the
+      // clause (the standard's rule — which also makes cycles
+      // unrepresentable).
       val winDefs: Map[String, WinFn] =
         if (accept("WINDOW")) {
-          val b = Seq.newBuilder[(String, WinFn)]
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, WinFn]
           do {
             val n = ident().toLowerCase
             expect("AS"); expect("(")
-            val spec = windowSpecBody()
+            val spec0 = windowSpecBody()
             expect(")")
-            b += n -> spec
+            if (m.contains(n)) throw new IllegalArgumentException(
+              s"duplicate WINDOW name $n")
+            val spec = spec0.windowRef match {
+              case Some(b) => mergeWindow(spec0, m.getOrElse(b,
+                throw new IllegalArgumentException(
+                  s"unknown window name '$b' in WINDOW $n — a definition " +
+                    "can only reference a window defined earlier in the " +
+                    "same WINDOW clause")), b)
+              case None => spec0
+            }
+            m += n -> spec
           } while (accept(","))
-          val defs = b.result()
-          val dups = defs.map(_._1).groupBy(identity)
-            .collect { case (n, vs) if vs.size > 1 => n }
-          if (dups.nonEmpty) throw new IllegalArgumentException(
-            s"duplicate WINDOW name ${dups.mkString(", ")}")
-          defs.toMap
+          m.toMap
         } else Map.empty
       // QUALIFY — filter on window-function results (DuckDB-compatible
       // extension; batch/pull only, Validate)
@@ -601,7 +609,10 @@ object Parser {
           val d = winDefs.getOrElse(n, throw new IllegalArgumentException(
             s"unknown window name '$n' — define it in this SELECT's " +
               "WINDOW clause"))
-          w.copy(partitionBy = d.partitionBy, orderBy = d.orderBy,
+          // bare `OVER name` copies the whole spec (frame included);
+          // `OVER (name …)` merges under the refinement rules
+          if (w.refines) mergeWindow(w, d, n)
+          else w.copy(partitionBy = d.partitionBy, orderBy = d.orderBy,
             frame = d.frame, rangeFrame = d.rangeFrame,
             groupsFrame = d.groupsFrame, exclude = d.exclude,
             windowRef = None)
@@ -1087,6 +1098,15 @@ object Parser {
       * clauses and named WINDOW definitions. Returned as a template WinFn
       * (empty name/args). */
     private def windowSpecBody(): WinFn = {
+      // Optional leading base-window name (standard SQL refinement /
+      // chaining): `(w ORDER BY …)` extends named window w. The owning
+      // SELECT resolves and merges it; spec-clause keywords can't start
+      // a base name, so a bare identifier here is unambiguous.
+      val baseRef = peek match {
+        case TIdent(_) if !Set("PARTITION", "ORDER", "ROWS", "RANGE",
+          "GROUPS", "EXCLUDE").contains(kwPeek) => Some(ident().toLowerCase)
+        case _ => None
+      }
       val parts =
         if (accept("PARTITION")) { expect("BY")
           val b = Seq.newBuilder[Expr]
@@ -1141,7 +1161,32 @@ object Parser {
           else { expect("NO"); expect("OTHERS"); "NO OTHERS" }
         } else "NO OTHERS"
       WinFn("", Nil, parts, ord, frame, rangeFrame = isRange,
-        groupsFrame = isGroups, exclude = exclude)
+        groupsFrame = isGroups, exclude = exclude,
+        windowRef = baseRef, refines = baseRef.isDefined)
+    }
+
+    /** Merge a refining spec over its base window (standard SQL window
+      * refinement): PARTITION BY always comes from the base and must not
+      * be respecified; ORDER BY comes from the base unless the base has
+      * none; the base must be FRAMELESS (a frame makes a window final);
+      * the refinement's own frame/EXCLUDE stand. */
+    private def mergeWindow(local: WinFn, base: WinFn, n: String): WinFn = {
+      if (local.partitionBy.nonEmpty)
+        throw new IllegalArgumentException(
+          s"window refinement of '$n' cannot specify PARTITION BY — " +
+            "partitioning is inherited from the base window")
+      if (local.orderBy.nonEmpty && base.orderBy.nonEmpty)
+        throw new IllegalArgumentException(
+          s"window refinement of '$n' cannot specify ORDER BY — the " +
+            "base window already has one")
+      if (base.frame.isDefined)
+        throw new IllegalArgumentException(
+          s"cannot refine window '$n': a base window with a frame " +
+            "clause is final (standard SQL) — move the frame to the " +
+            "refining spec")
+      local.copy(partitionBy = base.partitionBy,
+        orderBy = if (local.orderBy.nonEmpty) local.orderBy else base.orderBy,
+        windowRef = None, refines = false)
     }
 
     private def dataType(): SqlType = {

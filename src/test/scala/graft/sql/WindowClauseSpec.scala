@@ -61,6 +61,58 @@ class WindowClauseSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown window name 'w'"), ex.getMessage)
   }
 
+  test("window refinement: OVER (w …) extends the base; chaining resolves in order") {
+    setup()
+    // refinement adds ORDER BY + frame to a partition-only base
+    val refined = e.batch(
+      """SELECT i, SUM(v) OVER (w ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+         FROM wc_t WINDOW w AS (PARTITION BY k) ORDER BY k, i;""")
+      .collect().map(_.toString).toSeq
+    val inline = e.batch(
+      """SELECT i, SUM(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+         FROM wc_t ORDER BY k, i;""").collect().map(_.toString).toSeq
+    assert(refined == inline && refined.nonEmpty)
+    // chaining: w2 refines w1 in the WINDOW clause itself; the frame
+    // lands on the final use site
+    val chained = e.batch(
+      """SELECT i, SUM(v) OVER (w2 ROWS BETWEEN 1 PRECEDING
+                                AND CURRENT ROW) AS s
+         FROM wc_t
+         WINDOW w1 AS (PARTITION BY k), w2 AS (w1 ORDER BY i)
+         ORDER BY k, i;""").collect().map(_.toString).toSeq
+    assert(chained == inline)
+    // empty refinement of a frameless base == bare reference
+    val bare = e.batch(
+      """SELECT i, SUM(v) OVER (w) AS s, SUM(v) OVER w AS s2
+         FROM wc_t WINDOW w AS (PARTITION BY k ORDER BY i)
+         ORDER BY k, i;""").collect()
+    assert(bare.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("window refinement rejections: PARTITION BY, double ORDER BY, framed base, forward chain") {
+    setup()
+    def rejects(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](e.batch(sql).collect())
+      assert(ex.getMessage != null && ex.getMessage.contains(frag),
+        s"message for [$sql] was: ${ex.getMessage}")
+    }
+    rejects("""SELECT SUM(v) OVER (w PARTITION BY i) AS s
+         FROM wc_t WINDOW w AS (PARTITION BY k);""",
+      "cannot specify PARTITION BY")
+    rejects("""SELECT SUM(v) OVER (w ORDER BY v) AS s
+         FROM wc_t WINDOW w AS (PARTITION BY k ORDER BY i);""",
+      "base window already has one")
+    rejects("""SELECT SUM(v) OVER (w ORDER BY i) AS s
+         FROM wc_t WINDOW w AS (PARTITION BY k
+           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW);""",
+      "is final")
+    rejects("""SELECT SUM(v) OVER w2 AS s
+         FROM wc_t WINDOW w2 AS (w1 ORDER BY i), w1 AS (PARTITION BY k);""",
+      "defined earlier")
+  }
+
   test("duplicate window names are rejected") {
     setup()
     val ex = intercept[Exception](e.batch(
