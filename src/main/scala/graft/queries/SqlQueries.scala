@@ -786,6 +786,25 @@ object SqlQueries extends QueryPack {
                 w2 AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY event_id;""")),
 
+    // STRING_AGG / ARRAY_AGG as WINDOW functions (extension, r10;
+    // batch/pull only): the OVER clause frames rows, the mandatory
+    // in-call ORDER BY sorts the collected elements — independent axes
+    // (types_by_val frames by event_id but sorts elements by value).
+    // DuckDB 1.0 can't parse in-call ORDER BY on a window fn, so the
+    // oracle is the DEFINITIONAL form: row_number the partition, then a
+    // correlated ordered-aggregate subquery over the frame's row range.
+    "q_sql_string_agg_window" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                STRING_AGG(event_type, ',' ORDER BY ROUND(value * 100.0) DESC,
+                           event_id) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS types_by_val,
+                ARRAY_JOIN(ARRAY_AGG(event_id::STRING ORDER BY event_id)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    '|') AS ids_run
+         FROM events ORDER BY event_id;""")),
+
     // Window refinement + chaining (standard SQL; extension, r10; DuckDB
     // native): `OVER (w …)` extends a named base (inherits PARTITION BY,
     // and ORDER BY unless the base lacks one; base must be frameless),
@@ -1398,6 +1417,26 @@ object SqlQueries extends QueryPack {
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                 w2 AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY event_id""",
+    // DuckDB 1.0 has no in-call ORDER BY on window fns, so the oracle is
+    // the definition itself: row_number the partition, then correlated
+    // ordered-aggregate subqueries over each frame's row range — nothing
+    // of the engine's collect+sort window plan is shared.
+    "q_sql_string_agg_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           ROUND(value * 100.0) AS v100,
+                           ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY event_id) AS rn
+                    FROM events)
+         SELECT event_id, user_id,
+                (SELECT string_agg(e2.event_type, ','
+                                   ORDER BY e2.v100 DESC, e2.event_id)
+                   FROM e e2 WHERE e2.user_id = e.user_id
+                    AND e2.rn BETWEEN e.rn - 2 AND e.rn) AS types_by_val,
+                (SELECT string_agg(e2.event_id::VARCHAR, '|'
+                                   ORDER BY e2.event_id)
+                   FROM e e2 WHERE e2.user_id = e.user_id
+                    AND e2.rn <= e.rn) AS ids_run
+         FROM e ORDER BY event_id""",
     // DuckDB plans use-site refinement `OVER (w …)` natively, but its
     // 1.0.0 resolver DROPS the base's PARTITION BY in a CHAINED
     // definition (`wo AS (wp ORDER BY …)` ≡ no partition — verified:

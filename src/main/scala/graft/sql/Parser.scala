@@ -1047,14 +1047,20 @@ object Parser {
         }
         expect(")")
         val f = filterClause()
+        // FILTER is folded into the value as CASE WHEN cond THEN v END —
+        // sound everywhere NULLs are skipped, but ARRAY_AGG KEEPS NULL
+        // elements, so a filtered-out row would be indistinguishable
+        // from a genuine NULL value. Reject loudly.
+        if (kw == "ARRAY_AGG" && f.isDefined)
+          throw new IllegalArgumentException(
+            "ARRAY_AGG with FILTER is not supported — ARRAY_AGG keeps " +
+              "NULL elements, so a filtered-out row is indistinguishable " +
+              "from a NULL value; filter in WHERE, or use STRING_AGG")
         val wrapped = args.result() match {
           case head +: rest => wrap(head, f) +: rest // TOPK(x, k): wrap x only
           case Nil => Nil
         }
         if (isKw("OVER")) {
-          if (kw == "STRING_AGG" || kw == "ARRAY_AGG")
-            throw new IllegalArgumentException(
-              s"$kw is not supported as a window function")
           if (dist) throw new IllegalArgumentException(
             s"$kw(DISTINCT …) OVER is not supported (no distinct window aggregates)")
           return overClause(kw, wrapped)

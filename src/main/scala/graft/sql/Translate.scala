@@ -118,6 +118,35 @@ object Translate {
       case Some((lo, hi)) => ordered.rowsBetween(lo, hi)
       case None => ordered
     }
+    // STRING_AGG / ARRAY_AGG as window functions (extension; batch/pull
+    // only, as every OVER is): collect the (keys…, value) structs over
+    // the FRAME, then comparator-sort and serialize the per-row result —
+    // the in-call ORDER BY (mandatory, parser-enforced) orders elements,
+    // the OVER clause orders/frames rows, independently. NULL values ride
+    // inside the struct, so ARRAY_AGG keeps them and array_join drops
+    // them, exactly like the grouped forms.
+    if (w.name == "STRING_AGG" || w.name == "ARRAY_AGG") {
+      val (vArg, sep, ordKeys) =
+        if (w.name == "STRING_AGG") w.args match {
+          case v +: StrLit(s) +: ks => (v, Some(s), ks)
+          case _ => throw new IllegalArgumentException(
+            "STRING_AGG requires (value, 'separator' ORDER BY …)")
+        } else w.args match {
+          case v +: ks => (v, None, ks)
+          case _ => throw new IllegalArgumentException(
+            "ARRAY_AGG requires (value ORDER BY …)")
+        }
+      val keys = ordKeys.collect { case OrdKey(e, d) => (e, d) }
+      require(keys.size == ordKeys.size && keys.nonEmpty,
+        s"internal: unexpected ${w.name} argument shape ${w.args}")
+      val vCol = if (w.name == "STRING_AGG") go(vArg).cast("string") else go(vArg)
+      val fields = keys.zipWithIndex.map { case ((e, _), i) =>
+        go(e).as(s"k$i") } :+ vCol.as("v")
+      val sorted = array_sort(collect_list(struct(fields: _*)).over(spec),
+        orderedAggComparator(keys.map(_._2)))
+      val vals = transform(sorted, x => x.getField("v"))
+      return sep.map(array_join(vals, _)).getOrElse(vals)
+    }
     def lagLead(f: (Column, Int, Any) => Column): Column = w.args match {
       case Seq(e) => f(go(e), 1, null)
       case Seq(e, IntLit(n)) => f(go(e), n.toInt, null)

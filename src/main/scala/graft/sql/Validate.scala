@@ -616,6 +616,9 @@ object Validate {
     case ArrIndex(x, _) => checkExpr(x, aggAllowed, where, insideAgg)
     case ArrSlice(x, _, _) => checkExpr(x, aggAllowed, where, insideAgg)
     case ArrLit(items) => items.foreach(checkExpr(_, aggAllowed, where, insideAgg))
+    // ordered-aggregate sort key (STRING_AGG/ARRAY_AGG, grouped or
+    // windowed): validate the key expression itself
+    case OrdKey(x, _) => checkExpr(x, aggAllowed, where, insideAgg)
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .foreach(checkExpr(_, aggAllowed, where, insideAgg))

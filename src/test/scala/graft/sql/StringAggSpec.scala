@@ -48,6 +48,35 @@ class StringAggSpec extends SparkSpec {
     assert(got.getSeq[String](3) == Seq("y", "w", "x", "z"))
   }
 
+  test("STRING_AGG/ARRAY_AGG as window functions: frame + in-call order are independent") {
+    setup()
+    // k='a': i=1(x,n=3), 2(y,n=1), 3(z,n=2). The OVER clause frames rows
+    // by i; the in-call ORDER BY sorts the collected elements by n.
+    val got = e.batch(
+      """SELECT i,
+                STRING_AGG(s, ',' ORDER BY n, i) OVER (PARTITION BY k
+                  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS run_by_n,
+                ARRAY_AGG(i ORDER BY i DESC) OVER (PARTITION BY k
+                  ORDER BY i ROWS BETWEEN 1 PRECEDING
+                  AND CURRENT ROW) AS win_ids
+         FROM sa_t WHERE k = 'a' ORDER BY i;""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2)))
+    assert(got.toSeq == Seq(
+      (1L, "x", Seq(1L)),
+      (2L, "y,x", Seq(2L, 1L)),
+      (3L, "y,z,x", Seq(3L, 2L))), got.toSeq)
+  }
+
+  test("ARRAY_AGG FILTER is rejected (filtered row vs NULL element is ambiguous)") {
+    setup()
+    val ex = intercept[Exception](e.batch(
+      """SELECT ARRAY_AGG(s ORDER BY i) FILTER (WHERE n > 1) AS x
+         FROM sa_t;""").collect())
+    assert(ex.getMessage.contains("ARRAY_AGG with FILTER is not supported"),
+      ex.getMessage)
+  }
+
   test("STRING_AGG rejections: missing ORDER BY, DISTINCT, non-literal sep") {
     setup()
     def rejects(sql: String, frag: String): Unit = {
