@@ -93,6 +93,12 @@ object Bench {
     try qs("q_filter_project")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // Materialize the persisted video-media fixture OUTSIDE the timed
+    // region: constructing the decode query builds it if absent, so the
+    // first timed pass of q_multimodal_video would otherwise pay the full
+    // GIF synthesis + LZW encode + parquet write it exists to exclude.
+    try qs.get("q_multimodal_video").foreach(_(spark, sfDir))
+    catch { case _: Throwable => }
     // Interleaved min-of-3: run the FULL headline set end-to-end 3 times
     // and take the per-query MIN across passes. Back-to-back repeats of one
     // query share a single hypervisor-contention window, so their median is

@@ -432,6 +432,20 @@ object ScaleProbe {
         .reduce(_ unionAll _)))
     def storedShape(store: String) =
       graft.queries.DedupQueries.incrementalDedupStored(spark, store, probeBatch)
+    // the SAME corpus appended as TEN per-crawl generations (each chunk's
+    // signatures computed once — total sig work equals one append)
+    def buildStoreSplit(oldDocs: DataFrame, parts: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_probe_store").toString
+      (0 until parts).foreach { i =>
+        graft.operators.SignatureStore.append(spark, d, f"crawl$i%02d",
+          graft.queries.DedupQueries.sigWithBands(
+            oldDocs.filter(pmod($"doc_id", lit(parts.toLong)) === i)
+              .select($"doc_id", $"text"))
+            .select($"doc_id", $"hs", $"bands"))
+      }
+      d
+    }
+    val store10gen = buildStoreSplit(oldSide, 10)
 
     // connected components on the adversarial CHAIN shape: a 50k-node
     // path has diameter 50k — min-label propagation needs 50k rounds (we
@@ -520,7 +534,15 @@ object ScaleProbe {
       "incremental_dedup_prebuilt_store_10x_corpus" ->
         (time(storedShape(store1x)), time(storedShape(store10x))),
       "incremental_dedup_prebuilt_store_10x_unrelated" ->
-        (time(storedShape(store1x)), time(storedShape(store10u))))
+        (time(storedShape(store1x)), time(storedShape(store10u))),
+      // generation amortization: the SAME corpus as 10 per-crawl leaves,
+      // probed before and after compaction folds them into one — ratio
+      // ≤ ~1 shows probe cost is bounded by compaction, not crawl count
+      "incremental_dedup_store_10gen_vs_compacted" -> {
+        val t10g = time(storedShape(store10gen))
+        graft.operators.SignatureStore.compact(spark, store10gen)
+        (t10g, time(storedShape(store10gen)))
+      })
 
     // ×100 second-decade rows for the five load-bearing shapes: both
     // per-decade ratios should stay ≤ ~linear (10× with fixed parallelism)

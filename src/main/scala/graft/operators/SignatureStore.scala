@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *   dir/
   *     b<batchId>-<nonce>/bands/   (doc_id LONG, band STRING)   parquet
   *     b<batchId>-<nonce>/sigs/    (doc_id LONG, hs ARRAY<INT>) parquet
-  *     manifest-g<N>.txt           batchId \t leafDir   (one line per batch)
+  *     c<nonce>/…                  a compacted generation (same two tables)
+  *     manifest-g<N>.txt           batchId \t leafDir   (one line per batch;
+  *                                 after compaction all lines share a leaf)
   * }}}
+  * Signature files are range-clustered on doc_id (non-overlapping per-file
+  * ranges), so parquet zone maps prune the fat-column candidate reads.
   *
   * Commit protocol (replay-safe): data lands under a fresh nonce dir, then
   * the next-generation manifest — the previous manifest's lines plus the
@@ -99,24 +103,80 @@ object SignatureStore {
       s.filter(size(col("hs")) > 0)
         .select(col("doc_id"), explode(col("bands")).as("band"))
         .write.mode("overwrite").parquet(s"$dir/$leaf/bands")
-      s.select(col("doc_id"), col("hs"))
-        .write.mode("overwrite").parquet(s"$dir/$leaf/sigs")
+      writeSigsClustered(s.select(col("doc_id"), col("hs")),
+        s"$dir/$leaf/sigs")
     } finally s.unpersist()
+    commitManifest(spark, dir, before + (batchId -> leaf))
+    true
+  }
+
+  /** Range-cluster the fat signature table on doc_id before writing:
+    * non-overlapping per-file doc_id ranges mean parquet min/max zone
+    * maps prune the candidate-verify reads to only the row groups that
+    * hold candidate ids — the thin band scan stays the only full pass.
+    * The sort shuffles only the rows being written (a batch on append,
+    * the store once on compaction). */
+  private def writeSigsClustered(sigs: DataFrame, path: String): Unit =
+    sigs.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  private def commitManifest(spark: SparkSession, dir: String,
+                             entries: Map[String, String]): Unit = {
     val (hfs, _) = fs(dir, spark)
     val gen = nextGen(spark, dir)
-    val lines = (before + (batchId -> leaf)).toSeq.sorted
+    val lines = entries.toSeq.sorted
       .map { case (id, l) => s"$id\t$l" }.mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.manifest-g$gen.tmp")
     val out = hfs.create(tmp, true)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
     require(hfs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/manifest-g$gen.txt")),
-      s"signature-store commit rename failed for batch $batchId gen $gen")
-    true
+      s"signature-store commit rename failed at gen $gen")
+  }
+
+  /** Rewrite every committed leaf into ONE generation leaf and commit a
+    * manifest whose entries all point at it — a year of daily crawls
+    * stops being 365 leaf dirs unioned per probe. Every batchId stays in
+    * the manifest (append idempotence is unaffected), the rewritten sigs
+    * are re-clustered on doc_id ACROSS batches (each batch's append only
+    * clusters within itself), and the commit is the same
+    * write-then-rename protocol as append — a crash leaves the old
+    * manifest serving the old leaves. Old leaf dirs become orphans; they
+    * are NOT deleted here because a reader holding the previous manifest
+    * may still be scanning them — vacuum them once quiesced (same
+    * trade-off as the view delta-log compaction). Single writer, like
+    * append. Returns the number of leaves folded (0 = nothing to do). */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val entries = committed(spark, dir)
+    val leaves = entries.values.toSeq.distinct.sorted
+    if (leaves.size <= 1) return 0
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val leaf = s"c$nonce"
+    spark.read.parquet(leaves.map(l => s"$dir/$l/bands"): _*)
+      .write.mode("overwrite").parquet(s"$dir/$leaf/bands")
+    writeSigsClustered(
+      spark.read.parquet(leaves.map(l => s"$dir/$l/sigs"): _*),
+      s"$dir/$leaf/sigs")
+    commitManifest(spark, dir, entries.map { case (id, _) => id -> leaf })
+    leaves.size
+  }
+
+  /** Threshold compaction: fold when the committed DISTINCT leaf count
+    * exceeds `maxLeaves`. Call after appends from a pipeline's ingest
+    * step; probes between compactions pay O(leaves) dir unions, which
+    * this bounds. */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+                      maxLeaves: Int): Int = {
+    require(maxLeaves >= 1, s"maxLeaves must be >= 1, got $maxLeaves")
+    if (committed(spark, dir).values.toSeq.distinct.size > maxLeaves)
+      compact(spark, dir)
+    else 0
   }
 
   private def readUnion(spark: SparkSession, dir: String,
                         sub: String): Option[DataFrame] = {
-    val leaves = committed(spark, dir).values.toSeq.sorted
+    // distinct: after compaction every batchId maps to the SAME leaf
+    val leaves = committed(spark, dir).values.toSeq.distinct.sorted
     if (leaves.isEmpty) None
     else Some(spark.read.parquet(leaves.map(l => s"$dir/$l/$sub"): _*))
   }

@@ -669,6 +669,13 @@ object DedupQueries extends QueryPack {
     * document relation; pure map-side expressions, so it applies to a
     * STREAM as-is (the streaming incremental-dedup twin uses it on live
     * rows against a static store built by the same function). */
+  /** Signature ALGORITHM version, folded into persisted store paths: a
+    * future change to tokenization, shingle width, hash count, or banding
+    * must change this tag, or a content-fingerprint-keyed store would
+    * silently serve signatures computed under the old algorithm.
+    * Encodes the current shape: 3-shingles, 8 minhash fns, 4 bands × 2. */
+  private[graft] val sigAlgoVersion = "s3h8b4v1"
+
   private[graft] def sigWithBands(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -746,8 +753,10 @@ object DedupQueries extends QueryPack {
     // NULL) — a valid, stable store key.
     val fpRow = old.agg(expr("bit_xor(xxhash64(doc_id, text))")).first()
     val fp = if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore/corpus_" +
-      java.lang.Long.toHexString(fp)
+    // path = algorithm version + content fingerprint: changing EITHER the
+    // signature parameters or the corpus text lands on a fresh store
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore/" +
+      s"corpus_${sigAlgoVersion}_" + java.lang.Long.toHexString(fp)
     graft.operators.SignatureStore.append(s, store, "corpus",
       sigWithBands(old).select($"doc_id", $"hs", $"bands"))
     store

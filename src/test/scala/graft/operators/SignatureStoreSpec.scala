@@ -88,6 +88,63 @@ class SignatureStoreSpec extends SparkSpec {
       !read.contains("hs"), read.take(500))
   }
 
+  test("compaction folds leaves, preserves contents, idempotence, and appendability") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val d1 = docs(1L -> "alpha beta gamma delta epsilon")
+    val d2 = docs(2L -> "one two three four five six")
+    val d3 = docs(3L -> "red orange yellow green blue indigo")
+    Seq("b1" -> d1, "b2" -> d2, "b3" -> d3).foreach { case (id, d) =>
+      SignatureStore.append(spark, dir, id, sigOf(d)) }
+    val bandsBefore = SignatureStore.bands(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val sigsBefore = SignatureStore.sigs(spark, dir).get
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Any](1))).toSeq
+    // below threshold: no-op; above: folds all three
+    assert(SignatureStore.compactIfNeeded(spark, dir, 3) == 0)
+    assert(SignatureStore.compactIfNeeded(spark, dir, 2) == 3)
+    val after = SignatureStore.committed(spark, dir)
+    assert(after.keySet == Set("b1", "b2", "b3")) // every batchId survives
+    assert(after.values.toSeq.distinct.size == 1) // …pointing at ONE leaf
+    assert(SignatureStore.bands(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == bandsBefore)
+    assert(SignatureStore.sigs(spark, dir).get
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1))).toSeq == sigsBefore)
+    // append idempotence survives compaction (batchIds still committed)
+    assert(!SignatureStore.append(spark, dir, "b2", sigOf(d2)))
+    // and a fresh append after compaction is visible alongside the fold
+    assert(SignatureStore.append(spark, dir, "b4",
+      sigOf(docs(4L -> "violet gray black white silver gold"))))
+    assert(SignatureStore.sigs(spark, dir).get.count() == 4)
+    // re-compacting folds the compacted leaf + the new batch
+    assert(SignatureStore.compact(spark, dir) == 2)
+    assert(SignatureStore.sigs(spark, dir).get.count() == 4)
+  }
+
+  test("store≡memory equality holds across a compaction") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val all = docs(
+      0L -> base, 1L -> base,
+      2L -> "completely different words in this document body here",
+      3L -> (base + " extra"), 4L -> "unique new content nothing matches this",
+      5L -> "another existing doc with its own content entirely",
+      8L -> (base + " extra"))
+    val dir = tmpDir()
+    // the corpus arrives as THREE crawls, then compacts to one generation
+    val old = all.filter($"doc_id" % 4 =!= 0)
+    Seq(1L, 2L, 3L).foreach(i => SignatureStore.append(spark, dir, s"c$i",
+      sigOf(old.filter($"doc_id" % 3 === i % 3))))
+    assert(SignatureStore.compact(spark, dir) == 3)
+    val stored = graft.queries.DedupQueries
+      .incrementalDedupStored(spark, dir, all.filter($"doc_id" % 4 === 0))
+      .orderBy("doc_id").collect()
+    val mem = graft.queries.DedupQueries.incrementalDedupFrom(all)
+      .orderBy("doc_id").collect()
+    assert(stored.toSeq == mem.toSeq)
+  }
+
   test("store-backed incremental dedup = in-memory path on same corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
