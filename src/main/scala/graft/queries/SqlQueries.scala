@@ -757,6 +757,30 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv2
          FROM events ORDER BY event_id;""")),
 
+    // IGNORE NULLS on the offset/value window functions (standard SQL;
+    // extension, r10; native in BOTH Spark and DuckDB, so the oracle
+    // re-plans it independently). The CTE nulls every 7th value;
+    // LAST_VALUE IGNORE NULLS over a running frame is the classic
+    // fill-forward.
+    "q_sql_ignore_nulls" -> ((s, dir) => run(s, dir,
+      """WITH e AS (SELECT event_id, user_id,
+                           CASE WHEN event_id % 7 = 0 THEN NULL
+                                ELSE ROUND(value * 100.0) END AS v
+                    FROM events)
+         SELECT event_id, user_id,
+                LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd,
+                FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+                LAG(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev_nn,
+                NTH_VALUE(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv2
+         FROM e ORDER BY event_id;""")),
+
     // `/` and `%` arithmetic (extensions, r9 — the reference grammar has
     // only + - *; division there exists solely inside builtins): `/` is
     // real division (integer ÷ integer = FLOAT, DuckDB's rule), `%` keeps
@@ -870,6 +894,25 @@ object SqlQueries extends QueryPack {
                     ORDER BY event_id
                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
                     EXCLUDE CURRENT ROW) AS mn_suf
+         FROM events ORDER BY event_id;""")),
+
+    // MIN/MAX with EXCLUDE GROUP/TIES on GROUPS frames (extension, r10):
+    // in peer-group-ordinal space the peer set is exactly ordinal
+    // distance 0, so the prefix/suffix decomposition stays exact (TIES
+    // adds the current row's own value back). ORDER BY event_type makes
+    // peer groups big; the oracle is the same definitional dense_rank
+    // expansion q_sql_groups_frame uses, with DuckDB's NATIVE EXCLUDE on
+    // the RANGE-over-ordinal frame.
+    "q_sql_groups_exclude_minmax" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id, event_type,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_type
+                    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE GROUP) AS mn_exgrp,
+                MAX(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_type
+                    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE TIES) AS mx_exties
          FROM events ORDER BY event_id;""")),
 
     // GROUPS frames (extension; DuckDB supports them natively): bounds
@@ -1389,6 +1432,25 @@ object SqlQueries extends QueryPack {
                 string_agg(source, '|' ORDER BY n_chars DESC, doc_id) AS srcs
          FROM documents WHERE doc_id % 7 = 0
          GROUP BY lang ORDER BY lang""",
+    // IGNORE NULLS is native in DuckDB — identical text
+    "q_sql_ignore_nulls" ->
+      """WITH e AS (SELECT event_id, user_id,
+                           CASE WHEN event_id % 7 = 0 THEN NULL
+                                ELSE ROUND(value * 100.0) END AS v
+                    FROM events)
+         SELECT event_id, user_id,
+                LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd,
+                FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+                LAG(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev_nn,
+                NTH_VALUE(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv2
+         FROM e ORDER BY event_id""",
     "q_sql_window_rank_dist" ->
       """SELECT event_id,
                 ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
@@ -1486,6 +1548,23 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
                     EXCLUDE CURRENT ROW) AS mn_suf
          FROM events ORDER BY event_id""",
+    // definitional GROUPS expansion (dense_rank ordinal) + DuckDB's
+    // native EXCLUDE on the RANGE frame — same pattern as
+    // q_sql_groups_frame's oracle
+    "q_sql_groups_exclude_minmax" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           ROUND(value * 100.0) AS v100,
+                           DENSE_RANK() OVER (PARTITION BY user_id
+                               ORDER BY event_type) AS dr
+                    FROM events)
+         SELECT event_id, user_id, event_type,
+                MIN(v100) OVER (PARTITION BY user_id ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE GROUP) AS mn_exgrp,
+                MAX(v100) OVER (PARTITION BY user_id ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE TIES) AS mx_exties
+         FROM e ORDER BY event_id""",
     // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
     // oracle is the DEFINITIONAL expansion — a RANGE frame over the
     // dense_rank peer-group ordinal — which DuckDB plans independently;

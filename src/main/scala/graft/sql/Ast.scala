@@ -74,6 +74,10 @@ object Ast {
                    // within the owning SELECT; a WinFn carrying an
                    // unresolved ref past the parser is rejected loudly.
                    windowRef: Option[String] = None,
+                   // `IGNORE NULLS` (standard SQL; extension) on the
+                   // offset/value functions LAG/LEAD/FIRST_VALUE/
+                   // LAST_VALUE/NTH_VALUE — parser-restricted to those
+                   ignoreNulls: Boolean = false,
                    // `OVER (name …)` / `WINDOW w2 AS (w1 …)` — window
                    // REFINEMENT (standard SQL; extension): this spec's
                    // clauses extend the named base window. Distinct from

@@ -991,11 +991,30 @@ object Parser {
       if (winOnlyFns.contains(kw) && toks(pos + 1) == TSym("(")) {
         next(); next()
         val args = Seq.newBuilder[Expr]
-        if (!isKw(")")) do args += expr() while (accept(","))
+        // a leading IGNORE/RESPECT NULLS (zero-arg fn) must not parse as
+        // a column reference named "ignore"
+        def atNullsClause: Boolean =
+          (isKw("IGNORE") || isKw("RESPECT")) && (toks(pos + 1) match {
+            case TIdent(t) => t.toUpperCase == "NULLS"
+            case _ => false
+          })
+        if (!isKw(")") && !atNullsClause)
+          do args += expr() while (accept(","))
+        // IGNORE NULLS / RESPECT NULLS (standard SQL; DuckDB's
+        // inside-the-parens placement): only the offset/value functions
+        // have a null-skipping variant
+        val ignoreNulls =
+          if (accept("IGNORE")) { expect("NULLS"); true }
+          else { if (accept("RESPECT")) expect("NULLS"); false }
+        if (ignoreNulls && !Set("LAG", "LEAD", "FIRST_VALUE",
+            "LAST_VALUE", "NTH_VALUE").contains(kw))
+          throw new IllegalArgumentException(
+            s"$kw does not accept IGNORE NULLS (only LAG/LEAD/" +
+              "FIRST_VALUE/LAST_VALUE/NTH_VALUE do)")
         expect(")")
         if (!isKw("OVER")) throw new IllegalArgumentException(
           s"$kw requires an OVER (…) clause")
-        return overClause(kw, args.result())
+        return overClause(kw, args.result(), ignoreNulls)
       }
       if (aggNames.contains(kw) && toks(pos + 1) == TSym("(")) {
         next(); next()
@@ -1086,18 +1105,20 @@ object Parser {
       * clauses are not accepted: the default frame (RANGE UNBOUNDED
       * PRECEDING .. CURRENT ROW when ordered) matches DuckDB/standard SQL,
       * and one shared default keeps Spark and the oracle in agreement. */
-    private def overClause(name: String, args: Seq[Expr]): Expr = {
+    private def overClause(name: String, args: Seq[Expr],
+                           ignoreNulls: Boolean = false): Expr = {
       expect("OVER")
       // `OVER name` — named-window reference; resolved by select()
       // against this SELECT's WINDOW clause
       if (!isKw("(")) {
         val ref = ident().toLowerCase
-        return WinFn(name, args, Nil, Nil, windowRef = Some(ref))
+        return WinFn(name, args, Nil, Nil, windowRef = Some(ref),
+          ignoreNulls = ignoreNulls)
       }
       expect("(")
       val spec = windowSpecBody()
       expect(")")
-      spec.copy(name = name, args = args)
+      spec.copy(name = name, args = args, ignoreNulls = ignoreNulls)
     }
 
     /** The inside of a parenthesized window spec — shared by inline OVER

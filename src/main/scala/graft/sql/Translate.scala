@@ -178,17 +178,19 @@ object Translate {
         case _ => throw new IllegalArgumentException(
           "NTILE requires one integer literal argument")
       }
-      case "LAG" => lagLead(lag(_, _, _))
-      case "LEAD" => lagLead(lead(_, _, _))
-      case "FIRST_VALUE" => one(first(_))
+      // IGNORE NULLS (standard; extension) rides Spark's native
+      // ignoreNulls variants — same null-skipping counting as DuckDB
+      case "LAG" => lagLead(lag(_, _, _, w.ignoreNulls))
+      case "LEAD" => lagLead(lead(_, _, _, w.ignoreNulls))
+      case "FIRST_VALUE" => one(first(_, w.ignoreNulls))
       case "NTH_VALUE" => w.args match {
-        case Seq(e, IntLit(n)) => nth_value(go(e), n.toInt)
+        case Seq(e, IntLit(n)) => nth_value(go(e), n.toInt, w.ignoreNulls)
         case _ => throw new IllegalArgumentException(
           "NTH_VALUE requires (expr, integer literal)")
       }
       case "PERCENT_RANK" => percent_rank()
       case "CUME_DIST" => cume_dist()
-      case "LAST_VALUE" => one(last(_))
+      case "LAST_VALUE" => one(last(_, w.ignoreNulls))
       case "SUM" => one(sum(_))
       case "COUNT" => one(count(_))
       case "AVG" => one(avg(_))
@@ -218,26 +220,32 @@ object Translate {
           s"${w.name} with EXCLUDE requires exactly one argument")
       }
       if (w.name == "MIN" || w.name == "MAX") {
-        // MIN/MAX aren't subtractable — Validate pins them to ROWS +
-        // EXCLUDE CURRENT ROW, where the exclusion is EXACT as two extra
-        // windows: agg over the prefix [lo, -1] combined with agg over
-        // the suffix [+1, hi] (least/greatest skip NULLs, so an empty
-        // side degrades to the other; both empty → NULL, the SQL
-        // empty-frame value). No subtraction, no inversion needed.
+        // MIN/MAX aren't subtractable — Validate pins them to the frames
+        // where exclusion is EXACT as a prefix/suffix decomposition:
+        //   - ROWS + EXCLUDE CURRENT ROW: agg over rows [lo, -1] ∪
+        //     [+1, hi] — the excluded row sits at offset 0;
+        //   - GROUPS + EXCLUDE GROUP/TIES: by the time we're here the
+        //     GROUPS frame is rewritten to RANGE over the integer
+        //     dense_rank ordinal (rangeFrame=true CANNOT be a user RANGE
+        //     — Validate rejects MIN/MAX + RANGE pre-rewrite), and ±1 in
+        //     ordinal space steps exactly one peer group, so the peer
+        //     set is ordinal ranges [lo, -1] ∪ [+1, hi]; TIES adds the
+        //     current row's own value back.
+        // least/greatest skip NULLs, so an empty side degrades to the
+        // other; everything empty → NULL, the SQL empty-frame value.
         val (lo, hi) = w.frame.get
         val agg: Column => Column = if (w.name == "MIN") min else max
-        val pre =
-          if (lo <= -1L) Some(agg(x).over(ordered.rowsBetween(lo, -1L)))
-          else None
-        val suf =
-          if (hi >= 1L) Some(agg(x).over(ordered.rowsBetween(1L, hi)))
-          else None
-        (pre, suf) match {
-          case (Some(p), Some(s)) =>
-            if (w.name == "MIN") least(p, s) else greatest(p, s)
-          case (Some(p), None) => p
-          case (None, Some(s)) => s
-          case (None, None) => lit(null)
+        val between: (Long, Long) => org.apache.spark.sql.expressions.WindowSpec =
+          if (w.rangeFrame) ordered.rangeBetween else ordered.rowsBetween
+        val pre = if (lo <= -1L) Some(agg(x).over(between(lo, -1L))) else None
+        val suf = if (hi >= 1L) Some(agg(x).over(between(1L, hi))) else None
+        val parts = pre.toSeq ++ suf.toSeq ++
+          (if (w.exclude == "TIES") Seq(x) else Nil)
+        parts match {
+          case Seq() => lit(null)
+          case Seq(only) => only
+          case many =>
+            if (w.name == "MIN") least(many: _*) else greatest(many: _*)
         }
       } else {
       val sumF = sum(x).over(spec)

@@ -215,6 +215,17 @@ object TypeCheck {
           args.headOption.flatMap(a => requireNum(a, env, name))
         case "AVG" =>
           args.headOption.foreach(a => requireNum(a, env, name)); Some(TFloat)
+        // ordered aggregates as window functions (r10): same shapes as
+        // the grouped forms
+        case "STRING_AGG" =>
+          args.headOption.foreach(infer(_, env))
+          args.collect { case OrdKey(k, _) =>
+            requireOrd(k, env, "STRING_AGG ORDER BY") }
+          Some(TString)
+        case "ARRAY_AGG" =>
+          args.collect { case OrdKey(k, _) =>
+            requireOrd(k, env, "ARRAY_AGG ORDER BY") }
+          args.headOption.flatMap(infer(_, env)).map(TArray)
         case _ => args.foreach(infer(_, env)); None
       }
   }

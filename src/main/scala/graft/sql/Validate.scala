@@ -574,14 +574,26 @@ object Validate {
           fail(s"$name does not support frame EXCLUDE (the subtractable " +
             "aggregates SUM/COUNT/AVG do, plus MIN/MAX on ROWS frames " +
             "with EXCLUDE CURRENT ROW)")
-        // MIN/MAX aren't subtractable; on a ROWS frame EXCLUDE CURRENT
-        // ROW is exact via a prefix/suffix two-window decomposition, but
-        // a RANGE/GROUPS frame has no fixed row offset for the excluded
-        // row, so the decomposition doesn't exist there.
-        if (minmax && (rangeFrame || groupsFrame))
-          fail(s"$name: frame EXCLUDE on a RANGE or GROUPS frame is not " +
-            "supported (MIN/MAX aren't subtractable) — use a ROWS frame, " +
-            "where EXCLUDE CURRENT ROW is planned exactly")
+        // MIN/MAX aren't subtractable; they take the frames where a
+        // prefix/suffix decomposition is EXACT: EXCLUDE CURRENT ROW on
+        // ROWS (the excluded row sits at offset 0) and EXCLUDE
+        // GROUP/TIES on GROUPS (±1 peer-group ordinal steps exactly one
+        // peer group). A RANGE frame has no exact decomposition (value
+        // offsets can't isolate the peer set), and CURRENT ROW on
+        // GROUPS/RANGE would need peers-minus-one-row, which no frame
+        // expresses.
+        val minmaxOk =
+          (exclude == "CURRENT ROW" && !rangeFrame && !groupsFrame) ||
+            (groupsFrame && exclude != "CURRENT ROW")
+        if (minmax && !minmaxOk) {
+          val kind = if (groupsFrame) "GROUPS" else if (rangeFrame) "RANGE"
+            else "ROWS"
+          fail(s"$name: EXCLUDE $exclude on a $kind frame is not " +
+            "supported for MIN/MAX — supported: EXCLUDE CURRENT ROW on " +
+            "ROWS frames, EXCLUDE GROUP/TIES on GROUPS frames (exact " +
+            "prefix/suffix decompositions); a RANGE frame is not " +
+            "supported (no exact decomposition exists)")
+        }
         if (exclude != "CURRENT ROW" && !rangeFrame && !groupsFrame)
           fail(s"$name: EXCLUDE $exclude requires a RANGE or GROUPS " +
             "frame — a ROWS frame boundary can cut through a peer group")

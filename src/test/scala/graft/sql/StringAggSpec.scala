@@ -125,6 +125,36 @@ class StringAggSpec extends SparkSpec {
     assert(math.abs(got.getDouble(4) - 1.5) < 1e-12)
   }
 
+  test("IGNORE NULLS on offset/value window functions; RESPECT NULLS; rejections") {
+    import spark.implicits._
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)), (4L, None),
+      (5L, Some(50L))).toDF("i", "x").createOrReplaceTempView("in_t")
+    val got = e.batch(
+      """SELECT i,
+                LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill,
+                LAG(x, 1 IGNORE NULLS) OVER (ORDER BY i) AS prev_nn,
+                LAG(x, 1) OVER (ORDER BY i) AS prev_raw,
+                LAST_VALUE(x RESPECT NULLS) OVER (ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+         FROM in_t ORDER BY i;""").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // DuckDB-verified: fill carries the last non-null forward; prev_nn is
+    // the most recent non-null strictly before; RESPECT NULLS = default
+    assert(got.toSeq == Seq(
+      (1L, 10L, -1L, -1L, 10L), (2L, 10L, 10L, 10L, -1L),
+      (3L, 30L, 10L, -1L, 30L), (4L, 30L, 30L, 30L, -1L),
+      (5L, 50L, 30L, -1L, 50L)), got.toSeq)
+    val ex = intercept[Exception](e.batch(
+      "SELECT ROW_NUMBER(IGNORE NULLS) OVER (ORDER BY i) AS r FROM in_t;")
+      .collect())
+    assert(ex.getMessage.contains("does not accept IGNORE NULLS"), ex.getMessage)
+  }
+
   test("PERCENT_RANK / CUME_DIST / NTH_VALUE semantics and rejections") {
     setup()
     val got = e.batch(

@@ -104,7 +104,10 @@ class WindowFrameSpec extends SparkSpec {
       (3L, 20L, 20L), (4L, 30L, 30L)), mm.toSeq)
     rejects("""SELECT MIN(v) OVER (ORDER BY i
          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
-       FROM wf_t;""", "RANGE or GROUPS frame is not supported")
+       FROM wf_t;""", "RANGE frame is not supported")
+    rejects("""SELECT MAX(v) OVER (ORDER BY i
+         GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM wf_t;""", "EXCLUDE CURRENT ROW on a GROUPS frame")
     rejects("""SELECT FIRST_VALUE(v) OVER (ORDER BY i
          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
        FROM wf_t;""", "does not support frame EXCLUDE")
