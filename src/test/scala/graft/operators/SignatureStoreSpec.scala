@@ -122,6 +122,41 @@ class SignatureStoreSpec extends SparkSpec {
     assert(SignatureStore.sigs(spark, dir).get.count() == 4)
   }
 
+  test("signature files are doc_id range-clustered: non-overlapping per-file ranges") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // two batches with interleaved ids, then compact: the rewrite must
+    // re-cluster ACROSS batches so each surviving file owns a disjoint
+    // doc_id range (what parquet zone maps prune on)
+    val words = (0 until 6).map(i => s"w$i alpha beta gamma delta").toVector
+    SignatureStore.append(spark, dir, "b1",
+      sigOf((0L until 40L by 2L).map(i => (i, words((i % 6).toInt))).toDF("doc_id", "text")))
+    SignatureStore.append(spark, dir, "b2",
+      sigOf((1L until 40L by 2L).map(i => (i, words((i % 6).toInt))).toDF("doc_id", "text")))
+    SignatureStore.compact(spark, dir)
+    val leaf = SignatureStore.committed(spark, dir).values.head
+    val files = new java.io.File(s"$dir/$leaf/sigs").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      .map(_.getAbsolutePath)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"doc_id"), max($"doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: ${ranges.mkString(", ")}")
+      case _ => ()
+    }
+    // and every file is internally sorted (row-group min/max monotone)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select($"doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"unsorted file $f")
+    }
+  }
+
   test("store≡memory equality holds across a compaction") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
