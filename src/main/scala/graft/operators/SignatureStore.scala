@@ -173,6 +173,25 @@ object SignatureStore {
     else 0
   }
 
+  /** Delete leaf dirs the CURRENT manifest no longer references —
+    * compaction's leftovers and crash orphans. Deliberately separate from
+    * compact(): a reader that opened the PREVIOUS manifest may still be
+    * scanning the old leaves, so vacuum only once concurrent readers are
+    * known quiesced (the same contract as the view delta-log's
+    * compaction cleanup). Old manifest generations are kept (tiny text
+    * files; they document store history). Returns deleted dir count. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val (hfs, p) = fs(dir, spark)
+    if (!hfs.exists(p)) return 0
+    val live = committed(spark, dir).values.toSet
+    val dead = hfs.listStatus(p)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(d => live.contains(d.getName))
+    dead.foreach(d => hfs.delete(d, true))
+    dead.length
+  }
+
   private def readUnion(spark: SparkSession, dir: String,
                         sub: String): Option[DataFrame] = {
     // distinct: after compaction every batchId maps to the SAME leaf

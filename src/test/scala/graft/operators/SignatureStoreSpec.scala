@@ -120,6 +120,13 @@ class SignatureStoreSpec extends SparkSpec {
     // re-compacting folds the compacted leaf + the new batch
     assert(SignatureStore.compact(spark, dir) == 2)
     assert(SignatureStore.sigs(spark, dir).get.count() == 4)
+    // vacuum deletes the unreferenced leftovers (4 batch leaves + the
+    // first compaction's leaf), keeps the live leaf, contents unchanged
+    assert(SignatureStore.vacuum(spark, dir) == 5)
+    assert(SignatureStore.vacuum(spark, dir) == 0) // idempotent
+    assert(SignatureStore.sigs(spark, dir).get.count() == 4)
+    assert(SignatureStore.bands(spark, dir).select("doc_id")
+      .distinct().count() == 4)
   }
 
   test("signature files are doc_id range-clustered: non-overlapping per-file ranges") {

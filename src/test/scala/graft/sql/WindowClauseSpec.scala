@@ -113,6 +113,26 @@ class WindowClauseSpec extends SparkSpec {
       "defined earlier")
   }
 
+  test("ordered aggregates work through named windows and refinement") {
+    setup()
+    // STRING_AGG OVER w (bare ref) and OVER (w ...) refinement both
+    // resolve; in-call ORDER BY v DESC sorts elements, w frames rows
+    val got = e.batch(
+      """SELECT i,
+                STRING_AGG(v, ',' ORDER BY v DESC) OVER w AS run_desc,
+                STRING_AGG(v, ',' ORDER BY v DESC) OVER (wp ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_desc
+         FROM wc_t
+         WINDOW wp AS (PARTITION BY k),
+                w AS (wp ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY k, i;""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "10", "10"), (2L, "20,10", "20,10"), (3L, "30,20,10", "30,20,10"),
+      (1L, "5", "5")), got.toSeq)
+  }
+
   test("duplicate window names are rejected") {
     setup()
     val ex = intercept[Exception](e.batch(
