@@ -104,6 +104,17 @@ object CdcDiag {
     measure("x1_150k", orders)
     measure("x10_1m5", xN(orders, 10))
     measure("x100_15m", xN(orders, 100))
+    // Knob check for the 23M-envelope spill: the hash-agg state (~3 GB of
+    // 15M max_by buffers) concentrates in 32 post-shuffle partitions
+    // (AQE's 64 MB advisory even coalesces BELOW that — shuffle bytes are
+    // small relative to agg state, the classic mismatch). The production
+    // sizing lever: raise the initial partition count and lower the
+    // advisory size so each task's state fits — same plan, one config.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    measure("x100_15m_tuned256", xN(orders, 100))
+    spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     println(f"""[cdcdiag] {"calib_post":${calib()}%.3f}""")
     spark.stop()
   }

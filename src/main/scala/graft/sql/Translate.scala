@@ -144,8 +144,8 @@ object Translate {
         go(e).as(s"k$i") } :+ vCol.as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)).over(spec),
         orderedAggComparator(keys.map(_._2)))
-      val vals = transform(sorted, x => x.getField("v"))
-      return sep.map(array_join(vals, _)).getOrElse(vals)
+      return sep.map(stringAggJoin(sorted, _))
+        .getOrElse(transform(sorted, x => x.getField("v")))
     }
     def lagLead(f: (Column, Int, Any) => Column): Column = w.args match {
       case Seq(e) => f(go(e), 1, null)
@@ -669,6 +669,16 @@ object Translate {
     case other => other
   }
 
+  /** Join the sorted (keys…, v) structs' values for STRING_AGG: NULL
+    * values are skipped, and when NO non-null value survives the result
+    * is NULL — DuckDB's string_agg contract (a bare array_join would
+    * yield "" there, indistinguishable from aggregating empty strings). */
+  private def stringAggJoin(sorted: Column, sep: String): Column = {
+    val vals = filter(transform(sorted, x => x.getField("v")),
+      v => v.isNotNull)
+    when(size(vals) === 0, lit(null)).otherwise(array_join(vals, sep))
+  }
+
   /** Struct comparator for the ordered aggregates (STRING_AGG/ARRAY_AGG):
     * compares fields k0..kn-1 in order, first differing key decides, DESC
     * keys flip. NULL keys sort LAST regardless of direction — DuckDB's
@@ -760,7 +770,7 @@ object Translate {
         column(vArg, resolve).cast("string").as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)),
         orderedAggComparator(keys.map(_._2)))
-      array_join(transform(sorted, x => x.getField("v")), sep)
+      stringAggJoin(sorted, sep)
     // ARRAY_AGG (ordered aggregate, extension): same comparator-sorted
     // collect as STRING_AGG, but the values keep their type and land in
     // an array instead of a joined string. NULL values are kept (DuckDB

@@ -77,6 +77,61 @@ class StringAggSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("property: STRING_AGG/ARRAY_AGG match a Scala evaluator on randomized tables") {
+    import spark.implicits._
+    // NULL values, NULL order keys, ties — the unique trailing key i
+    // makes the expected order total. STRING_AGG skips NULL values and
+    // is NULL when none survive (DuckDB); ARRAY_AGG keeps NULL elements.
+    val rnd = new scala.util.Random(20261214L)
+    (0 until 5).foreach { _ =>
+      val n = 5 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}",
+          if (rnd.nextInt(4) == 0) None else Some(s"v${rnd.nextInt(9)}"),
+          if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(4).toLong))
+      }
+      rows.toDF("i", "k", "s", "n").createOrReplaceTempView("sa_p")
+      val got = e.batch(
+        """SELECT k, STRING_AGG(s, ',' ORDER BY n DESC, i) AS sa,
+                  ARRAY_AGG(s ORDER BY n, i) AS aa
+           FROM sa_p GROUP BY k ORDER BY k;""").collect()
+        .map(r => r.getString(0) -> (
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getSeq[String](2))).toMap
+      val want = rows.groupBy(_._2).map { case (k, rs) =>
+        // n DESC with NULLS LAST, then i ASC
+        val byDesc = rs.sortBy(r => (r._4.isEmpty, r._4.map(-_).getOrElse(0L), r._1))
+        val sa0 = byDesc.flatMap(_._3)
+        val sa = if (sa0.isEmpty) null else sa0.mkString(",")
+        // n ASC with NULLS LAST, then i ASC; null values kept
+        val byAsc = rs.sortBy(r => (r._4.isEmpty, r._4.getOrElse(0L), r._1))
+        k -> (sa, byAsc.map(_._3.orNull))
+      }
+      assert(got.keySet == want.keySet)
+      got.keySet.foreach { k =>
+        assert(got(k)._1 == want(k)._1, s"STRING_AGG($k): ${got(k)} vs ${want(k)}")
+        assert(got(k)._2.toSeq == want(k)._2.toSeq,
+          s"ARRAY_AGG($k): ${got(k)._2} vs ${want(k)._2}")
+      }
+    }
+  }
+
+  test("STRING_AGG over all-NULL values is NULL (DuckDB), not empty string") {
+    import spark.implicits._
+    Seq(("a", None: Option[String], 1L), ("a", None, 2L),
+      ("b", Some("x"), 3L)).toDF("k", "s", "i")
+      .createOrReplaceTempView("sa_nullv")
+    val got = e.batch(
+      """SELECT k, STRING_AGG(s, ',' ORDER BY i) AS sa
+         FROM sa_nullv GROUP BY k ORDER BY k;""").collect()
+    assert(got(0).isNullAt(1) && got(1).getString(1) == "x")
+    // and the window form agrees
+    val win = e.batch(
+      """SELECT k, STRING_AGG(s, ',' ORDER BY i) OVER (PARTITION BY k) AS sa
+         FROM sa_nullv ORDER BY i;""").collect()
+    assert(win(0).isNullAt(1) && win(1).isNullAt(1) && win(2).getString(1) == "x")
+  }
+
   test("STRING_AGG rejections: missing ORDER BY, DISTINCT, non-literal sep") {
     setup()
     def rejects(sql: String, frag: String): Unit = {
