@@ -1540,10 +1540,48 @@ object Translate {
       }
       // aggregate-less GROUP BY (`SELECT k FROM t GROUP BY k`) is a
       // distinct-on-keys — a dummy count materializes the grouping
-      val agged =
+      val agged0 =
         if (aggCols.isEmpty)
           grouped.agg(count(lit(1)).as("__graft_dummy")).drop("__graft_dummy")
         else grouped.agg(aggCols.head, aggCols.tail: _*)
+      // SQL standard: the empty grouping set `()` aggregates even an
+      // EMPTY input into one grand-total row (DuckDB/Postgres emit it;
+      // Spark's rollup/cube emit nothing there). Synthesize that row as
+      // a GLOBAL aggregate over a LIMIT-0 copy of the input — by
+      // construction the exact empty-set value of every aggregate —
+      // with GROUPING/GROUPING_ID replaced by their all-aggregated
+      // constants (they cannot be evaluated outside a grouping-sets
+      // plan), and keep it ONLY when the input is empty via an
+      // anti-join against a LIMIT-1 probe: non-empty inputs pay one
+      // probed row + a 1-row broadcast anti-join, nothing at scale.
+      val emptySetIncluded = sel.groupMode match {
+        case "rollup" | "cube" => true
+        case "sets" => sel.groupSets.exists(_.isEmpty)
+        case _ => false
+      }
+      val agged =
+        if (!sel.multiLevel || !emptySetIncluded || agged0.isStreaming)
+          agged0
+        else {
+          val nKeys = sel.groupBy.size
+          val totalAggCols = aggs.map {
+            case a @ Agg("GROUPING", _, _, _) => lit(1L).as(aggNames(a))
+            case a @ Agg("GROUPING_ID", _, _, _) =>
+              lit((1L << nKeys) - 1L).as(aggNames(a))
+            case a => aggColumn(a, resolve).as(aggNames(a))
+          }
+          val empty = watermarked.limit(0)
+          val total0 =
+            if (totalAggCols.isEmpty)
+              empty.agg(count(lit(1)).as("__graft_dummy")).drop("__graft_dummy")
+            else empty.agg(totalAggCols.head, totalAggCols.tail: _*)
+          val total = total0.select(agged0.schema.map { f =>
+            (if (total0.columns.contains(f.name)) col(f.name)
+             else lit(null)).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+          val probe = watermarked.select(lit(1).as("__graft_probe")).limit(1)
+          agged0.unionByName(total.join(probe, lit(true), "left_anti"))
+        }
 
       // HAVING over the aggregated relation (Planner.hs:380-382)
       def postResolve(c: ColRef): Column = col(c.name)

@@ -133,6 +133,23 @@ class WindowClauseSpec extends SparkSpec {
       (1L, "5", "5")), got.toSeq)
   }
 
+  test("plan pin: functions sharing a named window land in ONE Window exec") {
+    setup()
+    // three functions over the same named spec (same partition + order)
+    // must not plan three sort+window passes — Spark groups window
+    // expressions by (partitionSpec, orderSpec) into one WindowExec
+    val df = e.batch(
+      """SELECT i, SUM(v) OVER w AS s, COUNT(v) OVER w AS c,
+                ROW_NUMBER() OVER w AS rn
+         FROM wc_t WINDOW w AS (PARTITION BY k ORDER BY i);""")
+    // string-count the plan: under AQE the executedPlan wrapper does not
+    // expose its inner plan to collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    val nWindows = planStr.linesIterator
+      .count(_.matches(""".*\bWindow \[.*"""))
+    assert(nWindows == 1, planStr.take(1500))
+  }
+
   test("duplicate window names are rejected") {
     setup()
     val ex = intercept[Exception](e.batch(
