@@ -791,7 +791,9 @@ object SqlQueries extends QueryPack {
                 event_id % 7 AS m_int,
                 ROUND(value % 3.5, 6) AS m_f,
                 event_id / 4 AS int_div,
-                (0 - event_id) % 7 AS m_neg
+                (0 - event_id) % 7 AS m_neg,
+                event_id / (event_id % 2) AS div_zero,
+                event_id % (event_id % 2) AS mod_zero
          FROM events ORDER BY event_id;""")),
 
     // Named WINDOW clause (standard SQL; extension, r9; DuckDB supports
@@ -1467,7 +1469,9 @@ object SqlQueries extends QueryPack {
                 event_id % 7 AS m_int,
                 ROUND(value % 3.5, 6) AS m_f,
                 event_id / 4 AS int_div,
-                (0 - event_id) % 7 AS m_neg
+                (0 - event_id) % 7 AS m_neg,
+                event_id / (event_id % 2) AS div_zero,
+                event_id % (event_id % 2) AS mod_zero
          FROM events ORDER BY event_id""",
     "q_sql_window_clause" ->
       """SELECT event_id, user_id,

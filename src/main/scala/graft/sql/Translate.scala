@@ -361,9 +361,17 @@ object Translate {
     case "*" => go(l) * go(r)
     // `/` and `%` (extensions): real division — integer ÷ integer is
     // DOUBLE, matching DuckDB's `/` — and modulo with the dividend's sign
-    // (Spark pmod differs; `%` matches DuckDB/Java semantics)
-    case "/" => go(l).cast("double") / go(r)
-    case "%" => go(l) % go(r)
+    // (Spark pmod differs; `%` matches DuckDB/Java semantics). A ZERO
+    // divisor is NULL, DuckDB's rule end-to-end: without the guard, `/`
+    // yields IEEE Infinity (double path) and `%` raises ANSI
+    // DIVIDE_BY_ZERO — one zero denominator in 100 TB of rows must not
+    // kill the job (the try_cast philosophy).
+    case "/" =>
+      val d = go(r)
+      when(d === 0, lit(null)).otherwise(go(l).cast("double") / d)
+    case "%" =>
+      val d = go(r)
+      when(d === 0, lit(null)).otherwise(go(l) % d)
     // JSON access (JsonOp.hs:33-84); key is a string literal or int index.
     // `->` / `#>` return the TYPED JSON value (a VARIANT — JOpArrow yields
     // FlowValue, JsonOp.hs:40-44); `->>` / `#>>` return text (JsonOp.hs:46).

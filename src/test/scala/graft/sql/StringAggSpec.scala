@@ -178,6 +178,12 @@ class StringAggSpec extends SparkSpec {
     assert(got.getLong(2) == -1L)   // % binds tighter than -
     assert(got.getDouble(3) == 2.5) // / binds tighter than +
     assert(math.abs(got.getDouble(4) - 1.5) < 1e-12)
+    // zero divisor → NULL (DuckDB's rule): never ANSI DIVIDE_BY_ZERO,
+    // never IEEE Infinity
+    val z = e.batch(
+      "SELECT 7 / 0 AS dz, 7 % 0 AS mz, 7.5 % 0.0 AS fz FROM sa_t WHERE i = 1;")
+      .collect()(0)
+    assert(z.isNullAt(0) && z.isNullAt(1) && z.isNullAt(2), z.toString)
   }
 
   test("IGNORE NULLS on offset/value window functions; RESPECT NULLS; rejections") {
