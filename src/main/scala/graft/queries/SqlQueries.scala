@@ -781,6 +781,29 @@ object SqlQueries extends QueryPack {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv2
          FROM e ORDER BY event_id;""")),
 
+    // NULL ordering (r10): the dialect defaults to NULLS LAST in BOTH
+    // directions — DuckDB's default, NOT Spark's (asc = nulls first) —
+    // and accepts explicit NULLS FIRST/LAST. Row order alone is
+    // invisible to the hash compare (it re-sorts), so each variant is
+    // pinned through a LIMIT cut whose SET depends on null placement
+    // (unique event_id tiebreak keeps every cut deterministic).
+    "q_sql_null_order" -> ((s, dir) => run(s, dir,
+      """WITH e AS (SELECT event_id,
+                           CASE WHEN event_id % 5 = 0 THEN NULL
+                                ELSE ROUND(value * 100.0) END AS v
+                    FROM events)
+         SELECT 'asc_default' AS tag, event_id, v
+         FROM (SELECT event_id, v FROM e ORDER BY v, event_id LIMIT 40) AS a
+         UNION ALL
+         SELECT 'asc_nulls_first' AS tag, event_id, v
+         FROM (SELECT event_id, v FROM e
+               ORDER BY v NULLS FIRST, event_id LIMIT 40) AS b
+         UNION ALL
+         SELECT 'desc_default' AS tag, event_id, v
+         FROM (SELECT event_id, v FROM e
+               ORDER BY v DESC, event_id LIMIT 40) AS c
+         ORDER BY tag, event_id;""")),
+
     // `/` and `%` arithmetic (extensions, r9 — the reference grammar has
     // only + - *; division there exists solely inside builtins): `/` is
     // real division (integer ÷ integer = FLOAT, DuckDB's rule), `%` keeps
@@ -1434,6 +1457,23 @@ object SqlQueries extends QueryPack {
                 string_agg(source, '|' ORDER BY n_chars DESC, doc_id) AS srcs
          FROM documents WHERE doc_id % 7 = 0
          GROUP BY lang ORDER BY lang""",
+    // DuckDB's own default null order IS the dialect's — identical text
+    "q_sql_null_order" ->
+      """WITH e AS (SELECT event_id,
+                           CASE WHEN event_id % 5 = 0 THEN NULL
+                                ELSE ROUND(value * 100.0) END AS v
+                    FROM events)
+         SELECT 'asc_default' AS tag, event_id, v
+         FROM (SELECT event_id, v FROM e ORDER BY v, event_id LIMIT 40) AS a
+         UNION ALL
+         SELECT 'asc_nulls_first' AS tag, event_id, v
+         FROM (SELECT event_id, v FROM e
+               ORDER BY v NULLS FIRST, event_id LIMIT 40) AS b
+         UNION ALL
+         SELECT 'desc_default' AS tag, event_id, v
+         FROM (SELECT event_id, v FROM e
+               ORDER BY v DESC, event_id LIMIT 40) AS c
+         ORDER BY tag, event_id""",
     // IGNORE NULLS is native in DuckDB — identical text
     "q_sql_ignore_nulls" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -186,7 +186,12 @@ object Ast {
     * ORDER BY/LIMIT production at all (SURVEY §2.7; no production in
     * SQL-v1.cf). Batch/pull queries only; Validate rejects continuous
     * forms, where a total order over an unbounded stream is undefined. */
-  case class OrderItem(e: Expr, desc: Boolean)
+  /** One sort key. `nullsLast`: None = the dialect default — NULLS LAST
+    * in BOTH directions (DuckDB's default order, which the oracle
+    * applies; Spark's own default is nulls-first for ASC). Some(b) = an
+    * explicit NULLS FIRST/LAST was written. */
+  case class OrderItem(e: Expr, desc: Boolean,
+                       nullsLast: Option[Boolean] = None)
 
   /** A query body: a single SELECT or a set-operation tree over them.
     * Set operations are a dialect EXTENSION (SURVEY §2.7: UNION/INTERSECT/

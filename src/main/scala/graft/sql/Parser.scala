@@ -239,6 +239,14 @@ object Parser {
       case TIdent(t) => t
       case t => throw new IllegalArgumentException(s"expected identifier, got '${t.text}'")
     }
+    /** `NULLS FIRST | NULLS LAST` after ASC/DESC (standard SQL;
+      * extension). None = unwritten → the dialect's DuckDB default,
+      * nulls last in both directions. */
+    private def nullsOrder(): Option[Boolean] =
+      if (accept("NULLS")) {
+        if (accept("FIRST")) Some(false)
+        else { expect("LAST"); Some(true) }
+      } else None
 
     def fullExpr(): Expr = { val e = expr(); require(peek == TEnd, s"trailing input at '${peek.text}'"); e }
 
@@ -463,15 +471,17 @@ object Parser {
         }
         case so: SetOp => outNames(so.l)
       }
-      def isAll(ob: Seq[OrderItem]): Option[Boolean] = ob match {
-        case Seq(OrderItem(ColRef(None, "__graft_order_all"), d)) => Some(d)
-        case _ => None
-      }
+      def isAll(ob: Seq[OrderItem]): Option[(Boolean, Option[Boolean])] =
+        ob match {
+          case Seq(OrderItem(ColRef(None, "__graft_order_all"), d, nl)) =>
+            Some((d, nl))
+          case _ => None
+        }
       q match {
-        case s: Select => isAll(s.orderBy).fold(q)(d => s.copy(
-          orderBy = outNames(s).map(n => OrderItem(ColRef(None, n), d))))
-        case so: SetOp => isAll(so.orderBy).fold(q)(d => so.copy(
-          orderBy = outNames(so).map(n => OrderItem(ColRef(None, n), d))))
+        case s: Select => isAll(s.orderBy).fold(q) { case (d, nl) => s.copy(
+          orderBy = outNames(s).map(n => OrderItem(ColRef(None, n), d, nl))) }
+        case so: SetOp => isAll(so.orderBy).fold(q) { case (d, nl) => so.copy(
+          orderBy = outNames(so).map(n => OrderItem(ColRef(None, n), d, nl))) }
       }
     }
 
@@ -640,13 +650,13 @@ object Parser {
           // in query() where the select items are known
           if (accept("ALL")) {
             val desc = if (accept("DESC")) true else { accept("ASC"); false }
-            Seq(OrderItem(ColRef(None, "__graft_order_all"), desc))
+            Seq(OrderItem(ColRef(None, "__graft_order_all"), desc, nullsOrder()))
           } else {
           val os = Seq.newBuilder[OrderItem]
           do {
             val e = expr()
             val desc = if (accept("DESC")) true else { accept("ASC"); false }
-            os += OrderItem(e, desc)
+            os += OrderItem(e, desc, nullsOrder())
           } while (accept(","))
           os.result()
           }
@@ -1146,7 +1156,7 @@ object Parser {
           do {
             val e = expr()
             val desc = if (accept("DESC")) true else { accept("ASC"); false }
-            b += OrderItem(e, desc)
+            b += OrderItem(e, desc, nullsOrder())
           } while (accept(","))
           b.result()
         } else Nil

@@ -100,7 +100,7 @@ object Translate {
       else Window.partitionBy()
     val ordered =
       if (w.orderBy.nonEmpty)
-        w0.orderBy(w.orderBy.map(o => if (o.desc) go(o.e).desc else go(o.e).asc): _*)
+        w0.orderBy(w.orderBy.map(o => sortCol(go(o.e), o)): _*)
       else w0
     // explicit ROWS/RANGE frame (already in Spark's bound encoding);
     // absent → the shared default frame (see the scaladoc above). RANGE
@@ -676,6 +676,19 @@ object Translate {
         el.map(rewriteAggs(_, names)))
     case other => other
   }
+
+  /** Spark sort key for one ORDER BY item, applying the dialect's
+    * DuckDB-default null placement: NULLS LAST in BOTH directions unless
+    * an explicit NULLS FIRST/LAST was written (Spark's own ASC default
+    * is nulls-FIRST, which would diverge from the oracle on nullable
+    * keys). */
+  private[sql] def sortCol(c: Column, o: OrderItem): Column =
+    (o.desc, o.nullsLast.getOrElse(true)) match {
+      case (false, true) => c.asc_nulls_last
+      case (false, false) => c.asc_nulls_first
+      case (true, true) => c.desc_nulls_last
+      case (true, false) => c.desc_nulls_first
+    }
 
   /** Join the sorted (keys…, v) structs' values for STRING_AGG: NULL
     * values are skipped, and when NO non-null value survives the result
@@ -1271,8 +1284,7 @@ object Translate {
       val sorted =
         if (ob.isEmpty) combined
         else combined.orderBy(ob.map(o =>
-          if (o.desc) column(o.e, resolve, env).desc
-          else column(o.e, resolve, env).asc): _*)
+          sortCol(column(o.e, resolve, env), o)): _*)
       lim.foldLeft(off.foldLeft(sorted)((d, m) => d.offset(m.toInt)))(
         (d, n) => d.limit(n.toInt))
   }
@@ -1429,8 +1441,7 @@ object Translate {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(selQ.distinctOn.map(resolve): _*)
           .orderBy(selQ.orderBy.map(o =>
-            if (o.desc) column(o.e, resolve, env).desc
-            else column(o.e, resolve, env).asc): _*)
+            sortCol(column(o.e, resolve, env), o)): _*)
         qualified.withColumn("__graft_don", row_number().over(w))
           .filter(col("__graft_don") === 1).drop("__graft_don")
       }
@@ -1644,14 +1655,15 @@ object Translate {
       case ItemWildcard(Some(_), _, _) => Nil // qualified subset — hidden-column path
     } ++ extraOutNames
     val keys = sel.orderBy.zipWithIndex.map {
-      case (OrderItem(ColRef(None, n), desc), _)
+      case (o @ OrderItem(ColRef(None, n), _, _), _)
           if outNames.exists(_.equalsIgnoreCase(n)) =>
-        (col(n), desc, None)
-      case (OrderItem(e, desc), i) =>
-        (col(s"__graft_ord$i"), desc, Some(translate(e).as(s"__graft_ord$i")))
+        (col(n), o, None)
+      case (o, i) =>
+        (col(s"__graft_ord$i"), o,
+          Some(translate(o.e).as(s"__graft_ord$i")))
     }
     val hidden = keys.collect { case (_, _, Some(c)) => c }
-    val sortCols = keys.map { case (c, desc, _) => if (desc) c.desc else c.asc }
+    val sortCols = keys.map { case (c, o, _) => sortCol(c, o) }
     val sorted = dedup(pre.select(outCols ++ hidden: _*)).orderBy(sortCols: _*)
     // offset+limit BEFORE dropping the hidden keys, so the cut respects
     // the sort

@@ -268,8 +268,8 @@ object Validate {
         case ItemExpr(e, a) => a.getOrElse(Translate.exprName(e)).toLowerCase
       }.toSet
       sel.orderBy.foreach {
-        case OrderItem(ColRef(None, n), _) if outNames.contains(n.toLowerCase) => ()
-        case OrderItem(e, _) =>
+        case OrderItem(ColRef(None, n), _, _) if outNames.contains(n.toLowerCase) => ()
+        case OrderItem(e, _, _) =>
           fail(s"with SELECT DISTINCT, ORDER BY must reference output " +
             s"columns of the select list; '$e' is not one")
       }

@@ -197,6 +197,15 @@ class ParserSpec extends AnyFunSuite {
     assert(s.orderBy == Seq(OrderItem(ColRef(None, "b"), desc = true),
       OrderItem(ColRef(None, "a"), desc = false)))
     assert(s.limit.contains(10L))
+    // NULLS FIRST/LAST (r10): explicit placement parses per key;
+    // unwritten stays None (the DuckDB nulls-last default applies later)
+    val nf = Parser.parse(
+      "SELECT a, b FROM s1 ORDER BY b DESC NULLS FIRST, a NULLS LAST, c;")
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
+    assert(nf.orderBy == Seq(
+      OrderItem(ColRef(None, "b"), desc = true, nullsLast = Some(false)),
+      OrderItem(ColRef(None, "a"), desc = false, nullsLast = Some(true)),
+      OrderItem(ColRef(None, "c"), desc = false, nullsLast = None)))
     // LIMIT alone; explicit ASC; expression keys
     val t = Parser.parse("SELECT a FROM s1 LIMIT 3;").asInstanceOf[SelectStmt].sel.asInstanceOf[Select]
     assert(t.orderBy.isEmpty && t.limit.contains(3L))
