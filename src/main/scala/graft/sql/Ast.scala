@@ -89,7 +89,10 @@ object Ast {
   /** INTERNAL marker: one ORDER BY key of an ordered aggregate
     * (STRING_AGG). Lives only inside Agg.args, appended after the value
     * and separator; the aggregate translator consumes it. */
-  case class OrdKey(e: Expr, desc: Boolean) extends Expr
+  case class OrdKey(e: Expr, desc: Boolean,
+                    // None = the comparator default (nulls last, both
+                    // directions); Some = explicit NULLS FIRST/LAST
+                    nullsLast: Option[Boolean] = None) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL

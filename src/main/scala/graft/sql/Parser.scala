@@ -1071,7 +1071,7 @@ object Parser {
           do {
             val k = expr()
             val desc = if (accept("DESC")) true else { accept("ASC"); false }
-            args += OrdKey(k, desc)
+            args += OrdKey(k, desc, nullsOrder())
           } while (accept(","))
         }
         expect(")")

@@ -136,14 +136,14 @@ object Translate {
           case _ => throw new IllegalArgumentException(
             "ARRAY_AGG requires (value ORDER BY …)")
         }
-      val keys = ordKeys.collect { case OrdKey(e, d) => (e, d) }
+      val keys = ordKeys.collect { case k: OrdKey => k }
       require(keys.size == ordKeys.size && keys.nonEmpty,
         s"internal: unexpected ${w.name} argument shape ${w.args}")
       val vCol = if (w.name == "STRING_AGG") go(vArg).cast("string") else go(vArg)
-      val fields = keys.zipWithIndex.map { case ((e, _), i) =>
-        go(e).as(s"k$i") } :+ vCol.as("v")
+      val fields = keys.zipWithIndex.map { case (k, i) =>
+        go(k.e).as(s"k$i") } :+ vCol.as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)).over(spec),
-        orderedAggComparator(keys.map(_._2)))
+        orderedAggComparator(keys))
       return sep.map(stringAggJoin(sorted, _))
         .getOrElse(transform(sorted, x => x.getField("v")))
     }
@@ -611,7 +611,7 @@ object Translate {
       case Not(x) => Not(rewriteExpr(x)(pf))
       case Fn(n, args) => Fn(n, args.map(rewriteExpr(_)(pf)))
       case Agg(n, args, s, d) => Agg(n, args.map(rewriteExpr(_)(pf)), s, d)
-      case OrdKey(x, d) => OrdKey(rewriteExpr(x)(pf), d)
+      case OrdKey(x, d, nl) => OrdKey(rewriteExpr(x)(pf), d, nl)
       case Cast(x, dt) => Cast(rewriteExpr(x)(pf), dt)
       case w: WinFn =>
         w.copy(args = w.args.map(rewriteExpr(_)(pf)),
@@ -706,13 +706,16 @@ object Translate {
     * default null order — and two NULLs fall through to the next key, so
     * a NULL never makes a row "equal to everything" (a raw `<` on a NULL
     * key is NULL → silently false → nondeterministic placement). */
-  private def orderedAggComparator(descs: Seq[Boolean])
+  private def orderedAggComparator(keys: Seq[OrdKey])
       : (Column, Column) => Column = (l, r) =>
-    descs.zipWithIndex.foldRight(lit(0)) { case ((desc, i), acc) =>
+    keys.zipWithIndex.foldRight(lit(0)) { case ((k, i), acc) =>
       val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
-      val (lt, gt) = if (desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
+      val (lt, gt) =
+        if (k.desc) (lk > rk, lk < rk) else (lk < rk, lk > rk)
+      // explicit NULLS FIRST flips the null arm; default stays LAST
+      val (ln, rn) = if (k.nullsLast.getOrElse(true)) (1, -1) else (-1, 1)
       when(lk.isNull && rk.isNull, acc)
-        .when(lk.isNull, 1).when(rk.isNull, -1)
+        .when(lk.isNull, ln).when(rk.isNull, rn)
         .when(lt, -1).when(gt, 1).otherwise(acc)
     }
 
@@ -783,27 +786,27 @@ object Translate {
         case other => throw new IllegalArgumentException(
           "STRING_AGG separator must be a string literal")
       }
-      val keys = ordKeys.collect { case OrdKey(e, d) => (e, d) }
+      val keys = ordKeys.collect { case k: OrdKey => k }
       require(keys.size == ordKeys.size,
         s"internal: unexpected STRING_AGG argument shape $ordKeys")
-      val fields = keys.zipWithIndex.map { case ((e, _), i) =>
-        column(e, resolve).as(s"k$i") } :+
+      val fields = keys.zipWithIndex.map { case (k, i) =>
+        column(k.e, resolve).as(s"k$i") } :+
         column(vArg, resolve).cast("string").as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)),
-        orderedAggComparator(keys.map(_._2)))
+        orderedAggComparator(keys))
       stringAggJoin(sorted, sep)
     // ARRAY_AGG (ordered aggregate, extension): same comparator-sorted
     // collect as STRING_AGG, but the values keep their type and land in
     // an array instead of a joined string. NULL values are kept (DuckDB
     // array_agg keeps them too).
     case Agg("ARRAY_AGG", vArg +: ordKeys, _, _) if ordKeys.nonEmpty =>
-      val keys = ordKeys.collect { case OrdKey(e, d) => (e, d) }
+      val keys = ordKeys.collect { case k: OrdKey => k }
       require(keys.size == ordKeys.size,
         s"internal: unexpected ARRAY_AGG argument shape $ordKeys")
-      val fields = keys.zipWithIndex.map { case ((e, _), i) =>
-        column(e, resolve).as(s"k$i") } :+ column(vArg, resolve).as("v")
+      val fields = keys.zipWithIndex.map { case (k, i) =>
+        column(k.e, resolve).as(s"k$i") } :+ column(vArg, resolve).as("v")
       val sorted = array_sort(collect_list(struct(fields: _*)),
-        orderedAggComparator(keys.map(_._2)))
+        orderedAggComparator(keys))
       transform(sorted, x => x.getField("v"))
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
@@ -1714,7 +1717,7 @@ object Translate {
     case Not(x) => colRefsOf(x)
     case Fn(_, args) => args.flatMap(colRefsOf)
     case Agg(_, args, _, _) => args.flatMap(colRefsOf)
-    case OrdKey(x, _) => colRefsOf(x)
+    case OrdKey(x, _, _) => colRefsOf(x)
     case Cast(x, _) => colRefsOf(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(colRefsOf)
     case ArrIndex(x, _) => colRefsOf(x)
@@ -1870,7 +1873,7 @@ object Translate {
     case Not(x) => collectScalars(x)
     case Fn(_, args) => args.flatMap(collectScalars).distinct
     case Agg(_, args, _, _) => args.flatMap(collectScalars).distinct
-    case OrdKey(x, _) => collectScalars(x)
+    case OrdKey(x, _, _) => collectScalars(x)
     case Cast(x, _) => collectScalars(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectScalars).distinct
     case ArrIndex(x, _) => collectScalars(x)
@@ -1893,7 +1896,7 @@ object Translate {
     case Not(x) => Not(replaceScalars(x, names))
     case Fn(n, args) => Fn(n, args.map(replaceScalars(_, names)))
     case Agg(n, args, st, d) => Agg(n, args.map(replaceScalars(_, names)), st, d)
-    case OrdKey(x, d) => OrdKey(replaceScalars(x, names), d)
+    case OrdKey(x, d, nl) => OrdKey(replaceScalars(x, names), d, nl)
     case Cast(x, dt) => Cast(replaceScalars(x, names), dt)
     case Between(x, lo, hi, n, sy) =>
       Between(replaceScalars(x, names), replaceScalars(lo, names),

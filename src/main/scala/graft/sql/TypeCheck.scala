@@ -146,7 +146,7 @@ object TypeCheck {
       }
 
     case Agg(name, args, star, _) => aggType(name, args, star, env)
-    case OrdKey(x, _) => infer(x, env)
+    case OrdKey(x, _, _) => infer(x, env)
 
     case Fn(name, args) => fnType(name, args, env)
 
@@ -219,11 +219,11 @@ object TypeCheck {
         // the grouped forms
         case "STRING_AGG" =>
           args.headOption.foreach(infer(_, env))
-          args.collect { case OrdKey(k, _) =>
+          args.collect { case OrdKey(k, _, _) =>
             requireOrd(k, env, "STRING_AGG ORDER BY") }
           Some(TString)
         case "ARRAY_AGG" =>
-          args.collect { case OrdKey(k, _) =>
+          args.collect { case OrdKey(k, _, _) =>
             requireOrd(k, env, "ARRAY_AGG ORDER BY") }
           args.headOption.flatMap(infer(_, env)).map(TArray)
         case _ => args.foreach(infer(_, env)); None
@@ -302,13 +302,13 @@ object TypeCheck {
       case "APPROX_COUNT_DISTINCT" => args.foreach(infer(_, env)); Some(TInt)
       case "GROUPING" => args.foreach(infer(_, env)); Some(TInt)
       case "ARRAY_AGG" =>
-        args.collect { case OrdKey(k, _) =>
+        args.collect { case OrdKey(k, _, _) =>
           requireOrd(k, env, "ARRAY_AGG ORDER BY") }
         args.headOption.flatMap(infer(_, env)).map(TArray)
       case "STRING_AGG" =>
         args.headOption.foreach(infer(_, env)) // value: any (cast to string)
         args.drop(1).headOption.foreach(a => requireString(a, env, name))
-        args.collect { case OrdKey(k, _) =>
+        args.collect { case OrdKey(k, _, _) =>
           requireOrd(k, env, "STRING_AGG ORDER BY") }
         Some(TString)
       case "PERCENTILE" | "MEDIAN" => // numeric input, continuous output

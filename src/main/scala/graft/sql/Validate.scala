@@ -431,7 +431,7 @@ object Validate {
   private def collectDistinctAggs(e: Expr, p: Agg => Boolean): Seq[Agg] = e match {
     case a: Agg if p(a) => Seq(a) ++ a.args.flatMap(collectDistinctAggs(_, p))
     case a: Agg => a.args.flatMap(collectDistinctAggs(_, p))
-    case OrdKey(x, _) => collectDistinctAggs(x, p)
+    case OrdKey(x, _, _) => collectDistinctAggs(x, p)
     case InList(x, items, _) => (x +: items).flatMap(collectDistinctAggs(_, p))
     case InSub(x, _, _) => collectDistinctAggs(x, p)
     case Bin(_, l, r) => collectDistinctAggs(l, p) ++ collectDistinctAggs(r, p)
@@ -630,7 +630,7 @@ object Validate {
     case ArrLit(items) => items.foreach(checkExpr(_, aggAllowed, where, insideAgg))
     // ordered-aggregate sort key (STRING_AGG/ARRAY_AGG, grouped or
     // windowed): validate the key expression itself
-    case OrdKey(x, _) => checkExpr(x, aggAllowed, where, insideAgg)
+    case OrdKey(x, _, _) => checkExpr(x, aggAllowed, where, insideAgg)
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .foreach(checkExpr(_, aggAllowed, where, insideAgg))

@@ -41,11 +41,14 @@ class StringAggSpec extends SparkSpec {
       """SELECT k,
                 STRING_AGG(s, ',' ORDER BY n, i) AS asc_s,
                 STRING_AGG(s, ',' ORDER BY n DESC, i) AS desc_s,
-                ARRAY_AGG(s ORDER BY n, i) AS arr
+                ARRAY_AGG(s ORDER BY n, i) AS arr,
+                STRING_AGG(s, ',' ORDER BY n NULLS FIRST, i) AS nf_s
          FROM sa_n GROUP BY k;""").collect()(0)
     assert(got.getString(1) == "y,w,x,z", got.getString(1))
     assert(got.getString(2) == "w,y,x,z", got.getString(2))
     assert(got.getSeq[String](3) == Seq("y", "w", "x", "z"))
+    // explicit NULLS FIRST inside the call flips the null arm
+    assert(got.getString(4) == "x,z,y,w", got.getString(4))
   }
 
   test("STRING_AGG/ARRAY_AGG as window functions: frame + in-call order are independent") {
