@@ -734,11 +734,37 @@ object SqlQueries extends QueryPack {
     // (raw array cells are unsortable there; same convention as
     // q_array_funcs) — the ordered ARRAY_AGG plan still runs end-to-end,
     // and the typed-array semantics stay pinned in StringAggSpec.
+    // n_elems: ARRAY_JOIN drops NULL elements, so the serialized cells
+    // alone can't witness the keeps-NULLs contract — the length of an
+    // array with synthesized NULL elements pins retention at the gate
+    // (r10 ADVICE).
     "q_sql_array_agg" -> ((s, dir) => run(s, dir,
       """SELECT lang,
                 ARRAY_JOIN(ARRAY_AGG(source ORDER BY n_chars DESC, doc_id), '|') AS srcs,
-                ARRAY_JOIN(ARRAY_AGG(doc_id::STRING ORDER BY doc_id), ',') AS ids
+                ARRAY_JOIN(ARRAY_AGG(doc_id::STRING ORDER BY doc_id), ',') AS ids,
+                ARRAY_LENGTH(ARRAY_AGG(
+                  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END
+                  ORDER BY doc_id)) AS n_elems
          FROM documents WHERE doc_id % 13 = 0
+         GROUP BY lang ORDER BY lang;""")),
+
+    // ARRAY_AGG + FILTER (r11; DuckDB-native semantics): filtered-out
+    // rows VANISH while genuine NULL values stay as NULL elements — the
+    // CASE desugar every other aggregate uses can't express this, so the
+    // translator collects when(cond, struct(…)) and collect_list drops
+    // the NULL inputs pre-shuffle (Ast.Kept). A group where no row
+    // passes is NULL, not []. n_kept counts kept rows INCLUDING NULL
+    // elements; the joined cells witness order + values.
+    "q_sql_array_agg_filter" -> ((s, dir) => run(s, dir,
+      """SELECT lang,
+                ARRAY_JOIN(ARRAY_AGG(source ORDER BY n_chars DESC, doc_id)
+                           FILTER (WHERE n_chars > 1200), '|') AS srcs_big,
+                ARRAY_LENGTH(ARRAY_AGG(
+                    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END
+                    ORDER BY doc_id)
+                  FILTER (WHERE n_chars > 1200)) AS n_kept,
+                COUNT(*) AS n_docs
+         FROM documents WHERE doc_id % 11 = 0
          GROUP BY lang ORDER BY lang;""")),
 
     // PERCENT_RANK / CUME_DIST / NTH_VALUE (extensions, r9; all native in
@@ -1446,10 +1472,24 @@ object SqlQueries extends QueryPack {
     "q_sql_array_agg" ->
       // array_to_string serializes the cells (the harness can't sort raw
       // arrays); DuckDB still plans its native ordered array_agg inside.
+      // len() counts kept NULL elements — retention stays oracle-checked.
       """SELECT lang,
                 array_to_string(array_agg(source ORDER BY n_chars DESC, doc_id), '|') AS srcs,
-                array_to_string(array_agg(doc_id::VARCHAR ORDER BY doc_id), ',') AS ids
+                array_to_string(array_agg(doc_id::VARCHAR ORDER BY doc_id), ',') AS ids,
+                len(array_agg(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END
+                              ORDER BY doc_id))::BIGINT AS n_elems
          FROM documents WHERE doc_id % 13 = 0
+         GROUP BY lang ORDER BY lang""",
+    "q_sql_array_agg_filter" ->
+      // DuckDB's NATIVE ordered array_agg + FILTER is the oracle
+      """SELECT lang,
+                array_to_string(array_agg(source ORDER BY n_chars DESC, doc_id)
+                                FILTER (WHERE n_chars > 1200), '|') AS srcs_big,
+                len(array_agg(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END
+                              ORDER BY doc_id)
+                    FILTER (WHERE n_chars > 1200))::BIGINT AS n_kept,
+                COUNT(*) AS n_docs
+         FROM documents WHERE doc_id % 11 = 0
          GROUP BY lang ORDER BY lang""",
     "q_sql_string_agg" ->
       """SELECT lang,

@@ -93,6 +93,16 @@ object Ast {
                     // None = the comparator default (nulls last, both
                     // directions); Some = explicit NULLS FIRST/LAST
                     nullsLast: Option[Boolean] = None) extends Expr
+  /** INTERNAL marker: ARRAY_AGG's value argument carrying a
+    * `FILTER (WHERE cond)` clause. Every other aggregate desugars FILTER
+    * to `CASE WHEN cond THEN v END` at parse time (exact wherever NULLs
+    * are skipped), but ARRAY_AGG KEEPS NULL elements — the CASE desugar
+    * would make a filtered-out row indistinguishable from a genuine NULL
+    * value. The translator instead collects `when(cond, struct(…))`:
+    * collect_list skips NULL inputs, so filtered rows vanish before the
+    * shuffle while NULL values ride inside non-null structs. Lives only
+    * at Agg.args.head / WinFn.args.head of an ARRAY_AGG. */
+  case class Kept(cond: Expr, v: Expr) extends Expr
   case class Between(e: Expr, lo: Expr, hi: Expr, not: Boolean, symmetric: Boolean) extends Expr
   /** `e [NOT] IN (v1, v2, …)` — value-list membership (dialect EXTENSION;
     * no IN production exists in SQL-v1.cf). Standard null-unsafe SQL

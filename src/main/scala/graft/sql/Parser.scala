@@ -1077,15 +1077,14 @@ object Parser {
         expect(")")
         val f = filterClause()
         // FILTER is folded into the value as CASE WHEN cond THEN v END —
-        // sound everywhere NULLs are skipped, but ARRAY_AGG KEEPS NULL
-        // elements, so a filtered-out row would be indistinguishable
-        // from a genuine NULL value. Reject loudly.
-        if (kw == "ARRAY_AGG" && f.isDefined)
-          throw new IllegalArgumentException(
-            "ARRAY_AGG with FILTER is not supported — ARRAY_AGG keeps " +
-              "NULL elements, so a filtered-out row is indistinguishable " +
-              "from a NULL value; filter in WHERE, or use STRING_AGG")
+        // sound everywhere NULLs are skipped. ARRAY_AGG KEEPS NULL
+        // elements, so the CASE desugar would make a filtered-out row
+        // indistinguishable from a genuine NULL value; it gets the exact
+        // Kept marker instead (the translator drops filtered rows before
+        // collection, keeping NULL values — see Ast.Kept).
         val wrapped = args.result() match {
+          case head +: rest if kw == "ARRAY_AGG" && f.isDefined =>
+            Kept(f.get, head) +: rest
           case head +: rest => wrap(head, f) +: rest // TOPK(x, k): wrap x only
           case Nil => Nil
         }

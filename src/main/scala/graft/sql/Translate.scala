@@ -139,13 +139,25 @@ object Translate {
       val keys = ordKeys.collect { case k: OrdKey => k }
       require(keys.size == ordKeys.size && keys.nonEmpty,
         s"internal: unexpected ${w.name} argument shape ${w.args}")
-      val vCol = if (w.name == "STRING_AGG") go(vArg).cast("string") else go(vArg)
+      // windowed ARRAY_AGG + FILTER: same Kept plan as the grouped form
+      // (struct under when(cond, …); collect_list skips the NULL input)
+      val (condW, vArg1) = vArg match {
+        case Kept(c, x) => (Some(go(c)), x)
+        case x => (None, x)
+      }
+      val vCol = if (w.name == "STRING_AGG") go(vArg1).cast("string") else go(vArg1)
       val fields = keys.zipWithIndex.map { case (k, i) =>
         go(k.e).as(s"k$i") } :+ vCol.as("v")
-      val sorted = array_sort(collect_list(struct(fields: _*)).over(spec),
+      val stW = struct(fields: _*)
+      val sorted = array_sort(
+        collect_list(condW.map(c => when(c, stW)).getOrElse(stW)).over(spec),
         orderedAggComparator(keys))
-      return sep.map(stringAggJoin(sorted, _))
-        .getOrElse(transform(sorted, x => x.getField("v")))
+      return sep.map(stringAggJoin(sorted, _)).getOrElse {
+        val arr = transform(sorted, x => x.getField("v"))
+        // empty-after-FILTER frame → NULL (DuckDB), as in the grouped form
+        if (condW.isDefined) when(size(arr) === 0, lit(null)).otherwise(arr)
+        else arr
+      }
     }
     def lagLead(f: (Column, Int, Any) => Column): Column = w.args match {
       case Seq(e) => f(go(e), 1, null)
@@ -612,6 +624,7 @@ object Translate {
       case Fn(n, args) => Fn(n, args.map(rewriteExpr(_)(pf)))
       case Agg(n, args, s, d) => Agg(n, args.map(rewriteExpr(_)(pf)), s, d)
       case OrdKey(x, d, nl) => OrdKey(rewriteExpr(x)(pf), d, nl)
+      case Kept(c, v) => Kept(rewriteExpr(c)(pf), rewriteExpr(v)(pf))
       case Cast(x, dt) => Cast(rewriteExpr(x)(pf), dt)
       case w: WinFn =>
         w.copy(args = w.args.map(rewriteExpr(_)(pf)),
@@ -641,6 +654,7 @@ object Translate {
     case Not(x) => collectWins(x)
     case Fn(_, args) => args.flatMap(collectWins).distinct
     case Agg(_, args, _, _) => args.flatMap(collectWins).distinct
+    case Kept(c, v) => (collectWins(c) ++ collectWins(v)).distinct
     case Cast(x, _) => collectWins(x)
     case Between(x, lo, hi, _, _) =>
       (collectWins(x) ++ collectWins(lo) ++ collectWins(hi)).distinct
@@ -798,16 +812,31 @@ object Translate {
     // ARRAY_AGG (ordered aggregate, extension): same comparator-sorted
     // collect as STRING_AGG, but the values keep their type and land in
     // an array instead of a joined string. NULL values are kept (DuckDB
-    // array_agg keeps them too).
+    // array_agg keeps them too). A FILTER clause arrives as the Kept
+    // marker: the struct is built under when(cond, …), so collect_list
+    // skips filtered-out rows (NULL input) BEFORE the shuffle while a
+    // genuine NULL value still rides inside its non-null struct — exact
+    // DuckDB `array_agg(v ORDER BY …) FILTER (WHERE c)` semantics.
     case Agg("ARRAY_AGG", vArg +: ordKeys, _, _) if ordKeys.nonEmpty =>
       val keys = ordKeys.collect { case k: OrdKey => k }
       require(keys.size == ordKeys.size,
         s"internal: unexpected ARRAY_AGG argument shape $ordKeys")
+      val (cond, v) = vArg match {
+        case Kept(c, x) => (Some(column(c, resolve)), x)
+        case x => (None, x)
+      }
       val fields = keys.zipWithIndex.map { case (k, i) =>
-        column(k.e, resolve).as(s"k$i") } :+ column(vArg, resolve).as("v")
-      val sorted = array_sort(collect_list(struct(fields: _*)),
+        column(k.e, resolve).as(s"k$i") } :+ column(v, resolve).as("v")
+      val st = struct(fields: _*)
+      val sorted = array_sort(
+        collect_list(cond.map(c => when(c, st)).getOrElse(st)),
         orderedAggComparator(keys))
-      transform(sorted, x => x.getField("v"))
+      val arr = transform(sorted, x => x.getField("v"))
+      // a group where NO row passes the filter: DuckDB's array_agg is
+      // NULL over zero inputs, collect_list is [] — map it (unreachable
+      // without FILTER: groups have ≥1 row and NULL values are kept)
+      if (cond.isDefined) when(size(arr) === 0, lit(null)).otherwise(arr)
+      else arr
     case Agg("TOPK", Seq(e, IntLit(k)), _, _) =>
       TopK.topk(column(e, resolve).cast("double"), k.toInt)
     case Agg("TOPKDISTINCT", Seq(e, IntLit(k)), _, _) =>
@@ -1718,6 +1747,7 @@ object Translate {
     case Fn(_, args) => args.flatMap(colRefsOf)
     case Agg(_, args, _, _) => args.flatMap(colRefsOf)
     case OrdKey(x, _, _) => colRefsOf(x)
+    case Kept(c, v) => colRefsOf(c) ++ colRefsOf(v)
     case Cast(x, _) => colRefsOf(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(colRefsOf)
     case ArrIndex(x, _) => colRefsOf(x)
@@ -1874,6 +1904,7 @@ object Translate {
     case Fn(_, args) => args.flatMap(collectScalars).distinct
     case Agg(_, args, _, _) => args.flatMap(collectScalars).distinct
     case OrdKey(x, _, _) => collectScalars(x)
+    case Kept(c, v) => (collectScalars(c) ++ collectScalars(v)).distinct
     case Cast(x, _) => collectScalars(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectScalars).distinct
     case ArrIndex(x, _) => collectScalars(x)
@@ -1897,6 +1928,7 @@ object Translate {
     case Fn(n, args) => Fn(n, args.map(replaceScalars(_, names)))
     case Agg(n, args, st, d) => Agg(n, args.map(replaceScalars(_, names)), st, d)
     case OrdKey(x, d, nl) => OrdKey(replaceScalars(x, names), d, nl)
+    case Kept(c, v) => Kept(replaceScalars(c, names), replaceScalars(v, names))
     case Cast(x, dt) => Cast(replaceScalars(x, names), dt)
     case Between(x, lo, hi, n, sy) =>
       Between(replaceScalars(x, names), replaceScalars(lo, names),

@@ -147,6 +147,9 @@ object TypeCheck {
 
     case Agg(name, args, star, _) => aggType(name, args, star, env)
     case OrdKey(x, _, _) => infer(x, env)
+    // ARRAY_AGG FILTER marker: the condition must be boolean; the node's
+    // type is the value's (the filter never changes element type)
+    case Kept(c, v) => requireBool(c, env, "FILTER (WHERE …)"); infer(v, env)
 
     case Fn(name, args) => fnType(name, args, env)
 
@@ -219,6 +222,9 @@ object TypeCheck {
         // the grouped forms
         case "STRING_AGG" =>
           args.headOption.foreach(infer(_, env))
+          // same separator rule as the grouped form (a non-string
+          // separator must fail here, not as a translate-time shape error)
+          args.drop(1).headOption.foreach(a => requireString(a, env, name))
           args.collect { case OrdKey(k, _, _) =>
             requireOrd(k, env, "STRING_AGG ORDER BY") }
           Some(TString)

@@ -287,6 +287,7 @@ object Validate {
     case Not(x) => hasSubquery(x)
     case Fn(_, args) => args.exists(hasSubquery)
     case Agg(_, args, _, _) => args.exists(hasSubquery)
+    case Kept(c, v) => hasSubquery(c) || hasSubquery(v)
     case Cast(x, _) => hasSubquery(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).exists(hasSubquery)
     case ArrIndex(x, _) => hasSubquery(x)
@@ -309,6 +310,7 @@ object Validate {
     case Not(x) => collectWinFns(x)
     case Fn(_, args) => args.flatMap(collectWinFns)
     case Agg(_, args, _, _) => args.flatMap(collectWinFns)
+    case Kept(c, v) => collectWinFns(c) ++ collectWinFns(v)
     case Cast(x, _) => collectWinFns(x)
     case Between(x, lo, hi, _, _) => Seq(x, lo, hi).flatMap(collectWinFns)
     case ArrIndex(x, _) => collectWinFns(x)
@@ -432,6 +434,8 @@ object Validate {
     case a: Agg if p(a) => Seq(a) ++ a.args.flatMap(collectDistinctAggs(_, p))
     case a: Agg => a.args.flatMap(collectDistinctAggs(_, p))
     case OrdKey(x, _, _) => collectDistinctAggs(x, p)
+    case Kept(c, v) =>
+      collectDistinctAggs(c, p) ++ collectDistinctAggs(v, p)
     case InList(x, items, _) => (x +: items).flatMap(collectDistinctAggs(_, p))
     case InSub(x, _, _) => collectDistinctAggs(x, p)
     case Bin(_, l, r) => collectDistinctAggs(l, p) ++ collectDistinctAggs(r, p)
@@ -631,6 +635,11 @@ object Validate {
     // ordered-aggregate sort key (STRING_AGG/ARRAY_AGG, grouped or
     // windowed): validate the key expression itself
     case OrdKey(x, _, _) => checkExpr(x, aggAllowed, where, insideAgg)
+    // ARRAY_AGG FILTER marker: condition and value both sit inside the
+    // aggregate call (the FILTER condition may not itself aggregate)
+    case Kept(c, v) =>
+      checkExpr(c, aggAllowed, where, insideAgg)
+      checkExpr(v, aggAllowed, where, insideAgg)
     case CaseWhen(op0, bs, el) =>
       (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
         .foreach(checkExpr(_, aggAllowed, where, insideAgg))

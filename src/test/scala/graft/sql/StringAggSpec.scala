@@ -71,13 +71,45 @@ class StringAggSpec extends SparkSpec {
       (3L, "y,z,x", Seq(3L, 2L))), got.toSeq)
   }
 
-  test("ARRAY_AGG FILTER is rejected (filtered row vs NULL element is ambiguous)") {
-    setup()
-    val ex = intercept[Exception](e.batch(
-      """SELECT ARRAY_AGG(s ORDER BY i) FILTER (WHERE n > 1) AS x
-         FROM sa_t;""").collect())
-    assert(ex.getMessage.contains("ARRAY_AGG with FILTER is not supported"),
-      ex.getMessage)
+  test("ARRAY_AGG FILTER drops filtered rows but keeps genuine NULL elements") {
+    import spark.implicits._
+    // i=2 carries a genuine NULL value that PASSES the filter (must stay
+    // as a NULL element); i=3 FAILS the filter (must vanish, not become
+    // NULL — the exact ambiguity the old CASE desugar couldn't express);
+    // i=5's NULL n makes the condition UNKNOWN → filtered out like false.
+    Seq((1L, "a", Some("x"), Some(3L)), (2L, "a", None: Option[String], Some(5L)),
+      (3L, "a", Some("z"), Some(0L)), (4L, "a", Some("w"), Some(2L)),
+      (5L, "a", Some("u"), None: Option[Long]),
+      (6L, "b", Some("q"), Some(0L))) // every 'b' row fails the filter
+      .toDF("i", "k", "s", "n").createOrReplaceTempView("sa_f")
+    val got = e.batch(
+      """SELECT k,
+                ARRAY_AGG(s ORDER BY i) FILTER (WHERE n > 1) AS arr,
+                ARRAY_LENGTH(ARRAY_AGG(s ORDER BY i) FILTER (WHERE n > 1)) AS len
+         FROM sa_f GROUP BY k ORDER BY k;""").collect()
+    assert(got(0).getSeq[String](1) == Seq("x", null, "w"), got(0).getSeq[String](1))
+    assert(got(0).getInt(2) == 3)
+    // all rows filtered out → NULL (DuckDB's empty array_agg), not []
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2), got(1))
+  }
+
+  test("windowed ARRAY_AGG FILTER: frame rows filtered, NULL values kept") {
+    import spark.implicits._
+    Seq((1L, "a", Some("x"), Some(3L)), (2L, "a", None: Option[String], Some(5L)),
+      (3L, "a", Some("z"), Some(0L)), (4L, "a", Some("w"), Some(2L)))
+      .toDF("i", "k", "s", "n").createOrReplaceTempView("sa_fw")
+    val got = e.batch(
+      """SELECT i,
+                ARRAY_AGG(s ORDER BY i) FILTER (WHERE n > 1)
+                  OVER (PARTITION BY k ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+         FROM sa_fw ORDER BY i;""").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(got.toSeq == Seq(
+      (1L, Seq("x")),
+      (2L, Seq("x", null)),
+      (3L, Seq("x", null)),       // i=3 in frame but filtered out
+      (4L, Seq("x", null, "w"))), got.toSeq)
   }
 
   test("property: STRING_AGG/ARRAY_AGG match a Scala evaluator on randomized tables") {
