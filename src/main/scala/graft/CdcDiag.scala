@@ -78,7 +78,7 @@ object CdcDiag {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def measure(tag: String, o: DataFrame): Unit = {
+    def measure(tag: String, o: DataFrame, sized: Boolean = true): Unit = {
       val decoded = graft.queries.CdcQueries.decodedFrom(o)
       // decode-only: force the JSON round-trip on the fat fields, no agg
       val t0 = System.nanoTime()
@@ -88,7 +88,8 @@ object CdcDiag {
       val before = acc.snap
       val t1 = System.nanoTime()
       val outRows = graft.operators.Cdc
-        .applyLatest(decoded, Seq("o_orderkey")).count()
+        .applyLatest(decoded, Seq("o_orderkey"),
+          sizeShuffleForState = sized).count()
       val tApply = (System.nanoTime() - t1) / 1e9
       val d = acc.snap.zip(before).map { case (a, b) => a - b }
       val nEnv = decoded.count()
@@ -101,20 +102,21 @@ object CdcDiag {
     }
 
     println(f"""[cdcdiag] {"calib_pre":${calib()}%.3f}""")
+    // Default rows now include applyLatest's own AQE state-sizing (r11:
+    // the r10 diagnostic's tuned knobs are the OPERATOR's behavior for
+    // inputs estimated >512 MB — x100 crosses the threshold, x1/x10
+    // run at session defaults as before).
     measure("x1_150k", orders)
     measure("x10_1m5", xN(orders, 10))
     measure("x100_15m", xN(orders, 100))
-    // Knob check for the 23M-envelope spill: the hash-agg state (~3 GB of
-    // 15M max_by buffers) concentrates in 32 post-shuffle partitions
-    // (AQE's 64 MB advisory even coalesces BELOW that — shuffle bytes are
-    // small relative to agg state, the classic mismatch). The production
-    // sizing lever: raise the initial partition count and lower the
-    // advisory size so each task's state fits — same plan, one config.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-    measure("x100_15m_tuned256", xN(orders, 100))
+    // CONTROL: the r9/r10 failure shape — auto-sizing off, stock 64 MB
+    // advisory. The hash-agg state (~3 GB of 15M max_by buffers)
+    // concentrates into 32 post-shuffle partitions because AQE coalesces
+    // by shuffle bytes, which undercount agg state ~5x — this row should
+    // show the spill the default row no longer pays.
     spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    measure("x100_15m_unsized_control", xN(orders, 100), sized = false)
     println(f"""[cdcdiag] {"calib_post":${calib()}%.3f}""")
     spark.stop()
   }

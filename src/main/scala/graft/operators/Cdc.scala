@@ -58,6 +58,14 @@ object Cdc {
       .filter(col("op").isNotNull)
   }
 
+  /** Inputs estimated above this size get the AQE state-sizing treatment
+    * in [[applyLatest]]; below it, the default partitioning never spills
+    * and the session is left untouched. Calibrated against the measured
+    * decades (CDCDIAG_r10): the 23M-envelope shape that spills 3.5 GB
+    * estimates ~1.35 GB (planner stats undershoot the in-flight JSON
+    * ~3x), the spill-free 2.3M shape estimates ~135 MB. */
+  private val SizingThresholdBytes: BigInt = BigInt(512L) << 20 // 512 MiB
+
   /** Materialize the latest state from decoded change rows: per key, keep
     * the row of the (ts_ms, seq)-maximal change, then drop keys whose last
     * change is a delete. Input must carry `op`, `after`, `ts_ms`, `seq`;
@@ -66,8 +74,42 @@ object Cdc {
     * guarantees the key side of a delete).
     *
     * Output schema = the row schema (after.*), one row per live key.
+    *
+    * Shuffle sizing (measured, CDCDIAG_r10): the final hash-aggregate
+    * holds one max_by buffer per key, and that state deserializes to
+    * roughly 5x the pre-reduced shuffle bytes — but AQE coalesces
+    * post-shuffle partitions by shuffle BYTES alone, so at the ~20M-key
+    * decade it packs gigabytes of agg state into a few dozen tasks and
+    * spills (3.5 GB at an 8 GB heap; 0 after sizing, same plan). When
+    * `sizeShuffleForState` (default) and the input's estimated size
+    * exceeds [[SizingThresholdBytes]], this sets two session-level AQE
+    * knobs —
+    * `coalescePartitions.initialPartitionNum` (from the size estimate)
+    * and `advisoryPartitionSizeInBytes` (8m) — so per-task agg state
+    * stays in the tens of MB. They are SESSION-level because Spark has
+    * no per-exchange override that preserves map-side partial
+    * aggregation (an explicit repartition before the groupBy would ship
+    * every envelope un-reduced); they stay set after the call, which
+    * only makes AQE coalescing finer-grained elsewhere. Pass
+    * `sizeShuffleForState = false` to manage the session yourself.
     */
-  def applyLatest(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def applyLatest(changes: DataFrame, keyCols: Seq[String],
+                  sizeShuffleForState: Boolean = true): DataFrame = {
+    if (sizeShuffleForState) {
+      val spark = changes.sparkSession
+      // planner estimate only — no job is triggered
+      val bytes = BigInt(
+        changes.queryExecution.optimizedPlan.stats.sizeInBytes.toString())
+      if (bytes > SizingThresholdBytes &&
+          spark.conf.get("spark.sql.adaptive.enabled", "true") == "true") {
+        val parts = (bytes / (8L << 20)).min(2048).max(64).toInt
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          parts.toString)
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      }
+    }
     val keyed = changes.withColumn("_k",
       struct(keyCols.map(k => coalesce(col(s"after.$k"), col(s"before.$k")).as(k)): _*))
     val last = keyed

@@ -48,21 +48,30 @@ object SignatureStore {
   }
 
   /** batchId → committed leaf dir, from the newest manifest generation. */
-  def committed(spark: SparkSession, dir: String): Map[String, String] = {
+  def committed(spark: SparkSession, dir: String): Map[String, String] =
+    committedWithGen(spark, dir)._2
+
+  /** (generation, batchId → leaf) of the newest manifest; gen = -1 when
+    * no manifest exists yet. The generation is the optimistic-concurrency
+    * token for [[commitManifest]]. */
+  private def committedWithGen(spark: SparkSession,
+                               dir: String): (Long, Map[String, String]) = {
     val (hfs, p) = fs(dir, spark)
-    if (!hfs.exists(p)) return Map.empty
+    if (!hfs.exists(p)) return (-1L, Map.empty)
     val manifests = hfs.listStatus(p)
       .filter(_.getPath.getName.matches("manifest-g\\d+\\.txt"))
       .sortBy(_.getPath.getName.stripPrefix("manifest-g").stripSuffix(".txt").toLong)
     manifests.lastOption.map { st =>
+      val gen = st.getPath.getName
+        .stripPrefix("manifest-g").stripSuffix(".txt").toLong
       val in = hfs.open(st.getPath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      text.linesIterator.filter(_.contains('\t')).map { line =>
+      (gen, text.linesIterator.filter(_.contains('\t')).map { line =>
         val Array(id, leaf) = line.split("\t", 2)
         id -> leaf
-      }.toMap
-    }.getOrElse(Map.empty)
+      }.toMap)
+    }.getOrElse((-1L, Map.empty))
   }
 
   private def nextGen(spark: SparkSession, dir: String): Long = {
@@ -90,7 +99,7 @@ object SignatureStore {
              sig: DataFrame): Boolean = {
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId must be filesystem-safe, got '$batchId'")
-    val before = committed(spark, dir)
+    val (gen, before) = committedWithGen(spark, dir)
     if (before.contains(batchId)) return false
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val leaf = s"b$batchId-$nonce"
@@ -106,7 +115,7 @@ object SignatureStore {
       writeSigsClustered(s.select(col("doc_id"), col("hs")),
         s"$dir/$leaf/sigs")
     } finally s.unpersist()
-    commitManifest(spark, dir, before + (batchId -> leaf))
+    commitManifest(spark, dir, before + (batchId -> leaf), gen)
     true
   }
 
@@ -121,10 +130,25 @@ object SignatureStore {
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(path)
 
-  private def commitManifest(spark: SparkSession, dir: String,
-                             entries: Map[String, String]): Unit = {
+  /** Commit `entries` as the next manifest generation, IF the store is
+    * still at `readGen` (the generation the caller's read-modify-write
+    * started from). A commit that landed in between — e.g. an append
+    * finishing while a compaction rewrote the store — advances the
+    * generation, and this fails LOUDLY instead of committing a manifest
+    * that silently drops the interloper's batch (r10 ADVICE: the
+    * single-writer contract was documented but unenforced). The caller's
+    * data dir becomes a crash-style orphan; retrying the operation
+    * re-reads the new manifest and succeeds. */
+  private[operators] def commitManifest(spark: SparkSession, dir: String,
+                                        entries: Map[String, String],
+                                        readGen: Long): Unit = {
     val (hfs, _) = fs(dir, spark)
     val gen = nextGen(spark, dir)
+    require(gen == readGen + 1,
+      s"signature-store concurrent commit detected: read generation " +
+        s"$readGen but the store is now at ${gen - 1} — another writer " +
+        "committed in between (appends/compactions must be serialized); " +
+        "retry this operation against the new manifest")
     val lines = entries.toSeq.sorted
       .map { case (id, l) => s"$id\t$l" }.mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.manifest-g$gen.tmp")
@@ -147,7 +171,7 @@ object SignatureStore {
     * trade-off as the view delta-log compaction). Single writer, like
     * append. Returns the number of leaves folded (0 = nothing to do). */
   def compact(spark: SparkSession, dir: String): Int = {
-    val entries = committed(spark, dir)
+    val (gen, entries) = committedWithGen(spark, dir)
     val leaves = entries.values.toSeq.distinct.sorted
     if (leaves.size <= 1) return 0
     val nonce = java.util.UUID.randomUUID.toString.take(8)
@@ -157,7 +181,9 @@ object SignatureStore {
     writeSigsClustered(
       spark.read.parquet(leaves.map(l => s"$dir/$l/sigs"): _*),
       s"$dir/$leaf/sigs")
-    commitManifest(spark, dir, entries.map { case (id, _) => id -> leaf })
+    // gen check: a batch committed while this rewrite ran would be
+    // silently DROPPED from the folded manifest — fail loudly instead
+    commitManifest(spark, dir, entries.map { case (id, _) => id -> leaf }, gen)
     leaves.size
   }
 
@@ -173,19 +199,45 @@ object SignatureStore {
     else 0
   }
 
+  /** The pipeline ingest step: append one batch, then fold the store if
+    * it has accumulated more than `maxLeaves` distinct leaves — a
+    * daily-crawl caller gets bounded per-probe dir unions without ever
+    * calling compact() itself (r10 VERDICT #4). Old leaves are left for
+    * [[vacuum]] (grace-protected), NOT deleted here. Returns true iff the
+    * append committed (false = idempotent replay; replays never trigger
+    * compaction). */
+  def ingest(spark: SparkSession, dir: String, batchId: String,
+             sig: DataFrame, maxLeaves: Int = 16): Boolean = {
+    val appended = append(spark, dir, batchId, sig)
+    if (appended) compactIfNeeded(spark, dir, maxLeaves)
+    appended
+  }
+
+  /** Default [[vacuum]] grace: leaf dirs modified in the last 24 h are
+    * never deleted. */
+  val DefaultVacuumGraceMs: Long = 24L * 3600 * 1000
+
   /** Delete leaf dirs the CURRENT manifest no longer references —
     * compaction's leftovers and crash orphans. Deliberately separate from
     * compact(): a reader that opened the PREVIOUS manifest may still be
-    * scanning the old leaves, so vacuum only once concurrent readers are
-    * known quiesced (the same contract as the view delta-log's
-    * compaction cleanup). Old manifest generations are kept (tiny text
-    * files; they document store history). Returns deleted dir count. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+    * scanning the old leaves. The grace period makes that contract SAFE
+    * rather than merely documented (r10 ADVICE): dirs modified within
+    * `graceMs` are skipped, which protects both (a) an append's data dir
+    * that landed but whose manifest rename hasn't happened yet, and (b)
+    * leaves a just-superseded manifest's readers are still scanning —
+    * any reader older than the grace has long finished or deserves its
+    * FileNotFound. Pass `graceMs = 0` only when the caller KNOWS no
+    * reader or writer is in flight (tests, offline maintenance). Old
+    * manifest generations are kept (tiny text files; they document store
+    * history). Returns deleted dir count. */
+  def vacuum(spark: SparkSession, dir: String,
+             graceMs: Long = DefaultVacuumGraceMs): Int = {
     val (hfs, p) = fs(dir, spark)
     if (!hfs.exists(p)) return 0
     val live = committed(spark, dir).values.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dead = hfs.listStatus(p)
-      .filter(_.isDirectory)
+      .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
       .map(_.getPath)
       .filterNot(d => live.contains(d.getName))
     dead.foreach(d => hfs.delete(d, true))

@@ -284,7 +284,7 @@ object DedupQueries extends QueryPack {
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
       val store = java.nio.file.Files
         .createTempDirectory("graft_sigstore_multi").toString
-      graft.operators.SignatureStore.append(s, store, "corpus",
+      graft.operators.SignatureStore.ingest(s, store, "corpus",
         sigWithBands(docs.filter(pmod($"doc_id", lit(4L)) =!= 0))
           .select($"doc_id", $"hs", $"bands"))
       val out1 = incrementalDedupStored(s, store,
@@ -294,9 +294,13 @@ object DedupQueries extends QueryPack {
       // plan would otherwise see batch1's own signatures as "existing"
       val out1Rows = out1.persist()
       out1Rows.count()
-      graft.operators.SignatureStore.append(s, store, "batch1",
+      // maxLeaves = 1 forces the ingest step's auto-compaction here, so
+      // batch2's probe (hash-checked below) reads the FOLDED store — the
+      // append → compact → probe cycle a daily pipeline runs, inside one
+      // oracle-verified gate row
+      graft.operators.SignatureStore.ingest(s, store, "batch1",
         sigWithBands(docs.filter(pmod($"doc_id", lit(8L)) === 0))
-          .select($"doc_id", $"hs", $"bands"))
+          .select($"doc_id", $"hs", $"bands"), maxLeaves = 1)
       val out2 = incrementalDedupStored(s, store,
         docs.filter(pmod($"doc_id", lit(8L)) === 4))
         .withColumn("batch", lit(2L))
@@ -757,7 +761,9 @@ object DedupQueries extends QueryPack {
     // signature parameters or the corpus text lands on a fresh store
     val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore/" +
       s"corpus_${sigAlgoVersion}_" + java.lang.Long.toHexString(fp)
-    graft.operators.SignatureStore.append(s, store, "corpus",
+    // ingest = append + bounded auto-compaction: a no-op fold at one
+    // leaf here, but the same call a daily pipeline makes per crawl
+    graft.operators.SignatureStore.ingest(s, store, "corpus",
       sigWithBands(old).select($"doc_id", $"hs", $"bands"))
     store
   }

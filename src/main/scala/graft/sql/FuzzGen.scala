@@ -1,0 +1,459 @@
+package graft.sql
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Grammar-driven differential SQL fuzzer over the implemented batch
+  * dialect (r10 VERDICT #1: "the remaining risk is bugs no hand-written
+  * gate query happens to exercise"). Every generator emits a PAIR of
+  * texts — the dialect query and the equivalent DuckDB oracle SQL — that
+  * differ ONLY at the documented divergence points (README "Accepted
+  * divergences"); everywhere else the texts are identical, so a result
+  * mismatch is an engine bug, not an encoding artifact.
+  *
+  * Divergences the renderer translates (the normalization table):
+  *   - dialect `=`/`<>` are NULL-SAFE (reference semantics, AST.hs) →
+  *     oracle `IS [NOT] DISTINCT FROM`;
+  *   - dialect type name STRING → oracle VARCHAR;
+  *   - dialect TO_UPPER/TO_LOWER/STRLEN/ARRAY_LENGTH/ARRAY_JOIN →
+  *     oracle upper/lower/length/len/array_to_string;
+  *   - oracle SUM/CEIL/FLOOR/ARRAY_LENGTH get `::BIGINT` (DuckDB widens
+  *     bigint sums to HUGEINT and ceil to DOUBLE; values are equal);
+  *   - oracle STRING_AGG/ARRAY_AGG values get `::VARCHAR` (the dialect
+  *     casts aggregate values to string itself); PERCENTILE →
+  *     quantile_cont.
+  *
+  * Determinism rules (the harness compares SORTED rows, so only
+  * order-SENSITIVE constructs need totalization):
+  *   - every LIMIT/OFFSET/DISTINCT ON query orders by a key set ending
+  *     in the unique `id`;
+  *   - every sequence-sensitive window function (ROW_NUMBER, LAG/LEAD,
+  *     NTILE, FIRST/LAST/NTH_VALUE, ROWS frames) appends `id` to its
+  *     OVER ORDER BY; peer-based functions (RANK, RANGE/GROUPS frames)
+  *     may keep ties — tie semantics are exactly what they pin;
+  *   - ordered aggregates carry their mandatory in-call ORDER BY with an
+  *     `id` tiebreak; doubles in outputs are ROUNDed.
+  *
+  * Table shapes court the semantics minefield on purpose: ~20% NULLs in
+  * every nullable column, tiny value ranges (ties, hot keys), duplicated
+  * whole rows (set-op ALL semantics), zero values (division), empty
+  * strings, and an empty-after-filter tail.
+  */
+object FuzzGen {
+
+  final case class FuzzQuery(name: String, dialect: String, oracle: String)
+
+  // ---- deterministic tables ------------------------------------------------
+
+  /** Two small tables, deterministic in `seed`. t1 is the main relation
+    * (nullable ints a/b, double c, strings s/g, bool f, unique id); t2 is
+    * the join side (k overlaps a's range, v double, s2 overlaps s's
+    * vocab). Registered as temp views AND returned for parquet dumping. */
+  def tables(spark: SparkSession, seed: Long): (DataFrame, DataFrame) = {
+    val r = new Random(seed)
+    val vocab = Vector("ab", "cd", "ef", "gh", "xy", "")
+    def optLong(p: Double, lo: Int, hi: Int): Any =
+      if (r.nextDouble() < p) null else (lo + r.nextInt(hi - lo + 1)).toLong
+    def optStr(p: Double): Any =
+      if (r.nextDouble() < p) null else vocab(r.nextInt(vocab.size))
+    def optDbl(p: Double): Any =
+      if (r.nextDouble() < p) null
+      else math.rint(r.nextDouble() * 2000 - 500) / 100.0
+    def optBool(p: Double): Any =
+      if (r.nextDouble() < p) null else r.nextBoolean()
+
+    val n1 = 80 + r.nextInt(60)
+    val base = (0 until n1).map { i =>
+      Row(i.toLong, optLong(0.2, 0, 4), optLong(0.15, -3, 9), optDbl(0.2),
+        optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2))
+    }
+    // duplicate a block of rows VERBATIM except id (ALL-semantics bait)
+    val dups = base.take(n1 / 8).zipWithIndex.map { case (row, j) =>
+      Row((n1 + j).toLong, row(1), row(2), row(3), row(4), row(5), row(6))
+    }
+    val s1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", LongType, nullable = true),
+      StructField("b", LongType, nullable = true),
+      StructField("c", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("g", StringType, nullable = false),
+      StructField("f", BooleanType, nullable = true)))
+    val t1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ dups, 4), s1)
+
+    val n2 = 25 + r.nextInt(20)
+    val rows2 = (0 until n2).map { i =>
+      Row(i.toLong, optLong(0.25, 0, 4), optDbl(0.2), optStr(0.2))
+    }
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", LongType, nullable = true),
+      StructField("v", DoubleType, nullable = true),
+      StructField("s2", StringType, nullable = true)))
+    val t2 = spark.createDataFrame(spark.sparkContext.parallelize(rows2, 2), s2)
+
+    t1.createOrReplaceTempView("t1")
+    t2.createOrReplaceTempView("t2")
+    (t1, t2)
+  }
+
+  // ---- dual-text rendering -------------------------------------------------
+
+  /** A query fragment rendered for both engines. Fragments compose by
+    * concatenation; `same` lifts divergence-free text. */
+  final case class Tx(d: String, o: String) {
+    def +(that: Tx): Tx = Tx(d + that.d, o + that.o)
+    def +(t: String): Tx = Tx(d + t, o + t)
+  }
+  private def same(t: String): Tx = Tx(t, t)
+  private def cat(parts: Tx*): Tx = parts.reduce(_ + _)
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  // ---- expressions over t1 -------------------------------------------------
+
+  private def numLit(r: Random): Tx = same(String.valueOf(r.nextInt(8) - 2))
+
+  /** Numeric expression over t1's columns (long- or double-valued). */
+  private def numExpr(r: Random, depth: Int): Tx =
+    if (depth <= 0) pick(r, Seq(same("a"), same("b"), same("id"), same("c"),
+      numLit(r)))
+    else r.nextInt(8) match {
+      case 0 => cat(same("("), numExpr(r, depth - 1),
+        same(s" ${pick(r, Seq("+", "-", "*"))} "), numExpr(r, depth - 1),
+        same(")"))
+      // division/modulo: x/0 and x%0 are NULL in BOTH engines (the
+      // dialect adopted DuckDB's rule in r10) — b is often 0, on purpose
+      case 1 => cat(same("("), numExpr(r, depth - 1),
+        same(s" ${pick(r, Seq("/", "%"))} "), pick(r, Seq(same("b"),
+          numLit(r))), same(")"))
+      case 2 => cat(same("ABS("), numExpr(r, depth - 1), same(")"))
+      case 3 => cat(same("IFNULL("), numExpr(r, depth - 1), same(", "),
+        numLit(r), same(")"))
+      case 4 => cat(same("CASE WHEN "), boolExpr(r, depth - 1),
+        same(" THEN "), numExpr(r, depth - 1), same(" ELSE "),
+        numExpr(r, depth - 1), same(" END"))
+      case 5 => cat(same("NULLIF("), numExpr(r, depth - 1), same(", "),
+        numLit(r), same(")"))
+      case _ => numExpr(r, 0)
+    }
+
+  /** String expression over t1's columns. */
+  private def strExpr(r: Random, depth: Int): Tx =
+    if (depth <= 0) pick(r, Seq(same("s"), same("g"), same("'zz'"), same("''")))
+    else r.nextInt(5) match {
+      case 0 => cat(Tx("TO_UPPER(", "upper("), strExpr(r, depth - 1), same(")"))
+      case 1 => cat(Tx("TO_LOWER(", "lower("), strExpr(r, depth - 1), same(")"))
+      case 2 => cat(same("IFNULL("), strExpr(r, depth - 1), same(", 'nn')"))
+      case 3 => cat(Tx("CAST(", "CAST("), pick(r, Seq(same("a"), same("b"))),
+        Tx(" AS STRING)", " AS VARCHAR)"))
+      case _ => strExpr(r, 0)
+    }
+
+  /** Boolean expression over t1's columns. Dialect `=`/`<>` are
+    * NULL-SAFE → the oracle spells IS [NOT] DISTINCT FROM. */
+  private def boolExpr(r: Random, depth: Int): Tx =
+    if (depth <= 0) r.nextInt(6) match {
+      case 0 => cat(numExpr(r, 0),
+        same(s" ${pick(r, Seq("<", "<=", ">", ">="))} "), numExpr(r, 0))
+      case 1 =>
+        val (l, rr) = (pick(r, Seq("a", "b")), pick(r, Seq("b", "1", "3")))
+        if (r.nextBoolean()) Tx(s"$l = $rr", s"$l IS NOT DISTINCT FROM $rr")
+        else Tx(s"$l <> $rr", s"$l IS DISTINCT FROM $rr")
+      case 2 => cat(pick(r, Seq(same("a"), same("c"), same("s"), same("f"))),
+        same(if (r.nextBoolean()) " IS NULL" else " IS NOT NULL"))
+      case 3 => same(s"${pick(r, Seq("a", "b"))} IN (${
+        Seq.fill(1 + r.nextInt(3))(r.nextInt(6) - 1).distinct.mkString(", ")})")
+      case 4 => same(s"s IN (${
+        Seq.fill(1 + r.nextInt(2))(s"'${pick(r, Seq("ab", "cd", "xy", "qq"))}'")
+          .distinct.mkString(", ")})")
+      case _ => cat(pick(r, Seq(same("b"), same("id"))),
+        same(if (r.nextBoolean()) " BETWEEN 1 AND 5" else " NOT BETWEEN 2 AND 7"))
+    }
+    else r.nextInt(4) match {
+      case 0 => cat(same("("), boolExpr(r, depth - 1),
+        same(s" ${pick(r, Seq("AND", "OR"))} "), boolExpr(r, depth - 1),
+        same(")"))
+      case 1 => cat(same("NOT ("), boolExpr(r, depth - 1), same(")"))
+      case _ => boolExpr(r, 0)
+    }
+
+  /** Wrap a double-valued output column for stable comparison. */
+  private def rounded(e: Tx): Tx = cat(same("ROUND("), e, same(", 4)"))
+
+  // ---- query templates -----------------------------------------------------
+
+  private type Template = (Random, Int) => FuzzQuery
+
+  /** 1. Scalar projection + WHERE: expression semantics, null
+    * propagation, null-safe =, division by zero, CASE, IN, BETWEEN. */
+  private def tScalar(r: Random, i: Int): FuzzQuery = {
+    val e1 = rounded(numExpr(r, 2))
+    val e2 = strExpr(r, 2)
+    val p = boolExpr(r, 2)
+    val w = boolExpr(r, 2)
+    val q = cat(same("SELECT id, "), e1, same(" AS e1, "), e2,
+      same(" AS e2, "), p, same(" AS p1 FROM t1 WHERE "), w,
+      same(" ORDER BY id"))
+    FuzzQuery(f"fz_${i}%03d_scalar", q.d, q.o)
+  }
+
+  /** 2. Grouped aggregates + HAVING + FILTER clauses. */
+  private def tAgg(r: Random, i: Int): FuzzQuery = {
+    val key = pick(r, Seq("g", "a", "s"))
+    val filt = boolExpr(r, 1)
+    val aggs = Seq(
+      same("COUNT(*) AS n"),
+      Tx("SUM(b) AS sb", "SUM(b)::BIGINT AS sb"),
+      cat(same("ROUND(SUM(c), 4) AS sc")),
+      same("MIN(b) AS mnb"), same("MAX(s) AS mxs"),
+      cat(same("ROUND(AVG(b), 4) AS avb")),
+      same("COUNT(DISTINCT b) AS ndb"),
+      Tx("SUM(DISTINCT b) AS sdb", "SUM(DISTINCT b)::BIGINT AS sdb"),
+      cat(same("COUNT(c) FILTER (WHERE "), filt, same(") AS nf")),
+      Tx("PERCENTILE(b, 0.5) AS p50", "quantile_cont(b, 0.5) AS p50"),
+      cat(Tx("MEDIAN(b) AS med", "median(b) AS med")))
+    val chosen = r.shuffle(aggs).take(3 + r.nextInt(3))
+    val having =
+      if (r.nextBoolean()) cat(same(" HAVING COUNT(*) > "),
+        same(String.valueOf(1 + r.nextInt(3))))
+      else same("")
+    val q = cat(same(s"SELECT $key AS kk, "),
+      chosen.reduce((x, y) => cat(x, same(", "), y)),
+      same(s" FROM t1 GROUP BY $key"), having)
+    FuzzQuery(f"fz_${i}%03d_agg", q.d, q.o)
+  }
+
+  /** 3. Ordered aggregates (STRING_AGG / ARRAY_AGG [+ FILTER]) with
+    * NULLS placement in the in-call ORDER BY. */
+  private def tOrderedAgg(r: Random, i: Int): FuzzQuery = {
+    val dir = if (r.nextBoolean()) " DESC" else ""
+    val nulls = pick(r, Seq("", " NULLS FIRST", " NULLS LAST"))
+    val filt = boolExpr(r, 1)
+    val sa = Tx(s"STRING_AGG(b, ',' ORDER BY b$dir$nulls, id) AS sa",
+      s"string_agg(b::VARCHAR, ',' ORDER BY b$dir$nulls, id) AS sa")
+    val aa = Tx(
+      s"ARRAY_JOIN(ARRAY_AGG(s ORDER BY c$dir$nulls, id), '|') AS aa",
+      s"array_to_string(array_agg(s ORDER BY c$dir$nulls, id), '|') AS aa")
+    val aaLen = Tx(
+      s"ARRAY_LENGTH(ARRAY_AGG(s ORDER BY c$dir$nulls, id)) AS alen",
+      s"len(array_agg(s ORDER BY c$dir$nulls, id))::BIGINT AS alen")
+    val aaf = cat(
+      Tx(s"ARRAY_JOIN(ARRAY_AGG(CAST(b AS STRING) ORDER BY b$dir, id) FILTER (WHERE ",
+         s"array_to_string(array_agg(b::VARCHAR ORDER BY b$dir, id) FILTER (WHERE "),
+      filt, same("), '|') AS aaf"))
+    val aafLen = cat(
+      Tx("ARRAY_LENGTH(ARRAY_AGG(s ORDER BY id) FILTER (WHERE ",
+         "len(array_agg(s ORDER BY id) FILTER (WHERE "),
+      filt, Tx(")) AS aflen", "))::BIGINT AS aflen"))
+    val chosen = r.shuffle(Seq(sa, aa, aaLen, aaf, aafLen)).take(2 + r.nextInt(3))
+    val q = cat(same("SELECT g, "),
+      chosen.reduce((x, y) => cat(x, same(", "), y)),
+      same(" FROM t1 GROUP BY g"))
+    FuzzQuery(f"fz_${i}%03d_ordagg", q.d, q.o)
+  }
+
+  /** 4. Multi-level grouping: ROLLUP / CUBE / GROUPING SETS with
+    * GROUPING indicators (IFNULL'd keys keep NULL-vs-ALL unambiguous:
+    * a/s are nullable, so the indicator column disambiguates). */
+  private def tMultiLevel(r: Random, i: Int): FuzzQuery = {
+    val mode = pick(r, Seq("ROLLUP (g, a)", "CUBE (g, a)",
+      "GROUPING SETS ((g, a), (g), ())", "GROUPING SETS ((a), ())"))
+    val q = cat(
+      same("SELECT IFNULL(g, '<A>') AS g2, IFNULL(CAST(a AS "),
+      Tx("STRING", "VARCHAR"),
+      same("), '<A>') AS a2, "),
+      Tx("GROUPING(g) AS gg, ", "GROUPING(g)::BIGINT AS gg, "),
+      Tx("GROUPING(a) AS ga, ", "GROUPING(a)::BIGINT AS ga, "),
+      same("COUNT(*) AS n, "),
+      Tx("SUM(b) AS sb", "SUM(b)::BIGINT AS sb"),
+      same(s" FROM t1 GROUP BY $mode"))
+    FuzzQuery(f"fz_${i}%03d_multilevel", q.d, q.o)
+  }
+
+  /** 5. Ranking/offset window functions; sometimes QUALIFY. Peer-based
+    * ranks run on TIED keys; sequence-based functions get an id
+    * tiebreak. */
+  private def tWindowRank(r: Random, i: Int): FuzzQuery = {
+    val part = pick(r, Seq("PARTITION BY g", "PARTITION BY a", ""))
+    val tied = pick(r, Seq("b", "s", "IFNULL(a, -1)"))
+    val fns = Seq(
+      same(s"RANK() OVER ($part ORDER BY $tied) AS rnk"),
+      same(s"DENSE_RANK() OVER ($part ORDER BY $tied) AS drnk"),
+      same(s"ROUND(PERCENT_RANK() OVER ($part ORDER BY $tied), 6) AS pr"),
+      same(s"ROUND(CUME_DIST() OVER ($part ORDER BY $tied), 6) AS cd"),
+      same(s"ROW_NUMBER() OVER ($part ORDER BY $tied, id) AS rn"),
+      same(s"NTILE(${2 + r.nextInt(3)}) OVER ($part ORDER BY $tied, id) AS nt"),
+      same(s"LAG(b, ${1 + r.nextInt(2)}) OVER ($part ORDER BY $tied, id) AS lg"),
+      same(s"LEAD(s) OVER ($part ORDER BY $tied, id) AS ld"),
+      same(s"LAG(c${if (r.nextBoolean()) " IGNORE NULLS" else ""}) " +
+        s"OVER ($part ORDER BY $tied, id) AS lgn"),
+      same(s"FIRST_VALUE(s${if (r.nextBoolean()) " IGNORE NULLS" else ""}) " +
+        s"OVER ($part ORDER BY $tied, id) AS fv"))
+    val chosen = r.shuffle(fns).take(2 + r.nextInt(3))
+    val qualify =
+      if (r.nextInt(3) == 0)
+        same(s" QUALIFY ROW_NUMBER() OVER ($part ORDER BY $tied, id) <= ${3 + r.nextInt(5)}")
+      else same("")
+    val q = cat(same("SELECT id, "),
+      chosen.reduce((x, y) => cat(x, same(", "), y)),
+      same(" FROM t1"), qualify, same(" ORDER BY id"))
+    FuzzQuery(f"fz_${i}%03d_winrank", q.d, q.o)
+  }
+
+  /** 6. Frame aggregates: ROWS/RANGE/GROUPS bounds, EXCLUDE (the
+    * supported combinations), running windows. */
+  private def tWindowFrame(r: Random, i: Int): FuzzQuery = {
+    val part = pick(r, Seq("PARTITION BY g", ""))
+    def bounds(): String = pick(r, Seq(
+      "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+      s"BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
+      s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND ${1 + r.nextInt(2)} FOLLOWING",
+      "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"))
+    val excl = pick(r, Seq("", " EXCLUDE NO OTHERS", " EXCLUDE CURRENT ROW",
+      " EXCLUDE GROUP", " EXCLUDE TIES"))
+    val fns = scala.collection.mutable.Buffer[Tx]()
+    // ROWS frame (id tiebreak): subtractable aggs take any EXCLUDE
+    fns += Tx(s"SUM(b) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl) AS sb",
+      s"SUM(b) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl)::BIGINT AS sb")
+    fns += same(s"COUNT(c) OVER ($part ORDER BY s, id ROWS ${bounds()}$excl) AS nc")
+    fns += same(s"ROUND(AVG(c) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl), 4) AS ac")
+    // MIN/MAX: no EXCLUDE, or EXCLUDE CURRENT ROW on ROWS (the engine's
+    // exact decompositions)
+    fns += same(s"MIN(b) OVER ($part ORDER BY c, id ROWS ${bounds()}" +
+      s"${pick(r, Seq("", " EXCLUDE CURRENT ROW"))}) AS mnb")
+    // RANGE value frame over a non-null numeric key
+    val lo = 1 + r.nextInt(3); val hi = 1 + r.nextInt(3)
+    fns += Tx(
+      s"SUM(b) OVER ($part ORDER BY IFNULL(b, -5) RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING) AS rsb",
+      s"SUM(b) OVER ($part ORDER BY IFNULL(b, -5) RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING)::BIGINT AS rsb")
+    // GROUPS frame on a tied key; MIN/MAX allowed with GROUP/TIES
+    val gexcl = pick(r, Seq("", " EXCLUDE GROUP", " EXCLUDE TIES"))
+    fns += same(s"COUNT(*) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
+      s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND CURRENT ROW$gexcl) AS gn")
+    fns += same(s"MAX(b) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
+      s"BETWEEN 1 PRECEDING AND 1 FOLLOWING$gexcl) AS gmx")
+    val chosen = r.shuffle(fns.toSeq).take(2 + r.nextInt(3))
+    val q = cat(same("SELECT id, "),
+      chosen.reduce((x, y) => cat(x, same(", "), y)),
+      same(" FROM t1 ORDER BY id"))
+    FuzzQuery(f"fz_${i}%03d_winframe", q.d, q.o)
+  }
+
+  /** 7. Joins: all types, equi (null-safe divergence!) and non-equi ON,
+    * sometimes aggregated on top. */
+  private def tJoin(r: Random, i: Int): FuzzQuery = {
+    val jt = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN", "RIGHT JOIN",
+      "FULL JOIN"))
+    val on = r.nextInt(3) match {
+      // dialect ON a = k matches NULL==NULL (null-safe) → oracle INDF
+      case 0 => Tx("t1.a = t2.k", "t1.a IS NOT DISTINCT FROM t2.k")
+      case 1 => same("t1.a < t2.k")
+      case _ => cat(Tx("t1.a = t2.k", "t1.a IS NOT DISTINCT FROM t2.k"),
+        same(" AND "), same("t1.b > t2.id"))
+    }
+    val q0 = cat(same(s"SELECT t1.id AS i1, t2.id AS i2, t1.a, t2.k, " +
+      "t1.s, t2.s2 FROM t1 "), same(jt), same(" t2 ON "), on)
+    val q =
+      if (r.nextBoolean()) q0
+      else cat(same("SELECT q.a AS a, COUNT(*) AS n, "),
+        Tx("SUM(q.k) AS sk", "SUM(q.k)::BIGINT AS sk"),
+        same(" FROM ("), q0, same(") AS q GROUP BY q.a"))
+    FuzzQuery(f"fz_${i}%03d_join", q.d, q.o)
+  }
+
+  /** 8. Set operations with ALL/DISTINCT semantics over duplicated rows. */
+  private def tSetOp(r: Random, i: Int): FuzzQuery = {
+    val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+      "EXCEPT", "EXCEPT ALL"))
+    val w1 = boolExpr(r, 1); val w2 = boolExpr(r, 1)
+    val q = cat(same("SELECT a, b, s FROM t1 WHERE "), w1,
+      same(s" $op SELECT a, b, s FROM t1 WHERE "), w2)
+    FuzzQuery(f"fz_${i}%03d_setop", q.d, q.o)
+  }
+
+  /** 9. Subqueries: [NOT] IN (nullable side on purpose), correlated
+    * EXISTS, scalar subquery in SELECT. */
+  private def tSubquery(r: Random, i: Int): FuzzQuery = {
+    val w2 = boolExpr(r, 1)
+    r.nextInt(3) match {
+      case 0 =>
+        val not = if (r.nextBoolean()) "NOT " else ""
+        // NOT IN over a subquery that may yield NULLs: the standard
+        // three-valued trap both engines must agree on
+        val q = same(s"SELECT id, a FROM t1 WHERE a ${not}IN " +
+          "(SELECT k FROM t2 WHERE v > 0) ORDER BY id")
+        FuzzQuery(f"fz_${i}%03d_insub", q.d, q.o)
+      case 1 =>
+        val not = if (r.nextBoolean()) "NOT " else ""
+        val q = cat(same(s"SELECT id, b FROM t1 WHERE ${not}EXISTS " +
+          "(SELECT 1 FROM t2 WHERE t2.k "),
+          Tx("= t1.a", "IS NOT DISTINCT FROM t1.a"),
+          same(" AND "), w2, same(") ORDER BY id"))
+        FuzzQuery(f"fz_${i}%03d_existssub", q.d, q.o)
+      case _ =>
+        // equality correlation only (the decorrelation's documented
+        // restriction); a is nullable → the null-safe-= divergence rides
+        // the correlation itself
+        val q = cat(
+          same("SELECT id, a, (SELECT ROUND(MAX(v), 4) FROM t2 WHERE t2.k "),
+          Tx("= t1.a", "IS NOT DISTINCT FROM t1.a"),
+          same(") AS mv, (SELECT COUNT(*) FROM t2 WHERE t2.k "),
+          Tx("= t1.b", "IS NOT DISTINCT FROM t1.b"),
+          same(" AND t2.v > 0) AS nk FROM t1 ORDER BY id"))
+        FuzzQuery(f"fz_${i}%03d_scalarsub", q.d, q.o)
+    }
+  }
+
+  /** 10. CTEs, referenced twice (plan reuse + correctness). */
+  private def tCte(r: Random, i: Int): FuzzQuery = {
+    val w = boolExpr(r, 1)
+    val q = cat(same("WITH x AS (SELECT g, a, COUNT(*) AS n, "),
+      Tx("SUM(b) AS sb", "SUM(b)::BIGINT AS sb"),
+      same(" FROM t1 WHERE "), w,
+      same(" GROUP BY g, a) SELECT x1.g, x1.a, x1.n, x1.sb, x2.n AS n2 " +
+        "FROM x AS x1 LEFT JOIN x AS x2 ON x1.g "),
+      Tx("= x2.g", "IS NOT DISTINCT FROM x2.g"),
+      same(" AND x2.a "), Tx("= x1.a", "IS NOT DISTINCT FROM x1.a"))
+    FuzzQuery(f"fz_${i}%03d_cte", q.d, q.o)
+  }
+
+  /** 11. ORDER BY + LIMIT/OFFSET with explicit and default NULLS
+    * placement: the row SET depends on the sort, so the cut pins null
+    * ordering. DISTINCT ON rides the same mechanics. */
+  private def tOrderLimit(r: Random, i: Int): FuzzQuery = {
+    val key = pick(r, Seq("b", "c", "s"))
+    val dir = if (r.nextBoolean()) " DESC" else ""
+    // dialect default = NULLS LAST both directions = DuckDB default:
+    // leaving it unwritten in BOTH texts is itself the divergence pin
+    val nulls = pick(r, Seq("", " NULLS FIRST", " NULLS LAST"))
+    val lim = 5 + r.nextInt(20)
+    val off = if (r.nextBoolean()) s" OFFSET ${r.nextInt(10)}" else ""
+    if (r.nextInt(3) == 0) {
+      val q = same(s"SELECT DISTINCT ON (g) g, id, $key FROM t1 " +
+        s"ORDER BY g, $key$dir$nulls, id")
+      FuzzQuery(f"fz_${i}%03d_distincton", q.d, q.o)
+    } else {
+      val q = same(s"SELECT id, $key FROM t1 " +
+        s"ORDER BY $key$dir$nulls, id LIMIT $lim$off")
+      FuzzQuery(f"fz_${i}%03d_orderlimit", q.d, q.o)
+    }
+  }
+
+  private val templates: Vector[Template] = Vector(
+    tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame,
+    tJoin, tSetOp, tSubquery, tCte, tOrderLimit)
+
+  /** `n` deterministic queries for a seed. Query i uses its own derived
+    * RNG, so any query reproduces alone from (seed, i) — the shrinking
+    * story: re-run a single failing index without the rest. */
+  def queries(seed: Long, n: Int): Seq[FuzzQuery] =
+    (0 until n).map { i =>
+      val r = new Random(seed * 1000003L + i)
+      templates(i % templates.size)(r, i)
+    }
+}

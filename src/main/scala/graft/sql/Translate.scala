@@ -1615,23 +1615,34 @@ object Translate {
           agged0
         else {
           val nKeys = sel.groupBy.size
-          val totalAggCols = aggs.map {
-            case a @ Agg("GROUPING", _, _, _) => lit(1L).as(aggNames(a))
-            case a @ Agg("GROUPING_ID", _, _, _) =>
-              lit((1L << nKeys) - 1L).as(aggNames(a))
-            case a => aggColumn(a, resolve).as(aggNames(a))
+          // synthetic positional aliases: an aggregate output alias may
+          // COLLIDE with a grouping-key name (SELECT k, COUNT(*) AS k …
+          // GROUP BY CUBE(k)) — binding by name would then be ambiguous
+          // or silently wrong, so the whole synthesis binds by position
+          val totalAggCols = aggs.zipWithIndex.map { case (a, i) =>
+            (a match {
+              case Agg("GROUPING", _, _, _) => lit(1L)
+              case Agg("GROUPING_ID", _, _, _) => lit((1L << nKeys) - 1L)
+              case a2 => aggColumn(a2, resolve)
+            }).as(s"__graft_total$i")
           }
           val empty = watermarked.limit(0)
           val total0 =
             if (totalAggCols.isEmpty)
               empty.agg(count(lit(1)).as("__graft_dummy")).drop("__graft_dummy")
             else empty.agg(totalAggCols.head, totalAggCols.tail: _*)
-          val total = total0.select(agged0.schema.map { f =>
-            (if (total0.columns.contains(f.name)) col(f.name)
-             else lit(null)).cast(f.dataType).as(f.name)
+          // agged0's schema = grouping keys (a known-width prefix) then
+          // the aggregates in `aggs` order — rebuild it positionally
+          val nPrefix = agged0.schema.length - aggs.length
+          val total = total0.select(agged0.schema.zipWithIndex.map {
+            case (f, i) =>
+              (if (i < nPrefix) lit(null) else col(s"__graft_total${i - nPrefix}"))
+                .cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*)
           val probe = watermarked.select(lit(1).as("__graft_probe")).limit(1)
-          agged0.unionByName(total.join(probe, lit(true), "left_anti"))
+          // positional union (not unionByName): columns line up by
+          // construction, and duplicate output names stay representable
+          agged0.union(total.join(probe, lit(true), "left_anti"))
         }
 
       // HAVING over the aggregated relation (Planner.hs:380-382)

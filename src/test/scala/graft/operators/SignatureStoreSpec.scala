@@ -120,13 +120,73 @@ class SignatureStoreSpec extends SparkSpec {
     // re-compacting folds the compacted leaf + the new batch
     assert(SignatureStore.compact(spark, dir) == 2)
     assert(SignatureStore.sigs(spark, dir).get.count() == 4)
-    // vacuum deletes the unreferenced leftovers (4 batch leaves + the
-    // first compaction's leaf), keeps the live leaf, contents unchanged
-    assert(SignatureStore.vacuum(spark, dir) == 5)
-    assert(SignatureStore.vacuum(spark, dir) == 0) // idempotent
+    // the DEFAULT grace protects every just-written dir (a reader on the
+    // pre-compaction manifest may still scan them; a mid-write append's
+    // data dir looks identical) — nothing deleted
+    assert(SignatureStore.vacuum(spark, dir) == 0)
+    // grace 0 = caller asserts quiescence: deletes the unreferenced
+    // leftovers (4 batch leaves + the first compaction's leaf), keeps
+    // the live leaf, contents unchanged
+    assert(SignatureStore.vacuum(spark, dir, graceMs = 0) == 5)
+    assert(SignatureStore.vacuum(spark, dir, graceMs = 0) == 0) // idempotent
     assert(SignatureStore.sigs(spark, dir).get.count() == 4)
     assert(SignatureStore.bands(spark, dir).select("doc_id")
       .distinct().count() == 4)
+  }
+
+  test("reader on the pre-compaction manifest survives compact + graced vacuum") {
+    val dir = tmpDir()
+    SignatureStore.append(spark, dir, "b1", sigOf(docs(1L -> "a b c d e")))
+    SignatureStore.append(spark, dir, "b2", sigOf(docs(2L -> "f g h i j")))
+    // reader opens the CURRENT (pre-compaction) manifest's leaves lazily
+    val reader = SignatureStore.bands(spark, dir)
+    assert(SignatureStore.compact(spark, dir) == 2)
+    // graced vacuum retains the old leaves (they are younger than the
+    // grace) — the in-flight reader's scan still succeeds afterwards
+    assert(SignatureStore.vacuum(spark, dir) == 0)
+    assert(reader.select("doc_id").distinct().count() == 2)
+    // the quiesced-caller path deletes them; a NEW reader (current
+    // manifest = the compacted leaf) is unaffected
+    assert(SignatureStore.vacuum(spark, dir, graceMs = 0) == 2)
+    assert(SignatureStore.bands(spark, dir)
+      .select("doc_id").distinct().count() == 2)
+  }
+
+  test("a commit that lost the generation race fails loudly, not silently") {
+    val dir = tmpDir()
+    SignatureStore.append(spark, dir, "b1", sigOf(docs(1L -> "a b c d e")))
+    SignatureStore.append(spark, dir, "b2", sigOf(docs(2L -> "f g h i j")))
+    // simulate a compaction that read gen 0 (only b1) while the b2 append
+    // committed gen 1: its manifest commit must fail instead of
+    // committing a manifest without b2 (the silently-lost-batch hazard)
+    val stale = SignatureStore.committed(spark, dir) - "b2"
+    val ex = intercept[IllegalArgumentException](
+      SignatureStore.commitManifest(spark, dir, stale, readGen = 0L))
+    assert(ex.getMessage.contains("concurrent commit"), ex.getMessage)
+    // the store is untouched: b2 still committed, contents intact
+    assert(SignatureStore.committed(spark, dir).keySet == Set("b1", "b2"))
+    assert(SignatureStore.sigs(spark, dir).get.count() == 2)
+  }
+
+  test("ingest = append + auto-compaction above maxLeaves; replay never compacts") {
+    val dir = tmpDir()
+    assert(SignatureStore.ingest(spark, dir, "c1",
+      sigOf(docs(1L -> "a b c d e")), maxLeaves = 2))
+    assert(SignatureStore.ingest(spark, dir, "c2",
+      sigOf(docs(2L -> "f g h i j")), maxLeaves = 2))
+    // two leaves ≤ maxLeaves: no fold yet
+    assert(SignatureStore.committed(spark, dir).values.toSeq.distinct.size == 2)
+    assert(SignatureStore.ingest(spark, dir, "c3",
+      sigOf(docs(3L -> "k l m n o")), maxLeaves = 2))
+    // third leaf crossed the threshold: folded to one, every id committed
+    val after = SignatureStore.committed(spark, dir)
+    assert(after.keySet == Set("c1", "c2", "c3"))
+    assert(after.values.toSeq.distinct.size == 1)
+    assert(SignatureStore.sigs(spark, dir).get.count() == 3)
+    // idempotent replay: no append, and no re-compaction churn
+    assert(!SignatureStore.ingest(spark, dir, "c2",
+      sigOf(docs(2L -> "f g h i j")), maxLeaves = 2))
+    assert(SignatureStore.committed(spark, dir) == after)
   }
 
   test("signature files are doc_id range-clustered: non-overlapping per-file ranges") {

@@ -55,6 +55,27 @@ class EmptyRelationSpec extends SparkSpec {
       r(0).isNullAt(5))
   }
 
+  test("CUBE with an aggregate alias colliding with the grouping key name") {
+    import spark.implicits._
+    // SELECT k, COUNT(*) AS k: the synthesized grand-total row binds by
+    // POSITION (r10 ADVICE — name binding was ambiguous here). Non-empty
+    // input: the probe anti-join suppresses the synthetic row.
+    Seq((1L, "a", 2L), (2L, "a", 3L), (3L, "b", 4L))
+      .toDF("i", "k", "v").createOrReplaceTempView("mt_dup")
+    val r = e.batch(
+      "SELECT k, COUNT(*) AS k FROM mt_dup GROUP BY CUBE (k);").collect()
+    // levels: (a,2) (b,1) + grand total (NULL,3)
+    val got = r.map(x => (if (x.isNullAt(0)) null else x.getString(0),
+      x.getLong(1))).toSet
+    assert(got == Set(("a", 2L), ("b", 1L), (null, 3L)), got)
+    // and on EMPTY input the synthesized row itself carries the collision
+    setup()
+    val r2 = e.batch(
+      "SELECT k, COUNT(*) AS k FROM mt_t GROUP BY CUBE (k);").collect()
+    assert(r2.length == 1 && r2(0).isNullAt(0) && r2(0).getLong(1) == 0L,
+      r2.mkString(","))
+  }
+
   test("ROLLUP / set ops / subqueries / CTEs on empty input") {
     setup()
     // ROLLUP's grand-total group aggregates the empty set → exactly one
