@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Pins of the ORACLE's (DuckDB's) own quirks that gate/fuzz oracle texts
+work around. If an assertion here starts failing, DuckDB was upgraded past
+the quirk — restore the corresponding oracle text to its native form:
+
+1. Chained WINDOW definitions drop the base's PARTITION BY (DuckDB 1.0.0
+   resolver bug) -> q_sql_window_refine's oracle hand-resolves the chain
+   (SqlQueries.scala, "window_refine"). When fixed: use `WINDOW wo AS
+   (wp ORDER BY ...)` natively and delete the hand-resolution.
+2. GROUPS frame mode unimplemented -> q_sql_groups_* oracles and
+   FuzzGen's GROUPS fragments use the definitional dense_rank RANGE
+   expansion. When implemented: emit GROUPS natively in oracle texts.
+3. array_to_string over an array with NO non-null element returns NULL
+   (reference/Spark: '') -> FuzzGen.joinOracle normalizes. This is
+   long-standing DuckDB behavior, pinned so the normalization's reason
+   stays checkable.
+4. No in-call ORDER BY on window functions -> q_sql_string_agg_window's
+   oracle is a definitional correlated-subquery expansion.
+
+Run: python3 duckdb_pins.py   (exit 0 = quirks still present, oracle
+workarounds still required)."""
+import duckdb, sys
+
+con = duckdb.connect()
+fails = []
+
+# 1. chained WINDOW drops base PARTITION BY — but ONLY when the use site
+# REFINES the chained window with a frame (`OVER (wo ROWS …)`); a bare
+# `OVER wo` resolves correctly (verified while writing this pin). The
+# gate's s_frame column is exactly the buggy shape.
+con.execute("CREATE TABLE t AS SELECT i % 3 AS g, i FROM range(9) r(i)")
+mx = con.sql(
+    "SELECT max(s) FROM (SELECT sum(i) OVER (wo ROWS BETWEEN 2 PRECEDING "
+    "AND CURRENT ROW) AS s FROM t WINDOW w1 AS (PARTITION BY g), "
+    "wo AS (w1 ORDER BY i)) q").fetchone()[0]
+# partition kept -> max partition sum 2+5+8 = 15; dropped -> 6+7+8 = 21
+if mx != 21:
+    fails.append("1: use-site frame refinement of a chained WINDOW now "
+                 "keeps the base PARTITION BY — restore "
+                 "q_sql_window_refine's native chained oracle")
+
+# 2. GROUPS frames
+try:
+    con.sql("SELECT sum(i) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW) FROM t").fetchall()
+    fails.append("2: GROUPS frames now work — oracle texts can emit "
+                 "GROUPS natively instead of the dense_rank expansion")
+except Exception:
+    pass
+
+# 3. array_to_string NULL-on-empty
+if con.sql("SELECT array_to_string([NULL]::INT[], '|') IS NULL").fetchone()[0] is not True:
+    fails.append("3: array_to_string no longer NULLs an all-NULL array — "
+                 "drop FuzzGen.joinOracle's normalization")
+
+# 4. in-call ORDER BY on window functions
+try:
+    con.sql("SELECT string_agg(i::VARCHAR, ',' ORDER BY i) OVER "
+            "(PARTITION BY g) FROM t").fetchall()
+    fails.append("4: window string_agg now takes in-call ORDER BY — "
+                 "q_sql_string_agg_window's oracle can go native")
+except Exception:
+    pass
+
+if fails:
+    print(f"DuckDB {duckdb.__version__}: {len(fails)} quirk(s) GONE — "
+          "update the linked oracle texts:")
+    for f in fails:
+        print("  " + f)
+    sys.exit(1)
+print(f"DuckDB {duckdb.__version__}: all 4 oracle quirks still present; "
+      "workarounds remain required")

@@ -182,8 +182,12 @@ object FuzzGen {
       case _ => boolExpr(r, 0)
     }
 
-  /** Wrap a double-valued output column for stable comparison. */
-  private def rounded(e: Tx): Tx = cat(same("ROUND("), e, same(", 4)"))
+  /** Wrap a numeric output column for stable comparison. The `* 1.0`
+    * forces DOUBLE on both sides: DuckDB's round(INTEGER, n) returns
+    * DOUBLE while Spark's round(LONG, n) stays LONG — a dtype artifact,
+    * not a semantic divergence. */
+  private def rounded(e: Tx): Tx =
+    cat(same("ROUND(("), e, same(") * 1.0, 4)"))
 
   // ---- query templates -----------------------------------------------------
 
@@ -209,7 +213,7 @@ object FuzzGen {
     val aggs = Seq(
       same("COUNT(*) AS n"),
       Tx("SUM(b) AS sb", "SUM(b)::BIGINT AS sb"),
-      cat(same("ROUND(SUM(c), 4) AS sc")),
+      cat(same("SUM(c) AS sc")), // raw double: see the ac comment below
       same("MIN(b) AS mnb"), same("MAX(s) AS mxs"),
       cat(same("ROUND(AVG(b), 4) AS avb")),
       same("COUNT(DISTINCT b) AS ndb"),
@@ -230,6 +234,17 @@ object FuzzGen {
 
   /** 3. Ordered aggregates (STRING_AGG / ARRAY_AGG [+ FILTER]) with
     * NULLS placement in the in-call ORDER BY. */
+  /** ARRAY_JOIN oracle normalization: the dialect's ARRAY_JOIN follows
+    * the reference (Codegen/Utils.hs arrJoinPrim: empty array → "") and
+    * Spark's array_join (all-NULL elements → ""), but DuckDB's
+    * array_to_string returns NULL when NO non-null element survives.
+    * Wrap: NULL array stays NULL, otherwise coalesce the quirk to "".
+    * (Seed-8 fuzzer finding — an oracle-side divergence, not an engine
+    * bug; the reference's "" is the contract.) */
+  private def joinOracle(arr: String, sep: String): String =
+    s"CASE WHEN ($arr) IS NULL THEN NULL " +
+      s"ELSE COALESCE(array_to_string($arr, '$sep'), '') END"
+
   private def tOrderedAgg(r: Random, i: Int): FuzzQuery = {
     val dir = if (r.nextBoolean()) " DESC" else ""
     val nulls = pick(r, Seq("", " NULLS FIRST", " NULLS LAST"))
@@ -238,14 +253,15 @@ object FuzzGen {
       s"string_agg(b::VARCHAR, ',' ORDER BY b$dir$nulls, id) AS sa")
     val aa = Tx(
       s"ARRAY_JOIN(ARRAY_AGG(s ORDER BY c$dir$nulls, id), '|') AS aa",
-      s"array_to_string(array_agg(s ORDER BY c$dir$nulls, id), '|') AS aa")
+      joinOracle(s"array_agg(s ORDER BY c$dir$nulls, id)", "|") + " AS aa")
     val aaLen = Tx(
       s"ARRAY_LENGTH(ARRAY_AGG(s ORDER BY c$dir$nulls, id)) AS alen",
       s"len(array_agg(s ORDER BY c$dir$nulls, id))::BIGINT AS alen")
-    val aaf = cat(
-      Tx(s"ARRAY_JOIN(ARRAY_AGG(CAST(b AS STRING) ORDER BY b$dir, id) FILTER (WHERE ",
-         s"array_to_string(array_agg(b::VARCHAR ORDER BY b$dir, id) FILTER (WHERE "),
-      filt, same("), '|') AS aaf"))
+    val aafD = s"ARRAY_JOIN(ARRAY_AGG(CAST(b AS STRING) ORDER BY b$dir, id)" +
+      s" FILTER (WHERE ${filt.d}), '|') AS aaf"
+    val aafO = joinOracle(s"array_agg(b::VARCHAR ORDER BY b$dir, id)" +
+      s" FILTER (WHERE ${filt.o})", "|") + " AS aaf"
+    val aaf = Tx(aafD, aafO)
     val aafLen = cat(
       Tx("ARRAY_LENGTH(ARRAY_AGG(s ORDER BY id) FILTER (WHERE ",
          "len(array_agg(s ORDER BY id) FILTER (WHERE "),
@@ -261,8 +277,9 @@ object FuzzGen {
     * GROUPING indicators (IFNULL'd keys keep NULL-vs-ALL unambiguous:
     * a/s are nullable, so the indicator column disambiguates). */
   private def tMultiLevel(r: Random, i: Int): FuzzQuery = {
+    // every referenced key must appear in at least one grouping set
     val mode = pick(r, Seq("ROLLUP (g, a)", "CUBE (g, a)",
-      "GROUPING SETS ((g, a), (g), ())", "GROUPING SETS ((a), ())"))
+      "GROUPING SETS ((g, a), (g), ())", "GROUPING SETS ((g), (a), ())"))
     val q = cat(
       same("SELECT IFNULL(g, '<A>') AS g2, IFNULL(CAST(a AS "),
       Tx("STRING", "VARCHAR"),
@@ -314,14 +331,22 @@ object FuzzGen {
       s"BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
       s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND ${1 + r.nextInt(2)} FOLLOWING",
       "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"))
-    val excl = pick(r, Seq("", " EXCLUDE NO OTHERS", " EXCLUDE CURRENT ROW",
-      " EXCLUDE GROUP", " EXCLUDE TIES"))
+    // ROWS frames take NO OTHERS / CURRENT ROW only (the engine rejects
+    // EXCLUDE GROUP/TIES there: a ROWS boundary can cut a peer group)
+    val excl = pick(r, Seq("", " EXCLUDE NO OTHERS", " EXCLUDE CURRENT ROW"))
     val fns = scala.collection.mutable.Buffer[Tx]()
-    // ROWS frame (id tiebreak): subtractable aggs take any EXCLUDE
-    fns += Tx(s"SUM(b) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl) AS sb",
-      s"SUM(b) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl)::BIGINT AS sb")
+    // ROWS frame (id tiebreak): subtractable aggs take any EXCLUDE.
+    // bounds() draws once per fragment — interpolating a fresh call into
+    // each rendered side would give the two engines DIFFERENT frames
+    val bSb = bounds()
+    fns += Tx(s"SUM(b) OVER ($part ORDER BY b, id ROWS $bSb$excl) AS sb",
+      s"SUM(b) OVER ($part ORDER BY b, id ROWS $bSb$excl)::BIGINT AS sb")
     fns += same(s"COUNT(c) OVER ($part ORDER BY s, id ROWS ${bounds()}$excl) AS nc")
-    fns += same(s"ROUND(AVG(c) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl), 4) AS ac")
+    // RAW double, no ROUND: float sums accumulate in different orders on
+    // the two engines, and rounding an ulp-apart pair at a .00005
+    // boundary flips the last digit (seed-2 finding — 1 row in 121).
+    // fuzz.py compares doubles with rtol=1e-9, which absorbs the ulp.
+    fns += same(s"AVG(c) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl) AS ac")
     // MIN/MAX: no EXCLUDE, or EXCLUDE CURRENT ROW on ROWS (the engine's
     // exact decompositions)
     fns += same(s"MIN(b) OVER ($part ORDER BY c, id ROWS ${bounds()}" +
@@ -331,16 +356,35 @@ object FuzzGen {
     fns += Tx(
       s"SUM(b) OVER ($part ORDER BY IFNULL(b, -5) RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING) AS rsb",
       s"SUM(b) OVER ($part ORDER BY IFNULL(b, -5) RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING)::BIGINT AS rsb")
-    // GROUPS frame on a tied key; MIN/MAX allowed with GROUP/TIES
+    // GROUPS frame on a tied key; MIN/MAX allowed with GROUP/TIES.
+    // DuckDB 1.0.0 has NO GROUPS mode ("not implemented yet"), so the
+    // oracle uses the DEFINITIONAL expansion — the same convention as
+    // the q_sql_groups_frame gate row: a RANGE frame over a precomputed
+    // dense_rank peer-group ordinal (__dr, from a derived table). Peers
+    // under ORDER BY __dr are exactly the GROUPS peer classes, so
+    // EXCLUDE GROUP/TIES carry over unchanged.
     val gexcl = pick(r, Seq("", " EXCLUDE GROUP", " EXCLUDE TIES"))
-    fns += same(s"COUNT(*) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
-      s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND CURRENT ROW$gexcl) AS gn")
-    fns += same(s"MAX(b) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
-      s"BETWEEN 1 PRECEDING AND 1 FOLLOWING$gexcl) AS gmx")
+    val gLo = 1 + r.nextInt(2)
+    fns += Tx(
+      s"COUNT(*) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
+        s"BETWEEN $gLo PRECEDING AND CURRENT ROW$gexcl) AS gn",
+      s"COUNT(*) OVER ($part ORDER BY __dr RANGE " +
+        s"BETWEEN $gLo PRECEDING AND CURRENT ROW$gexcl) AS gn")
+    fns += Tx(
+      s"MAX(b) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
+        s"BETWEEN 1 PRECEDING AND 1 FOLLOWING$gexcl) AS gmx",
+      s"MAX(b) OVER ($part ORDER BY __dr RANGE " +
+        s"BETWEEN 1 PRECEDING AND 1 FOLLOWING$gexcl) AS gmx")
     val chosen = r.shuffle(fns.toSeq).take(2 + r.nextInt(3))
+    val needsDr = chosen.exists(_.o.contains("__dr"))
+    val from =
+      if (needsDr) Tx(" FROM t1 ",
+        s" FROM (SELECT *, dense_rank() OVER ($part ORDER BY IFNULL(a, -1))" +
+          " AS __dr FROM t1) AS t1 ")
+      else same(" FROM t1 ")
     val q = cat(same("SELECT id, "),
       chosen.reduce((x, y) => cat(x, same(", "), y)),
-      same(" FROM t1 ORDER BY id"))
+      from, same("ORDER BY id"))
     FuzzQuery(f"fz_${i}%03d_winframe", q.d, q.o)
   }
 
@@ -400,9 +444,10 @@ object FuzzGen {
         // restriction); a is nullable → the null-safe-= divergence rides
         // the correlation itself
         val q = cat(
-          same("SELECT id, a, (SELECT ROUND(MAX(v), 4) FROM t2 WHERE t2.k "),
+          // the correlated form requires a BARE aggregate — round OUTSIDE
+          same("SELECT id, a, ROUND((SELECT MAX(v) FROM t2 WHERE t2.k "),
           Tx("= t1.a", "IS NOT DISTINCT FROM t1.a"),
-          same(") AS mv, (SELECT COUNT(*) FROM t2 WHERE t2.k "),
+          same("), 4) AS mv, (SELECT COUNT(*) FROM t2 WHERE t2.k "),
           Tx("= t1.b", "IS NOT DISTINCT FROM t1.b"),
           same(" AND t2.v > 0) AS nk FROM t1 ORDER BY id"))
         FuzzQuery(f"fz_${i}%03d_scalarsub", q.d, q.o)
@@ -456,4 +501,27 @@ object FuzzGen {
       val r = new Random(seed * 1000003L + i)
       templates(i % templates.size)(r, i)
     }
+
+  /** Canonical hash of a query result: rows rendered to strings (doubles
+    * rounded to 6 dp — every generated double output is already
+    * query-ROUNDed to ≤4, so partition-order float noise cannot reach
+    * the canonical form), sorted, MD5'd. Used by the FuzzSpec pins: a
+    * fuzz corpus certified green against DuckDB (fuzz.py) has its
+    * engine-side hashes committed, turning the offline differential into
+    * an in-CI regression gate. */
+  def resultHash(df: DataFrame): String = {
+    def cell(v: Any): String = v match {
+      case null => "∅"
+      case d: java.lang.Double =>
+        val r = math.rint(d * 1e6) / 1e6
+        if (r == 0.0) "0" else BigDecimal(r).underlying.stripTrailingZeros.toPlainString
+      case f: java.lang.Float => cell(f.toDouble)
+      case other => other.toString
+    }
+    val lines = df.collect().map(_.toSeq.map(cell).mkString("\t")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(df.columns.sorted.mkString("\t").getBytes("UTF-8"))
+    lines.foreach(l => md.update(("\n" + l).getBytes("UTF-8")))
+    md.digest().map(b => f"$b%02x").mkString
+  }
 }

@@ -2118,8 +2118,15 @@ object Translate {
             case ColRef(Some(qual), n) => col(s"$qual.$n")
             case ColRef(None, n) => col(n)
           }
+          // <=> not ===: the dialect's `=` is NULL-SAFE everywhere else
+          // (Bin("=") translates to <=>, including EXISTS correlation),
+          // so a NULL outer key must match the sub relation's NULL-key
+          // group here too. Found by the r11 differential fuzzer: ===
+          // silently returned NULL for NULL outer keys while DuckDB's
+          // IS NOT DISTINCT FROM (the oracle spelling of the dialect's
+          // `=`) aggregates the NULL group.
           val cond = keyPairs.zipWithIndex.map { case ((_, ok), i) =>
-            outerResolve(ok) === col(s"__graft_sk$i") }.reduce(_ && _)
+            outerResolve(ok) <=> col(s"__graft_sk$i") }.reduce(_ && _)
           val joined = cur.join(agged, cond, "left")
           val fixed = // COUNT over an empty group is 0, not NULL
             if (aggItem.name == "COUNT")
