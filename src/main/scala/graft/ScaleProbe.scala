@@ -598,8 +598,19 @@ object ScaleProbe {
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
     }.mkString("{", ",", "}")
     val qjson100 = probes100.map { case (name, t1, t10, t100) =>
+      // marginal ratio (r10 VERDICT #7): (t100−t10)/(t10−t1) compares the
+      // INCREMENTAL cost of each decade, cancelling the fixed JVM/stage
+      // constant that dominates sub-second t1x rows and inflates the raw
+      // ratio on provably linear plans (a perfectly linear plan with
+      // fixed cost c has marginal exactly 10, raw (10a+c)/(a+c) < 10 but
+      // raw ratio100 ≈ anything when c ≫ a). NaN-guarded: a negative or
+      // ~zero denominator (timing noise at tiny t) reports as null.
+      val denom = t10 - t1
+      val marginal =
+        if (denom > 0.05) f"${(t100 - t10) / denom}%.2f" else "null"
       f""""$name":{"t1x":$t1%.3f,"t10x":$t10%.3f,"t100x":$t100%.3f,""" +
-        f""""ratio10":${t10 / t1}%.2f,"ratio100":${t100 / t10}%.2f}"""
+        f""""ratio10":${t10 / t1}%.2f,"ratio100":${t100 / t10}%.2f,""" +
+        s""""marginal100":$marginal}"""
     }.mkString("{", ",", "}")
     val ccjson =
       f"""{"nodes":$ccN,"twophase_rounds":$tpRounds,""" +

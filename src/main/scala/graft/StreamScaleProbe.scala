@@ -88,15 +88,6 @@ object StreamScaleProbe {
     def windowShape(s: DataFrame) = (
       StreamOps.tumble(s, "ts", "1 day")
         .agg(count(lit(1)).as("cnt"), sum($"value").as("sv")), "update")
-    def joinShape(s: () => DataFrame) = {
-      val l = s().filter($"event_id" % 2 === 0)
-        .select($"user_id".as("lu"), $"ts".as("lts"), $"event_id".as("lid"))
-      val r = s().filter($"event_id" % 2 === 1)
-        .select($"user_id".as("ru"), $"ts".as("rts"), $"event_id".as("rid"))
-      (StreamOps.intervalJoin(l, r, "lts", "rts", "2 minutes", "2 minutes",
-        col("lu") === col("ru"), grace = "2 minutes")
-        .select($"lid", $"rid"), "append")
-    }
     def funnelShape(s: DataFrame) = (
       StreamOps.funnel(s, "user_id", "event_type", "ts",
         Seq("view", "purchase"), stepWindow = "24 hours"), "append")
@@ -150,20 +141,38 @@ object StreamScaleProbe {
         f""""state_mb_1x":${b1 / 1e6}%.1f,"state_mb_10x":${b10 / 1e6}%.1f}"""
     }
 
-    val joinRow = { // join builds two streams itself
-      val (p1, m1) = joinShape(ev1); val (t1, r1, b1) = drain(p1, m1)
-      val (p10, m10) = joinShape(ev10); val (t10, r10, b10) = drain(p10, m10)
-      System.err.println(f"[sprobe] s_stream_join t1=$t1%.1f t10=$t10%.1f")
-      f""""s_stream_join":{"t1x":$t1%.2f,"t10x":$t10%.2f,"ratio":${t10 / t1}%.2f,""" +
+    // LEFT OUTER variant (r10 VERDICT #6): the null side buffers
+    // unmatched lefts until the watermark proves no right can arrive —
+    // the peak state this row measures is exactly that buffer + the
+    // inner join's. joinType is the ONLY delta vs s_stream_join.
+    def joinShapeTyped(s: () => DataFrame, joinType: String) = {
+      val l = s().filter($"event_id" % 2 === 0)
+        .select($"user_id".as("lu"), $"ts".as("lts"), $"event_id".as("lid"))
+      val r = s().filter($"event_id" % 2 === 1)
+        .select($"user_id".as("ru"), $"ts".as("rts"), $"event_id".as("rid"))
+      (StreamOps.intervalJoin(l, r, "lts", "rts", "2 minutes", "2 minutes",
+        col("lu") === col("ru"), joinType = joinType, grace = "2 minutes")
+        .select($"lid", $"rid"), "append")
+    }
+    def joinRowFor(name: String, joinType: String) = {
+      val (p1, m1) = joinShapeTyped(ev1, joinType)
+      val (t1, r1, b1) = drain(p1, m1)
+      val (p10, m10) = joinShapeTyped(ev10, joinType)
+      val (t10, r10, b10) = drain(p10, m10)
+      System.err.println(f"[sprobe] $name t1=$t1%.1f t10=$t10%.1f")
+      f""""$name":{"t1x":$t1%.2f,"t10x":$t10%.2f,"ratio":${t10 / t1}%.2f,""" +
         f""""state_rows_1x":$r1,"state_rows_10x":$r10,""" +
         f""""state_mb_1x":${b1 / 1e6}%.1f,"state_mb_10x":${b10 / 1e6}%.1f}"""
     }
+    val joinRow = joinRowFor("s_stream_join", "inner")
+    val joinLeftRow = joinRowFor("s_stream_join_left", "leftOuter")
 
     val rows = Seq(
       probe("s_stream_filter", filterShape, ev1, ev10),
       probe("s_stream_agg", aggShape, ev1, ev10),
       probe("s_stream_window", windowShape, ev1, ev10),
       joinRow,
+      joinLeftRow,
       probe("s_twin_funnel", funnelShape, ev1, ev10),
       probe("s_twin_retention", retentionShape, ev1, ev10, warmup = true),
       probe("s_twin_incdedup", dedupShape, dc1, dc10))

@@ -40,8 +40,12 @@ class StreamingTwinSpec extends SparkSpec {
 
   /** Far-future sentinel event (user_id −1): appended as a second
     * micro-batch it advances the watermark past every real record, closing
-    * all append-mode windows. */
-  private def appendSentinel(dir: java.nio.file.Path): Unit = {
+    * all append-mode windows. `eventType` pins the sentinel's type — a
+    * topology that SPLITS the source by event_type before watermarking
+    * needs one sentinel PER branch, since each branch's watermark only
+    * sees rows that pass its own filter. */
+  private def appendSentinel(dir: java.nio.file.Path,
+                             eventType: Option[String] = None): Unit = {
     import org.apache.spark.sql.types._
     val cur = spark.read.parquet(dir.toString)
     // Sentinel must match the dir's physical ts encoding so the fixed-schema
@@ -51,9 +55,10 @@ class StreamingTwinSpec extends SparkSpec {
       case LongType => lit(4000000000000000000L) // ~2096 in nanos
       case t => timestamp_micros(lit(4000000000000000L)).cast(t)
     }
-    cur.limit(1)
+    val base = cur.limit(1)
       .withColumn("ts", sentinelTs)
       .withColumn("user_id", lit(-1L))
+    eventType.map(t => base.withColumn("event_type", lit(t))).getOrElse(base)
       .write.mode("append").parquet(dir.toString)
   }
 
@@ -127,6 +132,39 @@ class StreamingTwinSpec extends SparkSpec {
       .select($"a_user".as("user_id"), $"pairs")
       .orderBy("user_id").collect().toSeq
     assert(got == batch("q_interval_join"), "streaming interval join != batch twin")
+    q.stop()
+  }
+
+  test("streaming LEFT OUTER interval join twin == oracle'd q_interval_join_left") {
+    import spark.implicits._
+    // the risky half of an OUTER stream-stream join is the NULL side:
+    // an unmatched left emits its null-padded row only when the join's
+    // watermark proves no matching right can still arrive — exactly the
+    // rows a batch LEFT join emits immediately. Twin: same clicks ⋈
+    // purchases-within-10min shape as the hash-verified batch row.
+    val (dir, s) = staged("events")
+    val a = s.filter($"event_type" === "click")
+      .select($"user_id".as("a_user"), $"ts".as("a_ts"), $"event_id".as("a_id"))
+      .withWatermark("a_ts", "2 minutes")
+    val b = s.filter($"event_type" === "purchase")
+      .select($"user_id".as("b_user"), $"ts".as("b_ts"), $"event_id".as("b_id"))
+      .withWatermark("b_ts", "2 minutes")
+    val q = drain(
+      a.join(b, $"a_user" === $"b_user"
+          && $"b_ts" >= $"a_ts"
+          && $"b_ts" <= $"a_ts" + expr("INTERVAL 10 MINUTES"), "leftOuter")
+        .select($"a_user", $"a_id", $"b_id"),
+      "append", "tw_join_left")
+    // both branches filter BEFORE watermarking, so each needs its own
+    // sentinel to advance its watermark and flush the null side
+    appendSentinel(dir, Some("click"))
+    appendSentinel(dir, Some("purchase"))
+    q.processAllAvailable()
+    val got = spark.table("tw_join_left").filter($"a_user" =!= -1L)
+      .groupBy($"a_id").agg(count($"b_id").as("purchases_within_10m"))
+      .orderBy("a_id").collect().toSeq
+    assert(got == batch("q_interval_join_left"),
+      "streaming LEFT interval join != batch twin")
     q.stop()
   }
 
