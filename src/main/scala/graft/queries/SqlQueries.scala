@@ -966,6 +966,34 @@ object SqlQueries extends QueryPack {
                     EXCLUDE TIES) AS mx_exties
          FROM events ORDER BY event_id;""")),
 
+    // MIN/MAX with EXCLUDE on value-typed RANGE frames + EXCLUDE CURRENT
+    // ROW on GROUPS frames (extension, r11): no prefix/suffix
+    // decomposition exists there (value offsets can't isolate the peer
+    // set), so the planner collects the frame's values and evaluates the
+    // exclusion literally — exact, O(frame) per row. ORDER BY the coarse
+    // value bucket makes peer groups big; DuckDB plans its native RANGE
+    // EXCLUDE for the first three columns, and the dense_rank expansion
+    // carries EXCLUDE CURRENT ROW for the GROUPS column.
+    "q_sql_range_exclude_minmax" -> ((s, dir) => run(s, dir,
+      """SELECT event_id, user_id,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mn_excur,
+                MAX(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 1 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE GROUP) AS mx_exgrp,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+                    EXCLUDE TIES) AS mn_exties,
+                MAX(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY event_type
+                    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mx_gcur
+         FROM events ORDER BY event_id;""")),
+
     // GROUPS frames (extension; DuckDB supports them natively): bounds
     // count peer groups — tie classes of the ORDER BY keys. ORDER BY
     // event_type makes each user's peer groups big (ties everywhere), so
@@ -1648,6 +1676,30 @@ object SqlQueries extends QueryPack {
                 MAX(v100) OVER (PARTITION BY user_id ORDER BY dr
                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
                     EXCLUDE TIES) AS mx_exties
+         FROM e ORDER BY event_id""",
+    // RANGE EXCLUDE is native DuckDB; the GROUPS + EXCLUDE CURRENT ROW
+    // column takes the dense_rank expansion (EXCLUDE CURRENT ROW is
+    // frame-type-agnostic, so it carries over the rewrite unchanged).
+    "q_sql_range_exclude_minmax" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           ROUND(value * 100.0) AS v100,
+                           ROUND(value * 0.01) AS bkt,
+                           DENSE_RANK() OVER (PARTITION BY user_id
+                               ORDER BY event_type) AS dr
+                    FROM events)
+         SELECT event_id, user_id,
+                MIN(v100) OVER (PARTITION BY user_id ORDER BY bkt
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mn_excur,
+                MAX(v100) OVER (PARTITION BY user_id ORDER BY bkt
+                    RANGE BETWEEN 1 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE GROUP) AS mx_exgrp,
+                MIN(v100) OVER (PARTITION BY user_id ORDER BY bkt
+                    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+                    EXCLUDE TIES) AS mn_exties,
+                MAX(v100) OVER (PARTITION BY user_id ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS mx_gcur
          FROM e ORDER BY event_id""",
     // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
     // oracle is the DEFINITIONAL expansion — a RANGE frame over the

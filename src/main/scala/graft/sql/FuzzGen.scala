@@ -356,14 +356,25 @@ object FuzzGen {
     fns += Tx(
       s"SUM(b) OVER ($part ORDER BY IFNULL(b, -5) RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING) AS rsb",
       s"SUM(b) OVER ($part ORDER BY IFNULL(b, -5) RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING)::BIGINT AS rsb")
-    // GROUPS frame on a tied key; MIN/MAX allowed with GROUP/TIES.
+    // MIN/MAX with any EXCLUDE on a RANGE frame (r11 collected-frame
+    // plan; DuckDB's RANGE EXCLUDE is native) — the tied key makes peer
+    // groups big, and c varies within them
+    val rexcl = pick(r, Seq("", " EXCLUDE NO OTHERS", " EXCLUDE CURRENT ROW",
+      " EXCLUDE GROUP", " EXCLUDE TIES"))
+    fns += same(s"MIN(c) OVER ($part ORDER BY IFNULL(a, -1) RANGE " +
+      s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND " +
+      s"${1 + r.nextInt(2)} FOLLOWING$rexcl) AS rmn")
+    // GROUPS frame on a tied key (COUNT and MAX, any EXCLUDE).
     // DuckDB 1.0.0 has NO GROUPS mode ("not implemented yet"), so the
     // oracle uses the DEFINITIONAL expansion — the same convention as
     // the q_sql_groups_frame gate row: a RANGE frame over a precomputed
     // dense_rank peer-group ordinal (__dr, from a derived table). Peers
     // under ORDER BY __dr are exactly the GROUPS peer classes, so
     // EXCLUDE GROUP/TIES carry over unchanged.
-    val gexcl = pick(r, Seq("", " EXCLUDE GROUP", " EXCLUDE TIES"))
+    // r11: EXCLUDE CURRENT ROW joins GROUP/TIES (frame-type-agnostic,
+    // so it carries over the dense_rank expansion unchanged)
+    val gexcl = pick(r, Seq("", " EXCLUDE GROUP", " EXCLUDE TIES",
+      " EXCLUDE CURRENT ROW"))
     val gLo = 1 + r.nextInt(2)
     fns += Tx(
       s"COUNT(*) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
@@ -489,9 +500,80 @@ object FuzzGen {
     }
   }
 
+  /** 12. GROUP BY ALL / ORDER BY ALL (DuckDB-compatible extensions):
+    * key inference from the select list, with a nullable key (a) so the
+    * default NULLS LAST placement rides along. */
+  private def tGroupAll(r: Random, i: Int): FuzzQuery = {
+    val w = boolExpr(r, 1)
+    val q = cat(same("SELECT g, a, COUNT(*) AS n, "),
+      Tx("SUM(b) AS sb", "SUM(b)::BIGINT AS sb"),
+      same(", MIN(s) AS mns FROM t1 WHERE "), w,
+      same(" GROUP BY ALL ORDER BY ALL"))
+    FuzzQuery(f"fz_${i}%03d_groupall", q.d, q.o)
+  }
+
+  /** 13. Named WINDOW clause + use-site refinement (standard SQL): one
+    * ORDER-BY-less base, consumers add ORDER BY and frames. DuckDB
+    * resolves DIRECTLY-defined named windows natively — only chained
+    * definitions hit its 1.0.0 resolver bug (duckdb_pins.py #1), so the
+    * generator stays on direct definitions. */
+  private def tWinClause(r: Random, i: Int): FuzzQuery = {
+    val part = pick(r, Seq("PARTITION BY g", "PARTITION BY IFNULL(a, -1)"))
+    val k = pick(r, Seq("b", "c", "IFNULL(a, -1)"))
+    val lo = 1 + r.nextInt(3)
+    val q = cat(
+      same("SELECT id, "),
+      Tx("SUM(b) OVER w AS sw", "(SUM(b) OVER w)::BIGINT AS sw"),
+      same(s", ROW_NUMBER() OVER (w ORDER BY $k, id) AS rn"),
+      same(s", RANK() OVER (w ORDER BY $k) AS rk, "),
+      Tx(s"SUM(b) OVER (w ORDER BY $k, id ROWS BETWEEN $lo PRECEDING AND CURRENT ROW) AS sm",
+        s"(SUM(b) OVER (w ORDER BY $k, id ROWS BETWEEN $lo PRECEDING AND CURRENT ROW))::BIGINT AS sm"),
+      same(s" FROM t1 WINDOW w AS ($part) ORDER BY id"))
+    FuzzQuery(f"fz_${i}%03d_winclause", q.d, q.o)
+  }
+
+  /** 14. String functions: dialect names vs DuckDB's (TO_UPPER/upper,
+    * STRLEN/length, TAKE/left, SPLIT/string_split), empty strings and
+    * NULL propagation; SPLIT's delimiter is LITERAL on both sides. */
+  private def tStrFn(r: Random, i: Int): FuzzQuery = {
+    val inner: Tx = pick(r, Seq(same("s"), same("g"),
+      same(s"IFNULL(s, '${pick(r, Seq("", "zb"))}')")))
+    val n = 1 + r.nextInt(3)
+    val fns = Seq(
+      cat(Tx("TO_UPPER(", "upper("), inner, same(") AS e1")),
+      cat(Tx("TO_LOWER(", "lower("), inner, same(") AS e2")),
+      cat(Tx("STRLEN(", "length("), inner, same(") AS e3")),
+      cat(same("REVERSE("), inner, same(") AS e4")),
+      cat(Tx(s"TAKE($n, ", "left("), inner,
+        Tx(") AS e5", s", $n) AS e5")),
+      cat(Tx("ARRAY_JOIN(SPLIT(", "array_to_string(string_split("), inner,
+        same(", 'b'), '|') AS e6")))
+    val chosen = r.shuffle(fns).take(2 + r.nextInt(3))
+    val q = cat(same("SELECT id, "),
+      chosen.reduce((x, y) => cat(x, same(", "), y)),
+      same(" FROM t1 ORDER BY id"))
+    FuzzQuery(f"fz_${i}%03d_strfn", q.d, q.o)
+  }
+
+  /** 15. WITH RECURSIVE series joined back to data (semi-naive loop +
+    * the null-safe-= divergence on the join key). */
+  private def tRecursive(r: Random, i: Int): FuzzQuery = {
+    val k = 3 + r.nextInt(6)
+    val q = cat(
+      same("WITH RECURSIVE rs AS (SELECT 0 AS n FROM t2 WHERE id = 0 " +
+        s"UNION ALL SELECT n + 1 AS n FROM rs WHERE n < $k) " +
+        "SELECT rs.n, COUNT(t1.id) AS cnt, "),
+      Tx("SUM(t1.b) AS sb", "SUM(t1.b)::BIGINT AS sb"),
+      same(" FROM rs LEFT JOIN t1 ON t1.a "),
+      Tx("= rs.n", "IS NOT DISTINCT FROM rs.n"),
+      same(" GROUP BY rs.n ORDER BY rs.n"))
+    FuzzQuery(f"fz_${i}%03d_recursive", q.d, q.o)
+  }
+
   private val templates: Vector[Template] = Vector(
     tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame,
-    tJoin, tSetOp, tSubquery, tCte, tOrderLimit)
+    tJoin, tSetOp, tSubquery, tCte, tOrderLimit,
+    tGroupAll, tWinClause, tStrFn, tRecursive)
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking

@@ -232,32 +232,80 @@ object Translate {
           s"${w.name} with EXCLUDE requires exactly one argument")
       }
       if (w.name == "MIN" || w.name == "MAX") {
-        // MIN/MAX aren't subtractable — Validate pins them to the frames
-        // where exclusion is EXACT as a prefix/suffix decomposition:
-        //   - ROWS + EXCLUDE CURRENT ROW: agg over rows [lo, -1] ∪
-        //     [+1, hi] — the excluded row sits at offset 0;
-        //   - GROUPS + EXCLUDE GROUP/TIES: by the time we're here the
-        //     GROUPS frame is rewritten to RANGE over the integer
-        //     dense_rank ordinal (rangeFrame=true CANNOT be a user RANGE
-        //     — Validate rejects MIN/MAX + RANGE pre-rewrite), and ±1 in
-        //     ordinal space steps exactly one peer group, so the peer
-        //     set is ordinal ranges [lo, -1] ∪ [+1, hi]; TIES adds the
-        //     current row's own value back.
+        // MIN/MAX aren't subtractable. Two exact plan families; the
+        // cheaper one wins per combo:
+        //  (1) prefix/suffix decomposition, O(1) extra state per row —
+        //      exact when the excluded set is a bound split: ROWS +
+        //      EXCLUDE CURRENT ROW (the excluded row sits at offset 0),
+        //      and a GROUPS frame (already rewritten here to RANGE over
+        //      the integer dense_rank ordinal, where ±1 steps exactly
+        //      one peer group) for GROUP/TIES; for GROUPS + CURRENT ROW
+        //      the ordinal split [lo,-1] ∪ [0,0] ∪ [1,hi] isolates the
+        //      peer group, leaving only the small peer-group collect.
+        //  (2) collected-frame evaluation (r11), O(frame) per row — the
+        //      same cost class as windowed ARRAY_AGG: collect the
+        //      frame's values and evaluate the exclusion literally. A
+        //      value-typed RANGE frame has NO bound split (value offsets
+        //      can't isolate the peer set: [k+lo, k−1] misses (k−1, k)
+        //      for non-integer keys), so RANGE + any EXCLUDE lands here.
+        //      EXCLUDE CURRENT ROW needs no row identity: MIN/MAX depend
+        //      only on the value MULTISET, so removing ONE occurrence of
+        //      the current value is enough — a value beyond the frame
+        //      aggregate leaves it; an equal one keeps it iff it occurs
+        //      twice, else the remaining values re-aggregate.
         // least/greatest skip NULLs, so an empty side degrades to the
         // other; everything empty → NULL, the SQL empty-frame value.
+        val isMin = w.name == "MIN"
         val (lo, hi) = w.frame.get
-        val agg: Column => Column = if (w.name == "MIN") min else max
+        val agg: Column => Column = if (isMin) min else max
+        val arrAgg: Column => Column = if (isMin) array_min else array_max
         val between: (Long, Long) => org.apache.spark.sql.expressions.WindowSpec =
           if (w.rangeFrame) ordered.rangeBetween else ordered.rowsBetween
-        val pre = if (lo <= -1L) Some(agg(x).over(between(lo, -1L))) else None
-        val suf = if (hi >= 1L) Some(agg(x).over(between(1L, hi))) else None
-        val parts = pre.toSeq ++ suf.toSeq ++
-          (if (w.exclude == "TIES") Seq(x) else Nil)
-        parts match {
-          case Seq() => lit(null)
-          case Seq(only) => only
-          case many =>
-            if (w.name == "MIN") least(many: _*) else greatest(many: _*)
+        // a GROUPS-rewritten frame orders by the hidden dense_rank
+        // ordinal; a user query can never reference that column
+        val ordinalKey = w.rangeFrame && (w.orderBy match {
+          case Seq(OrderItem(ColRef(None, n), _, _)) =>
+            n.startsWith("__graft_grp")
+          case _ => false
+        })
+        // frame agg with ONE occurrence of the current row's value
+        // removed, over the values collected by `collectSpec`
+        def minusOne(collectSpec: org.apache.spark.sql.expressions.WindowSpec): Column = {
+          val arr = collect_list(x).over(collectSpec)
+          val whole = arrAgg(arr)
+          val unaffected = if (isMin) x > whole else x < whole
+          when(x.isNull, whole)
+            .otherwise(when(unaffected, whole)
+              .otherwise(when(size(filter(arr, e => e <=> x)) >= 2, whole)
+                .otherwise(arrAgg(filter(arr, e => !(e <=> x))))))
+        }
+        def sides(tail: Seq[Column]): Column = {
+          val pre = if (lo <= -1L) Some(agg(x).over(between(lo, -1L))) else None
+          val suf = if (hi >= 1L) Some(agg(x).over(between(1L, hi))) else None
+          (pre.toSeq ++ suf.toSeq ++ tail) match {
+            case Seq() => lit(null)
+            case Seq(only) => only
+            case many => if (isMin) least(many: _*) else greatest(many: _*)
+          }
+        }
+        if (!w.rangeFrame) sides(Nil) // ROWS ⇒ CURRENT ROW (Validate)
+        else if (ordinalKey) {
+          if (w.exclude == "CURRENT ROW") sides(Seq(minusOne(between(0L, 0L))))
+          else sides(if (w.exclude == "TIES") Seq(x) else Nil)
+        } else if (w.exclude == "CURRENT ROW") minusOne(between(lo, hi))
+        else {
+          // value-typed RANGE + GROUP/TIES: peers = frame rows sharing
+          // the current ORDER BY key (null-safe — a NULL key's peers are
+          // the other NULL-key rows); collect (key, value) structs and
+          // filter them out. TIES re-admits the current row's own value.
+          val k = go(w.orderBy.head.e) // RANGE ⇒ exactly one key
+          val kv = when(x.isNotNull, struct(k.as("k"), x.as("v")))
+          val others = arrAgg(transform(
+            filter(collect_list(kv).over(between(lo, hi)),
+              e => !(e("k") <=> k)), e => e("v")))
+          if (w.exclude == "TIES")
+            (if (isMin) least(others, x) else greatest(others, x))
+          else others
         }
       } else {
       val sumF = sum(x).over(spec)

@@ -573,31 +573,15 @@ object Validate {
       // leave the frame TOGETHER, i.e. RANGE or GROUPS frames (a ROWS
       // frame boundary can cut through a peer group).
       if (exclude != "NO OTHERS") {
-        val minmax = name == "MIN" || name == "MAX"
-        if (!minmax && !Set("SUM", "COUNT", "AVG").contains(name))
-          fail(s"$name does not support frame EXCLUDE (the subtractable " +
-            "aggregates SUM/COUNT/AVG do, plus MIN/MAX on ROWS frames " +
-            "with EXCLUDE CURRENT ROW)")
-        // MIN/MAX aren't subtractable; they take the frames where a
-        // prefix/suffix decomposition is EXACT: EXCLUDE CURRENT ROW on
-        // ROWS (the excluded row sits at offset 0) and EXCLUDE
-        // GROUP/TIES on GROUPS (±1 peer-group ordinal steps exactly one
-        // peer group). A RANGE frame has no exact decomposition (value
-        // offsets can't isolate the peer set), and CURRENT ROW on
-        // GROUPS/RANGE would need peers-minus-one-row, which no frame
-        // expresses.
-        val minmaxOk =
-          (exclude == "CURRENT ROW" && !rangeFrame && !groupsFrame) ||
-            (groupsFrame && exclude != "CURRENT ROW")
-        if (minmax && !minmaxOk) {
-          val kind = if (groupsFrame) "GROUPS" else if (rangeFrame) "RANGE"
-            else "ROWS"
-          fail(s"$name: EXCLUDE $exclude on a $kind frame is not " +
-            "supported for MIN/MAX — supported: EXCLUDE CURRENT ROW on " +
-            "ROWS frames, EXCLUDE GROUP/TIES on GROUPS frames (exact " +
-            "prefix/suffix decompositions); a RANGE frame is not " +
-            "supported (no exact decomposition exists)")
-        }
+        // SUM/COUNT/AVG plan EXCLUDE by frame-aggregate subtraction;
+        // MIN/MAX (not subtractable) take an exact prefix/suffix
+        // decomposition where one exists and the collected-frame
+        // evaluation elsewhere (r11, Translate winFnCol) — every
+        // EXCLUDE mode is supported on every frame type, except the
+        // engine-wide ROWS + GROUP/TIES rule below.
+        if (!Set("SUM", "COUNT", "AVG", "MIN", "MAX").contains(name))
+          fail(s"$name does not support frame EXCLUDE " +
+            "(SUM/COUNT/AVG/MIN/MAX do)")
         if (exclude != "CURRENT ROW" && !rangeFrame && !groupsFrame)
           fail(s"$name: EXCLUDE $exclude requires a RANGE or GROUPS " +
             "frame — a ROWS frame boundary can cut through a peer group")

@@ -175,11 +175,10 @@ class FrameOracleSpec extends SparkSpec {
     import spark.implicits._
     val orderSql = if (mode == "ROWS") "i" else "o"
     val orderCol: R => Long = if (mode == "ROWS") _.i else _.o
-    // MIN/MAX with EXCLUDE exist where the prefix/suffix decomposition
-    // is exact: ROWS + CURRENT ROW, GROUPS + GROUP/TIES; elsewhere
-    // Validate rejects them.
-    val withMinMax = (mode == "ROWS" && excl == "CURRENT ROW") ||
-      (mode == "GROUPS" && excl != "CURRENT ROW")
+    // r11: MIN/MAX accept every supported mode × EXCLUDE combo (the
+    // collected-frame plan covers what the prefix/suffix decompositions
+    // can't), so the literal evaluator checks them everywhere.
+    val withMinMax = true
     samples(tableGen, 4, seed).zipWithIndex.foreach { case (data, ti) =>
       data.map(r => (r.i, r.k, r.o, r.v)).toDF("i", "k", "o", "v")
         .createOrReplaceTempView("fo_t")
@@ -239,7 +238,7 @@ class FrameOracleSpec extends SparkSpec {
     checkExclude("RANGE", "GROUP", 6006L)
     checkExclude("RANGE", "TIES", 7007L)
   }
-  test("GROUPS EXCLUDE CURRENT ROW / GROUP / TIES (GROUP/TIES incl. MIN/MAX) match the literal evaluator") {
+  test("GROUPS EXCLUDE CURRENT ROW / GROUP / TIES (incl. MIN/MAX) match the literal evaluator") {
     checkExclude("GROUPS", "CURRENT ROW", 8008L)
     checkExclude("GROUPS", "GROUP", 9009L)
     checkExclude("GROUPS", "TIES", 10010L)

@@ -102,12 +102,29 @@ class WindowFrameSpec extends SparkSpec {
         if (r.isNullAt(2)) -1L else r.getLong(2)))
     assert(mm.toSeq == Seq((1L, 20L, -1L), (2L, 10L, 10L),
       (3L, 20L, 20L), (4L, 30L, 30L)), mm.toSeq)
-    rejects("""SELECT MIN(v) OVER (ORDER BY i
-         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
-       FROM wf_t;""", "RANGE frame is not supported")
-    rejects("""SELECT MAX(v) OVER (ORDER BY i
-         GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
-       FROM wf_t;""", "EXCLUDE CURRENT ROW on a GROUPS frame")
+    // r11: the collected-frame plan closes the former rejections —
+    // MIN/MAX with EXCLUDE on value-typed RANGE frames and EXCLUDE
+    // CURRENT ROW on GROUPS frames. Hand-checked over all 5 rows
+    // (ORDER BY i puts the two i=1 rows, v=10 and v=5, in one peer set).
+    val rng = e.batch(
+      """SELECT k, i,
+                MIN(v) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND
+                  1 FOLLOWING EXCLUDE CURRENT ROW) AS mn_cur,
+                MIN(v) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND
+                  1 FOLLOWING EXCLUDE GROUP) AS mn_grp,
+                MAX(v) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND
+                  1 FOLLOWING EXCLUDE TIES) AS mx_ties,
+                MAX(v) OVER (ORDER BY i GROUPS BETWEEN 1 PRECEDING AND
+                  1 FOLLOWING EXCLUDE CURRENT ROW) AS mx_gcur
+         FROM wf_t ORDER BY i, k;""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rng.toSeq == Seq(
+      ("a", 1L, 5L, 20L, 20L, 20L),
+      ("b", 1L, 10L, 20L, 20L, 20L),
+      ("a", 2L, 5L, 5L, 30L, 30L),
+      ("a", 3L, 20L, 20L, 40L, 40L),
+      ("a", 4L, 30L, 30L, 40L, 30L)), rng.toSeq)
     rejects("""SELECT FIRST_VALUE(v) OVER (ORDER BY i
          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
        FROM wf_t;""", "does not support frame EXCLUDE")
