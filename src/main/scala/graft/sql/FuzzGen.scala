@@ -65,14 +65,24 @@ object FuzzGen {
     def optBool(p: Double): Any =
       if (r.nextDouble() < p) null else r.nextBoolean()
 
+    // ts: a few days around 2024-01-01 UTC at odd second offsets (both
+    // date AND time-of-day vary), 15% NULL — the datetime template's
+    // cast/arith/compare substrate
+    val epoch2024 = 1704067200000L
+    def optTs(p: Double): Any =
+      if (r.nextDouble() < p) null
+      else new java.sql.Timestamp(
+        epoch2024 + (r.nextInt(6 * 86400).toLong * 1000L))
+
     val n1 = 80 + r.nextInt(60)
     val base = (0 until n1).map { i =>
       Row(i.toLong, optLong(0.2, 0, 4), optLong(0.15, -3, 9), optDbl(0.2),
-        optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2))
+        optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2), optTs(0.15))
     }
     // duplicate a block of rows VERBATIM except id (ALL-semantics bait)
     val dups = base.take(n1 / 8).zipWithIndex.map { case (row, j) =>
-      Row((n1 + j).toLong, row(1), row(2), row(3), row(4), row(5), row(6))
+      Row((n1 + j).toLong, row(1), row(2), row(3), row(4), row(5), row(6),
+        row(7))
     }
     val s1 = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -81,7 +91,8 @@ object FuzzGen {
       StructField("c", DoubleType, nullable = true),
       StructField("s", StringType, nullable = true),
       StructField("g", StringType, nullable = false),
-      StructField("f", BooleanType, nullable = true)))
+      StructField("f", BooleanType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
     val t1 = spark.createDataFrame(
       spark.sparkContext.parallelize(base ++ dups, 4), s1)
 
@@ -570,10 +581,42 @@ object FuzzGen {
     FuzzQuery(f"fz_${i}%03d_recursive", q.d, q.o)
   }
 
+  /** 16. Timestamp/date/time semantics over nullable ts: casts render
+    * via the format mappings (dialect DATETOSTRING + 'yyyy-MM-dd' vs
+    * DuckDB strftime + '%Y-%m-%d'); TIME values render as HH:MM:SS text
+    * on both sides (the q_sql_datetime convention); INTERVAL literal
+    * syntax is shared; DATEDIFF(a, b) = days a−b = DuckDB date
+    * subtraction. */
+  private def tDatetime(r: Random, i: Int): FuzzQuery = {
+    // every random amount drawn ONCE and interpolated into both texts
+    // (a second draw would hand the engines different intervals)
+    val mins = 5 + r.nextInt(2000)
+    val hrs = 1 + r.nextInt(40)
+    val cut = s"2024-01-0${1 + r.nextInt(6)}"
+    val fns = Seq(
+      Tx("DATETOSTRING(ts :: DATE, 'yyyy-MM-dd') AS d1",
+        "strftime(ts::DATE, '%Y-%m-%d') AS d1"),
+      Tx("ts :: TIME AS tod", "strftime(ts, '%H:%M:%S') AS tod"),
+      Tx(s"DATETOSTRING(ts + INTERVAL $mins MINUTE, 'yyyy-MM-dd HH:mm:ss') AS p1",
+        s"strftime(ts + INTERVAL $mins MINUTE, '%Y-%m-%d %H:%M:%S') AS p1"),
+      Tx(s"DATETOSTRING(ts - INTERVAL $hrs HOUR, 'yyyy-MM-dd HH:mm:ss') AS m1",
+        s"strftime(ts - INTERVAL $hrs HOUR, '%Y-%m-%d %H:%M:%S') AS m1"),
+      Tx(s"DATEDIFF(ts :: DATE, DATE '$cut') AS dd",
+        s"(ts::DATE - DATE '$cut') AS dd"),
+      same(s"ts > TIMESTAMP '$cut 12:00:00' AS cmp"),
+      Tx("ts :: TIME > TIME '06:30:00' AS pm",
+        "strftime(ts, '%H:%M:%S') > '06:30:00' AS pm"))
+    val chosen = r.shuffle(fns).take(2 + r.nextInt(3))
+    val q = cat(same("SELECT id, "),
+      chosen.reduce((x, y) => cat(x, same(", "), y)),
+      same(" FROM t1 ORDER BY id"))
+    FuzzQuery(f"fz_${i}%03d_datetime", q.d, q.o)
+  }
+
   private val templates: Vector[Template] = Vector(
     tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame,
     tJoin, tSetOp, tSubquery, tCte, tOrderLimit,
-    tGroupAll, tWinClause, tStrFn, tRecursive)
+    tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime)
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking
