@@ -16,6 +16,11 @@ the quirk — restore the corresponding oracle text to its native form:
    stays checkable.
 4. No in-call ORDER BY on window functions -> q_sql_string_agg_window's
    oracle is a definitional correlated-subquery expansion.
+5. ASOF JOIN evaluates its inequality in SORT order, not SQL comparison
+   semantics: a NULL left ts matches the key's GREATEST right ts instead
+   of nothing -> FuzzGen's tAsof filters NULL ts on both sides (the
+   engine keeps SQL semantics: NULL compares UNKNOWN, matches nothing).
+   When fixed: drop the WHERE ts IS NOT NULL filters from the template.
 
 Run: python3 duckdb_pins.py   (exit 0 = quirks still present, oracle
 workarounds still required)."""
@@ -53,6 +58,17 @@ if con.sql("SELECT array_to_string([NULL]::INT[], '|') IS NULL").fetchone()[0] i
     fails.append("3: array_to_string no longer NULLs an all-NULL array — "
                  "drop FuzzGen.joinOracle's normalization")
 
+# 5. ASOF JOIN's inequality follows sort order for NULLs: a NULL left
+# ts matches the key's greatest right ts (SQL comparison semantics would
+# match nothing)
+con.execute("CREATE TABLE al AS SELECT 1 AS k, NULL::TIMESTAMP AS ts")
+con.execute("CREATE TABLE ar AS SELECT 1 AS k, TIMESTAMP '2024-01-01' AS ts")
+m = con.sql("SELECT count(*) FROM al ASOF JOIN ar "
+            "ON al.k = ar.k AND al.ts >= ar.ts").fetchone()[0]
+if m != 1:
+    fails.append("5: ASOF JOIN no longer matches a NULL left ts — restore "
+                 "NULL-ts rows to FuzzGen.tAsof (drop its WHERE filters)")
+
 # 4. in-call ORDER BY on window functions
 try:
     con.sql("SELECT string_agg(i::VARCHAR, ',' ORDER BY i) OVER "
@@ -68,5 +84,5 @@ if fails:
     for f in fails:
         print("  " + f)
     sys.exit(1)
-print(f"DuckDB {duckdb.__version__}: all 4 oracle quirks still present; "
+print(f"DuckDB {duckdb.__version__}: all 5 oracle quirks still present; "
       "workarounds remain required")

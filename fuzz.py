@@ -10,7 +10,7 @@ import json, os, subprocess, sys
 
 OUT = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/tmp/fuzz_out"
-N = "160"
+N = "170"
 SEED = "1"
 for i, a in enumerate(sys.argv):
     if a == "--n": N = sys.argv[i + 1]

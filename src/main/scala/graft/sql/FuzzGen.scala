@@ -98,13 +98,15 @@ object FuzzGen {
 
     val n2 = 25 + r.nextInt(20)
     val rows2 = (0 until n2).map { i =>
-      Row(i.toLong, optLong(0.25, 0, 4), optDbl(0.2), optStr(0.2))
+      Row(i.toLong, optLong(0.25, 0, 4), optDbl(0.2), optStr(0.2),
+        optTs(0.1))
     }
     val s2 = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("k", LongType, nullable = true),
       StructField("v", DoubleType, nullable = true),
-      StructField("s2", StringType, nullable = true)))
+      StructField("s2", StringType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
     val t2 = spark.createDataFrame(spark.sparkContext.parallelize(rows2, 2), s2)
 
     t1.createOrReplaceTempView("t1")
@@ -613,10 +615,43 @@ object FuzzGen {
     FuzzQuery(f"fz_${i}%03d_datetime", q.d, q.o)
   }
 
+  /** 17. ASOF [LEFT] JOIN, both directions, IDENTICAL texts — DuckDB
+    * 1.0 plans its native ASOF independently of the engine's union-trick
+    * operator. Keys are IFNULL-projected in FROM-subqueries (the ON
+    * clause takes bare columns, and DuckDB's ASOF `=` is not null-safe);
+    * NULL timestamps are filtered on BOTH sides because DuckDB's ASOF
+    * implements the inequality in SORT order — a NULL left ts matches
+    * the key's GREATEST right ts instead of nothing (duckdb_pins.py #5;
+    * seed-1 fuzzer finding), where the engine keeps SQL comparison
+    * semantics (NULL compares UNKNOWN, matches nothing — AsofJoin
+    * scaladoc). Only l.* and the matched right ts
+    * are projected, so duplicate right (key, ts) rows — where "the"
+    * match is ambiguous in both engines — cannot wobble the output. */
+  private def tAsof(r: Random, i: Int): FuzzQuery = {
+    val lt = if (r.nextBoolean()) "ASOF LEFT JOIN" else "ASOF JOIN"
+    val cmp = if (r.nextBoolean()) ">=" else "<=" // backward / forward
+    val q = cat(
+      same("SELECT l.id, "),
+      Tx("DATETOSTRING(l.ts, 'yyyy-MM-dd HH:mm:ss') AS lts",
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS lts"),
+      same(", "),
+      // the engine's asof output carries the matched right column BARE
+      // (right-side qualifiers don't survive the union-trick plan);
+      // unqualified `rts` is unambiguous in DuckDB too
+      Tx("DATETOSTRING(rts, 'yyyy-MM-dd HH:mm:ss') AS mts",
+        "strftime(rts, '%Y-%m-%d %H:%M:%S') AS mts"),
+      same(" FROM (SELECT id, IFNULL(a, -1) AS ak, ts FROM t1" +
+        " WHERE ts IS NOT NULL) AS l "),
+      same(s"$lt (SELECT IFNULL(k, -1) AS rk, ts AS rts FROM t2" +
+        " WHERE ts IS NOT NULL) AS r "),
+      same(s"ON l.ak = r.rk AND l.ts $cmp r.rts ORDER BY l.id"))
+    FuzzQuery(f"fz_${i}%03d_asof", q.d, q.o)
+  }
+
   private val templates: Vector[Template] = Vector(
     tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame,
     tJoin, tSetOp, tSubquery, tCte, tOrderLimit,
-    tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime)
+    tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime, tAsof)
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking

@@ -9,12 +9,12 @@ import graft.SparkSpec
   * engine-side canonical hashes, which are committed as
   * `src/test/resources/fuzz_pins_seed1.json`. This spec re-generates the
   * same corpus and re-hashes the engine's answers: any behavior change in
-  * parser/translate/optimizer that alters ANY of the 160 generated
+  * parser/translate/optimizer that alters ANY of the 170 generated
   * queries' results breaks CI — a DuckDB-certified regression gate that
   * needs no DuckDB in the JVM.
   *
   * A legitimate semantics change (or generator change) re-certifies by
-  * running `python3 fuzz.py /tmp/fuzz_s1 --n 160 --seed 1` to green and
+  * running `python3 fuzz.py /tmp/fuzz_s1 --n 170 --seed 1` to green and
   * copying `/tmp/fuzz_s1/hashes.json` over the resource file — the
   * DuckDB comparison stays in the loop; hand-editing a pin cannot make a
   * wrong answer green.
@@ -24,7 +24,7 @@ class FuzzSpec extends SparkSpec {
   private def pins: Map[String, String] = {
     val in = getClass.getResourceAsStream("/fuzz_pins_seed1.json")
     assert(in != null, "missing resource fuzz_pins_seed1.json — run " +
-      "`python3 fuzz.py /tmp/fuzz_s1 --n 160 --seed 1` and commit its hashes.json")
+      "`python3 fuzz.py /tmp/fuzz_s1 --n 170 --seed 1` and commit its hashes.json")
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     """"([A-Za-z0-9_]+)"\s*:\s*"([0-9a-f]{32})"""".r
@@ -35,7 +35,7 @@ class FuzzSpec extends SparkSpec {
     val expected = pins
     FuzzGen.tables(spark, 1L)
     val engine = new SqlEngine(spark)
-    val qs = FuzzGen.queries(1L, 160)
+    val qs = FuzzGen.queries(1L, 170)
     assert(qs.map(_.name).toSet == expected.keySet,
       "fuzz corpus and pin set diverged — re-certify via fuzz.py " +
         s"(corpus ${qs.size}, pins ${expected.size})")
