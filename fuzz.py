@@ -4,21 +4,27 @@ dialect queries -> parquet dumps + fuzz_sql.json + the deterministic t1/t2
 tables), then executes each oracle SQL in DuckDB over the SAME tables and
 compares sorted rows/columns/values — check.py's protocol over generated
 queries. Usage:
-    python3 fuzz.py [outdir] [--n N] [--seed S] [--no-run]
-Exit 0 = every generated query matches DuckDB."""
+    python3 fuzz.py [outdir] [--n N] [--seed S] [--rows R] [--no-run]
+Exit 0 = every generated query matches DuckDB. --rows R > 0 is the BIG
+tier (pinned R-row t1, R/4-row t2): same templates over thousands of
+rows so AQE/exchange planning engages. Keep R <= ~5000 — the non-equi
+join template's output grows quadratically in R and the sbt JVM runs
+a 4 GB heap (R=20000 OOMs on a ~10M-row join product)."""
 import json, os, subprocess, sys
 
 OUT = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/tmp/fuzz_out"
 N = "170"
 SEED = "1"
+ROWS = "0"  # >0 = BIG tier: pinned t1 size (FuzzGen.tables rows1)
 for i, a in enumerate(sys.argv):
     if a == "--n": N = sys.argv[i + 1]
     if a == "--seed": SEED = sys.argv[i + 1]
+    if a == "--rows": ROWS = sys.argv[i + 1]
 
 if "--no-run" not in sys.argv:
     r = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Fuzz {OUT} {N} {SEED}"],
+        ["sbt", "-batch", f"runMain graft.Fuzz {OUT} {N} {SEED} {ROWS}"],
         cwd="/root/repo", capture_output=True, text=True, timeout=7200)
     sys.stdout.write("\n".join(
         l for l in r.stdout.splitlines() if "[fuzz]" in l) + "\n")

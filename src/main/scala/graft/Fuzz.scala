@@ -12,16 +12,18 @@ import graft.sql.{FuzzGen, SqlEngine}
   * same protocol as Verify/check.py, over generated queries instead of
   * the hand-written gate.
   *
-  * Usage: `runMain graft.Fuzz <outDir> [nQueries] [seed]`
-  * (defaults 120 queries, seed 1). Engine-side failures are recorded in
+  * Usage: `runMain graft.Fuzz <outDir> [nQueries] [seed] [rows1]`
+  * (defaults 170 queries, seed 1, ~100-row tables; rows1 > 0 pins the
+  * BIG-tier table size — see FuzzGen.tables). Engine-side failures are recorded in
   * `failures.txt` and fail the run loudly at the end — a fuzz query that
   * cannot EXECUTE is as much a bug as a wrong answer.
   */
 object Fuzz {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
-    val n = if (args.length > 1) args(1).toInt else 120
+    val n = if (args.length > 1) args(1).toInt else 170
     val seed = if (args.length > 2) args(2).toLong else 1L
+    val rows1 = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +35,7 @@ object Fuzz {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
 
-    val (t1, t2) = FuzzGen.tables(spark, seed)
+    val (t1, t2) = FuzzGen.tables(spark, seed, rows1)
     t1.coalesce(1).write.mode("overwrite").parquet(s"$outDir/tables/t1")
     t2.coalesce(1).write.mode("overwrite").parquet(s"$outDir/tables/t2")
 

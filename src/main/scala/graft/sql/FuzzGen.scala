@@ -51,8 +51,17 @@ object FuzzGen {
   /** Two small tables, deterministic in `seed`. t1 is the main relation
     * (nullable ints a/b, double c, strings s/g, bool f, unique id); t2 is
     * the join side (k overlaps a's range, v double, s2 overlaps s's
-    * vocab). Registered as temp views AND returned for parquet dumping. */
-  def tables(spark: SparkSession, seed: Long): (DataFrame, DataFrame) = {
+    * vocab). Registered as temp views AND returned for parquet dumping.
+    *
+    * `rows1 > 0` pins t1's base size (t2 scales to a quarter) instead of
+    * the default ~100-row draw — the BIG tier (`fuzz.py --rows N`): same
+    * templates, thousands of rows, so AQE/exchange planning actually
+    * engages and plan-level wrong-at-scale behavior surfaces as a
+    * DuckDB mismatch. Value distributions are unchanged (the tiny key
+    * ranges now make BIG tie groups — exactly the hard case for
+    * peer-based window semantics). */
+  def tables(spark: SparkSession, seed: Long,
+             rows1: Int = 0): (DataFrame, DataFrame) = {
     val r = new Random(seed)
     val vocab = Vector("ab", "cd", "ef", "gh", "xy", "")
     def optLong(p: Double, lo: Int, hi: Int): Any =
@@ -74,7 +83,7 @@ object FuzzGen {
       else new java.sql.Timestamp(
         epoch2024 + (r.nextInt(6 * 86400).toLong * 1000L))
 
-    val n1 = 80 + r.nextInt(60)
+    val n1 = if (rows1 > 0) rows1 else 80 + r.nextInt(60)
     val base = (0 until n1).map { i =>
       Row(i.toLong, optLong(0.2, 0, 4), optLong(0.15, -3, 9), optDbl(0.2),
         optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2), optTs(0.15))
@@ -96,7 +105,7 @@ object FuzzGen {
     val t1 = spark.createDataFrame(
       spark.sparkContext.parallelize(base ++ dups, 4), s1)
 
-    val n2 = 25 + r.nextInt(20)
+    val n2 = if (rows1 > 0) rows1 / 4 else 25 + r.nextInt(20)
     val rows2 = (0 until n2).map { i =>
       Row(i.toLong, optLong(0.25, 0, 4), optDbl(0.2), optStr(0.2),
         optTs(0.1))
