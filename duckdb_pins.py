@@ -21,6 +21,16 @@ the quirk — restore the corresponding oracle text to its native form:
    of nothing -> FuzzGen's tAsof filters NULL ts on both sides (the
    engine keeps SQL semantics: NULL compares UNKNOWN, matches nothing).
    When fixed: drop the WHERE ts IS NOT NULL filters from the template.
+6. ANY frame EXCLUDE over a frame that does not reach the current row
+   extends the frame toward it: SUM(...) OVER (ORDER BY o RANGE BETWEEN
+   3 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW) at o=2 over
+   o=1..5 returns the o=1 row's value where the standard (exclusion only
+   ever REMOVES rows; PostgreSQL agrees) says the untouched empty frame,
+   NULL -> q_sql_rows_exclude_group keeps every EXCLUDE frame reaching
+   the current row; WindowFrameSpec pins the engine's standard behavior
+   on the out-of-frame shapes. When fixed: add out-of-frame EXCLUDE
+   columns to the gate row and a FuzzGen fragment drawing (P,P) bounds
+   with EXCLUDE.
 
 Run: python3 duckdb_pins.py   (exit 0 = quirks still present, oracle
 workarounds still required)."""
@@ -69,6 +79,21 @@ if m != 1:
     fails.append("5: ASOF JOIN no longer matches a NULL left ts — restore "
                  "NULL-ts rows to FuzzGen.tAsof (drop its WHERE filters)")
 
+# 6. frame EXCLUDE on a frame not reaching the current row extends the
+# frame toward it (standard: exclusion only removes rows -> empty frame
+# stays empty -> NULL)
+con.execute("CREATE TABLE fx AS SELECT i AS o, i * 10 AS x FROM range(1, 6) r(i)")
+# NOTE: filtered via a subquery — a QUALIFY filter on this shape changes
+# the result (the quirk vanishes under it), so the pin uses the same
+# whole-relation evaluation the gate/fuzz harnesses see
+v = con.sql("SELECT s FROM (SELECT o, sum(x) OVER (ORDER BY o RANGE "
+            "BETWEEN 3 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW) AS s "
+            "FROM fx) q WHERE o = 2").fetchone()[0]
+if v is None:
+    fails.append("6: out-of-frame EXCLUDE no longer extends the frame — "
+                 "add out-of-frame EXCLUDE gate columns + a (P,P)-bounds "
+                 "EXCLUDE fuzz fragment")
+
 # 4. in-call ORDER BY on window functions
 try:
     con.sql("SELECT string_agg(i::VARCHAR, ',' ORDER BY i) OVER "
@@ -84,5 +109,5 @@ if fails:
     for f in fails:
         print("  " + f)
     sys.exit(1)
-print(f"DuckDB {duckdb.__version__}: all 5 oracle quirks still present; "
+print(f"DuckDB {duckdb.__version__}: all 6 oracle quirks still present; "
       "workarounds remain required")

@@ -994,6 +994,37 @@ object SqlQueries extends QueryPack {
                     EXCLUDE CURRENT ROW) AS mx_gcur
          FROM events ORDER BY event_id;""")),
 
+    // ROWS + EXCLUDE GROUP/TIES (extension, r12): the positional frame
+    // boundary can cut through the value-based peer group, so the planner
+    // evaluates the exclusion literally over the collected frame (order
+    // keys + value structs, null-safe peer filter). A ROWS frame over
+    // TIED keys is positional — which peer occupies which offset is
+    // engine-chosen — so every column here is permutation-INVARIANT: the
+    // aggregated values are functions of the order key (the value
+    // sequence in sort order is then engine-independent), the UNBOUNDED
+    // column is value-set-based, and the output carries no per-row id, so
+    // the sorted-rows compare sees the same multiset from any engine.
+    // DuckDB plans its native ROWS EXCLUDE independently.
+    "q_sql_rows_exclude_group" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, ROUND(value * 0.01) AS bkt,
+                SUM(ROUND(value * 0.01) * 3 + 1) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE GROUP) AS sg,
+                COUNT(value) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE TIES) AS ct,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                    EXCLUDE GROUP) AS mng,
+                SUM(ROUND(value * 0.01) * 2) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                    EXCLUDE TIES) AS sp
+         FROM events ORDER BY user_id, bkt;""")),
+
     // GROUPS frames (extension; DuckDB supports them natively): bounds
     // count peer groups — tie classes of the ORDER BY keys. ORDER BY
     // event_type makes each user's peer groups big (ties everywhere), so
@@ -1701,6 +1732,27 @@ object SqlQueries extends QueryPack {
                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
                     EXCLUDE CURRENT ROW) AS mx_gcur
          FROM e ORDER BY event_id""",
+    // identical text: DuckDB's ROWS EXCLUDE is native, and every column
+    // is chosen permutation-invariant (see the queries-side comment)
+    "q_sql_rows_exclude_group" ->
+      """SELECT user_id, ROUND(value * 0.01) AS bkt,
+                SUM(ROUND(value * 0.01) * 3 + 1) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE GROUP) AS sg,
+                COUNT(value) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE TIES) AS ct,
+                MIN(ROUND(value * 100.0)) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                    EXCLUDE GROUP) AS mng,
+                SUM(ROUND(value * 0.01) * 2) OVER (PARTITION BY user_id
+                    ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                    EXCLUDE TIES) AS sp
+         FROM events ORDER BY user_id, bkt""",
     // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
     // oracle is the DEFINITIONAL expansion — a RANGE frame over the
     // dense_rank peer-group ordinal — which DuckDB plans independently;

@@ -222,8 +222,29 @@ object Translate {
     // (partition keys ++ order keys) — peers of the current row are
     // exactly that partition (under the GROUPS rewrite the order key is
     // the dense_rank ordinal, so peers survive the rewrite unchanged).
-    val exclActive = w.exclude != "NO OTHERS" &&
-      w.frame.exists { case (lo, hi) => lo <= 0L && 0L <= hi }
+    // ROWS + EXCLUDE GROUP/TIES (r12): peers are VALUE-based but a ROWS
+    // boundary is POSITIONAL, so (a) the static 0 ∈ [lo,hi] activity test
+    // below doesn't apply — a frame of pure PRECEDING offsets can still
+    // contain peers of the current row — and (b) the whole-peer-set
+    // subtraction over-removes when the boundary cuts through the peer
+    // group. Such frames take the collected-frame plan instead (below).
+    val rowsPeerExcl = !w.rangeFrame && w.frame.isDefined &&
+      (w.exclude == "GROUP" || w.exclude == "TIES")
+    // Whether the current row is a member of the frame — statically
+    // decidable from the literal bounds on every frame type (offset 0 is
+    // the row itself / its own value / its own peer group). Exclusion is
+    // a pure REMOVAL (the standard's rules only ever delete rows from the
+    // frame; EXCLUDE TIES deletes the peers OTHER than the current row,
+    // it never ADDS an absent current row — PostgreSQL agrees), so on
+    // RANGE/GROUPS frames, where the whole peer set sits at order
+    // distance 0, a frame with 0 ∉ bounds makes every mode a no-op. On
+    // ROWS frames peers are positional and can sit anywhere in the frame
+    // (rowsPeerExcl above). NOTE DuckDB 1.0.0 diverges here: ANY EXCLUDE
+    // on a frame not reaching the current row extends the frame toward it
+    // (even EXCLUDE CURRENT ROW over [-3,-2] returns the [-1] row) —
+    // duckdb_pins.py #6 pins that bug; gate rows avoid the shape.
+    val selfInFrame = w.frame.exists { case (lo, hi) => lo <= 0L && 0L <= hi }
+    val exclActive = w.exclude != "NO OTHERS" && (rowsPeerExcl || selfInFrame)
     if (!exclActive) f.over(spec)
     else {
       val x = w.args match {
@@ -231,7 +252,46 @@ object Translate {
         case _ => throw new IllegalArgumentException(
           s"${w.name} with EXCLUDE requires exactly one argument")
       }
-      if (w.name == "MIN" || w.name == "MAX") {
+      if (rowsPeerExcl) {
+        // Collected-frame evaluation (the r11 MIN/MAX plan, generalized to
+        // all five EXCLUDE-capable aggregates): collect (order keys…,
+        // value) structs over the ROWS frame, drop peers of the current
+        // row NULL-SAFELY (a NULL key's peers are the other NULL-key
+        // rows), aggregate what remains. O(frame) per row — the windowed
+        // ARRAY_AGG cost class; every other frame × EXCLUDE combo keeps
+        // its cheap subtraction / prefix-suffix plan.
+        val ks = w.orderBy.map(o => go(o.e))
+        val kv = struct(ks.zipWithIndex.map { case (k, i) => k.as(s"k$i") }
+          :+ x.as("v"): _*)
+        val arr = collect_list(kv).over(spec)
+        def peer(e: Column): Column =
+          ks.zipWithIndex.map { case (k, i) => e(s"k$i") <=> k }.reduce(_ && _)
+        val others = filter(transform(filter(arr, e => !peer(e)),
+          e => e("v")), v => v.isNotNull)
+        // TIES retains the current row iff the frame CONTAINS it (the
+        // standard removes peers other than R; it never adds an absent
+        // R) — for ROWS frames membership is statically 0 ∈ [lo, hi]
+        val vals =
+          if (w.exclude == "TIES" && selfInFrame)
+            when(x.isNotNull, concat(others, array(x))).otherwise(others)
+          else others
+        val cnt = size(vals)
+        // typed zero from the first element (`get` never raises under
+        // ANSI; the empty case is short-circuited by the cnt guard), so
+        // SUM keeps the input's own type exactly like Spark's sum
+        def total: Column = aggregate(
+          vals, get(vals, lit(0)) - get(vals, lit(0)), (acc, v) => acc + v)
+        w.name match {
+          case "COUNT" => cnt.cast("long")
+          case "MIN" => array_min(vals)
+          case "MAX" => array_max(vals)
+          case "SUM" => when(cnt === 0, lit(null)).otherwise(total)
+          case "AVG" =>
+            when(cnt === 0, lit(null)).otherwise(total.cast("double") / cnt)
+          case other => throw new IllegalArgumentException(
+            s"internal: $other must have been rejected by Validate")
+        }
+      } else if (w.name == "MIN" || w.name == "MAX") {
         // MIN/MAX aren't subtractable. Two exact plan families; the
         // cheaper one wins per combo:
         //  (1) prefix/suffix decomposition, O(1) extra state per row —

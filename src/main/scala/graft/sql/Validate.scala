@@ -566,26 +566,18 @@ object Validate {
           fail(s"$name: a RANGE frame with numeric offsets requires " +
             s"exactly one ORDER BY key in the OVER clause, got ${ord.size}")
       }
-      // frame EXCLUDE (extension): planned by frame-aggregate SUBTRACTION
-      // (frame agg minus excluded-set agg), which is sound only for the
-      // subtractable aggregates. GROUP/TIES exclusion removes the whole
-      // ORDER-BY peer group — well-defined only when peers enter and
-      // leave the frame TOGETHER, i.e. RANGE or GROUPS frames (a ROWS
-      // frame boundary can cut through a peer group).
-      if (exclude != "NO OTHERS") {
-        // SUM/COUNT/AVG plan EXCLUDE by frame-aggregate subtraction;
-        // MIN/MAX (not subtractable) take an exact prefix/suffix
-        // decomposition where one exists and the collected-frame
-        // evaluation elsewhere (r11, Translate winFnCol) — every
-        // EXCLUDE mode is supported on every frame type, except the
-        // engine-wide ROWS + GROUP/TIES rule below.
-        if (!Set("SUM", "COUNT", "AVG", "MIN", "MAX").contains(name))
-          fail(s"$name does not support frame EXCLUDE " +
-            "(SUM/COUNT/AVG/MIN/MAX do)")
-        if (exclude != "CURRENT ROW" && !rangeFrame && !groupsFrame)
-          fail(s"$name: EXCLUDE $exclude requires a RANGE or GROUPS " +
-            "frame — a ROWS frame boundary can cut through a peer group")
-      }
+      // frame EXCLUDE (extension): SUM/COUNT/AVG plan it by
+      // frame-aggregate SUBTRACTION where the whole peer set is inside
+      // the frame (RANGE/GROUPS); MIN/MAX take an exact prefix/suffix
+      // decomposition where one exists; every remaining combo — value-
+      // typed RANGE + any EXCLUDE (r11) and ROWS + GROUP/TIES, where the
+      // positional boundary can cut through the value-based peer group
+      // (r12) — takes the collected-frame evaluation (Translate
+      // winFnCol). Every EXCLUDE mode is supported on every frame type.
+      if (exclude != "NO OTHERS" &&
+          !Set("SUM", "COUNT", "AVG", "MIN", "MAX").contains(name))
+        fail(s"$name does not support frame EXCLUDE " +
+          "(SUM/COUNT/AVG/MIN/MAX do)")
       // no aggregates (and no nested window fns) inside any part
       (args ++ parts ++ ord.map(_.e))
         .foreach(checkExpr(_, aggAllowed = false, where = s"$name's OVER clause"))

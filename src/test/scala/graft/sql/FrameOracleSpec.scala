@@ -167,6 +167,10 @@ class FrameOracleSpec extends SparkSpec {
     case "NO OTHERS" => fr
     case "CURRENT ROW" => fr.filterNot(_.i == cur.i)
     case "GROUP" => fr.filterNot(r => peerKey(r) == peerKey(cur))
+    // the standard's exclusion only ever REMOVES rows: TIES drops the
+    // peers OTHER than the current row, and never adds an absent current
+    // row (PostgreSQL agrees; DuckDB 1.0.0 diverges on frames that don't
+    // reach the current row — duckdb_pins.py #6)
     case "TIES" =>
       fr.filterNot(r => peerKey(r) == peerKey(cur) && r.i != cur.i)
   }
@@ -232,6 +236,63 @@ class FrameOracleSpec extends SparkSpec {
 
   test("ROWS EXCLUDE CURRENT ROW (incl. MIN/MAX) matches the literal evaluator") {
     checkExclude("ROWS", "CURRENT ROW", 4004L)
+  }
+
+  /** ROWS + GROUP/TIES (r12 collected-frame plan): a ROWS frame over TIED
+    * order keys is positional — which peer sits at which offset is
+    * engine-chosen — so per-row equality is not well-defined. Two things
+    * ARE invariant under any peer permutation, and the check pins both:
+    * (a) with every value a FUNCTION of the order key, the value sequence
+    * in sort order is engine-independent, and (b) the MULTISET of
+    * (k, o, aggs…) output rows is then identical whichever engine-chosen
+    * permutation produced it. */
+  private def checkExcludeRowsPeers(excl: String, seed: Long): Unit = {
+    import spark.implicits._
+    def fv(o: Long): Option[Long] = if (o == 3L) None else Some(o * 7 - 11)
+    samples(tableGen, 4, seed).zipWithIndex.foreach { case (data0, ti) =>
+      val data = data0.map(r => r.copy(v = fv(r.o)))
+      data.map(r => (r.i, r.k, r.o, r.v)).toDF("i", "k", "o", "v")
+        .createOrReplaceTempView("fo_t")
+      samples(boundPair, 3, seed * 17 + ti).foreach { case (lo, hi) =>
+        val fr = s"ROWS BETWEEN ${sqlOf(lo)} AND ${sqlOf(hi)} EXCLUDE $excl"
+        val got = e.batch(
+          s"""SELECT k, o,
+                     SUM(v) OVER (PARTITION BY k ORDER BY o $fr) AS s,
+                     COUNT(v) OVER (PARTITION BY k ORDER BY o $fr) AS c,
+                     AVG(v) OVER (PARTITION BY k ORDER BY o $fr) AS a,
+                     MIN(v) OVER (PARTITION BY k ORDER BY o $fr) AS mn,
+                     MAX(v) OVER (PARTITION BY k ORDER BY o $fr) AS mx
+              FROM fo_t;""").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            if (r.isNullAt(6)) None else Some(r.getLong(6))))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val want = data.groupBy(_.k).toSeq.flatMap { case (_, ps) =>
+          val part = ps.sortBy(r => (r.o, r.i)).toVector
+          part.zipWithIndex.map { case (r, idx) =>
+            val fr0 = frameRows("ROWS", part, idx, lo, hi)
+            val vals = applyExclude(fr0, r, excl, _.o).flatMap(_.v)
+            (r.k, r.o,
+              if (vals.isEmpty) None else Some(vals.sum),
+              vals.size.toLong,
+              if (vals.isEmpty) None else Some(vals.sum.toDouble / vals.size),
+              vals.minOption, vals.maxOption)
+          }
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        assert(got == want,
+          s"$fr multiset mismatch\n table=${data.take(10)}…\n" +
+            s" got=${got.toSeq.sortBy(_.toString).take(8)}\n" +
+            s" want=${want.toSeq.sortBy(_.toString).take(8)}")
+      }
+    }
+  }
+
+  test("ROWS EXCLUDE GROUP / TIES (r12) match the literal evaluator as multisets") {
+    checkExcludeRowsPeers("GROUP", 11011L)
+    checkExcludeRowsPeers("TIES", 12012L)
   }
   test("RANGE EXCLUDE CURRENT ROW / GROUP / TIES match the literal evaluator") {
     checkExclude("RANGE", "CURRENT ROW", 5005L)
