@@ -7,9 +7,11 @@ queries. Usage:
     python3 fuzz.py [outdir] [--n N] [--seed S] [--rows R] [--no-run]
 Exit 0 = every generated query matches DuckDB. --rows R > 0 is the BIG
 tier (pinned R-row t1, R/4-row t2): same templates over thousands of
-rows so AQE/exchange planning engages. Keep R <= ~5000 — the non-equi
-join template's output grows quadratically in R and the sbt JVM runs
-a 4 GB heap (R=20000 OOMs on a ~10M-row join product)."""
+rows so AQE/exchange planning engages, the join template's ON clause
+gains an id band (output linear in R instead of the tiny-key-domain
+quadratic product that OOM'd the 4 GB JVM at R=20000), and t1.a gets a
+~50%-frequency hot key so AQE skew handling enters the certified
+surface. R = 50000 fits; beyond that, watch DuckDB's memory first."""
 import json, os, subprocess, sys
 
 OUT = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \

@@ -43,7 +43,7 @@ object Fuzz {
     val failures = Seq.newBuilder[String]
     val oracle = Seq.newBuilder[(String, String)]
     val hashes = Seq.newBuilder[(String, String)]
-    FuzzGen.queries(seed, n).foreach { fq =>
+    FuzzGen.queries(seed, n, rows1).foreach { fq =>
       try {
         val df = engine.batch(fq.dialect + ";")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${fq.name}")

@@ -84,8 +84,15 @@ object FuzzGen {
         epoch2024 + (r.nextInt(6 * 86400).toLong * 1000L))
 
     val n1 = if (rows1 > 0) rows1 else 80 + r.nextInt(60)
+    // BIG tier only: `a` (the join/group key) gets ONE hot value at ~50%
+    // frequency, so AQE's skew handling (and the engines' agreement under
+    // it) enters the certified surface (r11 VERDICT #6). The `rows1 > 0`
+    // short-circuit keeps the default tier's RNG stream byte-identical —
+    // the committed seed pins depend on it.
+    def aDraw(): Any =
+      if (rows1 > 0 && r.nextBoolean()) 2L else optLong(0.2, 0, 4)
     val base = (0 until n1).map { i =>
-      Row(i.toLong, optLong(0.2, 0, 4), optLong(0.15, -3, 9), optDbl(0.2),
+      Row(i.toLong, aDraw(), optLong(0.15, -3, 9), optDbl(0.2),
         optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2), optTs(0.15))
     }
     // duplicate a block of rows VERBATIM except id (ALL-semantics bait)
@@ -235,7 +242,7 @@ object FuzzGen {
     val aggs = Seq(
       same("COUNT(*) AS n"),
       Tx("SUM(b) AS sb", "SUM(b)::BIGINT AS sb"),
-      cat(same("SUM(c) AS sc")), // raw double: see the ac comment below
+      cat(same("SUM(c) AS sc_raw")), // raw double: see the ac_raw comment
       same("MIN(b) AS mnb"), same("MAX(s) AS mxs"),
       cat(same("ROUND(AVG(b), 4) AS avb")),
       same("COUNT(DISTINCT b) AS ndb"),
@@ -345,9 +352,21 @@ object FuzzGen {
   }
 
   /** 6. Frame aggregates: ROWS/RANGE/GROUPS bounds, EXCLUDE (the
-    * supported combinations), running windows. */
-  private def tWindowFrame(r: Random, i: Int): FuzzQuery = {
+    * supported combinations), running windows.
+    *
+    * BIG tier (`big`): the MIN/MAX-EXCLUDE fragments plan as
+    * collected-frame evaluation — O(frame) PER ROW, and over the default
+    * coarse keys (6 distinct values) a ±2 value frame is ~40% of the
+    * relation, i.e. O(n²) total: exact but single-task-quadratic, ~30 min
+    * for ONE query at 50k rows. The BIG tier therefore derives a
+    * FINE-grained order key (same key structure × an id residue) so
+    * frames stay a few hundred rows and the whole template is O(n);
+    * what the tier certifies — plan behavior under AQE at real row
+    * counts — is unchanged, and the quadratic-frame shapes stay covered
+    * at the default tier where they are cheap. */
+  private def tWindowFrame(big: Boolean)(r: Random, i: Int): FuzzQuery = {
     val part = pick(r, Seq("PARTITION BY g", ""))
+    val vKey = if (big) "(IFNULL(a, -1) * 29 + id % 23)" else "IFNULL(a, -1)"
     def bounds(): String = pick(r, Seq(
       "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
       s"BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
@@ -368,7 +387,9 @@ object FuzzGen {
     // the two engines, and rounding an ulp-apart pair at a .00005
     // boundary flips the last digit (seed-2 finding — 1 row in 121).
     // fuzz.py compares doubles with rtol=1e-9, which absorbs the ulp.
-    fns += same(s"AVG(c) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl) AS ac")
+    // The _raw suffix excludes the column from resultHash's pins (the
+    // same ulp would flip a pinned MD5 across same-engine runs).
+    fns += same(s"AVG(c) OVER ($part ORDER BY b, id ROWS ${bounds()}$excl) AS ac_raw")
     // MIN/MAX: no EXCLUDE, or EXCLUDE CURRENT ROW on ROWS (the engine's
     // exact decompositions)
     fns += same(s"MIN(b) OVER ($part ORDER BY c, id ROWS ${bounds()}" +
@@ -383,7 +404,7 @@ object FuzzGen {
     // groups big, and c varies within them
     val rexcl = pick(r, Seq("", " EXCLUDE NO OTHERS", " EXCLUDE CURRENT ROW",
       " EXCLUDE GROUP", " EXCLUDE TIES"))
-    fns += same(s"MIN(c) OVER ($part ORDER BY IFNULL(a, -1) RANGE " +
+    fns += same(s"MIN(c) OVER ($part ORDER BY $vKey RANGE " +
       s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND " +
       s"${1 + r.nextInt(2)} FOLLOWING$rexcl) AS rmn")
     // GROUPS frame on a tied key (COUNT and MAX, any EXCLUDE).
@@ -399,12 +420,12 @@ object FuzzGen {
       " EXCLUDE CURRENT ROW"))
     val gLo = 1 + r.nextInt(2)
     fns += Tx(
-      s"COUNT(*) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
+      s"COUNT(*) OVER ($part ORDER BY $vKey GROUPS " +
         s"BETWEEN $gLo PRECEDING AND CURRENT ROW$gexcl) AS gn",
       s"COUNT(*) OVER ($part ORDER BY __dr RANGE " +
         s"BETWEEN $gLo PRECEDING AND CURRENT ROW$gexcl) AS gn")
     fns += Tx(
-      s"MAX(b) OVER ($part ORDER BY IFNULL(a, -1) GROUPS " +
+      s"MAX(b) OVER ($part ORDER BY $vKey GROUPS " +
         s"BETWEEN 1 PRECEDING AND 1 FOLLOWING$gexcl) AS gmx",
       s"MAX(b) OVER ($part ORDER BY __dr RANGE " +
         s"BETWEEN 1 PRECEDING AND 1 FOLLOWING$gexcl) AS gmx")
@@ -412,7 +433,7 @@ object FuzzGen {
     val needsDr = chosen.exists(_.o.contains("__dr"))
     val from =
       if (needsDr) Tx(" FROM t1 ",
-        s" FROM (SELECT *, dense_rank() OVER ($part ORDER BY IFNULL(a, -1))" +
+        s" FROM (SELECT *, dense_rank() OVER ($part ORDER BY $vKey)" +
           " AS __dr FROM t1) AS t1 ")
       else same(" FROM t1 ")
     val q = cat(same("SELECT id, "),
@@ -422,17 +443,27 @@ object FuzzGen {
   }
 
   /** 7. Joins: all types, equi (null-safe divergence!) and non-equi ON,
-    * sometimes aggregated on top. */
-  private def tJoin(r: Random, i: Int): FuzzQuery = {
+    * sometimes aggregated on top. In the BIG tier the ON clause gains an
+    * id BAND (t1.id within ±40 of 4·t2.id — both ids are dense ranges,
+    * t2 a quarter of t1): the tiny key domains make every join's output
+    * quadratic in the row count, and at --rows 50000 the unbanded product
+    * (~10⁸ rows) neither executes in the 4 GB harness JVM nor teaches
+    * anything the banded join doesn't — the band keeps output linear in R
+    * while the join type/null-semantics surface is unchanged (r11 VERDICT
+    * #6). The default tier keeps the full product. */
+  private def tJoin(big: Boolean)(r: Random, i: Int): FuzzQuery = {
     val jt = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN", "RIGHT JOIN",
       "FULL JOIN"))
-    val on = r.nextInt(3) match {
+    val on0 = r.nextInt(3) match {
       // dialect ON a = k matches NULL==NULL (null-safe) → oracle INDF
       case 0 => Tx("t1.a = t2.k", "t1.a IS NOT DISTINCT FROM t2.k")
       case 1 => same("t1.a < t2.k")
       case _ => cat(Tx("t1.a = t2.k", "t1.a IS NOT DISTINCT FROM t2.k"),
         same(" AND "), same("t1.b > t2.id"))
     }
+    val on = if (big)
+      cat(on0, same(" AND t1.id BETWEEN t2.id * 4 - 40 AND t2.id * 4 + 40"))
+    else on0
     val q0 = cat(same(s"SELECT t1.id AS i1, t2.id AS i2, t1.a, t2.k, " +
       "t1.s, t2.s2 FROM t1 "), same(jt), same(" t2 ON "), on)
     val q =
@@ -657,28 +688,91 @@ object FuzzGen {
     FuzzQuery(f"fz_${i}%03d_asof", q.d, q.o)
   }
 
-  private val templates: Vector[Template] = Vector(
-    tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame,
-    tJoin, tSetOp, tSubquery, tCte, tOrderLimit,
-    tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime, tAsof)
+  /** 18. ROWS frames + EXCLUDE GROUP/TIES (r12 collected-frame plan):
+    * positional frames over TIED keys. Which peer occupies which row
+    * offset is engine-chosen, so the template projects NO per-row id and
+    * every aggregated value is a FUNCTION of the order key — the output
+    * row MULTISET is then invariant under any peer permutation, and the
+    * harness's sorted-rows compare is exact. COUNT takes the (never-null)
+    * key expression for the same reason: counting a column whose null
+    * pattern varies WITHIN a peer group would be positional again. Every
+    * frame reaches the current row (duckdb_pins #6: DuckDB 1.0.0
+    * mis-evaluates EXCLUDE on frames that don't). */
+  private def tRowsExclude(big: Boolean)(r: Random, i: Int): FuzzQuery = {
+    val part = pick(r, Seq("PARTITION BY g", ""))
+    val key = pick(r, Seq("IFNULL(a, -1)", "IFNULL(b, -9)"))
+    // the collected plan is O(frame) per row — UNBOUNDED shapes are
+    // O(n²) total, exact but ruinous at the BIG tier's row counts, so
+    // BIG draws finite frames only (the tWindowFrame reasoning)
+    def bounds(): String = pick(r,
+      Seq(
+        s"BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
+        s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND ${1 + r.nextInt(2)} FOLLOWING") ++
+      (if (big) Nil else Seq(
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")))
+    val e1 = pick(r, Seq(" EXCLUDE GROUP", " EXCLUDE TIES"))
+    val e2 = pick(r, Seq(" EXCLUDE GROUP", " EXCLUDE TIES"))
+    val b1 = bounds(); val b2 = bounds(); val b3 = bounds()
+    // g varies WITHIN a peer group when unpartitioned — project it only
+    // when it is constant there (multiset invariance again)
+    val gsel = if (part.isEmpty) "'x'" else "g"
+    val q = cat(
+      same(s"SELECT $gsel AS gg, $key AS kk, "),
+      Tx(s"SUM($key * 3 + 1) OVER ($part ORDER BY $key ROWS $b1$e1) AS s1",
+        s"SUM($key * 3 + 1) OVER ($part ORDER BY $key ROWS $b1$e1)::BIGINT AS s1"),
+      same(s", COUNT($key) OVER ($part ORDER BY $key ROWS $b2$e2) AS c1"),
+      same(s", MIN($key - 7) OVER ($part ORDER BY $key ROWS $b3$e1) AS m1"),
+      same(s", MAX($key * 2) OVER ($part ORDER BY $key ROWS $b2$e1) AS x1"),
+      same(" FROM t1"))
+    FuzzQuery(f"fz_${i}%03d_rowsexcl", q.d, q.o)
+  }
+
+  private def templates(big: Boolean): Vector[Template] = Vector(
+    tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame(big),
+    tJoin(big), tSetOp, tSubquery, tCte, tOrderLimit,
+    tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime, tAsof,
+    tRowsExclude(big))
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking
-    * story: re-run a single failing index without the rest. */
-  def queries(seed: Long, n: Int): Seq[FuzzQuery] =
+    * story: re-run a single failing index without the rest. `rows1` must
+    * match the value given to [[tables]]: the BIG tier swaps the join
+    * template's ON clause for its banded form (see tJoin).
+    *
+    * The per-query seed is MurmurHash3-mixed before use: java.util.Random
+    * seeded with near-linear values repeats its first bounded draws
+    * VERBATIM across queries and corpora (r11 ADVICE — every seed-1 query
+    * shared its first nextInt(4)/nextBoolean choices, silently narrowing
+    * the certified dialect surface to one branch of each template). */
+  def queries(seed: Long, n: Int, rows1: Int = 0): Seq[FuzzQuery] = {
+    val ts = templates(rows1 > 0)
     (0 until n).map { i =>
-      val r = new Random(seed * 1000003L + i)
-      templates(i % templates.size)(r, i)
+      val m1 = scala.util.hashing.MurmurHash3.productHash((seed, i))
+      val m2 = scala.util.hashing.MurmurHash3.productHash((i, seed, 0x9e3779b9L))
+      val r = new Random((m1.toLong << 32) | (m2.toLong & 0xffffffffL))
+      ts(i % ts.size)(r, i)
     }
+  }
 
-  /** Canonical hash of a query result: rows rendered to strings (doubles
-    * rounded to 6 dp — every generated double output is already
-    * query-ROUNDed to ≤4, so partition-order float noise cannot reach
-    * the canonical form), sorted, MD5'd. Used by the FuzzSpec pins: a
-    * fuzz corpus certified green against DuckDB (fuzz.py) has its
-    * engine-side hashes committed, turning the offline differential into
-    * an in-CI regression gate. */
+  /** Canonical hash of a query result: rows rendered to strings, sorted,
+    * MD5'd. Used by the FuzzSpec pins: a fuzz corpus certified green
+    * against DuckDB (fuzz.py) has its engine-side hashes committed,
+    * turning the offline differential into an in-CI regression gate.
+    *
+    * `*_raw`-suffixed columns (the deliberately un-ROUNDed double
+    * outputs: grouped SUM(c) and windowed AVG(c), whose partial-aggregate
+    * merge order Spark does not fix) are excluded from the VALUE hash —
+    * a float sum landing within an ulp of any finite-precision rounding
+    * boundary would flip a pinned MD5 between runs of the SAME engine
+    * (r11 ADVICE). Their values are still certified: fuzz.py compares
+    * them against DuckDB with rtol at certification time; the pin covers
+    * every other column plus the full column-name set. Query-ROUNDed
+    * doubles (≤4 dp by construction) hash exactly via the 6-dp render. */
   def resultHash(df: DataFrame): String = {
+    val rawIdx = df.columns.zipWithIndex
+      .collect { case (c, i) if c.endsWith("_raw") => i }.toSet
     def cell(v: Any): String = v match {
       case null => "∅"
       case d: java.lang.Double =>
@@ -687,7 +781,9 @@ object FuzzGen {
       case f: java.lang.Float => cell(f.toDouble)
       case other => other.toString
     }
-    val lines = df.collect().map(_.toSeq.map(cell).mkString("\t")).sorted
+    val lines = df.collect().map(_.toSeq.zipWithIndex
+      .collect { case (v, i) if !rawIdx.contains(i) => cell(v) }
+      .mkString("\t")).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(df.columns.sorted.mkString("\t").getBytes("UTF-8"))
     lines.foreach(l => md.update(("\n" + l).getBytes("UTF-8")))
