@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** In-CI half of the STREAMING twin fuzzer (r11 VERDICT #1 — the batch
+  * dialect had 6,000+ differential queries, streaming semantics only a
+  * dozen hand twins). StreamFuzz generates random topologies (TUMBLE/HOP/
+  * SESSION aggs × keyed/global × agg sets, INNER/LEFT interval joins,
+  * per-row EMIT CHANGES) over seeded event streams carrying out-of-order,
+  * duplicate, NULL-ts and decisively-late records, replays them through
+  * live Structured Streaming with a deterministic micro-batch/watermark
+  * trajectory, and asserts exact emission-set equality against the same
+  * aggregation run as a batch plan over the referee's survivor set.
+  *
+  * Kept deterministic on purpose (CI must not roam): two pinned seeds.
+  * Offline roaming: `sbt "runMain graft.streaming.StreamFuzz <seeds> [n]"`.
+  */
+class StreamFuzzSpec extends SparkSpec {
+
+  test("streaming twin fuzzer: pinned seed 1, every topology == its batch twin") {
+    val reports = StreamFuzz.run(spark, 1L, 14)
+    val bad = reports.filterNot(_.ok)
+    assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
+    assert(reports.size == 14)
+  }
+
+  test("streaming twin fuzzer: pinned seed 424242, every topology == its batch twin") {
+    val reports = StreamFuzz.run(spark, 424242L, 14)
+    val bad = reports.filterNot(_.ok)
+    assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
+  }
+}
