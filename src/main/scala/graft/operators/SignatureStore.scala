@@ -221,21 +221,34 @@ object SignatureStore {
     * compaction's leftovers and crash orphans. Deliberately separate from
     * compact(): a reader that opened the PREVIOUS manifest may still be
     * scanning the old leaves. The grace period makes that contract SAFE
-    * rather than merely documented (r10 ADVICE): dirs modified within
-    * `graceMs` are skipped, which protects both (a) an append's data dir
-    * that landed but whose manifest rename hasn't happened yet, and (b)
-    * leaves a just-superseded manifest's readers are still scanning —
-    * any reader older than the grace has long finished or deserves its
-    * FileNotFound. Pass `graceMs = 0` only when the caller KNOWS no
-    * reader or writer is in flight (tests, offline maintenance). Old
-    * manifest generations are kept (tiny text files; they document store
-    * history). Returns deleted dir count. */
+    * rather than merely documented (r10 ADVICE), via TWO gates:
+    *   (a) a leaf dir MODIFIED within `graceMs` is never deleted — an
+    *       append's data dir that landed but whose manifest rename hasn't
+    *       happened yet is mid-commit, not an orphan;
+    *   (b) nothing is deleted while the NEWEST manifest is younger than
+    *       `graceMs` — a leaf becomes unreferenced only at a manifest
+    *       commit (compaction), so readers of the just-superseded
+    *       manifest may still be scanning it; gating on the UNREFERENCE
+    *       time, not the leaf's own write time, is what protects them
+    *       (r11 ADVICE: an old leaf unreferenced seconds ago was deleted
+    *       under a reader). Every reader opens the newest manifest, so
+    *       once no supersession happened within the grace, any reader of
+    *       an older manifest is itself older than the grace — long
+    *       finished or deserving its FileNotFound.
+    * Pass `graceMs = 0` only when the caller KNOWS no reader or writer is
+    * in flight (tests, offline maintenance). Old manifest generations are
+    * kept (tiny text files; they document store history). Returns deleted
+    * dir count. */
   def vacuum(spark: SparkSession, dir: String,
              graceMs: Long = DefaultVacuumGraceMs): Int = {
     val (hfs, p) = fs(dir, spark)
     if (!hfs.exists(p)) return 0
     val live = committed(spark, dir).values.toSet
     val cutoff = System.currentTimeMillis() - graceMs
+    val newestManifestMtime = hfs.listStatus(p)
+      .filter(_.getPath.getName.matches("manifest-g\\d+\\.txt"))
+      .map(_.getModificationTime).maxOption.getOrElse(0L)
+    if (newestManifestMtime > cutoff) return 0 // supersession within grace
     val dead = hfs.listStatus(p)
       .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
       .map(_.getPath)
