@@ -167,7 +167,7 @@ object StreamScaleProbe {
     val joinRow = joinRowFor("s_stream_join", "inner")
     val joinLeftRow = joinRowFor("s_stream_join_left", "leftOuter")
 
-    val rows = Seq(
+    val heapRows = Seq(
       probe("s_stream_filter", filterShape, ev1, ev10),
       probe("s_stream_agg", aggShape, ev1, ev10),
       probe("s_stream_window", windowShape, ev1, ev10),
@@ -176,6 +176,25 @@ object StreamScaleProbe {
       probe("s_twin_funnel", funnelShape, ev1, ev10),
       probe("s_twin_retention", retentionShape, ev1, ev10, warmup = true),
       probe("s_twin_incdedup", dedupShape, dc1, dc10))
+
+    // RocksDB state-store tier (r11 VERDICT #4): at 100 TB the HDFS-backed
+    // heap store is not the production choice — state must live off-heap.
+    // The provider class is read per-QUERY from the session conf, so the
+    // same session re-runs the three keyed-state headline shapes under
+    // RocksDB at 1×/10×; ratios and peak rows/MB land next to the heap
+    // rows (memoryUsedBytes here reports RocksDB's own usage estimate).
+    // Runs AFTER the heap tier so both tiers see warm JIT for the shared
+    // shapes (the heap tier already self-warms via its earlier probes).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocksRows = Seq(
+      probe("s_stream_agg_rocksdb", aggShape, ev1, ev10),
+      joinRowFor("s_stream_join_rocksdb", "inner"),
+      joinRowFor("s_stream_join_left_rocksdb", "leftOuter"))
+    spark.conf.unset(providerKey)
+
+    val rows = heapRows ++ rocksRows
 
     println(s"""{"metric":"streamscaleprobe","probes":${rows.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()

@@ -30,7 +30,11 @@ object Verify {
       }
       // queries may persist() intermediates for intra-query reuse; nothing
       // is shared across queries, so drop it all to keep the session flat
-      finally spark.catalog.clearCache()
+      // (incl. any AQE sizing a CDC query set)
+      finally {
+        spark.catalog.clearCache()
+        graft.operators.Cdc.restoreShuffleSizing(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -89,10 +89,39 @@ object Cdc {
     * stays in the tens of MB. They are SESSION-level because Spark has
     * no per-exchange override that preserves map-side partial
     * aggregation (an explicit repartition before the groupBy would ship
-    * every envelope un-reduced); they stay set after the call, which
-    * only makes AQE coalescing finer-grained elsewhere. Pass
+    * every envelope un-reduced); they stay set until the caller runs
+    * [[restoreShuffleSizing]] AFTER the action that consumed the result
+    * (the previous values are snapshotted here). Left unrestored they
+    * only make AQE coalescing finer-grained elsewhere. Pass
     * `sizeShuffleForState = false` to manage the session yourself.
     */
+  private val SizingKeys = Seq(
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+  /** Per-session snapshot of the two AQE knobs [[applyLatest]] overrides,
+    * captured at the FIRST sizing mutation that session (None = the key
+    * was unset). The overrides must outlive applyLatest itself — they
+    * take effect when the returned (lazy) DataFrame executes, and Spark
+    * has no per-exchange override — so the operator can't restore them;
+    * callers do, after the action that consumed the result, via
+    * [[restoreShuffleSizing]] (r11 ADVICE: the values previously leaked
+    * into the session forever with no way back). */
+  private val sizingSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, Seq[(String, Option[String])]]()
+
+  /** Restore the session's pre-[[applyLatest]] values of the two AQE
+    * sizing knobs (no-op if no sizing mutation happened, or already
+    * restored). Call AFTER the action that executed applyLatest's result. */
+  def restoreShuffleSizing(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val snap = sizingSnapshots.remove(spark)
+    if (snap != null) snap.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def applyLatest(changes: DataFrame, keyCols: Seq[String],
                   sizeShuffleForState: Boolean = true): DataFrame = {
     if (sizeShuffleForState) {
@@ -103,6 +132,10 @@ object Cdc {
       if (bytes > SizingThresholdBytes &&
           spark.conf.get("spark.sql.adaptive.enabled", "true") == "true") {
         val parts = (bytes / (8L << 20)).min(2048).max(64).toInt
+        // snapshot once per session BEFORE overriding, so a caller can
+        // put the session back after consuming the result
+        sizingSnapshots.computeIfAbsent(spark,
+          _ => SizingKeys.map(k => k -> spark.conf.getOption(k)))
         spark.conf.set(
           "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           parts.toString)
