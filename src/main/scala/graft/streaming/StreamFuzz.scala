@@ -77,12 +77,12 @@ object StreamFuzz {
   private def genScenario(seed: Long, i: Int): Scenario = {
     val r = mix(seed, i)
     val kind = Vector("tumble", "hop", "session", "join_inner", "join_left",
-      "perrow", "perrow_win")(i % 7)
+      "perrow", "perrow_win", "perrow_session")(i % 8)
     val delayMin = pick(r, Seq(5, 10, 15))
-    // sessions can't take decisively-late records (their merge semantics
-    // would need the referee to model eviction timing); every other kind
-    // gets them in batches ≥ 1
-    val withLate = kind != "session" && r.nextBoolean()
+    // session kinds can't take decisively-late records (their merge
+    // semantics would need the referee to model eviction timing); every
+    // other kind gets them in batches ≥ 1
+    val withLate = !kind.contains("session") && r.nextBoolean()
     val nBatches = 3 + r.nextInt(2)
     val nKeys = 1 + r.nextInt(5)
     val segMin = 20 // each batch covers ~20 min of event time
@@ -332,6 +332,37 @@ object StreamFuzz {
         if (gotC == wantC) None
         else Some("final states: " + diffMsg(gotC, wantC))
 
+      case "perrow_session" =>
+        // per-row EMIT CHANGES over SESSION windows — the fluid-window
+        // state machine (sessions extend and MERGE as rows arrive): the
+        // cadence is one emission per surviving row, and every
+        // batch-final session row must appear verbatim among the
+        // emissions (a merged session's LAST emission carries its final
+        // bounds + accumulators)
+        val rowAggs = Seq(StreamOps.RowAgg("cnt", "count", "*"),
+          StreamOps.RowAgg("sv", "sum", "v"),
+          StreamOps.RowAgg("mxv", "max", "v"))
+        val mk: DataFrame => DataFrame =
+          s => StreamOps.perRowAggsSession(s.filter(col("ts").isNotNull),
+            Seq("k"), rowAggs, ts = "ts", gap = s"${sc.gapMin} minutes",
+            grace = delay)
+        val got = replay(spark, sc, mk, "update", sc.name, sentinel = false)
+        val nSurv = survivors(sc).size
+        val want = survDf.filter(col("ts").isNotNull)
+          .groupBy(col("k"), session_window(col("ts"), s"${sc.gapMin} minutes"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+            max(col("v")).as("mxv"))
+          .select(col("k"), col("cnt"), col("sv"), col("mxv"),
+            col("session_window.start"), col("session_window.end"))
+          .collect().toSeq
+        val gotC = canon(got)
+        val missing = canon(want).keys.filterNot(gotC.contains)
+        if (got.size != nSurv)
+          Some(s"cadence: ${got.size} emissions for $nSurv surviving rows")
+        else if (missing.nonEmpty)
+          Some(s"${missing.size} batch session rows never emitted: ${missing.take(3).mkString(" | ")}")
+        else None
+
       case "perrow_win" =>
         // per-row EMIT CHANGES over TUMBLE windows: every batch-final
         // window row must appear among the emissions (its last per-row
@@ -376,7 +407,7 @@ object StreamFuzz {
   /** Offline roaming: `runMain graft.streaming.StreamFuzz <seedCsv> [n]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
-    val n = if (args.length > 1) args(1).toInt else 14
+    val n = if (args.length > 1) args(1).toInt else 16
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
