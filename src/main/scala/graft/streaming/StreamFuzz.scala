@@ -77,7 +77,7 @@ object StreamFuzz {
   private def genScenario(seed: Long, i: Int): Scenario = {
     val r = mix(seed, i)
     val kind = Vector("tumble", "hop", "session", "join_inner", "join_left",
-      "perrow", "perrow_win", "perrow_session")(i % 8)
+      "perrow", "perrow_win", "perrow_session", "asof")(i % 9)
     val delayMin = pick(r, Seq(5, 10, 15))
     // session kinds can't take decisively-late records (their merge
     // semantics would need the referee to model eviction timing); every
@@ -332,6 +332,33 @@ object StreamFuzz {
         if (gotC == wantC) None
         else Some("final states: " + diffMsg(gotC, wantC))
 
+      case "asof" =>
+        // streaming as-of enrichment (asofEnrich's flatMapGroupsWithState
+        // machine: watermark-held pending lefts, trimmed right history
+        // with one carry row) vs the batch as-of operator over survivors.
+        // The right payload is a FUNCTION of (k, ts): duplicate right
+        // (key, ts) rows are ambiguous in BOTH engines (the operator's
+        // documented caveat), and identical payloads make the ambiguity
+        // unobservable instead of requiring a stateful dedup
+        def lSide(df: DataFrame) = df
+          .filter(col("ts").isNotNull && col("typ") === "a")
+          .select(col("k"), col("ts"), col("v").as("lv"))
+        def rSide(df: DataFrame) = df
+          .filter(col("ts").isNotNull && col("typ") === "b")
+          .select(col("k"), col("ts"),
+            (unix_micros(col("ts")) / 1000L % 997L + col("k") * 7L).as("rv"),
+            col("ts").as("rts"))
+        val mk: DataFrame => DataFrame = s =>
+          StreamOps.asofEnrich(lSide(s), rSide(s), "k", "k", "ts", "ts",
+            Seq("rv", "rts"), grace = delay)
+        val got = replay(spark, sc, mk, "append", sc.name, sentinel = true)
+          .filterNot(_.getLong(0) == -1L)
+        val want = graft.operators.AsofJoin.backward(
+          lSide(survDf), rSide(survDf), "k", "k", "ts", "ts",
+          Seq("rv", "rts")).collect().toSeq
+        val gotC = canon(got); val wantC = canon(want)
+        if (gotC == wantC) None else Some(diffMsg(gotC, wantC))
+
       case "perrow_session" =>
         // per-row EMIT CHANGES over SESSION windows — the fluid-window
         // state machine (sessions extend and MERGE as rows arrive): the
@@ -407,7 +434,7 @@ object StreamFuzz {
   /** Offline roaming: `runMain graft.streaming.StreamFuzz <seedCsv> [n]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
-    val n = if (args.length > 1) args(1).toInt else 16
+    val n = if (args.length > 1) args(1).toInt else 18
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -18,14 +18,14 @@ import graft.SparkSpec
 class StreamFuzzSpec extends SparkSpec {
 
   test("streaming twin fuzzer: pinned seed 1, every topology == its batch twin") {
-    val reports = StreamFuzz.run(spark, 1L, 16)
+    val reports = StreamFuzz.run(spark, 1L, 18)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
-    assert(reports.size == 16)
+    assert(reports.size == 18)
   }
 
   test("streaming twin fuzzer: pinned seed 424242, every topology == its batch twin") {
-    val reports = StreamFuzz.run(spark, 424242L, 16)
+    val reports = StreamFuzz.run(spark, 424242L, 18)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
   }
