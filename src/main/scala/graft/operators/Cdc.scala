@@ -106,10 +106,17 @@ object Cdc {
     * has no per-exchange override — so the operator can't restore them;
     * callers do, after the action that consumed the result, via
     * [[restoreShuffleSizing]] (r11 ADVICE: the values previously leaked
-    * into the session forever with no way back). */
+    * into the session forever with no way back).
+    * WEAK keys (r13 ADVICE): a session whose caller never calls
+    * restoreShuffleSizing (direct applyLatest users outside Bench/Verify)
+    * must not be pinned for the JVM lifetime by this map — entries vanish
+    * with the session. All access synchronizes on the map (WeakHashMap is
+    * not thread-safe; Collections.synchronizedMap's default-method
+    * overrides lock every call). */
   private val sizingSnapshots =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, Seq[(String, Option[String])]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.SparkSession, Seq[(String, Option[String])]]())
 
   /** Restore the session's pre-[[applyLatest]] values of the two AQE
     * sizing knobs (no-op if no sizing mutation happened, or already

@@ -1025,6 +1025,41 @@ object SqlQueries extends QueryPack {
                     EXCLUDE TIES) AS sp
          FROM events ORDER BY user_id, bkt;""")),
 
+    // frame EXCLUDE on the FRAME-VALUED functions (extension, r13):
+    // FIRST/LAST/NTH_VALUE are a value AT a frame position, not a
+    // subtractable aggregate, so the planner collects (identity, value)
+    // structs over the frame and deletes the excluded rows literally
+    // (identity = row_number in the same window sort pass). Every
+    // aggregated value is a function of the order key, so the positional
+    // tie ambiguity of ROWS frames is invisible (the
+    // q_sql_rows_exclude_group protocol); all frames REACH the current
+    // row (duckdb_pins.py #6). DuckDB plans its native EXCLUDE on these
+    // functions independently — identical text. The IGNORE NULLS column
+    // pins the exclusion-then-null-skip evaluation order on a RANGE
+    // frame.
+    "q_sql_frame_exclude_firstlast" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, ROUND(value * 0.01) AS bkt,
+                FIRST_VALUE(ROUND(value * 0.01) * 3 + 1) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                    EXCLUDE GROUP) AS fg,
+                LAST_VALUE(ROUND(value * 0.01) * 2) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE TIES) AS lt,
+                NTH_VALUE(ROUND(value * 0.01) * 5 - 2, 2) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS n2,
+                FIRST_VALUE(CASE WHEN CAST(ROUND(value * 0.01) AS INTEGER)
+                                      % 3 = 0 THEN NULL
+                                 ELSE ROUND(value * 0.01) * 7 END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE GROUP) AS fig
+         FROM events ORDER BY user_id, bkt;""")),
+
     // GROUPS frames (extension; DuckDB supports them natively): bounds
     // count peer groups — tie classes of the ORDER BY keys. ORDER BY
     // event_type makes each user's peer groups big (ties everywhere), so
@@ -1752,6 +1787,30 @@ object SqlQueries extends QueryPack {
                     ORDER BY ROUND(value * 0.01)
                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                     EXCLUDE TIES) AS sp
+         FROM events ORDER BY user_id, bkt""",
+    // identical text: DuckDB's EXCLUDE on FIRST/LAST/NTH_VALUE is native,
+    // and every column is a function of the order key (see queries-side)
+    "q_sql_frame_exclude_firstlast" ->
+      """SELECT user_id, ROUND(value * 0.01) AS bkt,
+                FIRST_VALUE(ROUND(value * 0.01) * 3 + 1) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                    EXCLUDE GROUP) AS fg,
+                LAST_VALUE(ROUND(value * 0.01) * 2) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE TIES) AS lt,
+                NTH_VALUE(ROUND(value * 0.01) * 5 - 2, 2) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS n2,
+                FIRST_VALUE(CASE WHEN CAST(ROUND(value * 0.01) AS INTEGER)
+                                      % 3 = 0 THEN NULL
+                                 ELSE ROUND(value * 0.01) * 7 END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ROUND(value * 0.01)
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE GROUP) AS fig
          FROM events ORDER BY user_id, bkt""",
     // DuckDB's parser has no GROUPS mode yet ("not implemented"), so the
     // oracle is the DEFINITIONAL expansion — a RANGE frame over the

@@ -83,6 +83,11 @@ object FuzzGen {
       else new java.sql.Timestamp(
         epoch2024 + (r.nextInt(6 * 86400).toLong * 1000L))
 
+    // j: flat+nested JSON text (the tJsonJoin substrate), 15% NULL
+    def optJson(p: Double): Any =
+      if (r.nextDouble() < p) null
+      else s"""{"x":${r.nextInt(9)},"o":{"y":${r.nextInt(5)}}}"""
+
     val n1 = if (rows1 > 0) rows1 else 80 + r.nextInt(60)
     // BIG tier only: `a` (the join/group key) gets ONE hot value at ~50%
     // frequency, so AQE's skew handling (and the engines' agreement under
@@ -93,12 +98,13 @@ object FuzzGen {
       if (rows1 > 0 && r.nextBoolean()) 2L else optLong(0.2, 0, 4)
     val base = (0 until n1).map { i =>
       Row(i.toLong, aDraw(), optLong(0.15, -3, 9), optDbl(0.2),
-        optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2), optTs(0.15))
+        optStr(0.15), s"g${r.nextInt(4)}", optBool(0.2), optTs(0.15),
+        optJson(0.15))
     }
     // duplicate a block of rows VERBATIM except id (ALL-semantics bait)
     val dups = base.take(n1 / 8).zipWithIndex.map { case (row, j) =>
       Row((n1 + j).toLong, row(1), row(2), row(3), row(4), row(5), row(6),
-        row(7))
+        row(7), row(8))
     }
     val s1 = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -108,7 +114,8 @@ object FuzzGen {
       StructField("s", StringType, nullable = true),
       StructField("g", StringType, nullable = false),
       StructField("f", BooleanType, nullable = true),
-      StructField("ts", TimestampType, nullable = true)))
+      StructField("ts", TimestampType, nullable = true),
+      StructField("j", StringType, nullable = true)))
     val t1 = spark.createDataFrame(
       spark.sparkContext.parallelize(base ++ dups, 4), s1)
 
@@ -729,11 +736,125 @@ object FuzzGen {
     FuzzQuery(f"fz_${i}%03d_rowsexcl", q.d, q.o)
   }
 
+  /** 19. Frame EXCLUDE on the FRAME-VALUED window functions (r13):
+    * FIRST/LAST/NTH_VALUE take the row-identity collected plan — the
+    * engine deletes excluded rows from the collected frame and indexes
+    * the survivors. Same multiset-invariance protocol as tRowsExclude
+    * (values are functions of the tied order key, no per-row id) so the
+    * positional ambiguity of ROWS frames is invisible; every frame
+    * reaches the current row (duckdb_pins #6). DuckDB's EXCLUDE on these
+    * functions is native — identical text. One column exercises the
+    * IGNORE-NULLS-after-exclusion evaluation order. Cost: O(frame)/row —
+    * BIG draws finite frames only (the tRowsExclude reasoning). */
+  private def tFrameValuedExclude(big: Boolean)(r: Random, i: Int): FuzzQuery = {
+    val part = pick(r, Seq("PARTITION BY g", ""))
+    val key = pick(r, Seq("IFNULL(a, -1)", "IFNULL(b, -9)"))
+    def rbounds(): String = pick(r,
+      Seq(
+        s"BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
+        s"BETWEEN ${1 + r.nextInt(2)} PRECEDING AND ${1 + r.nextInt(2)} FOLLOWING",
+        s"BETWEEN CURRENT ROW AND ${1 + r.nextInt(3)} FOLLOWING") ++
+      (if (big) Nil else Seq(
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")))
+    def excl(): String = pick(r,
+      Seq(" EXCLUDE CURRENT ROW", " EXCLUDE GROUP", " EXCLUDE TIES"))
+    val ft = pick(r, Seq("ROWS", "RANGE")) // RANGE: single numeric key ✓
+    val gsel = if (part.isEmpty) "'x'" else "g"
+    val nth = 1 + r.nextInt(3)
+    val q = cat(
+      same(s"SELECT $gsel AS gg, $key AS kk"),
+      same(s", FIRST_VALUE($key * 3 + 1) OVER ($part ORDER BY $key" +
+        s" $ft ${rbounds()}${excl()}) AS f1"),
+      same(s", LAST_VALUE($key * 2 - 5) OVER ($part ORDER BY $key" +
+        s" $ft ${rbounds()}${excl()}) AS l1"),
+      same(s", NTH_VALUE($key * 5, $nth) OVER ($part ORDER BY $key" +
+        s" $ft ${rbounds()}${excl()}) AS n1"),
+      same(s", FIRST_VALUE(CASE WHEN $key % 3 = 0 THEN NULL" +
+        s" ELSE $key * 7 END IGNORE NULLS) OVER ($part ORDER BY $key" +
+        s" $ft ${rbounds()}${excl()}) AS fig"),
+      same(" FROM t1"))
+    FuzzQuery(f"fz_${i}%03d_fvexcl", q.d, q.o)
+  }
+
+  /** 20. Coverage sweep A (r13 VERDICT #6 — productions the map showed the
+    * generator could NEVER draw): SELECT DISTINCT, star EXCLUDE/REPLACE,
+    * BETWEEN SYMMETRIC, the IS_* dynamic type predicates, and
+    * TOPK/TOPKDISTINCT + APPROX_COUNT_DISTINCT. Three shapes; oracles:
+    * DuckDB has no SYMMETRIC (→ least/greatest), no IS_* (→ the typed-
+    * column static semantics: TRY_CAST/IS NOT NULL), no TOPK (→ sorted
+    * list slice, rendered through ARRAY_JOIN because the harness compares
+    * rows as sorted scalars); APPROX_COUNT_DISTINCT compares against
+    * EXACT COUNT(DISTINCT) — the key domain is ≤ 6 values, where the
+    * HLL++ sparse representation is exact, and pinning THAT is the point
+    * (a sketch that wobbles on a 6-value domain is broken). */
+  private def tMiscProd(r: Random, i: Int): FuzzQuery = {
+    val q = r.nextInt(3) match {
+      case 0 =>
+        val lo = r.nextInt(7) - 3; val hi = r.nextInt(7) - 3
+        cat(
+          same("SELECT DISTINCT g, IFNULL(a, -1) AS ak, "),
+          Tx(s"(IFNULL(b, 0) BETWEEN SYMMETRIC $hi AND $lo) AS bs",
+            s"(IFNULL(b, 0) BETWEEN least($hi, $lo)" +
+              s" AND greatest($hi, $lo)) AS bs"),
+          Tx(", IS_NUM(s) AS inum", ", (TRY_CAST(s AS DOUBLE) IS NOT NULL) AS inum"),
+          Tx(", IS_STR(s) AS istr", ", (s IS NOT NULL) AS istr"),
+          Tx(", IS_BOOL(f) AS ibool", ", (f IS NOT NULL) AS ibool"),
+          same(" FROM t1"))
+      case 1 =>
+        // identical text: DuckDB's star EXCLUDE/REPLACE is native. ts/j
+        // excluded to keep the projection scalar-typed and compact.
+        val cut = 20 + r.nextInt(60)
+        same("SELECT * EXCLUDE (ts, j) REPLACE (IFNULL(a, -1) AS a)" +
+          s" FROM t1 WHERE id < $cut")
+      case _ =>
+        val k = 2 + r.nextInt(3)
+        cat(
+          same("SELECT g, "),
+          Tx(s"ARRAY_JOIN(TOPK(IFNULL(b, 0), $k), ',') AS tk",
+            "array_to_string((list_sort(list(CAST(IFNULL(b, 0) AS DOUBLE))," +
+              s" 'DESC'))[1:$k], ',') AS tk"),
+          Tx(s", ARRAY_JOIN(TOPKDISTINCT(IFNULL(b, 0), $k), ',') AS tkd",
+            ", array_to_string((list_sort(list(DISTINCT CAST(IFNULL(b, 0)" +
+              s" AS DOUBLE)), 'DESC'))[1:$k], ',') AS tkd"),
+          Tx(", APPROX_COUNT_DISTINCT(a) AS acd",
+            ", COUNT(DISTINCT a) AS acd"),
+          same(" FROM t1 GROUP BY g"))
+    }
+    FuzzQuery(f"fz_${i}%03d_misc", q.d, q.o)
+  }
+
+  /** 21. Coverage sweep B: JOIN USING / NATURAL JOIN (renamed-subquery
+    * sides so the shared-column contract is explicit) and the JSON access
+    * operators over t1.j ({"x":n,"o":{"y":m}}). Oracle: DuckDB's native
+    * USING/NATURAL; json_extract_string for ->>/#>> (the q_sql_json
+    * protocol). The join keys are IFNULL'd — both engines' USING equality
+    * is null-UNSAFE, so the divergence-free form keeps nulls out of the
+    * key rather than certifying a semantics neither engine documents. */
+  private def tJsonJoin(r: Random, i: Int): FuzzQuery = {
+    val natural = r.nextBoolean()
+    val jt = pick(r, Seq("JOIN", "LEFT JOIN"))
+    val join =
+      if (natural) same(s" FROM (SELECT IFNULL(a, -1) AS k, g, j FROM t1)" +
+        s" AS l NATURAL $jt (SELECT IFNULL(k, -1) AS k, s2 FROM t2) AS r ")
+      else same(s" FROM (SELECT IFNULL(a, -1) AS k, g, j FROM t1) AS l" +
+        s" $jt (SELECT IFNULL(k, -1) AS k, s2 FROM t2) AS r USING (k) ")
+    val q = cat(
+      same("SELECT k, g, s2, "),
+      Tx("j ->> 'x' AS jx", "json_extract_string(j, '$.x') AS jx"),
+      Tx(", CAST(j -> 'o' ->> 'y' AS INTEGER) AS jy",
+        ", CAST(json_extract_string(j, '$.o.y') AS BIGINT) AS jy"),
+      Tx(", j #>> {'o','y'} AS jp",
+        ", json_extract_string(j, '$.o.y') AS jp"),
+      join)
+    FuzzQuery(f"fz_${i}%03d_jsonjoin", q.d, q.o)
+  }
+
   private def templates(big: Boolean): Vector[Template] = Vector(
     tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame(big),
     tJoin(big), tSetOp, tSubquery, tCte, tOrderLimit,
     tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime, tAsof,
-    tRowsExclude(big))
+    tRowsExclude(big), tFrameValuedExclude(big), tMiscProd, tJsonJoin)
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking

@@ -91,7 +91,8 @@ object Translate {
     * inherent to the semantic, not a planning defect, and the scalable
     * per-group top-k path for the common rank-then-filter shape is the
     * TopK Aggregator (operators/TopK.scala). */
-  private def winFnCol(w: WinFn, go: Expr => Column): Column = {
+  private def winFnCol(w: WinFn, go: Expr => Column,
+                       dtypeOf: Column => Option[SparkDT] = _ => None): Column = {
     import org.apache.spark.sql.expressions.Window
     require(!w.groupsFrame, "internal: GROUPS frames must be rewritten to " +
       "RANGE-over-dense_rank before translation (planSelect)")
@@ -117,6 +118,57 @@ object Translate {
         ordered.rangeBetween(lo, hi)
       case Some((lo, hi)) => ordered.rowsBetween(lo, hi)
       case None => ordered
+    }
+    // ---- frame EXCLUDE statics (shared by every EXCLUDE plan below) ----
+    // ROWS + EXCLUDE GROUP/TIES (r12): peers are VALUE-based but a ROWS
+    // boundary is POSITIONAL, so (a) the static 0 ∈ [lo,hi] activity test
+    // doesn't apply — a frame of pure PRECEDING offsets can still contain
+    // peers of the current row — and (b) whole-peer-set subtraction
+    // over-removes when the boundary cuts through the peer group.
+    val rowsPeerExcl = !w.rangeFrame && w.frame.isDefined &&
+      (w.exclude == "GROUP" || w.exclude == "TIES")
+    // Whether the current row is a member of the frame — statically
+    // decidable from the literal bounds on every frame type (offset 0 is
+    // the row itself / its own value / its own peer group). Exclusion is
+    // a pure REMOVAL (the standard's rules only ever delete rows from the
+    // frame; EXCLUDE TIES deletes the peers OTHER than the current row,
+    // it never ADDS an absent current row — PostgreSQL agrees), so on
+    // RANGE/GROUPS frames, where the whole peer set sits at order
+    // distance 0, a frame with 0 ∉ bounds makes every mode a no-op. On
+    // ROWS frames peers are positional and can sit anywhere in the frame
+    // (rowsPeerExcl above). NOTE DuckDB 1.0.0 diverges here: ANY EXCLUDE
+    // on a frame not reaching the current row extends the frame toward it
+    // (even EXCLUDE CURRENT ROW over [-3,-2] returns the [-1] row) —
+    // duckdb_pins.py #6 pins that bug; gate rows avoid the shape.
+    val selfInFrame = w.frame.exists { case (lo, hi) => lo <= 0L && 0L <= hi }
+    val exclActive = w.exclude != "NO OTHERS" && (rowsPeerExcl || selfInFrame)
+    // Row-identity collected-frame exclusion (r13) for the FRAME-VALUED
+    // window functions — FIRST/LAST/NTH_VALUE and the windowed ordered
+    // aggregates — where the result is a value AT a frame position, not a
+    // subtractable aggregate: the frame collects (identity, …) structs
+    // and the excluded rows are deleted literally. Identity = row_number
+    // over the OVER ordering, computed in the SAME Window sort pass (one
+    // more O(1) expression, no extra shuffle), so the id the current row
+    // sees and the id collected into its neighbors' frames agree even
+    // between order-key ties. CURRENT ROW deletes exactly the current
+    // row; GROUP deletes the order-key peer set (null-safely — NULL keys
+    // are each other's peers); TIES deletes the peers OTHER than the
+    // current row.
+    lazy val exclId = row_number().over(ordered)
+    def exclFields: Seq[Column] =
+      w.orderBy.zipWithIndex.map { case (o, i) => go(o.e).as(s"p$i") } :+
+        exclId.as("rid")
+    def exclKeep(e: Column): Column = {
+      lazy val peer = w.orderBy.zipWithIndex
+        .map { case (o, i) => e(s"p$i") <=> go(o.e) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      w.exclude match {
+        case "CURRENT ROW" => e("rid") =!= exclId
+        case "GROUP" => !peer
+        case "TIES" => !peer || e("rid") === exclId
+        case other => throw new IllegalArgumentException(
+          s"internal: unknown EXCLUDE mode $other")
+      }
     }
     // STRING_AGG / ARRAY_AGG as window functions (extension; batch/pull
     // only, as every OVER is): collect the (keys…, value) structs over
@@ -146,17 +198,61 @@ object Translate {
         case x => (None, x)
       }
       val vCol = if (w.name == "STRING_AGG") go(vArg1).cast("string") else go(vArg1)
+      // under frame EXCLUDE the struct carries the exclusion identity
+      // fields too (p0…, rid); the comparator and the value extractors
+      // read k0…/v by NAME, so the extra fields ride along inertly
       val fields = keys.zipWithIndex.map { case (k, i) =>
-        go(k.e).as(s"k$i") } :+ vCol.as("v")
+        go(k.e).as(s"k$i") } ++ (if (exclActive) exclFields else Nil) :+
+        vCol.as("v")
       val stW = struct(fields: _*)
-      val sorted = array_sort(
-        collect_list(condW.map(c => when(c, stW)).getOrElse(stW)).over(spec),
-        orderedAggComparator(keys))
+      val collected0 =
+        collect_list(condW.map(c => when(c, stW)).getOrElse(stW)).over(spec)
+      val collected =
+        if (exclActive) filter(collected0, e => exclKeep(e)) else collected0
+      val sorted = array_sort(collected, orderedAggComparator(keys))
       return sep.map(stringAggJoin(sorted, _)).getOrElse {
         val arr = transform(sorted, x => x.getField("v"))
-        // empty-after-FILTER frame → NULL (DuckDB), as in the grouped form
-        if (condW.isDefined) when(size(arr) === 0, lit(null)).otherwise(arr)
+        // empty-after-FILTER / empty-after-EXCLUDE frame → NULL (DuckDB's
+        // aggregate-over-zero-rows value), as in the grouped form
+        if (condW.isDefined || exclActive)
+          when(size(arr) === 0, lit(null)).otherwise(arr)
         else arr
+      }
+    }
+    // FIRST_VALUE / LAST_VALUE / NTH_VALUE under an ACTIVE frame EXCLUDE
+    // (r13): not subtractable and not an aggregate at all — the value at
+    // a position of the post-exclusion frame. Collected-frame plan:
+    // collect (identity, value) structs over the frame IN FRAME ORDER,
+    // delete the excluded rows (exclKeep above), then index the survivor
+    // values — FIRST = position 0, LAST = size−1, NTH(n) = n−1 — with
+    // `get` (never raises; out-of-range/empty → NULL, the SQL
+    // empty-frame value). IGNORE NULLS drops NULL survivor values before
+    // indexing, the same counting DuckDB/Spark use. O(frame)/row — the
+    // windowed ARRAY_AGG cost class, only where EXCLUDE is actually
+    // active; the plain forms keep Spark's native O(1) frame functions.
+    if (exclActive &&
+        Set("FIRST_VALUE", "LAST_VALUE", "NTH_VALUE").contains(w.name)) {
+      val (vExpr, nth) = (w.name, w.args) match {
+        case ("NTH_VALUE", Seq(e, IntLit(n))) =>
+          require(n >= 1, "NTH_VALUE offset must be at least 1")
+          (e, n.toInt)
+        case ("NTH_VALUE", _) => throw new IllegalArgumentException(
+          "NTH_VALUE requires (expr, integer literal)")
+        case (_, Seq(e)) => (e, 1)
+        case _ => throw new IllegalArgumentException(
+          s"${w.name} requires exactly one argument")
+      }
+      val x = go(vExpr)
+      val arr = filter(
+        collect_list(struct(exclFields :+ x.as("v"): _*)).over(spec),
+        e => exclKeep(e))
+      val vals0 = transform(arr, e => e("v"))
+      val vals =
+        if (w.ignoreNulls) filter(vals0, v => v.isNotNull) else vals0
+      return w.name match {
+        case "FIRST_VALUE" => get(vals, lit(0))
+        case "LAST_VALUE" => get(vals, size(vals) - 1)
+        case "NTH_VALUE" => get(vals, lit(nth - 1))
       }
     }
     def lagLead(f: (Column, Int, Any) => Column): Column = w.args match {
@@ -211,40 +307,19 @@ object Translate {
       case other => throw new IllegalArgumentException(
         s"unknown window function $other")
     }
-    // Frame EXCLUDE planning (extension; Validate pinned name ∈ SUM/COUNT/
-    // AVG and GROUP/TIES ⇒ RANGE|GROUPS). The excluded set lies at order
-    // distance 0, so whether it intersects the frame is STATICALLY
-    // decidable from the literal bounds: 0 ∉ [lo, hi] ⇒ the exclusion is
-    // a no-op. When it does intersect, the result is frame-aggregate
-    // SUBTRACTION: agg(frame) − agg(excluded), with the empty-after-
-    // exclusion case mapped to SQL's empty-set values (SUM/AVG → NULL,
-    // COUNT → 0). Peer-set aggregates come from ONE extra window over
-    // (partition keys ++ order keys) — peers of the current row are
-    // exactly that partition (under the GROUPS rewrite the order key is
-    // the dense_rank ordinal, so peers survive the rewrite unchanged).
-    // ROWS + EXCLUDE GROUP/TIES (r12): peers are VALUE-based but a ROWS
-    // boundary is POSITIONAL, so (a) the static 0 ∈ [lo,hi] activity test
-    // below doesn't apply — a frame of pure PRECEDING offsets can still
-    // contain peers of the current row — and (b) the whole-peer-set
-    // subtraction over-removes when the boundary cuts through the peer
-    // group. Such frames take the collected-frame plan instead (below).
-    val rowsPeerExcl = !w.rangeFrame && w.frame.isDefined &&
-      (w.exclude == "GROUP" || w.exclude == "TIES")
-    // Whether the current row is a member of the frame — statically
-    // decidable from the literal bounds on every frame type (offset 0 is
-    // the row itself / its own value / its own peer group). Exclusion is
-    // a pure REMOVAL (the standard's rules only ever delete rows from the
-    // frame; EXCLUDE TIES deletes the peers OTHER than the current row,
-    // it never ADDS an absent current row — PostgreSQL agrees), so on
-    // RANGE/GROUPS frames, where the whole peer set sits at order
-    // distance 0, a frame with 0 ∉ bounds makes every mode a no-op. On
-    // ROWS frames peers are positional and can sit anywhere in the frame
-    // (rowsPeerExcl above). NOTE DuckDB 1.0.0 diverges here: ANY EXCLUDE
-    // on a frame not reaching the current row extends the frame toward it
-    // (even EXCLUDE CURRENT ROW over [-3,-2] returns the [-1] row) —
-    // duckdb_pins.py #6 pins that bug; gate rows avoid the shape.
-    val selfInFrame = w.frame.exists { case (lo, hi) => lo <= 0L && 0L <= hi }
-    val exclActive = w.exclude != "NO OTHERS" && (rowsPeerExcl || selfInFrame)
+    // Frame EXCLUDE planning for the aggregates (extension; Validate
+    // pinned name ∈ SUM/COUNT/AVG/MIN/MAX here — the frame-valued
+    // functions returned above). The excluded set lies at order distance
+    // 0, so whether it intersects the frame is STATICALLY decidable from
+    // the literal bounds (exclActive above). When it does intersect, the
+    // result is frame-aggregate SUBTRACTION: agg(frame) − agg(excluded),
+    // with the empty-after-exclusion case mapped to SQL's empty-set
+    // values (SUM/AVG → NULL, COUNT → 0). Peer-set aggregates come from
+    // ONE extra window over (partition keys ++ order keys) — peers of
+    // the current row are exactly that partition (under the GROUPS
+    // rewrite the order key is the dense_rank ordinal, so peers survive
+    // the rewrite unchanged). ROWS + EXCLUDE GROUP/TIES frames take the
+    // collected-frame plan instead (rowsPeerExcl above).
     if (!exclActive) f.over(spec)
     else {
       val x = w.args match {
@@ -276,11 +351,27 @@ object Translate {
             when(x.isNotNull, concat(others, array(x))).otherwise(others)
           else others
         val cnt = size(vals)
-        // typed zero from the first element (`get` never raises under
-        // ANSI; the empty case is short-circuited by the cnt guard), so
-        // SUM keeps the input's own type exactly like Spark's sum
-        def total: Column = aggregate(
-          vals, get(vals, lit(0)) - get(vals, lit(0)), (acc, v) => acc + v)
+        // Accumulator typing (r13 ADVICE): an aggregate() fold's
+        // accumulator type is its zero's, and every merge result is cast
+        // back to it. For DECIMAL(p,s) the get−get zero is (p+1,s), and
+        // near p=38 the add's cast-back hits Spark's minimal-loss rule,
+        // which cuts SCALE — every step silently rounds. With the input
+        // type probed, decimals fold in the widened space native SUM uses
+        // (p+10, capped at 37 so one more add never needs precision 39 —
+        // the per-step cast back stays lossless), presented as native
+        // sum's result type (min(38, p+10), s). Non-decimals keep the
+        // typed get−get zero (long/double folds are exact/native).
+        val decAcc = dtypeOf(x).collect { case d: DecimalType =>
+          (DecimalType(math.min(37, d.precision + 10), d.scale),
+           DecimalType(math.min(38, d.precision + 10), d.scale))
+        }
+        def total: Column = decAcc match {
+          case Some((acc, out)) => aggregate(
+            vals, lit(0).cast(acc),
+            (a, v) => (a + v.cast(acc)).cast(acc)).cast(out)
+          case None => aggregate(
+            vals, get(vals, lit(0)) - get(vals, lit(0)), (acc, v) => acc + v)
+        }
         w.name match {
           case "COUNT" => cnt.cast("long")
           case "MIN" => array_min(vals)
@@ -401,7 +492,8 @@ object Translate {
   }
 
   def column(e: Expr, resolve: ColRef => Column,
-             env: TypeCheck.Env = Map.empty): Column = {
+             env: TypeCheck.Env = Map.empty,
+             dtypeOf: Column => Option[SparkDT] = _ => None): Column = {
     def go(e: Expr): Column = e match {
       case IntLit(v) => lit(v)
       case NumLit(v) => lit(v)
@@ -418,7 +510,7 @@ object Translate {
       case Bin(op, l, r) => binOp(op, l, r, go, env)
       case Fn(name, args) =>
         fnCallLit(name, args, go).getOrElse(fnCall(name, args.map(go)))
-      case w: WinFn => winFnCol(w, go)
+      case w: WinFn => winFnCol(w, go, dtypeOf)
       case CaseWhen(operand, branches, elseE) =>
         // searched: WHEN is the condition; simple: `=` against the operand
         // (null-unsafe equality, standard SQL — a NULL operand matches no
@@ -1135,8 +1227,13 @@ object Translate {
           j, ldf, rdf)
       case Using(cols0) => usingJoin(ldf, rdf, j, range, cols0)
       case Natural =>
-        val shared = ldf.columns.toSet.intersect(rdf.columns.toSet) -
-          tsCol(ldf) - tsCol(rdf)
+        // event-time columns are transport infrastructure, not natural
+        // keys — excluded when PRESENT. (r13 fuzz find: this previously
+        // called tsCol, which THROWS on a relation with no _ts/ts, so
+        // NATURAL JOIN between ts-less batch subqueries failed outright.)
+        val tsNames = Seq(ldf, rdf)
+          .flatMap(d => Seq("_ts", "ts").filter(d.columns.contains)).toSet
+        val shared = ldf.columns.toSet.intersect(rdf.columns.toSet) -- tsNames
         require(shared.nonEmpty, "NATURAL JOIN with no shared columns")
         usingJoin(ldf, rdf, j, range, shared.toSeq.sorted)
     }
@@ -1431,6 +1528,32 @@ object Translate {
 
   private def planSelect(sel00: Select, lookup: Lookup, grace: String,
                          declared: DeclaredTypes): DataFrame = {
+    // The dialect has NO lateral column aliases (SELECT a+1 AS x, x*2 —
+    // refs resolve against the base relation only; QUALIFY's alias
+    // substitution happens at parse level), but Spark's implicit LCA
+    // resolution still fires on generated projections whose output
+    // aliases shadow base columns, and it cannot resolve a window
+    // expression inside a higher-order-function lambda (the r13
+    // collected-frame EXCLUDE identity): UNSUPPORTED_FEATURE.
+    // LATERAL_COLUMN_ALIAS_IN_WINDOW on plans that are perfectly
+    // resolvable against the child. Dataset construction analyzes
+    // EAGERLY, so disabling implicit LCA for the duration of plan
+    // construction fixes the whole class without leaking the setting
+    // into the user's session.
+    val lcaSession = org.apache.spark.sql.SparkSession.active
+    val lcaKey = "spark.sql.lateralColumnAlias.enableImplicitResolution"
+    val lcaPrev = lcaSession.conf.getOption(lcaKey)
+    lcaSession.conf.set(lcaKey, "false")
+    try {
+      planSelectLcaFree(sel00, lookup, grace, declared)
+    } finally lcaPrev match {
+      case Some(v) => lcaSession.conf.set(lcaKey, v)
+      case None => lcaSession.conf.unset(lcaKey)
+    }
+  }
+
+  private def planSelectLcaFree(sel00: Select, lookup: Lookup, grace: String,
+                                declared: DeclaredTypes): DataFrame = {
     val src = planFrom(sel00.from, lookup, declared)
     // scalar subqueries (extension) rewrite to broadcast 1-row cross-join
     // columns BEFORE anything else, so every later clause sees a plain
@@ -1460,6 +1583,14 @@ object Translate {
       case ColRef(Some(q), n) => col(s"$q.$n")
       case ColRef(None, n) => col(n)
     }
+
+    // Static-type probe for plans that must know an argument's RUNTIME
+    // Spark type (today: the decimal accumulator of the collected-frame
+    // EXCLUDE fold — winFnCol). Resolves the column against the given
+    // relation at analysis time; no job runs. None on any failure →
+    // callers keep their type-agnostic plan.
+    def probeOn(d: DataFrame): Column => Option[SparkDT] =
+      c => scala.util.Try(d.select(c).schema.head.dataType).toOption
 
     // WHERE → Filter (Planner.hs:343-345). Top-level AND conjuncts that
     // are IN/EXISTS subquery predicates (extension) peel off into semi/
@@ -1555,7 +1686,7 @@ object Translate {
             case w: WinFn if winNames.contains(w) => ColRef(None, winNames(w))
           }
           val withWins = wins.foldLeft(filteredG)((d, w) =>
-            d.withColumn(winNames(w), column(w, resolve, env)))
+            d.withColumn(winNames(w), column(w, resolve, env, probeOn(d))))
           val flt = withWins
             .withColumn("__graft_qual", column(subWins(qSub), resolve, env))
             .filter(col("__graft_qual")).drop("__graft_qual")
@@ -1612,7 +1743,7 @@ object Translate {
         val repMap = rep.map { case (e, n) => n.toLowerCase -> e }.toMap
         baseCols.filterNot(c => ex.exists(_.equalsIgnoreCase(c))).map { c =>
           repMap.get(c.toLowerCase) match {
-            case Some(e) => column(e, resolve, env).as(c)
+            case Some(e) => column(e, resolve, env, probeOn(donBase)).as(c)
             case None => col(s"`$c`")
           }
         }
@@ -1631,9 +1762,11 @@ object Translate {
           throw new IllegalArgumentException(
             s"$q.* does not take EXCLUDE/REPLACE — apply them to a bare *")
         case ItemExpr(e, alias) =>
-          Seq(column(e, resolve, env).as(alias.getOrElse(exprName(e))))
+          Seq(column(e, resolve, env, probeOn(donBase))
+            .as(alias.getOrElse(exprName(e))))
       }
-      finishSelect(donBase, cols, Nil, selQ, e => column(e, resolve, env))
+      finishSelect(donBase, cols, Nil, selQ,
+        e => column(e, resolve, env, probeOn(donBase)))
     } else {
       // Validate rejects these with full dialect explanations; backstop
       // for direct Translate callers

@@ -573,11 +573,17 @@ object Validate {
       // typed RANGE + any EXCLUDE (r11) and ROWS + GROUP/TIES, where the
       // positional boundary can cut through the value-based peer group
       // (r12) — takes the collected-frame evaluation (Translate
-      // winFnCol). Every EXCLUDE mode is supported on every frame type.
+      // winFnCol). The FRAME-VALUED functions — FIRST/LAST/NTH_VALUE and
+      // the windowed STRING_AGG/ARRAY_AGG — take the row-identity
+      // collected plan (r13). Every EXCLUDE mode is supported on every
+      // frame type for all ten.
       if (exclude != "NO OTHERS" &&
-          !Set("SUM", "COUNT", "AVG", "MIN", "MAX").contains(name))
-        fail(s"$name does not support frame EXCLUDE " +
-          "(SUM/COUNT/AVG/MIN/MAX do)")
+          !Set("SUM", "COUNT", "AVG", "MIN", "MAX", "FIRST_VALUE",
+            "LAST_VALUE", "NTH_VALUE", "STRING_AGG", "ARRAY_AGG")
+            .contains(name))
+        fail(s"$name does not support frame EXCLUDE (the aggregates " +
+          "SUM/COUNT/AVG/MIN/MAX and the frame-valued FIRST_VALUE/" +
+          "LAST_VALUE/NTH_VALUE/STRING_AGG/ARRAY_AGG do)")
       // no aggregates (and no nested window fns) inside any part
       (args ++ parts ++ ord.map(_.e))
         .foreach(checkExpr(_, aggAllowed = false, where = s"$name's OVER clause"))

@@ -203,6 +203,13 @@ object StreamFuzz {
     } finally {
       q.stop()
       spark.catalog.dropTempView(sinkName)
+      // delete the staged batches once the query is down (r13 ADVICE: a
+      // long roaming run leaked one temp dir per scenario into /tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () } // cleanup is best-effort
     }
   }
 

@@ -294,6 +294,94 @@ class FrameOracleSpec extends SparkSpec {
     checkExcludeRowsPeers("GROUP", 11011L)
     checkExcludeRowsPeers("TIES", 12012L)
   }
+
+  /** Frame-valued functions under EXCLUDE (r13): FIRST/LAST/NTH_VALUE
+    * (RESPECT and IGNORE NULLS) and the windowed ordered aggregates,
+    * against the literal evaluator. Everything orders by the TIED key o
+    * with values a FUNCTION of o (NULL at o=3), so any engine-chosen peer
+    * permutation yields the same value sequence — results compare as
+    * multisets of (k, o, …) rows, the checkExcludeRowsPeers protocol. */
+  private def checkExcludeFrameValued(mode: String, excl: String,
+                                      seed: Long): Unit = {
+    import spark.implicits._
+    def fv(o: Long): Option[Long] = if (o == 3L) None else Some(o * 7 - 11)
+    samples(tableGen, 4, seed).zipWithIndex.foreach { case (data0, ti) =>
+      val data = data0.map(r => r.copy(v = fv(r.o)))
+      data.map(r => (r.i, r.k, r.o, r.v)).toDF("i", "k", "o", "v")
+        .createOrReplaceTempView("fo_t")
+      samples(boundPair, 3, seed * 17 + ti).foreach { case (lo, hi) =>
+        val fr = s"$mode BETWEEN ${sqlOf(lo)} AND ${sqlOf(hi)} EXCLUDE $excl"
+        val got = e.batch(
+          s"""SELECT k, o,
+                     FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o $fr) AS f,
+                     LAST_VALUE(v) OVER (PARTITION BY k ORDER BY o $fr) AS l,
+                     NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY o $fr) AS n2,
+                     FIRST_VALUE(v IGNORE NULLS)
+                       OVER (PARTITION BY k ORDER BY o $fr) AS fig,
+                     STRING_AGG(v, ',' ORDER BY v)
+                       OVER (PARTITION BY k ORDER BY o $fr) AS sa,
+                     ARRAY_AGG(v ORDER BY v DESC)
+                       OVER (PARTITION BY k ORDER BY o $fr) AS aa
+              FROM fo_t;""").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            (2 to 4).map(c => if (r.isNullAt(c)) None else Some(r.getLong(c))),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            if (r.isNullAt(6)) None else Some(r.getString(6)),
+            if (r.isNullAt(7)) None
+            else Some(r.getSeq[Any](7).map(Option(_)
+              .map(_.asInstanceOf[Long])).toList)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        // exclusion activity, the engine's static rule: ROWS + GROUP/TIES
+        // is always live (peers are positional); otherwise 0 ∈ bounds
+        val active = (mode == "ROWS" && excl != "CURRENT ROW") || {
+          val loOk = lo match { case UP | CR => true; case P(_) => true
+            case F(n) => n == 0L; case UF => false }
+          val hiOk = hi match { case UF | CR => true; case F(_) => true
+            case P(n) => n == 0L; case UP => false }
+          loOk && hiOk
+        }
+        val want = data.groupBy(_.k).toSeq.flatMap { case (_, ps) =>
+          val part = ps.sortBy(r => (r.o, r.i)).toVector
+          part.zipWithIndex.map { case (r, idx) =>
+            val fr0 = frameRows(mode, part, idx, lo, hi)
+            val surv =
+              if (active) applyExclude(fr0, r, excl, _.o) else fr0
+            val nn = surv.flatMap(_.v)
+            (r.k, r.o,
+              Seq(surv.headOption.flatMap(_.v), surv.lastOption.flatMap(_.v),
+                surv.lift(1).flatMap(_.v)),
+              nn.headOption,
+              if (nn.isEmpty) None else Some(nn.sorted.mkString(",")),
+              // empty → NULL only under an ACTIVE exclusion (or FILTER);
+              // the plain windowed ARRAY_AGG keeps the empty array
+              if (surv.isEmpty && active) None
+              else Some(surv.map(_.v).sortBy {
+                case Some(x) => (0, -x); case None => (1, 0L) }.toList))
+          }
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        assert(got == want,
+          s"$fr frame-valued multiset mismatch\n table=${data.take(10)}…\n" +
+            s" got=${got.toSeq.sortBy(_.toString).take(6)}\n" +
+            s" want=${want.toSeq.sortBy(_.toString).take(6)}")
+      }
+    }
+  }
+
+  test("frame-valued fns: ROWS EXCLUDE modes match the literal evaluator") {
+    checkExcludeFrameValued("ROWS", "CURRENT ROW", 13013L)
+    checkExcludeFrameValued("ROWS", "GROUP", 14014L)
+    checkExcludeFrameValued("ROWS", "TIES", 15015L)
+  }
+  test("frame-valued fns: RANGE EXCLUDE modes match the literal evaluator") {
+    checkExcludeFrameValued("RANGE", "CURRENT ROW", 16016L)
+    checkExcludeFrameValued("RANGE", "GROUP", 17017L)
+    checkExcludeFrameValued("RANGE", "TIES", 18018L)
+  }
+  test("frame-valued fns: GROUPS EXCLUDE modes match the literal evaluator") {
+    checkExcludeFrameValued("GROUPS", "CURRENT ROW", 19019L)
+    checkExcludeFrameValued("GROUPS", "GROUP", 20020L)
+    checkExcludeFrameValued("GROUPS", "TIES", 21021L)
+  }
   test("RANGE EXCLUDE CURRENT ROW / GROUP / TIES match the literal evaluator") {
     checkExclude("RANGE", "CURRENT ROW", 5005L)
     checkExclude("RANGE", "GROUP", 6006L)

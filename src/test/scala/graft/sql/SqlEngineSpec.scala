@@ -750,4 +750,32 @@ class SqlEngineSpec extends SparkSpec {
       assertThrows[Exception](e.batch("SELECT k, c FROM savv;").collect())
     } finally spark.conf.unset("spark.graft.sessionViewAppend")
   }
+
+  test("NATURAL JOIN between ts-less batch subqueries (r13 fuzz find)") {
+    // the natural-key computation excludes event-time columns when
+    // PRESENT; it used to call tsCol, which THROWS when a relation has no
+    // _ts/ts at all, so this perfectly ordinary batch shape failed
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "g")
+      .createOrReplaceTempView("nj_l")
+    Seq((1L, 10L), (3L, 30L), (9L, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("nj_r")
+    val got = e.batch(
+      """SELECT k, g, v
+         FROM (SELECT k, g FROM nj_l) AS l
+           NATURAL JOIN (SELECT k, v FROM nj_r) AS r
+         ORDER BY k;""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "x", 10L), (3L, "z", 30L)), got.toSeq)
+    // and ts IS still excluded from the natural keys when present on
+    // both sides (infrastructure, not a key): k alone joins the rows
+    Seq((1L, new java.sql.Timestamp(1000L))).toDF("k", "ts")
+      .createOrReplaceTempView("nj_tl")
+    Seq((1L, new java.sql.Timestamp(2000L), 7L)).toDF("k", "ts", "w")
+      .createOrReplaceTempView("nj_tr")
+    val ts = e.batch(
+      "SELECT k, w FROM nj_tl NATURAL JOIN nj_tr;").collect()
+    assert(ts.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 7L)))
+  }
 }

@@ -125,11 +125,21 @@ class WindowFrameSpec extends SparkSpec {
       ("a", 2L, 5L, 5L, 30L, 30L),
       ("a", 3L, 20L, 20L, 40L, 40L),
       ("a", 4L, 30L, 30L, 40L, 30L)), rng.toSeq)
-    rejects("""SELECT FIRST_VALUE(v) OVER (ORDER BY i
-         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
-       FROM wf_t;""", "does not support frame EXCLUDE")
     rejects("""SELECT SUM(v) OVER (ORDER BY i EXCLUDE CURRENT ROW) AS s
        FROM wf_t;""", "EXCLUDE requires an explicit")
+    // r13: EXCLUDE on the frame-valued functions (the former rejection) —
+    // row-identity collected plan. k='a' v=10,20,30,40 by i; ±1 ROWS
+    // frame minus the current row; single-row k='b' partition → empty →
+    // NULL (−1 sentinel).
+    val fv = e.batch(
+      """SELECT k, i, FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY i
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+           EXCLUDE CURRENT ROW) AS f
+         FROM wf_t ORDER BY k, i;""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(fv.toSeq == Seq(("a", 1L, 20L), ("a", 2L, 10L), ("a", 3L, 20L),
+      ("a", 4L, 30L), ("b", 1L, -1L)), fv.toSeq)
   }
 
   test("ROWS + EXCLUDE GROUP/TIES (r12 collected-frame plan), hand-checked") {
@@ -204,5 +214,105 @@ class WindowFrameSpec extends SparkSpec {
     // own 7 (3 values), id=4's own value is NULL (2 values).
     assert(nk.toSeq == Seq((1L, 7L, 2L), (2L, 7L, 2L),
       (3L, 30L, 3L), (4L, 30L, 2L)), nk.toSeq)
+  }
+
+  test("EXCLUDE on frame-valued functions (r13), hand-checked") {
+    import spark.implicits._
+    // values are a FUNCTION of the tied order key g, so which peer the
+    // engine puts at which position inside a tie class is invisible
+    Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 2L, 20L), (4L, 2L, 20L),
+      (5L, 3L, 30L)).toDF("id", "g", "v").createOrReplaceTempView("fx_t")
+    val got = e.batch(
+      """SELECT id,
+                FIRST_VALUE(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS f_grp,
+                LAST_VALUE(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS l_grp,
+                NTH_VALUE(v, 2) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS n2_ties,
+                LAST_VALUE(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW EXCLUDE TIES) AS l_run,
+                FIRST_VALUE(v) OVER (ORDER BY g ROWS BETWEEN 2 PRECEDING
+                  AND 1 PRECEDING EXCLUDE TIES) AS f_prec
+         FROM fx_t ORDER BY id;""")
+      .collect().map(r => (r.getLong(0),
+        (1 to 4).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    // f_grp: drop the whole own tie class from [10,10,20,20,30];
+    // l_grp symmetric; n2_ties keeps self, drops the OTHER peer;
+    // l_run: running frame ends at the current row, peers-other-than-
+    // self drop → last survivor is the current row's own value;
+    // f_prec: self outside the [−2,−1] frame stays absent (removal-only
+    // — the duckdb #6 divergence shape), in-frame peers drop.
+    assert(got.toSeq == Seq(
+      (1L, Seq(20L, 30L, 20L, 10L), -1L),
+      (2L, Seq(20L, 30L, 20L, 10L), -1L),
+      (3L, Seq(10L, 30L, 10L, 20L), 10L),
+      (4L, Seq(10L, 30L, 10L, 20L), 10L),
+      (5L, Seq(10L, 20L, 10L, 30L), 20L)), got.toSeq)
+    // windowed ordered aggregates under EXCLUDE: the in-call ORDER BY
+    // sorts elements, the OVER frame (post-exclusion) selects them;
+    // single-row frame minus its own group → NULL, not an empty array
+    val agg = e.batch(
+      """SELECT id,
+                STRING_AGG(v, ',' ORDER BY v) OVER (ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                  EXCLUDE GROUP) AS sa,
+                ARRAY_AGG(v ORDER BY v DESC) OVER (ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                  EXCLUDE TIES) AS aa,
+                ARRAY_AGG(v ORDER BY v) OVER (ORDER BY g
+                  ROWS BETWEEN CURRENT ROW AND CURRENT ROW
+                  EXCLUDE GROUP) AS aa_null,
+                COUNT(*) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS cstar
+         FROM fx_t ORDER BY id;""")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getSeq[Long](2).toList,
+        r.isNullAt(3), r.getLong(4)))
+    assert(agg.toSeq == Seq(
+      (1L, "20,20,30", List(30L, 20L, 20L, 10L), true, 3L),
+      (2L, "20,20,30", List(30L, 20L, 20L, 10L), true, 3L),
+      (3L, "10,10,30", List(30L, 20L, 10L, 10L), true, 3L),
+      (4L, "10,10,30", List(30L, 20L, 10L, 10L), true, 3L),
+      (5L, "10,10,20,20", List(30L, 20L, 20L, 10L, 10L), true, 4L)),
+      agg.toSeq)
+    // IGNORE NULLS composes with EXCLUDE: exclusion deletes rows first,
+    // null-skipping then indexes the survivors
+    Seq((1L, 1L, Option(10L)), (2L, 2L, Option(20L)),
+      (3L, 3L, Option.empty[Long]))
+      .toDF("id", "g", "v").createOrReplaceTempView("fx_n")
+    val ig = e.batch(
+      """SELECT id,
+                LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY g ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                  EXCLUDE GROUP) AS l_ig,
+                LAST_VALUE(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS l_re
+         FROM fx_n ORDER BY id;""")
+      .collect().map(r => ((1 to 2).map(i =>
+        if (r.isNullAt(i)) -1L else r.getLong(i))))
+    assert(ig.toSeq == Seq(Seq(20L, -1L), Seq(10L, -1L), Seq(20L, 20L)),
+      ig.toSeq)
+  }
+
+  test("decimal SUM under ROWS + EXCLUDE keeps full scale (r13 ADVICE)") {
+    import spark.implicits._
+    // DECIMAL(38,6): the naive get−get fold zero would be capped to
+    // scale 5 (precision 39 → minimal-loss cut), silently rounding every
+    // add; the probed accumulator folds at (37,6) and stays exact
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Seq(1L, 2L, 3L).toDF("i")
+      .withColumn("d", (col("i") + expr("CAST(0.000001 AS DECIMAL(38,6))"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+    df.createOrReplaceTempView("fx_dec")
+    val got = e.batch(
+      """SELECT i, SUM(d) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+           PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS s
+         FROM fx_dec ORDER BY i;""")
+      .collect().map(_.getDecimal(1))
+    // unique keys → TIES removes nothing → every row sums all three
+    val want = new java.math.BigDecimal("6.000003")
+    got.foreach(d => assert(d.compareTo(want) == 0, s"got $d want $want"))
   }
 }
