@@ -1061,9 +1061,20 @@ class Engine(val spark: SparkSession) {
           // expired rows, so the compacted base's ranges tighten
           state.zones = state.zones ++
             collectZones(merged, zc, b => s"$compactDir/graft_bucket=$b")
+          // A bucket whose every row EXPIRED compacts to NOTHING — the
+          // partitioned write creates no graft_bucket=<b> dir for it, so
+          // the manifest must record an EMPTY chain, not a path that was
+          // never written (r13 ViewFuzz find: an update to an already-
+          // expired key triggered compaction of an all-expired bucket and
+          // every later pull died with PATH_NOT_FOUND on the dangling
+          // leaf). One tiny distinct over the already-persisted frame —
+          // the same driver bound as the affected-set collect.
+          val survivors = merged.select("graft_bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          withDeltas ++ toCompact.map(b =>
+            b -> (if (survivors(b)) List(s"$compactDir/graft_bucket=$b")
+                  else Nil))
         } finally merged.unpersist()
-        withDeltas ++ toCompact.map(b =>
-          b -> List(s"$compactDir/graft_bucket=$b"))
       }
   }
 

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * certifies the batch dialect (FuzzGen + DuckDB), generalized to the
   * streaming surface. Each scenario draws a random topology — windowed
   * aggregation (TUMBLE/HOP/SESSION × agg set × keyed/global), a
-  * stream-stream interval join (INNER/LEFT × interval bounds), or the
-  * per-row EMIT CHANGES operators (StreamOps.perRowAggs / perRowAggsWindowed)
+  * stream-stream interval join (INNER/LEFT/RIGHT/FULL × interval bounds,
+  * with planted never-matching rows so the outer null sides are
+  * non-vacuous), the composed join→windowed-agg chain (r13 — the
+  * reference's two-hop pipeline shape), or the per-row EMIT CHANGES
+  * operators (StreamOps.perRowAggs / perRowAggsWindowed)
   * — plus a seeded event stream with out-of-order, duplicate, NULL-ts and
   * decisively-LATE records, replays it through live Structured Streaming
   * (file micro-batches, one parquet file per batch, processAllAvailable
@@ -58,7 +61,7 @@ object StreamFuzz {
 
   private final case class Scenario(
       name: String,
-      kind: String,              // tumble|hop|session|join_inner|join_left|perrow|perrow_win
+      kind: String,              // tumble|hop|session|join_{inner,left,right,full,agg}|perrow*|asof
       batches: Vector[Vector[Ev]],
       sizeMin: Int, advanceMin: Int, gapMin: Int,
       delayMin: Int,
@@ -76,8 +79,14 @@ object StreamFuzz {
 
   private def genScenario(seed: Long, i: Int): Scenario = {
     val r = mix(seed, i)
+    // r13 (VERDICT #2): RIGHT/FULL outer interval joins (the V2
+    // reference implements all four join types — DiffFlow/Types.hs:
+    // 323-328) and the composed two-operator chain join_agg
+    // (interval-join → windowed aggregation, the reference's two-hop
+    // pipeline shape — RunSQLSpec.hs:93-128) join the generator.
     val kind = Vector("tumble", "hop", "session", "join_inner", "join_left",
-      "perrow", "perrow_win", "perrow_session", "asof")(i % 9)
+      "perrow", "perrow_win", "perrow_session", "asof",
+      "join_right", "join_full", "join_agg")(i % 12)
     val delayMin = pick(r, Seq(5, 10, 15))
     // session kinds can't take decisively-late records (their merge
     // semantics would need the referee to model eviction timing); every
@@ -107,6 +116,22 @@ object StreamFuzz {
         (0 until 1 + r.nextInt(3)).foreach { j =>
           rows += Ev(r.nextInt(nKeys).toLong, Some(LateMs + j * 60000L),
             Some(7L), if (r.nextBoolean()) "a" else "b", lateMarked = true)
+        }
+      // outer-join kinds get GUARANTEED-unmatched rows on each null-
+      // capable side (keys outside the shared domain, one side only), so
+      // the null-side-at-watermark path is never vacuously certified:
+      // LEFT/FULL plant left-only rows (→ null-RIGHT output), RIGHT/FULL
+      // plant right-only rows (→ null-LEFT output)
+      if (kind == "join_right" || kind == "join_full" || kind == "join_left")
+        (0 until 1 + r.nextInt(2)).foreach { j =>
+          val base = T0 + b.toLong * segMin * 60000L +
+            r.nextInt(segMin * 60000).toLong
+          if (kind != "join_left")
+            rows += Ev(200L + j, Some(base), Some(r.nextInt(9).toLong), "b",
+              lateMarked = false)
+          if (kind != "join_right")
+            rows += Ev(100L + j, Some(base + 1000L),
+              Some(r.nextInt(9).toLong), "a", lateMarked = false)
         }
       r.shuffle(rows.result())
     }.toVector
@@ -284,8 +309,13 @@ object StreamFuzz {
         val gotC = canon(got); val wantC = canon(want)
         if (gotC == wantC) None else Some(diffMsg(gotC, wantC))
 
-      case "join_inner" | "join_left" =>
-        val jt = if (sc.kind == "join_left") "leftOuter" else "inner"
+      case "join_inner" | "join_left" | "join_right" | "join_full" =>
+        val jt = sc.kind match {
+          case "join_left" => "leftOuter"
+          case "join_right" => "rightOuter"
+          case "join_full" => "fullOuter"
+          case _ => "inner"
+        }
         def sides(df: DataFrame): (DataFrame, DataFrame) = (
           df.filter(col("ts").isNotNull && col("typ") === "a")
             .select(col("k").as("lk"), col("ts").as("lts"), col("v").as("lv")),
@@ -296,16 +326,66 @@ object StreamFuzz {
           StreamOps.intervalJoin(l, rr, "lts", "rts",
             s"${sc.beforeMin} minutes", s"${sc.afterMin} minutes",
             col("lk") === col("rk"), joinType = jt, grace = delay)
-            .select(col("lk"), col("lts"), col("lv"), col("rts"), col("rv"))
+            .select(col("lk"), col("lts"), col("lv"),
+              col("rk"), col("rts"), col("rv"))
         }
+        // outer sides make lk NULLABLE — sentinel rows filter null-safely
+        // (the matched sentinel pair carries lk = rk = −1)
         val got = replay(spark, sc, mk, "append", sc.name, sentinel = true)
-          .filterNot(_.getLong(0) == -1L)
+          .filterNot(r => (!r.isNullAt(0) && r.getLong(0) == -1L) ||
+            (!r.isNullAt(3) && r.getLong(3) == -1L))
         val (lb, rb) = sides(survDf)
         val range =
           col("rts") >= col("lts") - expr(s"INTERVAL ${sc.beforeMin} minutes") &&
           col("rts") <= col("lts") + expr(s"INTERVAL ${sc.afterMin} minutes")
         val want = lb.join(rb, range && col("lk") === col("rk"), jt)
-          .select(col("lk"), col("lts"), col("lv"), col("rts"), col("rv"))
+          .select(col("lk"), col("lts"), col("lv"),
+            col("rk"), col("rts"), col("rv"))
+          .collect().toSeq
+        // non-vacuity (r13): the generator plants unmatched rows on every
+        // null-capable side, so the watermark-close null-row path is
+        // actually inside the compared surface, not a lucky zero
+        val nullLeft = want.count(_.isNullAt(0))
+        val nullRight = want.count(_.isNullAt(3))
+        if ((sc.kind == "join_left" || sc.kind == "join_full") && nullRight == 0)
+          return Some("vacuous outer draw: no null-RIGHT rows in the twin")
+        if ((sc.kind == "join_right" || sc.kind == "join_full") && nullLeft == 0)
+          return Some("vacuous outer draw: no null-LEFT rows in the twin")
+        val gotC = canon(got); val wantC = canon(want)
+        if (gotC == wantC) None else Some(diffMsg(gotC, wantC))
+
+      case "join_agg" =>
+        // composed two-operator chain (the reference's two-hop pipeline
+        // shape): inner interval join, then a TUMBLE aggregation over the
+        // joined stream's LEFT event time — Spark's multiple-stateful-
+        // operator path (watermark propagates through the join into the
+        // window operator). Twin: the same join + agg as one batch plan
+        // over the survivor set.
+        def sides(df: DataFrame): (DataFrame, DataFrame) = (
+          df.filter(col("ts").isNotNull && col("typ") === "a")
+            .select(col("k").as("lk"), col("ts").as("lts"), col("v").as("lv")),
+          df.filter(col("ts").isNotNull && col("typ") === "b")
+            .select(col("k").as("rk"), col("ts").as("rts"), col("v").as("rv")))
+        def agg(joined: DataFrame): DataFrame = joined
+          .groupBy(window(col("lts"), s"${sc.sizeMin} minutes"), col("lk"))
+          .agg(count(lit(1)).as("cnt"), sum(col("lv")).as("svl"),
+            sum(col("rv")).as("svr"))
+          .select(col("lk"), col("window.start").as("ws"),
+            col("window.end").as("we"), col("cnt"), col("svl"), col("svr"))
+        val mk: DataFrame => DataFrame = { s =>
+          val (l, rr) = sides(s)
+          agg(StreamOps.intervalJoin(l, rr, "lts", "rts",
+            s"${sc.beforeMin} minutes", s"${sc.afterMin} minutes",
+            col("lk") === col("rk"), joinType = "inner", grace = delay))
+        }
+        val got = replay(spark, sc, mk, "append", sc.name, sentinel = true)
+          .filterNot(r => r.getLong(0) == -1L ||
+            r.getAs[java.sql.Timestamp](1).getTime >= T0 + 180L * 86400 * 1000)
+        val (lb, rb) = sides(survDf)
+        val range =
+          col("rts") >= col("lts") - expr(s"INTERVAL ${sc.beforeMin} minutes") &&
+          col("rts") <= col("lts") + expr(s"INTERVAL ${sc.afterMin} minutes")
+        val want = agg(lb.join(rb, range && col("lk") === col("rk"), "inner"))
           .collect().toSeq
         val gotC = canon(got); val wantC = canon(want)
         if (gotC == wantC) None else Some(diffMsg(gotC, wantC))
@@ -441,7 +521,7 @@ object StreamFuzz {
   /** Offline roaming: `runMain graft.streaming.StreamFuzz <seedCsv> [n]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
-    val n = if (args.length > 1) args(1).toInt else 18
+    val n = if (args.length > 1) args(1).toInt else 24
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

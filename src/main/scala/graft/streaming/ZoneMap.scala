@@ -112,7 +112,11 @@ private[streaming] object ZoneMap {
     * pre-zone manifest, an all-null/NaN column in one delta, or a string
     * extreme the sidecar format cannot hold). */
   def mayMatch(chain: Seq[String], bnds: Seq[Bound], zones: Zones): Boolean =
-    bnds.forall { b =>
+    // an EMPTY chain serves no rows, so no predicate can match it — prune
+    // outright (chains can be empty since r13: compaction of an
+    // all-expired bucket records an empty chain instead of a dangling
+    // path; the unguarded fold below would throw on it)
+    chain.nonEmpty && bnds.forall { b =>
       val ranges = chain.map(p => zones.get(p).flatMap(_.get(b.col)))
       ranges.exists(_.isEmpty) || {
         val rs = ranges.flatten

@@ -207,6 +207,61 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("compaction of an ALL-EXPIRED bucket records an empty chain, not a dangling path (r13 ViewFuzz find)") {
+    // delta-log + retention: an update to an already-expired key grows its
+    // chain past the threshold; compaction sheds every row of the bucket
+    // (all past retention), so the partitioned write creates NO dir for
+    // it — the manifest previously still pointed there and every later
+    // pull died with PATH_NOT_FOUND
+    val srcDir = Files.createTempDirectory("graft_exsrc").toString
+    val viewRoot = Files.createTempDirectory("graft_exroot").toString
+    val ckptRoot = Files.createTempDirectory("graft_exckpt").toString
+    spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
+    spark.conf.set("spark.graft.viewRoot", viewRoot)
+    var n = 0
+    def push(lines: String*): Unit = {
+      n += 1
+      Files.writeString(java.nio.file.Paths.get(srcDir, s"x$n.json"),
+        lines.mkString("\n"))
+    }
+    try {
+      val e = new Engine(spark)
+      e.createFileStream("exs", srcDir, schema)
+      e.createViewIncremental("exv",
+        e.df("exs").groupBy(col("k"))
+          .agg(sum(col("v")).as("total"), max(col("_ts")).as("mts")),
+        keys = Seq("k"), buckets = 4, deltaLog = true, compactThreshold = 1,
+        retainOn = Some("mts"), retention = Some("30 days"))
+      val fresh = tsNowish()
+      push(rec("oldk", 1, "2015-01-01 00:00:00"), rec("live", 5, fresh))
+      e.processAll()
+      // second update to the EXPIRED key crosses compactThreshold=1 →
+      // its bucket compacts; every row there is past retention
+      push(rec("oldk", 2, "2015-01-01 00:01:00"))
+      e.processAll()
+      // the pull must serve, with the expired key absent and the live one
+      // intact (this threw PATH_NOT_FOUND before the fix)
+      val rows = e.pull("exv").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("live" -> 5L), s"got $rows")
+      // and the expired key REVIVES if fresh input arrives (the aggregate
+      // state lives in the checkpoint, not the store)
+      push(rec("oldk", 3, fresh))
+      e.processAll()
+      val rows2 = e.pull("exv").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows2 == Map("live" -> 5L, "oldk" -> 6L), s"got $rows2")
+      e.terminate("exv")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointRoot")
+      spark.conf.unset("spark.graft.viewRoot")
+    }
+  }
+
+  private def tsNowish(): String =
+    java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .minusMinutes(5).withNano(0).toString.replace('T', ' ')
+
   test("delta-log zone maps: value predicates prune whole bucket chains, soundly") {
     val srcDir = Files.createTempDirectory("graft_zmsrc").toString
     val viewRoot = Files.createTempDirectory("graft_zmroot").toString
