@@ -107,7 +107,16 @@ object Bench {
     // the noise-robust statistic for wall time (contention only ever adds).
     // All samples are emitted so variance is visible in the artifact.
     val passes = 3
+    // SPARK_GRAFT_BENCH_QUERIES (r13, the sf1 tier's knob): comma list
+    // restricting the headline set — BENCH_SF1_r13 runs the ~20 most
+    // expensive batch queries at 10× rows without paying for the full
+    // set × 3 passes. "nostream" skips the streaming replay too (its sf1
+    // drain is a STREAMPROBE concern, not a bench row).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val noStream = only.exists(_.contains("nostream"))
     val batchNames = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
     val samples =
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     def record(name: String, sec: Double): Unit =
@@ -148,7 +157,8 @@ object Bench {
       }
       // streaming replay (the reference's own bench shape: push records
       // through a live topology — hstream-diffflow/bench/throughout-*.hs)
-      StreamBench.run(spark, sfDir).foreach { case (k, v) => record(k, v) }
+      if (!noStream)
+        StreamBench.run(spark, sfDir).foreach { case (k, v) => record(k, v) }
     }
     val all = samples.toSeq.map { case (k, vs) => (k, vs.min, vs) }
     val calibMin = samples.get("calib").map(_.min.max(1e-9)).getOrElse(0.0)

@@ -78,11 +78,14 @@ object ViewFuzz {
   /** Event times: near-now for live rows (minutes back from wall clock),
     * 2015 for decisively-expired rows. Rendered in the engine's literal
     * timestamp format. */
-  private def tsOf(minutesAgo: Long): String = {
-    val t = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-      .minusMinutes(minutesAgo).withNano(0)
-    t.toString.replace('T', ' ')
-  }
+  private val tsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private def tsOf(minutesAgo: Long): String =
+    // explicit pattern: LocalDateTime.toString OMITS ":ss" when the
+    // second is zero, which Timestamp.valueOf rejects — a wall-clock-
+    // dependent flake (one in sixty runs, found by the full-suite run)
+    java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .minusMinutes(minutesAgo).withNano(0).format(tsFmt)
 
   private def genScenario(seed: Long, i: Int): Scenario = {
     val r = mix(seed, i)

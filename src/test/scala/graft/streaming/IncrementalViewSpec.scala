@@ -259,8 +259,11 @@ class IncrementalViewSpec extends SparkSpec {
   }
 
   private def tsNowish(): String =
+    // explicit pattern — LocalDateTime.toString omits ":ss" at second 0,
+    // which Timestamp.valueOf rejects (the ViewFuzz tsOf flake)
     java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-      .minusMinutes(5).withNano(0).toString.replace('T', ' ')
+      .minusMinutes(5).withNano(0).format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   test("delta-log zone maps: value predicates prune whole bucket chains, soundly") {
     val srcDir = Files.createTempDirectory("graft_zmsrc").toString
