@@ -748,7 +748,13 @@ object FuzzGen {
     * BIG draws finite frames only (the tRowsExclude reasoning). */
   private def tFrameValuedExclude(big: Boolean)(r: Random, i: Int): FuzzQuery = {
     val part = pick(r, Seq("PARTITION BY g", ""))
-    val key = pick(r, Seq("IFNULL(a, -1)", "IFNULL(b, -9)"))
+    // BIG tier: the tiny key domains make a value-typed RANGE frame span
+    // ~half the relation, and the collected plan is O(frame)/row — a
+    // fine-grained key keeps tie groups ~50 rows and frames bounded (the
+    // tRowsExclude BIG reasoning); the draw still happens so the default
+    // tier's RNG stream is byte-identical for the pins
+    val key0 = pick(r, Seq("IFNULL(a, -1)", "IFNULL(b, -9)"))
+    val key = if (big) "(id % 997)" else key0
     def rbounds(): String = pick(r,
       Seq(
         s"BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
@@ -831,14 +837,21 @@ object FuzzGen {
     * protocol). The join keys are IFNULL'd — both engines' USING equality
     * is null-UNSAFE, so the divergence-free form keeps nulls out of the
     * key rather than certifying a semantics neither engine documents. */
-  private def tJsonJoin(r: Random, i: Int): FuzzQuery = {
+  private def tJsonJoin(big: Boolean)(r: Random, i: Int): FuzzQuery = {
     val natural = r.nextBoolean()
     val jt = pick(r, Seq("JOIN", "LEFT JOIN"))
+    // BIG tier: USING/NATURAL equality can't take the id band (the key
+    // set is exactly the shared columns), so both sides are bounded by
+    // an id cut instead — the tiny key domain would otherwise make the
+    // output quadratic in R (the r11 join-template OOM class). Identical
+    // text both engines; the default tier's RNG stream is untouched.
+    val (lcut, rcut) =
+      if (big) (" WHERE id < 400", " WHERE id < 400") else ("", "")
     val join =
-      if (natural) same(s" FROM (SELECT IFNULL(a, -1) AS k, g, j FROM t1)" +
-        s" AS l NATURAL $jt (SELECT IFNULL(k, -1) AS k, s2 FROM t2) AS r ")
-      else same(s" FROM (SELECT IFNULL(a, -1) AS k, g, j FROM t1) AS l" +
-        s" $jt (SELECT IFNULL(k, -1) AS k, s2 FROM t2) AS r USING (k) ")
+      if (natural) same(s" FROM (SELECT IFNULL(a, -1) AS k, g, j FROM t1$lcut)" +
+        s" AS l NATURAL $jt (SELECT IFNULL(k, -1) AS k, s2 FROM t2$rcut) AS r ")
+      else same(s" FROM (SELECT IFNULL(a, -1) AS k, g, j FROM t1$lcut) AS l" +
+        s" $jt (SELECT IFNULL(k, -1) AS k, s2 FROM t2$rcut) AS r USING (k) ")
     val q = cat(
       same("SELECT k, g, s2, "),
       Tx("j ->> 'x' AS jx", "json_extract_string(j, '$.x') AS jx"),
@@ -854,7 +867,7 @@ object FuzzGen {
     tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame(big),
     tJoin(big), tSetOp, tSubquery, tCte, tOrderLimit,
     tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime, tAsof,
-    tRowsExclude(big), tFrameValuedExclude(big), tMiscProd, tJsonJoin)
+    tRowsExclude(big), tFrameValuedExclude(big), tMiscProd, tJsonJoin(big))
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking
