@@ -86,7 +86,7 @@ object StreamFuzz {
     // pipeline shape — RunSQLSpec.hs:93-128) join the generator.
     val kind = Vector("tumble", "hop", "session", "join_inner", "join_left",
       "perrow", "perrow_win", "perrow_session", "asof",
-      "join_right", "join_full", "join_agg")(i % 12)
+      "join_right", "join_full", "join_agg", "latest")(i % 13)
     val delayMin = pick(r, Seq(5, 10, 15))
     // session kinds can't take decisively-late records (their merge
     // semantics would need the referee to model eviction timing); every
@@ -477,6 +477,31 @@ object StreamFuzz {
           Some(s"${missing.size} batch session rows never emitted: ${missing.take(3).mkString(" | ")}")
         else None
 
+      case "latest" =>
+        // the reference's TABLE SOURCE (latest value per key,
+        // Stream.hs:89-135) as a live update-mode topology. No watermark
+        // operator exists, so ALL non-null-ts rows count (late included).
+        // The payload is a FUNCTION of (k, ts) — rows tying on (k, ts)
+        // are ambiguous in both engines and identical payloads make that
+        // unobservable (the asof-kind protocol). Final state per key =
+        // the emission carrying the key's maximum ts (the running latest
+        // is monotone in ts); the batch twin is the same operator over
+        // the full input.
+        def proj(df: DataFrame): DataFrame = df
+          .filter(col("ts").isNotNull)
+          .select(col("k"), col("ts"),
+            (unix_micros(col("ts")) / 1000L % 997L + col("k") * 7L).as("pv"))
+        val mk: DataFrame => DataFrame =
+          s => StreamOps.latestPerKey(proj(s), Seq("k"), "ts")
+        val got = replay(spark, sc, mk, "update", sc.name, sentinel = false)
+        val all = sc.batches.flatten.filter(_.tsMs.isDefined)
+        val want = StreamOps.latestPerKey(proj(toDf(spark, all)), Seq("k"), "ts")
+          .collect().toSeq
+        val finals = got.groupBy(_.getLong(0)).values
+          .map(_.maxBy(_.getAs[java.sql.Timestamp](1).getTime)).toSeq
+        val gotC = canon(finals); val wantC = canon(want)
+        if (gotC == wantC) None else Some("final latest: " + diffMsg(gotC, wantC))
+
       case "perrow_win" =>
         // per-row EMIT CHANGES over TUMBLE windows: every batch-final
         // window row must appear among the emissions (its last per-row
@@ -521,7 +546,7 @@ object StreamFuzz {
   /** Offline roaming: `runMain graft.streaming.StreamFuzz <seedCsv> [n]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
-    val n = if (args.length > 1) args(1).toInt else 24
+    val n = if (args.length > 1) args(1).toInt else 26
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -15,9 +15,13 @@ import org.apache.spark.sql.types._
   * (Engine.scala §3.2, ZoneMap.scala) — was certified only by hand-written
   * specs. This generalizes the twin method to it: each scenario draws a
   * random (view definition × maintenance mode × append schedule ×
-  * restart event × pull predicates), maintains the view LIVE through a
-  * file-backed stream, and after EVERY trigger compares every pull
-  * against a from-scratch batch recompute over all rows appended so far.
+  * restart event × two-hop CSAS feed × pull predicates), maintains the
+  * view LIVE through a file-backed stream (optionally through a CSAS
+  * middle hop — the reference's stream → CSAS → view pipeline,
+  * RunSQLSpec.hs:93-128/RegressionSpec — whose stateless transform the
+  * referee applies to its own raw rows), and after EVERY trigger compares
+  * every pull against a from-scratch batch recompute over all rows
+  * appended so far.
   *
   * Reference contract: pull queries serve the view's maintained state
   * with the immediate WHERE applied (hstream/src/HStream/Server/Core/
@@ -59,6 +63,7 @@ object ViewFuzz {
       windowed: Boolean,       // TUMBLE(10 min) grouping (inc/delta only)
       retention: Boolean,      // DURATION retention (inc/delta only)
       restartAt: Option[Int],  // engine restart before batch i
+      twoHop: Boolean,         // stream → CSAS → view (the two-hop shape)
       buckets: Int,
       compactThreshold: Int,
       aggs: Seq[String],       // subset of cnt, sv, mnv, mxv, av
@@ -117,12 +122,15 @@ object ViewFuzz {
       s"k = '${pick(r, keys)}' OR k = '${pick(r, keys)}'") ++
       (if (aggs.contains("sv")) Vector(s"sv > ${r.nextInt(21) - 10}",
         s"sv <= ${r.nextInt(21) - 10} AND cnt >= 1") else Vector.empty)
+    val twoHop = mode != "append" && r.nextInt(3) == 0
     Scenario(
       name = f"vfz_${seed}%d_${i}%02d_$mode" +
-        (if (windowed) "_win" else "") + (if (retention) "_ret" else ""),
+        (if (windowed) "_win" else "") + (if (retention) "_ret" else "") +
+        (if (twoHop) "_hop" else ""),
       mode = mode, windowed = windowed, retention = retention,
       restartAt = if (mode != "append" && r.nextBoolean())
         Some(1 + r.nextInt(nBatches - 1)) else None,
+      twoHop = twoHop,
       buckets = pick(r, Seq(4, 8)),
       compactThreshold = 1 + r.nextInt(3),
       aggs = aggs, batches = batches, preds = preds)
@@ -198,17 +206,29 @@ object ViewFuzz {
     val srcDir = Files.createTempDirectory(s"graft_vfz_src").toString
     val viewRoot = Files.createTempDirectory(s"graft_vfz_root").toString
     val ckptRoot = Files.createTempDirectory(s"graft_vfz_ckpt").toString
+    val midDir = Files.createTempDirectory(s"graft_vfz_mid").toString
     spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
     spark.conf.set("spark.graft.viewRoot", viewRoot)
     val stream = s"${sc.name}_s"; val view = s"${sc.name}_v"
+    val mid = s"${sc.name}_m"
     var pruned = 0; var compacted = 0; var expired = 0
+    // the two-hop CSAS transform (stateless filter + project — a file
+    // sink is append-mode); the referee applies the SAME mapping to its
+    // raw rows (csasRows below)
+    def csas(df: DataFrame): DataFrame = df.filter(col("v") =!= 0)
+      .select(col("k"), (col("v") * 2 - 1).as("v"), col("_ts"))
     def mkEngine(): Engine = {
       val e = new Engine(spark)
       e.createFileStream(stream, srcDir, schema)
+      val src = if (sc.twoHop) {
+        e.createFileStream(mid, midDir, schema)
+        e.createStreamAs(mid, csas(e.df(stream)))
+        e.df(mid)
+      } else e.df(stream)
       sc.mode match {
-        case "complete" => e.createView(view, viewPlan(sc, e.df(stream)))
-        case "append" => e.createViewAppend(view, viewPlan(sc, e.df(stream)))
-        case m => e.createViewIncremental(view, viewPlan(sc, e.df(stream)),
+        case "complete" => e.createView(view, viewPlan(sc, src))
+        case "append" => e.createViewAppend(view, viewPlan(sc, src))
+        case m => e.createViewIncremental(view, viewPlan(sc, src),
           keys = upsertKeys(sc), buckets = sc.buckets,
           deltaLog = m == "delta", compactThreshold = sc.compactThreshold,
           retainOn = if (sc.retention) Some("mts") else None,
@@ -216,14 +236,22 @@ object ViewFuzz {
       }
       e
     }
+    def csasRows(rows: Seq[(String, Long, String)]) =
+      if (!sc.twoHop) rows
+      else rows.collect { case (k, v, ts) if v != 0 => (k, v * 2 - 1, ts) }
+    def stopAll(e: Engine): Unit = {
+      try e.terminate(view) catch { case _: Exception => () }
+      if (sc.twoHop) try e.terminate(mid) catch { case _: Exception => () }
+    }
     var engine = mkEngine()
     val seen = Vector.newBuilder[(String, Long, String)]
     try {
       sc.batches.zipWithIndex.foreach { case (batch, b) =>
         if (sc.restartAt.contains(b)) {
-          // restart event: kill the maintenance query mid-run; the new
-          // engine must recover the manifest/snapshot AND the agg state
-          engine.terminate(view)
+          // restart event: kill the maintenance (and CSAS) queries
+          // mid-run; the new engine must recover the manifest/snapshot
+          // AND the agg state (and the CSAS file-sink commit log)
+          stopAll(engine)
           engine = mkEngine()
         }
         Files.writeString(java.nio.file.Paths.get(srcDir, s"b$b.json"),
@@ -234,7 +262,7 @@ object ViewFuzz {
         // append-mode visibility: closed sessions only — pulls compare at
         // the closure point (after the sentinel) instead of per batch
         if (sc.mode != "append") {
-          val all = seen.result()
+          val all = csasRows(seen.result())
           sc.preds.foreach { pred =>
             val got = engine.pull(view, pred).collect().toSeq
             val want = recompute(spark, sc, all).where(pred).collect().toSeq
@@ -286,10 +314,10 @@ object ViewFuzz {
         Report(sc.name, ok = false,
           s"EXEC ${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
-      try engine.terminate(view) catch { case _: Exception => () }
+      stopAll(engine)
       spark.conf.unset("spark.graft.checkpointRoot")
       spark.conf.unset("spark.graft.viewRoot")
-      Seq(srcDir, viewRoot, ckptRoot).foreach { d =>
+      Seq(srcDir, viewRoot, ckptRoot, midDir).foreach { d =>
         try {
           import scala.jdk.CollectionConverters._
           Files.walk(java.nio.file.Paths.get(d)).iterator().asScala

@@ -50,6 +50,20 @@ class WindowClauseSpec extends SparkSpec {
          ORDER BY i;""")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ok.toSeq == Seq((1L, 20L), (2L, 40L), (3L, 20L)))
+    // r13: the frame-valued collected plan composes with named windows
+    // too — FIRST_VALUE through the same EXCLUDE-carrying spec (k='a':
+    // ±1 frame minus current → 20,10,20; k='b' lone row → NULL)
+    val fv = e.batch(
+      """SELECT k, i, FIRST_VALUE(v) OVER w AS f
+         FROM wc_t
+         WINDOW w AS (PARTITION BY k ORDER BY i
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                      EXCLUDE CURRENT ROW)
+         ORDER BY k, i;""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(fv.toSeq == Seq(("a", 1L, 20L), ("a", 2L, 10L), ("a", 3L, 20L),
+      ("b", 1L, -1L)), fv.toSeq)
   }
 
   test("scoping: a subquery's WINDOW clause is invisible outside") {

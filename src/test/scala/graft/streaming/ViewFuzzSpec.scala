@@ -34,4 +34,22 @@ class ViewFuzzSpec extends SparkSpec {
   test("view fuzzer: pinned seed 31337 — every pull == from-scratch recompute") {
     checkSeed(31337L, 8)
   }
+
+  test("view fuzzer under RocksDB state store: one pinned pass") {
+    // the view maintenance queries' AGGREGATION state rides the state
+    // store; one pass under the production provider extends the
+    // differential certification there (answers, not just bounds)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val reports = ViewFuzz.run(spark, 907L, 4) // one pass over the modes
+      val bad = reports.filterNot(_.ok)
+      assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
