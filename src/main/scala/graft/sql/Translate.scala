@@ -548,6 +548,14 @@ object Translate {
         "scalar subquery is not supported in this position")
       case a: Agg => throw new IllegalArgumentException(
         s"aggregate ${a.name} in a non-aggregate context")
+      // internal wrapper nodes — never reach scalar translation by
+      // construction; named here so the match is exhaustive and a future
+      // misuse fails with a message instead of a MatchError
+      case _: Kept => throw new IllegalArgumentException(
+        "internal: Kept (agg FILTER wrapper) outside aggregation context")
+      case _: OrdKey => throw new IllegalArgumentException(
+        "internal: OrdKey (in-call ORDER BY wrapper) outside an ordered " +
+          "aggregate argument list")
     }
     go(e)
   }
