@@ -321,7 +321,11 @@ object StoreFuzz {
       Report(sc.name, ok = true, "", compactions, replays, vacuumed,
         orphans, dupsFound)
     } catch {
-      case e: Throwable =>
+      // NonFatal, NOT Throwable: the in-loop `return fail(...)` sites sit
+      // inside the for-comprehension's foreach closure, so they unwind
+      // through here as ControlThrowable — a Throwable catch would swallow
+      // them and replace the detailed diff with "EXEC NonLocalReturnControl"
+      case scala.util.control.NonFatal(e) =>
         Report(sc.name, ok = false,
           s"EXEC ${e.getClass.getSimpleName}: ${e.getMessage}",
           compactions, replays, vacuumed, orphans, dupsFound)

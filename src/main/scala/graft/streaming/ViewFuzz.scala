@@ -310,7 +310,11 @@ object ViewFuzz {
       }
       Report(sc.name, ok = true, "", pruned, compacted, expired)
     } catch {
-      case e: Throwable =>
+      // NonFatal, NOT Throwable: the mismatch `return Report(...)` sites
+      // above sit inside foreach closures, so they unwind through here as
+      // ControlThrowable — a Throwable catch would swallow them and
+      // replace the detailed diff with "EXEC NonLocalReturnControl"
+      case scala.util.control.NonFatal(e) =>
         Report(sc.name, ok = false,
           s"EXEC ${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
