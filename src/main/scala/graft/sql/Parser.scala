@@ -801,7 +801,7 @@ object Parser {
     private def intervalLit(): IntervalLit = {
       expect("INTERVAL")
       val n = next() match {
-        case TNum(t) => t.toLong
+        case TNum(t) => longLit(t)
         case t => throw new IllegalArgumentException(s"expected integer, got '${t.text}'")
       }
       val u = kwPeek
@@ -929,13 +929,28 @@ object Parser {
     }
 
     private def intTok(): Long = next() match {
-      case TNum(t) => t.toLong
+      case TNum(t) => longLit(t)
       case t => throw new IllegalArgumentException(s"expected integer, got '${t.text}'")
     }
 
+    // Numeric-literal parses guarded into the dialect's own error class
+    // (r13 RejectFuzz audit): the lexer's digit loop consumes dots too, so
+    // '1.2.3' reaches toDouble, and a 20+-digit integer reaches toLong —
+    // both previously escaped as raw NumberFormatException instead of a
+    // messaged rejection.
+    private def longLit(t: String): Long =
+      try t.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"integer literal '$t' out of 64-bit range") }
+    private def numLit(t: String): Expr =
+      if (t.contains('.'))
+        NumLit(try t.toDouble catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad numeric literal '$t'") })
+      else IntLit(longLit(t))
+
     private def atom(): Expr = peek match {
       case TNum(t) =>
-        next(); if (t.contains('.')) NumLit(t.toDouble) else IntLit(t.toLong)
+        next(); numLit(t)
       case TStr(s) => next(); StrLit(s)
       case TSym("(") =>
         next()
@@ -1101,7 +1116,22 @@ object Parser {
         val args = Seq.newBuilder[Expr]
         do args += expr() while (accept(","))
         expect(")")
-        return Fn(kw, args.result())
+        val as = args.result()
+        // arity enforced at parse time for the fixed-arity sets (r13
+        // RejectFuzz find: IFNULL(k - 1) — a dropped comma — reached the
+        // planner's a(1) and escaped as a raw IndexOutOfBoundsException);
+        // ROUND optionally takes a literal scale (the fnCallLit form);
+        // pipelineFns vary in arity and are guarded at translation
+        if (kw == "ROUND") {
+          if (as.isEmpty || as.size > 2) throw new IllegalArgumentException(
+            s"ROUND takes 1 or 2 arguments, got ${as.size}")
+        } else if (unaryFns.contains(kw) && as.size != 1)
+          throw new IllegalArgumentException(
+            s"$kw takes exactly 1 argument, got ${as.size}")
+        else if (binaryFns.contains(kw) && as.size != 2)
+          throw new IllegalArgumentException(
+            s"$kw takes exactly 2 arguments, got ${as.size}")
+        return Fn(kw, as)
       }
       // plain or qualified column ref
       val a = ident()

@@ -1,0 +1,191 @@
+package graft.sql
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+/** NEGATIVE fuzzer for the rejection surface (§2.9): every other fuzzer
+  * certifies that well-formed queries produce the right ANSWER; this one
+  * certifies that ILL-formed queries produce the right KIND of error.
+  * The reference dedicates a whole stage to this — validate runs between
+  * parse and refine and rejects with a meaningful message before anything
+  * is planned (hstream-sql/src/HStream/SQL/Internal/Validate.hs) — and
+  * this engine mirrors it (Validate, TypeCheck, the planner's guarded
+  * throws), but that surface was pinned only by hand-written
+  * ValidateSpec/TypeCheckSpec cases on anticipated mistakes. Generated
+  * mistakes are better at finding the unanticipated ones.
+  *
+  * Protocol: draw a known-good query from the SAME generator the
+  * differential fuzzer certifies (FuzzGen — so every base is known to
+  * parse, validate, plan and execute green), apply ONE random token-level
+  * corruption (identifier/function smashed, token deleted/duplicated/
+  * swapped/inserted, tail truncated, operator swapped, numeric literal
+  * overflowed, string literal unterminated), and classify what the engine
+  * does with it:
+  *
+  *   - legal:    the mutant happened to still be a valid query and ran;
+  *   - rejected: IllegalArgumentException — the engine's OWN error class,
+  *               every Parser/Validate/TypeCheck/Translate guard;
+  *   - analysis: Spark AnalysisException — the planner deliberately
+  *               delegates some schema-level errors to Spark's analyzer
+  *               (still a clean, messaged error), tallied separately so
+  *               growth of this class is visible;
+  *   - runtime:  an error-classed Spark runtime throw (SparkThrowable) or
+  *               arithmetic/datetime error — ANSI semantics on a query
+  *               whose VALUES are ill (shared with the oracle's behavior);
+  *   - CRASH:    everything else — MatchError, NullPointerException,
+  *               ClassCastException, StackOverflowError, raw
+  *               NumberFormatException out of the lexer, … — the class
+  *               this fuzzer exists to prove EMPTY.
+  *
+  * The tokenizer here is an independent regex, NOT the engine's Lexer —
+  * deliberately, so lexer bugs are inside the certified surface.
+  *
+  * In-CI: RejectFuzzSpec (pinned seeds, crash count asserted 0).
+  * Offline roaming: `sbt "runMain graft.sql.RejectFuzz <seedCsv> [nBase]"`.
+  */
+object RejectFuzz {
+
+  final case class Tally(legal: Int, rejected: Int, analysis: Int,
+                         runtime: Int, crashes: Seq[String])
+
+  // strings first (atomic), then multi-char operators, then the rest;
+  // '.' keeps qualified refs re-joinable (the engine lexes `t1 . a`)
+  private val tokRe =
+    ("""'(?:[^'])*'|[A-Za-z_][A-Za-z_0-9]*|\d+\.\d+|\d+|""" +
+      """<=>|<>|!=|<=|>=|\|\||->>|#>>|->|#>|::|.""").r
+
+  private def toks(s: String): Vector[String] =
+    tokRe.findAllIn(s).toVector.filterNot(_.forall(_.isWhitespace))
+
+  private def isIdent(t: String): Boolean =
+    t.headOption.exists(c => c.isLetter || c == '_') && !t.startsWith("'")
+
+  /** One random corruption; returns None when the draw has nothing to bite
+    * on (e.g. no numeric literal to overflow) — the caller redraws. */
+  private def mutate(r: Random, ts: Vector[String]): Option[String] = {
+    def at[A](xs: Seq[A]): Option[Int] =
+      if (xs.isEmpty) None else Some(r.nextInt(xs.size))
+    val idents = ts.indices.filter(i => isIdent(ts(i)))
+    val out: Option[Vector[String]] = r.nextInt(10) match {
+      case 0 => // smash an identifier (column, alias, keyword — all fair)
+        at(idents).map(j => ts.updated(idents(j), "nosuch_col"))
+      case 1 => // smash a function name (ident immediately before '(')
+        val fns = ts.indices.dropRight(1)
+          .filter(i => isIdent(ts(i)) && ts(i + 1) == "(")
+        at(fns).map(j => ts.updated(fns(j), "NOSUCH_FN"))
+      case 2 => at(ts).map(i => ts.patch(i, Nil, 1)) // delete a token
+      case 3 => at(ts).map(i => ts.patch(i, Seq(ts(i)), 0)) // duplicate
+      case 4 => // swap adjacent tokens
+        if (ts.size < 2) None
+        else { val i = r.nextInt(ts.size - 1)
+          Some(ts.updated(i, ts(i + 1)).updated(i + 1, ts(i))) }
+      case 5 => // truncate the tail
+        if (ts.size < 2) None else Some(ts.take(1 + r.nextInt(ts.size - 1)))
+      case 6 => // insert a structural token at a random slot
+        val ins = Seq("FROM", "WHERE", "GROUP", "BY", "OVER", "SELECT",
+          ",", "(", ")", "AND", "NOT")(r.nextInt(11))
+        Some(ts.patch(r.nextInt(ts.size + 1), Seq(ins), 0))
+      case 7 => // overflow a numeric literal (the lexer's Long parse path)
+        val nums = ts.indices.filter(i => ts(i).forall(_.isDigit))
+        at(nums).map(j =>
+          ts.updated(nums(j), "99999999999999999999999999999"))
+      case 8 => // swap one comparison/arith operator for another
+        val ops = Seq("=", "<", ">", "+", "-", "*", "/", "<>", "<=", ">=")
+        val sites = ts.indices.filter(i => ops.contains(ts(i)))
+        at(sites).map(j => ts.updated(sites(j), ops(r.nextInt(ops.size))))
+      case _ => // unterminate a string literal
+        val strs = ts.indices.filter(i => ts(i).startsWith("'"))
+        at(strs).map(j => ts.updated(strs(j), ts(strs(j)).dropRight(1)))
+    }
+    out.map(_.mkString(" "))
+  }
+
+  private def rootOf(t: Throwable): Throwable = {
+    var x = t
+    while (x.getCause != null && (x.getCause ne x)) x = x.getCause
+    x
+  }
+
+  private def classify(t: Throwable): String = {
+    def cls(x: Throwable): Option[String] = x match {
+      case _: IllegalArgumentException => Some("rejected")
+      case _: org.apache.spark.sql.AnalysisException => Some("analysis")
+      case _: org.apache.spark.SparkThrowable => Some("runtime")
+      case _: ArithmeticException | _: java.time.DateTimeException =>
+        Some("runtime")
+      case _ => None
+    }
+    cls(t).orElse(cls(rootOf(t)))
+      .getOrElse(s"CRASH ${rootOf(t).getClass.getName}")
+  }
+
+  /** Mutate-and-classify `mutantsPerBase` corruptions of each of `nBase`
+    * generated queries. Tables must already be registered (FuzzGen.tables). */
+  def run(engine: SqlEngine, seed: Long, nBase: Int,
+          mutantsPerBase: Int = 3): Tally = {
+    var legal = 0; var rejected = 0; var analysis = 0; var runtime = 0
+    val crashes = Seq.newBuilder[String]
+    val bases = FuzzGen.queries(seed, nBase, 0)
+    bases.zipWithIndex.foreach { case (fq, qi) =>
+      val ts = toks(fq.dialect)
+      var made = 0; var attempt = 0
+      val r = new Random(seed * 7577L + qi)
+      while (made < mutantsPerBase && attempt < mutantsPerBase * 4) {
+        attempt += 1
+        mutate(r, ts).foreach { mutant =>
+          made += 1
+          try {
+            engine.batch(mutant + ";").limit(3).collect()
+            legal += 1
+          } catch {
+            case scala.util.control.NonFatal(e) => classify(e) match {
+              case "rejected" => rejected += 1
+              case "analysis" => analysis += 1
+              case "runtime" => runtime += 1
+              case crash =>
+                crashes += s"${fq.name}: $crash: ${rootOf(e).getMessage}\n" +
+                  s"    mutant: $mutant"
+            }
+            case e: StackOverflowError => // fatal, but exactly what we hunt
+              crashes += s"${fq.name}: CRASH StackOverflowError\n" +
+                s"    mutant: $mutant"
+          }
+        }
+      }
+    }
+    Tally(legal, rejected, analysis, runtime, crashes.result())
+  }
+
+  /** Offline roaming: `runMain graft.sql.RejectFuzz <seedCsv> [nBase]`. */
+  def main(args: Array[String]): Unit = {
+    val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
+    val nBase = if (args.length > 1) args(1).toInt else 60
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var legal = 0; var rejected = 0; var analysis = 0; var runtime = 0
+    var crash = 0
+    seeds.foreach { s =>
+      FuzzGen.tables(spark, s, 0)
+      val engine = new SqlEngine(spark)
+      val t = run(engine, s, nBase)
+      legal += t.legal; rejected += t.rejected; analysis += t.analysis
+      runtime += t.runtime; crash += t.crashes.size
+      t.crashes.foreach(c => System.err.println(s"[rej] CRASH seed=$s $c"))
+      System.err.println(s"[rej] seed=$s legal=${t.legal}" +
+        s" rejected=${t.rejected} analysis=${t.analysis}" +
+        s" runtime=${t.runtime} crashes=${t.crashes.size}")
+    }
+    println(s"""{"metric":"rejectfuzz","legal":$legal,"rejected":$rejected,""" +
+      s""""analysis":$analysis,"runtime":$runtime,"crashes":$crash,""" +
+      s""""seeds":"${seeds.mkString(",")}"}""")
+    spark.stop()
+    if (crash > 0) sys.exit(1)
+  }
+}

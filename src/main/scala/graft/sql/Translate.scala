@@ -652,7 +652,17 @@ object Translate {
     case _ => go(e)
   }
 
-  private def fnCall(name: String, a: Seq[Column]): Column = name match {
+  // Backstop for the variable-arity names the parser can't check (the
+  // pipeline fns): an out-of-range a(i) below is always a caller arity
+  // mistake, surfaced as the dialect's own error class instead of a raw
+  // IndexOutOfBoundsException (r13 RejectFuzz audit).
+  private def fnCall(name: String, a: Seq[Column]): Column =
+    try fnCallArities(name, a) catch {
+      case _: IndexOutOfBoundsException => throw new IllegalArgumentException(
+        s"$name: wrong number of arguments (got ${a.size})")
+    }
+
+  private def fnCallArities(name: String, a: Seq[Column]): Column = name match {
     case "SIN" => sin(a(0));     case "SINH" => sinh(a(0))
     case "ASIN" => asin(a(0));   case "ASINH" => asinh(a(0))
     case "COS" => cos(a(0));     case "COSH" => cosh(a(0))

@@ -251,4 +251,35 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("(SELECT a FROM s1 LIMIT 2) ORDER BY a;"))
     assert(ex.getMessage.contains("FROM-subquery"))
   }
+
+  test("malformed numeric literals reject with a dialect message (r13 RejectFuzz audit)") {
+    // the lexer's digit loop consumes dots, so '1.2.3' is ONE TNum token;
+    // and a 20+-digit integer overflows toLong — both previously escaped
+    // as raw NumberFormatException instead of IllegalArgumentException
+    val big = intercept[IllegalArgumentException](
+      Parser.parse("SELECT 99999999999999999999999999999 FROM s1;"))
+    assert(big.getMessage.contains("out of 64-bit range"))
+    val dots = intercept[IllegalArgumentException](
+      Parser.parse("SELECT 1.2.3 FROM s1;"))
+    assert(dots.getMessage.contains("bad numeric literal"))
+    // the guarded path must not reject what it should accept
+    assert(Parser.parse("SELECT 9223372036854775807, 1.25 FROM s1;")
+      .asInstanceOf[SelectStmt].sel.asInstanceOf[Select].items ==
+      Seq(ItemExpr(IntLit(Long.MaxValue), None),
+        ItemExpr(NumLit(1.25), None)))
+  }
+
+  test("fixed-arity scalar functions reject wrong arity at parse (r13 RejectFuzz find)") {
+    // a dropped comma turns IFNULL(k, -1) into IFNULL(k - 1) — previously
+    // this parsed fine and escaped the planner as IndexOutOfBoundsException
+    val one = intercept[IllegalArgumentException](
+      Parser.parse("SELECT IFNULL(k - 1) FROM s1;"))
+    assert(one.getMessage.contains("exactly 2 arguments"))
+    val three = intercept[IllegalArgumentException](
+      Parser.parse("SELECT ABS(a, b, c) FROM s1;"))
+    assert(three.getMessage.contains("exactly 1 argument"))
+    // correct arities still parse
+    assert(Parser.parse("SELECT IFNULL(k, -1), ABS(v) FROM s1;")
+      .isInstanceOf[SelectStmt])
+  }
 }

@@ -1,0 +1,48 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** In-CI half of the NEGATIVE fuzzer: token-corrupted variants of
+  * generator-certified queries, classified into legal / rejected (the
+  * engine's own IllegalArgumentException) / analysis (delegated to
+  * Spark's analyzer) / runtime (ANSI value errors) — with the CRASH
+  * class (MatchError, NPE, raw NumberFormatException/IOOBE, …) asserted
+  * EMPTY. See RejectFuzz scaladoc for the protocol and the two finds the
+  * first roam produced (numeric-literal NFE in the lexer's toLong/
+  * toDouble; fixed-arity functions reaching the planner's a(1)).
+  *
+  * Kept deterministic on purpose (CI must not roam): two pinned seeds.
+  * Offline roaming: `sbt "runMain graft.sql.RejectFuzz <seeds> [nBase]"`.
+  */
+class RejectFuzzSpec extends SparkSpec {
+
+  private def checkSeed(seed: Long, nBase: Int): Unit = {
+    FuzzGen.tables(spark, seed, 0)
+    val t = RejectFuzz.run(new SqlEngine(spark), seed, nBase)
+    assert(t.crashes.isEmpty, t.crashes.mkString("\n"))
+    // non-vacuity: the corruptions must actually produce engine
+    // rejections (and a healthy majority of them — a broken mutation
+    // layer whose mutants all stay legal would certify nothing)
+    assert(t.rejected > nBase, s"only ${t.rejected} rejections")
+  }
+
+  test("reject fuzzer: pinned seed 2 — no crash-class errors") {
+    checkSeed(2L, 40) // seed 2 drew the IFNULL arity find on the first roam
+  }
+
+  test("reject fuzzer: pinned seed 5 — no crash-class errors") {
+    checkSeed(5L, 40)
+  }
+
+  test("variable-arity pipeline functions reject via the translate backstop") {
+    // through the engine, TypeCheck's own arity/type messages fire first
+    // (also IllegalArgumentException — certified by the pinned seeds
+    // above); the translate-level backstop exists for direct Translate
+    // callers, so drive it directly with a wrong-arity AST
+    import org.apache.spark.sql.functions.{array, lit}
+    val e = intercept[IllegalArgumentException](
+      Translate.column(Ast.Fn("DOT", Seq(Ast.ColRef(None, "x"))),
+        _ => array(lit(1.0))))
+    assert(e.getMessage.contains("wrong number of arguments"))
+  }
+}
