@@ -94,14 +94,22 @@ object WireFormat {
     case other => throw new IllegalArgumentException(s"no wire schema for $other")
   }
 
-  /** Decode a parsed wire value back to its typed column. */
+  /** Decode a parsed wire value back to its typed column. NULL-on-error
+    * throughout (try_cast): the reference DROPS records whose decode
+    * fails (Codegen Lefts skip the row, V1.hs:235-240) — under Spark 4's
+    * default ANSI mode the previous plain cast/to_timestamp would instead
+    * ABORT the whole continuous query on ONE corrupt record arriving at a
+    * live socket/ledger topic (r13 find, pinned in WireFormatSpec).
+    * try_cast string→date/timestamp uses the same ISO parser as
+    * to_date/to_timestamp-without-format, so well-formed payloads decode
+    * identically. */
   def decodeValue(c: Column, dt: DataType): Column = dt match {
     case LongType | IntegerType | ShortType | ByteType =>
-      c.getField("$numberLong").cast(dt)
-    case DoubleType | FloatType => c.getField("$numberDouble").cast(dt)
+      c.getField("$numberLong").try_cast(dt)
+    case DoubleType | FloatType => c.getField("$numberDouble").try_cast(dt)
     case BinaryType => unbase64(c.getField("$binary").getField("base64"))
-    case DateType => to_date(c.getField("$date"))
-    case TimestampType => to_timestamp(c.getField("$timestamp"))
+    case DateType => c.getField("$date").try_cast(dt)
+    case TimestampType => c.getField("$timestamp").try_cast(dt)
     case BooleanType | StringType => c
     case ArrayType(et, _) => transform(c, x => decodeValue(x, et))
     case StructType(fields) => struct(fields.toIndexedSeq.map(f =>

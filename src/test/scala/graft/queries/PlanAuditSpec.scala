@@ -37,4 +37,37 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
     spark.catalog.clearCache()
   }
+
+  test("representative scans push filters down and prune columns (r13)") {
+    // The 100 TB contract in miniature: a declarative filter must reach
+    // the parquet scan as a PushedFilter, and a narrow projection must
+    // shrink ReadSchema below the table's full width — inspected on the
+    // physical scan node itself, not the plan string.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanOf(name: String, table: String): FileSourceScanExec = {
+      val scans = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(table)))
+      assert(scans.nonEmpty, s"$name has no parquet scan of $table")
+      scans.head
+    }
+    // q_agg_pricing: shipdate predicate → lineitem scan; 7 of 16 columns
+    val li = scanOf("q_agg_pricing", "lineitem")
+    assert(li.metadata("PushedFilters").contains("l_shipdate"),
+      s"shipdate not pushed: ${li.metadata("PushedFilters")}")
+    assert(li.requiredSchema.size <= 7 &&
+      li.requiredSchema.size < li.relation.dataSchema.size,
+      s"lineitem scan reads ${li.requiredSchema.size} of " +
+        s"${li.relation.dataSchema.size} columns")
+    // q_filter_project: event_type/value predicates → events scan;
+    // projection prunes to the 4 referenced columns
+    val ev = scanOf("q_filter_project", "events")
+    assert(ev.metadata("PushedFilters").contains("event_type"),
+      s"event_type not pushed: ${ev.metadata("PushedFilters")}")
+    assert(ev.requiredSchema.size < ev.relation.dataSchema.size,
+      s"events scan reads ${ev.requiredSchema.size} of " +
+        s"${ev.relation.dataSchema.size} columns")
+    spark.catalog.clearCache()
+  }
 }
