@@ -157,6 +157,76 @@ object RejectFuzz {
     Tally(legal, rejected, analysis, runtime, crashes.result())
   }
 
+  // ---- statement surface (§2.1 DDL/DML) -----------------------------------
+
+  /** Prologue run (unmutated — legal by construction) before every DDL
+    * mutant on a FRESH SqlEngine, so references in the bases resolve. */
+  private val ddlPrologue = Seq(
+    "CREATE STREAM rf_src (a INTEGER, b STRING, _ts TIMESTAMP);",
+    "INSERT INTO rf_src (a, b, _ts) VALUES (1, 'x', '2024-01-01 00:00:00');")
+
+  /** One legal base per statement family the reference's validate stage
+    * guards (CREATE STREAM ± WITH, CSAS, CREATE VIEW, both INSERT forms,
+    * push + pull queries, SHOW/EXPLAIN/DROP/TERMINATE). Connector bases
+    * are deliberately absent: a LEGAL connector mutant would dial a dead
+    * port and fail asynchronously — the PORT-option rejection is pinned
+    * directly in RejectFuzzSpec instead. */
+  private val ddlBases = Seq(
+    "CREATE STREAM rf_s2 (x INTEGER, y STRING, _ts TIMESTAMP) WITH (DURATION = INTERVAL 7 DAY)",
+    "CREATE STREAM rf_sock (x INTEGER, _ts TIMESTAMP) WITH (TRANSPORT = 'socket', PORT = 19999)",
+    "CREATE STREAM rf_csas AS SELECT a, b, _ts FROM rf_src",
+    "CREATE VIEW rf_v AS SELECT b, COUNT(*) AS c FROM rf_src GROUP BY b",
+    "INSERT INTO rf_src (a, b, _ts) VALUES (2, 'y', '2024-01-01 00:00:01')",
+    """INSERT INTO rf_src VALUES '{"a": 3, "b": "z"}'""",
+    "SELECT b, SUM(a) AS s FROM rf_src GROUP BY b EMIT CHANGES",
+    "SELECT a, b FROM rf_src WHERE a > 0",
+    "SHOW STREAMS",
+    "EXPLAIN SELECT a, b FROM rf_src",
+    "DROP STREAM rf_src",
+    "TERMINATE QUERY q999")
+
+  /** Mutate-and-classify the STATEMENT surface: each mutant runs on a
+    * fresh engine (own stream/view/query namespaces) after the prologue;
+    * any streaming query a legal mutant starts is stopped afterwards. */
+  def runDdl(spark: SparkSession, seed: Long,
+             mutantsPerBase: Int = 3): Tally = {
+    var legal = 0; var rejected = 0; var analysis = 0; var runtime = 0
+    val crashes = Seq.newBuilder[String]
+    ddlBases.zipWithIndex.foreach { case (base, bi) =>
+      val ts = toks(base)
+      val r = new Random(seed * 52711L + bi)
+      var made = 0; var attempt = 0
+      while (made < mutantsPerBase && attempt < mutantsPerBase * 4) {
+        attempt += 1
+        mutate(r, ts).foreach { mutant =>
+          made += 1
+          val engine = new SqlEngine(spark)
+          val before = spark.streams.active.map(_.id).toSet
+          try {
+            ddlPrologue.foreach(engine.sql)
+            engine.sql(mutant + ";") match {
+              case engine.Rows(df) => df.limit(3).collect(); legal += 1
+              case _ => legal += 1
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) => classify(e) match {
+              case "rejected" => rejected += 1
+              case "analysis" => analysis += 1
+              case "runtime" => runtime += 1
+              case crash =>
+                crashes += s"ddl_$bi: $crash: ${rootOf(e).getMessage}\n" +
+                  s"    mutant: $mutant"
+            }
+          } finally spark.streams.active
+            .filterNot(q => before(q.id)).foreach { q =>
+              try q.stop() catch { case _: Exception => () }
+            }
+        }
+      }
+    }
+    Tally(legal, rejected, analysis, runtime, crashes.result())
+  }
+
   /** Offline roaming: `runMain graft.sql.RejectFuzz <seedCsv> [nBase]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
@@ -174,13 +244,16 @@ object RejectFuzz {
     seeds.foreach { s =>
       FuzzGen.tables(spark, s, 0)
       val engine = new SqlEngine(spark)
-      val t = run(engine, s, nBase)
-      legal += t.legal; rejected += t.rejected; analysis += t.analysis
-      runtime += t.runtime; crash += t.crashes.size
-      t.crashes.foreach(c => System.err.println(s"[rej] CRASH seed=$s $c"))
-      System.err.println(s"[rej] seed=$s legal=${t.legal}" +
-        s" rejected=${t.rejected} analysis=${t.analysis}" +
-        s" runtime=${t.runtime} crashes=${t.crashes.size}")
+      val q = run(engine, s, nBase)
+      val d = runDdl(spark, s)
+      Seq("query" -> q, "ddl" -> d).foreach { case (kind, t) =>
+        legal += t.legal; rejected += t.rejected; analysis += t.analysis
+        runtime += t.runtime; crash += t.crashes.size
+        t.crashes.foreach(c => System.err.println(s"[rej] CRASH seed=$s $c"))
+        System.err.println(s"[rej] seed=$s $kind legal=${t.legal}" +
+          s" rejected=${t.rejected} analysis=${t.analysis}" +
+          s" runtime=${t.runtime} crashes=${t.crashes.size}")
+      }
     }
     println(s"""{"metric":"rejectfuzz","legal":$legal,"rejected":$rejected,""" +
       s""""analysis":$analysis,"runtime":$runtime,"crashes":$crash,""" +

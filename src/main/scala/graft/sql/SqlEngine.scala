@@ -28,6 +28,14 @@ class SqlEngine(spark: SparkSession) {
   case class Started(query: StreamingQuery) extends Result
   case class Done(info: String) extends Result
 
+  /** PORT option values come from user SQL (StrLit or IntLit) — a raw
+    * toInt on 'abc' would escape as NumberFormatException instead of the
+    * dialect's own error class (r13 RejectFuzz audit). */
+  private def portOf(owner: String, v: String): Int =
+    try v.trim.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$owner: PORT must be an integer, got '$v'") }
+
   private def lookup(name: String): DataFrame =
     // a CDC-maintained table wins over its schema-declaring stream: once a
     // cdc connector materializes `name`, SELECTs serve the latest state
@@ -109,9 +117,9 @@ class SqlEngine(spark: SparkSession) {
       opts.get("TRANSPORT").map(_.toLowerCase) match {
         case Some(t @ ("socket" | "ledger")) =>
           val host = opts.getOrElse("HOST", "localhost")
-          val port = opts.getOrElse("PORT",
+          val port = portOf(s"stream $name", opts.getOrElse("PORT",
             throw new IllegalArgumentException(
-              s"stream $name: PORT option required for TRANSPORT '$t'")).toInt
+              s"stream $name: PORT option required for TRANSPORT '$t'")))
           if (t == "socket")
             engine.createSocketStream(name, host, port,
               Translate.structType(schema), wire)
@@ -230,7 +238,7 @@ class SqlEngine(spark: SparkSession) {
             new IllegalArgumentException(s"connector $name: $k option required"))
           val stream = req("STREAM")
           val host = opt("HOST").getOrElse("localhost")
-          val port = req("PORT").toInt
+          val port = portOf(s"connector $name", req("PORT"))
           val q =
             if (kind == "SOURCE")
               engine.startSourceConnector(name, stream, host, port, transport)
@@ -254,8 +262,8 @@ class SqlEngine(spark: SparkSession) {
           keys.foreach(k => require(schema.fieldNames.contains(k),
             s"connector $name: key $k not in ${table}'s schema"))
           val q = engine.startCdcConnector(name, table,
-            opt("HOST").getOrElse("localhost"), req("PORT").toInt,
-            schema, keys)
+            opt("HOST").getOrElse("localhost"),
+            portOf(s"connector $name", req("PORT")), schema, keys)
           connectors(name) = s"$kind->$target:RUNNING"
           Started(q)
         case _ =>

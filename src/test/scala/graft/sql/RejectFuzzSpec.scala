@@ -34,6 +34,21 @@ class RejectFuzzSpec extends SparkSpec {
     checkSeed(5L, 40)
   }
 
+  test("reject fuzzer, statement surface: pinned seed 3 — no crash-class errors") {
+    val t = RejectFuzz.runDdl(spark, 3L)
+    assert(t.crashes.isEmpty, t.crashes.mkString("\n"))
+    assert(t.rejected > ddlFloor, s"only ${t.rejected} rejections")
+  }
+  private val ddlFloor = 12 // ≥ 1 rejection per statement family on average
+
+  test("connector/stream PORT options reject non-integers with a dialect message") {
+    val engine = new SqlEngine(spark)
+    val e = intercept[IllegalArgumentException](engine.sql(
+      "CREATE STREAM rf_badport (x INTEGER, _ts TIMESTAMP)" +
+        " WITH (TRANSPORT = 'socket', PORT = 'abc');"))
+    assert(e.getMessage.contains("PORT must be an integer"), e.getMessage)
+  }
+
   test("variable-arity pipeline functions reject via the translate backstop") {
     // through the engine, TypeCheck's own arity/type messages fire first
     // (also IllegalArgumentException — certified by the pinned seeds
