@@ -107,7 +107,12 @@ object WireFormat {
     case LongType | IntegerType | ShortType | ByteType =>
       c.getField("$numberLong").try_cast(dt)
     case DoubleType | FloatType => c.getField("$numberDouble").try_cast(dt)
-    case BinaryType => unbase64(c.getField("$binary").getField("base64"))
+    // try_to_binary, not unbase64: unbase64 THROWS on malformed base64 in
+    // Spark 3.3+/4.x, so one corrupt $binary field would abort the whole
+    // continuous query — the same failure class the r13 try_cast sweep
+    // closed for the other types (r14 ADVICE find)
+    case BinaryType =>
+      try_to_binary(c.getField("$binary").getField("base64"), lit("base64"))
     case DateType => c.getField("$date").try_cast(dt)
     case TimestampType => c.getField("$timestamp").try_cast(dt)
     case BooleanType | StringType => c

@@ -1122,9 +1122,11 @@ object Parser {
         // planner's a(1) and escaped as a raw IndexOutOfBoundsException);
         // ROUND optionally takes a literal scale (the fnCallLit form);
         // pipelineFns vary in arity and are guarded at translation
-        if (kw == "ROUND") {
+        if (kw == "ROUND" || kw == "ARRAY_JOIN") {
+          // ROUND(x[, scale]); ARRAY_JOIN(a[, sep]) — 1-arg joins with ""
+          // (SQL-v1.cf:348 ArrayFuncJoin has both forms)
           if (as.isEmpty || as.size > 2) throw new IllegalArgumentException(
-            s"ROUND takes 1 or 2 arguments, got ${as.size}")
+            s"$kw takes 1 or 2 arguments, got ${as.size}")
         } else if (unaryFns.contains(kw) && as.size != 1)
           throw new IllegalArgumentException(
             s"$kw takes exactly 1 argument, got ${as.size}")

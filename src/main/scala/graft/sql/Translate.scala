@@ -653,14 +653,38 @@ object Translate {
   }
 
   // Backstop for the variable-arity names the parser can't check (the
-  // pipeline fns): an out-of-range a(i) below is always a caller arity
-  // mistake, surfaced as the dialect's own error class instead of a raw
-  // IndexOutOfBoundsException (r13 RejectFuzz audit).
-  private def fnCall(name: String, a: Seq[Column]): Column =
-    try fnCallArities(name, a) catch {
-      case _: IndexOutOfBoundsException => throw new IllegalArgumentException(
+  // pipeline fns): arity is checked against an explicit per-name table
+  // BEFORE dispatch, so a wrong-arity call surfaces as the dialect's own
+  // error class while a genuine IndexOutOfBoundsException thrown inside a
+  // function implementation still propagates as the bug it is (r13
+  // RejectFuzz audit; narrowed from a catch-all in r14 per ADVICE).
+  private val fnArity: Map[String, (Int, Int)] = {
+    val one = Seq("SIN", "SINH", "ASIN", "ASINH", "COS", "COSH", "ACOS",
+      "ACOSH", "TAN", "TANH", "ATAN", "ATANH", "ABS", "CEIL", "FLOOR",
+      "SIGN", "SQRT", "LOG", "LOG2", "LOG10", "EXP", "IS_NULL", "IS_INT",
+      "IS_FLOAT", "IS_NUM", "IS_BOOL", "IS_STR", "IS_ARRAY", "IS_DATE",
+      "IS_TIME", "TO_STR", "TO_LOWER", "TO_UPPER", "TRIM", "LEFT_TRIM",
+      "RIGHT_TRIM", "REVERSE", "STRLEN", "ARRAY_DISTINCT", "ARRAY_LENGTH",
+      "ARRAY_MAX", "ARRAY_MIN", "ARRAY_SORT", "TOKENS", "WORD_HASHES",
+      "SHINGLES3", "SIMHASH16", "FINGERPRINT", "STOPWORD_RATIO",
+      "QUALITY_SCORE", "L2NORMALIZE", "LSH16", "QUANTIZE_INT8")
+    val two = Seq("IFNULL", "NULLIF", "DATETOSTRING", "STRINGTODATE",
+      "SPLIT", "CHUNKSOF", "TAKE", "TAKEEND", "DROP", "DROPEND",
+      "ARRAY_CONTAIN", "ARRAY_EXCEPT", "ARRAY_INTERSECT", "ARRAY_REMOVE",
+      "ARRAY_UNION", "LEVENSHTEIN", "DATEDIFF", "JACCARD", "HAMMING",
+      "COSINE", "DOT")
+    val oneOrTwo = Seq("ROUND", "ARRAY_JOIN")
+    (one.map(_ -> ((1, 1))) ++ two.map(_ -> ((2, 2))) ++
+      oneOrTwo.map(_ -> ((1, 2)))).toMap
+  }
+
+  private def fnCall(name: String, a: Seq[Column]): Column = {
+    fnArity.get(name).foreach { case (lo, hi) =>
+      if (a.size < lo || a.size > hi) throw new IllegalArgumentException(
         s"$name: wrong number of arguments (got ${a.size})")
     }
+    fnCallArities(name, a)
+  }
 
   private def fnCallArities(name: String, a: Seq[Column]): Column = name match {
     case "SIN" => sin(a(0));     case "SINH" => sinh(a(0))

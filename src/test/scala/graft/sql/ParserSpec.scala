@@ -281,5 +281,12 @@ class ParserSpec extends AnyFunSuite {
     // correct arities still parse
     assert(Parser.parse("SELECT IFNULL(k, -1), ABS(v) FROM s1;")
       .isInstanceOf[SelectStmt])
+    // ARRAY_JOIN keeps BOTH reference forms (SQL-v1.cf:348): 1-arg joins
+    // with "" — the r13 guard over-rejected it (r14 ADVICE fix)
+    assert(Parser.parse("SELECT ARRAY_JOIN(a), ARRAY_JOIN(a, ',') FROM s1;")
+      .isInstanceOf[SelectStmt])
+    val aj3 = intercept[IllegalArgumentException](
+      Parser.parse("SELECT ARRAY_JOIN(a, ',', 'x') FROM s1;"))
+    assert(aj3.getMessage.contains("1 or 2 arguments"))
   }
 }
