@@ -117,51 +117,96 @@ object Bench {
     val noStream = only.exists(_.contains("nostream"))
     val batchNames = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n)))
-    val samples =
-      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
-    def record(name: String, sec: Double): Unit =
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
-    (1 to passes).foreach { _ =>
-      // pure-CPU calibration anchor (VERDICT r7 #5): fixed deterministic
-      // work — 200M xxhash64 + xor fold — no IO, independent of the SF
-      // dir, so cross-round artifacts can be normalized for environment
-      // drift (NOTES_r7 measured ±7-13% same-day variance on identical
-      // trees). Runs once per pass; reported top-level as `calib`,
-      // excluded from `value` so totals stay round-comparable.
-      val c0 = System.nanoTime()
-      try {
-        spark.range(0, 200000000L, 1, cpus.toInt)
-          .agg(org.apache.spark.sql.functions.expr(
-            "bit_xor(xxhash64(id))").as("x"))
-          .write.format("noop").mode("overwrite").save()
-        record("calib", (System.nanoTime() - c0) / 1e9)
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] calib: ${e.getMessage}")
-      }
-      batchNames.foreach { name =>
-        val t0 = System.nanoTime()
-        // a FAILED run must not record: its near-zero elapsed time would
-        // win the min and understate the query (median tolerated this;
-        // min is maximally sensitive to it)
+
+    /** One full min-of-3-interleaved measurement: name → all samples. */
+    def measureOnce(): scala.collection.mutable.LinkedHashMap[String, Vector[Double]] = {
+      val samples =
+        scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+      def record(name: String, sec: Double): Unit =
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
+      (1 to passes).foreach { _ =>
+        // pure-CPU calibration anchor (VERDICT r7 #5): fixed deterministic
+        // work — 200M xxhash64 + xor fold — no IO, independent of the SF
+        // dir, so cross-round artifacts can be normalized for environment
+        // drift (NOTES_r7 measured ±7-13% same-day variance on identical
+        // trees). Runs once per pass; reported top-level as `calib`,
+        // excluded from `value` so totals stay round-comparable.
+        val c0 = System.nanoTime()
         try {
-          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          record(name, (System.nanoTime() - t0) / 1e9)
+          spark.range(0, 200000000L, 1, cpus.toInt)
+            .agg(org.apache.spark.sql.functions.expr(
+              "bit_xor(xxhash64(id))").as("x"))
+            .write.format("noop").mode("overwrite").save()
+          record("calib", (System.nanoTime() - c0) / 1e9)
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
-        } finally {
-          spark.catalog.clearCache() // per-query persists are intra-query only
-          // put back any AQE sizing a CDC query set (session hygiene —
-          // the next query must see the session defaults)
-          graft.operators.Cdc.restoreShuffleSizing(spark)
+          case e: Throwable => System.err.println(s"[bench] calib: ${e.getMessage}")
         }
+        batchNames.foreach { name =>
+          val t0 = System.nanoTime()
+          // a FAILED run must not record: its near-zero elapsed time would
+          // win the min and understate the query (median tolerated this;
+          // min is maximally sensitive to it)
+          try {
+            qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            record(name, (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
+          } finally {
+            spark.catalog.clearCache() // per-query persists are intra-query only
+            // put back any AQE sizing a CDC query set (session hygiene —
+            // the next query must see the session defaults)
+            graft.operators.Cdc.restoreShuffleSizing(spark)
+          }
+        }
+        // streaming replay (the reference's own bench shape: push records
+        // through a live topology — hstream-diffflow/bench/throughout-*.hs)
+        if (!noStream)
+          StreamBench.run(spark, sfDir).foreach { case (k, v) => record(k, v) }
       }
-      // streaming replay (the reference's own bench shape: push records
-      // through a live topology — hstream-diffflow/bench/throughout-*.hs)
-      if (!noStream)
-        StreamBench.run(spark, sfDir).foreach { case (k, v) => record(k, v) }
+      samples
     }
+
+    // Contention gate (r11 VERDICT #3b): the calib anchor is the
+    // quiet-machine value of the fixed CPU-only probe, committed across
+    // rounds (r10 driver + judge re-runs both read 0.248). A run whose
+    // calib exceeds it by >15% ran on a contended box — its query numbers
+    // are uniformly inflated and NOT cross-round comparable. The flag
+    // rides the artifact so a contended run self-identifies instead of
+    // shadowing quiet evidence.
+    // Anchor provenance (r13 ADVICE): the 0.248 default is the COMMITTED
+    // quiet value of ONE reference box — the artifact says which anchor it
+    // used ("env" = caller-supplied for this host, "default" = the
+    // committed cross-box constant) so consumers can discount a
+    // default-anchored flag.
+    val anchorEnv = sys.env.get("SPARK_GRAFT_CALIB_ANCHOR").map(_.toDouble)
+    val calibAnchor = anchorEnv.getOrElse(0.248)
+    val anchorSrc = if (anchorEnv.isDefined) "env" else "default"
+    def calibOf(s: scala.collection.Map[String, Vector[Double]]): Double =
+      s.get("calib").map(_.min.max(1e-9)).getOrElse(0.0)
+    def isContended(s: scala.collection.Map[String, Vector[Double]]): Boolean =
+      calibOf(s) > calibAnchor * 1.15
+
+    // Bounded contention auto-retry (r13 VERDICT #1b): when the first
+    // attempt's calib exceeds the anchor band, the box was busy — sleep a
+    // cooldown and re-measure ONCE, then report whichever attempt ran
+    // quieter. Both attempts' summaries ride the artifact so the retry is
+    // self-documenting, never silent. SPARK_GRAFT_BENCH_RETRY=0 disables
+    // (the sf1 tier and CI smoke runs don't want the extra minutes).
+    val retryEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    val attempts = scala.collection.mutable.ArrayBuffer(measureOnce())
+    if (retryEnabled && isContended(attempts.head)) {
+      System.err.println(f"[bench] calib ${calibOf(attempts.head)}%.3f above " +
+        f"anchor band (${calibAnchor * 1.15}%.3f) — cooling down 60s, retrying once")
+      Thread.sleep(60000)
+      attempts += measureOnce()
+    }
+    def totalOf(s: scala.collection.Map[String, Vector[Double]]): Double =
+      s.filterNot(_._1 == "calib").values.map(_.min).sum
+    val usedIdx = attempts.zipWithIndex.minBy { case (s, _) => calibOf(s) }._2
+    val samples = attempts(usedIdx)
+
     val all = samples.toSeq.map { case (k, vs) => (k, vs.min, vs) }
-    val calibMin = samples.get("calib").map(_.min.max(1e-9)).getOrElse(0.0)
+    val calibMin = calibOf(samples)
     val queryRows = all.filterNot(_._1 == "calib")
     val qjson = queryRows.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -169,46 +214,47 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = queryRows.map(_._2).sum
-    // Contention gate (r11 VERDICT #3b): the calib anchor is the
-    // quiet-machine value of the fixed CPU-only probe, committed across
-    // rounds (r10 driver + judge re-runs both read 0.248). A pass whose
-    // calib exceeds it by >15% ran on a contended box — its query numbers
-    // are uniformly inflated and NOT cross-round comparable, which the
-    // r11 driver artifact demonstrated (calib 0.293, every query ~1.2×;
-    // the judge's quiet re-run erased the "regression"). The flag rides
-    // the artifact so a contended run self-identifies instead of
-    // shadowing quiet evidence.
-    // Anchor provenance (r13 ADVICE): the 0.248 default is the COMMITTED
-    // quiet value of ONE reference box — on other hardware the contended
-    // flag computed from it is wrong in one direction or the other. The
-    // artifact says which anchor it used ("env" = caller-supplied for
-    // this host, "default" = the committed cross-box constant) so
-    // consumers can discount a default-anchored flag.
-    val anchorEnv = sys.env.get("SPARK_GRAFT_CALIB_ANCHOR").map(_.toDouble)
-    val calibAnchor = anchorEnv.getOrElse(0.248)
-    val anchorSrc = if (anchorEnv.isDefined) "env" else "default"
-    val contended = calibMin > calibAnchor * 1.15
+    val contended = isContended(samples)
     // Per-query dispersion (r12 VERDICT #4a): the pass-level calib gate
     // misses a transient that straddles one region of all three
-    // interleaved passes (the r12 minhash-LSH family read 1.5–2.1× in the
-    // driver artifact, ≤1.15× on quiet re-measurement). max/min of a
-    // query's samples self-identifies exactly that: a clean query's
-    // spread sits near 1; a one-pass transient shows >~2.
+    // interleaved passes. max/min of a query's samples self-identifies
+    // exactly that: a clean query's spread sits near 1; a one-pass
+    // transient shows >~2.
     val dispersed = samples.toSeq
       .filter { case (k, vs) => k != "calib" && vs.nonEmpty && vs.min > 0 }
       .map { case (k, vs) => k -> vs.max / vs.min }
       .filter(_._2 > 2.0)
     val djson = dispersed.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // vs_baseline (r13 VERDICT #7): measured/committed per query against
+    // the consolidated Baseline map (same numbers as BASELINE.md's table),
+    // so the 2× acceptance gate is computable from the artifact alone.
+    val baselined = queryRows.flatMap { case (k, v, _) =>
+      Baseline.committed.get(k).map(b => (k, v, b)) }
+    val vjson = baselined.map { case (k, v, b) =>
+      "\"" + k + "\":" + f"${v / b}%.2f" }.mkString("{", ",", "}")
+    val vsTotal =
+      if (baselined.isEmpty) 0.0
+      else baselined.map(_._2).sum / baselined.map(_._3).sum
+    val ajson = attempts.map { s =>
+      f"""{"calib":${calibOf(s)}%.3f,"total":${totalOf(s)}%.3f,"contended":${isContended(s)}}"""
+    }.mkString("[", ",", "]")
+    // The full record: everything a human or the judge wants. NOT the last
+    // line — see the minimal-contract note below.
+    val full =
+      f"""{"metric":"bench_full","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","contended":$contended,"attempts":$ajson,"attempt_used":$usedIdx,"dispersed":$djson,"vs_baseline":$vjson,"queries":$qjson,"sf":"$sfDir"}"""
+    // The MINIMAL machine-first contract (r13 VERDICT #1a): the driver
+    // keeps only a ~2000-char tail of stdout and json-parses the FINAL
+    // line. BENCH_r13.json came back `parsed: null` because the growing
+    // per-query payloads pushed the final line past that window — so the
+    // last line now carries NO per-query payload, only the fixed-size
+    // totals/contention summary (~300 chars, can never outgrow the tail).
+    // Per-query data lives on the earlier bench_full/bench_samples lines
+    // and in the SPARK_GRAFT_BENCH_OUT file.
     val contract =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","contended":$contended,"dispersed":$djson,"queries":$qjson,"sf":"$sfDir"}"""
-    // Two lines, auxiliary first: the driver keeps only a ~2000-char tail of
-    // stdout and json-parses the final line. With samples inlined the
-    // headline line outgrows the tail window and loses its own head (r5
-    // artifact starts mid-line). Samples stay visible on their own line;
-    // the LAST line is the compact contract JSON, printed after spark.stop()
-    // so shutdown chatter lands before it, and explicitly flushed.
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","contended":$contended,"retries":${attempts.size - 1}%d,"attempt_used":$usedIdx,"vs_baseline_total":$vsTotal%.2f,"detail":"bench_full","sf":"$sfDir"}"""
     println(s"""{"metric":"bench_samples","samples":$sjson}""")
+    println(full)
     // Belt-and-braces against stdout truncation/shutdown failure (the r5
     // artifact lost its totals line to the tail window): the full result
     // also lands in a file the driver (or a human) can always read.
@@ -220,8 +266,8 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-        (contract + "\n" + s"""{"metric":"bench_samples","samples":$sjson}""" + "\n")
-          .getBytes("UTF-8"))
+        (full + "\n" + s"""{"metric":"bench_samples","samples":$sjson}""" +
+          "\n" + contract + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write: $e") }
     spark.sparkContext.setLogLevel("ERROR")
     // spark.stop() can throw on executor shutdown races; the contract line
