@@ -863,11 +863,102 @@ object FuzzGen {
     FuzzQuery(f"fz_${i}%03d_jsonjoin", q.d, q.o)
   }
 
+  /** 22. STRING_AGG / ARRAY_AGG as WINDOW functions (extension; the last
+    * fuzz-external production — r13 VERDICT #3). DuckDB 1.0 cannot parse
+    * an in-call ORDER BY on a window function, so the oracle is the
+    * DEFINITIONAL expansion the q_sql_string_agg_window gate row already
+    * proved works as oracle text: row_number the partition in a CTE, then
+    * a correlated ordered-aggregate subquery over each frame's row range.
+    * Nothing of the engine's collect+comparator-sort window plan is
+    * shared with the oracle.
+    *
+    * Semantics pinned (all established by the engine's grouped forms and
+    * re-asserted here for frames): STRING_AGG skips NULL values and is
+    * NULL on an empty/all-NULL frame (DuckDB's string_agg contract);
+    * ARRAY_AGG keeps NULLs and ARRAY_JOIN drops them at render (all-NULL
+    * non-empty frame → "", which the oracle spells COALESCE(…, '') under
+    * a COUNT(*)-guard for the genuinely-empty EXCLUDE/FILTER cases);
+    * FILTER and EXCLUDE CURRENT ROW compose (r13 surface).
+    *
+    * BIG tier: the default PARTITION BY g leaves ~R/4-row partitions —
+    * an UNBOUNDED running collect is O(n²/partitions) and the DuckDB
+    * correlated expansion scans the whole partition per row. The BIG
+    * variant partitions by a fine residue (id % 211 → ~R/211-row groups)
+    * and draws bounded frames only, the tWindowFrame convention: what
+    * the tier certifies — plan behavior at real row counts — is
+    * unchanged, and the UNBOUNDED/coarse shapes stay covered at the
+    * default tier where they are cheap. */
+  private def tWinStringAgg(big: Boolean)(r: Random, i: Int): FuzzQuery = {
+    // partition: both texts must denote the same grouping; the oracle
+    // correlates on it (non-null by construction: g never null, id % k
+    // never null)
+    val (partD, pkSel, corr) =
+      if (big) (s"PARTITION BY id % 211 ",
+        "id % 211 AS __pk, ", "e2.__pk = e.__pk AND ")
+      else if (r.nextBoolean()) ("PARTITION BY g ", "g AS __pk, ",
+        "e2.__pk = e.__pk AND ")
+      else ("", "", "")
+    val okey = pick(r, Seq("b", "c", "s"))       // window order (id tiebreak)
+    val dir = if (r.nextBoolean()) " DESC" else ""
+    val nulls = pick(r, Seq("", " NULLS FIRST", " NULLS LAST"))
+    val ikey = pick(r, Seq("b", "c"))            // in-call element order
+    // frame bounds and the rn-range they denote in the expansion; rn
+    // starts at 1, so lo=0 encodes UNBOUNDED PRECEDING
+    val p = 1 + r.nextInt(3)
+    val fUp = r.nextInt(2)
+    val frames = Seq(
+      (s"ROWS BETWEEN $p PRECEDING AND CURRENT ROW", s"e.rn - $p", "e.rn"),
+      (s"ROWS BETWEEN $p PRECEDING AND $fUp FOLLOWING",
+        s"e.rn - $p", s"e.rn + $fUp")) ++
+      (if (big) Nil else Seq(
+        ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "0", "e.rn")))
+    val (frame, lo, hi) = pick(r, frames)
+    // ROWS frames take EXCLUDE NO OTHERS / CURRENT ROW only (a ROWS
+    // boundary can cut a peer group)
+    val (excl, exclO) = pick(r, Seq(("", ""), (" EXCLUDE NO OTHERS", ""),
+      (" EXCLUDE CURRENT ROW", " AND e2.rn <> e.rn")))
+    val over = s"OVER ($partD" + s"ORDER BY $okey, id $frame$excl)"
+    val range = s"FROM e e2 WHERE $corr" + s"e2.rn BETWEEN $lo AND $hi$exclO"
+    // FILTER predicate: hand-qualified pair (boolExpr emits unqualified
+    // refs the correlated oracle cannot reuse)
+    val (fd, fo) = pick(r, Seq(
+      ("f", "e2.f"), ("b > 2", "e2.b > 2"),
+      ("s IS NOT NULL", "e2.s IS NOT NULL"),
+      ("id % 2 = 0", "e2.id % 2 = 0")))
+    val sa = Tx(
+      s"STRING_AGG(s, ',' ORDER BY $ikey$dir$nulls, id) $over AS sa",
+      s"(SELECT string_agg(e2.s, ',' ORDER BY e2.$ikey$dir$nulls, e2.id) " +
+        s"$range) AS sa")
+    val saf = Tx(
+      s"STRING_AGG(s, ';' ORDER BY $ikey$dir, id) FILTER (WHERE $fd) $over AS saf",
+      s"(SELECT string_agg(e2.s, ';' ORDER BY e2.$ikey$dir, e2.id) " +
+        s"$range AND $fo) AS saf")
+    val aa = Tx(
+      s"ARRAY_JOIN(ARRAY_AGG(s ORDER BY $ikey$dir$nulls, id) $over, '|') AS aa",
+      s"(SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE " +
+        s"COALESCE(string_agg(e2.s, '|' ORDER BY e2.$ikey$dir$nulls, e2.id), '') " +
+        s"END $range) AS aa")
+    val alen = Tx(
+      s"ARRAY_LENGTH(ARRAY_AGG(g ORDER BY id) $over) AS alen",
+      s"(SELECT NULLIF(COUNT(*), 0)::BIGINT $range) AS alen")
+    val chosen = r.shuffle(Seq(sa, saf, aa, alen)).take(2 + r.nextInt(2))
+    val ePro = Tx(
+      s" FROM t1 ",
+      s"WITH e AS (SELECT *, ${pkSel}ROW_NUMBER() OVER (${partD}ORDER BY " +
+        s"$okey, id) AS rn FROM t1) ")
+    val q = FuzzQuery(f"fz_${i}%03d_winsagg",
+      "SELECT id, " + chosen.map(_.d).mkString(", ") + ePro.d + "ORDER BY id",
+      ePro.o + "SELECT id, " + chosen.map(_.o).mkString(", ") +
+        " FROM e ORDER BY id")
+    q
+  }
+
   private def templates(big: Boolean): Vector[Template] = Vector(
     tScalar, tAgg, tOrderedAgg, tMultiLevel, tWindowRank, tWindowFrame(big),
     tJoin(big), tSetOp, tSubquery, tCte, tOrderLimit,
     tGroupAll, tWinClause, tStrFn, tRecursive, tDatetime, tAsof,
-    tRowsExclude(big), tFrameValuedExclude(big), tMiscProd, tJsonJoin(big))
+    tRowsExclude(big), tFrameValuedExclude(big), tMiscProd, tJsonJoin(big),
+    tWinStringAgg(big))
 
   /** `n` deterministic queries for a seed. Query i uses its own derived
     * RNG, so any query reproduces alone from (seed, i) — the shrinking

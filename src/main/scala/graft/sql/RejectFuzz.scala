@@ -227,6 +227,88 @@ object RejectFuzz {
     Tally(legal, rejected, analysis, runtime, crashes.result())
   }
 
+  // ---- connector lifecycle surface (r13 VERDICT #6) ------------------------
+
+  /** Connector statements join the mutant corpus once the caller supplies
+    * a LIVE loopback port (a listening ServerSocket): a legal CREATE
+    * CONNECTOR mutant then dials a real listener instead of failing
+    * asynchronously on a dead port — the reason this family was excluded
+    * before. Statement families 12/12.
+    *
+    * Prologue per mutant (fresh engine): target stream + one RUNNING
+    * source connector `rf_live`, so PAUSE/RESUME/DROP mutants act on a
+    * real lifecycle, not a missing name. */
+  private def connectorBases(port: Int) = Seq(
+    s"""CREATE SOURCE CONNECTOR rf_csrc FROM socket WITH ("stream" = 'rf_cs', "port" = $port)""",
+    s"""CREATE SINK CONNECTOR rf_csink TO socket WITH ("stream" = 'rf_cs', "port" = $port)""",
+    "PAUSE CONNECTOR rf_live",
+    "RESUME CONNECTOR rf_live",
+    "DROP CONNECTOR rf_live")
+
+  /** A live loopback listener: accepts every connection, discards any
+    * bytes a SINK connector writes, writes nothing a SOURCE connector
+    * would read (the connection just idles open). Caller closes it. */
+  def loopback(): java.net.ServerSocket = {
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try while (!server.isClosed) {
+        val s = server.accept()
+        val rt = new Thread(() => {
+          try {
+            val in = s.getInputStream; val buf = new Array[Byte](4096)
+            while (in.read(buf) >= 0) ()
+          } catch { case _: Exception => () }
+          finally { try s.close() catch { case _: Exception => () } }
+        })
+        rt.setDaemon(true); rt.start()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    server
+  }
+
+  def runConnector(spark: SparkSession, seed: Long, port: Int,
+                   mutantsPerBase: Int = 3): Tally = {
+    var legal = 0; var rejected = 0; var analysis = 0; var runtime = 0
+    val crashes = Seq.newBuilder[String]
+    val prologue = Seq(
+      "CREATE STREAM rf_cs (k STRING, v INTEGER, _ts TIMESTAMP);",
+      s"""CREATE SOURCE CONNECTOR rf_live FROM socket WITH ("stream" = 'rf_cs', "port" = $port);""")
+    connectorBases(port).zipWithIndex.foreach { case (base, bi) =>
+      val ts = toks(base)
+      val r = new Random(seed * 40487L + bi)
+      var made = 0; var attempt = 0
+      while (made < mutantsPerBase && attempt < mutantsPerBase * 4) {
+        attempt += 1
+        mutate(r, ts).foreach { mutant =>
+          made += 1
+          val engine = new SqlEngine(spark)
+          val before = spark.streams.active.map(_.id).toSet
+          try {
+            prologue.foreach(engine.sql)
+            engine.sql(mutant + ";") match {
+              case engine.Rows(df) => df.limit(3).collect(); legal += 1
+              case _ => legal += 1
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) => classify(e) match {
+              case "rejected" => rejected += 1
+              case "analysis" => analysis += 1
+              case "runtime" => runtime += 1
+              case crash =>
+                crashes += s"conn_$bi: $crash: ${rootOf(e).getMessage}\n" +
+                  s"    mutant: $mutant"
+            }
+          } finally spark.streams.active
+            .filterNot(q => before(q.id)).foreach { q =>
+              try q.stop() catch { case _: Exception => () }
+            }
+        }
+      }
+    }
+    Tally(legal, rejected, analysis, runtime, crashes.result())
+  }
+
   /** Offline roaming: `runMain graft.sql.RejectFuzz <seedCsv> [nBase]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
@@ -246,7 +328,10 @@ object RejectFuzz {
       val engine = new SqlEngine(spark)
       val q = run(engine, s, nBase)
       val d = runDdl(spark, s)
-      Seq("query" -> q, "ddl" -> d).foreach { case (kind, t) =>
+      val srv = loopback()
+      val c = try runConnector(spark, s, srv.getLocalPort)
+              finally { try srv.close() catch { case _: Exception => () } }
+      Seq("query" -> q, "ddl" -> d, "connector" -> c).foreach { case (kind, t) =>
         legal += t.legal; rejected += t.rejected; analysis += t.analysis
         runtime += t.runtime; crash += t.crashes.size
         t.crashes.foreach(c => System.err.println(s"[rej] CRASH seed=$s $c"))

@@ -273,16 +273,24 @@ class SqlEngine(spark: SparkSession) {
           Done(s"connector $name registered (external task; not executed)")
       }
     case PauseConnector(n) =>
+      // unknown names are messaged rejections, not silent successes (r14
+      // connector-lifecycle audit; the reference's worker lookup fails
+      // loudly, hstream-io/src/HStream/IO/Worker.hs:71-83)
+      require(connectors.contains(n), s"connector $n does not exist")
       if (engine.showQueries.contains(s"connector_$n")) engine.pause(s"connector_$n")
       connectors.updateWith(n)(_.map(_.replace(":RUNNING", ":PAUSED")))
       Done(s"paused connector $n")
     case ResumeConnector(n) =>
+      require(connectors.contains(n), s"connector $n does not exist")
+      // RESUME of a RUNNING connector is idempotent (Engine.resume
+      // returns the live query instead of double-starting — r14 find)
       if (engine.showQueries.contains(s"connector_$n")) engine.resume(s"connector_$n")
       connectors.updateWith(n)(_.map(_.replace(":PAUSED", ":RUNNING")))
       Done(s"resumed connector $n")
     case DropStmt("CONNECTOR", n, ifEx) =>
+      if (!ifEx) require(connectors.contains(n), s"connector $n does not exist")
       if (engine.showQueries.contains(s"connector_$n")) engine.dropConnector(n)
-      if (!ifEx || connectors.contains(n)) connectors.remove(n)
+      connectors.remove(n)
       Done(s"dropped connector $n")
     case Show("CONNECTORS") =>
       Done(connectors.toSeq.sorted.map { case (k, v) => s"$k($v)" }.mkString(","))

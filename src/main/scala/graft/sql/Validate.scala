@@ -278,6 +278,40 @@ object Validate {
     checkFrom(sel.from, inJoin = false, continuous = continuous)
   }
 
+  /** Does a query aggregate its input — a GROUP BY, or any aggregate call
+    * in the select list (a global aggregate)? Used by the continuous
+    * agg-as-join-input rejection: the deciding property is "this relation
+    * is an update-mode aggregate", which either form produces. Set-op
+    * branches are checked both ways (one aggregated branch makes the
+    * union an aggregate-bearing stream). */
+  private def hasAggregation(q: Query): Boolean = q match {
+    case s: Select =>
+      s.groupBy.nonEmpty || s.items.exists {
+        case ItemExpr(e, _) => hasAggCall(e)
+        case _ => false
+      }
+    case so: SetOp => hasAggregation(so.l) || hasAggregation(so.r)
+    case _ => false
+  }
+
+  private def hasAggCall(e: Expr): Boolean = e match {
+    case _: Agg => true
+    case InList(x, items, _) => (x +: items).exists(hasAggCall)
+    case Bin(_, l, r) => hasAggCall(l) || hasAggCall(r)
+    case Not(x) => hasAggCall(x)
+    case Fn(_, args) => args.exists(hasAggCall)
+    case Kept(c, v) => hasAggCall(c) || hasAggCall(v)
+    case Cast(x, _) => hasAggCall(x)
+    case Between(x, lo, hi, _, _) => Seq(x, lo, hi).exists(hasAggCall)
+    case ArrIndex(x, _) => hasAggCall(x)
+    case ArrSlice(x, _, _) => hasAggCall(x)
+    case ArrLit(items) => items.exists(hasAggCall)
+    case CaseWhen(op0, bs, el) =>
+      (op0.toSeq ++ bs.flatMap { case (c, r) => Seq(c, r) } ++ el.toSeq)
+        .exists(hasAggCall)
+    case _ => false
+  }
+
   /** Any subquery node in an expression tree (sub bodies not entered —
     * they are separate scopes, validated via checkExpr's recursion). */
   private def hasSubquery(e: Expr): Boolean = e match {
@@ -348,7 +382,18 @@ object Validate {
 
   private def checkFrom(ref: TableRef, inJoin: Boolean, continuous: Boolean): Unit = ref match {
     case TRStream(_) => ()
-    case TRSubquery(s) => checkQuery(s, continuous, top = false)
+    case TRSubquery(s) =>
+      // An AGGREGATED subquery as a continuous join input (agg → join):
+      // the reference rejects joins over aggregated/windowed streams
+      // (Codegen/V1.hs:295-300, the same rule TRWindowed pins below), and
+      // Spark's stream-stream join cannot take an update-mode aggregate
+      // side — pinned as a messaged dialect rule instead of a raw
+      // AnalysisException at stream start (r14, VERDICT r13 #5).
+      if (inJoin && continuous && hasAggregation(s))
+        fail("joining an aggregated stream is not supported in continuous " +
+          "queries (aggregate the join's result instead, or use a " +
+          "batch/pull SELECT)")
+      checkQuery(s, continuous, top = false)
     case TRRecursive(name, base, step, _) =>
       // a fixpoint over an unbounded stream is undefined — same gate as
       // ORDER BY; base and step are ordinary batch queries

@@ -592,9 +592,21 @@ class Engine(val spark: SparkSession) {
     * MemoryStream retains data, so RESUME replays from the start — same
     * at-least-once contract as the reference's changelog restore. */
   def pause(name: String): Unit = queries.get(name).foreach(_.stop())
-  def resume(name: String): StreamingQuery = {
-    val q = paused(name)(); queries(name) = q; q
-  }
+
+  /** Restart a paused query from its checkpoint. RESUME of a query that
+    * is still RUNNING is idempotent (returns the live query) — the
+    * restart thunk in `paused` registers at START, so blindly invoking it
+    * would launch a SECOND concurrent query on the same checkpoint (r14
+    * RejectFuzz connector-lifecycle find: RESUME before PAUSE). An
+    * unknown name is a messaged rejection, not a NoSuchElementException. */
+  def resume(name: String): StreamingQuery =
+    queries.get(name).filter(_.isActive) match {
+      case Some(live) => live
+      case None =>
+        val mk = paused.getOrElse(name, throw new IllegalArgumentException(
+          s"no pausable query $name"))
+        val q = mk(); queries(name) = q; q
+    }
 
   def showQueries: Seq[String] = queries.keys.toSeq.sorted
 
@@ -833,6 +845,17 @@ class Engine(val spark: SparkSession) {
   }
   private val incViews = TrieMap.empty[String, IncViewState]
 
+  /** Test seam (ViewFuzz r14, VERDICT r13 #4b): invoked from the
+    * maintenance thread at named points of the incremental-view
+    * transaction — ("view", "post-write") after a generation's files are
+    * durable but before the in-memory manifest flips, ("post-flip")
+    * after the flip but before the manifest persists, ("post-persist")
+    * before GC. Production default is a no-op; the view fuzzer injects
+    * pulls here to certify that a pull landing inside each window serves
+    * one CONSISTENT snapshot (pre-batch state before the flip, post-batch
+    * state after), including mid-compaction. */
+  private[graft] var incViewSeam: (String, String) => Unit = (_, _) => ()
+
   /** On-disk row schema of a DELTA-LOG incremental view: the view schema
     * plus the writing trigger's generation — last-writer-wins resolution
     * orders on it (update mode emits at most one row per key per trigger,
@@ -904,10 +927,21 @@ class Engine(val spark: SparkSession) {
             while (gfs.exists(new org.apache.hadoop.fs.Path(genDir))) {
               attempt += 1; genDir = s"${state.dir}/g$batchId-r$attempt"
             }
-            if (deltaLog) upsertDeltaLog(state, delta, affected, genDir, batchId)
-            else upsertWholeBucket(state, delta, affected, genDir, bucketOf)
+            val newManifest =
+              if (deltaLog) upsertDeltaLog(state, delta, affected, genDir, batchId)
+              else upsertWholeBucket(state, delta, affected, genDir, bucketOf)
+            // Maintenance-transaction seam points (ViewFuzz r14): files of
+            // this generation are fully written at "post-write" but the
+            // serving manifest still points at the previous state; the
+            // in-memory flip at "post-flip" is the atomic visibility
+            // point; persistence only matters for restart recovery. A
+            // pull landing in any window must see ONE consistent state.
+            incViewSeam(name, "post-write")
+            state.manifest = newManifest
+            incViewSeam(name, "post-flip")
             state.history = (state.manifest :: state.history).take(viewRetain)
             persistManifest(state, batchId)
+            incViewSeam(name, "post-persist")
             gcIncView(state)
           }
         } finally delta.unpersist()
@@ -925,7 +959,7 @@ class Engine(val spark: SparkSession) {
     * scan with full predicate pushdown. */
   private def upsertWholeBucket(state: IncViewState, delta: DataFrame,
                                 affected: Set[Int], genDir: String,
-                                bucketOf: => Column): Unit = {
+                                bucketOf: => Column): Map[Int, List[String]] = {
     val existingPaths =
       state.manifest.view.filterKeys(affected).values.flatten.toSeq
     val current =
@@ -942,7 +976,9 @@ class Engine(val spark: SparkSession) {
       .withColumn("graft_bucket", bucketOf)
       .unionByName(delta)
     merged.write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
-    state.manifest = state.manifest ++
+    // returned, not assigned: the caller flips the serving manifest at its
+    // seam-instrumented visibility point (createViewIncremental)
+    state.manifest ++
       affected.map(b => b -> List(s"$genDir/graft_bucket=$b"))
   }
 
@@ -1027,7 +1063,7 @@ class Engine(val spark: SparkSession) {
 
   private def upsertDeltaLog(state: IncViewState, delta: DataFrame,
                              affected: Set[Int], genDir: String,
-                             gen: Long): Unit = {
+                             gen: Long): Map[Int, List[String]] = {
     delta.withColumn("graft_gen", lit(gen))
       .write.partitionBy("graft_bucket").mode("overwrite").parquet(genDir)
     val zc = zonedCols(state.schema)
@@ -1040,9 +1076,9 @@ class Engine(val spark: SparkSession) {
       b -> (state.manifest.getOrElse(b, Nil) :+ s"$genDir/graft_bucket=$b"))
     val toCompact = affected.filter(b =>
       withDeltas(b).size > state.compactThreshold)
-    state.manifest =
-      if (toCompact.isEmpty) withDeltas
-      else {
+    // returned, not assigned (see upsertWholeBucket)
+    if (toCompact.isEmpty) withDeltas
+    else {
         // one distributed write compacts ALL over-threshold buckets: read
         // their base+deltas, keep the newest row per key (generations
         // survive compaction, so later deltas still win over the base)

@@ -84,9 +84,15 @@ object StreamFuzz {
     // 323-328) and the composed two-operator chain join_agg
     // (interval-join → windowed aggregation, the reference's two-hop
     // pipeline shape — RunSQLSpec.hs:93-128) join the generator.
+    // r14 (VERDICT #5): chain3 — THREE chained stateful operators
+    // (interval join → TUMBLE agg → coarser TUMBLE re-agg over
+    // window_time), the deepest composed topology; the agg→join
+    // direction is a PINNED REJECTION matching the reference
+    // (Codegen/V1.hs:295-300 rejects joins over aggregated streams) —
+    // see SqlEngineSpec's streaming-rejection pin.
     val kind = Vector("tumble", "hop", "session", "join_inner", "join_left",
       "perrow", "perrow_win", "perrow_session", "asof",
-      "join_right", "join_full", "join_agg", "latest")(i % 13)
+      "join_right", "join_full", "join_agg", "latest", "chain3")(i % 14)
     val delayMin = pick(r, Seq(5, 10, 15))
     // session kinds can't take decisively-late records (their merge
     // semantics would need the referee to model eviction timing); every
@@ -390,6 +396,48 @@ object StreamFuzz {
         val gotC = canon(got); val wantC = canon(want)
         if (gotC == wantC) None else Some(diffMsg(gotC, wantC))
 
+      case "chain3" =>
+        // THREE chained stateful operators (r14): inner interval join →
+        // TUMBLE(size) aggregation on the joined stream's left event time
+        // → a COARSER TUMBLE(2×size) re-aggregation over the first agg's
+        // window via window_time (Spark's chained-time-window path — the
+        // watermark must propagate join → agg1 → agg2 and close both
+        // window layers). Twin: the identical three-operator composition
+        // as one batch plan over the survivor set.
+        def sides3(df: DataFrame): (DataFrame, DataFrame) = (
+          df.filter(col("ts").isNotNull && col("typ") === "a")
+            .select(col("k").as("lk"), col("ts").as("lts"), col("v").as("lv")),
+          df.filter(col("ts").isNotNull && col("typ") === "b")
+            .select(col("k").as("rk"), col("ts").as("rts"), col("v").as("rv")))
+        def agg1(joined: DataFrame): DataFrame = joined
+          .groupBy(window(col("lts"), s"${sc.sizeMin} minutes"), col("lk"))
+          .agg(count(lit(1)).as("cnt"), sum(col("lv")).as("svl"))
+        def agg2(a: DataFrame): DataFrame = a
+          .groupBy(window(window_time(col("window")),
+            s"${2 * sc.sizeMin} minutes"), col("lk"))
+          .agg(sum(col("cnt")).as("cnt2"), sum(col("svl")).as("svl2"),
+            count(lit(1)).as("nwin"))
+          .select(col("lk"), col("window.start").as("ws"),
+            col("window.end").as("we"), col("cnt2"), col("svl2"), col("nwin"))
+        val mk: DataFrame => DataFrame = { s =>
+          val (l, rr) = sides3(s)
+          agg2(agg1(StreamOps.intervalJoin(l, rr, "lts", "rts",
+            s"${sc.beforeMin} minutes", s"${sc.afterMin} minutes",
+            col("lk") === col("rk"), joinType = "inner", grace = delay)))
+        }
+        val got = replay(spark, sc, mk, "append", sc.name, sentinel = true)
+          .filterNot(r => r.getLong(0) == -1L ||
+            r.getAs[java.sql.Timestamp](1).getTime >= T0 + 180L * 86400 * 1000)
+        val (lb3, rb3) = sides3(survDf)
+        val range3 =
+          col("rts") >= col("lts") - expr(s"INTERVAL ${sc.beforeMin} minutes") &&
+          col("rts") <= col("lts") + expr(s"INTERVAL ${sc.afterMin} minutes")
+        val want = agg2(agg1(
+          lb3.join(rb3, range3 && col("lk") === col("rk"), "inner")))
+          .collect().toSeq
+        val gotC = canon(got); val wantC = canon(want)
+        if (gotC == wantC) None else Some(diffMsg(gotC, wantC))
+
       case "perrow" =>
         // unwindowed EMIT CHANGES: no watermark operator exists, so ALL
         // non-null-ts records (late included) flow through; the final
@@ -546,7 +594,7 @@ object StreamFuzz {
   /** Offline roaming: `runMain graft.streaming.StreamFuzz <seedCsv> [n]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
-    val n = if (args.length > 1) args(1).toInt else 26
+    val n = if (args.length > 1) args(1).toInt else 28
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -331,6 +331,244 @@ object ViewFuzz {
     }
   }
 
+  // ---- concurrent maintenance (r13 VERDICT #4) ------------------------------
+
+  /** A second view's shape for the MULTI-VIEW scenarios: the reference
+    * serves many views over shared streams concurrently (per-query
+    * allocation, Handler/Query.hs:81-84) — each view here gets its own
+    * mode/buckets/threshold/agg subset over ONE source stream, and pulls
+    * interleave across the two after every batch. */
+  private final case class ViewCfg(mode: String, // complete | inc | delta
+                                   windowed: Boolean, buckets: Int,
+                                   compactThreshold: Int, aggs: Seq[String])
+
+  private def cfgAggs(cfg: ViewCfg) = cfg.aggs.map {
+    case "cnt" => count(lit(1)).as("cnt")
+    case "sv" => sum(col("v")).as("sv")
+    case "mnv" => min(col("v")).as("mnv")
+    case "mxv" => max(col("v")).as("mxv")
+    case "av" => avg(col("v")).as("av")
+  }
+
+  private def cfgPlan(cfg: ViewCfg, src: DataFrame): DataFrame =
+    if (cfg.windowed)
+      src.groupBy(window(col("_ts"), "10 minutes"), col("k"))
+        .agg(cfgAggs(cfg).head, cfgAggs(cfg).tail: _*)
+        .select(col("window.start").as("ws") +:
+          (col("k") +: cfg.aggs.map(col)): _*)
+    else src.groupBy(col("k")).agg(cfgAggs(cfg).head, cfgAggs(cfg).tail: _*)
+
+  private def cfgRecompute(spark: SparkSession, cfg: ViewCfg,
+                           rows: Seq[(String, Long, String)]): DataFrame =
+    cfgPlan(cfg, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v, ts) =>
+        Row(k, v, java.sql.Timestamp.valueOf(ts)) }, 4), schema))
+
+  private final case class MultiScenario(
+      name: String, a: ViewCfg, b: ViewCfg, restartAt: Option[Int],
+      batches: Vector[Vector[(String, Long, String)]],
+      preds: Vector[String])
+
+  private def genMulti(seed: Long, i: Int): MultiScenario = {
+    val r = mix(seed, i + 5000) // disjoint stream from genScenario's
+    val nBatches = 3 + r.nextInt(3)
+    val keys = ('a' to ('a' + 3 + r.nextInt(4)).toChar).map(_.toString)
+    val hot = pick(r, keys)
+    val batches = (0 until nBatches).map { b =>
+      Vector.tabulate(15 + r.nextInt(30)) { _ =>
+        (if (r.nextBoolean()) hot else pick(r, keys),
+          r.nextInt(21).toLong - 10, tsOf(60L - b * 10 - r.nextInt(10)))
+      }
+    }.toVector
+    val modes = r.shuffle(Seq("complete", "inc", "delta"))
+    def cfg(m: String) = ViewCfg(m,
+      windowed = m != "complete" && r.nextBoolean(),
+      buckets = pick(r, Seq(2, 4, 8)),
+      compactThreshold = 1 + r.nextInt(2),
+      aggs = "cnt" +: r.shuffle(Seq("sv", "mnv", "mxv", "av"))
+        .take(1 + r.nextInt(3)))
+    MultiScenario(
+      name = f"vfzm_${seed}%d_${i}%02d_${modes(0)}_${modes(1)}",
+      a = cfg(modes(0)), b = cfg(modes(1)),
+      restartAt = if (r.nextBoolean()) Some(1 + r.nextInt(nBatches - 1))
+                  else None,
+      batches = batches,
+      preds = Vector("true", s"k = '$hot'"))
+  }
+
+  /** Two views, different modes/buckets, SAME source stream; pulls
+    * interleave across the views after every batch (A first on even
+    * batches, B first on odd), and a restart kills and recovers BOTH
+    * maintenance queries. ok = every pull equals that view's own
+    * from-scratch recompute. */
+  def runMultiOne(spark: SparkSession, sc: MultiScenario): Report = {
+    val srcDir = Files.createTempDirectory("graft_vfzm_src").toString
+    val viewRoot = Files.createTempDirectory("graft_vfzm_root").toString
+    val ckptRoot = Files.createTempDirectory("graft_vfzm_ckpt").toString
+    spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
+    spark.conf.set("spark.graft.viewRoot", viewRoot)
+    val stream = s"${sc.name}_s"
+    val views = Seq(("a", sc.a), ("b", sc.b)).map { case (sfx, cfg) =>
+      (s"${sc.name}_v$sfx", cfg) }
+    var compacted = 0
+    def mkEngine(): Engine = {
+      val e = new Engine(spark)
+      e.createFileStream(stream, srcDir, schema)
+      views.foreach { case (vn, cfg) =>
+        cfg.mode match {
+          case "complete" => e.createView(vn, cfgPlan(cfg, e.df(stream)))
+          case m => e.createViewIncremental(vn, cfgPlan(cfg, e.df(stream)),
+            keys = if (cfg.windowed) Seq("ws", "k") else Seq("k"),
+            buckets = cfg.buckets, deltaLog = m == "delta",
+            compactThreshold = cfg.compactThreshold)
+        }
+      }
+      e
+    }
+    def stopAll(e: Engine): Unit = views.foreach { case (vn, _) =>
+      try e.terminate(vn) catch { case _: Exception => () } }
+    var engine = mkEngine()
+    val seen = Vector.newBuilder[(String, Long, String)]
+    try {
+      sc.batches.zipWithIndex.foreach { case (batch, b) =>
+        if (sc.restartAt.contains(b)) { stopAll(engine); engine = mkEngine() }
+        Files.writeString(java.nio.file.Paths.get(srcDir, s"b$b.json"),
+          batch.map { case (k, v, ts) =>
+            s"""{"k":"$k","v":$v,"_ts":"$ts"}""" }.mkString("\n"))
+        engine.processAll()
+        seen ++= batch
+        val all = seen.result()
+        // interleave: alternate which view answers first each batch
+        val order = if (b % 2 == 0) views else views.reverse
+        sc.preds.foreach { pred =>
+          order.foreach { case (vn, cfg) =>
+            val got = canon(engine.pull(vn, pred).collect().toSeq)
+            val want = canon(
+              cfgRecompute(spark, cfg, all).where(pred).collect().toSeq)
+            if (got != want)
+              return Report(sc.name, ok = false,
+                s"batch $b view $vn pred [$pred]: got=${got.values.sum}" +
+                  s" want=${want.values.sum}" +
+                  s" missing=${(want.keySet -- got.keySet).take(2).mkString(" | ")}")
+          }
+        }
+        views.foreach { case (vn, cfg) =>
+          if (cfg.mode == "delta" && engine.viewManifestPaths(vn).values
+                .exists(_.exists(_.contains("-c/")))) compacted += 1
+        }
+      }
+      Report(sc.name, ok = true, "", compacted = compacted)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Report(sc.name, ok = false,
+          s"EXEC ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      stopAll(engine)
+      spark.conf.unset("spark.graft.checkpointRoot")
+      spark.conf.unset("spark.graft.viewRoot")
+      Seq(srcDir, viewRoot, ckptRoot).foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
+  def runMulti(spark: SparkSession, seed: Long, n: Int): Seq[Report] =
+    (0 until n).map(i => runMultiOne(spark, genMulti(seed, i)))
+
+  /** Pull racing an in-flight maintenance transaction (r13 VERDICT #4b):
+    * a delta-log view with compactThreshold 1 (compaction nearly every
+    * trigger) is maintained live, and the [[Engine.incViewSeam]] test
+    * seam issues a FULL pull + referee compare from the maintenance
+    * thread at each transaction point — after the generation's files are
+    * written but before the manifest flips (must serve the PRE-batch
+    * state), after the in-memory flip but before persistence (must serve
+    * the POST-batch state), and after persistence before GC (post-batch
+    * state). Any torn read — new files behind an old manifest, a
+    * half-flipped chain, a pruned-but-live zone — breaks the multiset
+    * equality. Non-vacuity: at least one seam firing must land inside an
+    * actual compaction (manifest carries a `-c/` path at post-flip). */
+  def runRaceOne(spark: SparkSession, seed: Long, i: Int): Report = {
+    val r = mix(seed, i + 9000)
+    val name = f"vfzr_${seed}%d_${i}%02d"
+    val keys = ('a' to ('a' + 2 + r.nextInt(3)).toChar).map(_.toString)
+    val hot = pick(r, keys)
+    val nBatches = 3 + r.nextInt(2)
+    val batches = (0 until nBatches).map { b =>
+      Vector.tabulate(10 + r.nextInt(15)) { _ =>
+        (if (r.nextBoolean()) hot else pick(r, keys),
+          r.nextInt(21).toLong - 10, tsOf(60L - b * 10 - r.nextInt(10)))
+      }
+    }.toVector
+    val cfg = ViewCfg("delta", windowed = false,
+      buckets = pick(r, Seq(2, 4)), compactThreshold = 1,
+      aggs = "cnt" +: r.shuffle(Seq("sv", "mnv", "mxv"))
+        .take(1 + r.nextInt(2)))
+    val srcDir = Files.createTempDirectory("graft_vfzr_src").toString
+    val viewRoot = Files.createTempDirectory("graft_vfzr_root").toString
+    val ckptRoot = Files.createTempDirectory("graft_vfzr_ckpt").toString
+    spark.conf.set("spark.graft.checkpointRoot", ckptRoot)
+    spark.conf.set("spark.graft.viewRoot", viewRoot)
+    val stream = s"${name}_s"; val view = s"${name}_v"
+    val engine = new Engine(spark)
+    val mismatches = scala.collection.mutable.Buffer.empty[String]
+    var compactionsSeen = 0
+    try {
+      engine.createFileStream(stream, srcDir, schema)
+      engine.createViewIncremental(view, cfgPlan(cfg, engine.df(stream)),
+        keys = Seq("k"), buckets = cfg.buckets, deltaLog = true,
+        compactThreshold = cfg.compactThreshold)
+      val seen = Vector.newBuilder[(String, Long, String)]
+      batches.zipWithIndex.foreach { case (batch, b) =>
+        val pre = canon(
+          cfgRecompute(spark, cfg, seen.result()).collect().toSeq)
+        val post = canon(
+          cfgRecompute(spark, cfg, seen.result() ++ batch).collect().toSeq)
+        engine.incViewSeam = (v, point) => if (v == view) {
+          val got = canon(engine.pull(view, "true").collect().toSeq)
+          val want = if (point == "post-write") pre else post
+          if (got != want) mismatches +=
+            s"batch $b seam $point: got=${got.values.sum} want=${want.values.sum}"
+          if (point == "post-flip" && engine.viewManifestPaths(view)
+                .values.exists(_.exists(_.contains("-c/"))))
+            compactionsSeen += 1
+        }
+        Files.writeString(java.nio.file.Paths.get(srcDir, s"b$b.json"),
+          batch.map { case (k, v, ts) =>
+            s"""{"k":"$k","v":$v,"_ts":"$ts"}""" }.mkString("\n"))
+        engine.processAll()
+        seen ++= batch
+      }
+      if (mismatches.nonEmpty)
+        Report(name, ok = false, mismatches.take(3).mkString(" | "))
+      else if (compactionsSeen == 0)
+        Report(name, ok = false, "vacuous: no seam firing saw a compaction")
+      else Report(name, ok = true, "", compacted = compactionsSeen)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Report(name, ok = false,
+          s"EXEC ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      engine.incViewSeam = (_, _) => ()
+      try engine.terminate(view) catch { case _: Exception => () }
+      spark.conf.unset("spark.graft.checkpointRoot")
+      spark.conf.unset("spark.graft.viewRoot")
+      Seq(srcDir, viewRoot, ckptRoot).foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
+  def runRace(spark: SparkSession, seed: Long, n: Int): Seq[Report] =
+    (0 until n).map(i => runRaceOne(spark, seed, i))
+
   def run(spark: SparkSession, seed: Long, n: Int): Seq[Report] =
     (0 until n).map(i => runOne(spark, genScenario(seed, i)))
 
@@ -347,7 +585,9 @@ object ViewFuzz {
     spark.sparkContext.setLogLevel("ERROR")
     var ok = 0; var fail = 0; var pruned = 0; var compacted = 0; var expired = 0
     seeds.foreach { s =>
-      run(spark, s, n).foreach { rep =>
+      val nSide = math.max(2, n / 3) // multi-view + race tiers per seed
+      (run(spark, s, n) ++ runMulti(spark, s, nSide) ++
+        runRace(spark, s, nSide)).foreach { rep =>
         if (rep.ok) {
           ok += 1; pruned += rep.pruned; compacted += rep.compacted
           expired += rep.expired

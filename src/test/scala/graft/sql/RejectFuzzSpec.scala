@@ -41,6 +41,53 @@ class RejectFuzzSpec extends SparkSpec {
   }
   private val ddlFloor = 12 // ≥ 1 rejection per statement family on average
 
+  test("reject fuzzer, connector lifecycle over a live loopback port (r14)") {
+    // the last absent statement family (12/12): with a real listener on
+    // the port, legal CREATE CONNECTOR mutants dial a live socket and the
+    // PAUSE/RESUME/DROP verbs mutate against a RUNNING connector
+    val srv = RejectFuzz.loopback()
+    try {
+      val t = RejectFuzz.runConnector(spark, 3L, srv.getLocalPort)
+      assert(t.crashes.isEmpty, t.crashes.mkString("\n"))
+      assert(t.rejected >= 5, s"only ${t.rejected} rejections")
+    } finally srv.close()
+  }
+
+  test("connector lifecycle: out-of-order verbs are messaged, never a crash (r14)") {
+    val srv = RejectFuzz.loopback()
+    val e = new SqlEngine(spark)
+    try {
+      e.sql("CREATE STREAM rfo_cs (k STRING, v INTEGER, _ts TIMESTAMP);")
+      e.sql("CREATE SOURCE CONNECTOR rfo_c FROM socket WITH " +
+        s"""("stream" = 'rfo_cs', "port" = ${srv.getLocalPort});""")
+      // RESUME before PAUSE: idempotent — and must NOT double-start the
+      // query (the restart thunk registers at START; the old resume
+      // blindly invoked it, launching a second query on the same
+      // checkpoint — the r14 lifecycle find)
+      val live = spark.streams.active.length
+      e.sql("RESUME CONNECTOR rfo_c;")
+      assert(spark.streams.active.length == live,
+        "RESUME of a running connector must not start a second query")
+      // PAUSE twice: second is a no-op on an already-stopped query
+      e.sql("PAUSE CONNECTOR rfo_c;")
+      e.sql("PAUSE CONNECTOR rfo_c;")
+      // RESUME after PAUSE restarts from the checkpoint
+      e.sql("RESUME CONNECTOR rfo_c;")
+      // DROP while running
+      e.sql("DROP CONNECTOR rfo_c;")
+      // verbs on the now-missing name: messaged rejections
+      Seq("PAUSE CONNECTOR rfo_c;", "RESUME CONNECTOR rfo_c;",
+        "DROP CONNECTOR rfo_c;").foreach { stmt =>
+        val ex = intercept[IllegalArgumentException](e.sql(stmt))
+        assert(ex.getMessage.contains("does not exist"), s"$stmt: ${ex.getMessage}")
+      }
+      // DROP … IF EXISTS of a missing connector stays a silent success
+      // (dialect order: the IF EXISTS clause follows the name)
+      e.sql("DROP CONNECTOR rfo_c IF EXISTS;")
+      e.sql("DROP STREAM rfo_cs;")
+    } finally srv.close()
+  }
+
   test("connector/stream PORT options reject non-integers with a dialect message") {
     val engine = new SqlEngine(spark)
     val e = intercept[IllegalArgumentException](engine.sql(

@@ -206,6 +206,26 @@ class ValidateSpec extends SparkSpec {
     rejects("SELECT a FROM (SELECT a FROM s EMIT CHANGES) AS x;", "top level")
   }
 
+  test("continuous agg → join rejected, matching the reference (r14)") {
+    import Ast._
+    // the reference rejects joins over aggregated/windowed streams
+    // (Codegen/V1.hs:295-300); an aggregated subquery as a continuous
+    // join input must be a messaged rejection, not a raw Spark
+    // AnalysisException at stream start. The BATCH form stays legal.
+    rejects("SELECT x.k, t.a FROM (SELECT k, COUNT(*) AS c FROM s GROUP " +
+      "BY k) AS x JOIN t ON x.k = t.a EMIT CHANGES;", "aggregated stream")
+    rejects("CREATE STREAM aj1 AS SELECT x.k, t.a FROM (SELECT k, " +
+      "SUM(v) AS sv FROM s GROUP BY k) AS x JOIN t ON x.k = t.a;",
+      "aggregated stream")
+    // global aggregate (no GROUP BY) is just as much an aggregate side
+    rejects("CREATE STREAM aj2 AS SELECT t.a FROM (SELECT COUNT(*) AS c " +
+      "FROM s) AS x JOIN t ON x.c = t.a;", "aggregated stream")
+    // join THEN aggregate stays the supported continuous direction, and
+    // the same agg-subquery join is fine as a batch/pull query
+    assert(Parser.parse("SELECT x.k FROM (SELECT k, COUNT(*) AS c FROM s " +
+      "GROUP BY k) AS x JOIN t ON x.k = t.a;").isInstanceOf[SelectStmt])
+  }
+
   test("PERCENTILE literal-fraction rules; DISTINCT limited to COUNT/SUM") {
     rejects("SELECT PERCENTILE(v, 1.5) AS p FROM s;", "[0, 1]")
     rejects("SELECT PERCENTILE(v, x) AS p FROM s;", "literal")

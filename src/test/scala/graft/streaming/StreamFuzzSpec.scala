@@ -17,24 +17,25 @@ import graft.SparkSpec
   */
 class StreamFuzzSpec extends SparkSpec {
 
-  // 26 = two full passes over the 13 topology kinds (r13 adds RIGHT/FULL
-  // outer interval joins with planted never-matching rows, and the
-  // composed join → windowed-agg chain)
+  // 28 = two full passes over the 14 topology kinds (r13 added RIGHT/FULL
+  // outer interval joins and the composed join → windowed-agg chain;
+  // r14 adds chain3 — join → TUMBLE agg → coarser TUMBLE re-agg, three
+  // chained stateful operators)
   test("streaming twin fuzzer: pinned seed 1, every topology == its batch twin") {
-    val reports = StreamFuzz.run(spark, 1L, 26)
+    val reports = StreamFuzz.run(spark, 1L, 28)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
-    assert(reports.size == 26)
+    assert(reports.size == 28)
   }
 
   test("streaming twin fuzzer: pinned seed 424242, every topology == its batch twin") {
-    val reports = StreamFuzz.run(spark, 424242L, 26)
+    val reports = StreamFuzz.run(spark, 424242L, 28)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
   }
 
   test("streaming twin fuzzer under RocksDB state store (r12 VERDICT #7)") {
-    // one pass over all 13 kinds with the PRODUCTION state-store
+    // one pass over all 14 kinds with the PRODUCTION state-store
     // provider: extends the differential certification from the heap
     // store (STREAMPROBE_r12 proved identical state bounds; this proves
     // identical ANSWERS on live topologies)
@@ -43,7 +44,7 @@ class StreamFuzzSpec extends SparkSpec {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider")
     try {
-      val reports = StreamFuzz.run(spark, 77L, 13)
+      val reports = StreamFuzz.run(spark, 77L, 14)
       val bad = reports.filterNot(_.ok)
       assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
     } finally prev match {

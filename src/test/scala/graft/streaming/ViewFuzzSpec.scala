@@ -35,6 +35,35 @@ class ViewFuzzSpec extends SparkSpec {
     checkSeed(31337L, 8)
   }
 
+  test("multi-view fuzzer: two views, one stream, interleaved pulls (r14)") {
+    // the reference serves many views over shared streams concurrently
+    // (per-query allocation, Handler/Query.hs:81-84): two views with
+    // different modes/buckets/thresholds/agg subsets maintain over the
+    // SAME source, pulls alternate between them after every batch, and
+    // a restart recovers both. Each pull must equal that view's own
+    // from-scratch recompute — cross-view interference (shared stream
+    // offsets, checkpoint collisions, viewRoot path mixups) breaks it.
+    val reports = ViewFuzz.runMulti(spark, 1L, 4) ++
+      ViewFuzz.runMulti(spark, 31337L, 4)
+    val bad = reports.filterNot(_.ok)
+    assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
+    assert(reports.map(_.compacted).sum > 0,
+      "no delta view ever compacted inside the multi-view surface")
+  }
+
+  test("pull racing an in-flight compaction via the maintenance seam (r14)") {
+    // Engine.incViewSeam fires at the three transaction points of every
+    // maintenance trigger; a full pull + referee compare runs INSIDE each
+    // window. post-write must serve the pre-batch state (files durable,
+    // manifest not yet flipped); post-flip/post-persist the post-batch
+    // state. compactThreshold=1 makes nearly every trigger compact, and
+    // the non-vacuity check demands a seam firing lands mid-compaction.
+    val reports = ViewFuzz.runRace(spark, 1L, 3) ++
+      ViewFuzz.runRace(spark, 31337L, 3)
+    val bad = reports.filterNot(_.ok)
+    assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
+  }
+
   test("view fuzzer under RocksDB state store: one pinned pass") {
     // the view maintenance queries' AGGREGATION state rides the state
     // store; one pass under the production provider extends the
