@@ -74,11 +74,17 @@ object CurationQueries extends QueryPack {
         log(($"n_tgt" + 1).cast("double") / ($"t_tgt" + 256)) -
           log(($"n_raw" + 1).cast("double") / ($"t_raw" + 256)), 7)
         .cast("decimal(20,7)").as("lr"))
+    // w = the exact decimal sum cast to double, NOT rounded: wdec carries
+    // exactly 7 fractional digits, so a cosmetic round(·, 6) lands on
+    // decimal half-way points where Spark (shortest-repr HALF_UP via
+    // BigDecimal) and DuckDB (binary-double rounding) legitimately
+    // disagree — the sf1 sidecar caught ~1% of rows flipping at 10× rows
+    // (r14). Both engines convert the same exact decimal to the same
+    // nearest double, so the unrounded value compares bit-identically.
     val weights = docBuckets.join(broadcast(ratio), "b")
       .groupBy($"doc_id", $"lang")
       .agg(sum($"cnt".cast("decimal(12,0)") * $"lr").as("wdec"))
-      .select($"doc_id", $"lang",
-        round($"wdec".cast("double"), 6).as("w"))
+      .select($"doc_id", $"lang", $"wdec".cast("double").as("w"))
     // deterministic Gumbel draw g = -ln(-ln(u)) from an independent hash
     // stream ("dsir" prefix), u offset to (0,1) open interval
     val u = (pmod(hash32(concat(lit("dsir"), $"doc_id".cast("string"))),
@@ -555,7 +561,7 @@ object CurationQueries extends QueryPack {
                        sum(n_raw) OVER () AS t_raw,
                        sum(n_tgt) OVER () AS t_tgt FROM h)),
          wt AS (SELECT doc_id, lang,
-                  round(sum(cnt::DECIMAL(12,0) * lr)::DOUBLE, 6) AS w
+                  sum(cnt::DECIMAL(12,0) * lr)::DOUBLE AS w
                 FROM db JOIN r USING (b) GROUP BY doc_id, lang),
          res AS (SELECT doc_id, lang, w,
                    row_number() OVER (PARTITION BY lang ORDER BY

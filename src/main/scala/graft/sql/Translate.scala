@@ -1254,7 +1254,43 @@ object Translate {
       case ColRef(None, n) => col(n)
     }
     j.cond match {
-      case CrossC => qualifyCollisions(ldf.join(rdf, range, "inner"), j, ldf, rdf)
+      case CrossC =>
+        // A WITHIN cross join has NO equi key, so Spark plans a
+        // BroadcastNestedLoopJoin — O(|L|·|R|) row comparisons, found
+        // dominating the sf1 sidecar at 10× rows (r14: q_sql_join_cross
+        // ran 20+ min in ONE task). Band it like every other interval
+        // join in the engine (StreamOps.intervalJoin / AsofJoin.bucketed
+        // convention): bucket both event times by the interval width,
+        // explode the right row into its 3 candidate buckets, equi-join
+        // on the bucket, and keep the EXACT range as the residual filter
+        // — a shuffled hash join, output linear in true matches.
+        // Calendar units take their maximum length as the bucket width
+        // (31-day months, 366-day years): wider buckets stay correct
+        // (the exact range still filters), just less selective.
+        val banded: DataFrame = j.within match {
+          case Some(iv) if !ldf.isStreaming && !rdf.isStreaming =>
+            val wUs = 1000000L * (iv.unit.toUpperCase match {
+              case "SECOND" => iv.n
+              case "MINUTE" => iv.n * 60L
+              case "HOUR" => iv.n * 3600L
+              case "DAY" => iv.n * 86400L
+              case "MONTH" => iv.n * 31L * 86400L
+              case "YEAR" => iv.n * 366L * 86400L
+              case other => throw new IllegalArgumentException(
+                s"unsupported WITHIN unit $other")
+            })
+            val lb = floor(unix_micros(eventTs(ldf, refAlias(j.l))) / lit(wUs))
+              .cast("long")
+            val rb = floor(unix_micros(eventTs(rdf, refAlias(j.r))) / lit(wUs))
+              .cast("long")
+            val l2 = ldf.withColumn("__graft_jb", lb)
+            val r2 = rdf.withColumn("__graft_jb",
+              explode(array(rb - 1, rb, rb + 1)))
+            l2.join(r2, l2("__graft_jb") === r2("__graft_jb") && range, "inner")
+              .drop("__graft_jb")
+          case _ => ldf.join(rdf, range, "inner")
+        }
+        qualifyCollisions(banded, j, ldf, rdf)
       case On(e) =>
         // type-check the join condition against both sides' schemas
         // (bare + alias-qualified names), with declared dialect types
