@@ -594,11 +594,21 @@ object TextQueries extends QueryPack {
       .groupBy($"doc_id", $"lang", $"mlang")
       .agg(sum($"cnt".cast("decimal(12,0)") * $"llk").as("sdec"))
       .join(broadcast(priors), Seq("mlang"))
-      .select($"doc_id", $"lang", $"mlang", ($"sdec" + $"lprior").as("sc"))
+      // cast the (38,7) sum down to (20,7) BEFORE adding the prior: the
+      // raw addition's result precision would exceed 38 and Spark reduces
+      // SCALE to 6 — a silent half-up quantization the old round(·, 6)
+      // masked and the unrounded sf1 compare exposed (r14). The sum is
+      // value-bounded far below 10^13, so the downcast is lossless.
+      .select($"doc_id", $"lang", $"mlang",
+        ($"sdec".cast("decimal(20,7)") + $"lprior").as("sc"))
       .groupBy($"doc_id", $"lang")
       .agg(max(struct($"sc", $"mlang")).as("best"))
       .select($"doc_id", $"lang", $"best.mlang".as("pred"),
-        round($"best.sc".cast("double"), 6).as("score"),
+        // exact 7-digit decimal -> double, NOT rounded to 6: the cosmetic
+        // round landed on decimal half-way points where the two engines'
+        // rounding rules legitimately disagree (r14 sf1 find, the DSIR
+        // class); the unrounded decimal converts to the identical double
+        $"best.sc".cast("double").as("score"),
         ($"best.mlang" === $"lang").as("correct"))
   }
 
@@ -655,7 +665,11 @@ object TextQueries extends QueryPack {
     target.filter(nbSplit >= 80)
       .select($"doc_id", $"lang", best.as("best"))
       .select($"doc_id", $"lang", $"best.mlang".as("pred"),
-        round($"best.sc".cast("double"), 6).as("score"),
+        // exact 7-digit decimal -> double, NOT rounded to 6: the cosmetic
+        // round landed on decimal half-way points where the two engines'
+        // rounding rules legitimately disagree (r14 sf1 find, the DSIR
+        // class); the unrounded decimal converts to the identical double
+        $"best.sc".cast("double").as("score"),
         ($"best.mlang" === $"lang").as("correct"))
   }
 
@@ -964,7 +978,7 @@ object TextQueries extends QueryPack {
                     row_number() OVER (PARTITION BY doc_id
                       ORDER BY score DESC, mlang DESC) AS rk
                   FROM sc2)
-         SELECT doc_id, lang, mlang AS pred, round(score::DOUBLE, 6) AS score,
+         SELECT doc_id, lang, mlang AS pred, score::DOUBLE AS score,
            (mlang = lang) AS correct
          FROM best WHERE rk = 1 ORDER BY doc_id"""
 
