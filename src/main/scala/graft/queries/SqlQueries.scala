@@ -1211,18 +1211,24 @@ object SqlQueries extends QueryPack {
            AND b.ts >= a.ts - INTERVAL '2 minutes'
            AND b.ts <= a.ts + INTERVAL '2 minutes'
          GROUP BY 1""",
+    // Oracle uses the closed form instead of the literal 3-way join: b and
+    // c range over the SAME band around anchor a (independent given a), so
+    // triples(a) = n·(n−1) with n = |band(a) \ {a}| — exactly the original
+    // count with the b≠c / a≠b / a≠c exclusions. The literal triple join
+    // took DuckDB 1.0's IEJoin 80+ minutes at sf1 (the ENGINE's chained
+    // interval join: 24 s); the pair-count form is algebra, not a plan
+    // shared with the engine, so the differential stands (r14).
     "q_sql_join_threeway" ->
-      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
-         SELECT a.user_id AS user_id, count(*) AS triples
-         FROM ev a JOIN ev b ON a.user_id = b.user_id
-           AND b.ts >= a.ts - INTERVAL '30 minutes'
-           AND b.ts <= a.ts + INTERVAL '30 minutes'
-         JOIN ev c ON a.user_id = c.user_id
-           AND c.ts >= a.ts - INTERVAL '30 minutes'
-           AND c.ts <= a.ts + INTERVAL '30 minutes'
-         WHERE a.event_id <> b.event_id AND b.event_id <> c.event_id
-           AND a.event_id <> c.event_id
-         GROUP BY 1""",
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+         p AS (SELECT a.user_id, a.event_id, count(*) AS n
+               FROM ev a JOIN ev b ON a.user_id = b.user_id
+                 AND b.ts >= a.ts - INTERVAL '30 minutes'
+                 AND b.ts <= a.ts + INTERVAL '30 minutes'
+                 AND a.event_id <> b.event_id
+               GROUP BY 1, 2)
+         SELECT user_id, sum(n * (n - 1))::BIGINT AS triples
+         FROM p GROUP BY user_id
+         HAVING sum(n * (n - 1)) > 0""",
     "q_sql_join_cross" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
          SELECT count(*) AS pairs
