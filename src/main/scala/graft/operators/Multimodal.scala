@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default is a DISK-backed stream cache: every
+  // createImageInputStream/createImageOutputStream (and ImageIO.read/write
+  // over a ByteArray stream, which call them internally) creates, writes,
+  // and deletes one temp FILE per media row per codec pass — pure overhead
+  // for data that is entirely in-memory byte arrays, and a hidden per-row
+  // disk dependency in the partition hot loop. Disable it JVM-wide at
+  // module init: every codec entry point below lives in this object, so
+  // the initializer runs in each executor JVM before the first codec call
+  // and all ImageIO streams become MemoryCache-backed. Decoded values and
+  // encoded BYTES are unaffected (the cache is a transport detail);
+  // MultimodalSpec pins the encoded-byte digests to hold that invariant.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media row (the Dataset[T] surface for partition-wise operators). */
   case class MediaRow(id: Long, kind: String, media: Array[Byte])
   /** Extracted features. Image rows carry REAL decoded dimensions/channels

@@ -8,6 +8,29 @@ import graft.SparkSpec
   * so the lossless-pixel pin lives here. */
 class MultimodalSpec extends SparkSpec {
 
+  test("ImageIO disk-backed stream cache is off and encoded bytes are pinned") {
+    // Touching any Multimodal codec forces the module init, which sets
+    // ImageIO.setUseCache(false) JVM-wide — without it every codec pass
+    // creates/writes/deletes one temp FILE per media row (the JDK default).
+    val png7 = Multimodal.pngFor(7L)
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO disk cache must be disabled after Multimodal init")
+    // The cache is a transport detail: encoded BYTES must be identical to
+    // the disk-cache-era bytes (gate oracle hashes depend on them). Pinned
+    // digests were computed under BOTH cache modes and matched exactly.
+    def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    assert(md5(png7) == "97e7f50e05a6fea877b17c884bf298f9")
+    assert(md5(Multimodal.wavFor(7L)) == "3e4e8162891ac0625b94669a1825986f")
+    assert(md5(Multimodal.gifFor(7L)) == "f6d6c623f3b231538d201b863e0df023")
+    assert(md5(Multimodal.pngFor(42L)) == "a8b3ef6907e5dea4dc71959870f3c5b8")
+    assert(md5(Multimodal.wavFor(42L)) == "945fb3be84e780c0aa5972102974b003")
+    assert(md5(Multimodal.gifFor(42L)) == "91652200b93c5bf8224c97e63d5792eb")
+    assert(md5(Multimodal.pngFor(1001L)) == "9b05f4a01c51c9e0906667bcad297efd")
+    assert(md5(Multimodal.wavFor(1001L)) == "966354ba8f0663c12fb68d1563435912")
+    assert(md5(Multimodal.gifFor(1001L)) == "2b97b1319088eb8d0f6cca942b8f1ff0")
+  }
+
   test("pngFor round-trips dimensions and pixels losslessly") {
     for (id <- Seq(0L, 3L, 63L, 129L, 4998L)) {
       val img = javax.imageio.ImageIO.read(
