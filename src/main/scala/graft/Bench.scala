@@ -71,6 +71,64 @@ object Bench {
     "q_sql_interval_join"
   )
 
+  /** The three calibration probe rows — excluded from query totals. */
+  private val probeNames = Set("calib", "calib_par", "calib_io")
+
+  /** Parallel CPU probe (r14 VERDICT #2): N raw JVM threads, each running a
+    * FIXED per-thread mix-hash loop (150M mul-xor rounds ≈ 0.28 s quiet).
+    * Per-thread work is constant, so on a quiet box with ≥N free cores the
+    * wall time is flat regardless of N — under CPU oversubscription (other
+    * processes stealing cores from the 32-way suite) it inflates by the
+    * steal factor. This is the dimension the single-stage Spark `calib`
+    * probe missed on the r14 driver box: that probe passed at 1.04× anchor
+    * while the full suite ran 1.56× slow. */
+  private def parProbe(nThreads: Int): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until nThreads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < 150000000L) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+        sink.addAndGet(x) // publish so the loop can't be dead-code-eliminated
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Disk probe (r14 VERDICT #2): 16 × 1 MiB files written to the JVM tmp
+    * dir, each fsync'd (`FileChannel.force`) — ≈ 0.12 s quiet. Catches the
+    * busy-disk contention that hit the r14 driver's disk-dependent queries
+    * (video_encode/clusters/cdc) 3-5× while both CPU probes stayed quiet:
+    * shuffle spill, streaming checkpoints, and localCheckpoint all ride the
+    * same device as this probe's fsyncs. Files are deleted afterwards. */
+  private def ioProbe(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib-io")
+    val block = new Array[Byte](262144)
+    var i = 0
+    while (i < block.length) { block(i) = (i * 31).toByte; i += 1 }
+    val t0 = System.nanoTime()
+    var f = 0
+    while (f < 16) {
+      val p = dir.resolve(s"probe$f")
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      var w = 0
+      while (w < 4) { ch.write(java.nio.ByteBuffer.wrap(block)); w += 1 }
+      ch.force(true); ch.close()
+      f += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    f = 0
+    while (f < 16) {
+      java.nio.file.Files.deleteIfExists(dir.resolve(s"probe$f")); f += 1
+    }
+    java.nio.file.Files.deleteIfExists(dir)
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -141,6 +199,14 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] calib: ${e.getMessage}")
         }
+        // the two non-Spark contention dimensions (r14 VERDICT #2): raw-
+        // thread CPU oversubscription and tmp-dir fsync latency — the r14
+        // driver run passed the CPU calib while the suite ran 1.56× slow
+        // on what turned out to be exactly these two.
+        try record("calib_par", parProbe(cpus.toInt))
+        catch { case e: Throwable => System.err.println(s"[bench] calib_par: ${e.getMessage}") }
+        try record("calib_io", ioProbe())
+        catch { case e: Throwable => System.err.println(s"[bench] calib_io: ${e.getMessage}") }
         batchNames.foreach { name =>
           val t0 = System.nanoTime()
           // a FAILED run must not record: its near-zero elapsed time would
@@ -181,10 +247,32 @@ object Bench {
     val anchorEnv = sys.env.get("SPARK_GRAFT_CALIB_ANCHOR").map(_.toDouble)
     val calibAnchor = anchorEnv.getOrElse(0.248)
     val anchorSrc = if (anchorEnv.isDefined) "env" else "default"
+    // Multi-dimensional gate (r14 VERDICT #2): the r14 driver run passed
+    // the CPU band at 1.04× anchor while the whole suite ran 1.56× slow —
+    // the contention was CPU oversubscription + a busy disk, neither of
+    // which a Spark-stage CPU probe samples. `contended` now trips when
+    // ANY dimension exceeds its band. Bands are dimension-specific,
+    // set from quiet-box dispersion of the MIN-of-3 statistic: the two CPU
+    // probes are tight (1.15× / 1.35× — raw-thread start/steal jitter is
+    // wider than a Spark stage's), fsync latency is noisy even quiet
+    // (observed 0.11-0.17 s single-sample) so its band is 2.5× — far below
+    // the 3-5× inflation the r14 disk contention produced, far above
+    // quiet-box noise. Anchors are per-box overridable like the CPU one.
+    val parAnchor =
+      sys.env.get("SPARK_GRAFT_CALIB_PAR_ANCHOR").map(_.toDouble).getOrElse(0.28)
+    val ioAnchor =
+      sys.env.get("SPARK_GRAFT_CALIB_IO_ANCHOR").map(_.toDouble).getOrElse(0.12)
+    def probeOf(s: scala.collection.Map[String, Vector[Double]], name: String): Double =
+      s.get(name).map(_.min.max(1e-9)).getOrElse(0.0)
     def calibOf(s: scala.collection.Map[String, Vector[Double]]): Double =
-      s.get("calib").map(_.min.max(1e-9)).getOrElse(0.0)
+      probeOf(s, "calib")
+    def dimsOf(s: scala.collection.Map[String, Vector[Double]])
+        : Seq[(String, Boolean)] = Seq(
+      "cpu" -> (calibOf(s) > calibAnchor * 1.15),
+      "par" -> (probeOf(s, "calib_par") > parAnchor * 1.35),
+      "io" -> (probeOf(s, "calib_io") > ioAnchor * 2.5))
     def isContended(s: scala.collection.Map[String, Vector[Double]]): Boolean =
-      calibOf(s) > calibAnchor * 1.15
+      dimsOf(s).exists(_._2)
 
     // Bounded contention auto-retry (r13 VERDICT #1b): when the first
     // attempt's calib exceeds the anchor band, the box was busy — sleep a
@@ -195,19 +283,26 @@ object Bench {
     val retryEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
     val attempts = scala.collection.mutable.ArrayBuffer(measureOnce())
     if (retryEnabled && isContended(attempts.head)) {
-      System.err.println(f"[bench] calib ${calibOf(attempts.head)}%.3f above " +
-        f"anchor band (${calibAnchor * 1.15}%.3f) — cooling down 60s, retrying once")
+      val dims = dimsOf(attempts.head).filter(_._2).map(_._1).mkString(",")
+      System.err.println(f"[bench] contended dims [$dims] (calib " +
+        f"${calibOf(attempts.head)}%.3f par ${probeOf(attempts.head, "calib_par")}%.3f " +
+        f"io ${probeOf(attempts.head, "calib_io")}%.3f) — cooling down 60s, retrying once")
       Thread.sleep(60000)
       attempts += measureOnce()
     }
     def totalOf(s: scala.collection.Map[String, Vector[Double]]): Double =
-      s.filterNot(_._1 == "calib").values.map(_.min).sum
-    val usedIdx = attempts.zipWithIndex.minBy { case (s, _) => calibOf(s) }._2
+      s.filterNot(kv => probeNames(kv._1)).values.map(_.min).sum
+    // prefer the attempt with the fewest tripped dimensions, tiebreak on
+    // the smaller measured total (quieter run)
+    val usedIdx = attempts.zipWithIndex.minBy { case (s, _) =>
+      (dimsOf(s).count(_._2), totalOf(s)) }._2
     val samples = attempts(usedIdx)
 
     val all = samples.toSeq.map { case (k, vs) => (k, vs.min, vs) }
     val calibMin = calibOf(samples)
-    val queryRows = all.filterNot(_._1 == "calib")
+    val parMin = probeOf(samples, "calib_par")
+    val ioMin = probeOf(samples, "calib_io")
+    val queryRows = all.filterNot(r => probeNames(r._1))
     val qjson = queryRows.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val sjson = all.map { case (k, _, vs) =>
@@ -221,7 +316,7 @@ object Bench {
     // exactly that: a clean query's spread sits near 1; a one-pass
     // transient shows >~2.
     val dispersed = samples.toSeq
-      .filter { case (k, vs) => k != "calib" && vs.nonEmpty && vs.min > 0 }
+      .filter { case (k, vs) => !probeNames(k) && vs.nonEmpty && vs.min > 0 }
       .map { case (k, vs) => k -> vs.max / vs.min }
       .filter(_._2 > 2.0)
     val djson = dispersed.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
@@ -236,13 +331,15 @@ object Bench {
     val vsTotal =
       if (baselined.isEmpty) 0.0
       else baselined.map(_._2).sum / baselined.map(_._3).sum
+    def dimsJson(s: scala.collection.Map[String, Vector[Double]]): String =
+      dimsOf(s).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ajson = attempts.map { s =>
-      f"""{"calib":${calibOf(s)}%.3f,"total":${totalOf(s)}%.3f,"contended":${isContended(s)}}"""
+      f"""{"calib":${calibOf(s)}%.3f,"calib_par":${probeOf(s, "calib_par")}%.3f,"calib_io":${probeOf(s, "calib_io")}%.3f,"total":${totalOf(s)}%.3f,"contended":${isContended(s)},"contended_dims":${dimsJson(s)}}"""
     }.mkString("[", ",", "]")
     // The full record: everything a human or the judge wants. NOT the last
     // line — see the minimal-contract note below.
     val full =
-      f"""{"metric":"bench_full","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","contended":$contended,"attempts":$ajson,"attempt_used":$usedIdx,"dispersed":$djson,"vs_baseline":$vjson,"queries":$qjson,"sf":"$sfDir"}"""
+      f"""{"metric":"bench_full","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","calib_par":$parMin%.3f,"calib_par_anchor":$parAnchor%.3f,"calib_io":$ioMin%.3f,"calib_io_anchor":$ioAnchor%.3f,"contended":$contended,"contended_dims":${dimsJson(samples)},"attempts":$ajson,"attempt_used":$usedIdx,"dispersed":$djson,"vs_baseline":$vjson,"queries":$qjson,"sf":"$sfDir"}"""
     // The MINIMAL machine-first contract (r13 VERDICT #1a): the driver
     // keeps only a ~2000-char tail of stdout and json-parses the FINAL
     // line. BENCH_r13.json came back `parsed: null` because the growing
@@ -252,7 +349,7 @@ object Bench {
     // Per-query data lives on the earlier bench_full/bench_samples lines
     // and in the SPARK_GRAFT_BENCH_OUT file.
     val contract =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","contended":$contended,"retries":${attempts.size - 1}%d,"attempt_used":$usedIdx,"vs_baseline_total":$vsTotal%.2f,"detail":"bench_full","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-interleaved","calib":$calibMin%.3f,"calib_anchor":$calibAnchor%.3f,"calib_anchor_src":"$anchorSrc","calib_par":$parMin%.3f,"calib_io":$ioMin%.3f,"contended":$contended,"contended_dims":${dimsJson(samples)},"retries":${attempts.size - 1}%d,"attempt_used":$usedIdx,"vs_baseline_total":$vsTotal%.2f,"detail":"bench_full","sf":"$sfDir"}"""
     println(s"""{"metric":"bench_samples","samples":$sjson}""")
     println(full)
     // Belt-and-braces against stdout truncation/shutdown failure (the r5
