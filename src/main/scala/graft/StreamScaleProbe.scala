@@ -167,12 +167,63 @@ object StreamScaleProbe {
     val joinRow = joinRowFor("s_stream_join", "inner")
     val joinLeftRow = joinRowFor("s_stream_join_left", "leftOuter")
 
+    // KEYLESS WITHIN cross join (r14 VERDICT #4): the banded streaming
+    // path (StreamOps.bandedKeylessJoin — time-bucket equi key + exact
+    // residual, the plan Translate now emits for streaming CROSS JOIN …
+    // WITHIN). A keyless time join's OUTPUT is inherently quadratic in
+    // event density (10× rows over the same span = ~100× true pairs), so
+    // the honest scale claim is not t10/t1 ≈ 10 but t10/t1 ≤ output
+    // ratio: time linear in OUTPUT, state watermark-bounded and spread
+    // across bucket partitions (not the one-partition empty-key hash).
+    // Both sides are thinned 200× so the 10× output (~3-4M pairs) stays
+    // drainable; the per-output normalization is what scales.
+    def crossShape(s: () => DataFrame) = {
+      val l = s().filter($"event_id" % 200 === 0)
+        .select($"ts".as("lts"), $"event_id".as("lid"))
+        .withWatermark("lts", "2 minutes")
+      val r = s().filter($"event_id" % 200 === 1)
+        .select($"ts".as("rts"), $"event_id".as("rid"))
+        .withWatermark("rts", "2 minutes")
+      val range = $"rts" >= $"lts" - expr("INTERVAL 2 minutes") &&
+        $"rts" <= $"lts" + expr("INTERVAL 2 minutes")
+      (StreamOps.bandedKeylessJoin(l, r, col("lts"), col("rts"),
+        120000000L, range).select($"lid", $"rid"), "append")
+    }
+    def drainOut(plan: DataFrame, mode: String): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val q = plan.writeStream.outputMode(mode).format("noop").start()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      val rows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .maxOption.getOrElse(0L)
+      val bytes = progress.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .maxOption.getOrElse(0L)
+      val out = progress.map(_.sink.numOutputRows).sum
+      (secs, rows, bytes, out)
+    }
+    val crossRow = {
+      val (p1, m1) = crossShape(ev1)
+      val (t1, r1, b1, o1) = drainOut(p1, m1)
+      val (p10, m10) = crossShape(ev10)
+      val (t10, r10, b10, o10) = drainOut(p10, m10)
+      System.err.println(f"[sprobe] s_stream_join_cross t1=$t1%.1f t10=$t10%.1f out=$o1/$o10")
+      val outRatio = o10.toDouble / math.max(o1, 1L)
+      val perOut = (t10 / t1) / math.max(outRatio, 1e-9)
+      f""""s_stream_join_cross":{"t1x":$t1%.2f,"t10x":$t10%.2f,"ratio":${t10 / t1}%.2f,""" +
+        f""""out_1x":$o1,"out_10x":$o10,"out_ratio":$outRatio%.2f,"ratio_per_output":$perOut%.3f,""" +
+        f""""state_rows_1x":$r1,"state_rows_10x":$r10,""" +
+        f""""state_mb_1x":${b1 / 1e6}%.1f,"state_mb_10x":${b10 / 1e6}%.1f}"""
+    }
+
     val heapRows = Seq(
       probe("s_stream_filter", filterShape, ev1, ev10),
       probe("s_stream_agg", aggShape, ev1, ev10),
       probe("s_stream_window", windowShape, ev1, ev10),
       joinRow,
       joinLeftRow,
+      crossRow,
       probe("s_twin_funnel", funnelShape, ev1, ev10),
       probe("s_twin_retention", retentionShape, ev1, ev10, warmup = true),
       probe("s_twin_incdedup", dedupShape, dc1, dc10))

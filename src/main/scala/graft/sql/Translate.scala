@@ -1256,19 +1256,25 @@ object Translate {
     j.cond match {
       case CrossC =>
         // A WITHIN cross join has NO equi key, so Spark plans a
-        // BroadcastNestedLoopJoin — O(|L|·|R|) row comparisons, found
-        // dominating the sf1 sidecar at 10× rows (r14: q_sql_join_cross
-        // ran 20+ min in ONE task). Band it like every other interval
-        // join in the engine (StreamOps.intervalJoin / AsofJoin.bucketed
-        // convention): bucket both event times by the interval width,
-        // explode the right row into its 3 candidate buckets, equi-join
-        // on the bucket, and keep the EXACT range as the residual filter
-        // — a shuffled hash join, output linear in true matches.
-        // Calendar units take their maximum length as the bucket width
-        // (31-day months, 366-day years): wider buckets stay correct
-        // (the exact range still filters), just less selective.
+        // BroadcastNestedLoopJoin in batch — O(|L|·|R|) row comparisons,
+        // found dominating the sf1 sidecar at 10× rows (r14:
+        // q_sql_join_cross ran 20+ min in ONE task) — and in streaming a
+        // keyless StreamingSymmetricHashJoin whose state all hashes to ONE
+        // partition (empty key), a single-executor bottleneck at scale.
+        // Band it like every other interval join in the engine
+        // (StreamOps.intervalJoin / AsofJoin.bucketed convention): bucket
+        // both event times by the interval width, explode the right row
+        // into its 3 candidate buckets, equi-join on the bucket, and keep
+        // the EXACT range as the residual filter — a shuffled hash join
+        // (batch) / a bucket-keyed symmetric hash join (streaming, state
+        // spread across partitions and still watermark-evicted through the
+        // residual range on both event-time columns; r14 VERDICT #4).
+        // Output linear in true matches either way. Calendar units take
+        // their maximum length as the bucket width (31-day months, 366-day
+        // years): wider buckets stay correct (the exact range still
+        // filters), just less selective.
         val banded: DataFrame = j.within match {
-          case Some(iv) if !ldf.isStreaming && !rdf.isStreaming =>
+          case Some(iv) =>
             val wUs = 1000000L * (iv.unit.toUpperCase match {
               case "SECOND" => iv.n
               case "MINUTE" => iv.n * 60L
@@ -1279,15 +1285,9 @@ object Translate {
               case other => throw new IllegalArgumentException(
                 s"unsupported WITHIN unit $other")
             })
-            val lb = floor(unix_micros(eventTs(ldf, refAlias(j.l))) / lit(wUs))
-              .cast("long")
-            val rb = floor(unix_micros(eventTs(rdf, refAlias(j.r))) / lit(wUs))
-              .cast("long")
-            val l2 = ldf.withColumn("__graft_jb", lb)
-            val r2 = rdf.withColumn("__graft_jb",
-              explode(array(rb - 1, rb, rb + 1)))
-            l2.join(r2, l2("__graft_jb") === r2("__graft_jb") && range, "inner")
-              .drop("__graft_jb")
+            graft.streaming.StreamOps.bandedKeylessJoin(ldf, rdf,
+              eventTs(ldf, refAlias(j.l)), eventTs(rdf, refAlias(j.r)),
+              wUs, range)
           case _ => ldf.join(rdf, range, "inner")
         }
         qualifyCollisions(banded, j, ldf, rdf)

@@ -68,6 +68,30 @@ object StreamOps {
     l.join(r, range && cond, joinType)
   }
 
+  /** KEYLESS interval join core (CROSS JOIN … WITHIN, Codegen/V1.hs:286 —
+    * the reference's V1 join key is EMPTY): every (l, r) pair with
+    * `range` true, banded by time bucket so the join has a distributing
+    * equi key. Without one, batch plans a single-task
+    * BroadcastNestedLoopJoin and streaming hashes ALL symmetric-join
+    * state to one partition — both single-node bottlenecks at scale.
+    * Bucket = floor(eventTime / width); the right row is exploded into
+    * its 3 candidate buckets (a pair within `width` differs by at most
+    * one bucket, and at most one of the 3 replicas equals the left's
+    * bucket, so no duplicates); `range` stays as the exact residual.
+    * Callers pass watermarked inputs for streaming; state is then both
+    * partitioned by bucket and watermark-evicted through the residual's
+    * event-time bounds. */
+  def bandedKeylessJoin(ldf: DataFrame, rdf: DataFrame,
+                        lts: Column, rts: Column,
+                        widthUs: Long, range: Column): DataFrame = {
+    val lb = floor(unix_micros(lts) / lit(widthUs)).cast("long")
+    val rb = floor(unix_micros(rts) / lit(widthUs)).cast("long")
+    val l2 = ldf.withColumn("__graft_jb", lb)
+    val r2 = rdf.withColumn("__graft_jb", explode(array(rb - 1, rb, rb + 1)))
+    l2.join(r2, l2("__graft_jb") === r2("__graft_jb") && range, "inner")
+      .drop("__graft_jb")
+  }
+
   /** Stream→table materialization: latest value per key (the reference's
     * `table` source — a stream consumed into a KV store keeping the newest
     * record per key, Stream.hs:89-135). max_by over the event-time column

@@ -93,6 +93,34 @@ class SqlEngineSpec extends SparkSpec {
     started.stop()
   }
 
+  test("streaming CROSS JOIN WITHIN is banded: bucket-keyed state, boundary pairs kept") {
+    val e = new SqlEngine(spark)
+    e.sql("CREATE STREAM xl (k STRING, v INTEGER, _ts TIMESTAMP);")
+    e.sql("CREATE STREAM xr (w INTEGER, _ts TIMESTAMP);")
+    val q = e.sql(
+      """SELECT xl.k AS k, xl.v AS v, xr.w AS w FROM xl
+         CROSS JOIN xr WITHIN (INTERVAL 1 MINUTE);""").asInstanceOf[e.Rows]
+    // the band must ride the STREAMING plan too (r14 VERDICT #4): a
+    // keyless stream-stream join hashes all state to one partition; the
+    // time-bucket column gives the symmetric hash join a distributing key
+    assert(q.df.queryExecution.analyzed.toString.contains("__graft_jb"),
+      "streaming WITHIN cross join lost its time-bucket band")
+    val started = e.engine.createStreamAs("xout", q.df)
+    e.sql("INSERT INTO xl (k, v, _ts) VALUES ('a', 1, '2024-01-01 00:00:00');")
+    e.sql("INSERT INTO xl (k, v, _ts) VALUES ('b', 2, '2024-01-01 00:10:00');")
+    // 30 s from a (same bucket); 50 s from b ACROSS a bucket boundary
+    // (00:09:10 → bucket 9, 00:10:00 → bucket 10 — exercises the ±1
+    // explode); 99 is >19 min from everything
+    e.sql("INSERT INTO xr (w, _ts) VALUES (10, '2024-01-01 00:00:30');")
+    e.sql("INSERT INTO xr (w, _ts) VALUES (20, '2024-01-01 00:09:10');")
+    e.sql("INSERT INTO xr (w, _ts) VALUES (99, '2024-01-01 00:30:00');")
+    e.engine.processAll()
+    val got = spark.table("xout").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got == Set(("a", 10L), ("b", 20L)), s"got $got")
+    started.stop()
+  }
+
   test("chained 3-way interval join: batch resolution + live streaming CSAS") {
     val e = new SqlEngine(spark)
     e.sql("CREATE STREAM t3a (k STRING, va INTEGER, _ts TIMESTAMP);")
