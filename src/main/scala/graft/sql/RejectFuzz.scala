@@ -309,6 +309,109 @@ object RejectFuzz {
     Tally(legal, rejected, analysis, runtime, crashes.result())
   }
 
+  /** IN-FLIGHT lifecycle fuzz (r14 VERDICT #7): [[runConnector]] mutates
+    * statements against an idle connector — its prologue sends nothing
+    * while verbs run. This drives random PAUSE / RESUME / double-verb /
+    * DROP+reCREATE sequences through the SQL statement surface WHILE a
+    * producer thread floods the connector's transport, then referees
+    * delivery. The transport is the LEDGER (offset-tracked) one, so the
+    * invariant is exact: the target stream ends with EVERY produced
+    * record exactly once — no loss at a PAUSE boundary, no replay
+    * duplication at RESUME, and DROP+reCREATE under the same name
+    * resumes the same checkpoint's offsets. Crashes classify as in the
+    * statement fuzz; a delivery divergence reports as a crash line (it
+    * is the invariant this surface exists to hold). */
+  def runConnectorInflight(spark: SparkSession, seed: Long,
+                           scenarios: Int = 3): Tally = {
+    import org.apache.spark.sql.types._
+    var legal = 0; var rejected = 0; var analysis = 0; var runtime = 0
+    val crashes = Seq.newBuilder[String]
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("_ts", TimestampType)))
+    (0 until scenarios).foreach { i =>
+      val r = new Random(seed * 48611L + i)
+      val root = java.nio.file.Files.createTempDirectory("graft_rejinflight_")
+      val broker = new graft.sources.LedgerBroker(root.resolve("log"))
+      val port = broker.start()
+      val prevCkpt = spark.conf.getOption("spark.graft.checkpointRoot")
+      spark.conf.set("spark.graft.checkpointRoot", root.resolve("ckpt").toString)
+      val engine = new SqlEngine(spark)
+      val tgtDir = root.resolve("tgt").toString
+      val create = "CREATE SOURCE CONNECTOR rf_flow FROM ledger WITH " +
+        s"""("stream" = 'rf_lt', "port" = $port);"""
+      try {
+        engine.engine.createFileStream("rf_lt", tgtDir, schema)
+        engine.sql(create); legal += 1
+        val total = 80
+        val producer = new Thread(() => {
+          var j = 0
+          while (j < total) {
+            val k = ('a' + j % 5).toChar
+            graft.sources.LedgerClient.produce("localhost", port,
+              f"""{"k":"$k","v":$j,"_ts":"2024-01-01 00:${j / 60}%02d:${j % 60}%02d"}""")
+            j += 1
+            Thread.sleep(8)
+          }
+        }, s"rf-inflight-producer-$i")
+        producer.start()
+        val nActs = 3 + r.nextInt(5)
+        (0 until nActs).foreach { _ =>
+          Thread.sleep(5 + r.nextInt(36).toLong)
+          r.nextInt(4) match {
+            case 0 => engine.sql("PAUSE CONNECTOR rf_flow;"); legal += 1
+            case 1 => engine.sql("RESUME CONNECTOR rf_flow;"); legal += 1
+            case 2 => // doubled verb: idempotency under live traffic
+              engine.sql("PAUSE CONNECTOR rf_flow;")
+              engine.sql("PAUSE CONNECTOR rf_flow;"); legal += 2
+            case _ => // same name = same checkpoint → offsets must resume
+              engine.sql("DROP CONNECTOR rf_flow;")
+              engine.sql(create); legal += 2
+          }
+        }
+        engine.sql("RESUME CONNECTOR rf_flow;"); legal += 1
+        producer.join(60000)
+        val want = (0 until total)
+          .map(j => (('a' + j % 5).toChar.toString, j.toLong)).sorted
+        // drain to the fixpoint, re-polling briefly: the RESUME just above
+        // may still be spinning its query up when processAll first passes
+        def gotRows() = spark.read.schema(schema).json(tgtDir)
+          .collect().map(g => (g.getString(0), g.getLong(1))).sorted.toSeq
+        val deadline = System.currentTimeMillis() + 30000
+        var got = { engine.engine.processAll(); gotRows() }
+        while (got != want && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250); engine.engine.processAll(); got = gotRows()
+        }
+        if (got != want)
+          crashes += s"inflight_$i: delivery diverged " +
+            s"(want ${want.size} rows, got ${got.size}); " +
+            s"missing=${want.diff(got).take(5)} dup/extra=${got.diff(want).take(5)}"
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // every verb here is legal — any classification is a scenario
+          // aborted before its referee; keep it visible on stderr
+          System.err.println(s"[rej] inflight_$i ${classify(e)} " +
+            s"${rootOf(e).getClass.getName}: ${rootOf(e).getMessage}")
+          classify(e) match {
+            case "rejected" => rejected += 1
+            case "analysis" => analysis += 1
+            case "runtime" => runtime += 1
+            case crash =>
+              crashes += s"inflight_$i: $crash: ${rootOf(e).getMessage}"
+          }
+      } finally {
+        try engine.sql("DROP CONNECTOR IF EXISTS rf_flow;")
+        catch { case _: Exception => () }
+        broker.stop()
+        prevCkpt match {
+          case Some(v) => spark.conf.set("spark.graft.checkpointRoot", v)
+          case None => spark.conf.unset("spark.graft.checkpointRoot")
+        }
+      }
+    }
+    Tally(legal, rejected, analysis, runtime, crashes.result())
+  }
+
   /** Offline roaming: `runMain graft.sql.RejectFuzz <seedCsv> [nBase]`. */
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
@@ -331,7 +434,9 @@ object RejectFuzz {
       val srv = loopback()
       val c = try runConnector(spark, s, srv.getLocalPort)
               finally { try srv.close() catch { case _: Exception => () } }
-      Seq("query" -> q, "ddl" -> d, "connector" -> c).foreach { case (kind, t) =>
+      val fl = runConnectorInflight(spark, s)
+      Seq("query" -> q, "ddl" -> d, "connector" -> c,
+          "inflight" -> fl).foreach { case (kind, t) =>
         legal += t.legal; rejected += t.rejected; analysis += t.analysis
         runtime += t.runtime; crash += t.crashes.size
         t.crashes.foreach(c => System.err.println(s"[rej] CRASH seed=$s $c"))

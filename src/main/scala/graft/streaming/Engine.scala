@@ -67,7 +67,31 @@ class Engine(val spark: SparkSession) {
   private val checkpointRoot: String =
     spark.conf.getOption("spark.graft.checkpointRoot")
       .getOrElse(tempDir("graft_ckpt"))
-  private def ckpt(tag: String): String = s"$checkpointRoot/$tag"
+  /** Checkpoint dir for `tag`, SANITIZED for restart (r15 in-flight
+    * lifecycle fuzz find): a query stopped while writing its very FIRST
+    * offset file can leave a temp file in `offsets/` with no committed
+    * batch — Spark's fresh-start validation then refuses the directory
+    * outright (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) and no query
+    * can ever start under this tag again (observed: DROP CONNECTOR
+    * interrupting batch 0, the re-CREATE dead on arrival). No committed
+    * offset means no batch ran, no sink commit, no state — the
+    * checkpoint is semantically FRESH, so deleting the leftovers loses
+    * nothing (the source replays from its origin, exactly-once intact).
+    * A checkpoint with ANY committed batch is untouched: normal recovery
+    * handles stray temp files once getLatest() resolves. Evaluated
+    * inside every start() closure, so all restart paths self-heal. */
+  private def ckpt(tag: String): String = {
+    val dir = s"$checkpointRoot/$tag"
+    try {
+      val (fs, _) = hadoopFs(dir)
+      val off = new org.apache.hadoop.fs.Path(s"$dir/offsets")
+      if (fs.exists(off) && !fs.listStatus(off)
+          .exists(st => st.getPath.getName.nonEmpty &&
+            st.getPath.getName.forall(_.isDigit)))
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    } catch { case _: Exception => () } // sanitation is best-effort
+    dir
+  }
 
   /** Default window grace: the reference's fixed 24 h (TimeWindows.hs:39). */
   val defaultGrace: String = "24 hours"

@@ -53,6 +53,21 @@ class RejectFuzzSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("connector lifecycle under IN-FLIGHT traffic: verbs race live rows, offsets exact (r15)") {
+    // PAUSE/RESUME/double-verb/DROP+reCREATE sequences fire WHILE a
+    // producer floods the ledger transport; the offset-tracked referee
+    // demands every produced record lands exactly once — no loss at a
+    // PAUSE boundary, no replay duplication at RESUME, and DROP+reCREATE
+    // under the same name resumes the same checkpoint's offsets
+    val t = RejectFuzz.runConnectorInflight(spark, 3L, scenarios = 3)
+    assert(t.crashes.isEmpty, t.crashes.mkString("\n"))
+    assert(t.legal >= 12, s"only ${t.legal} verbs executed — sequence too thin")
+    // every drawn verb is a legal statement: ANY classified error means a
+    // scenario aborted before its delivery referee ran (a hidden failure)
+    assert(t.rejected == 0 && t.analysis == 0 && t.runtime == 0,
+      s"classified errors in an all-legal sequence: $t")
+  }
+
   test("connector lifecycle: out-of-order verbs are messaged, never a crash (r14)") {
     val srv = RejectFuzz.loopback()
     val e = new SqlEngine(spark)
