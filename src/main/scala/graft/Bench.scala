@@ -68,7 +68,8 @@ object Bench {
     "q_multimodal_video",      // GIF demux over STORED bytes (decode-only, r9)
     "q_multimodal_video_encode", // GIF synthesis + LZW encode (the other half)
     "q_sql_agg_having",        // dialect frontend end-to-end
-    "q_sql_interval_join"
+    "q_sql_interval_join",
+    "q_sql_join_cross"         // keyless WITHIN join, banded (r14 sf1 find)
   )
 
   /** The three calibration probe rows — excluded from query totals. */

@@ -34,6 +34,36 @@ object DedupQueries extends QueryPack {
       .select($"doc_id", $"hs")
   }
 
+  /** Decorrelated bounded slice of the documents table (r14 VERDICT #6):
+    * keep docs whose BASE id (doc_id mod 1e7 — SynthSf1's replica offset)
+    * is < `keep`, and suffix every token with the doc's replica index
+    * (`_u<r>`, r = doc_id div 1e7 — the SimhashDiag `unrelated`
+    * construction). At the driver SFs every doc_id < 1e7, so r = 0 and
+    * this is a uniform token suffix (dup structure identical to the raw
+    * corpus — the sf0.01 gate row is as meaningful as the original
+    * anchor); at the synthesized sf1 the 10 replicas of one base doc
+    * share NO tokens, so the brute-force anchors' true-pair output stays
+    * linear in the base corpus instead of inheriting the replica
+    * corpus's quadratic dup structure, and the bounded slice keeps the
+    * all-pairs compute inside both engines' budgets. */
+  private def decorrelatedDocs(s: SparkSession, dir: String,
+                               keep: Long): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(pmod($"doc_id", lit(10000000L)) < keep)
+      .select($"doc_id",
+        concat_ws(" ", transform(split($"text", " "),
+          w => concat(w, lit("_u"),
+            ($"doc_id" / lit(10000000L)).cast("long")))).as("text"))
+  }
+
+  /** The SQL twin of [[decorrelatedDocs]] (a CTE named `dcd`). */
+  private def dcdCte(keep: Long): String =
+    s"""dcd AS (SELECT doc_id,
+       array_to_string(list_transform(string_split(text, ' '),
+         x -> x || '_u' || (doc_id // 10000000)::VARCHAR), ' ') AS text
+       FROM documents WHERE doc_id % 10000000 < $keep)"""
+
   /** The verified near-dup pairs of the md5 MinHash+LSH pipeline:
     * 4 bands × 2 rows → candidate id pairs → exact Jaccard ≥ 0.5 on
     * candidates only. Scale shape: the banded self-join and the candidate
@@ -381,6 +411,72 @@ object DedupQueries extends QueryPack {
         .orderBy($"d1", $"d2")
     }),
 
+    // Decorrelated sf1 twins (r14 VERDICT #6): the same brute-force
+    // OPERATORS as the three quadratic anchors (q_dedup_jaccard_exact,
+    // q_dedup_simhash_pairs, q_dedup_lsh_editdist) over
+    // [[decorrelatedDocs]] — at driver SFs structurally identical to the
+    // anchors (uniform token suffix over the full sf0.01 corpus), at the
+    // synthesized sf1 replica-decorrelated + base-sliced so the all-pairs
+    // scans and their DuckDB oracles stay inside budget. The anchors stay
+    // sf0.01-only; these rows carry the operators to the sf1 sidecar.
+    "q_dedup_jaccard_exact_dc" -> ((s, dir) => {
+      import s.implicits._
+      // repartition BEFORE the all-pairs nested loop: the sliced corpus
+      // reads as 1-2 parquet splits, which would leave the O(n²) jaccard
+      // kernel on as many tasks — parallelism must come from the left side
+      // 500-base slice (not 1000): the twin's DuckDB oracle pays
+      // O(pairs) list_intersect calls — 1.2e7 pairs keeps it minutes,
+      // while at the driver SFs (all doc_ids < 500) the slice still
+      // retains the ENTIRE corpus, so the gate row loses nothing
+      val d = decorrelatedDocs(s, dir, 500L)
+        .withColumn("hs", shingles3(tokens($"text")))
+        .select($"doc_id", $"hs")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .persist()
+      d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          round(jaccard($"a.hs", $"b.hs"), 6).as("jac"))
+        .filter($"jac" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    "q_dedup_simhash_pairs_dc" -> ((s, dir) => {
+      import s.implicits._
+      val sig = decorrelatedDocs(s, dir, 1000L)
+        .select($"doc_id", simhash16("split(text, ' ')").as("sh16"))
+      sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id"
+          && hamming($"a.sh16", $"b.sh16") <= 3)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          hamming($"a.sh16", $"b.sh16").cast("long").as("dist"))
+        .orderBy($"d1", $"d2")
+    }),
+
+    "q_dedup_lsh_editdist_dc" -> ((s, dir) => {
+      import s.implicits._
+      val docs = decorrelatedDocs(s, dir, 1000L).persist()
+      val sh = docs.withColumn("hs", shingles3(tokens($"text")))
+        .select($"doc_id", $"hs")
+      val sig = sh.select($"doc_id",
+          array((0 until 4).map(b =>
+            concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
+            .as("bands"), size($"hs").as("nsh"))
+      val banded = sig.filter($"nsh" > 0)
+        .select($"doc_id", explode($"bands").as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      cand
+        .join(docs.as("t1"), $"d1" === $"t1.doc_id")
+        .join(docs.as("t2"), $"d2" === $"t2.doc_id")
+        .select($"d1", $"d2",
+          levenshtein($"t1.text", $"t2.text").as("dist"),
+          greatest(length($"t1.text"), length($"t2.text")).as("mx"))
+        .filter($"dist" * 5 <= $"mx")
+        .select($"d1", $"d2", $"dist")
+        .orderBy("d1", "d2")
+    }),
+
     // SimHash near-dup at SCALE: 64-bit signature held as four 16-bit bands
     // (sh0..sh3 = bits [0,16) [16,32) [32,48) [48,64) of the per-word
     // 64-bit md5-prefix SimHash). Pigeonhole: Hamming ≤ 3 over 64 bits
@@ -575,8 +671,10 @@ object DedupQueries extends QueryPack {
 
   /** DuckDB-side shingle CTE shared by the dedup oracles: the same per-word
     * hash + rolling combine as combineShingles3. */
-  private val shCte =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+  /** Shingle-hash CTE chain over `src` (normally `documents`; the
+    * decorrelated sf1 twins pass the `dcd` slice). */
+  private def shCteBody(src: String): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') w FROM $src),
        wh AS (SELECT doc_id,
          list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS wh
        FROM d),
@@ -586,6 +684,8 @@ object DedupQueries extends QueryPack {
                 i -> ((wh[i+1] * 131 + wh[i+2]) % 1000000007 * 131 + wh[i+3]) % 1000000007)
            ELSE [] END) AS hs
        FROM wh)"""
+
+  private val shCte = "WITH " + shCteBody("documents")
 
   private def mh(i: Int, hs: String = "hs"): String = {
     val (a, b) = MinhashPerms(i)
@@ -1026,6 +1126,45 @@ object DedupQueries extends QueryPack {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND bit_count(xor(a.sh16, b.sh16)) <= 3
          ORDER BY d1, d2""",
+    // Decorrelated sf1 twins: the anchors' oracles verbatim, over the
+    // dcd slice instead of raw documents (both engines transform text
+    // identically, so the differential stands).
+    "q_dedup_jaccard_exact_dc" ->
+      s"""WITH ${dcdCte(500L)}, ${shCteBody("dcd")}
+         SELECT d1, d2, jac FROM (
+           SELECT a.doc_id d1, b.doc_id d2,
+             round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / len(list_distinct(a.hs || b.hs)), 6) AS jac
+           FROM h a JOIN h b ON a.doc_id < b.doc_id)
+         WHERE jac >= 0.5 ORDER BY d1, d2""",
+    "q_dedup_simhash_pairs_dc" ->
+      s"""WITH ${dcdCte(1000L)},
+         d AS (SELECT doc_id, string_split(text, ' ') w FROM dcd),
+         h AS (SELECT doc_id,
+           list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+         FROM d),
+         sig AS (SELECT doc_id, list_sum(list_transform(range(0, 16), b ->
+           CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) >= 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh16
+         FROM h)
+         SELECT a.doc_id d1, b.doc_id d2, bit_count(xor(a.sh16, b.sh16))::BIGINT AS dist
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND bit_count(xor(a.sh16, b.sh16)) <= 3
+         ORDER BY d1, d2""",
+    "q_dedup_lsh_editdist_dc" ->
+      s"""WITH ${dcdCte(1000L)}, ${shCteBody("dcd")},
+         sig AS (SELECT doc_id, hs,
+           [${(0 until 4).map(b => s"concat_ws('_', $b, ${mh(2 * b)}, ${mh(2 * b + 1)})").mkString(", ")}] AS bands
+         FROM h),
+         banded AS (SELECT doc_id, unnest(bands) AS band FROM sig
+                    WHERE len(hs) > 0),
+         cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         ed AS (SELECT d1, d2, levenshtein(ta.text, tb.text) AS dist,
+                  greatest(length(ta.text), length(tb.text)) AS mx
+                FROM cand JOIN dcd ta ON ta.doc_id = d1
+                          JOIN dcd tb ON tb.doc_id = d2)
+         SELECT d1, d2, dist FROM ed WHERE dist * 5 <= mx ORDER BY d1, d2""",
     // Exhaustive O(n²) 64-bit-Hamming scan: banding in the Spark plan is
     // provably lossless (pigeonhole over 4×16-bit bands at dist ≤ 3), so
     // the bucketed join must reproduce the brute-force answer bit-for-bit.
