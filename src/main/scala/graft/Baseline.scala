@@ -76,4 +76,35 @@ object Baseline {
     "s_stream_agg" -> 1.217,
     "s_stream_window" -> 2.036,
     "s_stream_join" -> 7.391)
+
+  /** Committed per-query sf1 anchors (seconds, /tmp/graft_sf1 synthetic
+    * 10× tier, local[32], min-of-3-interleaved, noop sink) — r14 VERDICT
+    * ask #3: the sf1 tier's 10×-vs-sf0.1 ratios become mechanical the
+    * same way `committed` makes the 2× gate mechanical at sf0.1.
+    * Numbers = BENCH_SF1_r15.json (quiet, contended=false on all three
+    * calibration dimensions). Same amendment protocol as `committed`. */
+  val committedSf1: Map[String, Double] = Map(
+    "q_ann_ivf_train" -> 1.685,
+    "q_ann_ivfpq" -> 2.028,
+    "q_ann_pq" -> 1.784,
+    "q_ann_pq_train" -> 2.928,
+    "q_cdc_apply" -> 21.807,
+    "q_curation_dsir" -> 4.127,
+    "q_curation_dsir_scalable" -> 4.775,
+    "q_dedup_clusters" -> 15.956,
+    "q_dedup_incremental" -> 3.098,
+    "q_dedup_minhash_lsh_fast" -> 12.931,
+    "q_dedup_simhash_banded" -> 6.540,
+    "q_dedup_span_removal" -> 5.212,
+    "q_interval_join" -> 15.382,
+    "q_join_asof_bucketed" -> 2.436,
+    "q_join_profit_by_nation" -> 3.580,
+    "q_json_ops" -> 7.276,
+    "q_multimodal_features" -> 8.210,
+    "q_multimodal_video" -> 3.579,
+    "q_multimodal_video_encode" -> 24.079,
+    "q_quality_nb_score" -> 2.739,
+    "q_quality_perplexity" -> 4.310,
+    "q_sql_interval_join" -> 22.026,
+    "q_sql_join_cross" -> 4.113)
 }
