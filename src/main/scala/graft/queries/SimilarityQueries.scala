@@ -38,12 +38,10 @@ object SimilarityQueries extends QueryPack {
     val all = normVecs(s, dir)
     val centroids = broadcast(all.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"v".as("cv")))
-    // assignment: nearest centroid by dot product (rank 1)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-    val assigned = all.join(centroids)
-      .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter($"r" === 1).select($"vec_id", $"v", $"cid")
+    // assignment: nearest centroid by dot product (rank 1) — map-side
+    // argbest over the broadcast codebook array, no window shuffle
+    val assigned = assignNearestByDot(all, centroids)
+      .select($"vec_id", $"v", $"cid")
       .persist()
     val probes = all.filter($"vec_id" < 10).join(centroids)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cid",
@@ -67,6 +65,63 @@ object SimilarityQueries extends QueryPack {
     * never inside a pairwise stage). */
   private def normVecs(s: SparkSession, dir: String): DataFrame =
     normVecsFrom(Tables.load(s, dir, "embeddings"))
+
+  /** Rank-1 nearest-centroid assignment WITHOUT the window shuffle: the
+    * codebook (≤16 rows) collapses to ONE array row, broadcast to every
+    * task, and the argbest is computed inside a single codegen'd
+    * expression per corpus row. Selection order is IDENTICAL to the
+    * `row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid)`
+    * window it replaces: the rounded dot is negated so descending
+    * similarity becomes the ascending first struct field (negation
+    * preserves signed-zero order: −(−0.0) = 0.0), cid breaks ties. At
+    * 100 TB this turns assignment from a 16n-row shuffle+sort into a
+    * pure scan — the corpus is read once and never leaves its partition.
+    * Returns (every column of `all`) + `cid` + `ccv` (the winning
+    * centroid's vector, for residual computation). */
+  private[graft] def assignNearestByDot(all: DataFrame,
+                                        centroids: DataFrame): DataFrame = {
+    import all.sparkSession.implicits._
+    val cbRow = broadcast(
+      centroids.agg(collect_list(struct($"cid", $"cv")).as("cb_arr")))
+    all.crossJoin(cbRow)
+      // sort CHEAP (nk, cid) structs only — carrying the 64-dim centroid
+      // vectors through the comparator would dominate the scan; the
+      // winner's vector is recovered by one filter pass below, and
+      // Catalyst prunes that expression entirely when the caller never
+      // selects `ccv`
+      .withColumn("best", element_at(array_sort(transform($"cb_arr", c =>
+        struct((-round(dot($"v", c("cv")), 6)).as("nk"),
+          c("cid").as("cid")))), 1))
+      .withColumn("cid", $"best.cid")
+      .withColumn("ccv", element_at(
+        filter($"cb_arr", c => c("cid") === $"best.cid"), 1)("cv"))
+      .drop("cb_arr", "best")
+  }
+
+  /** The per-SUBSPACE form of [[assignNearestByDot]] for the PQ family:
+    * `subs` rows are (vec_id, j, sv) sub-vectors; `codebook` rows are
+    * (cid, cj, cv) per-subspace centroids (16 per j). The codebook
+    * collapses to 8 array rows (one per subspace), broadcast-joined on
+    * j, and the argmin by (round(L2², 9) ASC, cid ASC) — exactly the
+    * `row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid)`
+    * window's order — is one codegen'd expression per sub-vector row.
+    * Returns (every column of `subs`) + `code` + `d2` (winning
+    * centroid id and its rounded squared distance). */
+  private[graft] def pqAssignNearest(subs: DataFrame,
+                                     codebook: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    val cbByJ = broadcast(codebook.groupBy($"cj")
+      .agg(collect_list(struct($"cid", $"cv")).as("cb_arr")))
+    subs.join(cbByJ, $"j" === $"cj")
+      .withColumn("best", element_at(array_sort(transform($"cb_arr", c =>
+        struct(round(aggregate(zip_with($"sv", c("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x), 9)
+          .as("d2"), c("cid").as("cid")))), 1))
+      .drop("cj", "cb_arr")
+      .withColumn("code", $"best.cid")
+      .withColumn("d2", $"best.d2")
+      .drop("best")
+  }
 
   private[graft] def normVecsFrom(embeds: DataFrame): DataFrame = {
     import embeds.sparkSession.implicits._
@@ -197,13 +252,10 @@ object SimilarityQueries extends QueryPack {
     "q_dedup_semantic" -> ((s, dir) => {
       import s.implicits._
       val all = normVecs(s, dir)
-      val centroids = broadcast(all.filter($"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"v".as("cv")))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-      val assigned = all.join(centroids)
-        .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
-        .withColumn("r", row_number().over(wAssign))
-        .filter($"r" === 1).select($"vec_id", $"v", $"cid")
+      val centroids = all.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv"))
+      val assigned = assignNearestByDot(all, centroids)
+        .select($"vec_id", $"v", $"cid")
         .persist()
       val pairs = assigned.as("a").join(assigned.as("b"),
           $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
@@ -249,10 +301,7 @@ object SimilarityQueries extends QueryPack {
       var centroids = all.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"v".as("cv"))
       for (_ <- 1 to 2) {
-        val wA = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-        val assigned = all.join(broadcast(centroids))
-          .select($"vec_id", $"v", $"cid", round(dot($"v", $"cv"), 6).as("cdot"))
-          .withColumn("r", row_number().over(wA)).filter($"r" === 1)
+        val assigned = assignNearestByDot(all, centroids)
           .select($"cid", $"v")
         val byDim = assigned
           .select($"cid", posexplode($"v").as(Seq("i", "x")))
@@ -371,16 +420,11 @@ object SimilarityQueries extends QueryPack {
       val subs = all.select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
           .as(Seq("j", "sv")))
-      val codebook = broadcast(subs.filter($"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv")))
-      val wEnc = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")
-      subs.join(codebook, $"j" === $"cj")
-        .select($"vec_id", $"j", $"cid",
-          round(aggregate(zip_with($"sv", $"cv", (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x), 9).as("d2"))
-        .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
+      val codebook = subs.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv"))
+      pqAssignNearest(subs, codebook)
         .select($"vec_id", $"j".cast("long").as("j"),
-          $"cid".cast("long").as("code"), $"d2")
+          $"code".cast("long").as("code"), $"d2")
         .orderBy($"vec_id", $"j")
     }),
 
@@ -402,18 +446,13 @@ object SimilarityQueries extends QueryPack {
       val subs = all.select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
           .as(Seq("j", "sv")))
-      val codebook = broadcast(subs.filter($"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv")))
-      val wEnc = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")
-      val codes = subs.join(codebook, $"j" === $"cj")
-        .select($"vec_id", $"j", $"cid",
-          round(aggregate(zip_with($"sv", $"cv", (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x), 9).as("d2"))
-        .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
-        .select($"vec_id", $"j", $"cid".as("code"))
+      val codebook = subs.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv"))
+      val codes = pqAssignNearest(subs, codebook)
+        .select($"vec_id", $"j", $"code")
       val dtab = broadcast(subs.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"j".as("qj"), $"sv".as("qv"))
-        .join(codebook, $"qj" === $"cj")
+        .join(broadcast(codebook), $"qj" === $"cj")
         .select($"qid", $"qj", $"cid",
           round(aggregate(zip_with($"qv", $"cv", (x, y) => (x - y) * (x - y)),
             lit(0.0), (a, x) => a + x), 9).cast("decimal(20,9)").as("pd")))
@@ -469,13 +508,9 @@ object SimilarityQueries extends QueryPack {
       var cb = subs.filter($"vec_id" < 16)
         .select($"j", $"vec_id".as("cid"), $"sv".as("cv"))
       for (_ <- 1 to 2) {
-        val wA = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")
-        val assigned = subs.join(broadcast(cb), Seq("j"))
-          .select($"vec_id", $"j", $"cid", $"sv",
-            round(aggregate(zip_with($"sv", $"cv", (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, x) => a + x), 9).as("d2"))
-          .withColumn("r", row_number().over(wA)).filter($"r" === 1)
-          .select($"j", $"cid", $"sv")
+        val assigned = pqAssignNearest(subs,
+            cb.select($"cid", $"j".as("cj"), $"cv"))
+          .select($"j", $"code".as("cid"), $"sv")
         val byDim = assigned
           .select($"j", $"cid", posexplode($"sv").as(Seq("i", "x")))
           .groupBy($"j", $"cid", $"i")
@@ -516,13 +551,9 @@ object SimilarityQueries extends QueryPack {
     val all = all0.persist()
     val centroids = broadcast(all.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"v".as("cv")))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-      val assigned = all.join(centroids)
-        .select($"vec_id", $"v", $"cid", $"cv",
-          round(dot($"v", $"cv"), 6).as("cdot"))
-        .withColumn("r", row_number().over(wAssign)).filter($"r" === 1)
+      val assigned = assignNearestByDot(all, centroids)
         .select($"vec_id", $"cid",
-          zip_with($"v", $"cv", (x, y) => x - y).as("rv"))
+          zip_with($"v", $"ccv", (x, y) => x - y).as("rv"))
         .persist()
       val subs = assigned.select($"vec_id", $"cid", posexplode(
           transform(sequence(lit(0), lit(7)), j => slice($"rv", j * 8 + 1, lit(8))))
@@ -530,13 +561,10 @@ object SimilarityQueries extends QueryPack {
       // residual codebook: the first 16 vectors' residual subvectors
       val codebook = broadcast(subs.filter($"vec_id" < 16)
         .select($"vec_id".as("ccid"), $"j".as("cj"), $"sv".as("cv8")))
-      val wEnc = Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"ccid")
-      val codes = subs.join(codebook, $"j" === $"cj")
-        .select($"vec_id", $"cid", $"j", $"ccid",
-          round(aggregate(zip_with($"sv", $"cv8", (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x), 9).as("d2"))
-        .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
-        .select($"vec_id", $"cid", $"j", $"ccid".as("code"))
+      val codes = pqAssignNearest(subs,
+          subs.filter($"vec_id" < 16)
+            .select($"vec_id".as("cid"), $"j".as("cj"), $"sv".as("cv")))
+        .select($"vec_id", $"cid", $"j", $"code")
       val wProbe = Window.partitionBy($"qid").orderBy($"cdot".desc, $"cid")
       val probes = all.filter($"vec_id" < 10).join(centroids)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"cid", $"cv",
