@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * random streaming-legal SELECT (scalar projection/filter over random
   * expressions, unwindowed grouped aggregation with monotone HAVING,
   * TUMBLE/HOP windowed aggregation, a CSAS hop through a wire-format
-  * file sink, or a stream-stream WITHIN join — equi or keyless CROSS,
-  * the banded path), feeds a fresh stream via per-row `INSERT INTO … VALUES
+  * file sink, a stream-stream WITHIN join — equi or keyless CROSS, the
+  * banded path — or a live materialized VIEW pulled mid-stream), feeds a
+  * fresh stream via per-row `INSERT INTO … VALUES
   * '<json>'` STATEMENTS (so the insert parser and payload decode are part
   * of the certified surface), runs the query live under Structured
   * Streaming, and compares against THE SAME DIALECT TEXT run through the
@@ -228,13 +229,13 @@ object StreamSqlFuzz {
 
   // ---- scenarios -----------------------------------------------------------
 
-  def run(spark: SparkSession, seed: Long, n: Int = 12): Seq[Report] =
+  def run(spark: SparkSession, seed: Long, n: Int = 14): Seq[Report] =
     (0 until n).map(i => runOne(spark, seed, i))
 
   private def runOne(spark: SparkSession, seed: Long, i: Int): Report = {
     val r = mix(seed, i)
     val kind = Vector("stateless", "agg", "tumble", "hop", "csas",
-      "join")(i % 6)
+      "join", "view")(i % 7)
     val name = f"ssf_${seed}%d_${i}%02d_$kind"
     val src = s"ssfs_${seed}_$i"
     val src2 = s"ssfs2_${seed}_$i"
@@ -244,6 +245,8 @@ object StreamSqlFuzz {
     val e = new SqlEngine(spark)
     val started = scala.collection.mutable.ArrayBuffer.empty[String]
     if (kind == "join") return runJoin(spark, e, r, name, src, src2, out,
+      view, view2)
+    if (kind == "view") return runView(spark, e, r, name, src, out,
       view, view2)
     try {
       val rows = genRows(r, 30 + r.nextInt(30),
@@ -407,9 +410,90 @@ object StreamSqlFuzz {
     }
   }
 
+  /** Materialized VIEW through the SQL surface: grammar-drawn CREATE
+    * VIEW (unwindowed or TUMBLE aggregation; keys plain, self-aliased,
+    * or ABSENT from the output — the shapes SqlEngine's incremental-vs-
+    * complete mode decision discriminates on), maintained LIVE across
+    * two insert phases, with a pull after each phase — sometimes through
+    * a key-filtered WHERE — compared against the same aggregation text
+    * run through the batch path over exactly the rows appended so far.
+    * This is ViewFuzz's twin claim re-asserted at the STATEMENT surface:
+    * whatever maintenance mode the dialect layer picked, a pull equals
+    * the from-scratch recompute. */
+  private def runView(spark: SparkSession, e: SqlEngine, r: Random,
+                      name: String, src: String, out: String,
+                      view: String, view2: String): Report = {
+    val vname = out // the materialized view's engine name
+    try {
+      val rows = genRows(r, 40 + r.nextInt(20), nullTs = false)
+      val split = rows.size / 2
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.take(split).map(rowOf), 2),
+        viewSchema).createOrReplaceTempView(view)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(rowOf), 2), viewSchema)
+        .createOrReplaceTempView(view2)
+      e.sql(s"CREATE STREAM $src (id INTEGER, a INTEGER, b INTEGER, " +
+        "c FLOAT, s STRING, g STRING, f BOOLEAN, _ts TIMESTAMP);")
+      // key rendering draws the decision-relevant shapes: bare ref,
+      // self-alias (still incremental), or dropped from the output
+      // (forces complete mode)
+      val keyOut = pick(r, Seq("g", "g AS g", ""))
+      val windowed = r.nextBoolean()
+      val from = if (windowed) s"TUMBLE($src, INTERVAL 1 MINUTE)" else src
+      val aggs = Seq("COUNT(*) AS cnt", s"SUM(${intExpr(r, 2)}) AS sv",
+        s"AVG(${intExpr(r, 1)}) AS av")
+      val items = (if (keyOut.isEmpty) aggs else keyOut +: aggs).mkString(", ")
+      val where = if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else ""
+      def body(t: String): String = {
+        val f = if (windowed) s"TUMBLE($t, INTERVAL 1 MINUTE)" else t
+        s"SELECT $items FROM $f$where GROUP BY g"
+      }
+      e.sql(s"CREATE VIEW $vname AS ${body(src)};")
+      // a key-filtered pull exercises the serving path's pushdown; only
+      // when the key is in the output (else the view has no `g` column)
+      val pullWhere =
+        if (keyOut.nonEmpty && r.nextBoolean()) s" WHERE g = 'g${r.nextInt(4)}'"
+        else ""
+      def phase(refView: String, tag: String): Option[String] = {
+        val got = e.sql(s"SELECT * FROM $vname$pullWhere;")
+          .asInstanceOf[e.Rows].df.collect().toSeq
+        val wantDf = e.batch(s"${body(refView)};")
+        val wantAll = wantDf.collect().toSeq
+        val gIdx = wantDf.schema.fieldNames.indexOf("g")
+        val want =
+          if (pullWhere.isEmpty) wantAll
+          else wantAll.filter(row =>
+            rend(row.get(gIdx)) == pullWhere.split("'")(1))
+        multisetDiff(got, want).map(d => s"$tag: [${body(src)}]$pullWhere $d")
+      }
+      rows.take(split).foreach(rec =>
+        e.sql(s"INSERT INTO $src VALUES '${json(rec)}';"))
+      e.engine.processAll()
+      val d1 = phase(view, "phase1")
+      rows.drop(split).foreach(rec =>
+        e.sql(s"INSERT INTO $src VALUES '${json(rec)}';"))
+      e.engine.processAll()
+      val d2 = phase(view2, "phase2")
+      d1.orElse(d2) match {
+        case Some(d) => Report(name, ok = false, d)
+        case None =>
+          val finalGroups = e.batch(s"${body(view2)};").count().toInt
+          Report(name, ok = true, "", inserted = rows.size,
+            nullFields = rows.map(_.nulls).sum, survivors = finalGroups,
+            groups = finalGroups)
+      }
+    } finally {
+      try e.sql(s"DROP VIEW $vname;") catch { case _: Exception => () }
+      try e.sql(s"DROP STREAM $src;") catch { case _: Exception => () }
+      spark.catalog.dropTempView(view)
+      spark.catalog.dropTempView(view2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.getOrElse("1").split(",").map(_.trim.toLong)
-    val n = if (args.length > 1) args(1).toInt else 12
+    val n = if (args.length > 1) args(1).toInt else 14
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

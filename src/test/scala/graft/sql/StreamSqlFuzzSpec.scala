@@ -16,13 +16,14 @@ import graft.SparkSpec
   */
 class StreamSqlFuzzSpec extends SparkSpec {
 
-  // 12 = two full passes over the 6 scenario kinds (stateless, unwindowed
-  // agg, TUMBLE, HOP, CSAS wire round-trip, stream-stream WITHIN join)
+  // 14 = two full passes over the 7 scenario kinds (stateless, unwindowed
+  // agg, TUMBLE, HOP, CSAS wire round-trip, stream-stream WITHIN join,
+  // live materialized view pulled mid-stream)
   test("streaming-SQL fuzzer: pinned seed 1, streaming == batch on the same text") {
-    val reports = StreamSqlFuzz.run(spark, 1L, 12)
+    val reports = StreamSqlFuzz.run(spark, 1L, 14)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
-    assert(reports.size == 12)
+    assert(reports.size == 14)
     // non-vacuity: the drawn scenarios must actually exercise the hard
     // cases — NULL fields through the insert/decode path, WHERE clauses
     // that filter, and aggregations with multiple groups
@@ -35,7 +36,7 @@ class StreamSqlFuzzSpec extends SparkSpec {
   }
 
   test("streaming-SQL fuzzer: pinned seed 424242") {
-    val reports = StreamSqlFuzz.run(spark, 424242L, 12)
+    val reports = StreamSqlFuzz.run(spark, 424242L, 14)
     val bad = reports.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"${r.name}: ${r.detail}").mkString("\n"))
   }
