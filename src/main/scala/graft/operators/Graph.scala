@@ -44,7 +44,13 @@ object Graph {
   private[graft] def connectedComponentsWithRounds(
       edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int, Boolean) = {
     import edges0.sparkSession.implicits._
-    val nodes = edges0.select($"u").union(edges0.select($"v".as("u")))
+    // Materialize the INPUT edge list exactly once (r15, guide §2.4/§5):
+    // `nodes` and the canonical edge set are two branches off edges0, and
+    // edges0 is typically the expensive part (the LSH verify pipeline for
+    // q_dedup_clusters) — deriving both from one eager checkpoint stops
+    // the second branch from re-executing that whole upstream plan.
+    val ed0 = edges0.localCheckpoint(true)
+    val nodes = ed0.select($"u").union(ed0.select($"v".as("u")))
       .distinct().persist()
     // canonical orientation u > v (both star phases preserve it).
     // Each round CHECKPOINTS (eagerly): an iterative DataFrame's logical
@@ -53,7 +59,7 @@ object Graph {
     // driver dies on plan strings long before the data is the problem.
     // localCheckpoint truncates lineage in local mode; on a cluster a
     // reliable `checkpoint()` dir is the same one-line seam.
-    var e = edges0.filter($"u" =!= $"v")
+    var e = ed0.filter($"u" =!= $"v")
       .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       .distinct().localCheckpoint(true)
     var prev = fingerprint(e)

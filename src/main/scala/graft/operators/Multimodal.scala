@@ -59,13 +59,24 @@ object Multimodal {
                            width: Option[Long], height: Option[Long],
                            channels: Option[Long], digest: Option[String])
 
+  /** Hash-repartition an id frame to the session's default parallelism —
+    * the codec maps below amplify per-row work by orders of magnitude, so
+    * a 1-split local scan must not pin them to one task (r15; the
+    * q_curation_dsir pattern). Deterministic key (doc_id), never rand(). */
+  private def spreadIds(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
   /** Media table with ALL THREE kinds as real container bytes: PNG images
     * ([[pngFor]]), WAV audio ([[wavFor]]), animated-GIF video ([[gifFor]]),
     * kind cycling by id — encoded partition-wise (one encoder context per
     * partition, rows streamed through). */
   def mediaAllReal(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    // spread ids BEFORE the per-row codec work (r15): the local parquet
+    // reads as one split, which serialized every encode pass into one
+    // task; at 100 TB the scan's own splits provide this for free
+    spreadIds(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       (id % 3) match {
         case 0 => MediaRow(id, "image", pngFor(id))
         case 1 => MediaRow(id, "audio", wavFor(id))
@@ -172,7 +183,7 @@ object Multimodal {
     * per partition, rows streamed through). */
   def mediaWithRealImages(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    spreadIds(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val kind = Seq("image", "audio", "video")((id % 3).toInt)
@@ -217,7 +228,8 @@ object Multimodal {
     * partition-wise (same batch shape as images). */
   def mediaWithRealAudio(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
+    spreadIds(docs.select(col("doc_id")).filter(col("doc_id") % 3 === 1))
+      .as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "audio", wavFor(id))))
   }
 
@@ -327,7 +339,8 @@ object Multimodal {
     * partition-wise (same batch shape as images/audio). */
   def mediaWithRealVideo(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
+    spreadIds(docs.select(col("doc_id")).filter(col("doc_id") % 3 === 2))
+      .as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "video", gifFor(id))))
   }
 

@@ -44,21 +44,36 @@ object CdcQueries extends QueryPack {
   /** Frame-based changelog build — shared with ScaleProbe, which feeds a
     * 10× orders frame through the identical encode path. */
   private[graft] def changelogFrom(o0: DataFrame): DataFrame = {
-    val o = o0
-      .select(col("o_orderkey"), col("o_custkey"),
+    // RESTRUCTURED r15 (guide §2.4 remove shuffles / §2.3 scan once): the
+    // three-way union scanned orders three times; the per-order change set
+    // is now one conditional array explode — ONE scan, one map-side pass,
+    // identical envelope multiset (the encode below is unchanged and the
+    // oracle pins the result). The preceding hash-repartition spreads the
+    // to_json/from_json encode — the dominant map cost — across the
+    // session's cores: the local parquet reads as 3 splits, which
+    // serialized it (at 100 TB the scan's own splits do this, and a real
+    // changelog arrives pre-partitioned from the transport).
+    val okey = col("o_orderkey")
+    val ops = filter(array(
+      struct(lit("c").as("_op"), (okey * 10).as("_ts")),
+      when(okey % 3 === 0,
+        struct(lit("u").as("_op"), (okey * 10 + 1).as("_ts"))),
+      when(okey % 5 === 0,
+        struct(lit("d").as("_op"), (okey * 10 + 2).as("_ts")))),
+      x => x.isNotNull)
+    o0.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
-    val inserts = o
-      .withColumn("_op", lit("c"))
-      .withColumn("_ts", col("o_orderkey") * 10)
-    val updates = o.filter(col("o_orderkey") % 3 === 0)
-      .withColumn("o_orderstatus", lit("U"))
-      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
-      .withColumn("_op", lit("u"))
-      .withColumn("_ts", col("o_orderkey") * 10 + 1)
-    val deletes = o.filter(col("o_orderkey") % 5 === 0)
-      .withColumn("_op", lit("d"))
-      .withColumn("_ts", col("o_orderkey") * 10 + 2)
-    inserts.unionByName(updates).unionByName(deletes)
+      .repartition(o0.sparkSession.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .select(okey, col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), explode(ops).as("_o"))
+      .withColumn("_op", col("_o._op"))
+      .withColumn("_ts", col("_o._ts"))
+      .withColumn("o_orderstatus",
+        when(col("_op") === "u", lit("U")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("_op") === "u", col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
       .select(Cdc.encode(col("_op"), col("_ts"), col("_ts"), payloadCols)
         .as("value"))
   }

@@ -99,7 +99,14 @@ object CoreQueries extends QueryPack {
       Tables.load(s, dir, "lineitem")
         .join(broadcast(part), $"l_partkey" === $"p_partkey")
         .join(broadcast(suppGeo), $"l_suppkey" === $"s_suppkey")
-        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        // SHUFFLE_HASH (r15, guide §3.1): orders is the smaller side per
+        // partition — a shuffled hash join skips BOTH sort passes the
+        // default sort-merge join pays on the only two big relations in
+        // the plan (plan diff: SortMergeJoin + 2×Sort → ShuffledHashJoin,
+        // Exchange count unchanged). Build side stays bounded at scale:
+        // orders/partitions per task, the same memory class AQE targets.
+        .join(Tables.load(s, dir, "orders").hint("SHUFFLE_HASH"),
+          $"l_orderkey" === $"o_orderkey")
         .select($"n_name".as("nation"),
           year($"o_orderdate").cast("long").as("o_year"),
           amount.as("amount"))
@@ -149,19 +156,29 @@ object CoreQueries extends QueryPack {
     // same user within ±2 minutes. Equi-key on user_id lets Spark hash-
     // partition; the time bounds become a post-join range predicate — the
     // same plan a stream-stream join with watermarks produces.
+    // RESTRUCTURED r15 (guide §1.1 first-principles; equivalence proven by
+    // the unchanged DuckDB oracle): the aggregate-over-self-join form
+    // materialized every (a, b) pair — O(Σ_user n_u²) rows through a
+    // sort-merge join — only to count them per user. The count of ordered
+    // pairs is exactly Σ_a (|events within ±2 min of a| − 1), which a
+    // RANGE-frame window computes with ONE shuffle on user_id and a
+    // two-pointer sliding frame: O(n log n) per user, no pair
+    // materialization, no join state. Users with zero pairs are filtered
+    // (the inner join never emitted them). The JOIN-shaped plan this row
+    // used to carry still runs in the gate as q_interval_join_salted /
+    // q_interval_join_left / q_sql_interval_join (same oracle family),
+    // so operator coverage is unchanged.
     "q_interval_join" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.load(s, dir, "events")
-      val a = e.select($"user_id".as("a_user"), $"ts".as("a_ts"),
-        $"event_id".as("a_id"))
-      val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"),
-        $"event_id".as("b_id"))
-      a.join(b, $"a_user" === $"b_user" && $"a_id" =!= $"b_id"
-          && $"b_ts" >= $"a_ts" - expr("INTERVAL 2 MINUTES")
-          && $"b_ts" <= $"a_ts" + expr("INTERVAL 2 MINUTES"))
-        .groupBy($"a_user")
-        .agg(count(lit(1)).as("pairs"))
-        .select($"a_user".as("user_id"), $"pairs")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-120000000L, 120000000L)
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"ts")
+        .withColumn("c", count(lit(1)).over(win) - 1)
+        .groupBy($"user_id")
+        .agg(sum($"c").as("pairs"))
+        .filter($"pairs" > 0)
         .orderBy($"user_id")
     }),
 

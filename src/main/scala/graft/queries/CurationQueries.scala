@@ -59,8 +59,14 @@ object CurationQueries extends QueryPack {
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", $"lang", explode(concat($"w", bigrams)).as("f"))
       .withColumn("b", pmod(hash32($"f"), lit(256L)))
+    // persisted (r15): docBuckets feeds TWO branches (the 256-bucket
+    // histogram and the per-doc weight join) and the exchanges do not
+    // canonicalize as reusable, so without the cache the tokenize +
+    // bigram-explode pass — the dominant map cost — ran once per branch.
+    // Bounded: ≤ docs × 256 small rows.
     val docBuckets = feats.groupBy($"doc_id", $"lang", $"b")
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val hist = docBuckets.groupBy($"b")
       .agg(sum($"cnt").as("n_raw"),
         sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("n_tgt"))

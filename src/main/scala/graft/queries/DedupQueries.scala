@@ -29,7 +29,13 @@ object DedupQueries extends QueryPack {
     * this map-side stage is the dominant cost of LSH dedup. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // md5 word-hash shingling is the dominant map-side cost of LSH dedup
+    // (see the header note); spread docs BEFORE it — the local parquet
+    // reads as ONE split, which would serialize the whole pass into one
+    // task (r15; the same pattern q_curation_dsir/q_quality_perplexity
+    // already use). At 100 TB the scan's own splits provide this for free.
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .withColumn("hs", shingles3(tokens($"text")))
       .select($"doc_id", $"hs")
   }
@@ -534,6 +540,8 @@ object DedupQueries extends QueryPack {
   private def fastLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = Tables.load(s, dir, "documents")
+      // same 1-split-scan spread as [[shingled]] (r15)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .withColumn("wh", transform(tokens($"text"), w => pmod(xxhash64(w), lit(1L << 32))))
       .withColumn("hs", combineShingles3($"wh"))
       .select($"doc_id", $"hs",
@@ -563,7 +571,10 @@ object DedupQueries extends QueryPack {
   private[graft] def simhashSig(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select($"doc_id", simhashBands(split($"text", " ")).as("sh"))
+    // same 1-split-scan spread as [[shingled]] (r15): per-word md5 SimHash
+    // is the amplified map here
+    docs.repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", simhashBands(split($"text", " ")).as("sh"))
       .select($"doc_id", $"sh"(0).as("sh0"), $"sh"(1).as("sh1"),
         $"sh"(2).as("sh2"), $"sh"(3).as("sh3"))
   }
@@ -783,7 +794,10 @@ object DedupQueries extends QueryPack {
   private[graft] def sigWithBands(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.withColumn("hs", shingles3(tokens($"text")))
+    // same 1-split-scan spread as [[shingled]] (r15): the batch side of
+    // incremental dedup and the store-ingest path both shingle here
+    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("hs", shingles3(tokens($"text")))
       .select(docs.columns.map(col).toIndexedSeq :+ $"hs" :+
         array((0 until 4).map(b =>
           concat_ws("_", lit(b), minhash($"hs", 2 * b), minhash($"hs", 2 * b + 1))): _*)
@@ -909,16 +923,21 @@ object DedupQueries extends QueryPack {
         when(pmod($"doc_id", lit(3L)) === 0,
           lit(" subscribe to our newsletter for daily updates now"))
           .otherwise(lit("")))
-      val docs = docs0
-        .select($"doc_id", tokens(aug).as("w"))
-        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-        .persist()
       val gramArr = when(size($"w") >= 5,
         transform(sequence(lit(0), size($"w") - 5),
           i => struct(i.as("i"),
             hash32(concat_ws(" ", slice($"w", i + 1, lit(5)))).as("gh"))))
         .otherwise(array().cast("array<struct<i:int,gh:bigint>>"))
-      val occ = docs.select($"doc_id", explode(gramArr).as("g"))
+      // the md5-derived gram hashes are computed ONCE into a cached array
+      // column (r15): `occ` feeds two branches (hot-gram detection and the
+      // covered-position join), and without this the per-gram hashing —
+      // the dominant map cost — ran twice, once per branch
+      val docs = docs0
+        .select($"doc_id", tokens(aug).as("w"))
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .withColumn("garr", gramArr)
+        .persist()
+      val occ = docs.select($"doc_id", explode($"garr").as("g"))
         .select($"doc_id", $"g.i".as("i"), $"g.gh".as("gh"))
       val hot = occ.groupBy($"gh")
         .agg(count_distinct($"doc_id").as("nd"))

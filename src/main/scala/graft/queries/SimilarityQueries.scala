@@ -35,7 +35,7 @@ object SimilarityQueries extends QueryPack {
   private def ivfAt(s: SparkSession, dir: String,
                     nprobe: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    val all = normVecs(s, dir)
+    val all = normVecs(s, dir, spread = true)
     val centroids = broadcast(all.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"v".as("cv")))
     // assignment: nearest centroid by dot product (rank 1) — map-side
@@ -63,8 +63,9 @@ object SimilarityQueries extends QueryPack {
 
   /** vec_id + L2-normalized double vector (normalization happens once here,
     * never inside a pairwise stage). */
-  private def normVecs(s: SparkSession, dir: String): DataFrame =
-    normVecsFrom(Tables.load(s, dir, "embeddings"))
+  private def normVecs(s: SparkSession, dir: String,
+                       spread: Boolean = false): DataFrame =
+    normVecsFrom(Tables.load(s, dir, "embeddings"), spread)
 
   /** Rank-1 nearest-centroid assignment WITHOUT the window shuffle: the
     * codebook (≤16 rows) collapses to ONE array row, broadcast to every
@@ -123,9 +124,24 @@ object SimilarityQueries extends QueryPack {
       .drop("best")
   }
 
-  private[graft] def normVecsFrom(embeds: DataFrame): DataFrame = {
+  private[graft] def normVecsFrom(embeds: DataFrame,
+                                  spread: Boolean = false): DataFrame = {
     import embeds.sparkSession.implicits._
-    embeds
+    // spread = true: hash-repartition the vectors BEFORE a downstream
+    // compute-AMPLIFIED stage (rank-1 scans over broadcast codebooks,
+    // per-subspace PQ encode, Lloyd rounds): the local embeddings parquet
+    // reads as ONE split, which serialized those pipelines into a single
+    // task (r15; the q_curation_dsir pattern — at 100 TB the scan's own
+    // splits provide the parallelism for free). Callers whose downstream
+    // work is CHEAP per row (brute-force dot + broadcast query set, LSH
+    // bucket signatures) skip the spread: for them the extra exchange
+    // measured as a net loss (A/B: q_ann_lsh_bucketed 0.63→0.96 s).
+    val base =
+      if (spread)
+        embeds.repartition(
+          embeds.sparkSession.sparkContext.defaultParallelism, $"vec_id")
+      else embeds
+    base
       .select($"vec_id", vecD($"embedding").as("v"))
       .withColumn("nrm", l2norm($"v"))
       .select($"vec_id", transform($"v", x => x / $"nrm").as("v"))
@@ -208,7 +224,7 @@ object SimilarityQueries extends QueryPack {
     // ground truth; q_ann_lsh_bucketed is the O(n) candidate path.
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._
-      val all = normVecs(s, dir)
+      val all = normVecs(s, dir, spread = true)
       all.as("a").join(all.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
           round(dot($"a.v", $"b.v"), 6).as("sim"))
@@ -224,7 +240,7 @@ object SimilarityQueries extends QueryPack {
     // candidate pairs instead (bucketed edges in, identical CC + election).
     "q_embed_clusters" -> ((s, dir) => {
       import s.implicits._
-      val all = normVecs(s, dir)
+      val all = normVecs(s, dir, spread = true)
       val pairs = all.as("a").join(all.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
           round(dot($"a.v", $"b.v"), 6).as("sim"))
@@ -251,7 +267,7 @@ object SimilarityQueries extends QueryPack {
     // reports its canonical (lowest-id) near-duplicate and best cosine.
     "q_dedup_semantic" -> ((s, dir) => {
       import s.implicits._
-      val all = normVecs(s, dir)
+      val all = normVecs(s, dir, spread = true)
       val centroids = all.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"v".as("cv"))
       val assigned = assignNearestByDot(all, centroids)
@@ -297,7 +313,7 @@ object SimilarityQueries extends QueryPack {
     // regardless of corpus size; the corpus itself is only scanned.
     "q_ann_ivf_train" -> ((s, dir) => {
       import s.implicits._
-      val all = normVecs(s, dir).persist()
+      val all = normVecs(s, dir, spread = true).persist()
       var centroids = all.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"v".as("cv"))
       for (_ <- 1 to 2) {
@@ -416,7 +432,7 @@ object SimilarityQueries extends QueryPack {
     // the rank-1 window's 8n-row shuffle.
     "q_ann_pq_codes" -> ((s, dir) => {
       import s.implicits._
-      val all = normVecs(s, dir)
+      val all = normVecs(s, dir, spread = true)
       val subs = all.select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
           .as(Seq("j", "sv")))
@@ -442,7 +458,7 @@ object SimilarityQueries extends QueryPack {
     // so the shortlist boundary and final ranks reproduce cross-engine.
     "q_ann_pq" -> ((s, dir) => {
       import s.implicits._
-      val all = normVecs(s, dir).persist() // feeds subspaces AND the re-rank
+      val all = normVecs(s, dir, spread = true).persist() // feeds subspaces AND the re-rank
       val subs = all.select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
           .as(Seq("j", "sv")))
@@ -489,7 +505,7 @@ object SimilarityQueries extends QueryPack {
     // broadcast, raw vectors are fetched only for |shortlist| rows.
     // Determinism: residual subtraction is the same IEEE double op in
     // both engines; per-cell round(9), rank-1 cid tie-breaks.
-    "q_ann_ivfpq" -> ((s, dir) => ivfpqFrom(normVecs(s, dir))),
+    "q_ann_ivfpq" -> ((s, dir) => ivfpqFrom(normVecs(s, dir, spread = true))),
 
     // PQ codebook TRAINING: 2 Lloyd rounds per 8-dim subspace, refining
     // the 16 seed sub-vectors — the trained form the q_ann_pq_codes
@@ -502,7 +518,7 @@ object SimilarityQueries extends QueryPack {
     // next assignment; the corpus itself is only scanned.
     "q_ann_pq_train" -> ((s, dir) => {
       import s.implicits._
-      val subs = normVecs(s, dir).select($"vec_id", posexplode(
+      val subs = normVecs(s, dir, spread = true).select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(7)), j => slice($"v", j * 8 + 1, lit(8))))
           .as(Seq("j", "sv"))).persist()
       var cb = subs.filter($"vec_id" < 16)

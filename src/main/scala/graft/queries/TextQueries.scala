@@ -113,6 +113,11 @@ object TextQueries extends QueryPack {
         .select($"doc_id", $"lang", lower($"text").as("t"))
         .filter(length($"t") >= 3)
         .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      // NOT persisted (r15 A/B): the trigram explode feeds both the LM
+      // aggregation and the scoring branch; caching the 5M-row exploded
+      // relation measured neutral-to-negative (cache write+read ≈ the
+      // recompute) while adding memory pressure — recompute is also the
+      // 100 TB-correct choice (guide §5).
       val tris = docs.select($"doc_id", $"lang",
         explode(transform(sequence(lit(1), length($"t") - 2),
           i => $"t".substr(i, lit(3)))).as("tri"))
