@@ -99,14 +99,14 @@ object CoreQueries extends QueryPack {
       Tables.load(s, dir, "lineitem")
         .join(broadcast(part), $"l_partkey" === $"p_partkey")
         .join(broadcast(suppGeo), $"l_suppkey" === $"s_suppkey")
-        // SHUFFLE_HASH (r15, guide §3.1): orders is the smaller side per
-        // partition — a shuffled hash join skips BOTH sort passes the
-        // default sort-merge join pays on the only two big relations in
-        // the plan (plan diff: SortMergeJoin + 2×Sort → ShuffledHashJoin,
-        // Exchange count unchanged). Build side stays bounded at scale:
-        // orders/partitions per task, the same memory class AQE targets.
-        .join(Tables.load(s, dir, "orders").hint("SHUFFLE_HASH"),
-          $"l_orderkey" === $"o_orderkey")
+        // No join hint (r15, tested and reverted): at bench scale the
+        // planner already picks BroadcastHashJoin for orders (no shuffle
+        // of lineitem at all); a SHUFFLE_HASH hint forced the strictly
+        // worse shuffle plan (A/B 1.59 → 1.73 s). At 100 TB, where orders
+        // outgrows broadcast, the size-based planner degrades to
+        // SMJ/shuffled-hash on its own — the adaptive choice is the right
+        // one at every scale, so the plan is left to it.
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .select($"n_name".as("nation"),
           year($"o_orderdate").cast("long").as("o_year"),
           amount.as("amount"))
