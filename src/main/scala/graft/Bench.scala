@@ -139,6 +139,34 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Checkpoint-file checksums OFF (r16, measured): Spark 4.1 writes a
+      // checksum SIDECAR file for every state/offset/commit checkpoint
+      // file and every state-store commit BLOCKS awaiting it through a
+      // small thread pool (thread dumps: all 32 executor threads parked
+      // in ChecksumCancellableFSDataOutputStream.close → awaitResult
+      // inside finalizeDeltaFile) — one extra create+write+fsync per
+      // store per batch, 128 of them per micro-batch for a stream-stream
+      // join (4 stores × 32 partitions). Pure integrity hardening for
+      // long-lived checkpoints, pure overhead for these per-run dirs; it
+      // doubles checkpoint I/O requests on a real cluster too. Env knob
+      // to re-enable for deployments that want the integrity check.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // FileSystem-based checkpoint manager + raw local fs (r16, thread
+      // dumps): the default FileContext manager renames each checkpoint
+      // file through Hadoop's ChecksumFs, which (no native libs here)
+      // FORKS a shell process per rename (readlink) and writes a .crc
+      // sidecar per file — executor threads showed ProcessImpl.forkAndExec
+      // under finalizeDeltaFile. FileSystemBased renames via
+      // File.renameTo (atomic on a local fs); RawLocalFileSystem skips
+      // the .crc churn. fs.file.impl only affects file:// URIs — an
+      // HDFS/S3 deployment is untouched (and FileSystemBased is Spark's
+      // own fallback manager for schemes without FileContext support).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       // state store backend knob (default HDFS-backed; rocksdb = the
       // large-state production choice: state off-heap, no GC pressure)
       .config("spark.sql.streaming.stateStore.providerClass",

@@ -34,6 +34,26 @@ object StreamScaleProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.streaming.numRecentProgressUpdates", "256")
       .config("spark.ui.enabled", "false")
+      // checkpoint-file checksum sidecars off — see Bench.scala (r16):
+      // every state-store commit otherwise blocks on an async checksum
+      // file write; env knob to re-enable
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // FileSystem-based checkpoint manager + raw local fs (r16, thread
+      // dumps): the default FileContext manager renames each checkpoint
+      // file through Hadoop's ChecksumFs, which (no native libs here)
+      // FORKS a shell process per rename (readlink) and writes a .crc
+      // sidecar per file — executor threads showed ProcessImpl.forkAndExec
+      // under finalizeDeltaFile. FileSystemBased renames via
+      // File.renameTo (atomic on a local fs); RawLocalFileSystem skips
+      // the .crc churn. fs.file.impl only affects file:// URIs — an
+      // HDFS/S3 deployment is untouched (and FileSystemBased is Spark's
+      // own fallback manager for schemes without FileContext support).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

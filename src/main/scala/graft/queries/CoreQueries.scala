@@ -168,6 +168,14 @@ object CoreQueries extends QueryPack {
     // used to carry still runs in the gate as q_interval_join_salted /
     // q_interval_join_left / q_sql_interval_join (same oracle family),
     // so operator coverage is unchanged.
+    // Equivalence assumptions of the window-count form (r16, ADVICE):
+    // (1) event_id is unique per row, so the `− 1` removes exactly the
+    // self-pair that the join's a.event_id <> b.event_id predicate
+    // excluded; (2) user_id/ts are non-null — the join's a_user = b_user
+    // null-rejected, while partitionBy(user_id) groups NULLs together.
+    // The defensive filter below makes (2) hold by construction (it drops
+    // rows the join form could never pair), so a future data generation
+    // with NULL users/timestamps cannot silently diverge from the oracle.
     "q_interval_join" -> ((s, dir) => {
       import s.implicits._
       val win = org.apache.spark.sql.expressions.Window
@@ -175,6 +183,7 @@ object CoreQueries extends QueryPack {
         .rangeBetween(-120000000L, 120000000L)
       Tables.load(s, dir, "events")
         .select($"user_id", $"ts")
+        .filter($"user_id".isNotNull && $"ts".isNotNull)
         .withColumn("c", count(lit(1)).over(win) - 1)
         .groupBy($"user_id")
         .agg(sum($"c").as("pairs"))

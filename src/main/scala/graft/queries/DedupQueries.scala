@@ -618,7 +618,12 @@ object DedupQueries extends QueryPack {
     val hot = bands.groupBy($"band", $"bval")
       .agg(count(lit(1)).as("n")).filter($"n" > hotThreshold)
       .select($"band", $"bval", lit(true).as("__hot"))
+    // persisted (r16): marked feeds FOUR plan branches (both sides of the
+    // cold self-join, both sides of the hot sub-band self-join) — without
+    // the cache each branch re-ran the band explode + hot broadcast join.
+    // Bounded: 4 rows per doc.
     val marked = bands.join(broadcast(hot), Seq("band", "bval"), "left")
+      .persist()
     val dist = (hamming($"a.sh0", $"b.sh0") + hamming($"a.sh1", $"b.sh1") +
       hamming($"a.sh2", $"b.sh2") + hamming($"a.sh3", $"b.sh3")).cast("long")
     val cold = marked.filter($"__hot".isNull)

@@ -57,6 +57,22 @@ object Translate {
 
   def intervalString(i: IntervalLit): String = s"${i.n} ${i.unit.toLowerCase}"
 
+  /** Upper-bound width of a WITHIN interval in microseconds, for the
+    * banded-join bucket. Calendar units take their maximum length (31-day
+    * months, 366-day years): wider buckets stay correct — the exact range
+    * residual still filters — just less selective. */
+  private def withinMicros(iv: IntervalLit): Long =
+    1000000L * (iv.unit.toUpperCase match {
+      case "SECOND" => iv.n
+      case "MINUTE" => iv.n * 60L
+      case "HOUR" => iv.n * 3600L
+      case "DAY" => iv.n * 86400L
+      case "MONTH" => iv.n * 31L * 86400L
+      case "YEAR" => iv.n * 366L * 86400L
+      case other => throw new IllegalArgumentException(
+        s"unsupported WITHIN unit $other")
+    })
+
   /** Deterministic output name for an unaliased SELECT item (the reference
     * names by pretty-printed expression text, Planner.hs:178-222). */
   def exprName(e: Expr): String = e match {
@@ -1253,6 +1269,41 @@ object Translate {
       case ColRef(Some(q), n) => col(s"$q.$n")
       case ColRef(None, n) => col(n)
     }
+    // BANDED keyed WITHIN join (r16, guide §2.4/§3.1): the equi-key form
+    // shared the CrossC band's problem at a smaller exponent — with the
+    // time bounds left as a post-join residual, the join enumerates ALL
+    // same-key pairs (O(Σ n_k²) candidate evaluations for keys whose rows
+    // span the corpus' time range, e.g. a user active for a month joined
+    // WITHIN ±2 min — measured 100k × ~67 ≈ 6.7M pair evals in ONE task
+    // at sf0.1 because the planner picks BroadcastHashJoin over the
+    // 1-split local scan). Adding the time bucket to the equi key bounds
+    // candidates to the ±1-bucket neighborhood; the full condition (exact
+    // range included) stays as the residual, so results are identical.
+    // The probe (non-exploded) side is additionally hash-repartitioned by
+    // its bucket when batch: locally that parallelizes the 1-split probe
+    // scan; at scale the bucket is a SUBSET of the sort-merge join's
+    // clustering keys, so EnsureRequirements reuses this exchange instead
+    // of adding a second one. FULL outer falls back to the plain join
+    // inside bandedIntervalJoin (both sides would need the 3-way explode,
+    // duplicating unmatched rows).
+    def timeJoin(l: DataFrame, r: DataFrame, full: Column): DataFrame =
+      j.within match {
+        case Some(iv) =>
+          val lts = eventTs(ldf, refAlias(j.l))
+          val rts = eventTs(rdf, refAlias(j.r))
+          val w = withinMicros(iv)
+          def spreadB(df: DataFrame, b: Column) =
+            if (df.isStreaming) df
+            else df.repartition(df.sparkSession.sparkContext.defaultParallelism, b)
+          val (l2, r2) = j.joinType match {
+            case "right" => (l, spreadB(r, floor(unix_micros(rts) / lit(w))))
+            case "full" => (l, r) // not bandable; plain join below
+            case _ => (spreadB(l, floor(unix_micros(lts) / lit(w))), r)
+          }
+          graft.streaming.StreamOps.bandedIntervalJoin(
+            l2, r2, lts, rts, w, full, j.joinType)
+        case None => l.join(r, full, j.joinType)
+      }
     j.cond match {
       case CrossC =>
         // A WITHIN cross join has NO equi key, so Spark plans a
@@ -1275,19 +1326,9 @@ object Translate {
         // filters), just less selective.
         val banded: DataFrame = j.within match {
           case Some(iv) =>
-            val wUs = 1000000L * (iv.unit.toUpperCase match {
-              case "SECOND" => iv.n
-              case "MINUTE" => iv.n * 60L
-              case "HOUR" => iv.n * 3600L
-              case "DAY" => iv.n * 86400L
-              case "MONTH" => iv.n * 31L * 86400L
-              case "YEAR" => iv.n * 366L * 86400L
-              case other => throw new IllegalArgumentException(
-                s"unsupported WITHIN unit $other")
-            })
             graft.streaming.StreamOps.bandedKeylessJoin(ldf, rdf,
               eventTs(ldf, refAlias(j.l)), eventTs(rdf, refAlias(j.r)),
-              wUs, range)
+              withinMicros(iv), range)
           case _ => ldf.join(rdf, range, "inner")
         }
         qualifyCollisions(banded, j, ldf, rdf)
@@ -1301,9 +1342,9 @@ object Translate {
           lenv.map { case (k, v) => s"${refAlias(j.l).toLowerCase}.$k" -> v } ++
           renv.map { case (k, v) => s"${refAlias(j.r).toLowerCase}.$k" -> v }
         TypeCheck.check(e, env)
-        qualifyCollisions(ldf.join(rdf, range && column(e, resolve, env), j.joinType),
+        qualifyCollisions(timeJoin(ldf, rdf, range && column(e, resolve, env)),
           j, ldf, rdf)
-      case Using(cols0) => usingJoin(ldf, rdf, j, range, cols0)
+      case Using(cols0) => usingJoin(ldf, rdf, j, range, cols0, timeJoin)
       case Natural =>
         // event-time columns are transport infrastructure, not natural
         // keys — excluded when PRESENT. (r13 fuzz find: this previously
@@ -1313,7 +1354,7 @@ object Translate {
           .flatMap(d => Seq("_ts", "ts").filter(d.columns.contains)).toSet
         val shared = ldf.columns.toSet.intersect(rdf.columns.toSet) -- tsNames
         require(shared.nonEmpty, "NATURAL JOIN with no shared columns")
-        usingJoin(ldf, rdf, j, range, shared.toSeq.sorted)
+        usingJoin(ldf, rdf, j, range, shared.toSeq.sorted, timeJoin)
     }
   }
 
@@ -1483,12 +1524,15 @@ object Translate {
     * behind their stream qualifiers, mirroring the reference's
     * "stream.field" output keys on collision (Rts/Old.hs:200-209). */
   private def usingJoin(ldf: DataFrame, rdf: DataFrame, j: TRJoin,
-                        range: Column, keys: Seq[String]): DataFrame = {
+                        range: Column, keys: Seq[String],
+                        joinFn: (DataFrame, DataFrame, Column) => DataFrame)
+      : DataFrame = {
     val la = refAlias(j.l); val ra = refAlias(j.r)
     val renamed = keys.foldLeft(rdf.as(s"__pre_$ra"))(
       (d, k) => d.withColumnRenamed(k, s"__graft_r_$k")).alias(ra)
     val eq = keys.map(k => col(s"$la.$k") === col(s"$ra.__graft_r_$k")).reduce(_ && _)
-    val joined = ldf.join(renamed, range && eq, j.joinType)
+    // joinFn = planJoin's timeJoin: plain when no WITHIN, banded otherwise
+    val joined = joinFn(ldf, renamed, range && eq)
     val merged =
       if (j.joinType == "right" || j.joinType == "full")
         keys.foldLeft(joined)((d, k) =>

@@ -65,7 +65,61 @@ object StreamOps {
     val range =
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after")
-    l.join(r, range && cond, joinType)
+    // BANDED (r16, guide §2.4/§3): the equi-conjuncts alone leave the join
+    // scanning every buffered row OF THE SAME KEY against the range — a
+    // key whose events span the replay (e.g. a user active for a month,
+    // joined WITHIN ±2 min) pays O(rows-per-key) state probes per input
+    // row for a window that matches ~constant rows. Adding the time
+    // bucket to the equi key (exact range kept as the residual) bounds
+    // each probe to the ±1-bucket neighborhood — identical output, state
+    // still watermark-evicted through the residual's event-time bounds.
+    // FULL outer can't band (both sides would need the 3-way explode,
+    // duplicating unmatched rows) and falls back inside the helper.
+    bandedIntervalJoin(l, r, col(leftTs), col(rightTs),
+      math.max(intervalMicros(before), intervalMicros(after)),
+      range && cond, joinType)
+  }
+
+  /** Upper-bound width of an interval literal in microseconds (calendar
+    * units take their maximum length — 31-day months, 366-day years: a
+    * WIDER band stays correct, the exact residual still filters). */
+  private[graft] def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    iv.months * 31L * 86400L * 1000000L + iv.days * 86400L * 1000000L +
+      iv.microseconds
+  }
+
+  /** KEYED banded interval join core (r16) — [[bandedKeylessJoin]]'s
+    * generalization to an arbitrary join condition and join type: bucket
+    * both event times by `widthUs`, explode ONE side into its 3 candidate
+    * buckets (a pair within `widthUs` differs by at most one bucket, and
+    * at most one of the 3 replicas equals the other side's bucket, so no
+    * duplicates), equi-join on the bucket alongside `cond`, which must
+    * contain the exact range as a residual. The exploded side is the one
+    * whose unmatched rows the join type DROPS (right for inner/left, left
+    * for right), so outer-row multiplicity is preserved: the non-exploded
+    * side appears once, and an unmatched row of the exploded side emits
+    * nothing. FULL outer would need both sides exploded — not bandable —
+    * and falls back to the plain join. */
+  def bandedIntervalJoin(ldf: DataFrame, rdf: DataFrame,
+                         lts: Column, rts: Column, widthUs: Long,
+                         cond: Column, joinType: String = "inner"): DataFrame = {
+    val lb = floor(unix_micros(lts) / lit(widthUs)).cast("long")
+    val rb = floor(unix_micros(rts) / lit(widthUs)).cast("long")
+    joinType match {
+      case "inner" | "left" | "leftouter" | "left_outer" =>
+        val l2 = ldf.withColumn("__graft_jb", lb)
+        val r2 = rdf.withColumn("__graft_jb", explode(array(rb - 1, rb, rb + 1)))
+        l2.join(r2, l2("__graft_jb") === r2("__graft_jb") && cond, joinType)
+          .drop("__graft_jb")
+      case "right" | "rightouter" | "right_outer" =>
+        val l2 = ldf.withColumn("__graft_jb", explode(array(lb - 1, lb, lb + 1)))
+        val r2 = rdf.withColumn("__graft_jb", rb)
+        l2.join(r2, l2("__graft_jb") === r2("__graft_jb") && cond, joinType)
+          .drop("__graft_jb")
+      case other => ldf.join(rdf, cond, other)
+    }
   }
 
   /** KEYLESS interval join core (CROSS JOIN … WITHIN, Codegen/V1.hs:286 —
@@ -83,14 +137,8 @@ object StreamOps {
     * event-time bounds. */
   def bandedKeylessJoin(ldf: DataFrame, rdf: DataFrame,
                         lts: Column, rts: Column,
-                        widthUs: Long, range: Column): DataFrame = {
-    val lb = floor(unix_micros(lts) / lit(widthUs)).cast("long")
-    val rb = floor(unix_micros(rts) / lit(widthUs)).cast("long")
-    val l2 = ldf.withColumn("__graft_jb", lb)
-    val r2 = rdf.withColumn("__graft_jb", explode(array(rb - 1, rb, rb + 1)))
-    l2.join(r2, l2("__graft_jb") === r2("__graft_jb") && range, "inner")
-      .drop("__graft_jb")
-  }
+                        widthUs: Long, range: Column): DataFrame =
+    bandedIntervalJoin(ldf, rdf, lts, rts, widthUs, range, "inner")
 
   /** Stream→table materialization: latest value per key (the reference's
     * `table` source — a stream consumed into a KV store keeping the newest
