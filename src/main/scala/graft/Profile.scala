@@ -38,15 +38,16 @@ object Profile {
       // FORKS a shell process per rename (readlink) and writes a .crc
       // sidecar per file — executor threads showed ProcessImpl.forkAndExec
       // under finalizeDeltaFile. FileSystemBased renames via
-      // File.renameTo (atomic on a local fs); RawLocalFileSystem skips
-      // the .crc churn. fs.file.impl only affects file:// URIs — an
-      // HDFS/S3 deployment is untouched (and FileSystemBased is Spark's
-      // own fallback manager for schemes without FileContext support).
+      // File.renameTo (atomic on a local fs), no fork. (fs.file.impl =
+      // RawLocalFileSystem was tried for the .crc sidecars too and
+      // REVERTED: Hadoop's FileSystem.getLocal casts the file:// fs to
+      // LocalFileSystem, which RocksDB's checkpoint upload relies on —
+      // StreamFuzzSpec caught the ClassCastException.) FileSystemBased
+      // is Spark's own fallback manager for schemes without FileContext
+      // support, so HDFS/S3 deployments are untouched.
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "org.apache.spark.sql.execution.streaming.checkpointing." +
           "FileSystemBasedCheckpointFileManager")
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = ArrayBuffer.empty[StageRow]

@@ -25,8 +25,6 @@ object SparkSpec {
     .config("spark.sql.streaming.checkpointFileManagerClass",
       "org.apache.spark.sql.execution.streaming.checkpointing." +
         "FileSystemBasedCheckpointFileManager")
-    .config("spark.hadoop.fs.file.impl",
-      "org.apache.hadoop.fs.RawLocalFileSystem")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
